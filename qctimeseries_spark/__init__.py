@@ -1,0 +1,104 @@
+"""qctimeseries_spark — a PySpark-native time-series QC + analytics engine.
+
+A brand-new engine with the query/data-processing capabilities of the
+reference R package ``qctimeseries`` (window-by-window QC of flagged
+numeric time series), re-expressed as lazy, immutable, distributed Spark
+DataFrame transforms, plus large-scale training-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing).
+
+Everything in the QC core compiles to native Catalyst expressions — no
+Python UDFs on the hot path. See SURVEY.md for the operator inventory.
+"""
+
+from qctimeseries_spark.schema import (
+    FLAG_APPROVED,
+    FLAG_UNCHECKED,
+    FLAG_MISSING,
+    FLAG_MANUAL,
+    FLAG_DOMAIN,
+    DEFAULT_SUFFIX,
+    flag_col,
+    base_var,
+    qc_vars,
+    is_flagged,
+)
+from qctimeseries_spark.flags import (
+    add_flags,
+    remove_flags,
+    transfer_flags,
+    apply_flags,
+    strict_clean,
+)
+from qctimeseries_spark.summary import progress, consistency_check, flag_domain_check
+from qctimeseries_spark.windows import (
+    with_rowid,
+    window_anchor,
+    assign_windows,
+    admitted_windows,
+    window_slice,
+    window_range,
+    window_extent,
+)
+from qctimeseries_spark.updates import (
+    set_flag,
+    flag_window,
+    approve_window,
+    reset_window,
+    reset_all,
+    flag_and_approve_window,
+)
+from qctimeseries_spark.viz import (
+    main_trace,
+    approved_overlay,
+    flagged_overlay,
+    secondary_trace,
+    check_panel,
+    downsample_minmax,
+)
+from qctimeseries_spark.exports import write_exports, smart_stem
+from qctimeseries_spark.pipeline import qc_pipeline
+
+__all__ = [
+    "FLAG_APPROVED",
+    "FLAG_UNCHECKED",
+    "FLAG_MISSING",
+    "FLAG_MANUAL",
+    "FLAG_DOMAIN",
+    "DEFAULT_SUFFIX",
+    "flag_col",
+    "base_var",
+    "qc_vars",
+    "is_flagged",
+    "add_flags",
+    "remove_flags",
+    "transfer_flags",
+    "apply_flags",
+    "strict_clean",
+    "progress",
+    "consistency_check",
+    "flag_domain_check",
+    "with_rowid",
+    "window_anchor",
+    "assign_windows",
+    "admitted_windows",
+    "window_slice",
+    "window_range",
+    "window_extent",
+    "set_flag",
+    "flag_window",
+    "approve_window",
+    "reset_window",
+    "reset_all",
+    "flag_and_approve_window",
+    "main_trace",
+    "approved_overlay",
+    "flagged_overlay",
+    "secondary_trace",
+    "check_panel",
+    "downsample_minmax",
+    "write_exports",
+    "smart_stem",
+    "qc_pipeline",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,142 @@
+"""Export sinks: CSV(.gz) / Parquet / chunked XLSX / checksums.
+
+Reference: ``qc_write_exports`` ``R/qc_exports.R:25-148`` (S3–S9 in
+SURVEY.md §2.1).  Writes the "qc" variant (with flags) and the "clean"
+variant (flags applied per P4, flag columns dropped).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from qctimeseries_spark.flags import apply_flags
+from qctimeseries_spark.schema import DEFAULT_SUFFIX
+
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def smart_stem(name: str) -> str:
+    """S9 export stem: strip trailing ``_qc`` / ``_clean``
+    (``R/qc_exports.R:45-52``)."""
+    return re.sub(r"(_qc|_clean)+$", "", name)
+
+
+def iso_utc(df: DataFrame, time_col: str) -> DataFrame:
+    """F5: render the time column as ISO-8601 UTC text
+    (``R/qc_exports.R:61-66``).  Session timezone should be UTC; the
+    engine stores UTC and converts at edges only (SURVEY.md §7.4)."""
+    return df.withColumn(time_col, F.date_format(F.col(time_col), ISO_FMT))
+
+
+def write_exports(
+    df: DataFrame,
+    out_dir: str,
+    stem: str,
+    *,
+    time_col: str,
+    suffix: str = DEFAULT_SUFFIX,
+    write_csv: bool = True,
+    csv_compress: bool = True,
+    na_csv: str = "NA",
+    write_parquet: bool = True,
+    parquet_compression: str = "zstd",
+    write_xlsx: bool = False,
+    checksums: bool = True,
+) -> dict[str, list[str]]:
+    """Write qc + clean variants in the requested formats; returns
+    {format: [paths]}.  CSV renders time as ISO-8601 UTC with a
+    configurable NA marker (S3, ``R/qc_exports.R:71-79``); Parquet
+    defaults to zstd (S4, ``R/qc_exports.R:35,82-89``); XLSX chunks at
+    1,048,576 rows/sheet (S5, ``R/qc_exports.R:92-122``) via a
+    driver-side pandas writer — an out-of-engine sink by nature."""
+    stem = smart_stem(stem)
+    variants = {
+        "qc": df,
+        "clean": apply_flags(df, suffix=suffix, drop_flags=True),
+    }
+    written: dict[str, list[str]] = {}
+    for tag, data in variants.items():
+        base = os.path.join(out_dir, f"{stem}_{tag}")
+        if write_csv:
+            path = base + "_csv"
+            (
+                iso_utc(data, time_col)
+                .write.mode("overwrite")
+                .option("header", True)
+                .option("nullValue", na_csv)
+                .option("compression", "gzip" if csv_compress else "none")
+                .csv(path)
+            )
+            written.setdefault("csv", []).append(path)
+        if write_parquet:
+            path = base + "_parquet"
+            data.write.mode("overwrite").option(
+                "compression", parquet_compression
+            ).parquet(path)
+            written.setdefault("parquet", []).append(path)
+        if write_xlsx:
+            written.setdefault("xlsx", []).extend(_write_xlsx(data, base))
+    if checksums:
+        written["checksums"] = [_write_checksums(out_dir, stem, written)]
+    return written
+
+
+_XLSX_MAX_ROWS = 1_048_576  # per-sheet cap, R/qc_exports.R:99
+
+
+def _write_xlsx(df: DataFrame, base: str) -> list[str]:
+    """S5 chunked XLSX: ≤1,048,576 rows per sheet.  Chunk id =
+    floor((row_number-1)/cap) computed engine-side; each chunk streams
+    to the driver via toPandas.  Gated on openpyxl availability."""
+    try:
+        import openpyxl  # noqa: F401
+        import pandas as pd  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(f"xlsx export needs openpyxl: {exc}") from exc
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    chunked = df.withColumn(
+        "_chunk", F.floor((F.row_number().over(w) - 1) / _XLSX_MAX_ROWS)
+    )
+    n_chunks = chunked.agg(F.max("_chunk")).collect()[0][0] + 1
+    path = base + ".xlsx"
+    import pandas as pd
+
+    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+        for k in range(n_chunks):
+            pdf = chunked.filter(F.col("_chunk") == k).drop("_chunk").toPandas()
+            pdf.to_excel(writer, sheet_name=f"sheet{k + 1}", index=False)
+    return [path]
+
+
+def _write_checksums(out_dir: str, stem: str, written: dict) -> str:
+    """S7: MD5 per written file → ``<stem>_checksums.md5``
+    (``R/qc_exports.R:135-145``)."""
+    lines = []
+    for fmt, paths in written.items():
+        if fmt == "checksums":
+            continue
+        for p in paths:
+            files = (
+                [os.path.join(p, f) for f in sorted(os.listdir(p))]
+                if os.path.isdir(p)
+                else [p]
+            )
+            for fp in files:
+                if os.path.basename(fp).startswith(("_", ".")):
+                    continue
+                h = hashlib.md5()
+                with open(fp, "rb") as fh:
+                    for block in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(block)
+                lines.append(f"{h.hexdigest()}  {os.path.relpath(fp, out_dir)}")
+    out = os.path.join(out_dir, f"{stem}_checksums.md5")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return out

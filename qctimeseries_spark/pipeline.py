@@ -1,0 +1,39 @@
+"""The canonical end-to-end batch QC pipeline.
+
+Reference workflow (``vignettes/overall_workflow.Rmd:329-350``,
+SURVEY.md §3.1): read → add flags → (flag rows) → progress → apply
+flags → write clean + qc.  Expressed as one lazy DataFrame chain:
+Catalyst fuses the flag init, update overlays, and masking into a
+single projection stage; only ``progress`` and the writes trigger jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+
+from qctimeseries_spark.flags import add_flags, apply_flags
+from qctimeseries_spark.schema import DEFAULT_SUFFIX, FLAG_MANUAL
+from qctimeseries_spark.summary import progress
+from qctimeseries_spark.updates import set_flag
+
+
+def qc_pipeline(
+    df: DataFrame,
+    vars: list[str] | str,
+    *,
+    time_col: str,
+    flag_predicates: dict[str, Column] | None = None,
+    suffix: str = DEFAULT_SUFFIX,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the §3.1 pipeline; returns (qc_df, clean_df, progress_df).
+
+    ``flag_predicates`` maps variable → predicate marking rows to flag
+    -2 (the batch generalization of interactive brushing, U1).
+    """
+    flagged = add_flags(df, vars, suffix, time_col=time_col)
+    if flag_predicates:
+        for var, pred in flag_predicates.items():
+            flagged = set_flag(flagged, var, FLAG_MANUAL, selection=pred, suffix=suffix)
+    prog = progress(flagged, vars if isinstance(vars, list) else [vars], suffix)
+    clean = apply_flags(flagged, suffix=suffix, drop_flags=True)
+    return flagged, clean, prog

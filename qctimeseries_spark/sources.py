@@ -1,0 +1,71 @@
+"""Sources: CSV / Parquet readers with QC-friendly time handling.
+
+Reference: S1/S2 in SURVEY.md §2.1 (``read.csv`` + ``as.POSIXct`` in
+the vignette workflow; RData save/load ≙ Parquet state round-trip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    time_col: str | None = None,
+    time_format: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """S1 CSV source (vignette ``read.csv`` + POSIXct cast,
+    ``overall_workflow.Rmd:97-108``).  Header on, schema inference on
+    unless an explicit schema is given (always prefer explicit schemas
+    at scale — inference is an extra full scan)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.csv(path)
+    if time_col is not None:
+        cast = (
+            F.to_timestamp(F.col(time_col), time_format)
+            if time_format
+            else F.to_timestamp(F.col(time_col))
+        )
+        df = df.withColumn(time_col, cast)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2 state source — Parquet replaces the reference's RData
+    save/load (``overall_workflow.Rmd:162-165``)."""
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver test table, normalizing timestamp physical types.
+
+    The driver's ``events`` table stores TIMESTAMP(NANOS), which Spark's
+    Parquet reader rejects by default; we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a proper
+    timestamp at microsecond precision — exactly what DuckDB's reader
+    does, keeping both engines value-identical.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+    # Leave the conf set for the session: execution re-reads it at plan
+    # time, and it only affects NANOS columns that are otherwise
+    # unreadable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return df

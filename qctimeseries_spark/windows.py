@@ -1,0 +1,154 @@
+"""Anchored tumbling time-windows — the reference's central operator.
+
+Reference semantics (SURVEY.md §2.4; ``make_windows``
+``R/qc_window_app.R:67-79``): a window is a fixed-width bucket of
+``hours`` hours, anchored at the SERIES MINIMUM time (not the epoch):
+
+    win_id = floor((t - min(t)) / (hours * 3600s))
+
+Two-pass implementation (§4): a tiny ``agg(min(t))`` job computes the
+anchor, then bucket assignment is a narrow projection.  We deliberately
+do NOT use epoch-anchored ``F.window`` — the anchor offset differs per
+dataset.  At scale the anchor is one cheap columnar-stats scan
+(min/max from Parquet footers where possible) and the assignment adds
+no shuffle; window slicing (`filter(win_id == k)`) prunes partitions
+when the table is written partitioned/sorted by time.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from qctimeseries_spark.schema import (
+    DEFAULT_SUFFIX,
+    flag_col,
+    validate_flag_exists,
+    validate_time_col,
+)
+
+ROWID_COL = "rowid"
+WIN_COL = "win_id"
+
+
+def with_rowid(df: DataFrame, time_col: str, col: str = ROWID_COL) -> DataFrame:
+    """F2 stable row identity: ``row_number() OVER (ORDER BY t)``
+    (reference ``.rowid := .I``, ``R/qc_window_app.R:65``).
+
+    NOTE (scale): the global ORDER BY funnels through one task; this is
+    an *ingest-time, run-once* operator — materialize the result to
+    Parquet and treat ``rowid`` as an immutable primary key thereafter
+    (SURVEY.md §7.4).  For sources that already carry a unique ordered
+    id (e.g. ``event_id``), pass that column around instead and skip
+    this entirely.
+    """
+    validate_time_col(df, time_col)
+    w = Window.orderBy(F.col(time_col), *[c for c in df.columns if c != time_col])
+    return df.withColumn(col, F.row_number().over(w))
+
+
+def window_anchor(df: DataFrame, time_col: str) -> _dt.datetime:
+    """A4 global ``min(t)`` — the window anchor ``t0``
+    (``R/qc_window_app.R:68``)."""
+    validate_time_col(df, time_col)
+    row = df.agg(F.min(time_col).alias("t0")).collect()[0]
+    if row["t0"] is None:
+        raise ValueError(f"cannot anchor windows: {time_col!r} is all NULL")
+    return row["t0"]
+
+
+def window_id_expr(time_col: str, hours: float, anchor: _dt.datetime):
+    """W1/F3 bucket expression: floor(seconds-since-anchor / width)."""
+    t0 = anchor.replace(tzinfo=_dt.timezone.utc).timestamp()
+    width = float(hours) * 3600.0
+    return F.floor(
+        (F.col(time_col).cast("double") - F.lit(t0)) / F.lit(width)
+    ).cast("int")
+
+
+def assign_windows(
+    df: DataFrame,
+    time_col: str,
+    hours: float,
+    *,
+    anchor: _dt.datetime | None = None,
+    col: str = WIN_COL,
+) -> DataFrame:
+    """W1 window assignment (``R/qc_window_app.R:69-70``).
+
+    ``anchor=None`` runs the two-pass min(t); pass a precomputed anchor
+    to keep the plan fully lazy (e.g. from table stats).
+    """
+    if anchor is None:
+        anchor = window_anchor(df, time_col)
+    return df.withColumn(col, window_id_expr(time_col, hours, anchor))
+
+
+def admitted_windows(
+    df: DataFrame,
+    var: str,
+    suffix: str = DEFAULT_SUFFIX,
+    *,
+    include: tuple[int, ...] | None = (0,),
+    win_col: str = WIN_COL,
+) -> DataFrame:
+    """W3–W5: which windows are shown, densely renumbered.
+
+    QC-app admission (``R/qc_window_app.R:74-75``): a window is admitted
+    iff it has ≥1 non-NULL ``var`` AND ≥1 row with flag in ``include``
+    (the UI's "show windows containing" set).  Viewer admission
+    (``R/ts_viewer.R:67-68``): pass ``include=None`` for the
+    value-only condition (W4).
+
+    Returns (win_id, win_index) with ``win_index`` = 0..n-1 dense over
+    admitted windows in win_id order (W5, ``R/qc_window_app.R:76``).
+    The result is tiny (one row per admitted window) — cache it per
+    width/filter change, as the reference rebuilds its index (W6).
+    """
+    conds = [F.max(F.col(var).isNotNull().cast("int")).alias("has_y")]
+    if include is not None:
+        f = validate_flag_exists(df, var, suffix)
+        conds.append(F.max(F.col(f).isin(*include).cast("int")).alias("has_incl"))
+    agg = df.groupBy(win_col).agg(*conds)
+    admitted = agg.filter(F.col("has_y") == 1)
+    if include is not None:
+        admitted = admitted.filter(F.col("has_incl") == 1)
+    w = Window.orderBy(win_col)
+    return admitted.select(
+        win_col, (F.dense_rank().over(w) - 1).alias("win_index")
+    )
+
+
+def window_slice(df: DataFrame, win_id: int, win_col: str = WIN_COL) -> DataFrame:
+    """W2 per-window row retrieval — partition pruning does the indexing."""
+    return df.filter(F.col(win_col) == win_id)
+
+
+def window_range(
+    df: DataFrame, time_col: str, win_col: str = WIN_COL
+) -> DataFrame:
+    """W8 per-window actual time range + row count
+    (``R/qc_window_app.R:337``)."""
+    return (
+        df.groupBy(win_col)
+        .agg(
+            F.min(time_col).alias("t_min"),
+            F.max(time_col).alias("t_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(win_col)
+    )
+
+
+def window_extent(
+    anchor: _dt.datetime, win_id: int, hours: float, pad: float = 0.02
+) -> tuple[_dt.datetime, _dt.datetime]:
+    """W7 nominal bucket bounds ±pad for display
+    (``window_xr0`` ``R/qc_window_app.R:215-226``). Pure driver math."""
+    width = _dt.timedelta(hours=hours)
+    lo = anchor + win_id * width
+    hi = lo + width
+    margin = _dt.timedelta(seconds=width.total_seconds() * pad)
+    return lo - margin, hi + margin

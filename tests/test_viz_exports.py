@@ -1,0 +1,117 @@
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from qctimeseries_spark import (
+    add_flags,
+    assign_windows,
+    check_panel,
+    downsample_minmax,
+    flagged_overlay,
+    main_trace,
+    qc_pipeline,
+    secondary_trace,
+    smart_stem,
+    with_rowid,
+    write_exports,
+)
+from qctimeseries_spark.viz import approved_overlay
+
+
+@pytest.fixture(scope="module")
+def qc(multivar):
+    df = with_rowid(add_flags(multivar, ["temp"]), "DateTime")
+    df = assign_windows(df, "DateTime", hours=24)
+    return df.withColumn(
+        "temp_qcflag",
+        F.when(F.col("temp_qcflag") == -1, -1)
+        .when(F.col("block") == 0, 1)
+        .when(F.col("block") == 1, -2)
+        .otherwise(0),
+    ).cache()
+
+
+def test_main_trace_filters(qc):
+    v1 = main_trace(qc, "temp", "DateTime", 0)
+    assert v1.columns == ["DateTime", "temp", "rowid"]
+    assert v1.filter(F.col("temp").isNull()).count() == 0
+    hidden = main_trace(qc, "temp", "DateTime", 0, hide_flagged=True)
+    assert hidden.count() < v1.count()
+
+
+def test_overlays(qc):
+    assert approved_overlay(qc, "temp", "DateTime", 0).count() > 0
+    fl = flagged_overlay(qc, "temp", "DateTime", 0)
+    vals = [r.temp for r in fl.collect()]
+    assert vals and all(v is not None for v in vals)
+
+
+def test_secondary_trace_schema_dependent(qc):
+    sec = secondary_trace(qc, "hum", "DateTime", 0)
+    assert sec.columns == ["DateTime", "hum"]
+    assert sec.filter(F.col("hum").isNull()).count() == 0
+
+
+def test_check_panel_union(qc):
+    panel = check_panel(qc, "temp", "DateTime")
+    counts = {r.panel: r["cnt"] for r in panel.groupBy("panel").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["raw"] == counts["clean"] == qc.count()
+    clean_nonnull = panel.filter((F.col("panel") == "clean") & F.col("temp").isNotNull())
+    approved = qc.filter(F.col("temp_qcflag") == 1)
+    assert clean_nonnull.count() == approved.count()
+
+
+def test_downsample_minmax(qc):
+    ds = downsample_minmax(qc, "temp", "DateTime", n_buckets=10)
+    rows = ds.collect()
+    assert len(rows) <= 10
+    assert sum(r.n_rows for r in rows) == qc.filter(F.col("temp").isNotNull()).count()
+    for r in rows:
+        assert r.y_min <= r.y_open <= r.y_max and r.y_min <= r.y_close <= r.y_max
+
+
+def test_smart_stem():
+    assert smart_stem("site1_qc") == "site1"
+    assert smart_stem("site1_qc_clean") == "site1"
+    assert smart_stem("plain") == "plain"
+
+
+def test_write_exports_roundtrip(qc, spark, tmp_path):
+    out = write_exports(
+        qc.drop("rowid", "win_id"),
+        str(tmp_path),
+        "site1_qc",
+        time_col="DateTime",
+    )
+    assert set(out) == {"csv", "parquet", "checksums"}
+    # clean parquet variant: flags dropped, flag<0 masked
+    clean = spark.read.parquet([p for p in out["parquet"] if "clean" in p][0])
+    assert not [c for c in clean.columns if c.endswith("_qcflag")]
+    # csv is gzipped with ISO timestamps and NA markers
+    csv_dir = [p for p in out["csv"] if "_qc_" in p][0]
+    part = [f for f in os.listdir(csv_dir) if f.endswith(".csv.gz")][0]
+    with gzip.open(os.path.join(csv_dir, part), "rt") as fh:
+        header = fh.readline().strip().split(",")
+        line = fh.readline()
+    assert "DateTime" in header and "T" in line and "Z" in line
+    # checksum file covers all written files
+    with open(out["checksums"][0]) as fh:
+        sums = fh.read().strip().splitlines()
+    assert len(sums) >= 4
+
+
+def test_qc_pipeline_end_to_end(multivar):
+    qc_df, clean, prog = qc_pipeline(
+        multivar,
+        ["temp", "hum"],
+        time_col="DateTime",
+        flag_predicates={"temp": F.col("temp") > 23},
+    )
+    n_bad = multivar.filter(F.col("temp") > 23).count()
+    assert qc_df.filter(F.col("temp_qcflag") == -2).count() == n_bad
+    assert clean.filter(F.col("temp").isNotNull()).count() == multivar.filter(
+        F.col("temp").isNotNull()
+    ).count() - n_bad
+    assert {r.variable for r in prog.collect()} == {"temp", "hum"}

@@ -1,0 +1,97 @@
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from qctimeseries_spark import (
+    add_flags,
+    admitted_windows,
+    assign_windows,
+    window_anchor,
+    window_extent,
+    window_range,
+    window_slice,
+    with_rowid,
+)
+
+
+@pytest.fixture(scope="module")
+def windowed(multivar):
+    df = add_flags(multivar, ["temp"])
+    return assign_windows(df, "DateTime", hours=24)
+
+
+def test_anchor_is_min(multivar):
+    assert window_anchor(multivar, "DateTime") == dt.datetime(2024, 1, 1)
+
+
+def test_window_assignment_anchored(windowed):
+    # 200 hourly rows, 24h windows anchored at min -> ids 0..8
+    ids = [r.win_id for r in windowed.select("win_id").distinct().orderBy("win_id").collect()]
+    assert ids == list(range(9))
+    # row i belongs to window i//24
+    rows = windowed.select("DateTime", "win_id").collect()
+    t0 = dt.datetime(2024, 1, 1)
+    for r in rows:
+        hrs = (r.DateTime - t0).total_seconds() / 3600
+        assert r.win_id == int(hrs // 24)
+
+
+def test_anchor_not_epoch(spark):
+    # series starting mid-day must anchor at its own min, not midnight
+    t0 = dt.datetime(2024, 1, 1, 13, 30)
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=i), float(i)) for i in range(30)],
+        "DateTime timestamp, v double",
+    )
+    out = assign_windows(df, "DateTime", hours=24)
+    first = out.filter(F.col("win_id") == 0).count()
+    assert first == 24  # exactly the first 24 hours from 13:30
+
+
+def test_rowid_stable_ordered(multivar):
+    out = with_rowid(multivar, "DateTime")
+    rows = out.orderBy("DateTime").select("rowid").collect()
+    assert [r.rowid for r in rows] == list(range(1, 201))
+
+
+def test_admitted_windows_dense(windowed):
+    # approve everything in window 3 -> excluded when include={0}
+    df = windowed.withColumn(
+        "temp_qcflag",
+        F.when((F.col("win_id") == 3) & (F.col("temp_qcflag") == 0), 1).otherwise(
+            F.col("temp_qcflag")
+        ),
+    )
+    adm = admitted_windows(df, "temp", include=(0,)).collect()
+    ids = [r.win_id for r in adm]
+    assert 3 not in ids
+    assert [r.win_index for r in adm] == list(range(len(ids)))  # dense
+
+    viewer = admitted_windows(df, "temp", include=None).collect()
+    assert [r.win_id for r in viewer] == list(range(9))
+
+
+def test_admission_requires_nonnull_y(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=i), None if i < 24 else 1.0) for i in range(48)],
+        "DateTime timestamp, temp double",
+    )
+    df = add_flags(df, ["temp"])
+    df = assign_windows(df, "DateTime", hours=24)
+    adm = admitted_windows(df, "temp", include=(0,)).collect()
+    assert [r.win_id for r in adm] == [1]  # window 0 all-NA -> not admitted
+
+
+def test_window_slice_and_range(windowed):
+    assert window_slice(windowed, 2).count() == 24
+    rng = {r.win_id: r for r in window_range(windowed, "DateTime").collect()}
+    assert rng[0].t_min == dt.datetime(2024, 1, 1)
+    assert rng[0].n_rows == 24
+    assert rng[8].n_rows == 8  # tail window partial
+
+
+def test_window_extent_pad():
+    lo, hi = window_extent(dt.datetime(2024, 1, 1), 1, 24, pad=0.0)
+    assert lo == dt.datetime(2024, 1, 2) and hi == dt.datetime(2024, 1, 3)
