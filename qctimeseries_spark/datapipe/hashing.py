@@ -1,0 +1,43 @@
+"""Deterministic hash primitives shared by dedup / fingerprint ops.
+
+Two tiers:
+
+- :func:`hash60` — first 60 bits of MD5 as a non-negative BIGINT.
+  Portable across engines (the DuckDB oracle mirrors it as
+  ``CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)``), used
+  wherever correctness is cross-checked.
+- :func:`fast_hash64` — Spark's native xxhash64 (whole-stage codegen,
+  several× faster than MD5): the default for production-scale runs
+  where cross-engine reproducibility isn't required.
+
+Seeded family: ``H_i(s) = H(concat(i, ':', s))`` gives independent
+hash functions for MinHash from a single primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash60(col: Column) -> Column:
+    """First 60 bits of MD5(s) as non-negative bigint (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB rendering of :func:`hash60` over a SQL expression."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def seeded_hash60(col: Column, seed: int) -> Column:
+    return hash60(F.concat(F.lit(f"{seed}:"), col))
+
+
+def seeded_hash60_sql(expr: str, seed: int) -> str:
+    return hash60_sql(f"concat('{seed}:', {expr})")
+
+
+def fast_hash64(col: Column, seed: int = 0) -> Column:
+    """xxhash64 — JVM-native, for scale paths (not oracle-portable)."""
+    return F.xxhash64(col, F.lit(seed))

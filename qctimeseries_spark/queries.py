@@ -1,0 +1,719 @@
+"""Paired Spark / DuckDB-oracle query definitions — the correctness gate.
+
+Every operator from SURVEY.md §2 appears here as a named query: a Spark
+callable ``(spark, sf_dir) -> DataFrame`` built from the engine's public
+API, plus an ANSI-SQL oracle string DuckDB runs over the same parquet
+tables.  The driver compares row count + schema + order-insensitive
+value hash, so every computed column is aliased identically on both
+sides, numeric types are pinned (INT/BIGINT/DOUBLE), and anything
+float-sensitive is computed with exact integer or decimal arithmetic
+before a final cast.
+
+The QC queries derive a deterministic flagged table from ``events``
+(the time-series surrogate: ts + value): NULLs are injected at
+``event_id % 17 == 0`` and a mixed flag state is seeded with the
+engine's own update ops — so the seed itself exercises U1 semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from qctimeseries_spark.flags import add_flags, apply_flags, remove_flags, strict_clean, transfer_flags
+from qctimeseries_spark.exports import iso_utc
+from qctimeseries_spark.sources import read_table
+from qctimeseries_spark.summary import consistency_check, flag_domain_check, progress
+from qctimeseries_spark.updates import (
+    approve_window,
+    flag_and_approve_window,
+    flag_window,
+    reset_all,
+    reset_window,
+    set_flag,
+)
+from qctimeseries_spark.viz import check_panel, downsample_minmax
+from qctimeseries_spark.windows import admitted_windows, assign_windows, window_range
+
+WIN_HOURS = 48
+_WIDTH_US = WIN_HOURS * 3600 * 1_000_000
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "qcts_spark_scratch")
+
+# ---------------------------------------------------------------------------
+# deterministic QC derivation (shared by Spark and oracle)
+# ---------------------------------------------------------------------------
+
+
+def _qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with NULLs injected into value at event_id % 17 == 0."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+
+def _seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed flag state {−1, −2, 1, 0} seeded via the engine's own ops."""
+    df = add_flags(_qc(spark, sf_dir), "value")
+    df = set_flag(df, "value", -2, selection=F.col("event_id") % 11 == 0)
+    df = set_flag(
+        df,
+        "value",
+        1,
+        selection=(F.col("event_id") % 5 == 0) & (F.col("value_qcflag") == 0),
+    )
+    return df
+
+
+_QC_SQL = """
+qc AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value
+  FROM events
+)"""
+
+_SEEDED_SQL = (
+    _QC_SQL
+    + """,
+seeded AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CAST(CASE WHEN value IS NULL THEN -1
+                   WHEN event_id % 11 = 0 THEN -2
+                   WHEN event_id % 5 = 0 THEN 1
+                   ELSE 0 END AS INT) AS value_qcflag
+  FROM qc
+)"""
+)
+
+_WIN_SQL = (
+    _SEEDED_SQL
+    + f""",
+w AS (
+  SELECT *, CAST((epoch_us(ts) - (SELECT MIN(epoch_us(ts)) FROM events))
+                 // {_WIDTH_US} AS INT) AS win_id
+  FROM seeded
+)"""
+)
+
+
+def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assign_windows(_seeded(spark, sf_dir), "ts", WIN_HOURS)
+
+
+def _two_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two QC'd variables with distinct null/flag patterns (A1/A8)."""
+    df = _qc(spark, sf_dir).withColumn(
+        "value2",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("user_id").cast("double")
+        ),
+    )
+    df = add_flags(df, ["value", "value2"])
+    df = set_flag(df, "value", -2, selection=F.col("event_id") % 11 == 0)
+    df = set_flag(
+        df, "value", 1,
+        selection=(F.col("event_id") % 5 == 0) & (F.col("value_qcflag") == 0),
+    )
+    df = set_flag(
+        df, "value2", 1,
+        selection=(F.col("event_id") % 7 == 0) & (F.col("value2_qcflag") == 0),
+        suffix="_qcflag",
+    )
+    df = set_flag(
+        df, "value2", -2,
+        selection=(F.col("event_id") % 9 == 0) & (F.col("value2_qcflag") == 0),
+    )
+    return df
+
+
+_TWO_VAR_SQL = (
+    _QC_SQL
+    + """,
+two AS (
+  SELECT event_id, ts, value,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE CAST(user_id AS DOUBLE) END AS value2,
+         CAST(CASE WHEN value IS NULL THEN -1
+                   WHEN event_id % 11 = 0 THEN -2
+                   WHEN event_id % 5 = 0 THEN 1
+                   ELSE 0 END AS INT) AS value_qcflag,
+         CAST(CASE WHEN event_id % 13 = 0 THEN -1
+                   WHEN event_id % 7 = 0 THEN 1
+                   WHEN event_id % 9 = 0 THEN -2
+                   ELSE 0 END AS INT) AS value2_qcflag
+  FROM qc
+)"""
+)
+
+_PROGRESS_VAR_SQL = """
+  SELECT '{var}' AS variable,
+         COUNT({var}) AS total,
+         ROUND(100.0 * SUM(CASE WHEN {var} IS NOT NULL
+                                 AND {flag} NOT IN (0, -1) THEN 1 ELSE 0 END)
+               / COUNT({var}), 2) AS pct_checked,
+         ROUND(100.0 * SUM(CASE WHEN {flag} = 1 THEN 1 ELSE 0 END) / COUNT(*), 2)
+             AS pct_approved,
+         ROUND(100.0 * SUM(CASE WHEN {flag} = 0 THEN 1 ELSE 0 END) / COUNT(*), 2)
+             AS pct_unchecked,
+         ROUND(100.0 * SUM(CASE WHEN {flag} = -1 THEN 1 ELSE 0 END) / COUNT(*), 2)
+             AS pct_missing,
+         ROUND(100.0 * SUM(CASE WHEN {flag} = -2 THEN 1 ELSE 0 END) / COUNT(*), 2)
+             AS pct_flagged
+  FROM two"""
+
+
+def _progress_sql(*vars: str, where: str = "") -> str:
+    parts = [
+        _PROGRESS_VAR_SQL.format(var=v, flag=f"{v}_qcflag") for v in vars
+    ]
+    body = " UNION ALL ".join(parts)
+    return f"WITH {_TWO_VAR_SQL} SELECT * FROM ({body}) p {where}"
+
+
+# ---------------------------------------------------------------------------
+# QC-core queries (SURVEY.md §2 operator ids in the comments)
+# ---------------------------------------------------------------------------
+
+
+def q_f1_add_flags(spark, sf_dir):
+    """F1/U7: flag init -1 on NULL else 0 (R/qc_flags.R:69-73)."""
+    df = add_flags(_qc(spark, sf_dir), "value")
+    return df.select("event_id", "value", "value_qcflag")
+
+
+def q_u1_seeded_flags(spark, sf_dir):
+    """U1 chained predicate updates with the -1 guard (R/qc_window_app.R:359-363)."""
+    return _seeded(spark, sf_dir).select("event_id", "value", "value_qcflag")
+
+
+def q_p4_apply_flags(spark, sf_dir):
+    """P4: mask value where flag < 0 (R/qc_flags.R:193-219)."""
+    df = apply_flags(_seeded(spark, sf_dir), "value")
+    return df.select("event_id", "value", "value_qcflag")
+
+
+def q_p5_strict_clean(spark, sf_dir):
+    """P5: mask value where flag < 1 (R/qc_plots.R:51-53)."""
+    df = strict_clean(_seeded(spark, sf_dir), "value")
+    return df.select("event_id", "value", "value_qcflag")
+
+
+def q_p1_remove_flags(spark, sf_dir):
+    """P1/U8: drop flag columns (R/qc_flags.R:107-145)."""
+    return remove_flags(_seeded(spark, sf_dir))
+
+
+def q_f4_transfer_flags(spark, sf_dir):
+    """F4/U9: copy flag column to another variable (R/qc_flags.R:159-182)."""
+    df = _seeded(spark, sf_dir).withColumn("value2", F.col("value") * 2.0)
+    df = transfer_flags(df, "value", "value2")
+    return df.select("event_id", "value2", "value2_qcflag")
+
+
+def q_p3_filter_conjunction(spark, sf_dir):
+    """P3: equality-conjunction row filter (overall_workflow.Rmd:102-105)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 3 == 0)
+    ).select("event_id", "user_id", "value")
+
+
+def q_p8_flag_class_filters(spark, sf_dir):
+    """P6+P7+P8: display filters — kept rows (flag>=0, non-null) tagged
+    with their class membership (R/qc_window_app.R:255-295)."""
+    df = _seeded(spark, sf_dir)
+    f = F.col("value_qcflag")
+    return (
+        df.filter((f >= 0) & F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            (f == 1).alias("is_approved"),
+            (f <= -2).alias("is_manual"),
+        )
+    )
+
+
+def q_a1_progress(spark, sf_dir):
+    """A1/A7/A8: per-variable progress, dual denominators (R/qc_summary.R:68-93)."""
+    return progress(_two_var(spark, sf_dir), ["value", "value2"])
+
+
+def q_p11_hide_complete(spark, sf_dir):
+    """P11: hide variables with pct_checked == 100 (R/qc_summary.R:95-97)."""
+    df = _qc(spark, sf_dir).withColumn(
+        "value2",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.col("user_id").cast("double")
+        ),
+    )
+    df = add_flags(df, ["value", "value2"])
+    df = set_flag(df, "value2", 1, selection=F.col("value2_qcflag") == 0)
+    return progress(df, ["value", "value2"], hide_complete=True)
+
+
+def q_a2_consistency(spark, sf_dir):
+    """A2: NULL-count vs flag==-1 count invariant (R/qc_summary.R:51-58)."""
+    return consistency_check(_seeded(spark, sf_dir), "value")
+
+
+def q_a3_flag_domain(spark, sf_dir):
+    """A3: values outside {-2,-1,0,1} (R/qc_summary.R:60-66)."""
+    df = set_flag(
+        _seeded(spark, sf_dir),
+        "value",
+        9,
+        selection=(F.col("event_id") % 97 == 0) & (F.col("value_qcflag") == 0),
+    )
+    return flag_domain_check(df, "value")
+
+
+def q_w1_assign_windows(spark, sf_dir):
+    """W1/F3: min(t)-anchored tumbling bucket id (R/qc_window_app.R:69-70)."""
+    return _windowed(spark, sf_dir).select("event_id", "win_id")
+
+
+def q_w3_admitted_windows(spark, sf_dir):
+    """W3+W5: admission (non-null y AND flag in include-set) + dense
+    renumbering (R/qc_window_app.R:74-76)."""
+    return admitted_windows(_windowed(spark, sf_dir), "value", include=(0,))
+
+
+def q_w4_viewer_windows(spark, sf_dir):
+    """W4: viewer admission — non-null y only (R/ts_viewer.R:67-68)."""
+    return admitted_windows(_windowed(spark, sf_dir), "value", include=None)
+
+
+def q_w8_window_range(spark, sf_dir):
+    """W8+A5: per-window time range + count (R/qc_window_app.R:337)."""
+    return window_range(_windowed(spark, sf_dir), "ts")
+
+
+def q_u2_flag_window(spark, sf_dir):
+    """U2: whole window -> -2, guard -1 (R/qc_window_app.R:389-393)."""
+    return flag_window(_windowed(spark, sf_dir), "value", 3).select(
+        "event_id", "value_qcflag"
+    )
+
+
+def q_u3_approve_window(spark, sf_dir):
+    """U3: unchecked non-null in window -> 1 (R/qc_window_app.R:394-398)."""
+    return approve_window(_windowed(spark, sf_dir), "value", 3).select(
+        "event_id", "value_qcflag"
+    )
+
+
+def q_u4_reset_window(spark, sf_dir):
+    """U4: window -> 0, guard -1 (R/qc_window_app.R:399-403)."""
+    return reset_window(_windowed(spark, sf_dir), "value", 3).select(
+        "event_id", "value_qcflag"
+    )
+
+
+def q_u5_reset_all(spark, sf_dir):
+    """U5: all -> 0, guard -1 (R/qc_window_app.R:417-419)."""
+    return reset_all(_seeded(spark, sf_dir), "value").select(
+        "event_id", "value_qcflag"
+    )
+
+
+def q_u6_flag_approve_advance(spark, sf_dir):
+    """U6 compound: selected -> -2, then window remainder unchecked
+    non-null -> 1 (R/qc_window_app.R:406-413)."""
+    return flag_and_approve_window(
+        _windowed(spark, sf_dir), "value", 3, selection=F.col("event_id") % 13 == 0
+    ).select("event_id", "value_qcflag")
+
+
+def q_v5_check_panel(spark, sf_dir):
+    """V5: raw∪clean panel union with tag (R/qc_plots.R:45-56)."""
+    return check_panel(_seeded(spark, sf_dir), "value", "ts")
+
+
+def q_v1_downsample(spark, sf_dir):
+    """Per-bucket min/max/open/close downsampling (SURVEY.md §4)."""
+    return downsample_minmax(_qc(spark, sf_dir), "value", "ts", n_buckets=100)
+
+
+def q_f5_iso_export(spark, sf_dir):
+    """F5/S3: ISO-8601 UTC text render (R/qc_exports.R:61-66)."""
+    df = iso_utc(read_table(spark, sf_dir, "events").select("event_id", "ts"), "ts")
+    return df.withColumnRenamed("ts", "ts_iso")
+
+
+def q_s1_csv_roundtrip(spark, sf_dir):
+    """S1+S3: CSV sink then source, µs timestamps preserved
+    (overall_workflow.Rmd:97-108, R/qc_exports.R:71-79)."""
+    path = os.path.join(_SCRATCH, "csv_roundtrip")
+    df = read_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", fmt)
+        .csv(path)
+    )
+    return (
+        spark.read.option("header", True)
+        .option("timestampFormat", fmt)
+        .schema("event_id bigint, ts timestamp, value double")
+        .csv(path)
+    )
+
+
+def q_s4_parquet_roundtrip(spark, sf_dir):
+    """S2+S4: zstd parquet sink then source (R/qc_exports.R:82-89)."""
+    path = os.path.join(_SCRATCH, "parquet_roundtrip")
+    _seeded(spark, sf_dir).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(path)
+    return spark.read.parquet(path).select("event_id", "value", "value_qcflag")
+
+
+# ---------------------------------------------------------------------------
+# relational / time-series breadth (engine capability + bench anchors)
+# ---------------------------------------------------------------------------
+
+
+def _dec(c, scale=2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def q_h1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style conditional aggregation over lineitem.  Money sums
+    in exact decimal, cast to double at the edge."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_h3_segment_revenue(spark, sf_dir):
+    """Join breadth: customer ⋈ orders ⋈ lineitem, revenue per market
+    segment.  Small dimension (customer) broadcast — no shuffle for it."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_h5_nation_revenue(spark, sf_dir):
+    """Join chain lineitem ⋈ supplier ⋈ nation ⋈ region with broadcast
+    dims; revenue per region/nation."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = read_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_t1_sessionize(spark, sf_dir):
+    """Event sessionization: a new session starts after a >30 min gap;
+    sessions per user via lag window function."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_REV = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+QUERIES = {
+    "f1_add_flags": q_f1_add_flags,
+    "u1_seeded_flags": q_u1_seeded_flags,
+    "p4_apply_flags": q_p4_apply_flags,
+    "p5_strict_clean": q_p5_strict_clean,
+    "p1_remove_flags": q_p1_remove_flags,
+    "f4_transfer_flags": q_f4_transfer_flags,
+    "p3_filter_conjunction": q_p3_filter_conjunction,
+    "p8_flag_class_filters": q_p8_flag_class_filters,
+    "a1_progress": q_a1_progress,
+    "p11_hide_complete": q_p11_hide_complete,
+    "a2_consistency": q_a2_consistency,
+    "a3_flag_domain": q_a3_flag_domain,
+    "w1_assign_windows": q_w1_assign_windows,
+    "w3_admitted_windows": q_w3_admitted_windows,
+    "w4_viewer_windows": q_w4_viewer_windows,
+    "w8_window_range": q_w8_window_range,
+    "u2_flag_window": q_u2_flag_window,
+    "u3_approve_window": q_u3_approve_window,
+    "u4_reset_window": q_u4_reset_window,
+    "u5_reset_all": q_u5_reset_all,
+    "u6_flag_approve_advance": q_u6_flag_approve_advance,
+    "v5_check_panel": q_v5_check_panel,
+    "v1_downsample": q_v1_downsample,
+    "f5_iso_export": q_f5_iso_export,
+    "s1_csv_roundtrip": q_s1_csv_roundtrip,
+    "s4_parquet_roundtrip": q_s4_parquet_roundtrip,
+    "h1_pricing_summary": q_h1_pricing_summary,
+    "h3_segment_revenue": q_h3_segment_revenue,
+    "h5_nation_revenue": q_h5_nation_revenue,
+    "t1_sessionize": q_t1_sessionize,
+}
+
+ORACLE = {
+    "f1_add_flags": f"""
+WITH {_QC_SQL}
+SELECT event_id, value,
+       CAST(CASE WHEN value IS NULL THEN -1 ELSE 0 END AS INT) AS value_qcflag
+FROM qc""",
+    "u1_seeded_flags": f"""
+WITH {_SEEDED_SQL}
+SELECT event_id, value, value_qcflag FROM seeded""",
+    "p4_apply_flags": f"""
+WITH {_SEEDED_SQL}
+SELECT event_id,
+       CASE WHEN value_qcflag < 0 THEN NULL ELSE value END AS value,
+       value_qcflag
+FROM seeded""",
+    "p5_strict_clean": f"""
+WITH {_SEEDED_SQL}
+SELECT event_id,
+       CASE WHEN value_qcflag < 1 THEN NULL ELSE value END AS value,
+       value_qcflag
+FROM seeded""",
+    "p1_remove_flags": f"""
+WITH {_SEEDED_SQL}
+SELECT event_id, ts, user_id, event_type, value FROM seeded""",
+    "f4_transfer_flags": f"""
+WITH {_SEEDED_SQL}
+SELECT event_id, value * 2.0 AS value2, value_qcflag AS value2_qcflag
+FROM seeded""",
+    "p3_filter_conjunction": """
+SELECT event_id, user_id, value FROM events
+WHERE event_type = 'purchase' AND user_id % 3 = 0""",
+    "p8_flag_class_filters": f"""
+WITH {_SEEDED_SQL}
+SELECT event_id,
+       value_qcflag = 1 AS is_approved,
+       value_qcflag <= -2 AS is_manual
+FROM seeded
+WHERE value_qcflag >= 0 AND value IS NOT NULL AND ts IS NOT NULL""",
+    "a1_progress": _progress_sql("value", "value2"),
+    "p11_hide_complete": f"""
+WITH {_QC_SQL},
+two AS (
+  SELECT event_id, value,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE CAST(user_id AS DOUBLE) END AS value2,
+         CAST(CASE WHEN value IS NULL THEN -1 ELSE 0 END AS INT) AS value_qcflag,
+         CAST(CASE WHEN event_id % 13 = 0 THEN -1 ELSE 1 END AS INT) AS value2_qcflag
+  FROM qc
+)
+SELECT * FROM ({_PROGRESS_VAR_SQL.format(var='value', flag='value_qcflag')}
+UNION ALL {_PROGRESS_VAR_SQL.format(var='value2', flag='value2_qcflag')}) p
+WHERE pct_checked < 100""",
+    "a2_consistency": f"""
+WITH {_SEEDED_SQL}
+SELECT 'value' AS variable,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+       CAST(SUM(CASE WHEN value_qcflag = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_missing,
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+         = SUM(CASE WHEN value_qcflag = -1 THEN 1 ELSE 0 END) AS consistent
+FROM seeded""",
+    "a3_flag_domain": f"""
+WITH {_SEEDED_SQL},
+dirty AS (
+  SELECT CASE WHEN event_id % 97 = 0 AND value_qcflag = 0
+              THEN 9 ELSE value_qcflag END AS value_qcflag
+  FROM seeded
+)
+SELECT DISTINCT 'value' AS variable, CAST(value_qcflag AS INT) AS flag
+FROM dirty WHERE value_qcflag NOT IN (-2, -1, 0, 1)""",
+    "w1_assign_windows": f"""
+WITH {_WIN_SQL}
+SELECT event_id, win_id FROM w""",
+    "w3_admitted_windows": f"""
+WITH {_WIN_SQL},
+adm AS (
+  SELECT win_id,
+         MAX(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS has_y,
+         MAX(CASE WHEN value_qcflag IN (0) THEN 1 ELSE 0 END) AS has_incl
+  FROM w GROUP BY win_id
+)
+SELECT win_id,
+       CAST(DENSE_RANK() OVER (ORDER BY win_id) - 1 AS INT) AS win_index
+FROM adm WHERE has_y = 1 AND has_incl = 1""",
+    "w4_viewer_windows": f"""
+WITH {_WIN_SQL},
+adm AS (
+  SELECT win_id, MAX(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS has_y
+  FROM w GROUP BY win_id
+)
+SELECT win_id,
+       CAST(DENSE_RANK() OVER (ORDER BY win_id) - 1 AS INT) AS win_index
+FROM adm WHERE has_y = 1""",
+    "w8_window_range": f"""
+WITH {_WIN_SQL}
+SELECT win_id, MIN(ts) AS t_min, MAX(ts) AS t_max, COUNT(*) AS n_rows
+FROM w GROUP BY win_id""",
+    "u2_flag_window": f"""
+WITH {_WIN_SQL}
+SELECT event_id,
+       CAST(CASE WHEN win_id = 3 AND value_qcflag != -1 THEN -2
+            ELSE value_qcflag END AS INT) AS value_qcflag
+FROM w""",
+    "u3_approve_window": f"""
+WITH {_WIN_SQL}
+SELECT event_id,
+       CAST(CASE WHEN win_id = 3 AND value_qcflag = 0 AND value IS NOT NULL
+            THEN 1 ELSE value_qcflag END AS INT) AS value_qcflag
+FROM w""",
+    "u4_reset_window": f"""
+WITH {_WIN_SQL}
+SELECT event_id,
+       CAST(CASE WHEN win_id = 3 AND value_qcflag != -1 THEN 0
+            ELSE value_qcflag END AS INT) AS value_qcflag
+FROM w""",
+    "u5_reset_all": f"""
+WITH {_SEEDED_SQL}
+SELECT event_id,
+       CAST(CASE WHEN value_qcflag != -1 THEN 0 ELSE value_qcflag END AS INT)
+           AS value_qcflag
+FROM seeded""",
+    "u6_flag_approve_advance": f"""
+WITH {_WIN_SQL},
+s1 AS (
+  SELECT event_id, value, win_id,
+         CASE WHEN event_id % 13 = 0 AND value_qcflag != -1 THEN -2
+              ELSE value_qcflag END AS f1
+  FROM w
+)
+SELECT event_id,
+       CAST(CASE WHEN win_id = 3 AND f1 = 0 AND value IS NOT NULL THEN 1
+            ELSE f1 END AS INT) AS value_qcflag
+FROM s1""",
+    "v5_check_panel": f"""
+WITH {_SEEDED_SQL}
+SELECT 'raw' AS panel, ts, value, value_qcflag FROM seeded
+UNION ALL
+SELECT 'clean' AS panel, ts,
+       CASE WHEN value_qcflag < 1 THEN NULL ELSE value END AS value,
+       value_qcflag
+FROM seeded""",
+    "v1_downsample": f"""
+WITH {_QC_SQL},
+ext AS (
+  SELECT MIN(epoch(ts)) AS t0, MAX(epoch(ts)) AS t1 FROM qc
+),
+b AS (
+  SELECT CAST(LEAST(99, FLOOR((epoch(ts) - ext.t0) / (ext.t1 - ext.t0) * 100))
+              AS INT) AS bucket,
+         value, ts
+  FROM qc, ext WHERE value IS NOT NULL
+)
+SELECT bucket, MIN(value) AS y_min, MAX(value) AS y_max,
+       ARG_MIN(value, ts) AS y_open, ARG_MAX(value, ts) AS y_close,
+       COUNT(*) AS n_rows
+FROM b GROUP BY bucket""",
+    "f5_iso_export": """
+SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso FROM events""",
+    "s1_csv_roundtrip": """
+SELECT event_id, ts, value FROM events""",
+    "s4_parquet_roundtrip": f"""
+WITH {_SEEDED_SQL}
+SELECT event_id, value, value_qcflag FROM seeded""",
+    "h1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    "h3_segment_revenue": f"""
+SELECT c_mktsegment, {_REV} AS revenue, COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+    "h5_nation_revenue": f"""
+SELECT r_name, n_name, {_REV} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+    "t1_sessionize": """
+WITH o AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR epoch_us(ts)
+                   - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
+FROM o GROUP BY user_id""",
+}

@@ -60,12 +60,21 @@ def window_anchor(df: DataFrame, time_col: str) -> _dt.datetime:
 
 
 def window_id_expr(time_col: str, hours: float, anchor: _dt.datetime):
-    """W1/F3 bucket expression: floor(seconds-since-anchor / width)."""
-    t0 = anchor.replace(tzinfo=_dt.timezone.utc).timestamp()
-    width = float(hours) * 3600.0
-    return F.floor(
-        (F.col(time_col).cast("double") - F.lit(t0)) / F.lit(width)
-    ).cast("int")
+    """W1/F3 bucket expression: floor(time-since-anchor / width).
+
+    Computed in exact integer MICROSECONDS (``unix_micros``), not float
+    seconds: float rounding at a bucket boundary could shift a row —
+    including the anchor row itself — into the wrong window, and makes
+    results engine-dependent.  Integer division is exact and portable
+    (the DuckDB oracle mirrors it with ``epoch_us(ts) // width``).
+    """
+    t0_us = round(anchor.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    width_us = round(float(hours) * 3600.0 * 1_000_000)
+    # DIV truncates toward zero == floor here because anchor = min(t)
+    # guarantees non-negative offsets.
+    return F.expr(
+        f"CAST((unix_micros(`{time_col}`) - {t0_us}L) DIV {width_us}L AS INT)"
+    )
 
 
 def assign_windows(
