@@ -6,3 +6,64 @@ analysis, and multimodal column plumbing — all designed for the
 100 TB / 1000-executor regime (hash-partitioned shuffles, broadcast
 candidate sets, no driver-side loops).
 """
+
+from qctimeseries_spark.datapipe.dedup import (
+    cosine,
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_on,
+    lsh_candidates,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+    simhash_dup_pairs,
+)
+from qctimeseries_spark.datapipe.hashing import fast_hash64, hash60
+from qctimeseries_spark.datapipe.multimodal import (
+    attach_media,
+    extract_features,
+    media_summary,
+    repartition_by_bytes,
+)
+from qctimeseries_spark.datapipe.similarity import (
+    ivf_assign,
+    knn_bruteforce,
+    knn_ivf,
+    take_centroids,
+)
+from qctimeseries_spark.datapipe.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_count,
+)
+
+__all__ = [
+    "cosine",
+    "embedding_dup_pairs",
+    "exact_dedup",
+    "jaccard_on",
+    "lsh_candidates",
+    "minhash_dedup_pairs",
+    "minhash_signatures",
+    "shingles",
+    "simhash",
+    "simhash_dup_pairs",
+    "fast_hash64",
+    "hash60",
+    "attach_media",
+    "extract_features",
+    "media_summary",
+    "repartition_by_bytes",
+    "ivf_assign",
+    "knn_bruteforce",
+    "knn_ivf",
+    "take_centroids",
+    "fingerprint",
+    "lang_id",
+    "quality_score",
+    "text_stats",
+    "token_count",
+]

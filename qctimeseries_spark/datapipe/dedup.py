@@ -1,0 +1,425 @@
+"""Deduplication operators over document / embedding tables.
+
+Five tiers, all shuffle-architected for the 100 TB regime:
+
+- **Exact** (:func:`exact_dedup`): normalize → 60-bit fingerprint →
+  one hash-partitioned ``groupBy(fingerprint)``; keeper = min(doc_id).
+  The only shuffle is on the fingerprint, which is uniformly
+  distributed by construction — no skew.
+- **MinHash + LSH** (:func:`minhash_signatures`, :func:`lsh_candidates`,
+  :func:`minhash_dedup_pairs`): per-doc k-min signature (narrow, pure
+  Catalyst HOFs), banded into ``b`` buckets, candidate pairs from a
+  self-equi-join on ``(band, band_hash)`` — the classic
+  shuffle-on-band-bucket plan that avoids the O(n²) cross join; exact
+  shingle-Jaccard verification runs only on candidates.
+- **SimHash** (:func:`simhash`): 32-bit majority-vote signature packed
+  into a BIGINT; near-dup = small Hamming distance. Narrow per-row
+  expression; pairing reuses the LSH bucket join on signature chunks.
+- **N-gram Jaccard** (:func:`jaccard_on`): exact similarity on shingle
+  sets — used as the verifier stage, never as a standalone O(n²) scan.
+- **Embedding near-dup** (:func:`embedding_dup_pairs`): cosine over an
+  ``array<float>`` column; brute pairing is quadratic and only for
+  verification at small n — the scale path buckets by
+  :func:`~qctimeseries_spark.datapipe.similarity.ivf_assign` first.
+
+All hashes are the engine-portable MD5-based :func:`hash60` so the
+DuckDB oracle reproduces results bit-for-bit; swap
+:func:`fast_hash64` (xxhash64, codegen) in production via ``fast=True``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from qctimeseries_spark.datapipe.hashing import fast_hash64, hash60
+from qctimeseries_spark.datapipe.text import tokens
+
+# ---------------------------------------------------------------------------
+# shingles & signatures
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text.
+
+    ``sequence(0, size-n)`` enumerates start offsets; each shingle is the
+    space-joined slice.  Documents shorter than ``n`` tokens yield a
+    single whole-text shingle so they still participate in dedup.
+    """
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(whole)
+    )
+
+
+#: prime modulus for the affine MinHash family (fits 31 bits, so
+#: ``a*h + b`` stays well inside int64 — exact in every engine).
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic pseudo-random (a, b) pairs for the affine hash
+    family ``H_i(h) = (a_i*h + b_i) mod P`` — derived from MD5 so both
+    engines embed the identical literals."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        d = hashlib.md5(f"mh:{i}".encode()).digest()
+        a = int.from_bytes(d[:4], "big") % (MINHASH_P - 1) + 1
+        b = int.from_bytes(d[4:8], "big") % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(col: Column, k: int = 16, n: int = 3) -> Column:
+    """k-element MinHash signature over word-n-gram shingles.
+
+    Cost discipline: exactly ONE MD5 per shingle (``hash60 % P``); the
+    k families are affine rehashes ``(a_i*h + b_i) mod P`` of that base
+    hash — integer multiply/add, fully inside whole-stage codegen.  The
+    naive per-family MD5 (k× the hashing cost) benchmarked ~8× slower
+    end-to-end.  Signature = element-wise min fold over the per-shingle
+    k-vectors, so the base-hash array is evaluated once per row.
+    """
+    coeffs = minhash_coeffs(k)
+    sh = shingles(col, n)
+    base = F.transform(sh, lambda s: hash60(s) % MINHASH_P)
+    kvecs = F.transform(
+        base,
+        lambda h: F.array(
+            *[(F.lit(a) * h + F.lit(b)) % MINHASH_P for a, b in coeffs]
+        ),
+    )
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), k)
+    return F.aggregate(
+        kvecs, init, lambda acc, hv: F.zip_with(acc, hv, lambda a, b: F.least(a, b))
+    )
+
+
+def band_hashes(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: hash each ``rows``-wide slice of the signature.
+
+    Returns an array of ``bands`` structs (band, h).  Two documents
+    collide in a band iff their signature slices are identical there —
+    P[collide] = 1-(1-J^rows)^bands, the standard S-curve.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            hash60(
+                F.concat_ws(",", F.transform(
+                    F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")
+                ))
+            ).alias("h"),
+        ),
+    )
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash signature packed into a BIGINT.
+
+    Bit ``i`` is set iff the majority of the document's (distinct)
+    tokens have bit ``i`` set in their 60-bit hash.  The per-bit
+    majority is an ``aggregate`` over the token-hash array — row-local,
+    no shuffle.  32 bits keeps the expression tree compact; Hamming
+    distance over 32 bits is plenty to rank near-dups.
+    """
+    hashes = F.transform(F.array_distinct(tokens(col)), hash60)
+    n = F.size(hashes)
+    bit_cols = [
+        (
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+            )
+            * 2
+            > n
+        ).cast("long")
+        * (1 << i)
+        for i in range(bits)
+    ]
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed BIGINT signatures."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# dedup plans
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Exact duplicate groups after whitespace/case normalization.
+
+    One shuffle on the (uniform) fingerprint; emits one row per
+    duplicated fingerprint with the keeper (min id), the group size and
+    the sorted duplicate ids.  Scales linearly — the groupBy state per
+    key is a count + small id list (dup groups are short in practice;
+    a pathological giant group is itself the signal to inspect).
+    """
+    h = fast_hash64 if fast else hash60
+    normalized = F.array_join(tokens(F.col(text_col)), " ")
+    return (
+        df.select(F.col(id_col), h(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, minhash signature) projection — the narrow stage."""
+    return df.select(
+        F.col(id_col),
+        minhash_signatures(F.col(text_col), k, ngram).alias("sig"),
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Plan shape (the part that must survive 100 TB):
+    signature stage is narrow; ``explode(bands)`` multiplies rows ×b
+    but each is tiny (id + 2 ints); the single shuffle is the
+    self-equi-join on ``(band, h)``.  Band hashes are 60-bit uniform,
+    so bucket skew only arises from true mass duplication — exactly the
+    pairs we want.  ``distinct`` collapses pairs colliding in several
+    bands.
+    """
+    rows = k // bands
+    sig = minhash_table(df, id_col, text_col, k=k, ngram=ngram)
+    exploded = sig.select(
+        F.col(id_col),
+        F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh"),
+    ).select(id_col, "bh.band", "bh.h")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.h") == F.col(f"b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_on(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+) -> DataFrame:
+    """Shingle-Jaccard for candidate pairs (the verifier stage).
+
+    Two joins pull each side's shingle set onto the pair row;
+    similarity is then row-local.  Runs only on the candidate set —
+    never quadratic.  Shingles are compared as 60-bit hashes, not
+    strings: integer array intersection is ~an order of magnitude
+    cheaper and the shuffle payload shrinks from ~n·len(text) to 8n
+    bytes (hash collisions at 2^-60 are noise next to MinHash error).
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), ngram), hash60)
+        ).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
+    verify → threshold."""
+    cands = lsh_candidates(
+        df, id_col, text_col, k=k, bands=bands, ngram=ngram
+    )
+    return jaccard_on(cands, df, id_col, text_col, ngram=ngram).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) projection."""
+    return df.select(
+        F.col(id_col), simhash(F.col(text_col), bits).alias("simhash")
+    )
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via the chunk pigeonhole trick.
+
+    If hamming(a,b) ≤ ``max_hamming`` < ``chunks`` then at least one of
+    the ``chunks`` bit-slices is identical — so candidates come from an
+    equi-join on (chunk_id, chunk_value), never a cross join, and the
+    exact Hamming check runs per candidate row.
+    """
+    width = bits // chunks
+    mask = (1 << width) - 1
+    st = simhash_table(df, id_col, text_col, bits=bits)
+    chunked = st.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select(id_col, "simhash", "cv.chunk", "cv.v")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<numeric> columns.
+
+    Left-fold ``aggregate`` in array order — the DuckDB oracle mirrors
+    the identical fold so double-precision sums are bit-equal.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.98,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: cosine ≥ threshold.
+
+    Brute-force O(n²) pairing — correct-by-construction verifier for
+    small n.  At scale, first bucket with
+    :func:`~qctimeseries_spark.datapipe.similarity.ivf_assign` and join
+    within buckets (see ``similarity.ivf_dup_pairs``).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 9))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,512 @@
+"""Paired Spark/DuckDB queries for the datapipe operators (dedup,
+similarity search, text analysis, multimodal plumbing).
+
+The source tables have no natural duplicates (500/500 distinct texts at
+sf0.01), so the dedup queries derive corpora with *planted* duplicates
+— an exact-dup tier (case/whitespace-mangled copies, exercising
+normalization) and a near-dup tier (3-token tails, exercising
+MinHash/SimHash recall).  Both engines derive the same corpus from the
+same base table, so hashes must match.
+
+Hash portability: every hash is :func:`hash60` (MD5-based) which DuckDB
+mirrors exactly; cosine similarity is a left-fold in array order on
+both sides so double sums are bit-equal; division by powers of two is
+used where exactness matters (multimodal features).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from qctimeseries_spark.datapipe.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_on,
+    lsh_candidates,
+    minhash_dedup_pairs,
+    simhash_dup_pairs,
+)
+from qctimeseries_spark.datapipe.dedup import MINHASH_P, minhash_coeffs
+from qctimeseries_spark.datapipe.hashing import hash60_sql
+from qctimeseries_spark.datapipe.multimodal import (
+    attach_media,
+    extract_features,
+    media_summary,
+)
+from qctimeseries_spark.datapipe.similarity import knn_bruteforce, knn_ivf
+from qctimeseries_spark.datapipe.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+)
+from qctimeseries_spark.sources import read_table
+
+# ---------------------------------------------------------------------------
+# derived corpora (planted duplicates) — Spark side
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ case/whitespace-mangled copies of every 10th doc."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 3-token-tail near-dup copies of every 7th doc."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq qz xz")).alias("text"),
+        )
+    )
+    return d.unionByName(dups)
+
+
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings (as double) ∪ first-dimension-perturbed copies of
+    every 10th vector (cosine ≈ 0.99 vs the original)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    pert = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0].cast("double") * 1.5),
+            F.expr(
+                "transform(slice(embedding, 2, size(embedding) - 1),"
+                " x -> CAST(x AS DOUBLE))"
+            ),
+        ).alias("v"),
+    )
+    return base.unionByName(pert)
+
+
+# ---------------------------------------------------------------------------
+# derived corpora — DuckDB side (must mirror the Spark derivations)
+# ---------------------------------------------------------------------------
+
+_EXACT_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, replace(upper(text), ' ', '  ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+_NEAR_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, concat(text, ' zq qz xz') AS text
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+_EMB_CORPUS_SQL = """
+corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat([CAST(embedding[1] AS DOUBLE) * 1.5],
+                     list_transform(embedding[2:], x -> CAST(x AS DOUBLE)))
+  FROM embeddings WHERE vec_id % 10 = 0
+)"""
+
+_TOKS = r"list_filter(string_split_regex(lower({c}), '\s+'), t -> t != '')"
+
+
+def _shingle_sql(src: str, n: int = 3) -> str:
+    """CTEs tk(doc_id, tk) + sh(doc_id, s) over ``src``."""
+    toks = _TOKS.format(c="text")
+    return f"""
+tk AS (SELECT doc_id, {toks} AS tk FROM {src}),
+sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(tk) >= {n}
+      THEN list_transform(range(0, len(tk) - {n - 1}),
+                          i -> array_to_string(list_slice(tk, i + 1, i + {n}), ' '))
+      ELSE [array_to_string(tk, ' ')] END) AS s
+  FROM tk
+)"""
+
+
+def _minhash_sql(k: int = 16) -> str:
+    """Mirror of :func:`minhash_signatures`: one MD5 per shingle, k
+    affine rehashes, element-wise min fold."""
+    p = MINHASH_P
+    kv = ", ".join(
+        f"({a} * h + {b}) % {p}" for a, b in minhash_coeffs(k)
+    )
+    return f"""
+base AS (
+  SELECT doc_id, list_transform(s, x -> {hash60_sql('x')} % {p}) AS bh FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         list_reduce(list_transform(bh, h -> [{kv}]),
+                     (acc, hv) -> list_transform(range(1, {k + 1}),
+                                                 j -> LEAST(acc[j], hv[j]))) AS sig
+  FROM base
+)"""
+
+
+def _band_sql(bands: int, rows: int) -> str:
+    h = hash60_sql(
+        f"array_to_string(list_transform(list_slice(sig, band * {rows} + 1,"
+        f" band * {rows} + {rows}), x -> CAST(x AS VARCHAR)), ',')"
+    )
+    return f"""
+eb AS (
+  SELECT doc_id, band, {h} AS h
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM eb a JOIN eb b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+)"""
+
+
+_JACCARD_SQL = f"""
+jh AS (
+  SELECT doc_id, list_distinct(list_transform(s, x -> {hash60_sql('x')})) AS hs
+  FROM sh
+),
+j AS (
+  SELECT cand.id_a, cand.id_b,
+         ROUND(CAST(len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+  FROM cand
+  JOIN jh sa ON sa.doc_id = cand.id_a
+  JOIN jh sb ON sb.doc_id = cand.id_b
+)"""
+
+
+def _cos_fold_sql(a: str, b: str) -> str:
+    """Left-fold cosine identical to dedup.cosine (bit-equal doubles)."""
+    dot = (
+        f"list_reduce(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (p, q) -> p + q)"
+    )
+    na = (
+        f"sqrt(list_reduce(list_transform({a},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))"
+    )
+    nb = (
+        f"sqrt(list_reduce(list_transform({b},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+
+def q_d1_exact_dedup(spark, sf_dir):
+    """Exact dedup groups after normalization (hash-groupBy)."""
+    return exact_dedup(_exact_corpus(spark, sf_dir))
+
+
+def q_d2_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH candidates + exact-Jaccard verify ≥ 0.6.
+
+    Banding (b=5, r=3) puts the LSH S-curve threshold at
+    (1/5)^(1/3) ≈ 0.58, just under the 0.6 Jaccard cut — near-full
+    recall without flooding the verifier with low-similarity candidates
+    (b=8, r=2 benchmarked ~7× slower for the identical result set).
+    """
+    return minhash_dedup_pairs(
+        _near_corpus(spark, sf_dir), k=15, bands=5, ngram=3, threshold=0.6
+    )
+
+
+def q_d3_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via chunk pigeonhole join, hamming ≤ 6."""
+    return simhash_dup_pairs(
+        _near_corpus(spark, sf_dir), bits=32, max_hamming=6, chunks=4
+    )
+
+
+def q_d4_ngram_jaccard(spark, sf_dir):
+    """Raw n-gram Jaccard scores on coarse-LSH candidates (no threshold)."""
+    docs = _near_corpus(spark, sf_dir)
+    cands = lsh_candidates(docs, k=16, bands=4, ngram=3)
+    return jaccard_on(cands, docs, ngram=3)
+
+
+def q_d5_embedding_dups(spark, sf_dir):
+    """Embedding near-dup pairs: cosine ≥ 0.9 over planted perturbed copies."""
+    return embedding_dup_pairs(
+        _emb_corpus(spark, sf_dir), id_col="vec_id", vec_col="v", threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_x1_knn_bruteforce(spark, sf_dir):
+    """Exact top-10 cosine neighbors for query vectors vec_id < 5."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_bruteforce(emb, queries, k=10)
+
+
+def q_x2_knn_ivf(spark, sf_dir):
+    """IVF-restricted approximate top-10 (no oracle — recall is
+    pytest-verified against brute force in tests/test_datapipe.py)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_t2_text_stats(spark, sf_dir):
+    """Token/char counts, uniq/punct ratios, mean token length."""
+    return text_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_uniq_tokens",
+        "uniq_ratio",
+        "punct_ratio",
+        "mean_token_len",
+    )
+
+
+def q_t3_quality(spark, sf_dir):
+    """Composite C4/Gopher-style quality score in [0,1]."""
+    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+
+
+def q_t4_lang_id(spark, sf_dir):
+    """Stopword-overlap language ID vs the table's lang column."""
+    return lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "lang_pred", "lang_hits"
+    )
+
+
+def q_t5_fingerprint(spark, sf_dir):
+    """60-bit normalized-text fingerprint (exact-dedup key)."""
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_m1_media_summary(spark, sf_dir):
+    """Per-modality byte/row accounting over the derived media table."""
+    return media_summary(attach_media(_docs(spark, sf_dir)))
+
+
+def q_m2_media_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction (deterministic
+    MD5-fake decode — real codecs are stubbed, SURVEY.md §7.2/9)."""
+    return extract_features(attach_media(_docs(spark, sf_dir)), dim=16)
+
+
+DATAPIPE_QUERIES = {
+    "d1_exact_dedup": q_d1_exact_dedup,
+    "d2_minhash_dedup": q_d2_minhash_dedup,
+    "d3_simhash_pairs": q_d3_simhash_pairs,
+    "d4_ngram_jaccard": q_d4_ngram_jaccard,
+    "d5_embedding_dups": q_d5_embedding_dups,
+    "x1_knn_bruteforce": q_x1_knn_bruteforce,
+    "x2_knn_ivf": q_x2_knn_ivf,
+    "t2_text_stats": q_t2_text_stats,
+    "t3_quality": q_t3_quality,
+    "t4_lang_id": q_t4_lang_id,
+    "t5_fingerprint": q_t5_fingerprint,
+    "m1_media_summary": q_m1_media_summary,
+    "m2_media_features": q_m2_media_features,
+}
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_NORM_TEXT = "array_to_string(" + _TOKS.format(c="text") + ", ' ')"
+
+_STATS_SQL = f"""
+tk AS (SELECT *, {_TOKS.format(c='text')} AS tkl FROM documents),
+st AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars_calc,
+         CAST(len(tkl) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+             AS n_bpe_tokens,
+         CAST(len(list_distinct(tkl)) AS INT) AS n_uniq_tokens,
+         ROUND(CAST(len(list_distinct(tkl)) AS DOUBLE) / len(tkl), 6) AS uniq_ratio,
+         ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+               / length(text), 6) AS punct_ratio,
+         ROUND(CAST(length(text) - (len(tkl) - 1) AS DOUBLE) / len(tkl), 6)
+             AS mean_token_len
+  FROM tk
+)"""
+
+
+def _lang_struct(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        "{'hits': CAST(len(list_filter(tkl, t -> list_contains(["
+        + words
+        + "], t))) AS INT), 'lang': '"
+        + lang
+        + "'}"
+    )
+
+
+_LANG_SQL = (
+    "list_sort(["
+    + ", ".join(_lang_struct(lang) for lang in sorted(LANG_STOPWORDS))
+    + "], 'DESC')[1]"
+)
+
+DATAPIPE_ORACLE = {
+    "d1_exact_dedup": f"""
+WITH {_EXACT_CORPUS_SQL},
+f AS (
+  SELECT doc_id, {hash60_sql(_NORM_TEXT)} AS fingerprint FROM corpus
+)
+SELECT fingerprint, MIN(doc_id) AS keeper, COUNT(*) AS n_dups,
+       list_sort(list(doc_id)) AS ids
+FROM f GROUP BY fingerprint HAVING COUNT(*) > 1""",
+    "d2_minhash_dedup": f"""
+WITH {_NEAR_CORPUS_SQL},
+{_shingle_sql('corpus', 3)},
+{_minhash_sql(15)},
+{_band_sql(5, 3)},
+{_JACCARD_SQL}
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6""",
+    "d3_simhash_pairs": f"""
+WITH {_NEAR_CORPUS_SQL},
+tk AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM corpus),
+hs AS (
+  SELECT doc_id,
+         list_transform(list_distinct(tk), t -> {hash60_sql('t')}) AS hv,
+         len(list_distinct(tk)) AS n
+  FROM tk
+),
+sim AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32), i ->
+              CASE WHEN 2 * list_sum(list_transform(hv, h -> (h >> i) & 1)) > n
+                   THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+              AS BIGINT) AS simhash
+  FROM hs
+),
+ch AS (
+  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 8)) & 255 AS v
+  FROM sim, (SELECT unnest(range(0, 4)) AS chunk) c
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM ch a JOIN ch b
+    ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6""",
+    "d4_ngram_jaccard": f"""
+WITH {_NEAR_CORPUS_SQL},
+{_shingle_sql('corpus', 3)},
+{_minhash_sql(16)},
+{_band_sql(4, 4)},
+{_JACCARD_SQL}
+SELECT id_a, id_b, jaccard FROM j""",
+    "d5_embedding_dups": f"""
+WITH {_EMB_CORPUS_SQL},
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_cos_fold_sql('a.v', 'b.v')}, 9) AS cos
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9""",
+    "x1_knn_bruteforce": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_cos_fold_sql('q.qv', 'e.embedding')}, 9) AS cos
+  FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 10""",
+    "t2_text_stats": f"""
+WITH {_STATS_SQL}
+SELECT doc_id, n_chars_calc, n_tokens, n_bpe_tokens, n_uniq_tokens,
+       uniq_ratio, punct_ratio, mean_token_len
+FROM st""",
+    "t3_quality": f"""
+WITH {_STATS_SQL}
+SELECT doc_id,
+       ROUND(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+             + 0.4 * LEAST(uniq_ratio * 1.25, 1.0)
+             + 0.2 * (1.0 - LEAST(punct_ratio * 5, 1.0)), 6) AS quality
+FROM st""",
+    "t4_lang_id": f"""
+WITH tk AS (SELECT *, {_TOKS.format(c='text')} AS tkl FROM documents),
+best AS (SELECT doc_id, lang, {_LANG_SQL} AS b FROM tk)
+SELECT doc_id, lang, b.lang AS lang_pred, b.hits AS lang_hits FROM best""",
+    "t5_fingerprint": f"""
+SELECT doc_id, {hash60_sql(_NORM_TEXT)} AS fingerprint FROM documents""",
+    "m1_media_summary": """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS modality,
+       COUNT(*) AS n_items,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY 1""",
+    "m2_media_features": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(16 AS INT) AS feature_dim,
+       list_transform(range(0, 16),
+           i -> CAST(concat('0x', substr(md5(concat(text, '0')),
+                                         2 * i + 1, 2)) AS INT) / 256.0)
+           AS features
+FROM documents""",
+}

@@ -1,0 +1,195 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- :func:`knn_bruteforce` — exact top-k cosine per query.  The query set
+  is broadcast (it is small by definition); the big side streams —
+  one narrow pass + a per-query top-k shuffle.  This is the correctness
+  baseline and the right plan whenever |queries| × |corpus| work fits
+  the cluster.
+- :func:`ivf_assign` / :func:`knn_ivf` — the scale path: partition the
+  corpus into ``nlist`` Voronoi cells around deterministic centroids
+  (IVF); a query probes only ``nprobe`` nearest cells, cutting scanned
+  rows by ~nlist/nprobe.  Centroid assignment is a broadcast argmin —
+  no shuffle beyond the final top-k.
+
+Everything is pure Catalyst (``zip_with``/``aggregate`` fold for the
+dot product) — no Python on the scan path.  A vectorized pandas_udf
+drop-in would only pay off once SIMD beats codegen on very wide
+vectors; for d ≤ a few hundred the HOF fold stays JVM-side and wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from qctimeseries_spark.datapipe.dedup import cosine
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``broadcast(queries)`` makes the join a map-side nested loop over
+    the corpus partitions (no shuffle of the big side); ranking is a
+    per-query window — one shuffle on query_id, each group holding at
+    most |corpus| rows locally reduced by the window's top-k sort.
+    Rank on the 9-dp-rounded cosine with id tie-break so ordering is
+    reproducible across engines and float summation orders.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (cosine).
+
+    Centroids are broadcast (nlist is small); the argmin is a row-local
+    fold over the collected centroid array — zero shuffle.  With
+    ``nprobe=1`` this is the build-side cell assignment; with
+    ``nprobe>1`` it is the query-side multi-probe expansion.
+    """
+    cent = centroids.select(
+        F.col(centroid_id_col).alias("cid"), F.col(vec_col).alias("centv")
+    )
+    # collect centroids into one array column via a broadcast single-row
+    # frame — keeps the argmin row-local instead of a join+window.
+    carr = cent.agg(
+        F.collect_list(F.struct("cid", "centv")).alias("cents")
+    )
+    scored = df.crossJoin(F.broadcast(carr)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        (-F.round(cosine(F.col(vec_col), c["centv"]), 9)).alias(
+                            "neg_cos"
+                        ),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ),
+            1,
+            nprobe,
+        ).alias("probes"),
+    )
+    return scored.select(
+        id_col,
+        vec_col,
+        F.explode(F.transform(F.col("probes"), lambda p: p["cid"])).alias(
+            "centroid_id"
+        ),
+    )
+
+
+def take_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", nlist: int = 16) -> DataFrame:
+    """Deterministic centroid seed: the ``nlist`` lowest-id vectors.
+
+    A k-means refinement (Lloyd iterations via groupBy-mean) can replace
+    this without changing any downstream plan; seeding by id keeps the
+    whole pipeline reproducible for the oracle harness.
+    """
+    return (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .cast("int")
+            .alias("centroid_id"),
+            F.col(id_col).alias("seed_id"),
+            F.col(vec_col),
+        )
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k: IVF cell restriction, then exact rank within
+    probed cells.
+
+    Plan: corpus→cell assignment (broadcast argmin, narrow);
+    query→nprobe cells (same); equi-join on ``centroid_id`` replaces
+    the all-pairs join — scanned work drops to ~nprobe/nlist of brute
+    force, the recall/cost dial of a classic IVF index.
+    """
+    cents = take_centroids(corpus, id_col=id_col, vec_col=vec_col, nlist=nlist)
+    c_cells = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+    q_cells = ivf_assign(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        cents,
+        id_col="query_id",
+        vec_col=vec_col,
+        nprobe=nprobe,
+    ).select("query_id", F.col(vec_col).alias("qv"), "centroid_id")
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+        # a vector probed via several cells appears once per cell
+        .select("query_id", "neighbor_id", "cos")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -483,6 +483,8 @@ def q_t1_sessionize(spark, sf_dir):
 
 _REV = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
+from qctimeseries_spark.datapipe.queries import DATAPIPE_ORACLE, DATAPIPE_QUERIES
+
 QUERIES = {
     "f1_add_flags": q_f1_add_flags,
     "u1_seeded_flags": q_u1_seeded_flags,
@@ -514,6 +516,7 @@ QUERIES = {
     "h3_segment_revenue": q_h3_segment_revenue,
     "h5_nation_revenue": q_h5_nation_revenue,
     "t1_sessionize": q_t1_sessionize,
+    **DATAPIPE_QUERIES,
 }
 
 ORACLE = {
@@ -716,4 +719,5 @@ WITH o AS (
 )
 SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id""",
+    **DATAPIPE_ORACLE,
 }

@@ -1,0 +1,186 @@
+"""Tests for the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qctimeseries_spark.datapipe import (
+    attach_media,
+    cosine,
+    exact_dedup,
+    extract_features,
+    knn_bruteforce,
+    knn_ivf,
+    lang_id,
+    lsh_candidates,
+    media_summary,
+    minhash_dedup_pairs,
+    quality_score,
+    simhash_dup_pairs,
+    text_stats,
+)
+from qctimeseries_spark.datapipe.dedup import minhash_signatures, shingles
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (2, "completely different content about database engines and columnar storage formats with vectorized execution"),
+    (3, "THE  QUICK  BROWN  FOX jumps over the lazy dog near the river bank"),
+    (4, "der hund und die katze sind nicht ein problem zu haben"),
+    (5, "short text"),
+]
+
+DOC_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, DOC_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """32 deterministic 8-dim vectors; vec 100 ≈ vec 0 (near-dup)."""
+    rows = []
+    for i in range(32):
+        v = [math.sin(i * 7 + d) for d in range(8)]
+        rows.append((i, v))
+    rows.append((100, [x * 1.001 + 0.001 for x in rows[0][1]]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(docs, spark):
+    groups = exact_dedup(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper"] == 0
+    assert groups[0]["ids"] == [0, 3]
+
+
+def test_shingles_short_doc_whole_text(docs, spark):
+    out = docs.select(shingles(F.col("text"), 3).alias("s")).collect()
+    short = out[5]["s"]
+    assert short == ["short text"]
+
+
+def test_minhash_similar_docs_share_signature_elements(docs):
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", minhash_signatures(F.col("text"), 16, 3).alias("sig")
+        ).collect()
+    }
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[1]))
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert agree_near > agree_far
+    assert agree_near >= 8  # J(0,1) ≈ 0.8 → expect most elements equal
+
+
+def test_minhash_dedup_finds_planted_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(docs, k=15, bands=5, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 3) in pairs  # exact dup after normalization → jaccard 1.0
+    assert pairs[(0, 3)] == 1.0
+    assert all(a < b for a, b in pairs)
+
+
+def test_lsh_candidates_exclude_dissimilar(docs):
+    cands = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidates(docs, bands=5, k=15).collect()
+    }
+    assert (2, 4) not in cands
+
+
+def test_simhash_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(docs, max_hamming=6).collect()
+    }
+    assert pairs.get((0, 3)) == 0  # identical token sets
+    assert (0, 1) in pairs
+
+
+def test_cosine_identity(vectors):
+    row = (
+        vectors.filter(F.col("vec_id") == 0)
+        .select(cosine(F.col("embedding"), F.col("embedding")).alias("c"))
+        .collect()[0]
+    )
+    assert abs(row["c"] - 1.0) < 1e-12
+
+
+def test_knn_bruteforce_finds_planted_neighbor(vectors):
+    queries = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_bruteforce(vectors, queries, k=3).collect()
+    assert out[0]["neighbor_id"] == 100  # the planted near-copy
+    assert out[0]["rank"] == 1
+    assert out[0]["cos"] > 0.999
+
+
+def test_knn_ivf_recall_vs_bruteforce(vectors):
+    queries = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(vectors, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_ivf(vectors, queries, k=5, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # nprobe=4 of nlist=8 cells
+
+
+def test_text_stats_counts(docs):
+    r = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert r[5]["n_tokens"] == 2
+    assert r[5]["n_uniq_tokens"] == 2
+    assert r[0]["n_tokens"] == 13
+    assert r[0]["uniq_ratio"] < 1.0  # 'the' repeats
+
+
+def test_quality_score_bounds(docs):
+    for r in quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+    scores = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert scores[5] < scores[2]  # too-short doc penalized
+
+
+def test_lang_id(docs):
+    pred = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[4] == "de"
+
+
+def test_media_plumbing_roundtrip(docs):
+    media = attach_media(docs)
+    summary = {r["modality"]: r["n_items"] for r in media_summary(media).collect()}
+    assert sum(summary.values()) == 6
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert r["feature_dim"] == 16
+        assert len(r["features"]) == 16
+        assert all(0.0 <= x < 1.0 for x in r["features"])
+    # determinism: same payload → same features
+    again = extract_features(media, dim=16).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == {
+        r["media_id"]: r["features"] for r in again
+    }
