@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is forced through the noop sink so every column is actually
+computed (``count()`` would let Catalyst prune projections).  The set
+spans the engine's surface: QC aggregation/updates/windows, relational
+joins, sessionization, dedup, similarity search, text analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "a1_progress",
+    "u6_flag_approve_advance",
+    "w3_admitted_windows",
+    "v1_downsample",
+    "h1_pricing_summary",
+    "h3_segment_revenue",
+    "h5_nation_revenue",
+    "t1_sessionize",
+    "d1_exact_dedup",
+    "d2_minhash_dedup",
+    "d5_embedding_dups",
+    "x1_knn_bruteforce",
+    "t3_quality",
+    "m2_media_features",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    from qctimeseries_spark.queries import QUERIES
+    from qctimeseries_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup (excluded from the reported total)
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -40,21 +40,41 @@ from qctimeseries_spark.datapipe.text import tokens
 # ---------------------------------------------------------------------------
 
 
+def bind(arr: Column, fn) -> Column:
+    """Let-binding for an array expression: evaluate ``arr`` ONCE and
+    pass it to ``fn`` as a bound lambda variable.
+
+    Catalyst does not common-subexpression-eliminate inside
+    higher-order-function lambdas, so an expression like
+    ``transform(seq, i -> slice(tokens(text), i, n))`` re-tokenizes the
+    whole document per element — O(len²) interpreted work.  Wrapping
+    the array in a singleton and transforming over it turns every inner
+    reference into a bound-variable lookup (benchmarked ~20× on the
+    shingle pipeline at sf0.01).
+    """
+    return F.transform(F.array(arr), fn)[0]
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the lowercased text.
 
     ``sequence(0, size-n)`` enumerates start offsets; each shingle is the
     space-joined slice.  Documents shorter than ``n`` tokens yield a
     single whole-text shingle so they still participate in dedup.
+    The token array is let-bound (:func:`bind`) so tokenization runs
+    once per document, not once per shingle.
     """
-    toks = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    whole = F.array(F.array_join(toks, " "))
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(whole)
+    return bind(
+        tokens(col),
+        lambda tk: F.array_distinct(
+            F.when(
+                F.size(tk) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - n),
+                    lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join(tk, " ")))
+        ),
     )
 
 
@@ -78,19 +98,24 @@ def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signatures(col: Column, k: int = 16, n: int = 3) -> Column:
-    """k-element MinHash signature over word-n-gram shingles.
+def hashed_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct 60-bit hashes of the word-n-gram shingles — the shared
+    upstream of MinHash (``% P`` rebase) and exact Jaccard (int-array
+    intersection).  ONE MD5 per shingle, computed once."""
+    return F.array_distinct(F.transform(shingles(col, n), hash60))
 
-    Cost discipline: exactly ONE MD5 per shingle (``hash60 % P``); the
-    k families are affine rehashes ``(a_i*h + b_i) mod P`` of that base
-    hash — integer multiply/add, fully inside whole-stage codegen.  The
-    naive per-family MD5 (k× the hashing cost) benchmarked ~8× slower
-    end-to-end.  Signature = element-wise min fold over the per-shingle
-    k-vectors, so the base-hash array is evaluated once per row.
+
+def minhash_from_hashes(hs: Column, k: int = 16) -> Column:
+    """k-element MinHash signature from a hashed-shingle array.
+
+    Cost discipline: the k families are affine rehashes
+    ``(a_i*(h mod P) + b_i) mod P`` — integer multiply/add only (the
+    naive per-family MD5 benchmarked ~8× slower end-to-end).
+    Signature = element-wise min fold over per-shingle k-vectors, so
+    the input array is evaluated once per row.
     """
     coeffs = minhash_coeffs(k)
-    sh = shingles(col, n)
-    base = F.transform(sh, lambda s: hash60(s) % MINHASH_P)
+    base = F.transform(hs, lambda h: h % MINHASH_P)
     kvecs = F.transform(
         base,
         lambda h: F.array(
@@ -101,6 +126,11 @@ def minhash_signatures(col: Column, k: int = 16, n: int = 3) -> Column:
     return F.aggregate(
         kvecs, init, lambda acc, hv: F.zip_with(acc, hv, lambda a, b: F.least(a, b))
     )
+
+
+def minhash_signatures(col: Column, k: int = 16, n: int = 3) -> Column:
+    """k-element MinHash signature over word-n-gram shingles."""
+    return minhash_from_hashes(hashed_shingles(col, n), k)
 
 
 def band_hashes(sig: Column, bands: int, rows: int) -> Column:
@@ -132,25 +162,29 @@ def simhash(col: Column, bits: int = 32) -> Column:
     no shuffle.  32 bits keeps the expression tree compact; Hamming
     distance over 32 bits is plenty to rank near-dups.
     """
-    hashes = F.transform(F.array_distinct(tokens(col)), hash60)
-    n = F.size(hashes)
-    bit_cols = [
-        (
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
-            )
-            * 2
-            > n
-        ).cast("long")
-        * (1 << i)
-        for i in range(bits)
-    ]
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+    def pack(hv: Column) -> Column:
+        n = F.size(hv)
+        bit_cols = [
+            (
+                F.aggregate(
+                    hv,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
+                )
+                * 2
+                > n
+            ).cast("long")
+            * (1 << i)
+            for i in range(bits)
+        ]
+        out = bit_cols[0]
+        for c in bit_cols[1:]:
+            out = out + c
+        return out
+
+    # let-bind the hash array: each of the ``bits`` aggregates reads the
+    # bound variable instead of re-running MD5 over every token
+    return bind(F.transform(F.array_distinct(tokens(col)), hash60), pack)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -294,15 +328,59 @@ def minhash_dedup_pairs(
     bands: int = 8,
     ngram: int = 3,
     threshold: float = 0.7,
+    cache: bool = True,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
-    verify → threshold."""
-    cands = lsh_candidates(
-        df, id_col, text_col, k=k, bands=bands, ngram=ngram
+    verify → threshold.
+
+    The hashed-shingle table feeds FOUR plan branches (both sides of
+    the candidate self-join and both sides of the Jaccard join), so it
+    is persisted once — tokenize+MD5 is the dominant cost and would
+    otherwise run 4× (benchmarked ~3× slower at sf0.1).  It is small:
+    one id + ~doc_len/5 bigints per row.
+    """
+    rows = k // bands
+    hs = df.select(
+        F.col(id_col), hashed_shingles(F.col(text_col), ngram).alias("hs")
     )
-    return jaccard_on(cands, df, id_col, text_col, ngram=ngram).filter(
-        F.col("jaccard") >= threshold
+    if cache:
+        hs = hs.persist()
+    sig = hs.select(id_col, minhash_from_hashes(F.col("hs"), k).alias("sig"))
+    exploded = sig.select(
+        F.col(id_col),
+        F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh"),
+    ).select(id_col, "bh.band", "bh.h")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
     )
+    j = (
+        cands.join(
+            hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def simhash_table(
@@ -401,25 +479,96 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def unit_vector(v: Column) -> Column:
+    """v / ||v|| in double precision (norm = left-fold sum of squares)."""
+    norm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return F.transform(v, lambda x: x.cast("double") / norm)
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     *,
     threshold: float = 0.98,
+    strategy: str = "broadcast_numpy",
 ) -> DataFrame:
     """Near-duplicate embedding pairs: cosine ≥ threshold.
 
-    Brute-force O(n²) pairing — correct-by-construction verifier for
-    small n.  At scale, first bucket with
-    :func:`~qctimeseries_spark.datapipe.similarity.ivf_assign` and join
-    within buckets (see ``similarity.ivf_dup_pairs``).
+    Both strategies unit-normalize once per row, then the O(n²) stage
+    is a single dot product per pair, summed in strict array order so
+    results are bit-identical across strategies AND vs the DuckDB
+    oracle:
+
+    - ``broadcast_numpy`` (default): the unit matrix (n×d doubles —
+      small by the time a brute-force verifier is sane) is shipped to
+      every partition and each Arrow batch computes a (batch × n) score
+      block with one vectorized multiply-add per dimension — the
+      per-dimension loop IS the left fold, just vectorized across
+      pairs.  ~30× faster than the interpreted HOF fold at sf0.1
+      (30s → ~1s).
+    - ``catalyst``: pure DataFrame self-join + ``aggregate`` fold.  No
+      Python, no driver collect — the fallback when the corpus is too
+      big to broadcast (but then use IVF cell bucketing instead of
+      brute force:
+      :func:`~qctimeseries_spark.datapipe.similarity.ivf_assign`).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    u = df.select(F.col(id_col), unit_vector(F.col(vec_col)).alias("u"))
+    if strategy == "broadcast_numpy":
+        return _dup_pairs_numpy(u, id_col, threshold)
+    u = u.persist()  # barrier: projection collapse would otherwise
+    # inline the normalization into the join and redo it per pair
+    a = u.select(F.col(id_col).alias("id_a"), F.col("u").alias("ua"))
+    b = u.select(F.col(id_col).alias("id_b"), F.col("u").alias("ub"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 9))
+        .withColumn("cos", F.round(dot, 9))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def _dup_pairs_numpy(u: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Vectorized all-pairs scorer over a broadcast unit matrix.
+
+    Summation is per-dimension accumulate (``acc += A[:,d]*B[:,d]``):
+    the same left-to-right fold as ``F.aggregate``/DuckDB
+    ``list_reduce``, so scores are bit-equal to the catalyst strategy.
+    Block rows are chunked to bound the (chunk × n) score matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    updf = u.toPandas()
+    ids_all = updf[id_col].to_numpy()
+    M = np.stack(updf["u"].to_numpy())  # n × d
+
+    def gen(batches):
+        for pdf in batches:
+            for s in range(0, len(pdf), 512):
+                chunk = pdf.iloc[s : s + 512]
+                A = np.stack(chunk["u"].to_numpy())
+                aid = chunk[id_col].to_numpy()
+                acc = np.zeros((len(A), len(M)))
+                for d in range(A.shape[1]):
+                    acc += A[:, d : d + 1] * M[None, :, d][0]
+                acc = np.round(acc, 9)
+                ii, jj = np.nonzero((acc >= threshold) & (aid[:, None] < ids_all[None, :]))
+                yield pd.DataFrame(
+                    {
+                        "id_a": aid[ii],
+                        "id_b": ids_all[jj],
+                        "cos": acc[ii, jj],
+                    }
+                )
+
+    return u.mapInPandas(gen, f"id_a long, id_b long, cos double")

@@ -450,10 +450,19 @@ WITH {_NEAR_CORPUS_SQL},
 SELECT id_a, id_b, jaccard FROM j""",
     "d5_embedding_dups": f"""
 WITH {_EMB_CORPUS_SQL},
+u AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(
+             list_transform(v, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+             (p, q) -> p + q))) AS u
+  FROM corpus
+),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         ROUND({_cos_fold_sql('a.v', 'b.v')}, 9) AS cos
-  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+         ROUND(list_reduce(list_transform(range(1, len(a.u) + 1),
+                                          i -> a.u[i] * b.u[i]),
+                           (p, q) -> p + q), 9) AS cos
+  FROM u a JOIN u b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9""",
     "x1_knn_bruteforce": f"""
