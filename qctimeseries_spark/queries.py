@@ -460,6 +460,16 @@ def q_h5_nation_revenue(spark, sf_dir):
     )
 
 
+def q_st1_stream_flag_counts(spark, sf_dir):
+    """Structured Streaming end-to-end (SURVEY.md §7.2/9): file-source
+    stream → stateless flag init → watermarked 24 h tumbling-window flag
+    counts → availableNow drain.  Oracle = the identical batch SQL with
+    epoch-anchored buckets (streaming windows cannot anchor at min(t))."""
+    from qctimeseries_spark.streaming import streaming_flag_counts
+
+    return streaming_flag_counts(spark, sf_dir)
+
+
 def q_t1_sessionize(spark, sf_dir):
     """Event sessionization: a new session starts after a >30 min gap;
     sessions per user via lag window function."""
@@ -516,6 +526,7 @@ QUERIES = {
     "h3_segment_revenue": q_h3_segment_revenue,
     "h5_nation_revenue": q_h5_nation_revenue,
     "t1_sessionize": q_t1_sessionize,
+    "st1_stream_flag_counts": q_st1_stream_flag_counts,
     **DATAPIPE_QUERIES,
 }
 
@@ -719,5 +730,14 @@ WITH o AS (
 )
 SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id""",
+    "st1_stream_flag_counts": f"""
+SELECT make_timestamp((epoch_us(ts) // {24 * 3600 * 1_000_000})
+                      * {24 * 3600 * 1_000_000}) AS win_start,
+       make_timestamp(((epoch_us(ts) // {24 * 3600 * 1_000_000}) + 1)
+                      * {24 * 3600 * 1_000_000}) AS win_end,
+       CAST(CASE WHEN value IS NULL THEN -1 ELSE 0 END AS INT) AS value_qcflag,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2, 3""",
     **DATAPIPE_ORACLE,
 }
