@@ -32,27 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from qctimeseries_spark.datapipe.hashing import fast_hash64, hash60
+from qctimeseries_spark.datapipe.hashing import bind, fast_hash64, hash60
 from qctimeseries_spark.datapipe.text import tokens
 
 # ---------------------------------------------------------------------------
 # shingles & signatures
 # ---------------------------------------------------------------------------
-
-
-def bind(arr: Column, fn) -> Column:
-    """Let-binding for an array expression: evaluate ``arr`` ONCE and
-    pass it to ``fn`` as a bound lambda variable.
-
-    Catalyst does not common-subexpression-eliminate inside
-    higher-order-function lambdas, so an expression like
-    ``transform(seq, i -> slice(tokens(text), i, n))`` re-tokenizes the
-    whole document per element — O(len²) interpreted work.  Wrapping
-    the array in a singleton and transforming over it turns every inner
-    reference into a bound-variable lookup (benchmarked ~20× on the
-    shingle pipeline at sf0.01).
-    """
-    return F.transform(F.array(arr), fn)[0]
 
 
 def shingles(col: Column, n: int = 3) -> Column:

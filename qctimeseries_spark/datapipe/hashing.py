@@ -41,3 +41,18 @@ def seeded_hash60_sql(expr: str, seed: int) -> str:
 def fast_hash64(col: Column, seed: int = 0) -> Column:
     """xxhash64 — JVM-native, for scale paths (not oracle-portable)."""
     return F.xxhash64(col, F.lit(seed))
+
+
+def bind(arr: Column, fn) -> Column:
+    """Let-binding for an array expression: evaluate ``arr`` ONCE and
+    pass it to ``fn`` as a bound lambda variable.
+
+    Catalyst does not common-subexpression-eliminate inside
+    higher-order-function lambdas, so an expression like
+    ``transform(seq, i -> slice(tokens(text), i, n))`` re-tokenizes the
+    whole document per element — O(len²) interpreted work.  Wrapping
+    the array in a singleton and transforming over it turns every inner
+    reference into a bound-variable lookup (benchmarked ~20× on the
+    shingle pipeline at sf0.01).
+    """
+    return F.transform(F.array(arr), fn)[0]

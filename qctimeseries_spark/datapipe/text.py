@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from qctimeseries_spark.datapipe.hashing import hash60
+from qctimeseries_spark.datapipe.hashing import bind, hash60
 
 TOKEN_RE = r"\s+"
 # BPE-ish word/punct splitter for token *counting* (not a real BPE):
@@ -43,28 +43,46 @@ def bpe_token_count(col: Column) -> Column:
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats: char/token counts, uniq-token ratio,
-    punctuation ratio, mean token length — the quality-signal basis."""
-    toks = tokens(F.col(text_col))
-    n_tok = F.size(toks)
+    punctuation ratio, mean token length — the quality-signal basis.
+
+    All stats are emitted through ONE struct alias with the token array
+    let-bound inside it: tokenization runs once per row, and
+    CollapseProject keeps the struct as its own projection (a non-cheap
+    alias referenced by several fields is not inlined), so field
+    extraction stays O(1).
+    """
     n_chars = F.length(F.col(text_col))
     n_punct = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0)
     )
-    return df.withColumns(
-        {
-            "n_chars_calc": n_chars,
-            "n_tokens": n_tok,
-            "n_bpe_tokens": bpe_token_count(F.col(text_col)),
-            "n_uniq_tokens": F.size(F.array_distinct(toks)),
-            "uniq_ratio": F.round(
-                F.size(F.array_distinct(toks)).cast("double") / n_tok, 6
+
+    def stats(tk):
+        n_tok = F.size(tk)
+        n_uniq = F.size(F.array_distinct(tk))
+        return F.struct(
+            n_chars.alias("n_chars_calc"),
+            n_tok.alias("n_tokens"),
+            bpe_token_count(F.col(text_col)).alias("n_bpe_tokens"),
+            n_uniq.alias("n_uniq_tokens"),
+            F.round(n_uniq.cast("double") / n_tok, 6).alias("uniq_ratio"),
+            F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+            F.round((n_chars - (n_tok - 1)).cast("double") / n_tok, 6).alias(
+                "mean_token_len"
             ),
-            "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
-            "mean_token_len": F.round(
-                (n_chars - (n_tok - 1)).cast("double") / n_tok, 6
-            ),
-        }
-    )
+        )
+
+    out = df.withColumn("_st", bind(tokens(F.col(text_col)), stats))
+    for f in (
+        "n_chars_calc",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_uniq_tokens",
+        "uniq_ratio",
+        "punct_ratio",
+        "mean_token_len",
+    ):
+        out = out.withColumn(f, F.col("_st")[f])
+    return out.drop("_st")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -85,22 +103,27 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-overlap language ID: predicted language = argmax over
     per-language stopword hit counts (ties broken by language code).
     A cheap n-gram-free heuristic; swap in a real model via pandas_udf
-    if available."""
-    toks = tokens(F.col(text_col))
-    scores = [
-        F.struct(
-            F.size(
-                F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang]))
-            ).alias("hits"),
-            F.lit(lang).alias("lang"),
-        )
-        for lang in sorted(LANG_STOPWORDS)
-    ]
-    # array_max on structs orders by (hits, lang); invert lang for
-    # deterministic ascending tie-break we then read back
-    best = F.sort_array(F.array(*scores), asc=False)[0]
-    return df.withColumn("lang_pred", best["lang"]).withColumn(
-        "lang_hits", best["hits"]
+    if available.  The token array is let-bound so tokenization runs
+    once per row, not once per language."""
+    def pick(tk):
+        scores = [
+            F.struct(
+                F.size(
+                    F.filter(tk, lambda t: t.isin(*LANG_STOPWORDS[lang]))
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_STOPWORDS)
+        ]
+        # descending struct sort orders by (hits, lang); ties resolve
+        # to the lexicographically greatest language code
+        return F.sort_array(F.array(*scores), asc=False)[0]
+
+    best = df.withColumn("_best", bind(tokens(F.col(text_col)), pick))
+    return (
+        best.withColumn("lang_pred", F.col("_best")["lang"])
+        .withColumn("lang_hits", F.col("_best")["hits"])
+        .drop("_best")
     )
 
 

@@ -1,0 +1,53 @@
+"""Plan-quality audit: for each query, print a condensed physical-plan
+summary — #exchanges (shuffles), #broadcasts, parquet scans with pushed
+filters + read schema width, and codegen coverage.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def audit(name: str, df) -> None:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    n_bcast = plan.count("BroadcastExchange")
+    n_wsc = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\].*?PushedFilters: (\[[^\]]*\])", plan)
+    sort_merge = plan.count("SortMergeJoin")
+    nested = plan.count("NestedLoopJoin")
+    print(f"== {name}: shuffles={n_exchange} bcast={n_bcast} wsc={n_wsc} "
+          f"smj={sort_merge} nlj={nested}")
+    for cols, pushed in scans:
+        ncols = 0 if not cols.strip() else cols.count(",") + 1
+        print(f"   scan cols={ncols} pushed={pushed[:90]}")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from qctimeseries_spark.queries import QUERIES
+    from qctimeseries_spark.session import get_spark
+
+    spark = get_spark("audit", master="local[8]", shuffle_partitions=8)
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        if name.startswith("s1") or name.startswith("s4") or name.startswith("st1"):
+            continue  # sink roundtrips / streaming — not a single plan
+        try:
+            audit(name, fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            print(f"== {name}: ERROR {exc}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
