@@ -57,6 +57,12 @@ from qctimeseries_spark.viz import (
 )
 from qctimeseries_spark.exports import write_exports, smart_stem
 from qctimeseries_spark.pipeline import qc_pipeline
+from qctimeseries_spark.state import (
+    save_state,
+    load_state,
+    slice_state,
+    checkpoint_state,
+)
 
 __all__ = [
     "FLAG_APPROVED",
@@ -99,6 +105,10 @@ __all__ = [
     "write_exports",
     "smart_stem",
     "qc_pipeline",
+    "save_state",
+    "load_state",
+    "slice_state",
+    "checkpoint_state",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,107 @@
+"""Persisted QC session state: partitioned Parquet + pruned slice reads.
+
+The reference mutates a data.table in place and saves RData snapshots
+(`R/qc_window_app.R:363`, `vignettes/overall_workflow.Rmd:162-165`).
+Our equivalent (SURVEY.md §4): flag updates are lazy ``when()`` overlays
+on an immutable DataFrame; ``checkpoint_state`` materializes the
+accumulated overlays to Parquet and returns a fresh lineage — the
+commit point of the interactive session.
+
+Scale design: state is written partitioned by a coarse time bucket
+(``qc_part``, default 30 days), so the app's one-window-at-a-time reads
+(`R/qc_window_app.R:4-6` — "smooth interaction even with millions of
+rows") become partition-pruned scans: a 168 h window touches at most
+two partitions of a 100 TB table, and Parquet row-group min/max stats
+on the time column prune within them.  Writes co-partition flags with
+values, so no join is ever needed to reassemble state.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PART_COL = "qc_part"
+
+
+def _part_expr(time_col: str, part_hours: int):
+    width_us = part_hours * 3600 * 1_000_000
+    return F.expr(f"unix_micros(`{time_col}`) DIV {width_us}L").cast("int")
+
+
+def save_state(
+    df: DataFrame,
+    path: str,
+    *,
+    time_col: str,
+    part_hours: int = 720,
+    mode: str = "overwrite",
+) -> None:
+    """Write QC state partitioned by a coarse epoch-anchored time bucket.
+
+    ``part_hours=720`` (30 days) keeps partition counts sane at decade
+    spans while still letting week-scale window reads prune >97% of a
+    long series.  Epoch-anchored (unlike the min(t)-anchored QC windows)
+    so appends never re-bucket existing data.
+    """
+    (
+        df.withColumn(PART_COL, _part_expr(time_col, part_hours))
+        .write.partitionBy(PART_COL)
+        .mode(mode)
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def load_state(spark: SparkSession, path: str) -> DataFrame:
+    """Reload persisted state (keeps ``qc_part`` for pruned slicing)."""
+    return spark.read.parquet(path)
+
+
+def slice_state(
+    df: DataFrame,
+    time_col: str,
+    lo: _dt.datetime,
+    hi: _dt.datetime,
+    *,
+    part_hours: int = 720,
+) -> DataFrame:
+    """Time-range slice with explicit partition pruning.
+
+    Spark does not infer partition predicates from data-column
+    predicates, so the ``qc_part`` range filter is derived here from the
+    same arithmetic ``save_state`` used — ``.explain`` shows it under
+    PartitionFilters while the ``time_col`` bounds push to row-group
+    stats.
+    """
+    width_us = part_hours * 3600 * 1_000_000
+    lo_us = int(lo.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    hi_us = int(hi.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    p_lo, p_hi = lo_us // width_us, hi_us // width_us
+    t = F.col(time_col)
+    return df.filter(
+        F.col(PART_COL).between(int(p_lo), int(p_hi))
+        & (t >= F.lit(lo))
+        & (t < F.lit(hi))
+    )
+
+
+def checkpoint_state(
+    df: DataFrame,
+    path: str,
+    *,
+    time_col: str,
+    part_hours: int = 720,
+) -> DataFrame:
+    """Materialize accumulated flag-update overlays and restart lineage.
+
+    The interactive session's U-ops stack ``when()`` overlays; hundreds
+    of stacked projections slow planning and executor codegen.  A
+    checkpoint compacts them into files and returns a plan one scan
+    deep — the reference's "return the mutated table" moment
+    (`R/qc_window_app.R:445`) made durable.
+    """
+    save_state(df, path, time_col=time_col, part_hours=part_hours)
+    return load_state(df.sparkSession, path).drop(PART_COL)
