@@ -35,8 +35,20 @@ from qctimeseries_spark.updates import (
     reset_window,
     set_flag,
 )
-from qctimeseries_spark.viz import check_panel, downsample_minmax
-from qctimeseries_spark.windows import admitted_windows, assign_windows, window_range
+from qctimeseries_spark.viz import (
+    approved_overlay,
+    check_panel,
+    downsample_minmax,
+    flagged_overlay,
+    main_trace,
+    secondary_trace,
+)
+from qctimeseries_spark.windows import (
+    admitted_windows,
+    assign_windows,
+    window_range,
+    with_rowid,
+)
 
 WIN_HOURS = 48
 _WIDTH_US = WIN_HOURS * 3600 * 1_000_000
@@ -108,6 +120,27 @@ w AS (
 
 def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_windows(_seeded(spark, sf_dir), "ts", WIN_HOURS)
+
+
+def _app_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded table + materialized rowid (F2) + win_id — the app's
+    working state (SURVEY.md §3.2)."""
+    return assign_windows(
+        with_rowid(_seeded(spark, sf_dir), "ts"), "ts", WIN_HOURS
+    )
+
+
+_APP_SQL = (
+    _SEEDED_SQL
+    + f""",
+app AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS INT) AS rowid,
+         CAST((epoch_us(ts) - (SELECT MIN(epoch_us(ts)) FROM events))
+              // {_WIDTH_US} AS INT) AS win_id
+  FROM seeded
+)"""
+)
 
 
 def _two_var(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +367,79 @@ def q_u6_flag_approve_advance(spark, sf_dir):
     ).select("event_id", "value_qcflag")
 
 
+def q_f2_rowid(spark, sf_dir):
+    """F2: stable row identity materialized at ingest
+    (``.rowid := .I``, R/qc_window_app.R:65)."""
+    return _app_state(spark, sf_dir).select("event_id", "rowid")
+
+
+def q_p2_projection(spark, sf_dir):
+    """P2: keep-subset column projection at import
+    (overall_workflow.Rmd:111)."""
+    return read_table(spark, sf_dir, "events").select("ts", "value")
+
+
+def q_p10_rowid_semijoin(spark, sf_dir):
+    """P10/U1: brushed-selection update where the selection is an ids
+    DataFrame — broadcast left-semi-join path, the scalable form of the
+    reference's plotly-key row-id sets (R/qc_window_app.R:211-213)."""
+    df = _app_state(spark, sf_dir)
+    ids = df.filter(F.col("event_id") % 23 == 0).select("rowid")
+    out = set_flag(df, "value", -2, selection=ids)
+    return out.select("event_id", "value_qcflag")
+
+
+def q_a4_anchor(spark, sf_dir):
+    """A4: global min(t) — the window anchor (R/qc_window_app.R:68)."""
+    return read_table(spark, sf_dir, "events").agg(F.min("ts").alias("t0"))
+
+
+def q_a5_axis_range(spark, sf_dir):
+    """A5: min/max of displayed y in the current window, ±2% pad
+    (R/qc_window_app.R:259-263)."""
+    sl = _app_state(spark, sf_dir).filter(
+        (F.col("win_id") == 3) & F.col("value").isNotNull()
+    )
+    agg = sl.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    pad = (F.col("mx") - F.col("mn")) * 0.02
+    return agg.select(
+        (F.col("mn") - pad).alias("y_lo"), (F.col("mx") + pad).alias("y_hi")
+    )
+
+
+def q_v1_main_trace(spark, sf_dir):
+    """V1: main-trace slice of window 3 with hide-flagged (P6) + P7
+    non-null filters (build_plot R/qc_window_app.R:251-297)."""
+    return main_trace(
+        _app_state(spark, sf_dir), "value", "ts", 3, hide_flagged=True
+    )
+
+
+def q_v2_approved_overlay(spark, sf_dir):
+    """V2: approved (flag==1) overlay of window 3 (R/qc_window_app.R:293)."""
+    return approved_overlay(_app_state(spark, sf_dir), "value", "ts", 3)
+
+
+def q_v3_flagged_overlay(spark, sf_dir):
+    """V3: manual-flag (flag<-1) overlay of window 3
+    (R/qc_window_app.R:294-295)."""
+    return flagged_overlay(_app_state(spark, sf_dir), "value", "ts", 3)
+
+
+def q_v4_secondary_trace(spark, sf_dir):
+    """V4/P9: secondary-series slice — non-null AND (flag col exists →
+    flag >= 0) (R/qc_window_app.R:307-312)."""
+    return secondary_trace(_app_state(spark, sf_dir), "value", "ts", 3)
+
+
+def q_v6_viewer_slice(spark, sf_dir):
+    """V6: read-only viewer slice — V1 without the hide-flagged filter
+    (R/ts_viewer.R:262-303)."""
+    return main_trace(
+        _app_state(spark, sf_dir), "value", "ts", 3, hide_flagged=False
+    )
+
+
 def q_v5_check_panel(spark, sf_dir):
     """V5: raw∪clean panel union with tag (R/qc_plots.R:45-56)."""
     return check_panel(_seeded(spark, sf_dir), "value", "ts")
@@ -517,6 +623,16 @@ QUERIES = {
     "u4_reset_window": q_u4_reset_window,
     "u5_reset_all": q_u5_reset_all,
     "u6_flag_approve_advance": q_u6_flag_approve_advance,
+    "f2_rowid": q_f2_rowid,
+    "p2_projection": q_p2_projection,
+    "p10_rowid_semijoin": q_p10_rowid_semijoin,
+    "a4_anchor": q_a4_anchor,
+    "a5_axis_range": q_a5_axis_range,
+    "v1_main_trace": q_v1_main_trace,
+    "v2_approved_overlay": q_v2_approved_overlay,
+    "v3_flagged_overlay": q_v3_flagged_overlay,
+    "v4_secondary_trace": q_v4_secondary_trace,
+    "v6_viewer_slice": q_v6_viewer_slice,
     "v5_check_panel": q_v5_check_panel,
     "v1_downsample": q_v1_downsample,
     "f5_iso_export": q_f5_iso_export,
@@ -662,6 +778,49 @@ SELECT event_id,
        CAST(CASE WHEN win_id = 3 AND f1 = 0 AND value IS NOT NULL THEN 1
             ELSE f1 END AS INT) AS value_qcflag
 FROM s1""",
+    "f2_rowid": f"""
+WITH {_APP_SQL}
+SELECT event_id, rowid FROM app""",
+    "p2_projection": """
+SELECT ts, value FROM events""",
+    "p10_rowid_semijoin": f"""
+WITH {_APP_SQL}
+SELECT event_id,
+       CAST(CASE WHEN rowid IN (SELECT rowid FROM app WHERE event_id % 23 = 0)
+                  AND value_qcflag != -1 THEN -2
+            ELSE value_qcflag END AS INT) AS value_qcflag
+FROM app""",
+    "a4_anchor": """
+SELECT MIN(ts) AS t0 FROM events""",
+    "a5_axis_range": f"""
+WITH {_APP_SQL},
+r AS (
+  SELECT MIN(value) AS mn, MAX(value) AS mx
+  FROM app WHERE win_id = 3 AND value IS NOT NULL
+)
+SELECT mn - (mx - mn) * CAST(0.02 AS DOUBLE) AS y_lo,
+       mx + (mx - mn) * CAST(0.02 AS DOUBLE) AS y_hi FROM r""",
+    "v1_main_trace": f"""
+WITH {_APP_SQL}
+SELECT ts, value, rowid FROM app
+WHERE win_id = 3 AND value_qcflag >= 0
+  AND value IS NOT NULL AND ts IS NOT NULL""",
+    "v2_approved_overlay": f"""
+WITH {_APP_SQL}
+SELECT ts, value, rowid FROM app
+WHERE win_id = 3 AND value_qcflag = 1 AND value IS NOT NULL""",
+    "v3_flagged_overlay": f"""
+WITH {_APP_SQL}
+SELECT ts, value, rowid FROM app
+WHERE win_id = 3 AND value_qcflag <= -2 AND value IS NOT NULL""",
+    "v4_secondary_trace": f"""
+WITH {_APP_SQL}
+SELECT ts, value FROM app
+WHERE win_id = 3 AND value IS NOT NULL AND value_qcflag >= 0""",
+    "v6_viewer_slice": f"""
+WITH {_APP_SQL}
+SELECT ts, value, rowid FROM app
+WHERE win_id = 3 AND value IS NOT NULL AND ts IS NOT NULL""",
     "v5_check_panel": f"""
 WITH {_SEEDED_SQL}
 SELECT 'raw' AS panel, ts, value, value_qcflag FROM seeded

@@ -121,6 +121,27 @@ def check_panel(
     return raw.unionByName(clean)
 
 
+def clamp(x: float, lo: float, hi: float, default: float) -> float:
+    """F10: clamp numeric UI input to [lo, hi], falling back to
+    ``default`` on None/NaN (``R/qc_window_app.R:239-243``).  Pure
+    driver math for the interactive shell."""
+    if x is None or x != x:
+        return default
+    return min(max(float(x), lo), hi)
+
+
+def epoch_to_timestamp(x, *, col_name: str | None = None):
+    """F6: zoom-event epoch coords back to timestamps — values are
+    milliseconds iff any magnitude exceeds 1e12, else seconds
+    (``R/qc_window_app.R:349-352``).  The reference applies the
+    heuristic per event batch; as a Column expression we apply it
+    per value, which is identical for post-1971 data."""
+    c = F.col(x) if isinstance(x, str) else x
+    secs = F.when(F.abs(c) > 1e12, c / 1000.0).otherwise(c)
+    out = F.timestamp_seconds(secs)
+    return out.alias(col_name) if col_name else out
+
+
 def downsample_minmax(
     df: DataFrame,
     var: str,

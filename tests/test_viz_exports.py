@@ -17,7 +17,8 @@ from qctimeseries_spark import (
     with_rowid,
     write_exports,
 )
-from qctimeseries_spark.viz import approved_overlay
+from qctimeseries_spark.viz import approved_overlay, clamp, epoch_to_timestamp
+from qctimeseries_spark.windows import window_extent
 
 
 @pytest.fixture(scope="module")
@@ -115,3 +116,32 @@ def test_qc_pipeline_end_to_end(multivar):
         F.col("temp").isNotNull()
     ).count() - n_bad
     assert {r.variable for r in prog.collect()} == {"temp", "hum"}
+
+
+def test_clamp():
+    # F10: R/qc_window_app.R:239-243
+    assert clamp(5, 0, 10, 7) == 5
+    assert clamp(-1, 0, 10, 7) == 0
+    assert clamp(99, 0, 10, 7) == 10
+    assert clamp(None, 0, 10, 7) == 7
+    assert clamp(float("nan"), 0, 10, 7) == 7
+
+
+def test_epoch_to_timestamp(spark):
+    # F6: ms-vs-s heuristic, R/qc_window_app.R:349-352
+    df = spark.createDataFrame(
+        [(1.6e9,), (1.6e12,)], "x double"
+    ).select(epoch_to_timestamp("x", col_name="ts"))
+    got = [r.ts for r in df.collect()]
+    assert got[0].year == 2020 and got[1].year == 2020
+
+
+def test_window_extent():
+    # W7: nominal bounds +/- 2% pad, R/qc_window_app.R:215-226
+    import datetime as dt
+
+    anchor = dt.datetime(2024, 1, 1)
+    lo, hi = window_extent(anchor, 2, hours=24, pad=0.02)
+    margin = dt.timedelta(seconds=86400 * 0.02)
+    assert lo == dt.datetime(2024, 1, 3) - margin
+    assert hi == dt.datetime(2024, 1, 4) + margin
