@@ -138,37 +138,55 @@ def band_hashes(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+def _bit_literal(i: int) -> int:
+    """Signed-64 literal with only bit ``i`` set (bit 63 = sign bit)."""
+    return (1 << i) if i < 63 else -(1 << 63)
+
+
 def simhash(col: Column, bits: int = 32) -> Column:
-    """SimHash signature packed into a BIGINT.
+    """SimHash signature packed into a BIGINT (``bits`` ≤ 64).
 
     Bit ``i`` is set iff the majority of the document's (distinct)
-    tokens have bit ``i`` set in their 60-bit hash.  The per-bit
-    majority is an ``aggregate`` over the token-hash array — row-local,
-    no shuffle.  32 bits keeps the expression tree compact; Hamming
-    distance over 32 bits is plenty to rank near-dups.
+    tokens have bit ``i`` set in their 60-bit hash.  All per-bit
+    majorities come from ONE pass over the token-hash array: the
+    ``aggregate`` accumulator is a ``bits``-wide count vector updated
+    with ``zip_with`` — row-local, no shuffle.  Packing folds the
+    counts with ``bitwiseOR`` of single-bit literals, which is
+    overflow-safe for the sign bit where ``+``/``shiftleft`` are not
+    (ANSI mode would reject ``sum + (1<<63)``).
     """
     def pack(hv: Column) -> Column:
         n = F.size(hv)
-        bit_cols = [
-            (
-                F.aggregate(
-                    hv,
-                    F.lit(0).cast("long"),
-                    lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)),
-                )
-                * 2
-                > n
-            ).cast("long")
-            * (1 << i)
-            for i in range(bits)
-        ]
-        out = bit_cols[0]
-        for c in bit_cols[1:]:
-            out = out + c
-        return out
+        counts = F.aggregate(
+            hv,
+            F.array_repeat(F.lit(0).cast("long"), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(
+                    *[
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("long")
+                        for i in range(bits)
+                    ]
+                ),
+                lambda a, b: a + b,
+            ),
+        )
 
-    # let-bind the hash array: each of the ``bits`` aggregates reads the
-    # bound variable instead of re-running MD5 over every token
+        def from_counts(cs: Column) -> Column:
+            out = F.lit(0).cast("long")
+            for i in range(bits):
+                out = out.bitwiseOR(
+                    F.when(
+                        F.element_at(cs, i + 1) * 2 > n,
+                        F.lit(_bit_literal(i)).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+            return out
+
+        return bind(counts, from_counts)
+
+    # let-bind the hash array so MD5 runs once per token, and the count
+    # vector so the 64 bit-tests read it instead of re-aggregating
     return bind(F.transform(F.array_distinct(tokens(col)), hash60), pack)
 
 
@@ -389,6 +407,7 @@ def simhash_dup_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    cache: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via the chunk pigeonhole trick.
 
@@ -396,10 +415,17 @@ def simhash_dup_pairs(
     the ``chunks`` bit-slices is identical — so candidates come from an
     equi-join on (chunk_id, chunk_value), never a cross join, and the
     exact Hamming check runs per candidate row.
+
+    The signature table feeds both sides of the self-join, so it is
+    persisted once (``cache=True``) — the ``bits``-wide majority fold
+    is the dominant cost and would otherwise run twice.  It is tiny:
+    one id + one BIGINT per document.
     """
     width = bits // chunks
     mask = (1 << width) - 1
     st = simhash_table(df, id_col, text_col, bits=bits)
+    if cache:
+        st = st.persist()
     chunked = st.select(
         id_col,
         "simhash",

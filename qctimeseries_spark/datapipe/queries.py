@@ -243,9 +243,21 @@ def q_d2_minhash_dedup(spark, sf_dir):
 
 
 def q_d3_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs via chunk pigeonhole join, hamming ≤ 6."""
+    """SimHash near-dup pairs via chunk pigeonhole join, hamming ≤ 7.
+
+    64-bit signatures in 8×8-bit chunks.  max_hamming = 7 < chunks
+    makes the pigeonhole recall guarantee exact (≤7 differing bits
+    cannot touch all 8 chunks), and 7 of 64 bits is calibrated to this
+    corpus: docs have ~26 distinct tokens, so the planted 3-token-tail
+    near-dups land at hamming 2-12 (74% ≤ 7).  The previous 32-bit /
+    hamming ≤ 6 / 4-chunk config both flooded (37% of ALL pairs passed)
+    and silently broke the guarantee (6 ≥ 4).  Longer real-world docs
+    separate much better — production should raise chunk width (16-bit
+    → 65k buckets/chunk) as corpus size grows; for short-doc corpora
+    MinHash (d2) is the scale path.
+    """
     return simhash_dup_pairs(
-        _near_corpus(spark, sf_dir), bits=32, max_hamming=6, chunks=4
+        _near_corpus(spark, sf_dir), bits=64, max_hamming=7, chunks=8
     )
 
 
@@ -424,15 +436,17 @@ hs AS (
 ),
 sim AS (
   SELECT doc_id,
-         CAST(list_sum(list_transform(range(0, 32), i ->
+         CAST(list_sum(list_transform(range(0, 64), i ->
               CASE WHEN 2 * list_sum(list_transform(hv, h -> (h >> i) & 1)) > n
-                   THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END))
+                   THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                             ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                   ELSE CAST(0 AS BIGINT) END))
               AS BIGINT) AS simhash
   FROM hs
 ),
 ch AS (
   SELECT doc_id, simhash, chunk, (simhash >> (chunk * 8)) & 255 AS v
-  FROM sim, (SELECT unnest(range(0, 4)) AS chunk) c
+  FROM sim, (SELECT unnest(range(0, 8)) AS chunk) c
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -440,7 +454,7 @@ pairs AS (
   FROM ch a JOIN ch b
     ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6""",
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 7""",
     "d4_ngram_jaccard": f"""
 WITH {_NEAR_CORPUS_SQL},
 {_shingle_sql('corpus', 3)},
