@@ -51,18 +51,22 @@ def main() -> int:
     # queries, not session startup (excluded from the reported total)
     spark.range(1).count()
 
-    # best-of-2 per query: local-mode Python-worker/daemon scheduling is
-    # bursty (measured 10x swings on identical plans); the minimum is the
-    # reproducible cost of the query itself
+    # best-of-3 per query: local-mode scheduling is bursty (measured
+    # 10x swings on identical plans); the minimum is the reproducible
+    # cost of the query itself.  Cache is cleared between queries so
+    # DataFrames persisted inside one pipeline (minhash/simhash
+    # signature tables) don't accumulate across the run and skew later
+    # measurements via memory pressure.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        spark.catalog.clearCache()
         print(f"# {name}: {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
