@@ -33,20 +33,58 @@ ROWID_COL = "rowid"
 WIN_COL = "win_id"
 
 
-def with_rowid(df: DataFrame, time_col: str, col: str = ROWID_COL) -> DataFrame:
+def with_rowid(
+    df: DataFrame,
+    time_col: str,
+    col: str = ROWID_COL,
+    *,
+    bucket_hours: float = 24.0,
+) -> DataFrame:
     """F2 stable row identity: ``row_number() OVER (ORDER BY t)``
-    (reference ``.rowid := .I``, ``R/qc_window_app.R:65``).
+    (reference ``.rowid := .I``, ``R/qc_window_app.R:65``) — computed
+    distributed, never through one task.
 
-    NOTE (scale): the global ORDER BY funnels through one task; this is
-    an *ingest-time, run-once* operator — materialize the result to
-    Parquet and treat ``rowid`` as an immutable primary key thereafter
-    (SURVEY.md §7.4).  For sources that already carry a unique ordered
-    id (e.g. ``event_id``), pass that column around instead and skip
-    this entirely.
+    Two-phase plan: rows are bucketed by a fixed time width (monotone
+    in the sort key, so per-bucket order concatenates to the global
+    order); one tiny aggregation counts rows per bucket and a prefix
+    sum over that (one row per bucket) yields each bucket's starting
+    offset; rowid = offset + row_number within the bucket.  Both heavy
+    stages shuffle on the bucket key across all executors — the naive
+    ``row_number() OVER (ORDER BY t)`` funnels the entire table through
+    a single task.  Time-derived bucketing (vs ``repartitionByRange``)
+    keeps the assignment deterministic under recomputation: range
+    sampling could place boundaries differently between the count job
+    and the numbering job.
+
+    Still an *ingest-time, run-once* operator: materialize the result
+    to Parquet and treat ``rowid`` as an immutable primary key
+    thereafter (SURVEY.md §7.4).  For sources that already carry a
+    unique ordered id (e.g. ``event_id``), pass that column around
+    instead and skip this entirely.  ``bucket_hours`` tunes
+    parallelism: aim for ≥ cluster cores buckets over the series span.
     """
     validate_time_col(df, time_col)
-    w = Window.orderBy(F.col(time_col), *[c for c in df.columns if c != time_col])
-    return df.withColumn(col, F.row_number().over(w))
+    ties = [F.col(c) for c in df.columns if c != time_col]
+    width_us = round(float(bucket_hours) * 3600.0 * 1_000_000)
+    bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(width_us))
+    bucketed = df.withColumn("_rid_bucket", bucket)
+    counts = bucketed.groupBy("_rid_bucket").count()
+    cum = Window.orderBy("_rid_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_rid_bucket",
+        F.coalesce(F.sum("count").over(cum), F.lit(0)).alias("_rid_offset"),
+    )
+    within = Window.partitionBy("_rid_bucket").orderBy(F.col(time_col), *ties)
+    return (
+        bucketed.join(F.broadcast(offsets), "_rid_bucket")
+        .withColumn(
+            col,
+            (F.col("_rid_offset") + F.row_number().over(within)).cast("int"),
+        )
+        .drop("_rid_bucket", "_rid_offset")
+    )
 
 
 def window_anchor(df: DataFrame, time_col: str) -> _dt.datetime:
