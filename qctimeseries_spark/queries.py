@@ -126,7 +126,9 @@ def _app_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded table + materialized rowid (F2) + win_id — the app's
     working state (SURVEY.md §3.2)."""
     return assign_windows(
-        with_rowid(_seeded(spark, sf_dir), "ts"), "ts", WIN_HOURS
+        with_rowid(_seeded(spark, sf_dir), "ts", ties=["event_id"]),
+        "ts",
+        WIN_HOURS,
     )
 
 

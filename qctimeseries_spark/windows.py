@@ -39,6 +39,7 @@ def with_rowid(
     col: str = ROWID_COL,
     *,
     bucket_hours: float = 24.0,
+    ties: list[str] | None = None,
 ) -> DataFrame:
     """F2 stable row identity: ``row_number() OVER (ORDER BY t)``
     (reference ``.rowid := .I``, ``R/qc_window_app.R:65``) — computed
@@ -62,9 +63,15 @@ def with_rowid(
     unique ordered id (e.g. ``event_id``), pass that column around
     instead and skip this entirely.  ``bucket_hours`` tunes
     parallelism: aim for ≥ cluster cores buckets over the series span.
+
+    ``ties`` names the tie-break columns for equal timestamps; the
+    default (every other column) is total but forces the scan to read
+    the full row — pass a unique key (e.g. ``["event_id"]``) so column
+    pruning reaches the Parquet scan.
     """
     validate_time_col(df, time_col)
-    ties = [F.col(c) for c in df.columns if c != time_col]
+    tie_cols = ties if ties is not None else [c for c in df.columns if c != time_col]
+    ties = [F.col(c) for c in tie_cols]
     width_us = round(float(bucket_hours) * 3600.0 * 1_000_000)
     bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(width_us))
     bucketed = df.withColumn("_rid_bucket", bucket)

@@ -2,6 +2,11 @@
 summary — #exchanges (shuffles), #broadcasts, parquet scans with pushed
 filters + read schema width, and codegen coverage.
 
+Counts read the POST-EXECUTION adaptive plan, whose string includes
+both the original skeleton and the final stages — so scan/shuffle
+counts run ~2x the logical number; compare queries against each other,
+not against an absolute budget.
+
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
 """
 
@@ -15,10 +20,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def audit(name: str, df) -> None:
+    # execute first: with AQE the pre-execution plan is a skeleton
+    # (isFinalPlan=false, no codegen markers); the final stages — and
+    # their WholeStageCodegen "*(n)" prefixes — exist only after a run
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchange = len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
     n_bcast = plan.count("BroadcastExchange")
-    n_wsc = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+    # codegen stages appear as "*(n)" operator prefixes in the plan string
+    n_wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
     scans = re.findall(r"FileScan parquet \[([^\]]*)\].*?PushedFilters: (\[[^\]]*\])", plan)
     sort_merge = plan.count("SortMergeJoin")
     nested = plan.count("NestedLoopJoin")
