@@ -87,7 +87,10 @@ def progress(
     )
 
     def pct(num, den):
-        return F.round(F.lit(100.0) * num / den, 2)
+        # try_divide: an all-NULL variable has n_valid = 0; the reference's
+        # R arithmetic yields NaN there — we surface NULL instead of an
+        # ANSI divide-by-zero error.
+        return F.round(F.try_divide(F.lit(100.0) * num, den), 2)
 
     out = agg.select(
         "variable",

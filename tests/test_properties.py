@@ -1,0 +1,202 @@
+"""Property/metamorphic checks mirroring the reference's runtime
+invariants (SURVEY.md §5): the warnings inside ``qc_progress``
+(``R/qc_summary.R:51-66``) promoted to generated-input laws, plus the
+update-vocabulary guarantees the reference relies on implicitly.
+
+Laws under random series + random U-op sequences:
+
+1. A2: after ``add_flags``, #NULL values == #(flag == -1), and this
+   survives every U-op (the -1 guard).
+2. A3: flags stay inside {-2, -1, 0, 1}.
+3. Guard: a row that starts at -1 is still -1 after any op sequence,
+   and no non-NULL row ever becomes -1.
+4. Idempotency: every U-op applied twice == applied once.
+5. U5 ∘ A1: after reset_all, pct_unchecked + pct_missing == 100.
+6. W3 monotonicity: growing the include-set never shrinks the admitted
+   window set.
+7. P4 vs P5: apply_flags masks exactly flag < 0; the strict plot
+   variant masks exactly flag < 1.
+8. F2: rowid is a dense 1..n permutation consistent with time order.
+
+Hypothesis drives the data shapes; examples are kept small and few
+because every example is a full Spark job (deadline disabled — JVM
+scheduling jitter would flake time-based limits).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from qctimeseries_spark import (
+    add_flags,
+    apply_flags,
+    approve_window,
+    assign_windows,
+    admitted_windows,
+    flag_and_approve_window,
+    flag_window,
+    progress,
+    reset_all,
+    reset_window,
+    set_flag,
+    strict_clean,
+    with_rowid,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+# value series: None (missing) or a small float; length 8-40 keeps each
+# example one fast Spark job while still crossing window boundaries
+values_st = st.lists(
+    st.one_of(st.none(), st.floats(-50, 50, allow_nan=False)),
+    min_size=8,
+    max_size=40,
+)
+
+# an op is (kind, window_or_ids); windows 0-2 exist for hourly data
+# bucketed at 12h with ≤40 rows
+ops_st = st.lists(
+    st.one_of(
+        st.tuples(st.just("flag_window"), st.integers(0, 2)),
+        st.tuples(st.just("approve_window"), st.integers(0, 2)),
+        st.tuples(st.just("reset_window"), st.integers(0, 2)),
+        st.tuples(st.just("reset_all"), st.just(0)),
+        st.tuples(
+            st.just("set_sel"),
+            st.lists(st.integers(1, 40), min_size=1, max_size=6),
+        ),
+        st.tuples(
+            st.just("u6"),
+            st.lists(st.integers(1, 40), min_size=1, max_size=6),
+        ),
+    ),
+    min_size=0,
+    max_size=3,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _series(spark, values):
+    rows = [(T0 + dt.timedelta(hours=i), v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "DateTime timestamp, temp double")
+    df = with_rowid(add_flags(df, ["temp"]), "DateTime")
+    return assign_windows(df, "DateTime", hours=12)
+
+
+def _apply(df, op):
+    kind, arg = op
+    if kind == "flag_window":
+        return flag_window(df, "temp", arg)
+    if kind == "approve_window":
+        return approve_window(df, "temp", arg)
+    if kind == "reset_window":
+        return reset_window(df, "temp", arg)
+    if kind == "reset_all":
+        return reset_all(df, "temp")
+    if kind == "set_sel":
+        return set_flag(df, "temp", -2, selection=arg)
+    if kind == "u6":
+        return flag_and_approve_window(df, "temp", 0, arg)
+    raise AssertionError(kind)
+
+
+@given(values=values_st, ops=ops_st)
+@SETTINGS
+def test_invariants_hold_under_op_sequences(spark, values, ops):
+    df = _series(spark, values)
+    start = {r.rowid: r.temp_qcflag for r in df.collect()}
+    for op in ops:
+        df = _apply(df, op)
+    rows = df.collect()
+    flags = {r.rowid: r.temp_qcflag for r in rows}
+    # A3: domain
+    assert set(flags.values()) <= {-2, -1, 0, 1}
+    # A2 + guard: -1 iff value NULL, preserved through every op
+    for r in rows:
+        if r.temp is None:
+            assert r.temp_qcflag == -1
+        else:
+            assert r.temp_qcflag != -1
+    # untouched start state only transitions via ops (sanity: same keys)
+    assert set(flags) == set(start)
+
+
+@given(values=values_st, op=ops_st.filter(lambda o: len(o) == 1).map(lambda o: o[0]))
+@SETTINGS
+def test_updates_idempotent(spark, values, op):
+    df = _series(spark, values)
+    once = sorted(
+        (r.rowid, r.temp_qcflag) for r in _apply(df, op).collect()
+    )
+    twice = sorted(
+        (r.rowid, r.temp_qcflag) for r in _apply(_apply(df, op), op).collect()
+    )
+    assert once == twice
+
+
+@given(values=values_st)
+@SETTINGS
+def test_reset_all_progress_sums_to_100(spark, values):
+    df = flag_window(_series(spark, values), "temp", 0)
+    out = progress(reset_all(df, "temp"), ["temp"]).collect()[0]
+    assert out.pct_unchecked + out.pct_missing == pytest.approx(100.0)
+    assert out.pct_approved == 0.0 and out.pct_flagged == 0.0
+
+
+@given(values=values_st, ids=st.lists(st.integers(1, 40), min_size=1, max_size=8))
+@SETTINGS
+def test_admission_monotone_in_include_set(spark, values, ids):
+    df = set_flag(_series(spark, values), "temp", -2, selection=ids)
+    small = {r.win_id for r in admitted_windows(df, "temp", include=(0,)).collect()}
+    grown = {
+        r.win_id
+        for r in admitted_windows(df, "temp", include=(0, 1, -2)).collect()
+    }
+    assert small <= grown
+
+
+@given(values=values_st, ids=st.lists(st.integers(1, 40), min_size=1, max_size=8))
+@SETTINGS
+def test_mask_semantics_p4_vs_p5(spark, values, ids):
+    df = approve_window(
+        set_flag(_series(spark, values), "temp", -2, selection=ids), "temp", 0
+    )
+    joined = (
+        df.select("rowid", "temp", "temp_qcflag")
+        .join(
+            apply_flags(df, ["temp"]).select(
+                "rowid", F.col("temp").alias("p4")
+            ),
+            "rowid",
+        )
+        .join(
+            strict_clean(df, ["temp"]).select(
+                "rowid", F.col("temp").alias("p5")
+            ),
+            "rowid",
+        )
+        .collect()
+    )
+    for r in joined:
+        assert (r.p4 is None) == (r.temp_qcflag < 0 or r.temp is None)
+        assert (r.p5 is None) == (r.temp_qcflag < 1 or r.temp is None)
+
+
+@given(values=values_st)
+@SETTINGS
+def test_rowid_dense_time_ordered(spark, values):
+    rows = _series(spark, values).select("DateTime", "rowid").collect()
+    ids = sorted(r.rowid for r in rows)
+    assert ids == list(range(1, len(values) + 1))
+    by_id = sorted(rows, key=lambda r: r.rowid)
+    times = [r.DateTime for r in by_id]
+    assert times == sorted(times)
