@@ -290,8 +290,10 @@ def q_x1_knn_bruteforce(spark, sf_dir):
 
 
 def q_x2_knn_ivf(spark, sf_dir):
-    """IVF-restricted approximate top-10 (no oracle — recall is
-    pytest-verified against brute force in tests/test_datapipe.py)."""
+    """IVF-restricted approximate top-10.  Approximate vs brute force,
+    but deterministic end-to-end (seeded centroids, 9-dp rounding, id
+    tie-breaks), so it has a full DuckDB oracle; recall is additionally
+    pytest-verified against brute force in tests/test_datapipe.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -487,6 +489,46 @@ s AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
          ROUND({_cos_fold_sql('q.qv', 'e.embedding')}, 9) AS cos
   FROM embeddings e, q WHERE e.vec_id != q.query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 10""",
+    # IVF is approximate vs brute force but DETERMINISTIC end-to-end
+    # (seeded centroids, 9-dp rounding, id tie-breaks), so the whole
+    # index build + probe + rank is oracle-expressible.
+    "x2_knn_ivf": f"""
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+         embedding AS centv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+ccell AS (
+  SELECT e.vec_id, e.embedding, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+),
+qcell AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+  WHERE e.vec_id < 5
+),
+s AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+         ROUND({_cos_fold_sql('q.qv', 'c.embedding')}, 9) AS cos
+  FROM (SELECT * FROM ccell WHERE rk = 1) c
+  JOIN (SELECT * FROM qcell WHERE rk <= 4) q USING (cid)
+  WHERE c.vec_id != q.query_id
 ),
 r AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
