@@ -578,6 +578,23 @@ def q_st1_stream_flag_counts(spark, sf_dir):
     return streaming_flag_counts(spark, sf_dir)
 
 
+def q_st2_stream_gaps(spark, sf_dir):
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-user cadence gaps > 1 day.  On an in-order bounded source this
+    matches the batch ``lag() OVER (PARTITION BY user_id ORDER BY ts)``
+    exactly, which is the oracle."""
+    from qctimeseries_spark.streaming import (
+        detect_gaps_stateful,
+        run_available_now,
+        stream_events,
+    )
+
+    gaps = detect_gaps_stateful(
+        stream_events(spark, sf_dir), key_col="user_id", gap_seconds=86400.0
+    )
+    return run_available_now(gaps, output_mode="append")
+
+
 def q_t1_sessionize(spark, sf_dir):
     """Event sessionization: a new session starts after a >30 min gap;
     sessions per user via lag window function."""
@@ -645,6 +662,7 @@ QUERIES = {
     "h5_nation_revenue": q_h5_nation_revenue,
     "t1_sessionize": q_t1_sessionize,
     "st1_stream_flag_counts": q_st1_stream_flag_counts,
+    "st2_stream_gaps": q_st2_stream_gaps,
     **DATAPIPE_QUERIES,
 }
 
@@ -900,5 +918,16 @@ SELECT make_timestamp((epoch_us(ts) // {24 * 3600 * 1_000_000})
        COUNT(*) AS n
 FROM events
 GROUP BY 1, 2, 3""",
+    "st2_stream_gaps": """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+)
+SELECT user_id, prev AS gap_start, ts AS gap_end,
+       CAST(date_diff('microsecond', prev, ts) AS DOUBLE) / 1000000
+           AS gap_seconds
+FROM o
+WHERE date_diff('microsecond', prev, ts) > 86400000000""",
     **DATAPIPE_ORACLE,
 }

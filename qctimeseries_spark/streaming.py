@@ -91,21 +91,102 @@ def windowed_flag_counts(
     )
 
 
-def run_available_now(result: DataFrame, *, name: str | None = None) -> DataFrame:
+def run_available_now(
+    result: DataFrame, *, name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a bounded stream through the aggregation and return the
-    materialized result as a batch DataFrame (memory sink, complete
-    mode).  For unbounded production sinks use append mode + watermark
-    with a durable sink instead."""
+    materialized result as a batch DataFrame (memory sink).  For
+    unbounded production sinks use append mode + watermark with a
+    durable sink instead."""
     name = name or f"qcts_stream_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def detect_gaps_stateful(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap_seconds: float = 86400.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key cadence monitor: emit (key, gap_start, gap_end,
+    gap_seconds) whenever consecutive events for a key are more than
+    ``gap_seconds`` apart — a custom STATEFUL streaming operator
+    (``applyInPandasWithState``), the one QC primitive windowed aggs
+    can't express because a gap spans micro-batches.
+
+    State per key is a single int64 (last event time in epoch µs) —
+    O(#keys), not O(#rows) — so state size is bounded by key
+    cardinality regardless of stream length.  Rows at-or-before the
+    carried timestamp (late beyond the watermark's reorder horizon)
+    are dropped, making output deterministic for in-order-per-key
+    streams: on such input the operator matches the batch
+    ``lag() OVER (PARTITION BY key ORDER BY t)`` exactly, which is how
+    it is oracle-tested.
+
+    Extension op (§7.2 step 9) — the reference is batch-only; its
+    nearest analogue is eyeballing missing stretches per window in the
+    app (``R/qc_window_app.R:251-297``).
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    out_schema = (
+        f"{key_col} bigint, gap_start timestamp, gap_end timestamp, "
+        "gap_seconds double"
+    )
+    state_schema = "last_us bigint"
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        last_us = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdf_iter:
+            frames.append(pdf[[time_col]])
+        if not frames:
+            return
+        ts = pd.concat(frames)[time_col].sort_values()
+        # datetime64[ns or us] → epoch µs (test data is µs-precision)
+        us = ts.astype("datetime64[us]").astype("int64")
+        if last_us is not None:
+            us = us[us > last_us]
+            if len(us):
+                us = pd.concat([pd.Series([last_us]), us], ignore_index=True)
+        if len(us) == 0:
+            return
+        state.update((int(us.iloc[-1]),))
+        prev = us.shift(1)
+        gap_us = us - prev
+        hit = gap_us > gap_seconds * 1_000_000
+        if hit.any():
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    "gap_start": prev[hit].astype("datetime64[us]"),
+                    "gap_end": us[hit].astype("datetime64[us]"),
+                    "gap_seconds": gap_us[hit] / 1_000_000.0,
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.withWatermark(time_col, watermark)
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

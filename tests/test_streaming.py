@@ -34,3 +34,76 @@ def test_stream_is_streaming(spark):
     assert s.isStreaming
     flagged = qc_flag_stream(s)
     assert "value_qcflag" in flagged.columns
+
+
+def test_stateful_gaps_match_batch_lag(spark):
+    """On a bounded in-order source the stateful gap detector equals
+    batch lag()."""
+    from qctimeseries_spark.streaming import detect_gaps_stateful
+
+    gap_s = 6 * 3600.0
+    streamed = run_available_now(
+        detect_gaps_stateful(
+            stream_events(spark, SF_DIR), key_col="user_id", gap_seconds=gap_s
+        ),
+        output_mode="append",
+    )
+    ev = read_table(spark, SF_DIR, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .filter(
+            (F.unix_micros("ts") - F.unix_micros("prev")) > gap_s * 1_000_000
+        )
+        .select(
+            "user_id",
+            F.col("prev").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            (
+                (F.unix_micros("ts") - F.unix_micros("prev")) / 1_000_000.0
+            ).alias("gap_seconds"),
+        )
+    )
+    srows = {tuple(r) for r in streamed.collect()}
+    brows = {tuple(r) for r in batch.collect()}
+    assert srows == brows
+    assert len(srows) > 0
+
+
+def test_stateful_gaps_span_microbatches(spark, tmp_path):
+    """The whole point of state: a gap whose endpoints land in different
+    micro-batches is still detected.  Two files, maxFilesPerTrigger=1 →
+    two batches; the only gap crosses the file boundary."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import detect_gaps_stateful
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(path, hours):
+        spark.createDataFrame(
+            [(1, t0 + dt.timedelta(hours=h)) for h in hours],
+            "user_id bigint, ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    mk(str(tmp_path / "a"), [0, 1, 2])      # batch 1: dense
+    mk(str(tmp_path / "b"), [50, 51])       # batch 2: 48h after batch 1
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "*"))
+    )
+    out = run_available_now(
+        detect_gaps_stateful(src, key_col="user_id", gap_seconds=86400.0),
+        output_mode="append",
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.gap_start == t0 + dt.timedelta(hours=2)
+    assert r.gap_end == t0 + dt.timedelta(hours=50)
+    assert r.gap_seconds == 48 * 3600.0
