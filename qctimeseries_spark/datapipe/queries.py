@@ -225,8 +225,18 @@ def _cos_fold_sql(a: str, b: str) -> str:
 
 
 def q_d1_exact_dedup(spark, sf_dir):
-    """Exact dedup groups after normalization (hash-groupBy)."""
-    return exact_dedup(_exact_corpus(spark, sf_dir))
+    """Exact dedup groups after normalization (hash-groupBy).
+
+    ``ids`` is rendered as a comma-joined string for the harness: the
+    driver's canonicalizer sorts result columns with pandas, which
+    cannot hash array cells.  Same information, scalar type.
+    """
+    return exact_dedup(_exact_corpus(spark, sf_dir)).select(
+        "fingerprint",
+        "keeper",
+        "n_dups",
+        F.array_join(F.col("ids").cast("array<string>"), ",").alias("ids"),
+    )
 
 
 def q_d2_minhash_dedup(spark, sf_dir):
@@ -349,8 +359,27 @@ def q_m1_media_summary(spark, sf_dir):
 
 def q_m2_media_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction (deterministic
-    MD5-fake decode — real codecs are stubbed, SURVEY.md §7.2/9)."""
-    return extract_features(attach_media(_docs(spark, sf_dir)), dim=16)
+    MD5-fake decode — real codecs are stubbed, SURVEY.md §7.2/9).
+
+    ``features`` (array<double> of exact k/256 values) is rendered as a
+    comma-joined string of the integer numerators so the driver's
+    pandas canonicalizer can sort/hash it — arrays are unhashable
+    there, and integer text is engine-portable where double text isn't.
+    """
+    feats = extract_features(attach_media(_docs(spark, sf_dir)), dim=16)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        "feature_dim",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.round(x * 256).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("features_u8"),
+    )
 
 
 DATAPIPE_QUERIES = {
@@ -418,7 +447,7 @@ f AS (
   SELECT doc_id, {hash60_sql(_NORM_TEXT)} AS fingerprint FROM corpus
 )
 SELECT fingerprint, MIN(doc_id) AS keeper, COUNT(*) AS n_dups,
-       list_sort(list(doc_id)) AS ids
+       array_to_string(list_sort(list(doc_id)), ',') AS ids
 FROM f GROUP BY fingerprint HAVING COUNT(*) > 1""",
     "d2_minhash_dedup": f"""
 WITH {_NEAR_CORPUS_SQL},
@@ -569,9 +598,10 @@ SELECT doc_id AS media_id,
             ELSE 'video' END AS modality,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
        CAST(16 AS INT) AS feature_dim,
-       list_transform(range(0, 16),
-           i -> CAST(concat('0x', substr(md5(concat(text, '0')),
-                                         2 * i + 1, 2)) AS INT) / 256.0)
-           AS features
+       array_to_string(list_transform(range(0, 16),
+           i -> CAST(CAST(concat('0x', substr(md5(concat(text, '0')),
+                                              2 * i + 1, 2)) AS INT)
+                     AS VARCHAR)), ',')
+           AS features_u8
 FROM documents""",
 }
