@@ -46,6 +46,7 @@ def write_exports(
     write_parquet: bool = True,
     parquet_compression: str = "zstd",
     write_xlsx: bool = False,
+    xlsx_order_by: list[str] | None = None,
     checksums: bool = True,
 ) -> dict[str, list[str]]:
     """Write qc + clean variants in the requested formats; returns
@@ -80,7 +81,9 @@ def write_exports(
             ).parquet(path)
             written.setdefault("parquet", []).append(path)
         if write_xlsx:
-            written.setdefault("xlsx", []).extend(_write_xlsx(data, base))
+            written.setdefault("xlsx", []).extend(
+                _write_xlsx(data, base, xlsx_order_by)
+            )
     if checksums:
         written["checksums"] = [_write_checksums(out_dir, stem, written)]
     return written
@@ -89,10 +92,19 @@ def write_exports(
 _XLSX_MAX_ROWS = 1_048_576  # per-sheet cap, R/qc_exports.R:99
 
 
-def _write_xlsx(df: DataFrame, base: str) -> list[str]:
+def _write_xlsx(
+    df: DataFrame, base: str, order_by: list[str] | None = None
+) -> list[str]:
     """S5 chunked XLSX: ≤1,048,576 rows per sheet.  Chunk id =
     floor((row_number-1)/cap) computed engine-side; each chunk streams
-    to the driver via toPandas.  Gated on openpyxl availability."""
+    to the driver via toPandas.  Gated on openpyxl availability.
+
+    Pass ``order_by`` for deterministic chunk boundaries across retries;
+    the ``monotonically_increasing_id`` fallback keeps input order per
+    partition but can re-chunk if the source repartitions.  An empty
+    DataFrame writes a single header-only sheet (the reference writes
+    one empty sheet for n == 0).
+    """
     try:
         import openpyxl  # noqa: F401
         import pandas as pd  # noqa: F401
@@ -100,11 +112,17 @@ def _write_xlsx(df: DataFrame, base: str) -> list[str]:
         raise NotImplementedError(f"xlsx export needs openpyxl: {exc}") from exc
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.monotonically_increasing_id())
+    order = (
+        [F.col(c) for c in order_by]
+        if order_by
+        else [F.monotonically_increasing_id()]
+    )
+    w = Window.orderBy(*order)
     chunked = df.withColumn(
         "_chunk", F.floor((F.row_number().over(w) - 1) / _XLSX_MAX_ROWS)
     )
-    n_chunks = chunked.agg(F.max("_chunk")).collect()[0][0] + 1
+    mx = chunked.agg(F.max("_chunk")).collect()[0][0]
+    n_chunks = int(mx) + 1 if mx is not None else 1
     path = base + ".xlsx"
     import pandas as pd
 

@@ -27,8 +27,20 @@ PART_COL = "qc_part"
 
 
 def _part_expr(time_col: str, part_hours: int):
+    """Partition bucket = FLOOR division of µs by the bucket width.
+
+    Floor (via :func:`~qctimeseries_spark.windows._floor_div_sql`), not
+    ``DIV``: ``slice_state`` derives its pruning range with Python
+    ``//`` (floor), and the two must agree for pre-1970 timestamps —
+    ``DIV`` truncates toward zero and lands those rows one bucket off,
+    silently excluding them from pruned reads.
+    """
+    from qctimeseries_spark.windows import _floor_div_sql
+
     width_us = part_hours * 3600 * 1_000_000
-    return F.expr(f"unix_micros(`{time_col}`) DIV {width_us}L").cast("int")
+    return F.expr(
+        _floor_div_sql(f"unix_micros(`{time_col}`)", width_us)
+    ).cast("int")
 
 
 def save_state(

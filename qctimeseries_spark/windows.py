@@ -32,6 +32,25 @@ from qctimeseries_spark.schema import (
 ROWID_COL = "rowid"
 WIN_COL = "win_id"
 
+#: bucket id for NULL timestamps in :func:`with_rowid` — sorts before
+#: every real time bucket so NULL-time rows take the first rowids.
+_NULL_BUCKET = -(1 << 62)
+
+
+def _floor_div_sql(num_sql: str, den: int) -> str:
+    """Exact integer floor division as a SQL fragment.
+
+    ``DIV`` truncates toward zero, which equals floor only for
+    non-negative numerators; float ``floor(a / b)`` is inexact near
+    bucket boundaries for µs-scale integers.  This adjusts ``DIV`` by 1
+    for negative non-exact quotients — exact at any magnitude and
+    mirrored by Python ``//`` on the driver side.
+    """
+    return (
+        f"((({num_sql}) DIV {den}L) - (CASE WHEN (({num_sql}) % {den}L) != 0"
+        f" AND ({num_sql}) < 0 THEN 1 ELSE 0 END))"
+    )
+
 
 def with_rowid(
     df: DataFrame,
@@ -68,12 +87,20 @@ def with_rowid(
     default (every other column) is total but forces the scan to read
     the full row — pass a unique key (e.g. ``["event_id"]``) so column
     pruning reaches the Parquet scan.
+
+    NULL timestamps are kept (the reference's ``.rowid := .I`` numbers
+    every row): they fall into a sentinel bucket that sorts before all
+    real buckets, matching Spark's NULLS FIRST ascending order, and are
+    tie-broken by ``ties``.
     """
     validate_time_col(df, time_col)
     tie_cols = ties if ties is not None else [c for c in df.columns if c != time_col]
     ties = [F.col(c) for c in tie_cols]
     width_us = round(float(bucket_hours) * 3600.0 * 1_000_000)
-    bucket = F.floor(F.unix_micros(F.col(time_col)) / F.lit(width_us))
+    bucket = F.coalesce(
+        F.expr(_floor_div_sql(f"unix_micros(`{time_col}`)", width_us)),
+        F.lit(_NULL_BUCKET),
+    )
     bucketed = df.withColumn("_rid_bucket", bucket)
     counts = bucketed.groupBy("_rid_bucket").count()
     cum = Window.orderBy("_rid_bucket").rowsBetween(
@@ -83,7 +110,9 @@ def with_rowid(
         "_rid_bucket",
         F.coalesce(F.sum("count").over(cum), F.lit(0)).alias("_rid_offset"),
     )
-    within = Window.partitionBy("_rid_bucket").orderBy(F.col(time_col), *ties)
+    within = Window.partitionBy("_rid_bucket").orderBy(
+        F.col(time_col).asc_nulls_first(), *ties
+    )
     return (
         bucketed.join(F.broadcast(offsets), "_rid_bucket")
         .withColumn(
@@ -115,11 +144,11 @@ def window_id_expr(time_col: str, hours: float, anchor: _dt.datetime):
     """
     t0_us = round(anchor.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
     width_us = round(float(hours) * 3600.0 * 1_000_000)
-    # DIV truncates toward zero == floor here because anchor = min(t)
-    # guarantees non-negative offsets.
-    return F.expr(
-        f"CAST((unix_micros(`{time_col}`) - {t0_us}L) DIV {width_us}L AS INT)"
-    )
+    # True floor (not DIV): callers may pass an anchor later than
+    # min(t), and rows before the anchor must land in NEGATIVE windows
+    # rather than collapsing into window 0.
+    div = _floor_div_sql(f"unix_micros(`{time_col}`) - {t0_us}L", width_us)
+    return F.expr(f"CAST({div} AS INT)")
 
 
 def assign_windows(
@@ -145,16 +174,18 @@ def admitted_windows(
     var: str,
     suffix: str = DEFAULT_SUFFIX,
     *,
-    include: tuple[int, ...] | None = (0,),
+    include: tuple[int, ...] | None = (-2, 0, 1),
     win_col: str = WIN_COL,
 ) -> DataFrame:
     """W3–W5: which windows are shown, densely renumbered.
 
     QC-app admission (``R/qc_window_app.R:74-75``): a window is admitted
     iff it has ≥1 non-NULL ``var`` AND ≥1 row with flag in ``include``
-    (the UI's "show windows containing" set).  Viewer admission
-    (``R/ts_viewer.R:67-68``): pass ``include=None`` for the
-    value-only condition (W4).
+    (the UI's "show windows containing" set).  The default matches the
+    reference's ``include = c(-2, 0, 1)`` (all UI states checked,
+    ``R/qc_window_app.R:67``); pass ``include=(0,)`` for the
+    unchecked-only view.  Viewer admission (``R/ts_viewer.R:67-68``):
+    pass ``include=None`` for the value-only condition (W4).
 
     Returns (win_id, win_index) with ``win_index`` = 0..n-1 dense over
     admitted windows in win_id order (W5, ``R/qc_window_app.R:76``).

@@ -55,6 +55,44 @@ def test_rowid_stable_ordered(multivar):
     assert [r.rowid for r in rows] == list(range(1, 201))
 
 
+def test_rowid_keeps_null_timestamps(spark):
+    # reference numbers EVERY row (.rowid := .I); NULL times sort first
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(None, 100 + i) for i in range(3)] + [
+        (t0 + dt.timedelta(hours=i), i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "DateTime timestamp, k int")
+    out = with_rowid(df, "DateTime", ties=["k"]).collect()
+    assert len(out) == 13  # nothing dropped
+    by_rowid = sorted(out, key=lambda r: r.rowid)
+    assert [r.rowid for r in by_rowid] == list(range(1, 14))  # starts at 1
+    assert [r.k for r in by_rowid[:3]] == [100, 101, 102]  # NULLs first
+
+
+def test_pre_anchor_rows_get_negative_windows(spark):
+    t0 = dt.datetime(2024, 1, 5)
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=h), 1.0) for h in (-30, -1, 0, 10, 30)],
+        "DateTime timestamp, v double",
+    )
+    out = assign_windows(df, "DateTime", hours=24, anchor=t0)
+    got = [r.win_id for r in out.orderBy("DateTime").collect()]
+    assert got == [-2, -1, 0, 0, 1]  # floor, not truncate-toward-zero
+
+
+def test_admitted_windows_default_matches_reference(windowed):
+    # default include must be (-2, 0, 1) — R/qc_window_app.R:67.  A
+    # window whose rows are all approved stays admitted by default.
+    df = windowed.withColumn(
+        "temp_qcflag",
+        F.when((F.col("win_id") == 3) & (F.col("temp_qcflag") == 0), 1).otherwise(
+            F.col("temp_qcflag")
+        ),
+    )
+    ids = [r.win_id for r in admitted_windows(df, "temp").collect()]
+    assert 3 in ids
+
+
 def test_admitted_windows_dense(windowed):
     # approve everything in window 3 -> excluded when include={0}
     df = windowed.withColumn(
