@@ -54,7 +54,10 @@ from qctimeseries_spark.viz import (
     secondary_trace,
     check_panel,
     downsample_minmax,
+    display_tz,
+    utc_from_display,
 )
+from qctimeseries_spark.app import QcSession
 from qctimeseries_spark.exports import write_exports, smart_stem
 from qctimeseries_spark.pipeline import qc_pipeline
 from qctimeseries_spark.state import (
@@ -102,6 +105,9 @@ __all__ = [
     "secondary_trace",
     "check_panel",
     "downsample_minmax",
+    "display_tz",
+    "utc_from_display",
+    "QcSession",
     "write_exports",
     "smart_stem",
     "qc_pipeline",

@@ -121,6 +121,29 @@ def check_panel(
     return raw.unionByName(clean)
 
 
+def display_tz(
+    df: DataFrame, time_col: str, tz: str, *, col: str | None = None
+) -> DataFrame:
+    """``tz_user`` display conversion at the edge
+    (``R/qc_window_app.R:47``; reference README notes tz handling as a
+    weak spot — the engine's rule is: STORE UTC, convert only in
+    display slices, SURVEY.md §7.4).  Renders wall-clock values for the
+    given IANA zone; invert with :func:`utc_from_display`."""
+    return df.withColumn(
+        col or time_col, F.from_utc_timestamp(F.col(time_col), tz)
+    )
+
+
+def utc_from_display(
+    df: DataFrame, time_col: str, tz: str, *, col: str | None = None
+) -> DataFrame:
+    """Inverse of :func:`display_tz`: wall-clock values in ``tz`` back
+    to UTC (for ingesting user-entered local times)."""
+    return df.withColumn(
+        col or time_col, F.to_utc_timestamp(F.col(time_col), tz)
+    )
+
+
 def clamp(x: float, lo: float, hi: float, default: float) -> float:
     """F10: clamp numeric UI input to [lo, hi], falling back to
     ``default`` on None/NaN (``R/qc_window_app.R:239-243``).  Pure

@@ -1,0 +1,139 @@
+"""QcSession: the interactive event loop replayed over batch operators.
+
+The gold standard (VERDICT r1 item 3): a full session script — navigate
+→ brush-flag → approve-rest → advance → window ops → checkpoint →
+finish — must produce exactly the table the equivalent batch U-op chain
+produces.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from qctimeseries_spark import (
+    QcSession,
+    add_flags,
+    approve_window,
+    assign_windows,
+    display_tz,
+    flag_and_approve_window,
+    flag_window,
+    progress,
+    set_flag,
+    utc_from_display,
+    with_rowid,
+)
+
+
+@pytest.fixture()
+def flagged(multivar):
+    return add_flags(multivar, ["temp"])
+
+
+def _flags(df):
+    return {
+        r.rowid: r.temp_qcflag
+        for r in df.select("rowid", "temp_qcflag").collect()
+    }
+
+
+def test_session_script_matches_batch_chain(spark, flagged, tmp_path):
+    sess = QcSession(flagged, "temp", time_col="DateTime", win_hours=24)
+    assert sess.n_windows == 9  # 200 hourly rows / 24 h
+    assert "Window 1 / 9" in sess.window_label()
+
+    # --- the interactive script ---
+    sess.next()                               # -> window 1
+    sess.flag_selection([30, 31, 32])         # brush 3 points -> -2
+    sess.approve_unflagged()                  # rest of window 1 -> 1
+    sess.jump(3)
+    sess.flag_window()                        # all of window 3 -> -2
+    sess.flag_selection_and_advance([100, 101])  # U6 in window 3, then -> 4
+    assert sess.current_win == 4
+    sess.checkpoint(str(tmp_path / "ckpt"))   # compact mid-session
+    sess.reset_window()                       # window 4 -> 0 (no-op here)
+    sess.approve_selection([150])
+    final = sess.finish()
+
+    # --- the equivalent batch chain ---
+    base = with_rowid(flagged, "DateTime")
+    b = assign_windows(base, "DateTime", 24)
+    b = set_flag(b, "temp", -2, selection=[30, 31, 32])
+    b = approve_window(b, "temp", 1)
+    b = flag_window(b, "temp", 3)
+    b = flag_and_approve_window(b, "temp", 3, [100, 101])
+    b = set_flag(b, "temp", 0, window=4)
+    b = set_flag(b, "temp", 1, selection=[150])
+
+    assert _flags(final) == _flags(b)
+    # checkpoint restarted lineage: one scan deep
+    plan = final._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+
+
+def test_session_reindex_and_clamp(flagged):
+    sess = QcSession(flagged, "temp", time_col="DateTime", win_hours=24)
+    sess.jump(8)
+    sess.rewindow(win_hours=96)  # 200 h / 96 h -> 3 windows
+    assert sess.n_windows == 3
+    assert sess.current_win == 2  # pointer clamped, not reset
+
+    # unchecked-only filter after approving everything in window 0
+    sess2 = QcSession(flagged, "temp", time_col="DateTime", win_hours=24)
+    sess2.approve_unflagged()
+    sess2.rewindow(include=(0,))
+    assert sess2.n_windows == 8  # fully-approved window 0 dropped
+    assert 0 not in sess2._win_ids
+
+
+def test_session_navigation_bounds(flagged):
+    sess = QcSession(flagged, "temp", time_col="DateTime", win_hours=24)
+    assert sess.prev() == 0  # clamped at first
+    sess.jump(8)
+    assert sess.next() == 8  # clamped at last
+    sess.brush_zoom(y_range=(1.0, 2.0))
+    assert sess.y_range == (1.0, 2.0)
+    sess.next()  # no-op at the edge keeps zoom
+    assert sess.y_range == (1.0, 2.0)
+    sess.jump(0)  # real navigation resets zoom (reference redraw(FALSE))
+    assert sess.y_range is None
+
+
+def test_session_slices_and_progress(flagged):
+    sess = QcSession(flagged, "temp", time_col="DateTime", win_hours=24)
+    sess.flag_selection([5])
+    mt = sess.main_trace(hide_flagged=True)
+    assert mt.filter(F.col("rowid") == 5).count() == 0  # hidden
+    assert sess.flagged_overlay().filter(F.col("rowid") == 5).count() == 1
+    sess.approve_selection([6])
+    assert sess.approved_overlay().filter(F.col("rowid") == 6).count() == 1
+    sec = sess.secondary_trace("hum")
+    assert "hum" in sec.columns and sec.count() > 0
+    prog = progress(sess.finish(), ["temp"]).collect()[0]
+    assert prog.pct_flagged > 0 and prog.pct_approved > 0
+
+
+def test_display_tz_round_trip(spark):
+    ts = [dt.datetime(2024, 1, 10, h) for h in range(6)]
+    df = spark.createDataFrame([(t,) for t in ts], "DateTime timestamp")
+    local = display_tz(df, "DateTime", "America/Denver")
+    # Denver is UTC-7 in January
+    got = [r.DateTime for r in local.orderBy("DateTime").collect()]
+    assert got[0] == ts[0] - dt.timedelta(hours=7)
+    back = utc_from_display(local, "DateTime", "America/Denver")
+    assert [r.DateTime for r in back.orderBy("DateTime").collect()] == ts
+
+
+def test_session_tz_applied_at_edge_only(flagged):
+    sess = QcSession(
+        flagged, "temp", time_col="DateTime", win_hours=24,
+        tz_user="America/Denver",
+    )
+    # slices render Denver wall-clock (Jan -> UTC-7); the first
+    # displayed row is 01:00 UTC (row 0 is NULL, filtered by P7)
+    first = sess.main_trace().agg(F.min("DateTime")).collect()[0][0]
+    assert first == dt.datetime(2024, 1, 1, 1) - dt.timedelta(hours=7)
+    # ...but stored state stays UTC
+    stored = sess.finish().agg(F.min("DateTime")).collect()[0][0]
+    assert stored == dt.datetime(2024, 1, 1)
