@@ -500,6 +500,12 @@ def unit_vector(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double") / norm)
 
 
+#: row cap for the all-pairs strategies — above this the driver collect
+#: (broadcast_numpy) or the O(n²) pair join (catalyst) is a scale
+#: killer; route through IVF cell bucketing instead.
+MAX_BRUTE_ROWS = 1_000_000
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -507,28 +513,51 @@ def embedding_dup_pairs(
     *,
     threshold: float = 0.98,
     strategy: str = "broadcast_numpy",
+    nlist: int = 16,
+    nprobe: int = 3,
+    max_brute_rows: int = MAX_BRUTE_ROWS,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: cosine ≥ threshold.
 
-    Both strategies unit-normalize once per row, then the O(n²) stage
+    All strategies unit-normalize once per row, then the pairing stage
     is a single dot product per pair, summed in strict array order so
-    results are bit-identical across strategies AND vs the DuckDB
+    scores are bit-identical across strategies AND vs the DuckDB
     oracle:
 
-    - ``broadcast_numpy`` (default): the unit matrix (n×d doubles —
-      small by the time a brute-force verifier is sane) is shipped to
-      every partition and each Arrow batch computes a (batch × n) score
-      block with one vectorized multiply-add per dimension — the
-      per-dimension loop IS the left fold, just vectorized across
-      pairs.  ~30× faster than the interpreted HOF fold at sf0.1
-      (30s → ~1s).
+    - ``broadcast_numpy`` (default): the unit matrix (n×d doubles) is
+      shipped to every partition and each Arrow batch computes a
+      (batch × n) score block with one vectorized multiply-add per
+      dimension — the per-dimension loop IS the left fold, just
+      vectorized across pairs.  ~30× faster than the interpreted HOF
+      fold at sf0.1 (30s → ~1s).  O(n²) work and a driver collect:
+      guarded by ``max_brute_rows`` (raises above it, pointing at
+      ``ivf``).
     - ``catalyst``: pure DataFrame self-join + ``aggregate`` fold.  No
-      Python, no driver collect — the fallback when the corpus is too
-      big to broadcast (but then use IVF cell bucketing instead of
-      brute force:
-      :func:`~qctimeseries_spark.datapipe.similarity.ivf_assign`).
+      Python, no driver collect — but still O(n²) pairs; same guard.
+    - ``ivf``: the scale path.  Spherical-k-means cells via
+      :func:`~qctimeseries_spark.datapipe.similarity.take_centroids` +
+      :func:`~qctimeseries_spark.datapipe.similarity.ivf_assign`; each
+      vector lands in its ``nprobe`` nearest cells and pairing is an
+      equi-join on ``centroid_id`` — work drops from O(n²) to
+      O(Σ cell²), and the only wide stage shuffles on the cell id.
+      Near-dups straddling a cell boundary are caught by multi-probe
+      (``nprobe=3`` default): vectors at cosine ≥ threshold have
+      similar centroid affinities, so their probe sets overlap with
+      overwhelming probability (nprobe=3 reproduces brute force
+      exactly on the sf0.01 planted-dup corpus; nprobe=2 missed 1 of
+      50 pairs).  Approximate in principle, exhaustive in practice at
+      dedup-grade thresholds.
     """
     u = df.select(F.col(id_col), unit_vector(F.col(vec_col)).alias("u"))
+    if strategy == "ivf":
+        return _dup_pairs_ivf(u, id_col, threshold, nlist=nlist, nprobe=nprobe)
+    n = df.count()
+    if n > max_brute_rows:
+        raise ValueError(
+            f"embedding_dup_pairs(strategy={strategy!r}) is all-pairs and the"
+            f" corpus has {n} rows (cap {max_brute_rows}); use"
+            " strategy='ivf' (cell-bucketed pairing) at this scale"
+        )
     if strategy == "broadcast_numpy":
         return _dup_pairs_numpy(u, id_col, threshold)
     u = u.persist()  # barrier: projection collapse would otherwise
@@ -545,6 +574,42 @@ def embedding_dup_pairs(
         .withColumn("cos", F.round(dot, 9))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def _dup_pairs_ivf(
+    u: DataFrame, id_col: str, threshold: float, *, nlist: int, nprobe: int
+) -> DataFrame:
+    """Cell-bucketed near-dup pairing over unit vectors.
+
+    Both sides of the self-join carry the multi-probe cell assignment,
+    so a pair is compared iff the two probe sets intersect; ``distinct``
+    collapses pairs meeting in several cells (the rounded cosine is a
+    pure function of the pair, so duplicates are exact).
+    """
+    from qctimeseries_spark.datapipe.similarity import ivf_assign, take_centroids
+
+    u = u.persist()  # feeds centroid seed + both join sides
+    cents = take_centroids(u, id_col=id_col, vec_col="u", nlist=nlist)
+    cells = ivf_assign(u, cents, id_col=id_col, vec_col="u", nprobe=nprobe)
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col("u").alias("ua"), "centroid_id"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col("u").alias("ub"), "centroid_id"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot, 9))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+        .distinct()
     )
 
 

@@ -148,6 +148,68 @@ def test_knn_ivf_recall_vs_bruteforce(vectors):
     assert recall >= 0.6  # nprobe=4 of nlist=8 cells
 
 
+def test_embedding_dup_pairs_ivf_matches_bruteforce(spark):
+    """The cell-bucketed strategy must reproduce brute force on the
+    planted-duplicate corpus (VERDICT r1 item 5)."""
+    from qctimeseries_spark.datapipe.dedup import embedding_dup_pairs
+    from qctimeseries_spark.datapipe.queries import _emb_corpus
+
+    corpus = _emb_corpus(spark, "/root/testdata/sf0.001")
+    kw = dict(id_col="vec_id", vec_col="v", threshold=0.9)
+    bf = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_dup_pairs(corpus, **kw).collect()
+    }
+    ivf = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_dup_pairs(
+            corpus, **kw, strategy="ivf", nlist=8
+        ).collect()
+    }
+    assert bf and ivf == bf  # identical pairs AND identical 9-dp scores
+
+
+def test_embedding_dup_pairs_guard_fires(vectors):
+    from qctimeseries_spark.datapipe.dedup import embedding_dup_pairs
+
+    with pytest.raises(ValueError, match="ivf"):
+        embedding_dup_pairs(vectors, max_brute_rows=10)
+    # the ivf strategy itself is exempt from the cap
+    embedding_dup_pairs(
+        vectors, strategy="ivf", nlist=4, max_brute_rows=10
+    ).collect()
+
+
+def test_lloyd_refinement_balances_cells(spark):
+    """refine=N must produce valid unit-norm centroids and shrink the
+    cell-size spread (the scale win: the pairing join's skew follows
+    the largest cell).  On this near-uniform synthetic corpus recall
+    stays ~flat — documented in take_centroids — so balance, not
+    recall, is the asserted effect."""
+    from qctimeseries_spark.datapipe.similarity import ivf_assign, take_centroids
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+    def spread(refine):
+        cents = take_centroids(emb, nlist=16, refine=refine)
+        rows = cents.collect()
+        assert len(rows) == 16
+        for r in rows:  # unit-norm after refinement
+            assert abs(sum(x * x for x in r.embedding) - 1.0) < 1e-6 or refine == 0
+        sizes = [
+            r.n
+            for r in ivf_assign(emb, cents, nprobe=1)
+            .groupBy("centroid_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        assert sum(sizes) == emb.count()  # every vector in exactly one cell
+        return max(sizes) - min(sizes)
+
+    assert spread(3) < spread(0)
+
+
 def test_text_stats_counts(docs):
     r = {r["doc_id"]: r for r in text_stats(docs).collect()}
     assert r[5]["n_tokens"] == 2
