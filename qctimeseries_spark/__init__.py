@@ -64,6 +64,7 @@ from qctimeseries_spark.state import (
     save_state,
     load_state,
     slice_state,
+    commit_state,
     checkpoint_state,
 )
 
@@ -114,6 +115,7 @@ __all__ = [
     "save_state",
     "load_state",
     "slice_state",
+    "commit_state",
     "checkpoint_state",
 ]
 

@@ -111,6 +111,9 @@ class QcSession:
         self.current_win = 0
         self.x_range: tuple | None = None
         self.y_range: tuple[float, float] | None = None
+        # time ranges touched since the last checkpoint; None = whole
+        # table dirty (forces a full commit)
+        self._dirty: list[tuple[_dt.datetime, _dt.datetime]] | None = []
         self._reindex()
 
     # -- window index (make_windows, R/qc_window_app.R:67-79) ---------------
@@ -197,9 +200,35 @@ class QcSession:
         self.x_range = None
         self.y_range = None
 
+    # -- dirty-range tracking (feeds incremental checkpoints) ----------------
+
+    def _mark_window_dirty(self, wid: int) -> None:
+        if self._dirty is not None:
+            self._dirty.append(
+                window_extent(self._anchor, wid, self.win_hours, pad=0.0)
+            )
+
+    def _mark_selection_dirty(self, ids) -> None:
+        """Touched extent of an id selection — one tiny narrow agg (no
+        shuffle) buys partition-pruned checkpoints for the common
+        brush-and-flag workflow."""
+        if self._dirty is None:
+            return
+        from qctimeseries_spark.updates import selection_from_ids
+
+        d, pred = selection_from_ids(self.df, ids, self.id_col)
+        row = (
+            d.filter(pred)
+            .agg(F.min(self.time_col), F.max(self.time_col))
+            .collect()[0]
+        )
+        if row[0] is not None:
+            self._dirty.append((row[0], row[1]))
+
     # -- point events (set_flag + buttons, R/qc_window_app.R:359-367) -------
 
     def _set_selection(self, ids, value: int) -> None:
+        self._mark_selection_dirty(ids)
         self.df = set_flag(
             self.df, self.var, value,
             selection=ids, suffix=self.suffix, id_col=self.id_col,
@@ -228,6 +257,7 @@ class QcSession:
     def flag_window(self) -> None:
         """U2: everything in the current window → -2 (guard -1)."""
         wid = self.current_win_id
+        self._mark_window_dirty(wid)
         self._update_window(
             lambda d: set_flag(d, self.var, FLAG_MANUAL,
                                window=wid, suffix=self.suffix)
@@ -236,6 +266,7 @@ class QcSession:
     def approve_unflagged(self) -> None:
         """U3: unchecked non-null rows in the current window → 1."""
         wid = self.current_win_id
+        self._mark_window_dirty(wid)
         self._update_window(
             lambda d: approve_window(d, self.var, wid, self.suffix)
         )
@@ -243,6 +274,7 @@ class QcSession:
     def reset_window(self) -> None:
         """U4: current window → 0 (guard -1)."""
         wid = self.current_win_id
+        self._mark_window_dirty(wid)
         self._update_window(
             lambda d: set_flag(d, self.var, FLAG_UNCHECKED,
                                window=wid, suffix=self.suffix)
@@ -250,12 +282,15 @@ class QcSession:
 
     def reset_all(self) -> None:
         """U5: whole table → 0 (guard -1)."""
+        self._dirty = None  # table-wide: next checkpoint is full
         self.df = set_flag(self.df, self.var, FLAG_UNCHECKED, suffix=self.suffix)
 
     def flag_selection_and_advance(self, ids) -> int:
         """U6 compound (``input$flag_sel_next``): selection → -2, rest
         of the window's unchecked non-null rows → 1, advance."""
         wid = self.current_win_id
+        self._mark_selection_dirty(ids)  # selection may reach outside
+        self._mark_window_dirty(wid)
         self._update_window(
             lambda d: flag_and_approve_window(
                 d, self.var, wid, ids, self.suffix, id_col=self.id_col
@@ -328,10 +363,15 @@ class QcSession:
     def checkpoint(self, path: str, *, part_hours: int = 720) -> None:
         """Compact the stacked update overlays to partitioned Parquet
         and restart lineage (SURVEY.md §4; the durable version of the
-        reference's in-place table)."""
+        reference's in-place table).  Commits incrementally: only the
+        partitions overlapping the session's dirty time ranges are
+        rewritten (dynamic partition overwrite); a clean first commit
+        or a table-wide op (reset_all) falls back to a full write."""
         self.df = checkpoint_state(
-            self.df, path, time_col=self.time_col, part_hours=part_hours
+            self.df, path, time_col=self.time_col, part_hours=part_hours,
+            changed=self._dirty,
         )
+        self._dirty = []
 
     def finish(self) -> DataFrame:
         """Exit: the flagged table, helper columns dropped

@@ -19,6 +19,7 @@ values, so no join is ever needed to reassemble state.
 from __future__ import annotations
 
 import datetime as _dt
+import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,12 +101,60 @@ def slice_state(
     )
 
 
+def commit_state(
+    df: DataFrame,
+    path: str,
+    *,
+    time_col: str,
+    part_hours: int = 720,
+    changed: list[tuple[_dt.datetime, _dt.datetime]] | None = None,
+) -> None:
+    """Incremental state commit: rewrite ONLY the partitions whose time
+    range intersects ``changed`` (MERGE-lite via Spark's dynamic
+    partition overwrite).
+
+    A full overwrite re-writes every partition of a 100 TB table to
+    persist a one-window flag edit; here the staged frame is filtered
+    to the touched ``qc_part`` buckets and
+    ``partitionOverwriteMode=dynamic`` replaces exactly the partitions
+    present in it, leaving every other partition's files untouched.
+    Falls back to a full :func:`save_state` when ``changed`` is None
+    (unknown extent) or the target does not exist yet.
+
+    Correctness relies on an engine invariant: QC updates only rewrite
+    flag columns, never ``time_col``, so a row can never migrate
+    between partitions.
+    """
+    if changed is None or not _os.path.isdir(path):
+        save_state(df, path, time_col=time_col, part_hours=part_hours)
+        return
+    if not changed:
+        return  # clean session: nothing to write
+    width_us = part_hours * 3600 * 1_000_000
+    parts: set[int] = set()
+    for lo, hi in changed:
+        lo_us = int(lo.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        hi_us = int(hi.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        parts.update(range(lo_us // width_us, hi_us // width_us + 1))
+    staged = df.withColumn(PART_COL, _part_expr(time_col, part_hours)).filter(
+        F.col(PART_COL).isin(sorted(parts))
+    )
+    (
+        staged.write.partitionBy(PART_COL)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
 def checkpoint_state(
     df: DataFrame,
     path: str,
     *,
     time_col: str,
     part_hours: int = 720,
+    changed: list[tuple[_dt.datetime, _dt.datetime]] | None = None,
 ) -> DataFrame:
     """Materialize accumulated flag-update overlays and restart lineage.
 
@@ -113,7 +162,10 @@ def checkpoint_state(
     of stacked projections slow planning and executor codegen.  A
     checkpoint compacts them into files and returns a plan one scan
     deep — the reference's "return the mutated table" moment
-    (`R/qc_window_app.R:445`) made durable.
+    (`R/qc_window_app.R:445`) made durable.  Pass ``changed`` time
+    ranges to commit incrementally (:func:`commit_state`).
     """
-    save_state(df, path, time_col=time_col, part_hours=part_hours)
+    commit_state(
+        df, path, time_col=time_col, part_hours=part_hours, changed=changed
+    )
     return load_state(df.sparkSession, path).drop(PART_COL)

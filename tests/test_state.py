@@ -9,10 +9,26 @@ from qctimeseries_spark.sources import read_table
 from qctimeseries_spark.state import (
     PART_COL,
     checkpoint_state,
+    commit_state,
     load_state,
     save_state,
     slice_state,
 )
+
+
+def _file_stats(root):
+    """{relpath: (size, mtime_ns)} for every data file under root."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -58,6 +74,73 @@ def test_pre_epoch_slice_not_pruned_away(spark, tmp_path):
     sl = slice_state(back, "ts", lo, hi, part_hours=48)
     expected = df.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
     assert sl.count() == expected.count() > 0
+
+
+def test_incremental_commit_touches_only_changed_partitions(spark, tmp_path):
+    df = add_flags(
+        read_table(spark, SF_DIR, "events").select("event_id", "ts", "value"),
+        "value",
+    )
+    path = str(tmp_path / "inc")
+    save_state(df, path, time_col="ts", part_hours=48)
+    before = _file_stats(path)
+
+    # flag one 48 h slice, commit only that range
+    lo, hi = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 7)
+    updated = set_flag(
+        df, "value", -2,
+        selection=(F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)),
+    )
+    commit_state(
+        updated, path, time_col="ts", part_hours=48, changed=[(lo, hi)]
+    )
+    after = _file_stats(path)
+
+    touched_parts = {f"{PART_COL}={p}" for p in (
+        int(lo.timestamp() * 1e6) // (48 * 3600 * 1_000_000),
+        int(hi.timestamp() * 1e6) // (48 * 3600 * 1_000_000),
+    )}
+    untouched_before = {
+        k: v for k, v in before.items()
+        if not any(k.startswith(t) for t in touched_parts)
+    }
+    untouched_after = {
+        k: v for k, v in after.items()
+        if not any(k.startswith(t) for t in touched_parts)
+    }
+    assert untouched_before == untouched_after  # bytes AND mtimes intact
+    assert any(k not in before for k in after)  # changed partition rewritten
+
+    # reloaded state equals the overlay table
+    back = load_state(spark, path).drop(PART_COL)
+    assert (
+        back.filter(F.col("value_qcflag") == -2).count()
+        == updated.filter(F.col("value_qcflag") == -2).count()
+    )
+    assert back.count() == df.count()
+
+
+def test_session_checkpoint_is_incremental(spark, tmp_path):
+    from qctimeseries_spark import QcSession
+
+    df = add_flags(
+        read_table(spark, SF_DIR, "events").select("event_id", "ts", "value"),
+        "value",
+    )
+    sess = QcSession(df, "value", time_col="ts", win_hours=48)
+    path = str(tmp_path / "sess")
+    sess.checkpoint(path, part_hours=48)  # first commit: full
+    before = _file_stats(path)
+    sess.jump(3)
+    sess.flag_window()
+    sess.checkpoint(path, part_hours=48)  # second: only window 3's range
+    after = _file_stats(path)
+    untouched = [k for k in before if k in after and before[k] == after[k]]
+    assert len(untouched) >= len(before) - 3  # most partitions untouched
+    assert len(untouched) < len(before)  # but not all
+    # the committed table still reflects the update
+    flagged = sess.finish().filter(F.col("value_qcflag") == -2).count()
+    assert flagged > 0
 
 
 def test_checkpoint_compacts_overlays(spark, tmp_path):
