@@ -59,6 +59,7 @@ from qctimeseries_spark.viz import (
 )
 from qctimeseries_spark.app import QcSession
 from qctimeseries_spark.exports import write_exports, smart_stem
+from qctimeseries_spark.report import save_all_check_plots, panel_downsample
 from qctimeseries_spark.pipeline import qc_pipeline
 from qctimeseries_spark.state import (
     save_state,
@@ -111,6 +112,8 @@ __all__ = [
     "QcSession",
     "write_exports",
     "smart_stem",
+    "save_all_check_plots",
+    "panel_downsample",
     "qc_pipeline",
     "save_state",
     "load_state",
