@@ -551,12 +551,14 @@ def embedding_dup_pairs(
     u = df.select(F.col(id_col), unit_vector(F.col(vec_col)).alias("u"))
     if strategy == "ivf":
         return _dup_pairs_ivf(u, id_col, threshold, nlist=nlist, nprobe=nprobe)
-    n = df.count()
-    if n > max_brute_rows:
+    # limit(cap+1) short-circuits the guard scan: it reads one thin
+    # column and stops as soon as the cap is exceeded, instead of
+    # counting the entire corpus before every run.
+    if df.select(id_col).limit(max_brute_rows + 1).count() > max_brute_rows:
         raise ValueError(
             f"embedding_dup_pairs(strategy={strategy!r}) is all-pairs and the"
-            f" corpus has {n} rows (cap {max_brute_rows}); use"
-            " strategy='ivf' (cell-bucketed pairing) at this scale"
+            f" corpus exceeds {max_brute_rows} rows; use strategy='ivf'"
+            " (cell-bucketed pairing) at this scale"
         )
     if strategy == "broadcast_numpy":
         return _dup_pairs_numpy(u, id_col, threshold)
