@@ -461,6 +461,84 @@ def simhash_dup_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (id, cluster_id)
+    with ``cluster_id`` = the minimum id in each component.
+
+    The missing last step of every dedup pipeline — pair lists (d2/d3/
+    d5) say *who matches whom*; retention needs *group membership* so
+    one keeper survives per cluster.  Transitive closure matters: with
+    A≈B and B≈C but A̸≈C, pairwise keeper-picking can drop B twice and
+    keep both A and C.
+
+    Algorithm: iterative min-label propagation.  ``label(v)`` starts as
+    ``v``; each round every vertex takes the min of its own and its
+    neighbors' labels.  Each round is one equi-join on the vertex id +
+    one groupBy-min — two shuffles on uniformly-distributed keys, no
+    driver-side graph.  Rounds needed = component diameter, and dup
+    clusters are near-cliques (diameter ≤ 2–3), so this converges in
+    ~3 rounds where a general graph might need the classic
+    large-star/small-star contraction.  Each round's result is
+    persisted and the previous unpersisted, keeping lineage depth
+    constant.  Deterministic fixpoint → full DuckDB oracle (recursive
+    CTE closure).
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_min"), F.col("label")),
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from qctimeseries_spark.datapipe.dedup import (
+    dup_clusters,
     embedding_dup_pairs,
     exact_dedup,
     jaccard_on,
@@ -285,6 +286,17 @@ def q_d5_embedding_dups(spark, sf_dir):
     )
 
 
+def q_c1_dup_clusters(spark, sf_dir):
+    """Transitive dedup groups: connected components (iterative
+    min-label propagation) over the d2 MinHash near-dup pairs — the
+    pairs→groups step a retention pass needs.  Deterministic fixpoint,
+    so the DuckDB oracle is a recursive-CTE reachability closure."""
+    pairs = minhash_dedup_pairs(
+        _near_corpus(spark, sf_dir), k=15, bands=5, ngram=3, threshold=0.6
+    )
+    return dup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -388,6 +400,7 @@ DATAPIPE_QUERIES = {
     "d3_simhash_pairs": q_d3_simhash_pairs,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "d5_embedding_dups": q_d5_embedding_dups,
+    "c1_dup_clusters": q_c1_dup_clusters,
     "x1_knn_bruteforce": q_x1_knn_bruteforce,
     "x2_knn_ivf": q_x2_knn_ivf,
     "t2_text_stats": q_t2_text_stats,
@@ -486,6 +499,25 @@ pairs AS (
     ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 7""",
+    "c1_dup_clusters": f"""
+WITH RECURSIVE {_NEAR_CORPUS_SQL.lstrip()},
+{_shingle_sql('corpus', 3)},
+{_minhash_sql(15)},
+{_band_sql(5, 3)},
+{_JACCARD_SQL},
+p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.6),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+nd AS (SELECT DISTINCT src AS id FROM e),
+reach(a, b) AS (
+  SELECT id, id FROM nd
+  UNION
+  SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src
+)
+SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a""",
     "d4_ngram_jaccard": f"""
 WITH {_NEAR_CORPUS_SQL},
 {_shingle_sql('corpus', 3)},

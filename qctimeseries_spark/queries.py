@@ -595,6 +595,28 @@ def q_st2_stream_gaps(spark, sf_dir):
     return run_available_now(gaps, output_mode="append")
 
 
+def q_st3_stream_dedup(spark, sf_dir):
+    """Streaming ingestion dedup: a source with every 5th event
+    redelivered (at-least-once simulation) drained through
+    ``dropDuplicatesWithinWatermark`` — output must equal the clean
+    batch table, which is the oracle."""
+    from qctimeseries_spark.streaming import (
+        dedup_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    src = stream_events(spark, sf_dir)
+    redelivered = stream_events(spark, sf_dir).filter(
+        F.col("event_id") % 5 == 0
+    )
+    merged = src.unionByName(redelivered)
+    deduped = dedup_stream(merged, key_cols=["event_id"], time_col="ts")
+    return run_available_now(
+        deduped.select("event_id", "ts", "value"), output_mode="append"
+    )
+
+
 def q_t1_sessionize(spark, sf_dir):
     """Event sessionization: a new session starts after a >30 min gap;
     sessions per user via lag window function."""
@@ -663,6 +685,7 @@ QUERIES = {
     "t1_sessionize": q_t1_sessionize,
     "st1_stream_flag_counts": q_st1_stream_flag_counts,
     "st2_stream_gaps": q_st2_stream_gaps,
+    "st3_stream_dedup": q_st3_stream_dedup,
     **DATAPIPE_QUERIES,
 }
 
@@ -676,12 +699,16 @@ QUERIES = {
 #   p2  = bare two-column projection (exercised implicitly everywhere)
 #   v6  = v1 with hide_flagged=False (one filter removed)
 #   d4  = d2's LSH machinery with different banding, no threshold
+#   p5  = p4's mask with cut at flag<1 instead of flag<0
+#   u3  = u6's second phase standalone (same predicate and overlay)
 _DEFERRED = (
     "u4_reset_window",
     "w4_viewer_windows",
     "p2_projection",
     "v6_viewer_slice",
     "d4_ngram_jaccard",
+    "p5_strict_clean",
+    "u3_approve_window",
 )
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
     k: QUERIES[k] for k in _DEFERRED
@@ -939,6 +966,8 @@ SELECT make_timestamp((epoch_us(ts) // {24 * 3600 * 1_000_000})
        COUNT(*) AS n
 FROM events
 GROUP BY 1, 2, 3""",
+    "st3_stream_dedup": """
+SELECT event_id, ts, value FROM events""",
     "st2_stream_gaps": """
 WITH o AS (
   SELECT user_id, ts,

@@ -189,6 +189,28 @@ def detect_gaps_stateful(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once projection of an at-least-once stream: drop redelivered
+    rows by key (``dropDuplicatesWithinWatermark``).
+
+    The state store holds one entry per key seen within the watermark
+    horizon and evicts beyond it — bounded by delivery-delay × ingest
+    rate, not stream length.  This is the streaming twin of the batch
+    exact-dedup tier: ingestion-time identity dedup here, content-level
+    near-dup (MinHash/SimHash) downstream in batch.
+    """
+    key_cols = key_cols or ["event_id"]
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def streaming_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: stream → flag init → watermarked windowed counts →
     materialized table.  Oracle-compared against batch SQL with

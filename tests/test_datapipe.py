@@ -148,6 +148,25 @@ def test_knn_ivf_recall_vs_bruteforce(vectors):
     assert recall >= 0.6  # nprobe=4 of nlist=8 cells
 
 
+def test_dup_clusters_transitive_closure(spark):
+    """A≈B, B≈C (but no A-C pair) must land in ONE cluster labeled by
+    the min id; disjoint pairs stay separate."""
+    from qctimeseries_spark.datapipe.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 41), (41, 40)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.id, r.cluster_id) for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        (3, 3), (5, 3), (9, 3),      # chain closed transitively
+        (20, 20), (21, 20),
+        (40, 40), (41, 40),          # symmetric duplicate edge collapsed
+    }
+
+
 def test_embedding_dup_pairs_ivf_matches_bruteforce(spark):
     """The cell-bucketed strategy must reproduce brute force on the
     planted-duplicate corpus (VERDICT r1 item 5)."""

@@ -72,6 +72,37 @@ def test_stateful_gaps_match_batch_lag(spark):
     assert len(srows) > 0
 
 
+def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
+    """At-least-once redelivery within the watermark horizon collapses
+    to one row per key, even across micro-batches."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import dedup_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(path, ids):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=i)) for i in ids],
+            "event_id bigint, ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    mk(str(tmp_path / "a"), [1, 2, 3, 2])      # in-batch duplicate
+    mk(str(tmp_path / "b"), [3, 4])            # cross-batch redelivery of 3
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "*"))
+    )
+    out = run_available_now(
+        dedup_stream(src, key_cols=["event_id"], time_col="ts"),
+        output_mode="append",
+    )
+    assert sorted(r.event_id for r in out.collect()) == [1, 2, 3, 4]
+
+
 def test_stateful_gaps_span_microbatches(spark, tmp_path):
     """The whole point of state: a gap whose endpoints land in different
     micro-batches is still detected.  Two files, maxFilesPerTrigger=1 →
