@@ -9,6 +9,7 @@ candidate sets, no driver-side loops).
 
 from qctimeseries_spark.datapipe.dedup import (
     cosine,
+    dup_clusters,
     embedding_dup_pairs,
     exact_dedup,
     jaccard_on,
@@ -19,6 +20,7 @@ from qctimeseries_spark.datapipe.dedup import (
     simhash,
     simhash_dup_pairs,
 )
+from qctimeseries_spark.datapipe.sample import hash_sample, sample_bucket
 from qctimeseries_spark.datapipe.hashing import fast_hash64, hash60
 from qctimeseries_spark.datapipe.multimodal import (
     attach_media,
@@ -33,15 +35,22 @@ from qctimeseries_spark.datapipe.similarity import (
     take_centroids,
 )
 from qctimeseries_spark.datapipe.text import (
+    contamination_check,
     fingerprint,
     lang_id,
     quality_score,
+    redact_pii,
     text_stats,
     token_count,
 )
 
 __all__ = [
     "cosine",
+    "dup_clusters",
+    "hash_sample",
+    "sample_bucket",
+    "contamination_check",
+    "redact_pii",
     "embedding_dup_pairs",
     "exact_dedup",
     "jaccard_on",

@@ -35,12 +35,16 @@ from qctimeseries_spark.datapipe.multimodal import (
     extract_features,
     media_summary,
 )
+from qctimeseries_spark.datapipe.sample import hash_sample
 from qctimeseries_spark.datapipe.similarity import knn_bruteforce, knn_ivf
 from qctimeseries_spark.datapipe.text import (
     LANG_STOPWORDS,
+    PII_PATTERNS,
+    contamination_check,
     fingerprint,
     lang_id,
     quality_score,
+    redact_pii,
     text_stats,
 )
 from qctimeseries_spark.sources import read_table
@@ -150,6 +154,21 @@ sh AS (
       ELSE [array_to_string(tk, ' ')] END) AS s
   FROM tk
 )"""
+
+
+def _sh_hashed(tkcol: str, n: int) -> str:
+    """Inline DuckDB expression: distinct hashed word-n-gram shingles of
+    a token-list column (mirror of ``hashed_shingles``)."""
+    return (
+        "list_distinct(list_transform(CASE WHEN len(" + tkcol + ") >= "
+        + str(n)
+        + " THEN list_transform(range(0, len(" + tkcol + ") - " + str(n - 1)
+        + "), i -> array_to_string(list_slice(" + tkcol + ", i + 1, i + "
+        + str(n)
+        + "), ' ')) ELSE [array_to_string(" + tkcol + ", ' ')] END, x -> "
+        + hash60_sql("x")
+        + "))"
+    )
 
 
 def _minhash_sql(k: int = 16) -> str:
@@ -359,6 +378,71 @@ def q_t5_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a deterministic PII blurb (email + IP + phone)
+    prepended to every 3rd doc."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    blurb = F.concat(
+        F.lit("contact user"), did, F.lit("@mail.example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".1 ring +1555"),
+        did, F.lit("0199 "), F.col("text"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, blurb)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_t6_redact_pii(spark, sf_dir):
+    """PII scrub: emails/IPv4/phones replaced, per-doc match count."""
+    return redact_pii(_pii_corpus(spark, sf_dir)).select(
+        "doc_id", "text_redacted", "n_pii"
+    )
+
+
+def _leak_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 'leaked' copies of the benchmark slice (doc_id % 50
+    == 0) with a short prefix — the contamination to be caught."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    leaked = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.lit("leaked copy "), F.col("text")).alias("text"),
+        )
+    )
+    return d.unionByName(leaked)
+
+
+def q_t7_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing ≥1 8-gram with
+    the benchmark slice, benchmark's own rows excluded (anti-join)."""
+    corpus = _leak_corpus(spark, sf_dir)
+    bench = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    hits = contamination_check(corpus, bench, ngram=8)
+    return hits.join(bench.select("doc_id"), "doc_id", "left_anti")
+
+
+def q_t8_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates as a
+    pure function of the key hash — reproducible across engines."""
+    return hash_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "doc_id",
+        strata_col="lang",
+        fractions={"en": 0.3, "zh": 0.8},
+        default_fraction=0.5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -407,6 +491,9 @@ DATAPIPE_QUERIES = {
     "t3_quality": q_t3_quality,
     "t4_lang_id": q_t4_lang_id,
     "t5_fingerprint": q_t5_fingerprint,
+    "t6_redact_pii": q_t6_redact_pii,
+    "t7_contamination": q_t7_contamination,
+    "t8_hash_sample": q_t8_hash_sample,
     "m1_media_summary": q_m1_media_summary,
     "m2_media_features": q_m2_media_features,
 }
@@ -616,6 +703,67 @@ best AS (SELECT doc_id, lang, {_LANG_SQL} AS b FROM tk)
 SELECT doc_id, lang, b.lang AS lang_pred, b.hits AS lang_hits FROM best""",
     "t5_fingerprint": f"""
 SELECT doc_id, {hash60_sql(_NORM_TEXT)} AS fingerprint FROM documents""",
+    "t6_redact_pii": (
+        """
+WITH pii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           concat('contact user', CAST(doc_id AS VARCHAR),
+                  '@mail.example.com or 10.0.',
+                  CAST(doc_id % 256 AS VARCHAR), '.1 ring +1555',
+                  CAST(doc_id AS VARCHAR), '0199 ', text)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text, '"""
+        + PII_PATTERNS["email"]
+        + """', '[PII]', 'g'), '"""
+        + PII_PATTERNS["ipv4"]
+        + """', '[PII]', 'g'), '"""
+        + PII_PATTERNS["phone"]
+        + """', '[PII]', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(text, '"""
+        + PII_PATTERNS["email"]
+        + """')) + len(regexp_extract_all(text, '"""
+        + PII_PATTERNS["ipv4"]
+        + """')) + len(regexp_extract_all(text, '"""
+        + PII_PATTERNS["phone"]
+        + """')) AS INT) AS n_pii
+FROM pii"""
+    ),
+    "t7_contamination": (
+        """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, concat('leaked copy ', text) AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+ctk AS (SELECT doc_id, """
+        + _TOKS.format(c="text")
+        + """ AS tk FROM corpus),
+cdh AS (SELECT doc_id, unnest("""
+        + _sh_hashed("tk", 8)
+        + """) AS h FROM ctk),
+btk AS (SELECT """
+        + _TOKS.format(c="text")
+        + """ AS tk FROM bench),
+bdh AS (SELECT DISTINCT unnest("""
+        + _sh_hashed("tk", 8)
+        + """) AS h FROM btk)
+SELECT cdh.doc_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_shared_ngrams
+FROM cdh JOIN bdh USING (h)
+WHERE cdh.doc_id NOT IN (SELECT doc_id FROM bench)
+GROUP BY cdh.doc_id"""
+    ),
+    "t8_hash_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")} % 1000000 <
+      CASE WHEN lang = 'en' THEN 300000
+           WHEN lang = 'zh' THEN 800000
+           ELSE 500000 END""",
     "m1_media_summary": """
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
        ELSE 'video' END AS modality,

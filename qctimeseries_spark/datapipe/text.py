@@ -132,3 +132,74 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     lowercased text — the exact-dedup key."""
     normalized = F.array_join(tokens(F.col(text_col)), " ")
     return df.withColumn("fingerprint", hash60(normalized))
+
+
+# PII patterns — kept to the Java-regex ∩ RE2 common subset (no
+# lookaround) so the DuckDB oracle matches byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d\-()]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    repl: str = "[PII]",
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone-like digit runs.
+
+    Patterns apply in a fixed order (email → ipv4 → phone) so the
+    composition is deterministic; ``n_pii`` counts matches on the
+    ORIGINAL text per pattern, summed.  Pure Catalyst ``regexp_replace``
+    — codegen-speed over billions of rows, no Python.  This is the
+    heuristic tier of a PII pipeline; an NER model would slot in as a
+    Pandas UDF stage downstream.
+    """
+    red = F.col(text_col)
+    n = F.lit(0)
+    for pat in PII_PATTERNS.values():
+        n = n + F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+        red = F.regexp_replace(red, pat, repl)
+    return df.withColumn(out_col, red).withColumn("n_pii", n.cast("int"))
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: documents sharing ≥1 word ``ngram``
+    with any benchmark text, with the shared-shingle count.
+
+    The industry-standard pre-training hygiene step (strip eval-set
+    leakage).  Plan shape: corpus shingles explode to (id, hash60) rows
+    — narrow, no Python; the benchmark's distinct shingle hashes are
+    BROADCAST (eval sets are tiny next to a 100 TB corpus), so the
+    probe is a map-side hash join on a thin long column; one final
+    groupBy(id) counts distinct shared shingles.  Callers exclude the
+    benchmark's own rows (anti-join on ids) when corpus ⊇ benchmark.
+    """
+    from qctimeseries_spark.datapipe.dedup import hashed_shingles
+
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(hashed_shingles(F.col(text_col), ngram)).alias("h"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(hashed_shingles(F.col(text_col), ngram)).alias("h")
+        )
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "h")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("h")).alias("n_shared_ngrams"))
+    )

@@ -701,6 +701,9 @@ QUERIES = {
 #   d4  = d2's LSH machinery with different banding, no threshold
 #   p5  = p4's mask with cut at flag<1 instead of flag<0
 #   u3  = u6's second phase standalone (same predicate and overlay)
+#   v3  = v2 with flag<=-2 instead of flag==1 (same plan, one constant)
+#   f5  = ISO render, exercised inside s1's CSV roundtrip formatting
+#   a4  = bare min(t), computed inside every windowed query's anchor
 _DEFERRED = (
     "u4_reset_window",
     "w4_viewer_windows",
@@ -709,6 +712,9 @@ _DEFERRED = (
     "d4_ngram_jaccard",
     "p5_strict_clean",
     "u3_approve_window",
+    "v3_flagged_overlay",
+    "f5_iso_export",
+    "a4_anchor",
 )
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
     k: QUERIES[k] for k in _DEFERRED

@@ -148,6 +148,69 @@ def test_knn_ivf_recall_vs_bruteforce(vectors):
     assert recall >= 0.6  # nprobe=4 of nlist=8 cells
 
 
+def test_redact_pii(spark):
+    from qctimeseries_spark.datapipe.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.org today"),
+            (2, "server 192.168.10.7 went down, call +1555¬0100-22"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].text_redacted == "mail me at [PII] today"
+    assert out[1].n_pii == 1
+    assert "[PII]" in out[2].text_redacted
+    assert "192.168" not in out[2].text_redacted
+    assert out[3].text_redacted == "nothing sensitive here"
+    assert out[3].n_pii == 0
+
+
+def test_contamination_check_catches_leak(spark):
+    from qctimeseries_spark.datapipe.text import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the bank")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over the lazy dog too"),
+            (2, "completely unrelated content about storage engines and files"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_shared_ngrams for r in
+            contamination_check(corpus, bench, ngram=8).collect()}
+    assert 1 in hits and hits[1] >= 1  # shares an 8-gram
+    assert 2 not in hits
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from qctimeseries_spark.datapipe.sample import hash_sample
+    from qctimeseries_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.25).select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.25).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < docs.count()  # reproducible, partial
+    # a larger fraction with the same seed is a SUPERSET (nested samples)
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5).select("doc_id").collect()}
+    assert a <= big
+    # stratified: zh keeps more than en at these rates
+    s = hash_sample(
+        docs, "doc_id", strata_col="lang",
+        fractions={"en": 0.1, "zh": 0.9}, default_fraction=0.0,
+    )
+    counts = {r.lang: r.n for r in
+              s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"en", "zh"}  # default 0 drops other strata
+    with pytest.raises(ValueError, match="exactly one"):
+        hash_sample(docs, "doc_id")
+
+
 def test_dup_clusters_transitive_closure(spark):
     """A≈B, B≈C (but no A-C pair) must land in ONE cluster labeled by
     the min id; disjoint pairs stay separate."""
