@@ -58,6 +58,7 @@ from qctimeseries_spark.viz import (
     utc_from_display,
 )
 from qctimeseries_spark.app import QcSession
+from qctimeseries_spark.joins import asof_join
 from qctimeseries_spark.exports import write_exports, smart_stem
 from qctimeseries_spark.report import save_all_check_plots, panel_downsample
 from qctimeseries_spark.pipeline import qc_pipeline
@@ -110,6 +111,7 @@ __all__ = [
     "display_tz",
     "utc_from_display",
     "QcSession",
+    "asof_join",
     "write_exports",
     "smart_stem",
     "save_all_check_plots",

@@ -1,0 +1,95 @@
+"""Time-series joins Spark lacks as built-ins: as-of (nearest-prior)
+join.
+
+The reference package has no join operators (single-table model), but
+any QC workflow that needs "the calibration/config/deployment record in
+effect at each observation" reaches for an as-of join.  DuckDB ships it
+natively (``ASOF JOIN``), which doubles as the oracle.
+
+Scale design — the union trick, not a range self-join: a naive
+``l JOIN r ON r.t <= l.t`` explodes to O(|l|·|r|) per key before
+picking the max.  Instead both sides are unioned with a side tag and
+sorted once per key; ``last(value, ignorenulls=True)`` over a
+rows-unbounded-preceding window carries each right row's payload
+forward to every later left row.  One shuffle on the ``by`` key, one
+sort, zero row amplification — the plan a native as-of operator would
+produce.  Skewed ``by`` keys behave like any windowed aggregation
+(salt or split hot keys upstream if one key dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: list[str] | str | None = None,
+    tolerance_seconds: float | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Left as-of join: each left row gains the payload of the most
+    recent right row with ``right.on <= left.on`` (per ``by`` key).
+
+    Right payload columns are prefixed with ``right_prefix``; a
+    ``<prefix><on>`` column carries the matched right timestamp.  With
+    ``tolerance_seconds``, matches older than the tolerance are nulled
+    (pandas ``merge_asof(tolerance=...)`` semantics).  Ties on the time
+    column match (at-or-before).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in right.columns if c != on and c not in by]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right payload columns {sorted(overlap)} collide with left;"
+            f" rename or rely on right_prefix before joining"
+        )
+
+    # tag sides; right rows sort BEFORE left rows at equal timestamps so
+    # an exact-time record matches its own instant (at-or-before)
+    r = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.col(on).alias(f"{right_prefix}{on}"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+    )
+    l = left.withColumn("_side", F.lit(1))
+    merged = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+        if by
+        else Window.orderBy(F.col(on).asc(), F.col("_side").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    carried = [f"{right_prefix}{on}"] + [f"{right_prefix}{c}" for c in payload]
+    for c in carried:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    out = merged.filter(F.col("_side") == 1).drop("_side")
+    if tolerance_seconds is not None:
+        # one projection: the staleness test reads the ORIGINAL matched
+        # timestamp for every column (sequential withColumn would null
+        # the timestamp first and blind the later checks)
+        age = F.unix_micros(F.col(on)) - F.unix_micros(
+            F.col(f"{right_prefix}{on}")
+        )
+        stale: Column = age > int(tolerance_seconds * 1_000_000)
+        out = out.select(
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+                if c in carried
+                else F.col(c)
+                for c in out.columns
+            ]
+        )
+    return out

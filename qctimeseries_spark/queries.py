@@ -595,6 +595,28 @@ def q_st2_stream_gaps(spark, sf_dir):
     return run_available_now(gaps, output_mode="append")
 
 
+def q_j1_asof_join(spark, sf_dir):
+    """As-of join: every event gains the most recent prior calibration
+    record for its user (union + last-carry-forward — one shuffle, no
+    row amplification).  Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from qctimeseries_spark.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cal = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cal_value"))
+    )
+    out = asof_join(ev, cal, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        F.col("r_ts").alias("cal_ts"),
+        F.col("r_cal_value").alias("cal_value"),
+    )
+
+
 def q_st3_stream_dedup(spark, sf_dir):
     """Streaming ingestion dedup: a source with every 5th event
     redelivered (at-least-once simulation) drained through
@@ -683,6 +705,7 @@ QUERIES = {
     "h3_segment_revenue": q_h3_segment_revenue,
     "h5_nation_revenue": q_h5_nation_revenue,
     "t1_sessionize": q_t1_sessionize,
+    "j1_asof_join": q_j1_asof_join,
     "st1_stream_flag_counts": q_st1_stream_flag_counts,
     "st2_stream_gaps": q_st2_stream_gaps,
     "st3_stream_dedup": q_st3_stream_dedup,
@@ -704,7 +727,9 @@ QUERIES = {
 #   v3  = v2 with flag<=-2 instead of flag==1 (same plan, one constant)
 #   f5  = ISO render, exercised inside s1's CSV roundtrip formatting
 #   a4  = bare min(t), computed inside every windowed query's anchor
+#   u5  = u4 without the window scope (same guarded overlay)
 _DEFERRED = (
+    "u5_reset_all",
     "u4_reset_window",
     "w4_viewer_windows",
     "p2_projection",
@@ -963,6 +988,15 @@ WITH o AS (
 )
 SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id""",
+    "j1_asof_join": """
+WITH cal AS (
+  SELECT user_id, ts, MAX(value) AS cal_value
+  FROM events WHERE event_id % 97 = 0
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, cal.ts AS cal_ts, cal.cal_value
+FROM events e
+ASOF LEFT JOIN cal ON e.user_id = cal.user_id AND e.ts >= cal.ts""",
     "st1_stream_flag_counts": f"""
 SELECT make_timestamp((epoch_us(ts) // {24 * 3600 * 1_000_000})
                       * {24 * 3600 * 1_000_000}) AS win_start,
