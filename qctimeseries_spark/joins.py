@@ -23,6 +23,46 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    *,
+    time_col: str,
+    lo_col: str,
+    hi_col: str,
+    by: list[str] | str | None = None,
+    bucket_hours: float = 24.0,
+) -> DataFrame:
+    """Point-in-interval join: left rows × intervals with
+    ``lo <= t <= hi`` (plus optional ``by`` key equality).
+
+    A raw inequality join degenerates to a (per-key) nested loop.  The
+    bucketing trick turns it into an equi-join: every interval explodes
+    to the coarse time buckets it overlaps (tiny — intervals/bucket
+    span, not rows), left rows carry their single bucket, and the join
+    key becomes (by, bucket) with the exact BETWEEN as a post-filter.
+    Each (row, interval) pair meets in exactly one bucket — the row's
+    own — so no dedup stage is needed.  Shuffle volume is bounded by
+    bucket co-location instead of |left| × |intervals|; pick
+    ``bucket_hours`` ≈ the typical interval length.
+    """
+    from qctimeseries_spark.windows import _floor_div_sql
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    width_us = round(float(bucket_hours) * 3600.0 * 1_000_000)
+    l_bucket = F.expr(_floor_div_sql(f"unix_micros(`{time_col}`)", width_us))
+    i_lo = F.expr(_floor_div_sql(f"unix_micros(`{lo_col}`)", width_us))
+    i_hi = F.expr(_floor_div_sql(f"unix_micros(`{hi_col}`)", width_us))
+    lb = left.withColumn("_rj_bucket", l_bucket)
+    ib = intervals.withColumn(
+        "_rj_bucket", F.explode(F.sequence(i_lo, i_hi))
+    )
+    out = lb.join(ib, [*by, "_rj_bucket"]).filter(
+        F.col(time_col).between(F.col(lo_col), F.col(hi_col))
+    )
+    return out.drop("_rj_bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -3,6 +3,7 @@
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from qctimeseries_spark.joins import asof_join
 
@@ -54,6 +55,31 @@ def test_asof_rejects_column_collision(spark, sides):
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("cal", "event_id"),
                   on="ts", by="user_id")
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Intervals spanning bucket boundaries still match every contained
+    row exactly once (the pair meets only in the row's own bucket)."""
+    from qctimeseries_spark.joins import range_join
+
+    left = spark.createDataFrame(
+        [(i, 1, _ts(i)) for i in range(0, 60, 3)],  # hours 0..57
+        "event_id long, user_id long, ts timestamp",
+    )
+    # one interval inside a bucket, one spanning the 24h bucket edge
+    iv = spark.createDataFrame(
+        [(100, 1, _ts(2), _ts(7)), (200, 1, _ts(20), _ts(30))],
+        "iv_id long, user_id long, lo timestamp, hi timestamp",
+    )
+    out = range_join(
+        left, iv, time_col="ts", lo_col="lo", hi_col="hi",
+        by="user_id", bucket_hours=24,
+    )
+    counts = {r.iv_id: r.n for r in
+              out.groupBy("iv_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {100: 2, 200: 4}  # h∈{3,6} and h∈{21,24,27,30}
+    # no duplicates: every (event, interval) pair appears once
+    assert out.count() == out.select("event_id", "iv_id").distinct().count()
 
 
 def test_asof_no_by_key_global(spark):
