@@ -38,6 +38,7 @@ from qctimeseries_spark.windows import (
     window_slice,
     window_range,
     window_extent,
+    sessionize,
 )
 from qctimeseries_spark.updates import (
     set_flag,
@@ -96,6 +97,7 @@ __all__ = [
     "window_slice",
     "window_range",
     "window_extent",
+    "sessionize",
     "set_flag",
     "flag_window",
     "approve_window",

@@ -353,6 +353,17 @@ class QcSession:
             f"{rng[0]:%Y-%m-%d %H:%M} - {rng[1]:%Y-%m-%d %H:%M}"
         )
 
+    def secondary_choices(self) -> list[str]:
+        """Columns offerable as the secondary series — everything except
+        flag columns, the time column, the main variable, and helper
+        columns (``sec_choices``, ``R/qc_window_app.R:205-210``)."""
+        hidden = {self.time_col, self.var, self.id_col, WIN_COL}
+        return [
+            c
+            for c in self.df.columns
+            if not c.endswith(self.suffix) and c not in hidden
+        ]
+
     def window_xr(self, pad: float = 0.02) -> tuple[_dt.datetime, _dt.datetime]:
         """W7 nominal x-extent of the current window ±pad
         (``window_xr0``, ``R/qc_window_app.R:215-226``)."""

@@ -680,18 +680,13 @@ def q_a9_percentiles(spark, sf_dir):
 
 def q_t1_sessionize(spark, sf_dir):
     """Event sessionization: a new session starts after a >30 min gap;
-    sessions per user via lag window function."""
+    sessions per user = max session_id from the sessionize operator."""
+    from qctimeseries_spark.windows import sessionize
+
     ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
-    new_sess = F.when(
-        prev.isNull() | ((F.unix_micros(F.col("ts")) - prev) > 1_800_000_000),
-        1,
-    ).otherwise(0)
-    return (
-        ev.withColumn("new_sess", new_sess)
-        .groupBy("user_id")
-        .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"))
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30.0, ties=["event_id"])
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions")
     )
 
 

@@ -227,6 +227,34 @@ def window_range(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    *,
+    gap_minutes: float = 30.0,
+    col: str = "session_id",
+    ties: list[str] | None = None,
+) -> DataFrame:
+    """Per-key session assignment: a new session starts after a gap of
+    more than ``gap_minutes`` between consecutive events.
+
+    One shuffle on the key; within each key the session id is the
+    running count of gap-exceeding steps (lag + cumulative sum over the
+    same sorted window, so the sort is done once).  ``ties`` break
+    equal timestamps deterministically.
+    """
+    validate_time_col(df, time_col)
+    gap_us = round(gap_minutes * 60.0 * 1_000_000)
+    order = [F.col(time_col), *(F.col(c) for c in ties or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    t_us = F.unix_micros(F.col(time_col))
+    prev = F.lag(t_us).over(w)
+    new_sess = F.when(prev.isNull() | ((t_us - prev) > gap_us), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(col, F.sum(new_sess).over(run).cast("int"))
+
+
 def window_extent(
     anchor: _dt.datetime, win_id: int, hours: float, pad: float = 0.02
 ) -> tuple[_dt.datetime, _dt.datetime]:

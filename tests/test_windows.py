@@ -130,6 +130,26 @@ def test_window_slice_and_range(windowed):
     assert rng[8].n_rows == 8  # tail window partial
 
 
+def test_sessionize_assigns_ids_per_gap(spark):
+    from qctimeseries_spark import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),
+        (1, t0 + dt.timedelta(minutes=50)),                # gap > 30m -> s2
+        (2, t0 + dt.timedelta(minutes=5)),                 # other key -> s1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, "user_id", "ts")
+    got = {
+        (r.user_id, r.ts): r.session_id for r in out.collect()
+    }
+    assert got[(1, t0)] == 1
+    assert got[(1, t0 + dt.timedelta(minutes=10))] == 1
+    assert got[(1, t0 + dt.timedelta(minutes=50))] == 2
+    assert got[(2, t0 + dt.timedelta(minutes=5))] == 1
+
+
 def test_window_extent_pad():
     lo, hi = window_extent(dt.datetime(2024, 1, 1), 1, 24, pad=0.0)
     assert lo == dt.datetime(2024, 1, 2) and hi == dt.datetime(2024, 1, 3)
