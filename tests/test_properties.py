@@ -191,6 +191,74 @@ def test_mask_semantics_p4_vs_p5(spark, values, ids):
         assert (r.p5 is None) == (r.temp_qcflag < 1 or r.temp is None)
 
 
+@given(
+    lhours=st.lists(st.integers(0, 48), min_size=1, max_size=12, unique=True),
+    rhours=st.lists(st.integers(0, 48), min_size=1, max_size=6, unique=True),
+)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, lhours, rhours):
+    """Law: asof_join == pandas merge_asof(direction='backward') on a
+    single key — pandas is the semantics oracle for random timestamps,
+    including exact-tie matching."""
+    import pandas as pd
+
+    from qctimeseries_spark.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, 1, T0 + dt.timedelta(hours=h)) for i, h in enumerate(lhours)],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T0 + dt.timedelta(hours=h), float(h)) for h in rhours],
+        "k long, ts timestamp, payload double",
+    )
+    got = {
+        r.event_id: r.r_payload
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    lp = pd.DataFrame(
+        {"event_id": range(len(lhours)),
+         "ts": [T0 + dt.timedelta(hours=h) for h in lhours]}
+    ).sort_values("ts")
+    rp = pd.DataFrame(
+        {"ts": [T0 + dt.timedelta(hours=h) for h in sorted(rhours)],
+         "payload": [float(h) for h in sorted(rhours)]}
+    )
+    want = pd.merge_asof(lp, rp, on="ts", direction="backward")
+    for _, row in want.iterrows():
+        expect = None if pd.isna(row.payload) else row.payload
+        assert got[row.event_id] == expect
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0, max_size=15,
+    )
+)
+@SETTINGS
+def test_dup_clusters_valid_partition(spark, edges):
+    """Laws: every cluster_id is the minimum member of its cluster;
+    every edge's endpoints share a cluster; node set is preserved."""
+    from qctimeseries_spark.datapipe.dedup import dup_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = dup_clusters(pairs).collect()
+    label = {r.id: r.cluster_id for r in rows}
+    nodes = {n for e in edges for n in e}
+    assert set(label) == nodes
+    for a, b in edges:
+        assert label[a] == label[b]  # connected ⇒ same cluster
+    by_cluster: dict[int, list[int]] = {}
+    for n, c in label.items():
+        by_cluster.setdefault(c, []).append(n)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+
+
 @given(values=values_st)
 @SETTINGS
 def test_rowid_dense_time_ordered(spark, values):
