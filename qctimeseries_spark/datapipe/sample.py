@@ -50,6 +50,10 @@ def hash_sample(
     """
     if (fraction is None) == (fractions is None):
         raise ValueError("pass exactly one of fraction / fractions")
+    # NULL keys are excluded EXPLICITLY: Spark's concat returns NULL for
+    # a NULL key (filter drops it) but DuckDB's concat skips NULL args —
+    # the explicit filter pins one portable semantic for both engines.
+    df = df.filter(F.col(key_col).isNotNull())
     bucket = sample_bucket(key_col, seed)
     if fraction is not None:
         return df.filter(bucket < int(round(fraction * SAMPLE_MOD)))

@@ -242,7 +242,9 @@ def sessionize(
     One shuffle on the key; within each key the session id is the
     running count of gap-exceeding steps (lag + cumulative sum over the
     same sorted window, so the sort is done once).  ``ties`` break
-    equal timestamps deterministically.
+    equal timestamps deterministically.  NULL timestamps sort first
+    within their key and attach to session 1 (their gap vs the previous
+    row is NULL, which never exceeds the threshold).
     """
     validate_time_col(df, time_col)
     gap_us = round(gap_minutes * 60.0 * 1_000_000)
