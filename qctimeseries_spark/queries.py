@@ -749,10 +749,26 @@ QUERIES = {
 # Tail-only entries: distinct operators that did not displace a driver
 # slot — they are covered by pytest and the local oracle replica, and
 # sit after the driver's 50-entry window by construction.
+def q_st4_session_windows(spark, sf_dir):
+    """Streaming session windows: gap-merged per-user sessions drained
+    via availableNow; oracle = batch lag/cumsum sessionization with a
+    gap >= 30 min cut (session_window's [start, end) boundary)."""
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        session_counts,
+        stream_events,
+    )
+
+    return run_available_now(
+        session_counts(stream_events(spark, sf_dir)), output_mode="complete"
+    )
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
         "a9_percentiles": q_a9_percentiles,
+        "st4_session_windows": q_st4_session_windows,
     }
 )
 
@@ -1042,6 +1058,25 @@ SELECT incident_id, COUNT(*) AS n_events
 FROM events e
 JOIN iv ON e.user_id = iv.user_id AND e.ts BETWEEN iv.lo AND iv.hi
 GROUP BY incident_id""",
+    "st4_session_windows": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n
+FROM s GROUP BY user_id, sid""",
     "a9_percentiles": """
 SELECT event_type,
        quantile_disc(value, 0.5) AS p50,

@@ -189,6 +189,40 @@ def detect_gaps_stateful(
     )
 
 
+def session_counts(
+    src: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-merged session windows per key (``F.session_window``).
+
+    Streaming state holds open sessions only — a session finalizes and
+    evicts once the watermark passes its close, so state is O(keys
+    active within the horizon).  Sessions merge while consecutive
+    events are STRICTLY closer than ``gap`` (an event landing exactly
+    at the window end starts a new session — ``[start, end)``).  The
+    same expression runs on batch frames, and the batch lag/cumsum
+    formulation with a ``gap >= threshold`` cut is the oracle.
+    """
+    s = src.withWatermark(time_col, watermark) if src.isStreaming else src
+    return (
+        s.groupBy(
+            F.session_window(F.col(time_col), gap).alias("sw"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     *,

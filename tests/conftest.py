@@ -14,6 +14,10 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # one JVM serves the whole suite (~100 tests, thousands of
+        # stages); the 1g default heap OOMs once accumulated broadcast
+        # and state-store bookkeeping piles up
+        .config("spark.driver.memory", "4g")
         .getOrCreate()
     )
     yield s

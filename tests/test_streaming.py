@@ -103,6 +103,41 @@ def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
     assert sorted(r.event_id for r in out.collect()) == [1, 2, 3, 4]
 
 
+def test_session_windows_merge_across_microbatches(spark, tmp_path):
+    """A session whose events arrive in different micro-batches still
+    merges into ONE window (streaming session state)."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import session_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(path, minutes):
+        spark.createDataFrame(
+            [(1, t0 + dt.timedelta(minutes=m)) for m in minutes],
+            "user_id bigint, ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    mk(str(tmp_path / "a"), [0, 10])      # batch 1
+    mk(str(tmp_path / "b"), [20, 120])    # batch 2: 20 continues, 120 new
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "*"))
+    )
+    out = run_available_now(
+        session_counts(src, gap="30 minutes"), output_mode="complete"
+    ).collect()
+    sessions = {(r.session_start, r.session_end): r.n for r in out}
+    assert sessions == {
+        (t0, t0 + dt.timedelta(minutes=50)): 3,     # 0,10,20 merged
+        (t0 + dt.timedelta(minutes=120),
+         t0 + dt.timedelta(minutes=150)): 1,
+    }
+
+
 def test_stateful_gaps_span_microbatches(spark, tmp_path):
     """The whole point of state: a gap whose endpoints land in different
     micro-batches is still detected.  Two files, maxFilesPerTrigger=1 →
