@@ -80,6 +80,7 @@ def slice_state(
     hi: _dt.datetime,
     *,
     part_hours: int = 720,
+    whole_partitions: bool = False,
 ) -> DataFrame:
     """Time-range slice with explicit partition pruning.
 
@@ -87,18 +88,19 @@ def slice_state(
     predicates, so the ``qc_part`` range filter is derived here from the
     same arithmetic ``save_state`` used — ``.explain`` shows it under
     PartitionFilters while the ``time_col`` bounds push to row-group
-    stats.
+    stats.  ``whole_partitions=True`` keeps EVERY row of the touched
+    partitions (no row-level time filter) — what a partition-rewriting
+    merge needs to collect the survivors it must re-write.
     """
     width_us = part_hours * 3600 * 1_000_000
     lo_us = int(lo.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
     hi_us = int(hi.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
     p_lo, p_hi = lo_us // width_us, hi_us // width_us
-    t = F.col(time_col)
-    return df.filter(
-        F.col(PART_COL).between(int(p_lo), int(p_hi))
-        & (t >= F.lit(lo))
-        & (t < F.lit(hi))
-    )
+    pred = F.col(PART_COL).between(int(p_lo), int(p_hi))
+    if not whole_partitions:
+        t = F.col(time_col)
+        pred = pred & (t >= F.lit(lo)) & (t < F.lit(hi))
+    return df.filter(pred)
 
 
 def commit_state(

@@ -245,6 +245,80 @@ def dedup_stream(
     )
 
 
+def stream_to_state(
+    flagged: DataFrame,
+    path: str,
+    *,
+    key_col: str = "event_id",
+    time_col: str = "ts",
+    part_hours: int = 720,
+    checkpoint_dir: str | None = None,
+) -> "StreamingQuery":  # noqa: F821 — pyspark.sql.streaming type
+    """Maintain the persisted QC state table from a stream — the MERGE
+    sink tying streaming ingestion to the interactive/batch state
+    format.
+
+    Every micro-batch is upserted by key via ``foreachBatch``: the
+    batch's time bounds select the touched ``qc_part`` partitions; the
+    survivors of those partitions (anti-join on ``key_col``) are
+    unioned with the batch and rewritten through the same dynamic
+    partition overwrite the interactive session's incremental
+    checkpoint uses (:func:`~qctimeseries_spark.state.commit_state`).
+    Work per batch scales with the touched partitions, never the table.
+    Re-delivered rows update in place (last write wins per key), so a
+    replayed micro-batch converges to the same state — idempotent per
+    the foreachBatch exactly-once contract.
+
+    Bounded sources drain with ``trigger(availableNow)``; production
+    streams run continuously.
+    """
+    import os as _os
+    import uuid as _uuid
+
+    from qctimeseries_spark.state import PART_COL, commit_state, load_state
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        bounds = batch.agg(
+            F.min(time_col).alias("lo"), F.max(time_col).alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return  # empty batch
+        changed = [(bounds["lo"], bounds["hi"])]
+        merged = batch
+        if _os.path.isdir(path):
+            from qctimeseries_spark.state import slice_state
+
+            existing = slice_state(
+                load_state(batch.sparkSession, path),
+                time_col,
+                bounds["lo"],
+                bounds["hi"],
+                part_hours=part_hours,
+                whole_partitions=True,
+            ).drop(PART_COL)
+            keep = existing.join(
+                batch.select(key_col), key_col, "left_anti"
+            )
+            # materialize BEFORE the overwrite: the plan reads the very
+            # files the commit replaces, and a task retry after commit
+            # would otherwise re-read deleted files.  (A table format
+            # with transactional MERGE — Delta/Iceberg — replaces this
+            # whole dance in production.)
+            merged = keep.unionByName(batch).localCheckpoint(eager=True)
+        commit_state(
+            merged, path,
+            time_col=time_col, part_hours=part_hours, changed=changed,
+        )
+
+    checkpoint_dir = checkpoint_dir or f"/tmp/qcts_stream_ckpt_{_uuid.uuid4().hex[:8]}"
+    return (
+        flagged.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end: stream → flag init → watermarked windowed counts →
     materialized table.  Oracle-compared against batch SQL with

@@ -103,6 +103,55 @@ def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
     assert sorted(r.event_id for r in out.collect()) == [1, 2, 3, 4]
 
 
+def test_stream_to_state_merges_batches(spark, tmp_path):
+    """Micro-batches upsert into one partitioned state table: rows from
+    earlier batches in the same partition survive, redelivered keys
+    update in place, and untouched partitions keep their files."""
+    import datetime as dt
+
+    from qctimeseries_spark.state import load_state
+    from qctimeseries_spark.streaming import stream_to_state
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(path, rows):
+        spark.createDataFrame(
+            rows, "event_id bigint, ts timestamp, value_qcflag int"
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    # batch 1: two rows in partition A, one far away in partition B
+    mk(str(tmp_path / "src" / "a"), [
+        (1, t0, 0), (2, t0 + dt.timedelta(hours=1), 0),
+        (9, t0 + dt.timedelta(days=90), 0),
+    ])
+    # batch 2: same partition A — new key 3 plus a re-delivery of key 2
+    # with an updated flag
+    mk(str(tmp_path / "src" / "b"), [
+        (3, t0 + dt.timedelta(hours=2), 0),
+        (2, t0 + dt.timedelta(hours=1), -2),
+    ])
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema("event_id bigint, ts timestamp, value_qcflag int")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "src" / "*"))
+    )
+    state_path = str(tmp_path / "state")
+    q = stream_to_state(
+        src, state_path, key_col="event_id", time_col="ts",
+        part_hours=720,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    final = {
+        r.event_id: r.value_qcflag
+        for r in load_state(spark, state_path).collect()
+    }
+    assert final == {1: 0, 2: -2, 3: 0, 9: 0}  # merged, updated, kept
+
+
 def test_session_windows_merge_across_microbatches(spark, tmp_path):
     """A session whose events arrive in different micro-batches still
     merges into ONE window (streaming session state)."""
