@@ -1,12 +1,26 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+REAL container-header parsing (PNG / JPEG / WAV / MP4) in pure Python.
 
-Images/audio/video ride as ``binary`` columns with a metadata struct
-(modality, format, width/height/duration...).  The Spark-side plumbing
+Images/audio/video ride as ``binary`` columns.  The Spark-side plumbing
 — schema, Arrow-batched ``mapInPandas`` transforms, partition-size
-control — is real and tested; the actual codec step is STUBBED
-(``decode_stub``) because no image/audio library ships in this
-container.  Swap :func:`_decode_payload` for a PIL/ffmpeg call and
-nothing else changes.
+control — streams payload bytes through Python without driver
+involvement.  Header understanding is real: :func:`parse_media` walks
+PNG chunks (IHDR width/height), JPEG segments (SOF0/SOF2 dimensions),
+RIFF/WAVE chunks (fmt sample-rate → duration), and MP4 boxes (mvhd
+timescale/duration) with nothing beyond ``struct``/``zlib``.  Only the
+*pixel/sample decode* step is stubbed (:func:`_decode_payload` — no
+image/audio library ships in this container); the deterministic
+:func:`_fake_features` stands in for the embedding tier and nothing
+else.
+
+Since no real media files exist in the test data, :func:`attach_media`
+*builds* genuine containers (correct magic numbers, chunk CRCs, segment
+framing) around each document's UTF-8 bytes, embedding
+deterministically-derived metadata.  The correctness loop is therefore
+closed end-to-end: the builder encodes width/height/duration into real
+headers, the parser recovers them from bytes alone, and the DuckDB
+oracle recomputes them arithmetically — a hash match proves the parser
+inverts the container format, not that two stubs agree.
 
 Scale notes: binary payloads dominate partition size, so transforms
 here repartition by byte budget, not row count
@@ -17,6 +31,8 @@ through pandas without ever collecting to the driver.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -48,11 +65,262 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("modality", StringType()),
+        StructField("fmt", StringType()),
         StructField("n_bytes", LongType()),
+        StructField("valid", BooleanType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", DoubleType()),
         StructField("feature_dim", IntegerType()),
         StructField("features", ArrayType(DoubleType())),
     ]
 )
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: container framing overhead in bytes around the content segment —
+#: constants by construction (fixed-size headers), asserted in tests
+FMT_OVERHEAD = {"png": 57, "jpeg": 27, "wav": 44, "mp4": 140}
+
+#: WAV sample-rate wheel for synthetic metadata derivation
+WAV_RATES = [8000, 16000, 22050, 44100, 48000]
+
+MP4_TIMESCALE = 600
+
+
+# ---------------------------------------------------------------------------
+# container builders (genuine framing: magic, CRCs, segment lengths)
+# ---------------------------------------------------------------------------
+
+
+def build_png(width: int, height: int, content: bytes) -> bytes:
+    """Minimal PNG: signature + IHDR + one IDAT carrying ``content`` +
+    IEND, with real CRC32s.  (Content is raw bytes, not zlib-compressed
+    scanlines — header-valid, decode-stubbed.)"""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", content) + chunk(b"IEND", b"")
+
+
+def build_jpeg(width: int, height: int, content: bytes) -> bytes:
+    """Minimal JPEG: SOI + SOF0 (baseline, 1 component) + SOS + entropy
+    segment + EOI.  Content must be 0xFF-free — guaranteed for UTF-8
+    text (0xFF never appears in valid UTF-8), asserted otherwise."""
+    if b"\xff" in content:
+        raise ValueError("JPEG entropy segment cannot contain 0xFF bytes")
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    sof_seg = b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([1, 1, 0, 0, 63, 0])
+    sos_seg = b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    return b"\xff\xd8" + sof_seg + sos_seg + content + b"\xff\xd9"
+
+
+def build_wav(sample_rate: int, channels: int, content: bytes) -> bytes:
+    """Minimal RIFF/WAVE: fmt chunk (PCM, 16-bit) + data chunk holding
+    ``content`` as the sample stream."""
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(content))
+        + content
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_mp4(timescale: int, duration_units: int, content: bytes) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd v0 with timescale/duration) +
+    mdat holding ``content``."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 512)
+    # mvhd v0 payload: ver/flags(4) ctime(4) mtime(4) timescale(4)
+    # duration(4) + rate/volume/reserved/matrix/predefined/next_track(80)
+    mvhd_payload = (
+        struct.pack(">I", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration_units)
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    mdat = struct.pack(">I", 8 + len(content)) + b"mdat" + content
+    return ftyp + moov + mdat
+
+
+# ---------------------------------------------------------------------------
+# container parsers (pure Python, bytes → metadata + content segment)
+# ---------------------------------------------------------------------------
+
+
+def _parse_png(p: bytes) -> dict:
+    width = height = None
+    content = b""
+    off = 8
+    while off + 8 <= len(p):
+        (length,) = struct.unpack(">I", p[off : off + 4])
+        typ = p[off + 4 : off + 8]
+        data = p[off + 8 : off + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            width, height = struct.unpack(">II", data[:8])
+        elif typ == b"IDAT":
+            content += data
+        elif typ == b"IEND":
+            break
+        off += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    return {"fmt": "png", "width": width, "height": height, "content": content}
+
+
+def _parse_jpeg(p: bytes) -> dict:
+    width = height = None
+    pos = 2
+    while pos + 4 <= len(p):
+        if p[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = p[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone marker, no length field
+            continue
+        (seg_len,) = struct.unpack(">H", p[pos + 2 : pos + 4])
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 baseline / ext / progressive
+            height, width = struct.unpack(">HH", p[pos + 5 : pos + 9])
+        if marker == 0xDA:  # SOS: entropy data runs to EOI
+            if p[-2:] != b"\xff\xd9":
+                raise ValueError("JPEG missing EOI")
+            content = p[pos + 2 + seg_len : -2]
+            if width is None:
+                raise ValueError("JPEG missing SOF before SOS")
+            return {"fmt": "jpeg", "width": width, "height": height, "content": content}
+        pos += 2 + seg_len
+    raise ValueError("JPEG missing SOS")
+
+
+def _parse_wav(p: bytes) -> dict:
+    sample_rate = byte_rate = None
+    content = None
+    off = 12
+    while off + 8 <= len(p):
+        cid = p[off : off + 4]
+        (size,) = struct.unpack("<I", p[off + 4 : off + 8])
+        data = p[off + 8 : off + 8 + size]
+        if len(data) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            _, _ch, sample_rate, byte_rate, _, _ = struct.unpack("<HHIIHH", data[:16])
+        elif cid == b"data":
+            content = data
+        off += 8 + size + (size & 1)  # RIFF chunks pad to even
+    if sample_rate is None or content is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return {
+        "fmt": "wav",
+        "sample_rate": sample_rate,
+        "duration_s": len(content) / byte_rate,
+        "content": content,
+    }
+
+
+def _mp4_boxes(p: bytes, off: int, end: int):
+    """Yield (type, data_offset, box_end) for each box in [off, end)."""
+    while off + 8 <= end:
+        (size,) = struct.unpack(">I", p[off : off + 4])
+        typ = p[off + 4 : off + 8]
+        data_off = off + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", p[off + 8 : off + 16])
+            data_off = off + 16
+        if size < 8 or off + size > end:
+            raise ValueError("bad MP4 box size")
+        yield typ, data_off, off + size
+        off += size
+
+
+def _parse_mp4(p: bytes) -> dict:
+    duration_s = None
+    content = None
+    for typ, data_off, box_end in _mp4_boxes(p, 0, len(p)):
+        if typ == b"moov":
+            for ctyp, c_off, c_end in _mp4_boxes(p, data_off, box_end):
+                if ctyp == b"mvhd":
+                    cdata = p[c_off:c_end]
+                    version = cdata[0]
+                    if version == 1:
+                        (timescale,) = struct.unpack(">I", cdata[20:24])
+                        (duration,) = struct.unpack(">Q", cdata[24:32])
+                    else:
+                        timescale, duration = struct.unpack(">II", cdata[12:20])
+                    duration_s = duration / timescale
+        elif typ == b"mdat":
+            content = p[data_off:box_end]
+    if duration_s is None or content is None:
+        raise ValueError("MP4 missing mvhd/mdat")
+    return {"fmt": "mp4", "duration_s": duration_s, "content": content}
+
+
+def parse_media(payload: bytes) -> dict:
+    """Sniff the container by magic number and parse its header.
+
+    Returns a dict with ``fmt`` plus whichever of ``width``/``height``/
+    ``sample_rate``/``duration_s`` the format carries, and ``content``
+    (the raw data segment: IDAT bytes / entropy segment / PCM data /
+    mdat payload).  Raises ``ValueError`` on unknown or malformed
+    containers — callers map that to ``valid=false``.
+    """
+    if payload[:8] == PNG_SIG:
+        return _parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _parse_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _parse_wav(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _parse_mp4(payload)
+    raise ValueError("unrecognized container")
+
+
+# ---------------------------------------------------------------------------
+# synthetic media derivation (deterministic metadata from the id)
+# ---------------------------------------------------------------------------
+
+
+def media_fmt(media_id: int) -> str:
+    """Format wheel: ids cycle image(png/jpeg)/audio(wav)/video(mp4) so
+    every parser is exercised; modality depends only on ``id % 3``."""
+    if media_id % 6 == 0:
+        return "png"
+    if media_id % 6 == 3:
+        return "jpeg"
+    return "wav" if media_id % 3 == 1 else "mp4"
+
+
+def build_payload(media_id: int, text: str) -> bytes:
+    """Wrap a document's UTF-8 bytes in a real container whose header
+    metadata is a pure function of the id (mirrored by the oracle)."""
+    content = text.encode("utf-8")
+    fmt = media_fmt(media_id)
+    if fmt == "png" or fmt == "jpeg":
+        width = 16 + media_id % 2033
+        height = 16 + (media_id * 7) % 1777
+        build = build_png if fmt == "png" else build_jpeg
+        return build(width, height, content)
+    if fmt == "wav":
+        rate = WAV_RATES[media_id % 5]
+        channels = 1 + media_id % 2
+        return build_wav(rate, channels, content)
+    return build_mp4(MP4_TIMESCALE, 60 + (media_id * 97) % 360000, content)
 
 
 def attach_media(
@@ -60,34 +328,66 @@ def attach_media(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Derive a deterministic binary payload column from a text table.
+    """Derive a binary media column from a text table.
 
     Stands in for real blob ingestion (S3 object fetch / parquet binary
-    column): payload = UTF-8 bytes, modality round-robins image/audio/
-    video by id.  Gives every downstream op a realistic
-    ``binary`` + metadata shape to chew on.
+    column): each row becomes a genuine PNG/JPEG/WAV/MP4 container
+    (via :func:`build_payload`) holding the document bytes, giving every
+    downstream op a realistic ``binary`` + metadata shape to chew on.
+
+    ``n_bytes`` is computed Catalyst-side (UTF-8 byte length + the
+    per-format framing constant) so metadata-only queries like
+    :func:`media_summary` never execute the payload UDF — column
+    pruning drops it entirely.
     """
-    payload = F.encode(F.col(text_col), "UTF-8")
+
+    @F.pandas_udf(BinaryType())
+    def payload_udf(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_payload(int(i), t) for i, t in zip(ids, texts)],
+            dtype=object,
+        )
+
+    mid = F.col(id_col)
+    fmt = (
+        F.when(mid % 6 == 0, F.lit("png"))
+        .when(mid % 6 == 3, F.lit("jpeg"))
+        .when(mid % 3 == 1, F.lit("wav"))
+        .otherwise(F.lit("mp4"))
+    )
+    modality = (
+        F.when(mid % 3 == 0, F.lit("image"))
+        .when(mid % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    overhead = (
+        F.when(mid % 6 == 0, F.lit(FMT_OVERHEAD["png"]))
+        .when(mid % 6 == 3, F.lit(FMT_OVERHEAD["jpeg"]))
+        .when(mid % 3 == 1, F.lit(FMT_OVERHEAD["wav"]))
+        .otherwise(F.lit(FMT_OVERHEAD["mp4"]))
+    )
     return df.select(
-        F.col(id_col).alias("media_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col(id_col) % 3 + 1).cast("int"),
-        ).alias("modality"),
-        F.element_at(
-            F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")),
-            (F.col(id_col) % 3 + 1).cast("int"),
-        ).alias("fmt"),
-        F.length(payload).cast("long").alias("n_bytes"),
-        payload.alias("payload"),
+        mid.alias("media_id"),
+        modality.alias("modality"),
+        fmt.alias("fmt"),
+        (F.octet_length(F.col(text_col)) + overhead).cast("long").alias("n_bytes"),
+        payload_udf(mid, F.col(text_col)).alias("payload"),
     )
 
 
+# ---------------------------------------------------------------------------
+# feature extraction
+# ---------------------------------------------------------------------------
+
+
 def _decode_payload(payload: bytes, fmt: str) -> bytes:
-    """REAL CODEC GOES HERE.  PIL.Image.open / soundfile.read /
-    av.open — none available in this container."""
+    """REAL PIXEL/SAMPLE DECODE GOES HERE.  PIL.Image.open /
+    soundfile.read / av.open — none available in this container.
+    Header parsing does NOT go through this: :func:`parse_media` reads
+    dimensions/duration from the container itself."""
     raise NotImplementedError(
-        f"no codec for {fmt!r} in this environment — use decode_stub"
+        f"no codec for {fmt!r} in this environment — features use the"
+        " deterministic _fake_features stand-in over the content segment"
     )
 
 
@@ -109,13 +409,18 @@ def extract_features(
     media: DataFrame, *, dim: int = 16, batch_rows: int = 256,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
+    """Arrow-batched header parse + feature extraction over payloads.
 
     ``mapInPandas`` streams record batches through Python; each batch
-    maps payload→feature vector without driver involvement.  The
-    per-batch row cap bounds Arrow buffer memory when payloads are
-    megabytes each (set ``spark.sql.execution.arrow.maxRecordsPerBatch``
-    accordingly in production).
+    parses the container (:func:`parse_media` — real PNG/JPEG/WAV/MP4
+    header walking) and maps the decoded content segment to a feature
+    vector, without driver involvement.  Malformed payloads yield
+    ``valid=false`` with null metadata instead of failing the stage —
+    at 100 TB some blobs WILL be corrupt, and one bad file must not
+    kill a 1000-executor job.  The per-batch row cap bounds Arrow
+    buffer memory when payloads are megabytes each (set
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly in
+    production).
 
     The input is repartitioned first: media tables often arrive as a
     handful of large files, and a single-partition ``mapInPandas``
@@ -126,21 +431,44 @@ def extract_features(
     n = partitions or media.sparkSession.sparkContext.defaultParallelism
     media = media.repartition(n)
 
+    def row(media_id, modality, n_bytes, payload: bytes) -> dict:
+        try:
+            meta = parse_media(payload)
+            content = meta["content"]
+            valid = True
+        except ValueError:
+            meta = {"fmt": None}
+            content = payload
+            valid = False
+        return {
+            "media_id": media_id,
+            "modality": modality,
+            "fmt": meta.get("fmt"),
+            "n_bytes": n_bytes,
+            "valid": valid,
+            "width": meta.get("width"),
+            "height": meta.get("height"),
+            "sample_rate": meta.get("sample_rate"),
+            "duration_s": meta.get("duration_s"),
+            "feature_dim": dim,
+            "features": _fake_features(bytes(content), dim),
+        }
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
                 yield pd.DataFrame(
-                    {
-                        "media_id": chunk["media_id"],
-                        "modality": chunk["modality"],
-                        "n_bytes": chunk["n_bytes"],
-                        "feature_dim": dim,
-                        "features": [
-                            _fake_features(bytes(p), dim)
-                            for p in chunk["payload"]
-                        ],
-                    }
+                    [
+                        row(m, mo, nb, bytes(p))
+                        for m, mo, nb, p in zip(
+                            chunk["media_id"],
+                            chunk["modality"],
+                            chunk["n_bytes"],
+                            chunk["payload"],
+                        )
+                    ],
+                    columns=[f.name for f in FEATURE_SCHEMA.fields],
                 )
 
     return media.mapInPandas(gen, FEATURE_SCHEMA)

@@ -454,8 +454,15 @@ def q_m1_media_summary(spark, sf_dir):
 
 
 def q_m2_media_features(spark, sf_dir):
-    """Arrow-batched mapInPandas feature extraction (deterministic
-    MD5-fake decode — real codecs are stubbed, SURVEY.md §7.2/9).
+    """Arrow-batched mapInPandas header parse + feature extraction.
+
+    ``width``/``height``/``sample_rate``/``duration_s`` are recovered
+    by REAL container parsing (PNG IHDR / JPEG SOF / WAV fmt / MP4
+    mvhd walks over the payload bytes); the oracle recomputes them
+    arithmetically from the id, so a hash match proves the parser
+    inverts the container format.  The embedding tier stays the
+    deterministic MD5 stand-in over the decoded content segment (real
+    pixel/sample codecs aren't in this container, SURVEY.md §7.2/9).
 
     ``features`` (array<double> of exact k/256 values) is rendered as a
     comma-joined string of the integer numerators so the driver's
@@ -466,7 +473,13 @@ def q_m2_media_features(spark, sf_dir):
     return feats.select(
         "media_id",
         "modality",
+        "fmt",
         "n_bytes",
+        "valid",
+        "width",
+        "height",
+        "sample_rate",
+        "duration_s",
         "feature_dim",
         F.array_join(
             F.transform(
@@ -764,24 +777,54 @@ WHERE {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")} % 1000000 <
       CASE WHEN lang = 'en' THEN 300000
            WHEN lang = 'zh' THEN 800000
            ELSE 500000 END""",
+    # The container framing overheads (57/27/44/140) and the
+    # width/height/rate/duration formulas mirror multimodal.build_payload;
+    # the Spark side recovers them by parsing actual container bytes.
     "m1_media_summary": """
-SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-       ELSE 'video' END AS modality,
-       COUNT(*) AS n_items,
-       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
-       CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
-FROM documents
-GROUP BY 1""",
+WITH m AS (
+  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS modality,
+         strlen(text) + CASE WHEN doc_id % 6 = 0 THEN 57
+                             WHEN doc_id % 6 = 3 THEN 27
+                             WHEN doc_id % 3 = 1 THEN 44
+                             ELSE 140 END AS nb
+  FROM documents
+)
+SELECT modality, COUNT(*) AS n_items,
+       CAST(SUM(nb) AS BIGINT) AS total_bytes,
+       CAST(MAX(nb) AS BIGINT) AS max_bytes
+FROM m GROUP BY modality""",
     "m2_media_features": """
-SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-            ELSE 'video' END AS modality,
-       CAST(strlen(text) AS BIGINT) AS n_bytes,
+WITH m AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CASE WHEN doc_id % 6 = 0 THEN 'png' WHEN doc_id % 6 = 3 THEN 'jpeg'
+              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS fmt,
+         [8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 AS INT) + 1]
+             AS rate,
+         1 + doc_id % 2 AS ch
+  FROM documents
+)
+SELECT doc_id AS media_id, modality, fmt,
+       CAST(L + CASE fmt WHEN 'png' THEN 57 WHEN 'jpeg' THEN 27
+                         WHEN 'wav' THEN 44 ELSE 140 END AS BIGINT)
+           AS n_bytes,
+       TRUE AS valid,
+       CASE WHEN fmt IN ('png', 'jpeg')
+            THEN CAST(16 + doc_id % 2033 AS INT) END AS width,
+       CASE WHEN fmt IN ('png', 'jpeg')
+            THEN CAST(16 + (doc_id * 7) % 1777 AS INT) END AS height,
+       CASE WHEN fmt = 'wav' THEN CAST(rate AS INT) END AS sample_rate,
+       CASE WHEN fmt = 'wav' THEN CAST(L AS DOUBLE) / (rate * ch * 2)
+            WHEN fmt = 'mp4'
+            THEN CAST(60 + (doc_id * 97) % 360000 AS DOUBLE) / 600
+       END AS duration_s,
        CAST(16 AS INT) AS feature_dim,
        array_to_string(list_transform(range(0, 16),
            i -> CAST(CAST(concat('0x', substr(md5(concat(text, '0')),
                                               2 * i + 1, 2)) AS INT)
                      AS VARCHAR)), ',')
            AS features_u8
-FROM documents""",
+FROM m""",
 }

@@ -1,0 +1,149 @@
+"""Multimodal container builders/parsers: real PNG/JPEG/WAV/MP4 header
+parsing (byte fixtures) + the Spark-side Arrow extraction path."""
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from qctimeseries_spark.datapipe.multimodal import (
+    FMT_OVERHEAD,
+    MP4_TIMESCALE,
+    WAV_RATES,
+    attach_media,
+    build_jpeg,
+    build_mp4,
+    build_payload,
+    build_png,
+    build_wav,
+    extract_features,
+    media_fmt,
+    parse_media,
+)
+
+
+def test_builder_parser_roundtrip_all_formats():
+    for mid in range(12):
+        text = f"doc {mid} content with unicode: 中文テスト"
+        payload = build_payload(mid, text)
+        meta = parse_media(payload)
+        fmt = media_fmt(mid)
+        content = text.encode("utf-8")
+        assert meta["fmt"] == fmt
+        assert meta["content"] == content
+        assert len(payload) == len(content) + FMT_OVERHEAD[fmt]
+        if fmt in ("png", "jpeg"):
+            assert meta["width"] == 16 + mid % 2033
+            assert meta["height"] == 16 + (mid * 7) % 1777
+        elif fmt == "wav":
+            rate, ch = WAV_RATES[mid % 5], 1 + mid % 2
+            assert meta["sample_rate"] == rate
+            assert meta["duration_s"] == len(content) / (rate * ch * 2)
+        else:
+            assert meta["duration_s"] == (60 + (mid * 97) % 360000) / MP4_TIMESCALE
+
+
+def test_parse_real_zlib_png():
+    # genuine PNG encoding: zlib-compressed filtered scanline as IDAT
+    idat = zlib.compress(b"\x00" + b"\x10\x20\x30" * 2)
+    meta = parse_media(build_png(2, 1, idat))
+    assert (meta["width"], meta["height"]) == (2, 1)
+    assert meta["content"] == idat
+
+
+def test_parse_jpeg_skips_app0_segment():
+    jf = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    app0 = b"\xff\xe0" + struct.pack(">H", 2 + len(jf)) + jf
+    base = build_jpeg(40, 30, b"entropy")
+    meta = parse_media(base[:2] + app0 + base[2:])
+    assert (meta["width"], meta["height"]) == (40, 30)
+    assert meta["content"] == b"entropy"
+
+
+def test_jpeg_rejects_0xff_content():
+    with pytest.raises(ValueError, match="0xFF"):
+        build_jpeg(8, 8, b"\xff\xd9")
+
+
+def test_parse_wav_with_padded_extra_chunk():
+    wav = build_wav(16000, 1, b"pcmpcm")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd size + pad
+    patched = wav[:36] + extra + wav[36:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    meta = parse_media(patched)
+    assert meta["sample_rate"] == 16000
+    assert meta["content"] == b"pcmpcm"
+
+
+def test_parse_mp4_mvhd_version1():
+    mvhd1 = (
+        struct.pack(">I", 0x01000000)
+        + struct.pack(">QQIQ", 0, 0, 1000, 2500)
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd1)) + b"mvhd" + mvhd1
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 512)
+    mdat = struct.pack(">I", 8 + 3) + b"mdat" + b"xyz"
+    meta = parse_media(ftyp + moov + mdat)
+    assert meta["duration_s"] == 2.5
+    assert meta["content"] == b"xyz"
+
+
+@pytest.mark.parametrize(
+    "bad", [b"", b"garbage here", build_payload(0, "some text")[:20]]
+)
+def test_parse_rejects_corrupt(bad):
+    with pytest.raises(ValueError):
+        parse_media(bad)
+
+
+DOC_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+
+def test_extract_features_header_derived(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(12)], DOC_SCHEMA
+    )
+    media = attach_media(docs)
+    rows = {r["media_id"]: r for r in media.collect()}
+    # Catalyst-computed n_bytes must equal the actual payload length
+    for mid, r in rows.items():
+        assert r["n_bytes"] == len(r["payload"])
+        assert r["fmt"] == media_fmt(mid)
+    feats = {r["media_id"]: r for r in extract_features(media, dim=8).collect()}
+    assert len(feats) == 12
+    for mid, r in feats.items():
+        assert r["valid"] is True
+        assert r["fmt"] == media_fmt(mid)
+        assert len(r["features"]) == 8
+        if r["fmt"] in ("png", "jpeg"):
+            assert r["width"] == 16 + mid % 2033
+            assert r["height"] == 16 + (mid * 7) % 1777
+            assert r["duration_s"] is None
+        elif r["fmt"] == "wav":
+            assert r["sample_rate"] == WAV_RATES[mid % 5]
+            assert r["duration_s"] > 0
+        else:
+            assert r["duration_s"] > 0
+            assert r["width"] is None
+
+
+def test_extract_features_corrupt_payload_is_flagged_not_fatal(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", "png", 9, bytearray(b"not a png")),
+            (4, "audio", "wav", int(len(build_payload(4, "ok"))), bytearray(build_payload(4, "ok"))),
+        ],
+        "media_id long, modality string, fmt string, n_bytes long, payload binary",
+    )
+    out = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert out[1]["valid"] is False
+    assert out[1]["width"] is None and out[1]["duration_s"] is None
+    assert len(out[1]["features"]) == 4  # fallback features over raw bytes
+    assert out[4]["valid"] is True
+    assert out[4]["sample_rate"] == WAV_RATES[4]
