@@ -64,8 +64,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # unreadable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
         # integer DIV, not float /: ns values (~1.7e18) exceed double's
         # exact-integer range and float division drifts by ±1 µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif t == "timestamp_ntz":
+        # newer readers surface NANOS as TIMESTAMP_NTZ (µs-truncated)
+        # instead of honoring nanosAsLong; the session tz is pinned UTC,
+        # so this cast reproduces the same epoch-µs instants the bigint
+        # path derives — and keeps every downstream unix_micros() legal
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

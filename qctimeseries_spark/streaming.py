@@ -39,7 +39,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     In production this is a directory Kafka/ingest keeps appending to;
     ``maxFilesPerTrigger`` (not set here) bounds per-batch work.  The
-    ns→µs conversion mirrors ``sources.read_table``.
+    epoch→µs conversion mirrors ``sources.read_table`` but must be
+    scale-aware: depending on reader version the TIMESTAMP(NANOS)
+    column surfaces through the explicit bigint schema as epoch-ns
+    (legacy nanosAsLong) OR already µs-truncated.  Modern dates are
+    ≥1e18 in ns and ~1.7e15 in µs, so a 4e17 magnitude cut (year
+    ~14600 in µs, 1982 in ns — far outside any test horizon on either
+    side) picks the right divisor per row with integer DIV (ns values
+    exceed double's exact range; float division drifts ±1 µs).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
@@ -48,7 +55,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.expr("CASE WHEN abs(ts) > 400000000000000000 THEN ts DIV 1000 ELSE ts END")
+        ),
+    )
 
 
 def qc_flag_stream(
@@ -206,6 +218,16 @@ def session_counts(
     at the window end starts a new session — ``[start, end)``).  The
     same expression runs on batch frames, and the batch lag/cumsum
     formulation with a ``gap >= threshold`` cut is the oracle.
+
+    Append-mode semantics (pinned by
+    ``test_session_windows_append_mode_evicts_on_watermark``): only
+    watermark-closed sessions are emitted, open sessions stay in state
+    unemitted, and a late event is dropped when its would-be session
+    end is at or before the late-row horizon.  Spark tracks TWO
+    watermarks — the late-row filter lags eviction by one micro-batch
+    (visible as the paired timestamps on ``StateStoreSave`` in the
+    plan), so an event needs two batch advances past its horizon
+    before it is guaranteed dropped.
     """
     s = src.withWatermark(time_col, watermark) if src.isStreaming else src
     return (

@@ -222,3 +222,64 @@ def test_stateful_gaps_span_microbatches(spark, tmp_path):
     assert r.gap_start == t0 + dt.timedelta(hours=2)
     assert r.gap_end == t0 + dt.timedelta(hours=50)
     assert r.gap_seconds == 48 * 3600.0
+
+
+def test_session_windows_append_mode_evicts_on_watermark(spark, tmp_path):
+    """Production semantics of session_counts (append + watermark):
+    only sessions the watermark has closed are emitted, still-open
+    sessions stay in state (not emitted), and late events beyond the
+    horizon are dropped — the eviction contract the docstring claims,
+    pinned across micro-batches (maxFilesPerTrigger=1)."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import run_available_now, session_counts
+
+    import os
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def mk(path, offsets_min, order):
+        spark.createDataFrame(
+            [(1, t0 + dt.timedelta(minutes=m)) for m in offsets_min],
+            "user_id bigint, ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+        # the file source micro-batches in modification-time order;
+        # writes can collide at mtime granularity, so pin it
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (1_700_000_000 + order,) * 2)
+
+    # batch 1: session A (10:00, 10:10 → closes 10:40)
+    mk(str(tmp_path / "a"), [0, 10], 0)
+    # batches 2-3: 14:00 then 14:05 (one session B).  Spark's late-row
+    # filter uses the watermark lagged ONE batch behind eviction, so
+    # the second event is what pushes the late-filter horizon to 13:00
+    # before the straggler arrives
+    mk(str(tmp_path / "b"), [240], 60)
+    mk(str(tmp_path / "b2"), [245], 120)
+    # batch 4: 09:00 is late beyond the 13:00 horizon (dropped — its
+    # would-be session ends 09:30 < 13:00); 20:00 opens a session the
+    # stream never closes
+    mk(str(tmp_path / "c"), [-60, 600], 180)
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(tmp_path / "*"))
+    )
+    out = run_available_now(
+        session_counts(src, gap="30 minutes", watermark="1 hour"),
+        output_mode="append",
+    ).collect()
+    sessions = {(r.session_start, r.session_end): r.n for r in out}
+    assert sessions == {
+        # A emitted once the eviction watermark passed its close
+        (t0, t0 + dt.timedelta(minutes=40)): 2,
+        # B = 14:00 + 14:05 merged, closed by the final watermark advance
+        (t0 + dt.timedelta(minutes=240),
+         t0 + dt.timedelta(minutes=275)): 2,
+    }
+    # the 20:00 session is still open → retained in state, not emitted;
+    # the late 09:00 event was dropped and produced no session at all
+    assert all(r.session_start >= t0 for r in out)
