@@ -13,8 +13,11 @@ sorted once per key; ``last(value, ignorenulls=True)`` over a
 rows-unbounded-preceding window carries each right row's payload
 forward to every later left row.  One shuffle on the ``by`` key, one
 sort, zero row amplification — the plan a native as-of operator would
-produce.  Skewed ``by`` keys behave like any windowed aggregation
-(salt or split hot keys upstream if one key dominates).
+produce.  Skewed ``by`` keys behave like any windowed aggregation —
+detect them with :func:`qctimeseries_spark.windows.hot_keys` and split
+hot keys upstream (e.g. sub-key by coarse time range, as
+:func:`~qctimeseries_spark.windows.sessionize_salted` does for
+sessionization) if one key dominates.
 """
 
 from __future__ import annotations
@@ -63,6 +66,13 @@ def range_join(
     return out.drop("_rj_bucket")
 
 
+#: row cap for the keyless (global-window) as-of path — with no ``by``
+#: key the carry-forward window has no partitioning and the entire
+#: union funnels through ONE task; fine for reference tables, a
+#: scale-killer on fact-sized inputs.
+MAX_GLOBAL_ASOF_ROWS = 1_000_000
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -71,6 +81,8 @@ def asof_join(
     by: list[str] | str | None = None,
     tolerance_seconds: float | None = None,
     right_prefix: str = "r_",
+    allow_global: bool = False,
+    max_global_rows: int = MAX_GLOBAL_ASOF_ROWS,
 ) -> DataFrame:
     """Left as-of join: each left row gains the payload of the most
     recent right row with ``right.on <= left.on`` (per ``by`` key).
@@ -80,8 +92,27 @@ def asof_join(
     ``tolerance_seconds``, matches older than the tolerance are nulled
     (pandas ``merge_asof(tolerance=...)`` semantics).  Ties on the time
     column match (at-or-before).
+
+    Without ``by`` the ordered window is GLOBAL — one task sorts the
+    whole union, the same single-partition funnel the two-phase rowid
+    design avoids elsewhere.  That path is therefore guarded like
+    ``embedding_dup_pairs``: above ``max_global_rows`` it raises unless
+    ``allow_global=True``, pointing at a ``by`` key as the scale path.
+    The probe is a ``limit(cap+1)`` scan of one thin column, so it
+    stops as soon as the cap is exceeded instead of counting the world.
     """
     by = [by] if isinstance(by, str) else list(by or [])
+    if not by and not allow_global:
+        probe = left.select(F.lit(1).alias("_1")).unionAll(
+            right.select(F.lit(1).alias("_1"))
+        )
+        if probe.limit(max_global_rows + 1).count() > max_global_rows:
+            raise ValueError(
+                f"asof_join without a `by` key sorts the entire union in a"
+                f" single task and the input exceeds {max_global_rows} rows;"
+                " pass a `by` key to partition the work, or"
+                " allow_global=True to accept the single-partition sort"
+            )
     payload = [c for c in right.columns if c != on and c not in by]
     overlap = set(payload) & set(left.columns)
     if overlap:

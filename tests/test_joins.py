@@ -92,3 +92,20 @@ def test_asof_no_by_key_global(spark):
     out = {r.event_id: r.r_tag
            for r in asof_join(left, right, on="ts").collect()}
     assert out == {1: "a", 2: "b"}
+
+
+def test_asof_global_guard_raises_above_cap(spark):
+    left = spark.range(30).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    right = spark.createDataFrame(
+        [(_ts(0), "a")], "ts timestamp, tag string"
+    )
+    with pytest.raises(ValueError, match="allow_global"):
+        asof_join(left, right, on="ts", max_global_rows=10)
+    # explicit override accepts the single-partition sort
+    out = asof_join(
+        left, right, on="ts", max_global_rows=10, allow_global=True
+    )
+    assert out.count() == 30
