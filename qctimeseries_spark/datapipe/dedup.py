@@ -467,6 +467,7 @@ def dup_clusters(
     id_b: str = "id_b",
     *,
     max_iter: int = 25,
+    all_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (id, cluster_id)
     with ``cluster_id`` = the minimum id in each component.
@@ -477,6 +478,12 @@ def dup_clusters(
     A≈B and B≈C but A̸≈C, pairwise keeper-picking can drop B twice and
     keep both A and C.
 
+    ``all_ids`` (a one-column frame of every document id) left-joins
+    singletons into the output as their own cluster — guarding the
+    classic caller bug where a retention pass keyed on this result
+    silently drops every document that had no duplicate.  Without it
+    the output covers only ids that appear in ``pairs``.
+
     Algorithm: iterative min-label propagation.  ``label(v)`` starts as
     ``v``; each round every vertex takes the min of its own and its
     neighbors' labels.  Each round is one equi-join on the vertex id +
@@ -486,8 +493,12 @@ def dup_clusters(
     ~3 rounds where a general graph might need the classic
     large-star/small-star contraction.  Each round's result is
     persisted and the previous unpersisted, keeping lineage depth
-    constant.  Deterministic fixpoint → full DuckDB oracle (recursive
-    CTE closure).
+    constant.  The convergence test rides the SAME action that
+    materializes the round (a did-any-label-shrink flag aggregated
+    over the persisted frame), so each round costs exactly one job —
+    at 100 TB a second per-round job is a real shuffle-read
+    (``tests/test_datapipe.py`` pins the job count).  Deterministic
+    fixpoint → full DuckDB oracle (recursive CTE closure).
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -503,15 +514,18 @@ def dup_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
     )
+    persisted = None
     for _ in range(max_iter):
         prop = (
             edges.join(
-                labels.select(F.col("id").alias("src"), "label"), "src"
+                labels.select(
+                    F.col("id").alias("src"), F.col("label").alias("nbr")
+                ),
+                "src",
             )
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nbr_min"))
+            .agg(F.min("nbr").alias("nbr_min"))
         )
         new = (
             labels.join(prop, "id", "left")
@@ -521,22 +535,29 @@ def dup_clusters(
                     F.col("label"),
                     F.coalesce(F.col("nbr_min"), F.col("label")),
                 ).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("_shrunk"),
             )
             .persist()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
+        # one action: materializes the round into cache AND returns the
+        # convergence flag (no second old-vs-new join job)
+        changed = new.agg(
+            F.max(F.coalesce(F.col("_shrunk"), F.lit(False)))
+        ).collect()[0][0]
+        if persisted is not None:
+            persisted.unpersist()
+        persisted = new
+        labels = new.select("id", "label")
+        if not changed:
             break
     edges.unpersist()
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    out = labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    if all_ids is not None:
+        ids = all_ids.select(F.col(all_ids.columns[0]).alias("id")).distinct()
+        out = ids.join(out, "id", "left").select(
+            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -230,6 +230,49 @@ def test_dup_clusters_transitive_closure(spark):
     }
 
 
+def test_dup_clusters_one_job_per_round(spark):
+    """The convergence probe rides the round's own materializing action
+    — a diameter-4 path graph (5 label rounds + 1 final collect) must
+    not launch a second old-vs-new job per round."""
+    from qctimeseries_spark.datapipe.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    sc = spark.sparkContext
+    # with AQE every shuffle stage surfaces as its own job id and every
+    # broadcast exchange submits a side job, so pin the action count
+    # with both off: one action == one job
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sc.setJobGroup("cc_jobs", "dup_clusters job accounting")
+    try:
+        got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    finally:
+        sc.setJobGroup("cc_done", "")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    assert got == {i: 1 for i in range(1, 6)}
+    jobs = sc.statusTracker().getJobIdsForGroup("cc_jobs")
+    # 5 propagation rounds (4 = diameter, +1 no-change detect) + the
+    # final collect; the old two-actions-per-round shape would be ≥ 11
+    assert len(jobs) <= 7, f"expected ≤7 jobs, got {len(jobs)}"
+
+
+def test_dup_clusters_all_ids_includes_singletons(spark):
+    from qctimeseries_spark.datapipe.dedup import dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in range(1, 5)], "doc_id long")
+    out = {
+        r.id: r.cluster_id
+        for r in dup_clusters(pairs, all_ids=ids).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
 def test_embedding_dup_pairs_ivf_matches_bruteforce(spark):
     """The cell-bucketed strategy must reproduce brute force on the
     planted-duplicate corpus (VERDICT r1 item 5)."""
