@@ -19,12 +19,53 @@ values, so no join is ever needed to reassemble state.
 from __future__ import annotations
 
 import datetime as _dt
+import json as _json
 import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PART_COL = "qc_part"
+
+#: commit manifest sitting next to the partition directories — records a
+#: monotonically increasing table version plus the version that last
+#: wrote each partition, so interleaved writers can DETECT clobbering
+#: (optimistic concurrency).  Detection, not transactions: the
+#: read-check-write itself is not atomic — a table format with ACID
+#: MERGE (Delta/Iceberg) is the production answer; this closes the
+#: silent-clobber hole for the reference's save/resume workflow.
+MANIFEST = "_qc_commit.json"
+
+
+class StaleCommitError(RuntimeError):
+    """A commit's base version predates another writer's commit to one
+    of the partitions it touches."""
+
+
+def _read_manifest(path: str) -> dict:
+    f = _os.path.join(path, MANIFEST)
+    if not _os.path.isfile(f):
+        return {"version": 0, "full_version": 0, "parts": {}}
+    with open(f) as fh:
+        return _json.load(fh)
+
+
+def _write_manifest(path: str, m: dict) -> None:
+    tmp = _os.path.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(m, fh)
+    _os.replace(tmp, _os.path.join(path, MANIFEST))  # atomic on POSIX
+
+
+def _part_version(m: dict, part: int) -> int:
+    """Version that last wrote ``part`` (full rewrites count for all)."""
+    return max(int(m["parts"].get(str(part), 0)), int(m["full_version"]))
+
+
+def state_version(path: str) -> int:
+    """Current table version — pass as ``base_version`` to a later
+    :func:`commit_state` to detect concurrent-writer clobbering."""
+    return int(_read_manifest(path)["version"])
 
 
 def _part_expr(time_col: str, part_hours: int):
@@ -59,6 +100,7 @@ def save_state(
     long series.  Epoch-anchored (unlike the min(t)-anchored QC windows)
     so appends never re-bucket existing data.
     """
+    prev = _read_manifest(path) if _os.path.isdir(path) else None
     (
         df.withColumn(PART_COL, _part_expr(time_col, part_hours))
         .write.partitionBy(PART_COL)
@@ -66,6 +108,10 @@ def save_state(
         .option("compression", "zstd")
         .parquet(path)
     )
+    # a full overwrite wipes the directory (manifest included) — carry
+    # the counter forward so versions stay monotonic across rewrites
+    v = (int(prev["version"]) if prev else 0) + 1
+    _write_manifest(path, {"version": v, "full_version": v, "parts": {}})
 
 
 def load_state(spark: SparkSession, path: str) -> DataFrame:
@@ -110,6 +156,7 @@ def commit_state(
     time_col: str,
     part_hours: int = 720,
     changed: list[tuple[_dt.datetime, _dt.datetime]] | None = None,
+    base_version: int | None = None,
 ) -> None:
     """Incremental state commit: rewrite ONLY the partitions whose time
     range intersects ``changed`` (MERGE-lite via Spark's dynamic
@@ -122,6 +169,14 @@ def commit_state(
     present in it, leaving every other partition's files untouched.
     Falls back to a full :func:`save_state` when ``changed`` is None
     (unknown extent) or the target does not exist yet.
+
+    Concurrent-writer detection: pass ``base_version`` (from
+    :func:`state_version` at session load) and the commit fails with
+    :class:`StaleCommitError` if another writer has since committed to
+    any of the partitions this commit touches — two sessions editing
+    DISJOINT time ranges still both land.  With the default
+    ``base_version=None`` the check is off (single-writer, reference
+    semantics).
 
     Correctness relies on an engine invariant: QC updates only rewrite
     flag columns, never ``time_col``, so a row can never migrate
@@ -138,6 +193,17 @@ def commit_state(
         lo_us = int(lo.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
         hi_us = int(hi.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
         parts.update(range(lo_us // width_us, hi_us // width_us + 1))
+    manifest = _read_manifest(path)
+    if base_version is not None:
+        conflicts = {
+            p for p in parts if _part_version(manifest, p) > base_version
+        }
+        if conflicts:
+            raise StaleCommitError(
+                f"commit based on version {base_version} touches partitions"
+                f" {sorted(conflicts)} already rewritten at version"
+                f" {manifest['version']}; reload the state and re-apply"
+            )
     staged = df.withColumn(PART_COL, _part_expr(time_col, part_hours)).filter(
         F.col(PART_COL).isin(sorted(parts))
     )
@@ -148,6 +214,11 @@ def commit_state(
         .option("compression", "zstd")
         .parquet(path)
     )
+    v = int(manifest["version"]) + 1
+    manifest["version"] = v
+    for p in parts:
+        manifest["parts"][str(p)] = v
+    _write_manifest(path, manifest)
 
 
 def checkpoint_state(
@@ -157,6 +228,7 @@ def checkpoint_state(
     time_col: str,
     part_hours: int = 720,
     changed: list[tuple[_dt.datetime, _dt.datetime]] | None = None,
+    base_version: int | None = None,
 ) -> DataFrame:
     """Materialize accumulated flag-update overlays and restart lineage.
 
@@ -168,6 +240,7 @@ def checkpoint_state(
     ranges to commit incrementally (:func:`commit_state`).
     """
     commit_state(
-        df, path, time_col=time_col, part_hours=part_hours, changed=changed
+        df, path, time_col=time_col, part_hours=part_hours, changed=changed,
+        base_version=base_version,
     )
     return load_state(df.sparkSession, path).drop(PART_COL)

@@ -158,3 +158,60 @@ def test_checkpoint_compacts_overlays(spark, tmp_path):
     # lineage is one scan deep after the checkpoint
     plan = compacted._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
+
+
+def test_concurrent_commits_disjoint_land_stale_overlap_raises(spark, tmp_path):
+    """Optimistic concurrency via the commit manifest: two writers from
+    the same base version both land when they touch disjoint
+    partitions; a writer whose base predates another commit to the SAME
+    partition fails with StaleCommitError instead of silently
+    clobbering it."""
+    import pytest
+
+    from qctimeseries_spark.state import StaleCommitError, state_version
+
+    df = add_flags(
+        read_table(spark, SF_DIR, "events").select("event_id", "ts", "value"),
+        "value",
+    )
+    path = str(tmp_path / "cc")
+    save_state(df, path, time_col="ts", part_hours=48)
+    base = state_version(path)
+
+    r1 = (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2, 23))
+    r2 = (dt.datetime(2024, 1, 9), dt.datetime(2024, 1, 10, 23))
+
+    # session A commits range 1 from `base`
+    a = set_flag(
+        df, "value", -2,
+        selection=(F.col("ts") >= F.lit(r1[0])) & (F.col("ts") < F.lit(r1[1])),
+    )
+    commit_state(a, path, time_col="ts", part_hours=48,
+                 changed=[r1], base_version=base)
+
+    # session B, ALSO from `base`, commits a disjoint range — lands
+    b = set_flag(
+        df, "value", 1,
+        selection=(F.col("ts") >= F.lit(r2[0])) & (F.col("ts") < F.lit(r2[1])),
+    )
+    commit_state(b, path, time_col="ts", part_hours=48,
+                 changed=[r2], base_version=base)
+
+    # both edits survive in the reloaded table
+    back = load_state(spark, path)
+    assert back.filter(F.col("value_qcflag") == -2).count() > 0
+    assert back.filter(F.col("value_qcflag") == 1).count() > 0
+
+    # session C from the same stale base touches range 1 again — raises
+    c = set_flag(
+        df, "value", 0,
+        selection=(F.col("ts") >= F.lit(r1[0])) & (F.col("ts") < F.lit(r1[1])),
+    )
+    with pytest.raises(StaleCommitError, match="reload"):
+        commit_state(c, path, time_col="ts", part_hours=48,
+                     changed=[r1], base_version=base)
+
+    # after reloading the current version the same commit goes through
+    commit_state(c, path, time_col="ts", part_hours=48,
+                 changed=[r1], base_version=state_version(path))
+    assert state_version(path) == base + 3
