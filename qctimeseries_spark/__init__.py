@@ -39,6 +39,8 @@ from qctimeseries_spark.windows import (
     window_range,
     window_extent,
     sessionize,
+    sessionize_salted,
+    hot_keys,
 )
 from qctimeseries_spark.updates import (
     set_flag,
@@ -98,6 +100,8 @@ __all__ = [
     "window_range",
     "window_extent",
     "sessionize",
+    "sessionize_salted",
+    "hot_keys",
     "set_flag",
     "flag_window",
     "approve_window",

@@ -257,6 +257,116 @@ def sessionize(
     return df.withColumn(col, F.sum(new_sess).over(run).cast("int"))
 
 
+def hot_keys(
+    df: DataFrame,
+    key_col: str,
+    *,
+    threshold_frac: float = 0.2,
+    sample_frac: float = 0.01,
+    seed: int = 7,
+) -> DataFrame:
+    """Estimate which keys dominate the table: one cheap
+    ``sample → groupBy(key).count()`` pass, returning keys whose sampled
+    share exceeds ``threshold_frac`` with their estimated share.
+
+    Per-key ordered operators (:func:`sessionize`,
+    :func:`~qctimeseries_spark.joins.asof_join`) put each key's rows
+    through one sort task; at 100 TB a power-law key (one device/user
+    holding half the events) makes that task the straggler that
+    dominates the stage.  Run this on ingest samples and route flagged
+    corpora through :func:`sessionize_salted`.
+    """
+    s = df.sample(False, sample_frac, seed=seed).select(key_col)
+    total = s.count()
+    if total == 0:
+        s, total = df.select(key_col), df.count()
+    if total == 0:
+        return df.sparkSession.createDataFrame(
+            [], f"`{key_col}` string, est_share double"
+        )
+    return (
+        s.groupBy(key_col)
+        .agg((F.count(F.lit(1)) / F.lit(float(total))).alias("est_share"))
+        .filter(F.col("est_share") >= threshold_frac)
+    )
+
+
+def sessionize_salted(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    *,
+    gap_minutes: float = 30.0,
+    col: str = "session_id",
+    ties: list[str] | None = None,
+    block_hours: float = 24.0,
+) -> DataFrame:
+    """Skew-hardened :func:`sessionize`: identical session ids, no
+    single-task-per-key sort.
+
+    Two phases.  (1) Rows are split into coarse time blocks
+    (``block_hours``) and sessions are computed per (key, block) — the
+    sort window partitions on (key, block), so a hot key's rows spread
+    over #blocks tasks instead of one.  (2) A per-(key, block) summary
+    (first/last event, session count — #keys × #blocks rows, tiny)
+    decides for each block boundary whether the first session of block
+    b continues the last session of block b−1 (boundary gap ≤ the
+    threshold); a running offset (Σ prior session counts − Σ bridges)
+    renumbers intra-block ids into exactly the global ids the unsalted
+    path produces — pinned by a property test against :func:`sessionize`
+    on a corpus where one key holds half the rows.
+
+    Merging is transitive: a session spanning many blocks bridges every
+    intermediate boundary and each bridge decrements the offset by one.
+    NULL timestamps land in a NULL block that sorts first and never
+    bridges — the same per-row new-session behavior the unsalted lag
+    formulation gives them.  Cost vs :func:`sessionize`: one extra
+    small aggregation and a broadcast-sized join back on (key, block).
+    """
+    validate_time_col(df, time_col)
+    gap_us = round(gap_minutes * 60.0 * 1_000_000)
+    width_us = round(block_hours * 3600.0 * 1_000_000)
+    t_us = F.unix_micros(F.col(time_col))
+    # NULL timestamps get a smallest-sorting sentinel block: a NULL _blk
+    # would fall out of the equi-join back and sort ambiguously
+    d = df.withColumn(
+        "_blk",
+        F.coalesce(
+            F.expr(_floor_div_sql(f"unix_micros(`{time_col}`)", width_us)),
+            F.lit(-(2**63)).cast("long"),
+        ),
+    )
+    order = [F.col(time_col), *(F.col(c) for c in ties or [])]
+    w = Window.partitionBy(key_col, "_blk").orderBy(*order)
+    prev = F.lag(t_us).over(w)
+    new_sess = F.when(prev.isNull() | ((t_us - prev) > gap_us), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = d.withColumn("_s", F.sum(new_sess).over(run))
+
+    summ = d.groupBy(key_col, "_blk").agg(
+        F.min(t_us).alias("_first"),
+        F.max(t_us).alias("_last"),
+        F.max("_s").alias("_n"),
+    )
+    wb = Window.partitionBy(key_col).orderBy(F.col("_blk").asc())
+    prev_last = F.lag(F.col("_last")).over(wb)
+    # NULL boundary gap (first block, or a NULL-time block before) never
+    # bridges — mirroring the unsalted lag: a NULL prev starts a session
+    bridge = F.when((F.col("_first") - prev_last) <= gap_us, 1).otherwise(0)
+    summ = summ.withColumn("_bridge", bridge)
+    wrun = wb.rowsBetween(Window.unboundedPreceding, 0)
+    offset = (F.sum("_n").over(wrun) - F.col("_n")) - F.sum("_bridge").over(
+        wrun
+    )
+    summ = summ.select(key_col, "_blk", offset.alias("_off"))
+
+    return (
+        d.join(summ, [key_col, "_blk"])
+        .withColumn(col, (F.col("_s") + F.col("_off")).cast("int"))
+        .drop("_blk", "_s", "_off")
+    )
+
+
 def window_extent(
     anchor: _dt.datetime, win_id: int, hours: float, pad: float = 0.02
 ) -> tuple[_dt.datetime, _dt.datetime]:

@@ -153,3 +153,66 @@ def test_sessionize_assigns_ids_per_gap(spark):
 def test_window_extent_pad():
     lo, hi = window_extent(dt.datetime(2024, 1, 1), 1, 24, pad=0.0)
     assert lo == dt.datetime(2024, 1, 2) and hi == dt.datetime(2024, 1, 3)
+
+
+def test_sessionize_salted_matches_unsalted_on_skewed_corpus(spark):
+    """One key holds half the rows (the 100 TB straggler shape); the
+    two-phase salted path must produce IDENTICAL session ids to the
+    per-key-sort path — including sessions spanning block boundaries,
+    ties, and NULL timestamps."""
+    import datetime as dt
+
+    from qctimeseries_spark.windows import sessionize, sessionize_salted
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    rid = 0
+    # hot key 1: ~600 events over 6 days — bursts split by > gap,
+    # including a session STRADDLING every midnight block edge
+    for day in range(6):
+        base = t0 + dt.timedelta(days=day)
+        for burst_start_min in (-10, 300, 700):  # -10 crosses midnight
+            for j in range(33):
+                rows.append(
+                    (1, rid, base + dt.timedelta(
+                        minutes=burst_start_min + j))
+                )
+                rid += 1
+    # tie pair on the hot key
+    rows.append((1, rid, t0 + dt.timedelta(minutes=300))); rid += 1
+    # NULL timestamps on the hot key
+    rows.append((1, rid, None)); rid += 1
+    rows.append((1, rid, None)); rid += 1
+    # cold keys: ~1 event each
+    for k in range(2, 500):
+        rows.append((k, rid, t0 + dt.timedelta(minutes=7 * k))); rid += 1
+
+    df = spark.createDataFrame(
+        rows, "user_id long, rowid long, ts timestamp"
+    )
+    kw = dict(gap_minutes=30.0, ties=["rowid"])
+    a = {
+        (r.user_id, r.rowid): r.session_id
+        for r in sessionize(df, "user_id", "ts", **kw).collect()
+    }
+    b = {
+        (r.user_id, r.rowid): r.session_id
+        for r in sessionize_salted(
+            df, "user_id", "ts", block_hours=24.0, **kw
+        ).collect()
+    }
+    assert a == b
+    # sanity: the corpus really exercises multi-session structure
+    assert max(v for (k, _), v in a.items() if k == 1) > 10
+
+
+def test_hot_keys_flags_dominant_key(spark):
+    from qctimeseries_spark.windows import hot_keys
+
+    df = spark.range(0, 10_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 42 ELSE id END AS user_id"
+    )
+    hot = hot_keys(df, "user_id", threshold_frac=0.3, sample_frac=0.2)
+    got = {r.user_id: r.est_share for r in hot.collect()}
+    assert list(got) == [42]
+    assert 0.35 < got[42] < 0.65
