@@ -21,7 +21,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-HEADLINE = [
+#: the round-1/2 headline set — kept intact so round-over-round totals
+#: stay comparable (reported as core_subtotal)
+CORE = [
     "a1_progress",
     "u6_flag_approve_advance",
     "w3_admitted_windows",
@@ -37,6 +39,18 @@ HEADLINE = [
     "t3_quality",
     "m2_media_features",
 ]
+
+#: round-2 operators folded into regression tracking from round 3 on
+EXTENDED = [
+    "j1_asof_join",
+    "j2_range_join",
+    "c1_dup_clusters",
+    "t7_contamination",
+    "t8_hash_sample",
+    "a9_percentiles",
+]
+
+HEADLINE = CORE + EXTENDED
 
 
 def main() -> int:
@@ -96,6 +110,14 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # r1/r2 totals covered only CORE — compare those rounds
+                # against core_subtotal, not the extended total
+                "core_subtotal": round(
+                    sum(times[q] for q in CORE if q in times), 3
+                ),
+                "extended_subtotal": round(
+                    sum(times[q] for q in EXTENDED if q in times), 3
+                ),
             }
         )
     )
