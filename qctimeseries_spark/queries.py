@@ -764,11 +764,29 @@ def q_st4_session_windows(spark, sf_dir):
     )
 
 
+def q_t9_sessionize_salted(spark, sf_dir):
+    """Skew-hardened two-phase sessionization (per-(key, time-block)
+    sort + boundary merge) — per-session row counts, oracled against
+    the plain lag/cumsum formulation: the salted path must reproduce
+    the per-key-sort ids exactly, cross-engine."""
+    from qctimeseries_spark.windows import sessionize_salted
+
+    ev = read_table(spark, sf_dir, "events")
+    s = sessionize_salted(
+        ev, "user_id", "ts", gap_minutes=30.0, ties=["event_id"],
+        block_hours=24.0,
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
         "a9_percentiles": q_a9_percentiles,
         "st4_session_windows": q_st4_session_windows,
+        "t9_sessionize_salted": q_t9_sessionize_salted,
     }
 )
 
@@ -1048,6 +1066,27 @@ WITH o AS (
 )
 SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id""",
+    "t9_sessionize_salted": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR epoch_us(ts)
+                   - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id))
+                   > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id""",
     "j2_range_join": """
 WITH iv AS (
   SELECT event_id AS incident_id, user_id, ts AS lo,
