@@ -48,6 +48,7 @@ EXTENDED = [
     "t7_contamination",
     "t8_hash_sample",
     "a9_percentiles",
+    "c2_curate",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -20,6 +20,7 @@ from qctimeseries_spark.datapipe.dedup import (
     simhash,
     simhash_dup_pairs,
 )
+from qctimeseries_spark.datapipe.curate import curate_corpus
 from qctimeseries_spark.datapipe.sample import hash_sample, sample_bucket
 from qctimeseries_spark.datapipe.hashing import fast_hash64, hash60
 from qctimeseries_spark.datapipe.multimodal import (
@@ -32,6 +33,7 @@ from qctimeseries_spark.datapipe.similarity import (
     ivf_assign,
     knn_bruteforce,
     knn_ivf,
+    recall_at_k,
     take_centroids,
 )
 from qctimeseries_spark.datapipe.text import (
@@ -46,6 +48,8 @@ from qctimeseries_spark.datapipe.text import (
 
 __all__ = [
     "cosine",
+    "curate_corpus",
+    "recall_at_k",
     "dup_clusters",
     "hash_sample",
     "sample_bucket",

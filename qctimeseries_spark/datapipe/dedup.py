@@ -492,11 +492,18 @@ def dup_clusters(
     clusters are near-cliques (diameter ≤ 2–3), so this converges in
     ~3 rounds where a general graph might need the classic
     large-star/small-star contraction.  Each round's result is
-    persisted and the previous unpersisted, keeping lineage depth
-    constant.  The convergence test rides the SAME action that
+    ``localCheckpoint``-ed (lazily): ``persist`` alone reuses the
+    DATA but leaves the logical plan nested — ``labels`` feeds both
+    the propagation join and the merge, so the plan tree DOUBLES per
+    round and a long-diameter graph (12+ rounds) OOMs the driver just
+    stringifying the 2^rounds-node plan for the UI.  The checkpoint
+    truncates lineage to a flat scan each round, making plan size
+    O(1) in rounds (the executor-local blocks are not fault-tolerant
+    to executor loss mid-algorithm; a retry re-runs from the pair
+    list).  The convergence test rides the SAME action that
     materializes the round (a did-any-label-shrink flag aggregated
-    over the persisted frame), so each round costs exactly one job —
-    at 100 TB a second per-round job is a real shuffle-read
+    over the checkpointed frame), so each round costs exactly one
+    job — at 100 TB a second per-round job is a real shuffle-read
     (``tests/test_datapipe.py`` pins the job count).  Deterministic
     fixpoint → full DuckDB oracle (recursive CTE closure).
     """
@@ -537,10 +544,11 @@ def dup_clusters(
                 ).alias("label"),
                 (F.col("nbr_min") < F.col("label")).alias("_shrunk"),
             )
-            .persist()
+            # lazy: the convergence agg below is the materializing action
+            .localCheckpoint(eager=False)
         )
-        # one action: materializes the round into cache AND returns the
-        # convergence flag (no second old-vs-new join job)
+        # one action: materializes the round's checkpoint AND returns
+        # the convergence flag (no second old-vs-new join job)
         changed = new.agg(
             F.max(F.coalesce(F.col("_shrunk"), F.lit(False)))
         ).collect()[0][0]

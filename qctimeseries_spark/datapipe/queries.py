@@ -29,6 +29,7 @@ from qctimeseries_spark.datapipe.dedup import (
     simhash_dup_pairs,
 )
 from qctimeseries_spark.datapipe.dedup import MINHASH_P, minhash_coeffs
+from qctimeseries_spark.datapipe.curate import curate_corpus
 from qctimeseries_spark.datapipe.hashing import hash60_sql
 from qctimeseries_spark.datapipe.multimodal import (
     attach_media,
@@ -491,6 +492,57 @@ def q_m2_media_features(spark, sf_dir):
     )
 
 
+def _curate_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ mangled re-crawls of every 10th doc (exact-dup tier,
+    caught by dedup) ∪ 'leaked' benchmark copies of every 50th doc
+    (caught by decontamination) — the mess a crawl hands a curation
+    pipeline."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    mangled = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "lang",
+            F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+        )
+    )
+    leaked = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            "lang",
+            F.concat(F.lit("leaked copy "), F.col("text")).alias("text"),
+        )
+    )
+    return d.unionByName(mangled).unionByName(leaked)
+
+
+def q_c2_curate(spark, sf_dir):
+    """Flagship composed pipeline: exact dedup (keeper = min id per
+    fingerprint) → benchmark decontamination (≥1 shared 8-gram) →
+    quality ≥ 0.5 → deterministic 50% hash sample.  One lazy chain,
+    two wide stages (fingerprint window + shingle-count groupBy); the
+    benchmark side is broadcast.  Every stage is individually
+    oracle-checked (d1/t7/t3/t8); this checks their composition."""
+    src = _curate_src(spark, sf_dir)
+    bench = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    out = curate_corpus(
+        src,
+        bench,
+        ngram=8,
+        min_shared_ngrams=1,
+        quality_min=0.5,
+        sample_fraction=0.5,
+    )
+    return out.select("doc_id", "lang", "fingerprint", "n_tokens", "quality")
+
+
 DATAPIPE_QUERIES = {
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_dedup": q_d2_minhash_dedup,
@@ -509,6 +561,7 @@ DATAPIPE_QUERIES = {
     "t8_hash_sample": q_t8_hash_sample,
     "m1_media_summary": q_m1_media_summary,
     "m2_media_features": q_m2_media_features,
+    "c2_curate": q_c2_curate,
 }
 
 
@@ -777,6 +830,73 @@ WHERE {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")} % 1000000 <
       CASE WHEN lang = 'en' THEN 300000
            WHEN lang = 'zh' THEN 800000
            ELSE 500000 END""",
+    "c2_curate": (
+        f"""
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang,
+         replace(upper(text), ' ', '  ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, lang,
+         concat('leaked copy ', text) AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+f AS (
+  SELECT doc_id, lang, text, {hash60_sql(_NORM_TEXT)} AS fingerprint
+  FROM corpus
+),
+k AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                               ORDER BY doc_id) AS rn
+  FROM f
+),
+kept AS (SELECT doc_id, lang, text, fingerprint FROM k WHERE rn = 1),
+btk AS (SELECT """
+        + _TOKS.format(c="text")
+        + """ AS tk FROM documents WHERE doc_id % 50 = 0),
+bdh AS (SELECT DISTINCT unnest("""
+        + _sh_hashed("tk", 8)
+        + """) AS h FROM btk),
+ctk AS (SELECT doc_id, """
+        + _TOKS.format(c="text")
+        + """ AS tk FROM kept),
+cdh AS (SELECT doc_id, unnest("""
+        + _sh_hashed("tk", 8)
+        + f""") AS h FROM ctk),
+bad AS (
+  SELECT cdh.doc_id, COUNT(DISTINCT h) AS ns
+  FROM cdh JOIN bdh USING (h) GROUP BY cdh.doc_id
+),
+clean AS (
+  SELECT * FROM kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM bad WHERE ns >= 1)
+),
+tk2 AS (SELECT *, {_TOKS.format(c='text')} AS tkl FROM clean),
+st AS (
+  SELECT doc_id, lang, fingerprint,
+         CAST(len(tkl) AS INT) AS n_tokens,
+         ROUND(CAST(len(list_distinct(tkl)) AS DOUBLE) / len(tkl), 6)
+             AS uniq_ratio,
+         ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+               / length(text), 6) AS punct_ratio
+  FROM tk2
+),
+q AS (
+  SELECT doc_id, lang, fingerprint, n_tokens,
+         ROUND(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4
+                    ELSE 0.0 END
+               + 0.4 * LEAST(uniq_ratio * 1.25, 1.0)
+               + 0.2 * (1.0 - LEAST(punct_ratio * 5, 1.0)), 6) AS quality
+  FROM st
+)
+SELECT doc_id, lang, fingerprint, n_tokens, quality
+FROM q
+WHERE quality >= 0.5
+  AND {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")} % 1000000
+      < 500000"""
+    ),
     # The container framing overheads (57/27/44/140) and the
     # width/height/rate/duration formulas mirror multimodal.build_payload;
     # the Spark side recovers them by parsing actual container bytes.

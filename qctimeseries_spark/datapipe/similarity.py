@@ -254,3 +254,37 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate kNN result against the exact
+    one: ``|approx ∩ exact| / |exact|`` over the neighbor sets.
+
+    The evaluation an IVF/LSH index needs before its ``nprobe``/banding
+    knobs can be trusted at scale.  Fully distributed — an equi-join on
+    (query, neighbor) plus two thin groupBys; never collects, so it
+    runs over millions of held-out queries as easily as five.  Corpus
+    recall = ``result.agg(F.avg("recall"))``.
+    """
+    e = exact.select(query_col, neighbor_col)
+    a = approx.select(query_col, neighbor_col)
+    totals = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("_n_exact"))
+    hits = (
+        e.join(a, [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    return totals.join(hits, query_col, "left").select(
+        query_col,
+        F.round(
+            F.coalesce(F.col("_n_hit"), F.lit(0)).cast("double")
+            / F.col("_n_exact"),
+            6,
+        ).alias("recall"),
+    )

@@ -806,6 +806,10 @@ QUERIES.update(
 #   f5  = ISO render, exercised inside s1's CSV roundtrip formatting
 #   a4  = bare min(t), computed inside every windowed query's anchor
 #   u5  = u4 without the window scope (same guarded overlay)
+#   v2  = window slice + flag==1 filter; the P8 flag-class predicate
+#         keeps a driver row via p8_flag_class_filters, and v1/v4/v5
+#         keep the window-slice plan in-window.  Deferred in round 3 to
+#         make room for the composed curation pipeline (c2_curate).
 _DEFERRED = (
     "u5_reset_all",
     "u4_reset_window",
@@ -818,6 +822,7 @@ _DEFERRED = (
     "v3_flagged_overlay",
     "f5_iso_export",
     "a4_anchor",
+    "v2_approved_overlay",
 )
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
     k: QUERIES[k] for k in _DEFERRED

@@ -244,3 +244,64 @@ def checkpoint_state(
         base_version=base_version,
     )
     return load_state(df.sparkSession, path).drop(PART_COL)
+
+
+# ---------------------------------------------------------------------------
+# bucketed state tables: shuffle-free rowid joins
+# ---------------------------------------------------------------------------
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_col: str = "rowid",
+    buckets: int = 256,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist a table hash-bucketed (and per-file sorted) on
+    ``bucket_col`` so every later equi-join or groupBy on that key reads
+    pre-partitioned, pre-sorted files instead of shuffling.
+
+    This is the scale answer to SURVEY.md §4's flag-state sidecar: keep
+    the immutable base series bucketed by ``rowid`` and the compact
+    ``(rowid, flag)`` sidecar bucketed the same way, and the
+    reassembling join plans as a zero-Exchange sort-merge join — the
+    100 TB base table is never shuffled to apply a flag overlay, and
+    with ``sort=True`` not even re-sorted.  The same layout serves the
+    U-op selection joins (P10 brushed-rowid sets) and any periodic
+    compaction merge.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``) —
+    a plain ``.parquet(path)`` write cannot record it.  Pass ``path``
+    to control file placement (external table); both sides of a join
+    must use the SAME bucket count for the exchange-free plan.
+
+    The write repartitions on ``bucket_col`` first, for two reasons
+    that only matter at scale: without it every task writes a file per
+    bucket it sees (10k tasks × 256 buckets = 2.5M files), and Spark
+    only trusts the ``sortBy`` layout on read — eliding the join-side
+    Sort — when each bucket is exactly one file.  ``repartition`` and
+    ``bucketBy`` share Spark's Murmur3 bucketing hash, so each write
+    task holds exactly one bucket's rows.
+    """
+    w = (
+        df.repartition(buckets, F.col(bucket_col))
+        .write.format("parquet")
+        .mode("overwrite")
+        .option("compression", "zstd")
+        .bucketBy(buckets, bucket_col)
+    )
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a :func:`save_bucketed` table with its bucket layout intact
+    (``spark.table`` — a raw ``read.parquet`` of the same files would
+    drop the bucketing metadata and re-shuffle on join)."""
+    return spark.table(table)

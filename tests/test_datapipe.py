@@ -371,3 +371,59 @@ def test_media_plumbing_roundtrip(docs):
     assert {r["media_id"]: r["features"] for r in feats} == {
         r["media_id"]: r["features"] for r in again
     }
+
+
+def test_curate_corpus_full_chain(docs, spark):
+    """Dedup drops the mangled copy (keeper = lowest id), decontamination
+    drops the benchmark-overlapping doc, the quality cut drops the
+    2-token doc; survivors keep their bookkeeping columns."""
+    from qctimeseries_spark.datapipe import curate_corpus
+
+    bench = docs.filter(F.col("doc_id") == 2).select("text")
+    out = curate_corpus(docs, bench, ngram=8, quality_min=0.7)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # 3 is a case/whitespace mangle of 0 -> deduped; 2 shares 8-grams
+    # with the benchmark -> decontaminated; 5 is 2 tokens -> low quality
+    assert set(rows) == {0, 1, 4}
+    assert all(r["quality"] >= 0.7 for r in rows.values())
+    assert all(r["n_tokens"] >= 10 for r in rows.values())
+
+
+def test_curate_corpus_no_benchmark_keeps_contaminated(docs, spark):
+    from qctimeseries_spark.datapipe import curate_corpus
+
+    out = curate_corpus(docs, None, quality_min=0.0)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids == {0, 1, 2, 4, 5}  # only the exact dup (3) removed
+
+
+def test_curate_corpus_sample_is_deterministic(docs, spark):
+    from qctimeseries_spark.datapipe import curate_corpus
+
+    a = curate_corpus(docs, None, quality_min=0.0, sample_fraction=0.5)
+    b = curate_corpus(docs, None, quality_min=0.0, sample_fraction=0.5)
+    ids_a = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b
+    full = {0, 1, 2, 4, 5}
+    assert set(ids_a) < full  # a strict subset at fraction 0.5
+
+
+def test_recall_at_k_evaluator(vectors):
+    """recall_at_k reproduces the manual set-intersection recall and
+    returns one row per query with recall in [0, 1]."""
+    from qctimeseries_spark.datapipe import recall_at_k
+
+    queries = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_bruteforce(vectors, queries, k=5)
+    approx = knn_ivf(vectors, queries, k=5, nlist=8, nprobe=4)
+    per_q = {r["query_id"]: r["recall"] for r in recall_at_k(exact, approx).collect()}
+    assert set(per_q) == {0, 1, 2}
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    for q in per_q:
+        want = len({n for qq, n in ex if qq == q} & {n for qq, n in ap if qq == q}) / 5
+        assert abs(per_q[q] - want) < 1e-9
+    assert all(0.0 <= v <= 1.0 for v in per_q.values())

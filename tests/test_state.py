@@ -215,3 +215,37 @@ def test_concurrent_commits_disjoint_land_stale_overlap_raises(spark, tmp_path):
     commit_state(c, path, time_col="ts", part_hours=48,
                  changed=[r1], base_version=state_version(path))
     assert state_version(path) == base + 3
+
+
+def test_bucketed_state_join_has_no_exchange(spark, tmp_path):
+    """Base series and flag sidecar bucketed on rowid join as a
+    zero-Exchange sort-merge join — the layout that lets a 100 TB base
+    table apply a flag overlay without being shuffled."""
+    from qctimeseries_spark.state import read_bucketed, save_bucketed
+
+    base = spark.range(0, 2000).select(
+        F.col("id").alias("rowid"), (F.col("id") * 2.0).alias("value")
+    )
+    flags = spark.range(0, 2000, 7).select(
+        F.col("id").alias("rowid"), F.lit(-2).alias("value_qcflag")
+    )
+    save_bucketed(base, "t_base", buckets=4, path=str(tmp_path / "b"))
+    save_bucketed(flags, "t_flags", buckets=4, path=str(tmp_path / "f"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = read_bucketed(spark, "t_base").join(
+                read_bucketed(spark, "t_flags"), "rowid"
+            )
+            assert j.count() == flags.count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            # bucket files are pre-sorted: the join adds no Sort either
+            assert "Sort [rowid" not in plan.replace("SortMergeJoin", "")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_base")
+        spark.sql("DROP TABLE IF EXISTS t_flags")
