@@ -21,7 +21,11 @@ from qctimeseries_spark.datapipe.dedup import (
     simhash_dup_pairs,
 )
 from qctimeseries_spark.datapipe.curate import curate_corpus
-from qctimeseries_spark.datapipe.sample import hash_sample, sample_bucket
+from qctimeseries_spark.datapipe.sample import (
+    hash_sample,
+    sample_bucket,
+    sample_to_token_budget,
+)
 from qctimeseries_spark.datapipe.hashing import fast_hash64, hash60
 from qctimeseries_spark.datapipe.multimodal import (
     attach_media,
@@ -53,6 +57,7 @@ __all__ = [
     "dup_clusters",
     "hash_sample",
     "sample_bucket",
+    "sample_to_token_budget",
     "contamination_check",
     "redact_pii",
     "embedding_dup_pairs",

@@ -36,7 +36,10 @@ from qctimeseries_spark.datapipe.multimodal import (
     extract_features,
     media_summary,
 )
-from qctimeseries_spark.datapipe.sample import hash_sample
+from qctimeseries_spark.datapipe.sample import (
+    hash_sample,
+    sample_to_token_budget,
+)
 from qctimeseries_spark.datapipe.similarity import knn_bruteforce, knn_ivf
 from qctimeseries_spark.datapipe.text import (
     LANG_STOPWORDS,
@@ -492,6 +495,15 @@ def q_m2_media_features(spark, sf_dir):
     )
 
 
+def q_t10_token_budget(spark, sf_dir):
+    """Deterministic token-budget prefix: documents in hash-bucket
+    order until 6,000 cumulative whitespace tokens.  Two-phase at
+    scale (bucket histogram + boundary-bucket cumsum); the oracle is
+    the equivalent single global window cumsum."""
+    d = text_stats(_docs(spark, sf_dir)).select("doc_id", "lang", "n_tokens")
+    return sample_to_token_budget(d, "doc_id", "n_tokens", budget=6000)
+
+
 def _curate_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ mangled re-crawls of every 10th doc (exact-dup tier,
     caught by dedup) ∪ 'leaked' benchmark copies of every 50th doc
@@ -562,6 +574,7 @@ DATAPIPE_QUERIES = {
     "m1_media_summary": q_m1_media_summary,
     "m2_media_features": q_m2_media_features,
     "c2_curate": q_c2_curate,
+    "t10_token_budget": q_t10_token_budget,
 }
 
 
@@ -830,6 +843,21 @@ WHERE {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")} % 1000000 <
       CASE WHEN lang = 'en' THEN 300000
            WHEN lang = 'zh' THEN 800000
            ELSE 500000 END""",
+    "t10_token_budget": f"""
+WITH tkc AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS.format(c='text')}) AS INT) AS n_tokens,
+         {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")} % 1000000
+             AS bucket
+  FROM documents
+),
+c AS (
+  SELECT *, SUM(CAST(n_tokens AS BIGINT))
+                OVER (ORDER BY bucket, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tkc
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 6000""",
     "c2_curate": (
         f"""
 WITH corpus AS (

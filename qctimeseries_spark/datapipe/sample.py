@@ -68,3 +68,66 @@ def hash_sample(
             ).otherwise(thresh)
         )
     return df.filter(bucket < thresh)
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    budget: int,
+    *,
+    seed: str = "qcts",
+) -> DataFrame:
+    """Keep a deterministic ~``budget``-token subset: documents are
+    ordered by ``(sample_bucket, key)`` and the maximal prefix whose
+    cumulative ``token_col`` stays ≤ ``budget`` survives.
+
+    The mixture-building primitive: "give me 50 B tokens of this
+    source, reproducibly".  Because the order is a pure function of
+    the key hash, the selection is stable across runs and engines, and
+    GROWING the budget only ever ADDS documents (smaller budgets are
+    prefixes of larger ones) — so a 10 B-token pilot corpus is a strict
+    subset of the later 50 B-token run.
+
+    Scale design: the obvious formulation — one global window cumsum
+    ordered by hash — funnels the entire corpus through a single task.
+    Instead, phase 1 aggregates per-bucket token totals (ONE shuffle
+    over ≤ ``SAMPLE_MOD`` groups) and the driver scans the ≤1 M-row
+    histogram to find the cutoff bucket and its remaining budget;
+    phase 2 keeps every earlier bucket with a plain filter (narrow,
+    pushed to the scan) and resolves only the single boundary bucket
+    with a window cumsum over ~1/SAMPLE_MOD of the corpus.  The result
+    is row-identical to the global-prefix semantics at any scale.
+    """
+    df = df.filter(F.col(key_col).isNotNull())
+    b = df.withColumn("_bucket", sample_bucket(key_col, seed))
+    hist = (
+        b.groupBy("_bucket")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
+        .orderBy("_bucket")
+        .collect()
+    )
+    running, cut, rem = 0, None, 0
+    for r in hist:
+        if running + r["_t"] > budget:
+            cut, rem = r["_bucket"], budget - running
+            break
+        running += r["_t"]
+    if cut is None:
+        return b.drop("_bucket")  # the whole corpus fits the budget
+    from pyspark.sql import Window
+
+    boundary = (
+        b.filter(F.col("_bucket") == cut)
+        .withColumn(
+            "_cum",
+            F.sum(F.col(token_col).cast("long")).over(
+                Window.partitionBy("_bucket").orderBy(key_col)
+            ),
+        )
+        .filter(F.col("_cum") <= rem)
+        .drop("_cum")
+    )
+    return b.filter(F.col("_bucket") < cut).unionByName(boundary).drop(
+        "_bucket"
+    )

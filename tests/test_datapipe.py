@@ -427,3 +427,39 @@ def test_recall_at_k_evaluator(vectors):
         want = len({n for qq, n in ex if qq == q} & {n for qq, n in ap if qq == q}) / 5
         assert abs(per_q[q] - want) < 1e-9
     assert all(0.0 <= v <= 1.0 for v in per_q.values())
+
+
+def test_sample_to_token_budget_prefix_and_monotone(docs, spark):
+    """The selection is the maximal hash-order prefix within budget,
+    and growing the budget only ever adds documents."""
+    from qctimeseries_spark.datapipe import sample_to_token_budget
+    from qctimeseries_spark.datapipe.sample import sample_bucket
+
+    d = text_stats(docs).select("doc_id", "n_tokens")
+    ordered = sorted(
+        d.withColumn("_b", sample_bucket("doc_id")).collect(),
+        key=lambda r: (r["_b"], r["doc_id"]),
+    )
+    budget = 30
+    want, cum = set(), 0
+    for r in ordered:
+        if cum + r["n_tokens"] > budget:
+            break
+        cum += r["n_tokens"]
+        want.add(r["doc_id"])
+    got = {
+        r["doc_id"]
+        for r in sample_to_token_budget(d, "doc_id", "n_tokens", budget).collect()
+    }
+    assert got == want and got  # non-trivial prefix
+    small = got
+    big = {
+        r["doc_id"]
+        for r in sample_to_token_budget(d, "doc_id", "n_tokens", budget * 3).collect()
+    }
+    assert small <= big  # monotone growth
+    everything = {
+        r["doc_id"]
+        for r in sample_to_token_budget(d, "doc_id", "n_tokens", 10**9).collect()
+    }
+    assert everything == {r["doc_id"] for r in d.collect()}
