@@ -507,12 +507,16 @@ def dup_clusters(
     (``tests/test_datapipe.py`` pins the job count).  Deterministic
     fixpoint → full DuckDB oracle (recursive CTE closure).
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # materialize the pair list ONCE before symmetrizing: both branches
+    # of the union reference it, and `pairs` is typically a whole
+    # LSH/verify pipeline — without the checkpoint it would evaluate
+    # twice (and its lineage would sit under every round's plan)
+    p0 = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        edges.unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+        p0.unionByName(
+            p0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .persist()
@@ -733,19 +737,38 @@ def _dup_pairs_numpy(u: DataFrame, id_col: str, threshold: float) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    u = u.persist()  # feeds the driver collect AND the scoring scan —
+    # without it the whole normalization pipeline evaluates twice
     updf = u.toPandas()
-    ids_all = updf[id_col].to_numpy()
-    M = np.stack(updf["u"].to_numpy())  # n × d
+    # ship the unit matrix as a Spark broadcast variable: a plain
+    # closure capture pickles it into EVERY task; the broadcast lands
+    # once per executor (matters at the guard ceiling: 1M × 64 doubles
+    # = 512 MB)
+    bc = u.sparkSession.sparkContext.broadcast(
+        (updf[id_col].to_numpy(), np.stack(updf["u"].to_numpy()))
+    )
 
     def gen(batches):
+        ids_all, M = bc.value
         for pdf in batches:
             for s in range(0, len(pdf), 512):
                 chunk = pdf.iloc[s : s + 512]
                 A = np.stack(chunk["u"].to_numpy())
                 aid = chunk[id_col].to_numpy()
                 acc = np.zeros((len(A), len(M)))
-                for d in range(A.shape[1]):
-                    acc += A[:, d : d + 1] * M[None, :, d][0]
+                # cache-block over corpus columns: the naive version
+                # makes D full passes over the (chunk × n) accumulator
+                # (GBs of memory traffic); a 1024-column block keeps
+                # acc/tmp slices L2-resident across the dimension loop
+                # while preserving the exact per-pair left-fold order
+                tmp = np.empty((len(A), min(1024, len(M))))
+                for c0 in range(0, len(M), 1024):
+                    c1 = min(c0 + 1024, len(M))
+                    blk = acc[:, c0:c1]
+                    t = tmp[:, : c1 - c0]
+                    for d in range(A.shape[1]):
+                        np.multiply(A[:, d : d + 1], M[c0:c1, d], out=t)
+                        blk += t
                 acc = np.round(acc, 9)
                 ii, jj = np.nonzero((acc >= threshold) & (aid[:, None] < ids_all[None, :]))
                 yield pd.DataFrame(

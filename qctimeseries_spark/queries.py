@@ -781,12 +781,36 @@ def q_t9_sessionize_salted(spark, sf_dir):
     )
 
 
+def q_st5_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: the events stream joined map-side to
+    broadcast customer + nation dimensions (re-read per micro-batch),
+    drained append-mode.  Oracle = the equivalent batch left joins."""
+    from qctimeseries_spark.streaming import (
+        enrich_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    enriched = enrich_stream(
+        enrich_stream(ev, cust, "user_id"), nation, "c_nationkey"
+    ).select("event_id", "user_id", "c_mktsegment", "n_name", "value")
+    return run_available_now(enriched, output_mode="append")
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
         "a9_percentiles": q_a9_percentiles,
         "st4_session_windows": q_st4_session_windows,
         "t9_sessionize_salted": q_t9_sessionize_salted,
+        "st5_stream_enrich": q_st5_stream_enrich,
     }
 )
 
@@ -1147,6 +1171,11 @@ FROM events
 GROUP BY 1, 2, 3""",
     "st3_stream_dedup": """
 SELECT event_id, ts, value FROM events""",
+    "st5_stream_enrich": """
+SELECT e.event_id, e.user_id, c.c_mktsegment, n.n_name, e.value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""",
     "st2_stream_gaps": """
 WITH o AS (
   SELECT user_id, ts,

@@ -347,3 +347,30 @@ def streaming_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-anchored 24 h buckets."""
     flagged = qc_flag_stream(stream_events(spark, sf_dir))
     return run_available_now(windowed_flag_counts(flagged))
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream without any stream-side shuffle.
+
+    Structured Streaming joins the static side fresh each micro-batch
+    (a file-backed dimension picks up updates between batches); with
+    ``broadcast_dim`` the dimension ships to the executors and the join
+    is map-side — the stream partitioning is untouched, so this
+    composes freely before watermarked aggregations or stateful ops.
+    Use ``broadcast_dim=False`` only for dimensions too large to
+    broadcast (the planner then shuffle-partitions each micro-batch).
+
+    Default ``how='left'`` keeps stream rows with no dimension match
+    (nulls), preserving stream row counts — the usual ingestion
+    contract.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

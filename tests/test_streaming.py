@@ -283,3 +283,27 @@ def test_session_windows_append_mode_evicts_on_watermark(spark, tmp_path):
     # the 20:00 session is still open → retained in state, not emitted;
     # the late 09:00 event was dropped and produced no session at all
     assert all(r.session_start >= t0 for r in out)
+
+
+def test_enrich_stream_matches_batch_join_and_keeps_unmatched(spark):
+    """Stream-static enrichment equals the batch left join; stream rows
+    without a dimension match survive with nulls."""
+    from qctimeseries_spark.streaming import enrich_stream
+
+    dim = read_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    ).filter(F.col("user_id") % 2 == 0)  # force unmatched stream rows
+    streamed = run_available_now(
+        enrich_stream(stream_events(spark, SF_DIR), dim, "user_id").select(
+            "event_id", "user_id", "c_mktsegment"
+        ),
+        output_mode="append",
+    )
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    srows = {tuple(r) for r in streamed.collect()}
+    assert srows == {tuple(r) for r in batch.collect()}
+    assert any(r[2] is None for r in srows)  # unmatched kept as nulls
