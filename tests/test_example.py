@@ -18,3 +18,15 @@ def test_qc_checker_example_runs(tmp_path):
     assert "wrote [csv]" in out.stdout or "wrote [parquet]" in out.stdout
     # the exports actually landed
     assert any(tmp_path.iterdir())
+
+
+def test_curate_corpus_example_runs():
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "curate_corpus.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "curated" in out.stdout
+    assert "token budget" in out.stdout
+    assert "IVF recall@10" in out.stdout
