@@ -305,3 +305,62 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     (``spark.table`` — a raw ``read.parquet`` of the same files would
     drop the bucketing metadata and re-shuffle on join)."""
     return spark.table(table)
+
+
+def compact_state(
+    spark: SparkSession,
+    path: str,
+    *,
+    files_per_partition: int = 1,
+    parts: list[int] | None = None,
+    base_version: int | None = None,
+) -> None:
+    """Rewrite state partitions down to ``files_per_partition`` files
+    each — the maintenance pass that keeps scan efficiency after many
+    incremental commits or streaming upserts have fragmented a
+    partition into small files (at scale, file-open overhead and
+    row-group fragmentation dominate reads long before data volume
+    does).
+
+    ``parts`` limits the rewrite to specific ``qc_part`` buckets (e.g.
+    the recent hot ones); None compacts every partition.  Runs through
+    the same dynamic-partition-overwrite + manifest path as
+    :func:`commit_state`, so untouched partitions keep their files
+    byte-identical, the table version advances, and concurrent-writer
+    detection (``base_version``) applies.  Row content is preserved
+    exactly — this only re-buckets bytes into fewer files.
+    """
+    df = load_state(spark, path)
+    if parts is not None:
+        df = df.filter(F.col(PART_COL).isin([int(p) for p in parts]))
+    manifest = _read_manifest(path)
+    touched = (
+        [int(p) for p in parts]
+        if parts is not None
+        else [int(r[0]) for r in df.select(PART_COL).distinct().collect()]
+    )
+    if base_version is not None:
+        conflicts = {
+            p for p in touched if _part_version(manifest, p) > base_version
+        }
+        if conflicts:
+            raise StaleCommitError(
+                f"compaction based on version {base_version} touches"
+                f" partitions {sorted(conflicts)} already rewritten at"
+                f" version {manifest['version']}; reload and retry"
+            )
+    (
+        df.repartition(
+            max(1, len(touched) * files_per_partition), F.col(PART_COL)
+        )
+        .write.partitionBy(PART_COL)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+    v = int(manifest["version"]) + 1
+    manifest["version"] = v
+    for p in touched:
+        manifest["parts"][str(p)] = v
+    _write_manifest(path, manifest)

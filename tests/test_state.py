@@ -249,3 +249,52 @@ def test_bucketed_state_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_base")
         spark.sql("DROP TABLE IF EXISTS t_flags")
+
+
+def test_compact_state_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Compaction rewrites fragmented partitions into one file each,
+    preserves row content exactly, bumps the version, and respects
+    concurrent-writer detection."""
+    import os
+
+    from qctimeseries_spark.state import (
+        StaleCommitError,
+        compact_state,
+        state_version,
+    )
+
+    df = add_flags(
+        read_table(spark, SF_DIR, "events").select("event_id", "ts", "value"),
+        "value",
+    ).repartition(8)  # fragment: up to 8 files per partition dir
+    path = str(tmp_path / "frag")
+    save_state(df, path, time_col="ts", part_hours=48)
+
+    def data_files():
+        return [
+            os.path.join(dp, f)
+            for dp, _d, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before_files = len(data_files())
+    before_rows = sorted(
+        tuple(r) for r in load_state(spark, path).drop(PART_COL).collect()
+    )
+    v0 = state_version(path)
+
+    compact_state(spark, path, files_per_partition=1)
+    after_files = len(data_files())
+    after_rows = sorted(
+        tuple(r) for r in load_state(spark, path).drop(PART_COL).collect()
+    )
+    assert after_rows == before_rows
+    assert after_files < before_files
+    assert state_version(path) == v0 + 1
+
+    # a compaction based on the pre-compaction version must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(StaleCommitError):
+        compact_state(spark, path, base_version=v0)
