@@ -89,8 +89,13 @@ def curate_corpus(
 
     # 2. decontamination: anti-join on flagged ids (the hits side is a
     # thin id/count frame — orders of magnitude smaller than the
-    # corpus; AQE broadcasts it when it fits)
+    # corpus; AQE broadcasts it when it fits).  The deduped corpus has
+    # two consumers here (the shingle probe and the anti-join chain),
+    # so persist it: without the barrier the fingerprint window —
+    # a full-corpus shuffle — would run twice.  MEMORY_AND_DISK, so at
+    # 100 TB this spills rather than evicts.
     if benchmark is not None:
+        kept = kept.persist()
         hits = contamination_check(
             kept, benchmark, id_col, text_col, ngram=ngram
         ).filter(F.col("n_shared_ngrams") >= min_shared_ngrams)

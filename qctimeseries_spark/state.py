@@ -269,7 +269,9 @@ def save_bucketed(
     ``(rowid, flag)`` sidecar bucketed the same way, and the
     reassembling join plans as a zero-Exchange sort-merge join — the
     100 TB base table is never shuffled to apply a flag overlay, and
-    with ``sort=True`` not even re-sorted.  The same layout serves the
+    with ``sort=True`` not even re-sorted (sort elision additionally
+    needs ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``;
+    exchange elision is unconditional).  The same layout serves the
     U-op selection joins (P10 brushed-rowid sets) and any periodic
     compaction merge.
 

@@ -233,6 +233,9 @@ def test_bucketed_state_join_has_no_exchange(spark, tmp_path):
     save_bucketed(flags, "t_flags", buckets=4, path=str(tmp_path / "f"))
     try:
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_ord = spark.conf.get(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             j = read_bucketed(spark, "t_base").join(
@@ -242,10 +245,23 @@ def test_bucketed_state_join_has_no_exchange(spark, tmp_path):
             plan = j._jdf.queryExecution().executedPlan().toString()
             assert "SortMergeJoin" in plan
             assert "Exchange hashpartitioning" not in plan
-            # bucket files are pre-sorted: the join adds no Sort either
-            assert "Sort [rowid" not in plan.replace("SortMergeJoin", "")
+            # with the scan-ordering conf on (and one file per bucket,
+            # which save_bucketed guarantees), even the join-side Sort
+            # is elided
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+            )
+            j2 = read_bucketed(spark, "t_base").join(
+                read_bucketed(spark, "t_flags"), "rowid"
+            )
+            plan2 = j2._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan2
+            assert "Sort [rowid" not in plan2
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.set(
+                "spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ord
+            )
     finally:
         spark.sql("DROP TABLE IF EXISTS t_base")
         spark.sql("DROP TABLE IF EXISTS t_flags")
