@@ -268,3 +268,37 @@ def test_rowid_dense_time_ordered(spark, values):
     by_id = sorted(rows, key=lambda r: r.rowid)
     times = [r.DateTime for r in by_id]
     assert times == sorted(times)
+
+
+def test_curate_quality_threshold_monotone(spark):
+    """Raising quality_min can only shrink the curated set, and every
+    curated id is an input id."""
+    from pyspark.sql import types as T
+
+    from qctimeseries_spark.datapipe import curate_corpus
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(5 + i % 20)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    prev = set(range(40))
+    for qmin in (0.0, 0.5, 0.8, 1.01):
+        ids = {
+            r["doc_id"]
+            for r in curate_corpus(docs, None, quality_min=qmin)
+            .select("doc_id")
+            .collect()
+        }
+        assert ids <= prev  # monotone shrink
+        assert ids <= set(range(40))
+        prev = ids
+    assert prev == set()  # nothing clears quality > 1
