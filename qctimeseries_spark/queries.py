@@ -804,6 +804,23 @@ def q_st5_stream_enrich(spark, sf_dir):
     return run_available_now(enriched, output_mode="append")
 
 
+def q_w9_regularize(spark, sf_dir):
+    """Fixed-cadence grid materialization with gap rows: user 7's
+    series (deduped per instant) regularized to a 6 h cadence; oracle
+    = DuckDB generate_series + left join."""
+    from qctimeseries_spark.windows import regularize
+
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .groupBy("ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return regularize(s, "ts", step_minutes=360.0).select(
+        "grid_ts", "value", "is_gap"
+    )
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
@@ -811,6 +828,7 @@ QUERIES.update(
         "st4_session_windows": q_st4_session_windows,
         "t9_sessionize_salted": q_t9_sessionize_salted,
         "st5_stream_enrich": q_st5_stream_enrich,
+        "w9_regularize": q_w9_regularize,
     }
 )
 
@@ -1176,6 +1194,17 @@ SELECT e.event_id, e.user_id, c.c_mktsegment, n.n_name, e.value
 FROM events e
 LEFT JOIN customer c ON e.user_id = c.c_custkey
 LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+    "w9_regularize": """
+WITH s AS (
+  SELECT ts, MAX(value) AS value FROM events WHERE user_id = 7 GROUP BY ts
+),
+b AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM s),
+grid AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                INTERVAL 6 HOUR)) AS grid_ts
+)
+SELECT g.grid_ts, s.value, CAST(s.ts IS NULL AS INT) AS is_gap
+FROM grid g LEFT JOIN s ON s.ts = g.grid_ts""",
     "st2_stream_gaps": """
 WITH o AS (
   SELECT user_id, ts,

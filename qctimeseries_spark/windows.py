@@ -377,3 +377,64 @@ def window_extent(
     hi = lo + width
     margin = _dt.timedelta(seconds=width.total_seconds() * pad)
     return lo - margin, hi + margin
+
+
+def regularize(
+    df: DataFrame,
+    time_col: str = "ts",
+    *,
+    step_minutes: float,
+    lo: _dt.datetime | None = None,
+    hi: _dt.datetime | None = None,
+) -> DataFrame:
+    """Materialize a fixed-cadence time grid over the series extent and
+    left-join the data onto it: every grid instant becomes a row, with
+    NULL data columns and ``is_gap = 1`` where no observation exists.
+
+    The preparation step the reference leaves to the user — its
+    workflow requires a regular, NA-time-free series
+    (`vignettes/overall_workflow.Rmd:57-58`); real loggers drop rows.
+    Composes directly with ``add_flags``: materialized gaps get value
+    NULL, which F1 marks as flag −1 (original-NA) — so "missing
+    timestamp" and "missing value" flow through one QC vocabulary.
+
+    Only EXACT on-grid timestamps match (pre-aggregate jittered data to
+    the grid cadence first — e.g. groupBy a time bucket); off-grid rows
+    are dropped from the output, by design.
+
+    Scale shape: grid bounds come from one min/max stats scan (or pass
+    ``lo``/``hi``); the grid itself is ``spark.range`` — generated
+    DISTRIBUTED, never a single sequence array in one task — and the
+    join is a plain equi-join on the timestamp, which AQE broadcasts
+    when the data side is small or shuffles on a uniform key otherwise.
+    """
+    step_us = int(round(step_minutes * 60 * 1_000_000))
+    if step_us <= 0:
+        raise ValueError("step_minutes must be positive")
+    if lo is None or hi is None:
+        b = df.agg(
+            F.min(time_col).alias("lo"), F.max(time_col).alias("hi")
+        ).collect()[0]
+        lo = lo if lo is not None else b["lo"]
+        hi = hi if hi is not None else b["hi"]
+    if lo is None or hi is None:
+        raise ValueError("cannot derive grid bounds from an empty series")
+    lo_us = int(lo.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    hi_us = int(hi.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    if hi_us < lo_us:
+        raise ValueError("hi precedes lo")
+    n = (hi_us - lo_us) // step_us
+    spark = df.sparkSession
+    grid = spark.range(n + 1).select(
+        F.timestamp_micros(
+            F.lit(lo_us) + F.col("id") * F.lit(step_us)
+        ).alias("grid_ts")
+    )
+    j = grid.join(
+        df.withColumnRenamed(time_col, "_obs_ts"),
+        F.col("grid_ts") == F.col("_obs_ts"),
+        "left",
+    )
+    return j.withColumn(
+        "is_gap", F.col("_obs_ts").isNull().cast("int")
+    ).drop("_obs_ts")

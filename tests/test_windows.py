@@ -216,3 +216,31 @@ def test_hot_keys_flags_dominant_key(spark):
     got = {r.user_id: r.est_share for r in hot.collect()}
     assert list(got) == [42]
     assert 0.35 < got[42] < 0.65
+
+
+def test_regularize_materializes_gaps_and_composes_with_flags(spark):
+    """Missing grid instants appear as is_gap rows; add_flags then
+    marks their NULL values as -1 — missing timestamp and missing
+    value flow through one vocabulary."""
+    import datetime as dt
+
+    from qctimeseries_spark import add_flags
+    from qctimeseries_spark.windows import regularize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=h), float(h))
+        for h in (0, 1, 2, 5, 6)  # hours 3 and 4 missing
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    reg = regularize(df, "ts", step_minutes=60.0)
+    got = {r["grid_ts"].hour: (r["value"], r["is_gap"]) for r in reg.collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6}
+    assert got[3] == (None, 1) and got[4] == (None, 1)
+    assert got[2] == (2.0, 0)
+
+    flagged = add_flags(
+        reg.withColumnRenamed("grid_ts", "ts"), "value", time_col="ts"
+    )
+    flags = {r["ts"].hour: r["value_qcflag"] for r in flagged.collect()}
+    assert flags[3] == -1 and flags[4] == -1 and flags[2] == 0
