@@ -821,6 +821,24 @@ def q_w9_regularize(spark, sf_dir):
     )
 
 
+def q_w10_ffill(spark, sf_dir):
+    """Regularize user 7's series to 6 h cadence, then forward-fill the
+    gap rows with the two-phase (block + boundary-carry) LOCF — must
+    equal the oracle's single global ignore-nulls window."""
+    from qctimeseries_spark.windows import fill_forward, regularize
+
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .groupBy("ts")
+        .agg(F.max("value").alias("value"))
+    )
+    reg = regularize(s, "ts", step_minutes=360.0)
+    return fill_forward(
+        reg, "grid_ts", "value", block_hours=48.0
+    ).select("grid_ts", "value", "is_gap", "value_filled")
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
@@ -829,6 +847,7 @@ QUERIES.update(
         "t9_sessionize_salted": q_t9_sessionize_salted,
         "st5_stream_enrich": q_st5_stream_enrich,
         "w9_regularize": q_w9_regularize,
+        "w10_ffill": q_w10_ffill,
     }
 )
 
@@ -1205,6 +1224,25 @@ grid AS (
 )
 SELECT g.grid_ts, s.value, CAST(s.ts IS NULL AS INT) AS is_gap
 FROM grid g LEFT JOIN s ON s.ts = g.grid_ts""",
+    "w10_ffill": """
+WITH s AS (
+  SELECT ts, MAX(value) AS value FROM events WHERE user_id = 7 GROUP BY ts
+),
+b AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM s),
+grid AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                INTERVAL 6 HOUR)) AS grid_ts
+),
+reg AS (
+  SELECT g.grid_ts, s.value, CAST(s.ts IS NULL AS INT) AS is_gap
+  FROM grid g LEFT JOIN s ON s.ts = g.grid_ts
+)
+SELECT grid_ts, value, is_gap,
+       last_value(value IGNORE NULLS)
+           OVER (ORDER BY grid_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS value_filled
+FROM reg""",
     "st2_stream_gaps": """
 WITH o AS (
   SELECT user_id, ts,

@@ -438,3 +438,70 @@ def regularize(
     return j.withColumn(
         "is_gap", F.col("_obs_ts").isNull().cast("int")
     ).drop("_obs_ts")
+
+
+def fill_forward(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    block_hours: float = 24.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward over a single global series —
+    the imputation step after :func:`regularize` (fill the gap rows
+    from the last real observation).
+
+    The naive formulation — ``last(value, ignorenulls) OVER (ORDER BY
+    t)`` with no partitioning — funnels the whole series through ONE
+    task, the same scale-killer the salted sessionizer avoids.  This is
+    the two-phase version, exact at any size:
+
+    1. per time-block (``block_hours``-wide buckets, parallel): the
+       running last non-null within the block;
+    2. block boundaries: each block's final non-null value (one tiny
+       frame, #blocks rows) cumulated in block order, then broadcast
+       back — a row whose block has no earlier non-null in-block value
+       takes the carry from the latest preceding block.
+
+    Rows before the first observation stay NULL.  Requires unique
+    ``time_col`` values (regularized series satisfy this).
+    """
+    out_col = out_col or f"{value_col}_filled"
+    block_us = int(round(block_hours * 3600 * 1_000_000))
+    b = F.expr(
+        _floor_div_sql(f"unix_micros(`{time_col}`)", block_us)
+    ).alias("_blk")
+    src = df.withColumn("_blk", b)
+    within = F.last(F.col(value_col), ignorenulls=True).over(
+        Window.partitionBy("_blk")
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    src = src.withColumn("_within", within)
+    # each block's last non-null observation (max_by on unique times)
+    block_last = (
+        src.filter(F.col(value_col).isNotNull())
+        .groupBy("_blk")
+        .agg(F.max_by(F.col(value_col), F.col(time_col)).alias("_bv"))
+    )
+    # cumulate carries over the tiny #blocks frame; the unpartitioned
+    # window is deliberate — it runs over block COUNT, not row count
+    all_blocks = src.select("_blk").distinct()
+    carry = (
+        all_blocks.join(block_last, "_blk", "left")
+        .withColumn(
+            "_carry",
+            F.last(F.col("_bv"), ignorenulls=True).over(
+                Window.orderBy("_blk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_blk", "_carry")
+    )
+    return (
+        src.join(F.broadcast(carry), "_blk")
+        .withColumn(out_col, F.coalesce(F.col("_within"), F.col("_carry")))
+        .drop("_blk", "_within", "_carry")
+    )

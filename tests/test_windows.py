@@ -244,3 +244,35 @@ def test_regularize_materializes_gaps_and_composes_with_flags(spark):
     )
     flags = {r["ts"].hour: r["value_qcflag"] for r in flagged.collect()}
     assert flags[3] == -1 and flags[4] == -1 and flags[2] == 0
+
+
+def test_fill_forward_two_phase_equals_global_window(spark):
+    """Block-partitioned LOCF + boundary carry must equal the naive
+    global ignore-nulls window, including gaps spanning several
+    entirely-empty blocks and a leading unobserved stretch."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    from qctimeseries_spark.windows import fill_forward
+
+    t0 = dt.datetime(2024, 1, 1)
+    # hourly grid over 10 days; observations only at a few instants,
+    # with a 4-day hole (≫ the 1-day block) and nothing before hour 30
+    obs = {30: 1.0, 31: 2.0, 130: 3.0, 228: 4.0}
+    rows = [
+        (t0 + dt.timedelta(hours=h), obs.get(h)) for h in range(240)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    two_phase = fill_forward(df, "ts", "value", block_hours=24.0)
+    naive = df.withColumn(
+        "value_filled",
+        F.last("value", ignorenulls=True).over(
+            W.orderBy("ts").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    a = {r["ts"]: r["value_filled"] for r in two_phase.collect()}
+    b = {r["ts"]: r["value_filled"] for r in naive.collect()}
+    assert a == b
+    assert a[t0 + dt.timedelta(hours=10)] is None  # before first obs
+    assert a[t0 + dt.timedelta(hours=100)] == 2.0  # carried across blocks
