@@ -839,6 +839,23 @@ def q_w10_ffill(spark, sf_dir):
     ).select("grid_ts", "value", "is_gap", "value_filled")
 
 
+def q_a10_rolling_outliers(spark, sf_dir):
+    """Trailing 48 h rolling mean/std/count + z-score outlier
+    candidates over user 7's series, via the halo-block range window —
+    must equal the oracle's single global RANGE BETWEEN window."""
+    from qctimeseries_spark.windows import flag_outlier_candidates
+
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .groupBy("ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return flag_outlier_candidates(
+        s, "ts", "value", window_seconds=48 * 3600.0, z=3.0, min_n=5
+    ).select("ts", "value", "roll_mean", "roll_std", "roll_n", "is_outlier")
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
@@ -848,6 +865,7 @@ QUERIES.update(
         "st5_stream_enrich": q_st5_stream_enrich,
         "w9_regularize": q_w9_regularize,
         "w10_ffill": q_w10_ffill,
+        "a10_rolling_outliers": q_a10_rolling_outliers,
     }
 )
 
@@ -1243,6 +1261,24 @@ SELECT grid_ts, value, is_gap,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS value_filled
 FROM reg""",
+    "a10_rolling_outliers": """
+WITH s AS (
+  SELECT ts, MAX(value) AS value FROM events WHERE user_id = 7 GROUP BY ts
+),
+r AS (
+  SELECT ts, value,
+         ROUND(AVG(value) OVER w, 6) AS roll_mean,
+         ROUND(STDDEV_SAMP(value) OVER w, 6) AS roll_std,
+         COUNT(value) OVER w AS roll_n
+  FROM s
+  WINDOW w AS (ORDER BY ts
+               RANGE BETWEEN INTERVAL 48 HOUR PRECEDING AND CURRENT ROW)
+)
+SELECT ts, value, roll_mean, roll_std, roll_n,
+       CAST(CASE WHEN roll_n >= 5 AND roll_std > 0
+                  AND abs(value - roll_mean) > 3 * roll_std
+            THEN 1 ELSE 0 END AS INT) AS is_outlier
+FROM r""",
     "st2_stream_gaps": """
 WITH o AS (
   SELECT user_id, ts,

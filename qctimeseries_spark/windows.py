@@ -505,3 +505,97 @@ def fill_forward(
         .withColumn(out_col, F.coalesce(F.col("_within"), F.col("_carry")))
         .drop("_blk", "_within", "_carry")
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    window_seconds: float,
+    block_hours: float | None = None,
+) -> DataFrame:
+    """Trailing time-range rolling mean / sample-stddev / count over a
+    single global series: for each row, aggregates of ``value_col``
+    across ``[t - window_seconds, t]``.
+
+    The basis for automated QC candidate flagging (rolling z-score
+    outliers) — the step the reference leaves to the reviewer's eye.
+
+    Scale shape (halo blocks): a global ``RANGE BETWEEN`` window is a
+    single task.  Instead rows are bucketed into blocks ≥ the window
+    radius; each row is ALSO copied into the next block when it lies
+    within the radius of its block's end (the halo), so every trailing
+    window is fully contained in one block's partition.  The range
+    window then runs per block in parallel, and only center copies are
+    kept — row-identical to the global formulation, at a duplication
+    cost of radius/block ≪ 1.
+
+    Emits ``roll_mean`` / ``roll_std`` / ``roll_n`` (6-dp rounded so
+    cross-engine float comparisons are stable).
+    """
+    r_us = int(round(window_seconds * 1_000_000))
+    if r_us <= 0:
+        raise ValueError("window_seconds must be positive")
+    if block_hours is None:
+        block_hours = max(4 * window_seconds / 3600.0, 24.0)
+    b_us = int(round(block_hours * 3600 * 1_000_000))
+    if b_us < r_us:
+        raise ValueError("block_hours must cover the window radius")
+    us = F.unix_micros(F.col(time_col))
+    blk = F.expr(_floor_div_sql(f"unix_micros(`{time_col}`)", b_us))
+    center = df.withColumn("_blk", blk).withColumn("_ctr", F.lit(True))
+    halo = (
+        df.withColumn("_blk", blk + 1)
+        .withColumn("_ctr", F.lit(False))
+        # within the radius of the block end: the next block's early
+        # rows reach back to it
+        .filter(us - (blk * F.lit(b_us)) >= F.lit(b_us - r_us))
+    )
+    u = center.unionByName(halo)
+    w = (
+        Window.partitionBy("_blk")
+        .orderBy(us.alias("_us"))
+        .rangeBetween(-r_us, 0)
+    )
+    out = (
+        u.withColumn("roll_mean", F.round(F.avg(value_col).over(w), 6))
+        .withColumn("roll_std", F.round(F.stddev_samp(value_col).over(w), 6))
+        .withColumn("roll_n", F.count(value_col).over(w))
+        .filter(F.col("_ctr"))
+        .drop("_blk", "_ctr")
+    )
+    return out
+
+
+def flag_outlier_candidates(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    window_seconds: float,
+    z: float = 4.0,
+    min_n: int = 5,
+) -> DataFrame:
+    """Rolling z-score outlier candidates: ``is_outlier = 1`` where the
+    value sits more than ``z`` rolling sample deviations from the
+    trailing-window mean (windows with fewer than ``min_n``
+    observations or zero spread never flag).
+
+    Candidates, not verdicts: feed the result's predicate into the
+    U-op vocabulary (e.g. ``flag_rows``) so a reviewer approves or
+    confirms — automation proposes, the QC workflow disposes.  The
+    z-test uses the ROUNDED rolling stats so the decision boundary is
+    reproducible cross-engine.
+    """
+    s = rolling_stats(
+        df, time_col, value_col, window_seconds=window_seconds
+    )
+    ok = (F.col("roll_n") >= min_n) & (F.col("roll_std") > 0)
+    dev = F.abs(F.col(value_col) - F.col("roll_mean"))
+    return s.withColumn(
+        "is_outlier",
+        F.when(ok & (dev > F.lit(z) * F.col("roll_std")), 1)
+        .otherwise(0)
+        .cast("int"),
+    )

@@ -276,3 +276,35 @@ def test_fill_forward_two_phase_equals_global_window(spark):
     assert a == b
     assert a[t0 + dt.timedelta(hours=10)] is None  # before first obs
     assert a[t0 + dt.timedelta(hours=100)] == 2.0  # carried across blocks
+
+
+def test_rolling_stats_halo_equals_global_window(spark):
+    """Halo-block range windows must reproduce the naive global RANGE
+    window exactly — including windows straddling block boundaries."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    from qctimeseries_spark.windows import rolling_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=3 * h), float((h * 7) % 13)) for h in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    # 30h trailing window with 24h blocks forces every window to cross
+    # a block boundary somewhere
+    got = rolling_stats(
+        df, "ts", "value", window_seconds=30 * 3600.0, block_hours=31.0
+    )
+    us = F.unix_micros(F.col("ts"))
+    wnaive = W.orderBy(us).rangeBetween(-int(30 * 3600 * 1e6), 0)
+    naive = (
+        df.withColumn("roll_mean", F.round(F.avg("value").over(wnaive), 6))
+        .withColumn("roll_std", F.round(F.stddev_samp("value").over(wnaive), 6))
+        .withColumn("roll_n", F.count("value").over(wnaive))
+    )
+    a = {r["ts"]: (r["roll_mean"], r["roll_std"], r["roll_n"]) for r in got.collect()}
+    b = {r["ts"]: (r["roll_mean"], r["roll_std"], r["roll_n"]) for r in naive.collect()}
+    assert a == b
+    assert len(a) == 200  # center rows only, no halo duplicates
