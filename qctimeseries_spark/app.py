@@ -40,6 +40,7 @@ from qctimeseries_spark.schema import (
     FLAG_MANUAL,
     FLAG_APPROVED,
     FLAG_UNCHECKED,
+    flag_col,
     validate_flag_exists,
     validate_time_col,
 )
@@ -338,6 +339,36 @@ class QcSession:
                 suffix=self.suffix,
             )
         )
+
+    def suggest_outliers(
+        self,
+        *,
+        window_seconds: float | None = None,
+        z: float = 4.0,
+        min_n: int = 5,
+    ) -> list[int]:
+        """Rolling z-score outlier CANDIDATES in the current window:
+        rowids of unchecked (flag 0) values sitting more than ``z``
+        trailing-window deviations from the rolling mean.  Automation
+        proposes, the reviewer disposes — pass the ids straight to
+        :meth:`flag_selection` / :meth:`approve_selection` after
+        eyeballing the trace.
+
+        Runs over the PRUNED current-window slice only (the one-window-
+        at-a-time discipline), so the trailing context restarts at the
+        window's left edge.  Default rolling width = 1/8 of the QC
+        window.
+        """
+        from qctimeseries_spark.windows import flag_outlier_candidates
+
+        window_seconds = window_seconds or self.win_hours * 3600.0 / 8
+        f = flag_col(self.var, self.suffix)
+        sl = self._windowed().filter(F.col(WIN_COL) == self.current_win_id)
+        cands = flag_outlier_candidates(
+            sl, self.time_col, self.var,
+            window_seconds=window_seconds, z=z, min_n=min_n,
+        ).filter((F.col("is_outlier") == 1) & (F.col(f) == 0))
+        return [r[self.id_col] for r in cands.select(self.id_col).collect()]
 
     def window_label(self) -> str:
         """"Window N / M   t0 - t1" over the window's actual rows

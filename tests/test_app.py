@@ -137,3 +137,29 @@ def test_session_tz_applied_at_edge_only(flagged):
     # ...but stored state stays UTC
     stored = sess.finish().agg(F.min("DateTime")).collect()[0][0]
     assert stored == dt.datetime(2024, 1, 1)
+
+
+def test_suggest_outliers_proposes_then_reviewer_flags(spark):
+    """A planted spike is proposed as an outlier candidate; flagging the
+    suggestion marks exactly that row -2 and leaves the rest unchecked."""
+    import datetime as dt
+
+    from qctimeseries_spark import QcSession, add_flags
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=h), 500.0 if h == 50 else 20.0 + (h % 5))
+        for h in range(96)
+    ]
+    df = add_flags(
+        spark.createDataFrame(rows, "ts timestamp, value double"),
+        "value",
+        time_col="ts",
+    )
+    sess = QcSession(df, "value", time_col="ts", win_hours=96.0)
+    ids = sess.suggest_outliers(window_seconds=24 * 3600.0, z=4.0)
+    assert len(ids) == 1
+    sess.flag_selection(ids)
+    out = sess.finish()
+    flagged = out.filter(F.col("value_qcflag") == -2).collect()
+    assert len(flagged) == 1 and flagged[0]["value"] == 500.0
