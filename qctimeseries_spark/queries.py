@@ -856,6 +856,31 @@ def q_a10_rolling_outliers(spark, sf_dir):
     ).select("ts", "value", "roll_mean", "roll_std", "roll_n", "is_outlier")
 
 
+def q_w11_interpolate(spark, sf_dir):
+    """Bucket user 7's series to 6 h averages, regularize the grid,
+    then linearly interpolate across the holes with the two-phase
+    directional-carry — oracle = global IGNORE NULLS windows both
+    directions + the same time-weighted blend."""
+    from qctimeseries_spark.windows import interpolate_linear, regularize
+
+    width_us = 6 * 3600 * 1_000_000
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .groupBy(
+            F.expr(
+                f"timestamp_micros((unix_micros(ts) DIV {width_us}L)"
+                f" * {width_us}L)"
+            ).alias("ts")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+    reg = regularize(s, "ts", step_minutes=360.0)
+    return interpolate_linear(reg, "grid_ts", "value").select(
+        "grid_ts", "value", "is_gap", "value_interp"
+    )
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
@@ -866,6 +891,7 @@ QUERIES.update(
         "w9_regularize": q_w9_regularize,
         "w10_ffill": q_w10_ffill,
         "a10_rolling_outliers": q_a10_rolling_outliers,
+        "w11_interpolate": q_w11_interpolate,
     }
 )
 
@@ -1261,6 +1287,44 @@ SELECT grid_ts, value, is_gap,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS value_filled
 FROM reg""",
+    "w11_interpolate": """
+WITH s AS (
+  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ts,
+         ROUND(AVG(value), 6) AS value
+  FROM events WHERE user_id = 7 GROUP BY 1
+),
+b AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM s),
+grid AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                INTERVAL 6 HOUR)) AS grid_ts
+),
+reg AS (
+  SELECT g.grid_ts, s.value, CAST(s.ts IS NULL AS INT) AS is_gap
+  FROM grid g LEFT JOIN s ON s.ts = g.grid_ts
+),
+c AS (
+  SELECT grid_ts, value, is_gap,
+         last_value(CASE WHEN value IS NOT NULL
+                         THEN {'t': grid_ts, 'v': value} END IGNORE NULLS)
+             OVER (ORDER BY grid_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         first_value(CASE WHEN value IS NOT NULL
+                          THEN {'t': grid_ts, 'v': value} END IGNORE NULLS)
+             OVER (ORDER BY grid_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+  FROM reg
+)
+SELECT grid_ts, value, is_gap,
+       CASE WHEN value IS NOT NULL THEN value
+            WHEN p IS NOT NULL AND n IS NOT NULL THEN
+              ROUND(p.v + (n.v - p.v)
+                          * (CAST(epoch_us(grid_ts) AS DOUBLE)
+                             - CAST(epoch_us(p.t) AS DOUBLE))
+                          / (CAST(epoch_us(n.t) AS DOUBLE)
+                             - CAST(epoch_us(p.t) AS DOUBLE)), 6)
+            WHEN p IS NOT NULL THEN p.v
+            ELSE n.v END AS value_interp
+FROM c""",
     "a10_rolling_outliers": """
 WITH s AS (
   SELECT ts, MAX(value) AS value FROM events WHERE user_id = 7 GROUP BY ts

@@ -599,3 +599,125 @@ def flag_outlier_candidates(
         .otherwise(0)
         .cast("int"),
     )
+
+
+def _directional_carry(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    block_hours: float,
+    forward: bool,
+    t_out: str,
+    v_out: str,
+) -> DataFrame:
+    """Nearest non-null observation (time, value) at-or-before
+    (``forward=True``) or at-or-after each row — the two-phase
+    block + boundary-carry pattern of :func:`fill_forward`, carrying a
+    (t, v) STRUCT so interpolation can use the observation time too.
+    """
+    block_us = int(round(block_hours * 3600 * 1_000_000))
+    b = F.expr(_floor_div_sql(f"unix_micros(`{time_col}`)", block_us))
+    src = df.withColumn("_blk", b)
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(
+            F.col(time_col).alias("t"), F.col(value_col).alias("v")
+        ),
+    )
+    if forward:
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        order = F.col(time_col).asc()
+        bound_pick = F.max_by  # block's LAST non-null
+        carry_frame = (Window.unboundedPreceding, -1)
+        blk_order = F.col("_blk").asc()
+    else:
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        order = F.col(time_col).asc()
+        bound_pick = F.min_by  # block's FIRST non-null
+        carry_frame = (1, Window.unboundedFollowing)
+        blk_order = F.col("_blk").asc()
+    w_in = Window.partitionBy("_blk").orderBy(order).rowsBetween(*frame)
+    pick = F.last(obs, ignorenulls=True) if forward else F.first(
+        obs, ignorenulls=True
+    )
+    src = src.withColumn("_within", pick.over(w_in))
+    block_bound = (
+        src.filter(F.col(value_col).isNotNull())
+        .groupBy("_blk")
+        .agg(
+            bound_pick(
+                F.struct(
+                    F.col(time_col).alias("t"), F.col(value_col).alias("v")
+                ),
+                F.col(time_col),
+            ).alias("_bv")
+        )
+    )
+    all_blocks = src.select("_blk").distinct()
+    carry_pick = F.last(F.col("_bv"), ignorenulls=True) if forward else (
+        F.first(F.col("_bv"), ignorenulls=True)
+    )
+    carry = (
+        all_blocks.join(block_bound, "_blk", "left")
+        .withColumn(
+            "_carry",
+            carry_pick.over(
+                Window.orderBy(blk_order).rowsBetween(*carry_frame)
+            ),
+        )
+        .select("_blk", "_carry")
+    )
+    got = F.coalesce(F.col("_within"), F.col("_carry"))
+    return (
+        src.join(F.broadcast(carry), "_blk")
+        .withColumn(t_out, got["t"])
+        .withColumn(v_out, got["v"])
+        .drop("_blk", "_within", "_carry")
+    )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    block_hours: float = 24.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation across gap rows of a single global series:
+    each NULL value takes the time-weighted blend of the nearest
+    observations before and after; one-sided edges carry the single
+    neighbor (LOCF before the last obs / NOCB after the first); real
+    observations pass through unchanged.
+
+    Completes the imputation trio with :func:`fill_forward` — same
+    two-phase halo-free block + boundary-carry scale shape, run once
+    forward and once backward, so nothing ever funnels through a
+    single task.  Results round to 6 dp for cross-engine stability.
+    """
+    out_col = out_col or f"{value_col}_interp"
+    d = _directional_carry(
+        df, time_col, value_col,
+        block_hours=block_hours, forward=True, t_out="_pt", v_out="_pv",
+    )
+    d = _directional_carry(
+        d, time_col, value_col,
+        block_hours=block_hours, forward=False, t_out="_nt", v_out="_nv",
+    )
+    t = F.unix_micros(F.col(time_col)).cast("double")
+    t0 = F.unix_micros(F.col("_pt")).cast("double")
+    t1 = F.unix_micros(F.col("_nt")).cast("double")
+    lerp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * (t - t0) / (
+        t1 - t0
+    )
+    interp = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col))
+        .when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.round(lerp, 6),
+        )
+        .when(F.col("_pv").isNotNull(), F.col("_pv"))
+        .otherwise(F.col("_nv"))
+    )
+    return d.withColumn(out_col, interp).drop("_pt", "_pv", "_nt", "_nv")

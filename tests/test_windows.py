@@ -308,3 +308,27 @@ def test_rolling_stats_halo_equals_global_window(spark):
     b = {r["ts"]: (r["roll_mean"], r["roll_std"], r["roll_n"]) for r in naive.collect()}
     assert a == b
     assert len(a) == 200  # center rows only, no halo duplicates
+
+
+def test_interpolate_linear_blends_and_handles_edges(spark):
+    """Interior gaps get the time-weighted blend (across multi-block
+    holes), leading gaps carry backward, trailing gaps carry forward,
+    observations pass through."""
+    import datetime as dt
+
+    from qctimeseries_spark.windows import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    obs = {5: 10.0, 8: 40.0, 100: 100.0}  # 92h hole spans 24h blocks
+    rows = [(t0 + dt.timedelta(hours=h), obs.get(h)) for h in range(110)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    vals = {}
+    for r in interpolate_linear(df, "ts", "value", block_hours=24.0).collect():
+        h = int((r["ts"] - t0).total_seconds() // 3600)
+        vals[h] = r["value_interp"]
+    assert vals[3] == 10.0               # leading edge: backward carry
+    assert vals[5] == 10.0 and vals[8] == 40.0  # observations unchanged
+    assert vals[6] == 20.0 and vals[7] == 30.0  # interior blend
+    # inside the 92 h hole: lerp between (8, 40) and (100, 100)
+    assert abs(vals[54] - (40.0 + 60.0 * 46 / 92)) < 1e-6
+    assert vals[105] == 100.0            # trailing edge: forward carry
