@@ -25,6 +25,7 @@ from qctimeseries_spark.datapipe.sample import (
     hash_sample,
     sample_bucket,
     sample_to_token_budget,
+    split_corpus,
 )
 from qctimeseries_spark.datapipe.hashing import fast_hash64, hash60
 from qctimeseries_spark.datapipe.multimodal import (
@@ -58,6 +59,7 @@ __all__ = [
     "hash_sample",
     "sample_bucket",
     "sample_to_token_budget",
+    "split_corpus",
     "contamination_check",
     "redact_pii",
     "embedding_dup_pairs",

@@ -39,6 +39,7 @@ from qctimeseries_spark.datapipe.multimodal import (
 from qctimeseries_spark.datapipe.sample import (
     hash_sample,
     sample_to_token_budget,
+    split_corpus,
 )
 from qctimeseries_spark.datapipe.similarity import knn_bruteforce, knn_ivf
 from qctimeseries_spark.datapipe.text import (
@@ -504,6 +505,16 @@ def q_t10_token_budget(spark, sf_dir):
     return sample_to_token_budget(d, "doc_id", "n_tokens", budget=6000)
 
 
+def q_t11_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test tagging — contiguous hash
+    bucket ranges, pure function of the doc id."""
+    return split_corpus(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
 def _curate_src(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ mangled re-crawls of every 10th doc (exact-dup tier,
     caught by dedup) ∪ 'leaked' benchmark copies of every 50th doc
@@ -575,6 +586,7 @@ DATAPIPE_QUERIES = {
     "m2_media_features": q_m2_media_features,
     "c2_curate": q_c2_curate,
     "t10_token_budget": q_t10_token_budget,
+    "t11_split": q_t11_split,
 }
 
 
@@ -843,6 +855,16 @@ WHERE {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")} % 1000000 <
       CASE WHEN lang = 'en' THEN 300000
            WHEN lang = 'zh' THEN 800000
            ELSE 500000 END""",
+    "t11_split": f"""
+SELECT doc_id, lang,
+       CASE WHEN {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")}
+                 % 1000000 < 800000 THEN 'train'
+            WHEN {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")}
+                 % 1000000 < 900000 THEN 'val'
+            WHEN {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")}
+                 % 1000000 < 1000000 THEN 'test'
+       END AS split
+FROM documents""",
     "t10_token_budget": f"""
 WITH tkc AS (
   SELECT doc_id, lang,

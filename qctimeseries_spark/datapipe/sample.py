@@ -131,3 +131,45 @@ def sample_to_token_budget(
     return b.filter(F.col("_bucket") < cut).unionByName(boundary).drop(
         "_bucket"
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    *,
+    seed: str = "qcts",
+    out_col: str = "split",
+) -> DataFrame:
+    """Tag each row with a deterministic, disjoint split label —
+    ``{"train": 0.9, "val": 0.05, "test": 0.05}`` — from contiguous
+    ranges of the same hash bucket :func:`hash_sample` uses.
+
+    Because membership is a pure function of ``(seed, key)``:
+
+    - the same key lands in the same split on every run and engine
+      (no val→train leakage across rebuilds),
+    - splits are JOINABLE across tables keyed the same way, and
+    - a ``hash_sample`` at fraction f equals the union of the first
+      splits summing to f (ranges are prefixes of the same bucket
+      axis), so a pilot subsample never straddles the split boundary.
+
+    Fractions are consumed in dict order; keys hashing past the total
+    get NULL (use fractions summing to 1.0 for an exhaustive split).
+    One CASE expression — no shuffle, pushes to the scan.
+    """
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    df = df.filter(F.col(key_col).isNotNull())
+    bucket = sample_bucket(key_col, seed)
+    expr = F.lit(None).cast("string")
+    cum = 0.0
+    bounds = []
+    for name, frac in splits.items():
+        cum += frac
+        bounds.append((name, int(round(cum * SAMPLE_MOD))))
+    for name, hi in reversed(bounds):
+        expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
+    # reversed + otherwise-chaining makes the FIRST matching range win
+    return df.withColumn(out_col, expr)

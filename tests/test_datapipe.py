@@ -463,3 +463,26 @@ def test_sample_to_token_budget_prefix_and_monotone(docs, spark):
         for r in sample_to_token_budget(d, "doc_id", "n_tokens", 10**9).collect()
     }
     assert everything == {r["doc_id"] for r in d.collect()}
+
+
+def test_split_corpus_disjoint_exhaustive_and_prefix_coherent(docs, spark):
+    """Splits partition the corpus; hash_sample at the first split's
+    fraction equals exactly that split (shared bucket axis)."""
+    from qctimeseries_spark.datapipe import hash_sample, split_corpus
+
+    big = spark.range(500).select(F.col("id").alias("doc_id"))
+    tagged = split_corpus(big, "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2})
+    rows = tagged.collect()
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert len(rows) == 500  # exhaustive (fractions sum to 1)
+    assert sum(len(v) for v in by.values()) == 500  # disjoint by construction
+    # prefix coherence with hash_sample
+    sampled = {r["doc_id"] for r in hash_sample(big, "doc_id", 0.6).collect()}
+    assert sampled == by["train"]
+    # determinism
+    again = {r["doc_id"]: r["split"] for r in split_corpus(
+        big, "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2}).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}
