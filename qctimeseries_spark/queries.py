@@ -881,6 +881,24 @@ def q_w11_interpolate(spark, sf_dir):
     )
 
 
+def q_st6_stream_anomalies(spark, sf_dir):
+    """Streaming per-key expanding z-score anomalies (custom stateful
+    operator) drained append-mode; oracle = batch expanding-window SQL
+    over strictly-prior observations."""
+    from qctimeseries_spark.streaming import (
+        detect_anomalies_stateful,
+        run_available_now,
+        stream_events,
+    )
+
+    return run_available_now(
+        detect_anomalies_stateful(
+            stream_events(spark, sf_dir), z=2.0, min_n=10
+        ),
+        output_mode="append",
+    )
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
@@ -892,6 +910,7 @@ QUERIES.update(
         "w10_ffill": q_w10_ffill,
         "a10_rolling_outliers": q_a10_rolling_outliers,
         "w11_interpolate": q_w11_interpolate,
+        "st6_stream_anomalies": q_st6_stream_anomalies,
     }
 )
 
@@ -1325,6 +1344,34 @@ SELECT grid_ts, value, is_gap,
             WHEN p IS NOT NULL THEN p.v
             ELSE n.v END AS value_interp
 FROM c""",
+    "st6_stream_anomalies": """
+WITH nn AS (
+  SELECT user_id, ts, value, CAST(round(value * 100) AS BIGINT) AS vi
+  FROM events WHERE value IS NOT NULL
+),
+o AS (
+  SELECT user_id, ts, value,
+         COUNT(vi) OVER w AS n_prior,
+         SUM(vi) OVER w AS s,
+         SUM(vi * vi) OVER w AS s2
+  FROM nn
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+st AS (
+  SELECT user_id, ts, value, n_prior,
+         CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE) / 100.0 AS exp_mean,
+         sqrt(GREATEST(
+             (CAST(n_prior AS DOUBLE) * CAST(s2 AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n_prior AS DOUBLE)
+                * (CAST(n_prior AS DOUBLE) - 1.0) * (100.0 * 100.0)),
+             0.0)) AS exp_std
+  FROM o WHERE n_prior > 1
+)
+SELECT user_id, ts, value, n_prior, exp_mean, exp_std
+FROM st
+WHERE n_prior >= 10 AND exp_std > 0 AND abs(value - exp_mean) > 2.0 * exp_std""",
     "a10_rolling_outliers": """
 WITH s AS (
   SELECT ts, MAX(value) AS value FROM events WHERE user_id = 7 GROUP BY ts

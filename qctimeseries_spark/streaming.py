@@ -374,3 +374,112 @@ def enrich_stream(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on, how)
+
+
+def detect_anomalies_stateful(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    z: float = 3.0,
+    min_n: int = 10,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key streaming anomaly detector: emit events whose value sits
+    more than ``z`` sample deviations from the EXPANDING mean/std of
+    that key's strictly-prior observations — the streaming counterpart
+    of the batch rolling z-score (:func:`~qctimeseries_spark.windows.
+    flag_outlier_candidates`), as a custom stateful operator because
+    the expanding window spans micro-batches.
+
+    State per key is four scalars — prior count, exact INTEGER sums of
+    the 2-dp-quantized values and their squares, and the last event
+    time — O(#keys) like the gap detector; per-batch work is a
+    vectorized prefix-cumsum, no per-row Python.  NULL values neither
+    update state nor emit.  Integer accumulation is what makes the
+    operator bit-reproducible across engines: float running sums
+    disagree with any other engine's summation order in the last ulp,
+    which flips rounding at decision boundaries; exact integer sums
+    fed through the SAME double expression give bit-identical
+    mean/std everywhere (the DuckDB oracle mirrors the expression
+    verbatim), so no tolerance or rounding is needed at all.
+    ``scale`` is the decimal quantization (100 = 2 dp data); Σv² in
+    int64 bounds per-key history to ~2⁶³/(scale·max|v|)² rows.  Rows
+    at-or-before the carried timestamp are dropped, so for
+    in-order-per-key streams the output matches the batch
+    expanding-window SQL exactly.
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    scale = 100.0
+    out_schema = (
+        f"{key_col} bigint, {time_col} timestamp, {value_col} double, "
+        "n_prior bigint, exp_mean double, exp_std double"
+    )
+    state_schema = "n bigint, s bigint, s2 bigint, last_us bigint"
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        n0, s0, s20, last_us = (
+            state.get if state.exists else (0, 0, 0, None)
+        )
+        frames = [pdf[[time_col, value_col]] for pdf in pdf_iter]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(time_col)
+        pdf = pdf[pdf[value_col].notna()]
+        us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        if last_us is not None:
+            keep = us > last_us
+            pdf, us = pdf[keep], us[keep]
+        if len(pdf) == 0:
+            return
+        v = pdf[value_col].to_numpy(dtype="float64")
+        vi = np.rint(v * scale).astype("int64")
+        # prior-prefix sums: state + cumsum of earlier in-batch rows
+        cn = n0 + np.arange(len(v), dtype="int64")
+        cs = s0 + np.concatenate([[0], np.cumsum(vi)[:-1]])
+        cs2 = s20 + np.concatenate([[0], np.cumsum(vi * vi)[:-1]])
+        state.update(
+            (
+                int(n0 + len(v)),
+                int(s0 + vi.sum()),
+                int(s20 + (vi * vi).sum()),
+                int(us[-1]),
+            )
+        )
+        nd = cn.astype("float64")
+        sd = cs.astype("float64")
+        s2d = cs2.astype("float64")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # expression shape mirrored VERBATIM by the SQL oracle —
+            # identical operands + identical IEEE ops = identical bits
+            mean = sd / nd / scale
+            var = (nd * s2d - sd * sd) / (nd * (nd - 1.0) * (scale * scale))
+        std = np.sqrt(np.maximum(var, 0.0))
+        hit = (cn >= min_n) & (std > 0) & (np.abs(v - mean) > z * std)
+        if hit.any():
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    time_col: pdf[time_col].to_numpy()[hit],
+                    value_col: v[hit],
+                    "n_prior": cn[hit],
+                    "exp_mean": mean[hit],
+                    "exp_std": std[hit],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.withWatermark(time_col, watermark)
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

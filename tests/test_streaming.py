@@ -307,3 +307,75 @@ def test_enrich_stream_matches_batch_join_and_keeps_unmatched(spark):
     srows = {tuple(r) for r in streamed.collect()}
     assert srows == {tuple(r) for r in batch.collect()}
     assert any(r[2] is None for r in srows)  # unmatched kept as nulls
+
+
+def test_stream_anomalies_state_spans_microbatches(spark, tmp_path):
+    """The expanding mean/std carries across micro-batches: streaming
+    one file per trigger over a time-split source equals the batch
+    expanding-window computation over the whole series."""
+    from pyspark.sql import Window as W
+
+    from qctimeseries_spark.streaming import (
+        detect_anomalies_stateful,
+        run_available_now,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    src_dir = str(tmp_path / "split")
+    # two files split by TIME so later batches genuinely extend state
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+        src_dir, mode="append"
+    )
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
+        src_dir, mode="append"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    streamed = run_available_now(
+        detect_anomalies_stateful(stream, z=2.0, min_n=10),
+        output_mode="append",
+    )
+    srows = {
+        (r["user_id"], r["ts"]): (r["n_prior"], r["exp_mean"], r["exp_std"])
+        for r in streamed.collect()
+    }
+    nn = ev.filter(F.col("value").isNotNull()).withColumn(
+        "vi", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    nd = F.count("vi").over(w).cast("double")
+    sd = F.sum("vi").over(w).cast("double")
+    s2d = F.sum(F.col("vi") * F.col("vi")).over(w).cast("double")
+    batch = (
+        nn.withColumn("n_prior", F.count("vi").over(w))
+        .withColumn("exp_mean", sd / nd / 100.0)
+        .withColumn(
+            "exp_std",
+            F.sqrt(
+                F.greatest(
+                    (nd * s2d - sd * sd)
+                    / (nd * (nd - 1.0) * F.lit(10000.0)),
+                    F.lit(0.0),
+                )
+            ),
+        )
+        .filter(
+            (F.col("n_prior") >= 10)
+            & (F.col("exp_std") > 0)
+            & (F.abs(F.col("value") - F.col("exp_mean"))
+               > 2.0 * F.col("exp_std"))
+        )
+    )
+    brows = {
+        (r["user_id"], r["ts"]): (r["n_prior"], r["exp_mean"], r["exp_std"])
+        for r in batch.collect()
+    }
+    assert srows == brows
+    assert len(srows) > 0
