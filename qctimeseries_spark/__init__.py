@@ -61,6 +61,7 @@ from qctimeseries_spark.viz import (
     utc_from_display,
 )
 from qctimeseries_spark.app import QcSession
+from qctimeseries_spark.plans import plan_summary
 from qctimeseries_spark.joins import asof_join
 from qctimeseries_spark.exports import write_exports, smart_stem
 from qctimeseries_spark.report import save_all_check_plots, panel_downsample
@@ -128,6 +129,7 @@ __all__ = [
     "slice_state",
     "commit_state",
     "checkpoint_state",
+    "plan_summary",
 ]
 
 __version__ = "0.1.0"

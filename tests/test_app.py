@@ -163,3 +163,18 @@ def test_suggest_outliers_proposes_then_reviewer_flags(spark):
     out = sess.finish()
     flagged = out.filter(F.col("value_qcflag") == -2).collect()
     assert len(flagged) == 1 and flagged[0]["value"] == 500.0
+
+
+def test_plan_summary_counts_exchanges_and_pushdown(spark):
+    from qctimeseries_spark import plan_summary
+    from qctimeseries_spark.sources import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    narrow = ev.filter(F.col("event_id") > 100).select("event_id", "value")
+    s = plan_summary(narrow)
+    assert s["shuffles"] == 0 and s["nested_loop_joins"] == 0
+    assert s["scans"] and s["scans"][0]["columns"] <= 3
+    assert "GreaterThan(event_id" in s["scans"][0]["pushed_filters"]
+
+    agg = ev.groupBy("event_type").count()
+    assert plan_summary(agg)["shuffles"] >= 1
