@@ -332,3 +332,52 @@ def test_interpolate_linear_blends_and_handles_edges(spark):
     # inside the 92 h hole: lerp between (8, 40) and (100, 100)
     assert abs(vals[54] - (40.0 + 60.0 * 46 / 92)) < 1e-6
     assert vals[105] == 100.0            # trailing edge: forward carry
+
+
+def test_new_ops_edge_cases(spark):
+    """Error contracts and degenerate inputs for the round-3 window
+    extensions."""
+    import datetime as dt
+
+    import pytest
+
+    from qctimeseries_spark.windows import (
+        fill_forward,
+        regularize,
+        rolling_stats,
+    )
+
+    empty = spark.createDataFrame([], "ts timestamp, value double")
+    with pytest.raises(ValueError, match="empty series"):
+        regularize(empty, "ts", step_minutes=60.0)
+    with pytest.raises(ValueError, match="positive"):
+        regularize(empty, "ts", step_minutes=0.0)
+    with pytest.raises(ValueError, match="cover"):
+        rolling_stats(
+            empty, "ts", "value", window_seconds=7 * 86400.0, block_hours=1.0
+        )
+
+    # single-row series: fill_forward and regularize degenerate cleanly
+    one = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 5.0)], "ts timestamp, value double"
+    )
+    assert regularize(one, "ts", step_minutes=60.0).count() == 1
+    got = fill_forward(one, "ts", "value").collect()
+    assert got[0]["value_filled"] == 5.0
+
+
+def test_token_budget_zero_and_split_overflow(spark):
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from qctimeseries_spark.datapipe import (
+        sample_to_token_budget,
+        split_corpus,
+    )
+
+    d = spark.range(10).select(
+        SF.col("id").alias("doc_id"), SF.lit(7).alias("n_tokens")
+    )
+    assert sample_to_token_budget(d, "doc_id", "n_tokens", 0).count() == 0
+    with pytest.raises(ValueError, match="> 1"):
+        split_corpus(d, "doc_id", {"a": 0.9, "b": 0.2})
