@@ -461,6 +461,44 @@ def simhash_dup_pairs(
     )
 
 
+def _with_singletons(out: DataFrame, all_ids: DataFrame | None) -> DataFrame:
+    """Left-join singleton ids (absent from the pair list) into a
+    cluster result as their own clusters."""
+    if all_ids is None:
+        return out
+    ids = all_ids.select(F.col(all_ids.columns[0]).alias("id")).distinct()
+    return ids.join(out, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+
+
+def _clusters_union_find(rows):
+    """Driver-side union–find over a collected pair list; cluster id =
+    the component minimum, identical to the min-label fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    roots = {x: find(x) for x in parent}
+    for x, r in roots.items():
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    return [(x, comp_min[roots[x]]) for x in parent]
+
+
 def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -468,6 +506,8 @@ def dup_clusters(
     *,
     max_iter: int = 25,
     all_ids: DataFrame | None = None,
+    strategy: str = "auto",
+    max_driver_pairs: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (id, cluster_id)
     with ``cluster_id`` = the minimum id in each component.
@@ -484,7 +524,16 @@ def dup_clusters(
     silently drops every document that had no duplicate.  Without it
     the output covers only ids that appear in ``pairs``.
 
-    Algorithm: iterative min-label propagation.  ``label(v)`` starts as
+    Strategy tiers (same result, different physics — the
+    ``embedding_dup_pairs`` pattern): the pair list is orders of
+    magnitude smaller than the corpus (only duplicated docs appear),
+    so ``auto`` collects it and runs a driver union–find when it fits
+    under ``max_driver_pairs`` — microseconds and three jobs total,
+    versus diameter+1 distributed rounds.  Above the cap (or with
+    ``strategy='iterative'``) the distributed min-label propagation
+    runs; ``strategy='driver'`` forces the collect.
+
+    Iterative algorithm: min-label propagation.  ``label(v)`` starts as
     ``v``; each round every vertex takes the min of its own and its
     neighbors' labels.  Each round is one equi-join on the vertex id +
     one groupBy-min — two shuffles on uniformly-distributed keys, no
@@ -507,6 +556,8 @@ def dup_clusters(
     (``tests/test_datapipe.py`` pins the job count).  Deterministic
     fixpoint → full DuckDB oracle (recursive CTE closure).
     """
+    if strategy not in ("auto", "driver", "iterative"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     # materialize the pair list ONCE before symmetrizing: both branches
     # of the union reference it, and `pairs` is typically a whole
     # LSH/verify pipeline — without the checkpoint it would evaluate
@@ -514,6 +565,26 @@ def dup_clusters(
     p0 = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).localCheckpoint(eager=True)
+    if strategy != "iterative":
+        # limit+count on the checkpointed frame: a cheap bounded probe
+        n_pairs = p0.limit(max_driver_pairs + 1).count()
+        if strategy == "driver" or n_pairs <= max_driver_pairs:
+            from pyspark.sql import types as _T
+
+            id_type = p0.schema["src"].dataType
+            members = _clusters_union_find(
+                [(r["src"], r["dst"]) for r in p0.collect()]
+            )
+            out = p0.sparkSession.createDataFrame(
+                members,
+                _T.StructType(
+                    [
+                        _T.StructField("id", id_type),
+                        _T.StructField("cluster_id", id_type),
+                    ]
+                ),
+            )
+            return _with_singletons(out, all_ids)
     edges = (
         p0.unionByName(
             p0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -564,12 +635,7 @@ def dup_clusters(
             break
     edges.unpersist()
     out = labels.select(F.col("id"), F.col("label").alias("cluster_id"))
-    if all_ids is not None:
-        ids = all_ids.select(F.col(all_ids.columns[0]).alias("id")).distinct()
-        out = ids.join(out, "id", "left").select(
-            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
-        )
-    return out
+    return _with_singletons(out, all_ids)
 
 
 # ---------------------------------------------------------------------------

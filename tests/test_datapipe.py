@@ -249,7 +249,10 @@ def test_dup_clusters_one_job_per_round(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     sc.setJobGroup("cc_jobs", "dup_clusters job accounting")
     try:
-        got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+        got = {
+            r.id: r.cluster_id
+            for r in dup_clusters(pairs, strategy="iterative").collect()
+        }
     finally:
         sc.setJobGroup("cc_done", "")
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
@@ -486,3 +489,19 @@ def test_split_corpus_disjoint_exhaustive_and_prefix_coherent(docs, spark):
     again = {r["doc_id"]: r["split"] for r in split_corpus(
         big, "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2}).collect()}
     assert again == {r["doc_id"]: r["split"] for r in rows}
+
+
+def test_dup_clusters_strategies_agree(spark):
+    """Driver union-find and iterative min-label produce identical
+    clusters on a graph with chains, cliques, and self-loops."""
+    from qctimeseries_spark.datapipe.dedup import dup_clusters
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 20),
+             (30, 31), (31, 32), (30, 32), (40, 5), (5, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r.id: r.cluster_id
+         for r in dup_clusters(pairs, strategy="driver").collect()}
+    b = {r.id: r.cluster_id
+         for r in dup_clusters(pairs, strategy="iterative").collect()}
+    assert a == b
+    assert a[40] == 1  # 40-5-4-3-2-1 all one component
