@@ -30,6 +30,7 @@ from qctimeseries_spark.datapipe import (  # noqa: E402
     minhash_dedup_pairs,
     recall_at_k,
     sample_to_token_budget,
+    split_corpus,
 )
 from qctimeseries_spark.session import get_spark  # noqa: E402
 from qctimeseries_spark.sources import read_table  # noqa: E402
@@ -70,6 +71,15 @@ def main(sf_dir: str) -> int:
     )
     kept = fitted.agg(F.sum("n_tokens")).collect()[0][0] or 0
     print(f"token budget {budget}: kept {fitted.count()} docs / {kept} tokens")
+
+    # 3b. deterministic splits: same doc always lands in the same split
+    tagged = split_corpus(
+        curated.select("doc_id"), "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    sizes = {r["split"]: r["n"] for r in
+             tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(f"splits: {sizes}")
 
     # 4. ANN index sanity: IVF recall@10 vs brute force on embeddings
     emb = read_table(spark, sf_dir, "embeddings")
