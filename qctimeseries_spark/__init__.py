@@ -62,6 +62,7 @@ from qctimeseries_spark.viz import (
 )
 from qctimeseries_spark.app import QcSession
 from qctimeseries_spark.plans import plan_summary
+from qctimeseries_spark.rules import apply_qc_rules
 from qctimeseries_spark.joins import asof_join
 from qctimeseries_spark.exports import write_exports, smart_stem
 from qctimeseries_spark.report import save_all_check_plots, panel_downsample
@@ -130,6 +131,7 @@ __all__ = [
     "commit_state",
     "checkpoint_state",
     "plan_summary",
+    "apply_qc_rules",
 ]
 
 __version__ = "0.1.0"

@@ -899,6 +899,24 @@ def q_st6_stream_anomalies(spark, sf_dir):
     )
 
 
+def q_a11_qc_rules(spark, sf_dir):
+    """Range/spike/flatline screening over user 7's series; lag comes
+    from the block-carried shift_global, oracle = plain global lag."""
+    from qctimeseries_spark.rules import apply_qc_rules
+
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .groupBy("ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return apply_qc_rules(
+        s, "value", "ts", lo=5.0, hi=400.0, max_step=300.0, flatline_n=2
+    ).select(
+        "ts", "value", "rule_range", "rule_spike", "rule_flatline", "any_rule"
+    )
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
@@ -911,6 +929,7 @@ QUERIES.update(
         "a10_rolling_outliers": q_a10_rolling_outliers,
         "w11_interpolate": q_w11_interpolate,
         "st6_stream_anomalies": q_st6_stream_anomalies,
+        "a11_qc_rules": q_a11_qc_rules,
     }
 )
 
@@ -1344,6 +1363,27 @@ SELECT grid_ts, value, is_gap,
             WHEN p IS NOT NULL THEN p.v
             ELSE n.v END AS value_interp
 FROM c""",
+    "a11_qc_rules": """
+WITH s AS (
+  SELECT ts, MAX(value) AS value FROM events WHERE user_id = 7 GROUP BY ts
+),
+l AS (
+  SELECT ts, value, lag(value, 1) OVER (ORDER BY ts) AS p1 FROM s
+),
+r AS (
+  SELECT ts, value,
+         CAST(value IS NOT NULL AND (value < 5.0 OR value > 400.0) AS INT)
+             AS rule_range,
+         CAST(value IS NOT NULL AND p1 IS NOT NULL
+              AND abs(value - p1) > 300.0 AS INT) AS rule_spike,
+         CAST(value IS NOT NULL AND p1 IS NOT NULL AND p1 = value AS INT)
+             AS rule_flatline
+  FROM l
+)
+SELECT ts, value, rule_range, rule_spike, rule_flatline,
+       CAST(rule_range = 1 OR rule_spike = 1 OR rule_flatline = 1 AS INT)
+           AS any_rule
+FROM r""",
     "st6_stream_anomalies": """
 WITH nn AS (
   SELECT user_id, ts, value, CAST(round(value * 100) AS BIGINT) AS vi

@@ -721,3 +721,55 @@ def interpolate_linear(
         .otherwise(F.col("_nv"))
     )
     return d.withColumn(out_col, interp).drop("_pt", "_pv", "_nt", "_nv")
+
+
+def shift_global(
+    df: DataFrame,
+    time_col: str,
+    cols: list[str],
+    *,
+    block_hours: float = 24.0,
+    suffix: str = "_prev",
+) -> DataFrame:
+    """Exact global ``lag(1)`` over a single time-ordered series for
+    each of ``cols`` — without the single-task global window.
+
+    Within a time block the lag is a partitioned window; the FIRST row
+    of each block takes the last row of the nearest earlier non-empty
+    block, carried over the tiny #blocks frame and broadcast back.
+    Unlike :func:`fill_forward` this shifts ROWS (nulls included), so
+    ``v != v_prev``-style change detection sees real previous values.
+    Requires unique ``time_col`` values.
+    """
+    block_us = int(round(block_hours * 3600 * 1_000_000))
+    b = F.expr(_floor_div_sql(f"unix_micros(`{time_col}`)", block_us))
+    src = df.withColumn("_blk", b)
+    w = Window.partitionBy("_blk").orderBy(time_col)
+    row_struct = F.struct(*[F.col(c).alias(c) for c in cols])
+    src = (
+        src.withColumn("_lag", F.lag(row_struct).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    block_last = src.groupBy("_blk").agg(
+        F.max_by(row_struct, F.col(time_col)).alias("_bl")
+    )
+    carry = (
+        src.select("_blk").distinct()
+        .join(block_last, "_blk", "left")
+        .withColumn(
+            "_carry",
+            F.last(F.col("_bl"), ignorenulls=True).over(
+                Window.orderBy("_blk").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select("_blk", "_carry")
+    )
+    out = src.join(F.broadcast(carry), "_blk")
+    prev = F.when(F.col("_rn") == 1, F.col("_carry")).otherwise(
+        F.col("_lag")
+    )
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", prev[c])
+    return out.drop("_blk", "_lag", "_rn", "_carry")

@@ -381,3 +381,67 @@ def test_token_budget_zero_and_split_overflow(spark):
     assert sample_to_token_budget(d, "doc_id", "n_tokens", 0).count() == 0
     with pytest.raises(ValueError, match="> 1"):
         split_corpus(d, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_shift_global_equals_naive_lag(spark):
+    """Block + boundary-carry lag must equal the global window lag,
+    including rows whose predecessor sits blocks away and NULL values
+    (rows shift, not observations)."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    from qctimeseries_spark.windows import shift_global
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0 + dt.timedelta(hours=h * 13), None if h % 5 == 0 else float(h))
+        for h in range(150)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        r["ts"]: r["value_prev"]
+        for r in shift_global(
+            df, "ts", ["value"], block_hours=24.0
+        ).collect()
+    }
+    naive = {
+        r["ts"]: r["p"]
+        for r in df.withColumn(
+            "p", F.lag("value").over(W.orderBy("ts"))
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_qc_rules_detect_planted_defects(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as SF
+
+    from qctimeseries_spark import apply_qc_rules, add_flags, set_flag
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [20.0 + (h % 7) for h in range(100)]
+    vals[40] = 999.0        # range + spike violation
+    vals[60] = vals[59]     # flatline pair
+    vals[61] = vals[59]
+    rows = [(t0 + dt.timedelta(hours=h), vals[h]) for h in range(100)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = apply_qc_rules(
+        df, "value", "ts", lo=0.0, hi=500.0, max_step=100.0, flatline_n=2
+    )
+    r = {int((x["ts"] - t0).total_seconds() // 3600): x for x in out.collect()}
+    assert r[40]["rule_range"] == 1 and r[40]["rule_spike"] == 1
+    assert r[41]["rule_spike"] == 1  # the drop back down is also a spike
+    assert r[60]["rule_flatline"] == 1 and r[61]["rule_flatline"] == 1
+    assert r[39]["any_rule"] == 0
+    # compose with the update vocabulary: violations become -2 flags
+    flagged = set_flag(
+        add_flags(out, "value", time_col="ts"),
+        "value",
+        -2,
+        selection=SF.col("any_rule") == 1,
+    )
+    n = flagged.filter(SF.col("value_qcflag") == -2).count()
+    assert n == out.filter(SF.col("any_rule") == 1).count()
