@@ -773,3 +773,25 @@ def shift_global(
     for c in cols:
         out = out.withColumn(f"{c}{suffix}", prev[c])
     return out.drop("_blk", "_lag", "_rn", "_carry")
+
+
+def fill_backward(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    block_hours: float = 24.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Next-observation-carried-backward (NOCB) — the mirror of
+    :func:`fill_forward`, same two-phase block + boundary-carry shape
+    run in the reverse direction.  Rows after the last observation
+    stay NULL."""
+    out_col = out_col or f"{value_col}_bfilled"
+    d = _directional_carry(
+        df, time_col, value_col,
+        block_hours=block_hours, forward=False, t_out="_nt", v_out="_nv",
+    )
+    return d.withColumn(
+        out_col, F.coalesce(F.col(value_col), F.col("_nv"))
+    ).drop("_nt", "_nv")

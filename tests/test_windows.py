@@ -445,3 +445,32 @@ def test_qc_rules_detect_planted_defects(spark):
     )
     n = flagged.filter(SF.col("value_qcflag") == -2).count()
     assert n == out.filter(SF.col("any_rule") == 1).count()
+
+
+def test_fill_backward_equals_global_window(spark):
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+
+    from qctimeseries_spark.windows import fill_backward
+
+    t0 = dt.datetime(2024, 1, 1)
+    obs = {30: 1.0, 130: 3.0}
+    rows = [(t0 + dt.timedelta(hours=h), obs.get(h)) for h in range(240)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        r["ts"]: r["value_bfilled"]
+        for r in fill_backward(df, "ts", "value", block_hours=24.0).collect()
+    }
+    naive = {
+        r["ts"]: r["b"]
+        for r in df.withColumn(
+            "b",
+            F.first("value", ignorenulls=True).over(
+                W.orderBy("ts").rowsBetween(W.currentRow, W.unboundedFollowing)
+            ),
+        ).collect()
+    }
+    assert got == naive
+    assert got[t0 + dt.timedelta(hours=10)] == 1.0   # leading carries back
+    assert got[t0 + dt.timedelta(hours=200)] is None  # after last obs
