@@ -917,6 +917,20 @@ def q_a11_qc_rules(spark, sf_dir):
     )
 
 
+def q_a12_rolling_by_key(spark, sf_dir):
+    """Per-key trailing 48 h rolling outlier candidates over ALL users
+    — the partitioned-window path (no halo needed across keys)."""
+    from qctimeseries_spark.windows import flag_outlier_candidates
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return flag_outlier_candidates(
+        ev, "ts", "value",
+        window_seconds=96 * 3600.0, z=2.0, min_n=5, key_col="user_id",
+    ).filter(F.col("is_outlier") == 1).select(
+        "user_id", "ts", "value", "roll_mean", "roll_std", "roll_n"
+    )
+
+
 QUERIES.update(
     {
         "j2_range_join": q_j2_range_join,
@@ -930,6 +944,7 @@ QUERIES.update(
         "w11_interpolate": q_w11_interpolate,
         "st6_stream_anomalies": q_st6_stream_anomalies,
         "a11_qc_rules": q_a11_qc_rules,
+        "a12_rolling_by_key": q_a12_rolling_by_key,
     }
 )
 
@@ -1363,6 +1378,20 @@ SELECT grid_ts, value, is_gap,
             WHEN p IS NOT NULL THEN p.v
             ELSE n.v END AS value_interp
 FROM c""",
+    "a12_rolling_by_key": """
+WITH r AS (
+  SELECT user_id, ts, value,
+         ROUND(AVG(value) OVER w, 6) AS roll_mean,
+         ROUND(STDDEV_SAMP(value) OVER w, 6) AS roll_std,
+         COUNT(value) OVER w AS roll_n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 96 HOUR PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, ts, value, roll_mean, roll_std, roll_n
+FROM r
+WHERE value IS NOT NULL AND roll_n >= 5 AND roll_std > 0
+  AND abs(value - roll_mean) > 2.0 * roll_std""",
     "a11_qc_rules": """
 WITH s AS (
   SELECT ts, MAX(value) AS value FROM events WHERE user_id = 7 GROUP BY ts

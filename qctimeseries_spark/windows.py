@@ -514,22 +514,26 @@ def rolling_stats(
     *,
     window_seconds: float,
     block_hours: float | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
-    """Trailing time-range rolling mean / sample-stddev / count over a
-    single global series: for each row, aggregates of ``value_col``
-    across ``[t - window_seconds, t]``.
+    """Trailing time-range rolling mean / sample-stddev / count: for
+    each row, aggregates of ``value_col`` across ``[t - window_seconds,
+    t]`` of its series.
 
     The basis for automated QC candidate flagging (rolling z-score
     outliers) — the step the reference leaves to the reviewer's eye.
 
-    Scale shape (halo blocks): a global ``RANGE BETWEEN`` window is a
-    single task.  Instead rows are bucketed into blocks ≥ the window
-    radius; each row is ALSO copied into the next block when it lies
-    within the radius of its block's end (the halo), so every trailing
-    window is fully contained in one block's partition.  The range
-    window then runs per block in parallel, and only center copies are
-    kept — row-identical to the global formulation, at a duplication
-    cost of radius/block ≪ 1.
+    With ``key_col`` the window partitions naturally per key (a plain
+    partitioned range window — scale-safe when no single key dominates;
+    for a dominant hot key, run the keyless path on that key's slice).
+    Without a key — ONE global series — the naive ``RANGE BETWEEN``
+    window is a single task, so halo blocks apply: rows are bucketed
+    into blocks ≥ the window radius; each row is ALSO copied into the
+    next block when it lies within the radius of its block's end (the
+    halo), so every trailing window is fully contained in one block's
+    partition.  The range window then runs per block in parallel, and
+    only center copies are kept — row-identical to the global
+    formulation, at a duplication cost of radius/block ≪ 1.
 
     Emits ``roll_mean`` / ``roll_std`` / ``roll_n`` (6-dp rounded so
     cross-engine float comparisons are stable).
@@ -537,12 +541,25 @@ def rolling_stats(
     r_us = int(round(window_seconds * 1_000_000))
     if r_us <= 0:
         raise ValueError("window_seconds must be positive")
+    us = F.unix_micros(F.col(time_col))
+    if key_col is not None:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(us.alias("_us"))
+            .rangeBetween(-r_us, 0)
+        )
+        return (
+            df.withColumn("roll_mean", F.round(F.avg(value_col).over(w), 6))
+            .withColumn(
+                "roll_std", F.round(F.stddev_samp(value_col).over(w), 6)
+            )
+            .withColumn("roll_n", F.count(value_col).over(w))
+        )
     if block_hours is None:
         block_hours = max(4 * window_seconds / 3600.0, 24.0)
     b_us = int(round(block_hours * 3600 * 1_000_000))
     if b_us < r_us:
         raise ValueError("block_hours must cover the window radius")
-    us = F.unix_micros(F.col(time_col))
     blk = F.expr(_floor_div_sql(f"unix_micros(`{time_col}`)", b_us))
     center = df.withColumn("_blk", blk).withColumn("_ctr", F.lit(True))
     halo = (
@@ -576,6 +593,7 @@ def flag_outlier_candidates(
     window_seconds: float,
     z: float = 4.0,
     min_n: int = 5,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Rolling z-score outlier candidates: ``is_outlier = 1`` where the
     value sits more than ``z`` rolling sample deviations from the
@@ -589,7 +607,8 @@ def flag_outlier_candidates(
     reproducible cross-engine.
     """
     s = rolling_stats(
-        df, time_col, value_col, window_seconds=window_seconds
+        df, time_col, value_col,
+        window_seconds=window_seconds, key_col=key_col,
     )
     ok = (F.col("roll_n") >= min_n) & (F.col("roll_std") > 0)
     dev = F.abs(F.col(value_col) - F.col("roll_mean"))
