@@ -41,6 +41,14 @@ from qctimeseries_spark.windows import (
     sessionize,
     sessionize_salted,
     hot_keys,
+    regularize,
+    resample,
+    fill_forward,
+    fill_backward,
+    interpolate_linear,
+    rolling_stats,
+    flag_outlier_candidates,
+    shift_global,
 )
 from qctimeseries_spark.updates import (
     set_flag,
@@ -132,6 +140,14 @@ __all__ = [
     "checkpoint_state",
     "plan_summary",
     "apply_qc_rules",
+    "regularize",
+    "resample",
+    "fill_forward",
+    "fill_backward",
+    "interpolate_linear",
+    "rolling_stats",
+    "flag_outlier_candidates",
+    "shift_global",
 ]
 
 __version__ = "0.1.0"

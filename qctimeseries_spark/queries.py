@@ -917,6 +917,19 @@ def q_a11_qc_rules(spark, sf_dir):
     )
 
 
+def q_w12_resample(spark, sf_dir):
+    """Epoch-anchored 24 h downsampling per user: avg/min/max/count of
+    value — one map-side-combinable shuffle on (user, bucket)."""
+    from qctimeseries_spark.windows import resample
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return resample(
+        ev, "ts", step_minutes=1440.0,
+        aggs={"value": ["avg", "min", "max", "count"]},
+        key_cols=["user_id"],
+    )
+
+
 def q_a12_rolling_by_key(spark, sf_dir):
     """Per-key trailing 48 h rolling outlier candidates over ALL users
     — the partitioned-window path (no halo needed across keys)."""
@@ -945,6 +958,7 @@ QUERIES.update(
         "st6_stream_anomalies": q_st6_stream_anomalies,
         "a11_qc_rules": q_a11_qc_rules,
         "a12_rolling_by_key": q_a12_rolling_by_key,
+        "w12_resample": q_w12_resample,
     }
 )
 
@@ -1378,6 +1392,16 @@ SELECT grid_ts, value, is_gap,
             WHEN p IS NOT NULL THEN p.v
             ELSE n.v END AS value_interp
 FROM c""",
+    "w12_resample": f"""
+SELECT user_id,
+       make_timestamp((epoch_us(ts) // {24 * 3600 * 1_000_000})
+                      * {24 * 3600 * 1_000_000}) AS bucket_ts,
+       ROUND(AVG(value), 6) AS value_avg,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max,
+       COUNT(value) AS value_count
+FROM events
+GROUP BY 1, 2""",
     "a12_rolling_by_key": """
 WITH r AS (
   SELECT user_id, ts, value,

@@ -814,3 +814,54 @@ def fill_backward(
     return d.withColumn(
         out_col, F.coalesce(F.col(value_col), F.col("_nv"))
     ).drop("_nt", "_nv")
+
+
+#: aggregate functions resample() accepts — commutative/associative
+#: only, so map-side partial aggregation applies at any scale
+RESAMPLE_AGGS = ("avg", "min", "max", "sum", "count")
+
+
+def resample(
+    df: DataFrame,
+    time_col: str,
+    *,
+    step_minutes: float,
+    aggs: dict[str, str | list[str]],
+    key_cols: list[str] | None = None,
+    out_time_col: str = "bucket_ts",
+) -> DataFrame:
+    """Downsample to a fixed cadence: epoch-anchored ``step_minutes``
+    buckets, one output row per (keys…, bucket) with the requested
+    aggregates — the inverse of :func:`regularize` (which densifies;
+    this coarsens).
+
+    ``aggs`` maps column → an agg name or list of names from
+    ``avg/min/max/sum/count``; outputs are named ``{col}_{fn}``
+    (``avg`` rounded to 6 dp for cross-engine stability).  Restricted to commutative aggregates so the groupBy
+    runs with map-side partial aggregation — one shuffle on (keys,
+    bucket), uniform by construction.  Bucket ids use exact integer µs
+    floor division (float bucketing misplaces boundary rows).
+    """
+    step_us = int(round(step_minutes * 60 * 1_000_000))
+    if step_us <= 0:
+        raise ValueError("step_minutes must be positive")
+    norm: list[tuple[str, str]] = []
+    for col, fns in aggs.items():
+        for fn in [fns] if isinstance(fns, str) else list(fns):
+            if fn not in RESAMPLE_AGGS:
+                raise ValueError(
+                    f"unsupported agg {fn!r} for {col!r}; use {RESAMPLE_AGGS}"
+                )
+            norm.append((col, fn))
+    bucket = F.expr(
+        f"timestamp_micros(({_floor_div_sql(f'unix_micros(`{time_col}`)', step_us)})"
+        f" * {step_us}L)"
+    ).alias(out_time_col)
+    keys = [F.col(k) for k in (key_cols or [])]
+    exprs = []
+    for col, fn in norm:
+        e = getattr(F, fn)(F.col(col))
+        if fn == "avg":
+            e = F.round(e, 6)
+        exprs.append(e.alias(f"{col}_{fn}"))
+    return df.groupBy(*keys, bucket).agg(*exprs)

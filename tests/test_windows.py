@@ -474,3 +474,31 @@ def test_fill_backward_equals_global_window(spark):
     assert got == naive
     assert got[t0 + dt.timedelta(hours=10)] == 1.0   # leading carries back
     assert got[t0 + dt.timedelta(hours=200)] is None  # after last obs
+
+
+def test_resample_buckets_and_aggregates(spark):
+    import datetime as dt
+
+    from qctimeseries_spark import resample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=10 * i), float(i)) for i in range(12)
+    ]  # two 60-min buckets of 6 rows each
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    out = {
+        r["bucket_ts"]: r
+        for r in resample(
+            df, "ts", step_minutes=60.0,
+            aggs={"value": ["avg", "min", "max", "count"]}, key_cols=["k"],
+        ).collect()
+    }
+    assert len(out) == 2
+    b0 = out[t0]
+    assert b0["value_min"] == 0.0 and b0["value_max"] == 5.0
+    assert b0["value_count"] == 6 and abs(b0["value_avg"] - 2.5) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported agg"):
+        resample(df, "ts", step_minutes=60.0, aggs={"value": "median"})
