@@ -178,3 +178,26 @@ def test_plan_summary_counts_exchanges_and_pushdown(spark):
 
     agg = ev.groupBy("event_type").count()
     assert plan_summary(agg)["shuffles"] >= 1
+
+
+def test_qc_pipeline_rules_stage_flags_violations(spark):
+    """The rules= parameter screens and flags automatically; helper
+    columns do not leak into the returned frames."""
+    import datetime as dt
+
+    from qctimeseries_spark import qc_pipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [20.0 + (h % 7) for h in range(80)]
+    vals[30] = 900.0
+    rows = [(t0 + dt.timedelta(hours=h), vals[h]) for h in range(80)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    flagged, clean, prog = qc_pipeline(
+        df, "value", time_col="ts",
+        rules={"value": {"lo": 0.0, "hi": 500.0, "max_step": 200.0}},
+    )
+    assert set(flagged.columns) == {"ts", "value", "value_qcflag"}
+    bad = flagged.filter(F.col("value_qcflag") == -2).collect()
+    assert {r["value"] for r in bad} >= {900.0}
+    # the masked clean output nulls the violation
+    assert clean.filter(F.col("value") == 900.0).count() == 0
