@@ -930,6 +930,29 @@ def q_w12_resample(spark, sf_dir):
     )
 
 
+def q_st7_stream_resample(spark, sf_dir):
+    """Streaming resample drained APPEND-mode: equals the batch w12
+    aggregation bucket-for-bucket for every watermark-closed bucket —
+    the oracle mirrors the eviction horizon (bucket end ≤ max event
+    time − watermark), so the production emission semantics themselves
+    are what the hash pins."""
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_resample,
+    )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    return run_available_now(
+        stream_resample(
+            ev, "ts", step_minutes=1440.0,
+            aggs={"value": ["avg", "min", "max", "count"]},
+            key_cols=["user_id"],
+        ),
+        output_mode="append",
+    )
+
+
 def q_a12_rolling_by_key(spark, sf_dir):
     """Per-key trailing 48 h rolling outlier candidates over ALL users
     — the partitioned-window path (no halo needed across keys)."""
@@ -959,6 +982,7 @@ QUERIES.update(
         "a11_qc_rules": q_a11_qc_rules,
         "a12_rolling_by_key": q_a12_rolling_by_key,
         "w12_resample": q_w12_resample,
+        "st7_stream_resample": q_st7_stream_resample,
     }
 )
 
@@ -1402,6 +1426,18 @@ SELECT user_id,
        COUNT(value) AS value_count
 FROM events
 GROUP BY 1, 2""",
+    "st7_stream_resample": f"""
+WITH m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT user_id,
+       make_timestamp((epoch_us(ts) // {24 * 3600 * 1_000_000})
+                      * {24 * 3600 * 1_000_000}) AS bucket_ts,
+       ROUND(AVG(value), 6) AS value_avg,
+       MIN(value) AS value_min,
+       MAX(value) AS value_max,
+       COUNT(value) AS value_count
+FROM events
+GROUP BY 1, 2
+HAVING bucket_ts + INTERVAL 24 HOUR <= (SELECT mx FROM m) - INTERVAL 1 HOUR""",
     "a12_rolling_by_key": """
 WITH r AS (
   SELECT user_id, ts, value,

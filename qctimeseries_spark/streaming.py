@@ -483,3 +483,47 @@ def detect_anomalies_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_resample(
+    stream: DataFrame,
+    time_col: str = "ts",
+    *,
+    step_minutes: float,
+    aggs: dict[str, str | list[str]],
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`~qctimeseries_spark.windows.resample`:
+    epoch-anchored tumbling buckets (``F.window``) with the same
+    commutative aggregates and output naming, so a batch backfill and
+    the live stream produce interchangeable tables.
+
+    Watermark bounds state to the reorder horizon; buckets older than
+    it finalize and evict (append mode).  Works identically on batch
+    frames (watermark no-op), which is how the oracle compares it.
+    """
+    from qctimeseries_spark.windows import RESAMPLE_AGGS
+
+    step_us = int(round(step_minutes * 60 * 1_000_000))
+    if step_us <= 0 or step_us % 1_000_000:
+        raise ValueError("step_minutes must be a positive whole-second step")
+    src = (
+        stream.withWatermark(time_col, watermark)
+        if stream.isStreaming
+        else stream
+    )
+    exprs = []
+    for col, fns in aggs.items():
+        for fn in [fns] if isinstance(fns, str) else list(fns):
+            if fn not in RESAMPLE_AGGS:
+                raise ValueError(
+                    f"unsupported agg {fn!r} for {col!r}; use {RESAMPLE_AGGS}"
+                )
+            e = getattr(F, fn)(F.col(col))
+            if fn == "avg":
+                e = F.round(e, 6)
+            exprs.append(e.alias(f"{col}_{fn}"))
+    win = F.window(F.col(time_col), f"{step_us // 1_000_000} seconds")
+    out = src.groupBy(*(key_cols or []), win.alias("_win")).agg(*exprs)
+    return out.withColumn("bucket_ts", F.col("_win.start")).drop("_win")
