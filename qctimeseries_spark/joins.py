@@ -66,13 +66,6 @@ def range_join(
     return out.drop("_rj_bucket")
 
 
-#: row cap for the keyless (global-window) as-of path — with no ``by``
-#: key the carry-forward window has no partitioning and the entire
-#: union funnels through ONE task; fine for reference tables, a
-#: scale-killer on fact-sized inputs.
-MAX_GLOBAL_ASOF_ROWS = 1_000_000
-
-
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -81,8 +74,7 @@ def asof_join(
     by: list[str] | str | None = None,
     tolerance_seconds: float | None = None,
     right_prefix: str = "r_",
-    allow_global: bool = False,
-    max_global_rows: int = MAX_GLOBAL_ASOF_ROWS,
+    block_hours: float = 24.0,
 ) -> DataFrame:
     """Left as-of join: each left row gains the payload of the most
     recent right row with ``right.on <= left.on`` (per ``by`` key).
@@ -93,26 +85,16 @@ def asof_join(
     (pandas ``merge_asof(tolerance=...)`` semantics).  Ties on the time
     column match (at-or-before).
 
-    Without ``by`` the ordered window is GLOBAL — one task sorts the
-    whole union, the same single-partition funnel the two-phase rowid
-    design avoids elsewhere.  That path is therefore guarded like
-    ``embedding_dup_pairs``: above ``max_global_rows`` it raises unless
-    ``allow_global=True``, pointing at a ``by`` key as the scale path.
-    The probe is a ``limit(cap+1)`` scan of one thin column, so it
-    stops as soon as the cap is exceeded instead of counting the world.
+    Without ``by`` the ordered carry has no key to partition on, so it
+    runs the two-phase block pattern instead of a global window (which
+    would funnel the union through ONE task — round 2 guarded that
+    footgun behind a row cap; this removes it): the carry-forward runs
+    per ``block_hours`` time block in parallel, each block's latest
+    right record is cumulated over the tiny #blocks frame, and rows
+    whose block has no earlier in-block right row take the carried
+    record.  Row-identical to the global window at any size.
     """
     by = [by] if isinstance(by, str) else list(by or [])
-    if not by and not allow_global:
-        probe = left.select(F.lit(1).alias("_1")).unionAll(
-            right.select(F.lit(1).alias("_1"))
-        )
-        if probe.limit(max_global_rows + 1).count() > max_global_rows:
-            raise ValueError(
-                f"asof_join without a `by` key sorts the entire union in a"
-                f" single task and the input exceeds {max_global_rows} rows;"
-                " pass a `by` key to partition the work, or"
-                " allow_global=True to accept the single-partition sort"
-            )
     payload = [c for c in right.columns if c != on and c not in by]
     overlap = set(payload) & set(left.columns)
     if overlap:
@@ -133,18 +115,61 @@ def asof_join(
     l = left.withColumn("_side", F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-        if by
-        else Window.orderBy(F.col(on).asc(), F.col("_side").asc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-    )
     carried = [f"{right_prefix}{on}"] + [f"{right_prefix}{c}" for c in payload]
-    for c in carried:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if by:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in carried:
+            merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    else:
+        from qctimeseries_spark.windows import _floor_div_sql
+
+        block_us = int(round(block_hours * 3600 * 1_000_000))
+        merged = merged.withColumn(
+            "_blk",
+            F.expr(_floor_div_sql(f"unix_micros(`{on}`)", block_us)),
+        )
+        w = (
+            Window.partitionBy("_blk")
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in carried:
+            merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        # each block's LATEST right record (its carried columns equal its
+        # own values), cumulated across the tiny #blocks frame
+        block_last = (
+            merged.filter(F.col("_side") == 0)
+            .groupBy("_blk")
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c).alias(c) for c in carried]),
+                    F.col(on),
+                ).alias("_bl")
+            )
+        )
+        carry = (
+            merged.select("_blk").distinct()
+            .join(block_last, "_blk", "left")
+            .withColumn(
+                "_carry",
+                F.last(F.col("_bl"), ignorenulls=True).over(
+                    Window.orderBy("_blk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+            )
+            .select("_blk", "_carry")
+        )
+        merged = merged.join(F.broadcast(carry), "_blk")
+        for c in carried:
+            merged = merged.withColumn(
+                c, F.coalesce(F.col(c), F.col("_carry")[c])
+            )
+        merged = merged.drop("_blk", "_carry")
 
     out = merged.filter(F.col("_side") == 1).drop("_side")
     if tolerance_seconds is not None:

@@ -94,18 +94,30 @@ def test_asof_no_by_key_global(spark):
     assert out == {1: "a", 2: "b"}
 
 
-def test_asof_global_guard_raises_above_cap(spark):
-    left = spark.range(30).select(
+def test_asof_keyless_block_path_equals_small_blocks(spark):
+    """The keyless as-of runs block + boundary-carry (no global sort);
+    shrinking blocks so matches cross many boundaries must not change
+    the result, and rows before any right record stay unmatched."""
+    base_us = int(
+        dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    left = spark.range(200).select(
         F.col("id").alias("event_id"),
-        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * 3600 * 1_000_000
+        ).alias("ts"),
     )
     right = spark.createDataFrame(
-        [(_ts(0), "a")], "ts timestamp, tag string"
+        [(_ts(5), "a"), (_ts(90), "b")], "ts timestamp, tag string"
     )
-    with pytest.raises(ValueError, match="allow_global"):
-        asof_join(left, right, on="ts", max_global_rows=10)
-    # explicit override accepts the single-partition sort
-    out = asof_join(
-        left, right, on="ts", max_global_rows=10, allow_global=True
-    )
-    assert out.count() == 30
+    big = {r.event_id: r.r_tag
+           for r in asof_join(left, right, on="ts",
+                              block_hours=10000.0).collect()}
+    small = {r.event_id: r.r_tag
+             for r in asof_join(left, right, on="ts",
+                                block_hours=6.0).collect()}
+    assert big == small
+    assert small[0] is None          # before the first right record
+    assert small[6] == "a"
+    assert small[89] == "a"          # carried across many 6h blocks
+    assert small[199] == "b"
