@@ -42,6 +42,7 @@ from qctimeseries_spark.windows import (
     sessionize_salted,
     hot_keys,
     regularize,
+    regularize_by_key,
     resample,
     fill_forward,
     fill_backward,
@@ -141,6 +142,7 @@ __all__ = [
     "plan_summary",
     "apply_qc_rules",
     "regularize",
+    "regularize_by_key",
     "resample",
     "fill_forward",
     "fill_backward",

@@ -930,6 +930,22 @@ def q_w12_resample(spark, sf_dir):
     )
 
 
+def q_w13_regularize_by_key(spark, sf_dir):
+    """Per-user 12 h grid materialization over each user's own extent
+    (users 0–9, per-instant dedup); oracle = per-row generate_series."""
+    from qctimeseries_spark.windows import regularize_by_key
+
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return regularize_by_key(
+        s, "ts", step_minutes=720.0, key_cols="user_id"
+    ).select("user_id", "grid_ts", "value", "is_gap")
+
+
 def q_st7_stream_resample(spark, sf_dir):
     """Streaming resample drained APPEND-mode: equals the batch w12
     aggregation bucket-for-bucket for every watermark-closed bucket —
@@ -983,6 +999,7 @@ QUERIES.update(
         "a12_rolling_by_key": q_a12_rolling_by_key,
         "w12_resample": q_w12_resample,
         "st7_stream_resample": q_st7_stream_resample,
+        "w13_regularize_by_key": q_w13_regularize_by_key,
     }
 )
 
@@ -1426,6 +1443,23 @@ SELECT user_id,
        COUNT(value) AS value_count
 FROM events
 GROUP BY 1, 2""",
+    "w13_regularize_by_key": """
+WITH s AS (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE user_id < 10 GROUP BY user_id, ts
+),
+b AS (
+  SELECT user_id, MIN(ts) AS lo, MAX(ts) AS hi FROM s GROUP BY user_id
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 12 HOUR)) AS grid_ts
+  FROM b
+)
+SELECT g.user_id, g.grid_ts, s.value,
+       CAST(s.ts IS NULL AS INT) AS is_gap
+FROM grid g
+LEFT JOIN s ON s.user_id = g.user_id AND s.ts = g.grid_ts""",
     "st7_stream_resample": f"""
 WITH m AS (SELECT MAX(ts) AS mx FROM events)
 SELECT user_id,

@@ -865,3 +865,58 @@ def resample(
             e = F.round(e, 6)
         exprs.append(e.alias(f"{col}_{fn}"))
     return df.groupBy(*keys, bucket).agg(*exprs)
+
+
+def regularize_by_key(
+    df: DataFrame,
+    time_col: str = "ts",
+    *,
+    step_minutes: float,
+    key_cols: list[str] | str,
+) -> DataFrame:
+    """Per-key :func:`regularize`: materialize each key's fixed-cadence
+    grid over ITS OWN [min(t), max(t)] extent and left-join the
+    observations — the multi-sensor form of gap materialization
+    (every sensor gets rows for its silent stretches, none for times
+    before it existed).
+
+    Scale shape: per-key bounds are one groupBy; the grid generates via
+    a TWO-LEVEL sequence explode (coarse chunks of 1,024 steps, then
+    intra-chunk offsets), so no single row ever holds more than
+    max(span/1024·step, 1024) array elements — a one-level
+    ``sequence(lo, hi, step)`` would build a multi-million-element
+    array in one row for a long series.  The final join is an
+    equi-join on (keys, grid instant).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    step_us = int(round(step_minutes * 60 * 1_000_000))
+    if step_us <= 0:
+        raise ValueError("step_minutes must be positive")
+    chunk = 1024  # steps per coarse chunk
+    bounds = df.groupBy(*keys).agg(
+        F.unix_micros(F.min(time_col)).alias("_lo_us"),
+        F.unix_micros(F.max(time_col)).alias("_hi_us"),
+    )
+    n = (F.col("_hi_us") - F.col("_lo_us")) / F.lit(step_us)
+    grid = (
+        bounds.withColumn("_n", n.cast("long"))
+        .withColumn(
+            "_c", F.explode(F.sequence(F.lit(0), (F.col("_n") / chunk).cast("long")))
+        )
+        .withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(chunk - 1))))
+        .withColumn("_i", F.col("_c") * chunk + F.col("_k"))
+        .filter(F.col("_i") <= F.col("_n"))
+        .select(
+            *keys,
+            F.timestamp_micros(
+                F.col("_lo_us") + F.col("_i") * F.lit(step_us)
+            ).alias("grid_ts"),
+        )
+    )
+    obs = df.withColumnRenamed(time_col, "grid_ts").withColumn(
+        "_present", F.lit(1)
+    )
+    j = grid.join(obs, [*keys, "grid_ts"], "left")
+    return j.withColumn(
+        "is_gap", F.col("_present").isNull().cast("int")
+    ).drop("_present")

@@ -502,3 +502,29 @@ def test_resample_buckets_and_aggregates(spark):
 
     with pytest.raises(ValueError, match="unsupported agg"):
         resample(df, "ts", step_minutes=60.0, aggs={"value": "median"})
+
+
+def test_regularize_by_key_per_key_extents(spark):
+    """Each key's grid spans only its own extent; gaps materialize per
+    key; the two-level explode reproduces the one-level grid."""
+    import datetime as dt
+
+    from qctimeseries_spark import regularize_by_key
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(hours=3), 2.0),   # key 1: 0..3h
+        (2, t0 + dt.timedelta(hours=10), 5.0),
+        (2, t0 + dt.timedelta(hours=12), 6.0),  # key 2: 10..12h
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    out = regularize_by_key(df, "ts", step_minutes=60.0, key_cols="k")
+    got = {(r["k"], r["grid_ts"]): (r["value"], r["is_gap"]) for r in out.collect()}
+    assert len([x for x in got if x[0] == 1]) == 4   # hours 0..3
+    assert len([x for x in got if x[0] == 2]) == 3   # hours 10..12
+    assert got[(1, t0 + dt.timedelta(hours=1))] == (None, 1)
+    assert got[(2, t0 + dt.timedelta(hours=11))] == (None, 1)
+    assert got[(2, t0 + dt.timedelta(hours=12))] == (6.0, 0)
+    # key 2 has no rows before its own start
+    assert (2, t0) not in got
