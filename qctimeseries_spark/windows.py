@@ -447,6 +447,7 @@ def fill_forward(
     *,
     block_hours: float = 24.0,
     out_col: str | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Last-observation-carried-forward over a single global series —
     the imputation step after :func:`regularize` (fill the gap rows
@@ -468,6 +469,16 @@ def fill_forward(
     ``time_col`` values (regularized series satisfy this).
     """
     out_col = out_col or f"{value_col}_filled"
+    if key_col is not None:
+        # keys partition naturally: one plain partitioned window
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(time_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(
+            out_col, F.last(F.col(value_col), ignorenulls=True).over(w)
+        )
     block_us = int(round(block_hours * 3600 * 1_000_000))
     b = F.expr(
         _floor_div_sql(f"unix_micros(`{time_col}`)", block_us)
@@ -801,12 +812,22 @@ def fill_backward(
     *,
     block_hours: float = 24.0,
     out_col: str | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Next-observation-carried-backward (NOCB) — the mirror of
     :func:`fill_forward`, same two-phase block + boundary-carry shape
-    run in the reverse direction.  Rows after the last observation
-    stay NULL."""
+    run in the reverse direction (or a plain per-key window with
+    ``key_col``).  Rows after the last observation stay NULL."""
     out_col = out_col or f"{value_col}_bfilled"
+    if key_col is not None:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(time_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        return df.withColumn(
+            out_col, F.first(F.col(value_col), ignorenulls=True).over(w)
+        )
     d = _directional_carry(
         df, time_col, value_col,
         block_hours=block_hours, forward=False, t_out="_nt", v_out="_nv",

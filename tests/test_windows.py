@@ -528,3 +528,36 @@ def test_regularize_by_key_per_key_extents(spark):
     assert got[(2, t0 + dt.timedelta(hours=12))] == (6.0, 0)
     # key 2 has no rows before its own start
     assert (2, t0) not in got
+
+
+def test_fill_per_key_matches_pandas_groupwise(spark):
+    """Per-key LOCF/NOCB equal pandas groupby ffill/bfill."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from qctimeseries_spark.windows import fill_backward, fill_forward
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in (1, 2):
+        for h in range(20):
+            v = None if (h + k) % 3 else float(k * 100 + h)
+            rows.append((k, t0 + dt.timedelta(hours=h), v))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    f = {
+        (r["k"], r["ts"]): r["value_filled"]
+        for r in fill_forward(df, "ts", "value", key_col="k").collect()
+    }
+    b = {
+        (r["k"], r["ts"]): r["value_bfilled"]
+        for r in fill_backward(df, "ts", "value", key_col="k").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "value"]).sort_values(["k", "ts"])
+    pdf["ff"] = pdf.groupby("k")["value"].ffill()
+    pdf["bf"] = pdf.groupby("k")["value"].bfill()
+    for _, r in pdf.iterrows():
+        want_f = None if pd.isna(r["ff"]) else r["ff"]
+        want_b = None if pd.isna(r["bf"]) else r["bf"]
+        assert f[(r["k"], r["ts"])] == want_f
+        assert b[(r["k"], r["ts"])] == want_b
