@@ -714,6 +714,7 @@ def interpolate_linear(
     *,
     block_hours: float = 24.0,
     out_col: str | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Linear interpolation across gap rows of a single global series:
     each NULL value takes the time-weighted blend of the nearest
@@ -727,14 +728,42 @@ def interpolate_linear(
     single task.  Results round to 6 dp for cross-engine stability.
     """
     out_col = out_col or f"{value_col}_interp"
-    d = _directional_carry(
-        df, time_col, value_col,
-        block_hours=block_hours, forward=True, t_out="_pt", v_out="_pv",
-    )
-    d = _directional_carry(
-        d, time_col, value_col,
-        block_hours=block_hours, forward=False, t_out="_nt", v_out="_nv",
-    )
+    if key_col is not None:
+        # per-key: plain partitioned windows both directions
+        obs = F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(
+                F.col(time_col).alias("t"), F.col(value_col).alias("v")
+            ),
+        )
+        wf = (
+            Window.partitionBy(key_col)
+            .orderBy(time_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wb = (
+            Window.partitionBy(key_col)
+            .orderBy(time_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        d = (
+            df.withColumn("_p", F.last(obs, ignorenulls=True).over(wf))
+            .withColumn("_n", F.first(obs, ignorenulls=True).over(wb))
+            .withColumn("_pt", F.col("_p")["t"])
+            .withColumn("_pv", F.col("_p")["v"])
+            .withColumn("_nt", F.col("_n")["t"])
+            .withColumn("_nv", F.col("_n")["v"])
+            .drop("_p", "_n")
+        )
+    else:
+        d = _directional_carry(
+            df, time_col, value_col,
+            block_hours=block_hours, forward=True, t_out="_pt", v_out="_pv",
+        )
+        d = _directional_carry(
+            d, time_col, value_col,
+            block_hours=block_hours, forward=False, t_out="_nt", v_out="_nv",
+        )
     t = F.unix_micros(F.col(time_col)).cast("double")
     t0 = F.unix_micros(F.col("_pt")).cast("double")
     t1 = F.unix_micros(F.col("_nt")).cast("double")

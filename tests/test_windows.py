@@ -561,3 +561,33 @@ def test_fill_per_key_matches_pandas_groupwise(spark):
         want_b = None if pd.isna(r["bf"]) else r["bf"]
         assert f[(r["k"], r["ts"])] == want_f
         assert b[(r["k"], r["ts"])] == want_b
+
+
+def test_interpolate_per_key_matches_pandas(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from qctimeseries_spark.windows import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in (1, 2):
+        for h in range(15):
+            v = None if h % 4 else float(k * 10 + h)
+            rows.append((k, t0 + dt.timedelta(hours=h), v))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    got = {
+        (r["k"], r["ts"]): r["value_interp"]
+        for r in interpolate_linear(df, "ts", "value", key_col="k").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "value"]).sort_values(["k", "ts"])
+    pdf["li"] = (
+        pdf.set_index("ts").groupby("k")["value"]
+        .apply(lambda g: g.interpolate(method="time", limit_direction="both"))
+        .to_numpy()
+    )
+    for _, r in pdf.iterrows():
+        want = None if pd.isna(r["li"]) else round(r["li"], 6)
+        have = got[(r["k"], r["ts"])]
+        assert (have is None and want is None) or abs(have - want) < 1e-9
