@@ -20,7 +20,7 @@ from qctimeseries_spark.datapipe.dedup import (
     simhash,
     simhash_dup_pairs,
 )
-from qctimeseries_spark.datapipe.curate import curate_corpus
+from qctimeseries_spark.datapipe.curate import curate_corpus, drop_near_dups
 from qctimeseries_spark.datapipe.sample import (
     hash_sample,
     sample_bucket,
@@ -54,6 +54,7 @@ from qctimeseries_spark.datapipe.text import (
 __all__ = [
     "cosine",
     "curate_corpus",
+    "drop_near_dups",
     "recall_at_k",
     "dup_clusters",
     "hash_sample",

@@ -34,6 +34,36 @@ from qctimeseries_spark.datapipe.text import (
 )
 
 
+def drop_near_dups(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 15,
+    bands: int = 5,
+    ngram: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Keep one document per near-duplicate cluster: MinHash-LSH pairs
+    → transitive closure → survivor = the cluster's minimum id.  Docs
+    in no pair survive untouched (no ``all_ids`` join needed — absence
+    from the pair list IS survival)."""
+    from qctimeseries_spark.datapipe.dedup import (
+        dup_clusters,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(
+        docs.select(id_col, text_col),
+        id_col, text_col, k=k, bands=bands, ngram=ngram, threshold=threshold,
+    )
+    clusters = dup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,
@@ -45,6 +75,7 @@ def curate_corpus(
     quality_min: float = 0.5,
     sample_fraction: float | None = None,
     seed: str = "qcts",
+    near_dup_threshold: float | None = None,
 ) -> DataFrame:
     """Curate a document corpus for training-data use.
 
@@ -61,7 +92,11 @@ def curate_corpus(
        probed map-side (see :func:`contamination_check`).
     3. **Quality filter** — keep documents with composite
        :func:`quality_score` ≥ ``quality_min``.
-    4. **Deterministic sample** — keep ``sample_fraction`` of survivors
+    4. **Near-dup dedup** (``near_dup_threshold`` set) — MinHash-LSH →
+       transitive clusters → keep each cluster's minimum id
+       (:func:`drop_near_dups`), catching paraphrase-level duplication
+       the exact fingerprint misses.
+    5. **Deterministic sample** — keep ``sample_fraction`` of survivors
        by key hash (skipped when None); membership is a pure function
        of ``(seed, id)`` so the sample is reproducible and joinable.
 
@@ -106,7 +141,15 @@ def curate_corpus(
         F.col("quality") >= quality_min
     )
 
-    # 4. deterministic sample
+    # 4. near-duplicate clusters (optional — a second LSH pass is real
+    # work; run it after the cheap filters have shrunk the corpus)
+    if near_dup_threshold is not None:
+        out = drop_near_dups(
+            out, id_col=id_col, text_col=text_col,
+            threshold=near_dup_threshold,
+        )
+
+    # 5. deterministic sample
     if sample_fraction is not None:
         out = hash_sample(out, id_col, sample_fraction, seed=seed)
     return out

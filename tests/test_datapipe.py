@@ -505,3 +505,26 @@ def test_dup_clusters_strategies_agree(spark):
          for r in dup_clusters(pairs, strategy="iterative").collect()}
     assert a == b
     assert a[40] == 1  # 40-5-4-3-2-1 all one component
+
+
+def test_curate_near_dup_stage_drops_paraphrase(docs, spark):
+    """With near_dup_threshold set, the 3-token-tail paraphrase of doc
+    0 (doc 1, jaccard ≈ 0.8) is clustered and only the min id
+    survives; without it both pass."""
+    from qctimeseries_spark.datapipe import curate_corpus
+
+    without = {
+        r["doc_id"]
+        for r in curate_corpus(docs, None, quality_min=0.0)
+        .select("doc_id").collect()
+    }
+    with_nd = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, None, quality_min=0.0, near_dup_threshold=0.6
+        ).select("doc_id").collect()
+    }
+    assert 1 in without
+    assert 1 not in with_nd          # near-dup of 0 removed
+    assert 0 in with_nd              # keeper survives
+    assert with_nd < without
