@@ -75,9 +75,13 @@ def asof_join(
     tolerance_seconds: float | None = None,
     right_prefix: str = "r_",
     block_hours: float = 24.0,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: each left row gains the payload of the most
-    recent right row with ``right.on <= left.on`` (per ``by`` key).
+    recent right row with ``right.on <= left.on`` (per ``by`` key) —
+    or, with ``direction='forward'``, the EARLIEST right row with
+    ``right.on >= left.on`` (the "next calibration" lookup); ties match
+    in both directions.
 
     Right payload columns are prefixed with ``right_prefix``; a
     ``<prefix><on>`` column carries the matched right timestamp.  With
@@ -94,6 +98,9 @@ def asof_join(
     whose block has no earlier in-block right row take the carried
     record.  Row-identical to the global window at any size.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     by = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in right.columns if c != on and c not in by]
     overlap = set(payload) & set(left.columns)
@@ -103,8 +110,9 @@ def asof_join(
             f" rename or rely on right_prefix before joining"
         )
 
-    # tag sides; right rows sort BEFORE left rows at equal timestamps so
-    # an exact-time record matches its own instant (at-or-before)
+    # tag sides; the sort places right rows on the frame side of equal
+    # timestamps (before left for backward, after left for forward) so
+    # an exact-time record matches its own instant
     r = right.select(
         *by,
         F.col(on),
@@ -116,14 +124,23 @@ def asof_join(
     merged = l.unionByName(r, allowMissingColumns=True)
 
     carried = [f"{right_prefix}{on}"] + [f"{right_prefix}{c}" for c in payload]
+    side_order = F.col("_side").desc() if fwd else F.col("_side").asc()
+    frame = (0, Window.unboundedFollowing) if fwd else (
+        Window.unboundedPreceding, 0
+    )
+    pick = (
+        (lambda c: F.first(c, ignorenulls=True))
+        if fwd
+        else (lambda c: F.last(c, ignorenulls=True))
+    )
     if by:
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.col(on).asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
+            .orderBy(F.col(on).asc(), side_order)
+            .rowsBetween(*frame)
         )
         for c in carried:
-            merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+            merged = merged.withColumn(c, pick(c).over(w))
     else:
         from qctimeseries_spark.windows import _floor_div_sql
 
@@ -134,32 +151,40 @@ def asof_join(
         )
         w = (
             Window.partitionBy("_blk")
-            .orderBy(F.col(on).asc(), F.col("_side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
+            .orderBy(F.col(on).asc(), side_order)
+            .rowsBetween(*frame)
         )
         for c in carried:
-            merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-        # each block's LATEST right record (its carried columns equal its
-        # own values), cumulated across the tiny #blocks frame
+            merged = merged.withColumn(c, pick(c).over(w))
+        # each block's nearest boundary right record (latest for
+        # backward, earliest for forward — its carried columns equal
+        # its own values), cumulated across the tiny #blocks frame
+        bound_pick = F.min_by if fwd else F.max_by
         block_last = (
             merged.filter(F.col("_side") == 0)
             .groupBy("_blk")
             .agg(
-                F.max_by(
+                bound_pick(
                     F.struct(*[F.col(c).alias(c) for c in carried]),
                     F.col(on),
                 ).alias("_bl")
             )
+        )
+        carry_frame = (1, Window.unboundedFollowing) if fwd else (
+            Window.unboundedPreceding, -1
+        )
+        carry_pick = (
+            F.first(F.col("_bl"), ignorenulls=True)
+            if fwd
+            else F.last(F.col("_bl"), ignorenulls=True)
         )
         carry = (
             merged.select("_blk").distinct()
             .join(block_last, "_blk", "left")
             .withColumn(
                 "_carry",
-                F.last(F.col("_bl"), ignorenulls=True).over(
-                    Window.orderBy("_blk").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
+                carry_pick.over(
+                    Window.orderBy("_blk").rowsBetween(*carry_frame)
                 ),
             )
             .select("_blk", "_carry")
@@ -179,6 +204,8 @@ def asof_join(
         age = F.unix_micros(F.col(on)) - F.unix_micros(
             F.col(f"{right_prefix}{on}")
         )
+        if fwd:
+            age = -age
         stale: Column = age > int(tolerance_seconds * 1_000_000)
         out = out.select(
             *[

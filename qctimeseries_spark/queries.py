@@ -946,6 +946,28 @@ def q_w13_regularize_by_key(spark, sf_dir):
     ).select("user_id", "grid_ts", "value", "is_gap")
 
 
+def q_j3_asof_forward(spark, sf_dir):
+    """Forward as-of: every event gains the EARLIEST calibration record
+    at-or-after it per user; oracle = union + first-following window
+    (DuckDB's native ASOF is backward-only)."""
+    from qctimeseries_spark.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cal = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cal_value"))
+    )
+    out = asof_join(ev, cal, on="ts", by="user_id", direction="forward")
+    return out.select(
+        "event_id",
+        F.col("r_ts").alias("cal_ts"),
+        F.col("r_cal_value").alias("cal_value"),
+    )
+
+
 def q_st7_stream_resample(spark, sf_dir):
     """Streaming resample drained APPEND-mode: equals the batch w12
     aggregation bucket-for-bucket for every watermark-closed bucket —
@@ -1000,6 +1022,7 @@ QUERIES.update(
         "w12_resample": q_w12_resample,
         "st7_stream_resample": q_st7_stream_resample,
         "w13_regularize_by_key": q_w13_regularize_by_key,
+        "j3_asof_forward": q_j3_asof_forward,
     }
 )
 
@@ -1443,6 +1466,30 @@ SELECT user_id,
        COUNT(value) AS value_count
 FROM events
 GROUP BY 1, 2""",
+    "j3_asof_forward": """
+WITH cal AS (
+  SELECT user_id, ts, MAX(value) AS cal_value
+  FROM events WHERE event_id % 97 = 0
+  GROUP BY user_id, ts
+),
+u AS (
+  SELECT user_id, ts, event_id,
+         CAST(NULL AS TIMESTAMP) AS c_ts, CAST(NULL AS DOUBLE) AS c_v,
+         1 AS side
+  FROM events
+  UNION ALL
+  SELECT user_id, ts, NULL, ts, cal_value, 0 FROM cal
+),
+w AS (
+  SELECT *,
+         first_value(CASE WHEN side = 0
+                          THEN {'t': c_ts, 'v': c_v} END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, side DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+  FROM u
+)
+SELECT event_id, m.t AS cal_ts, m.v AS cal_value
+FROM w WHERE side = 1""",
     "w13_regularize_by_key": """
 WITH s AS (
   SELECT user_id, ts, MAX(value) AS value

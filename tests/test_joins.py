@@ -121,3 +121,43 @@ def test_asof_keyless_block_path_equals_small_blocks(spark):
     assert small[6] == "a"
     assert small[89] == "a"          # carried across many 6h blocks
     assert small[199] == "b"
+
+
+def test_asof_forward_matches_pandas(spark):
+    """direction='forward' equals pandas merge_asof(direction='forward')
+    for keyed and keyless (block path) inputs, including exact ties."""
+    import pandas as pd
+
+    lh = [0, 2, 5, 5, 9, 40]
+    rh = [1, 5, 30]
+    left = spark.createDataFrame(
+        [(i, 1, _ts(h)) for i, h in enumerate(lh)],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(h), float(h)) for h in rh], "k long, ts timestamp, payload double"
+    )
+    want = pd.merge_asof(
+        pd.DataFrame({"event_id": range(len(lh)),
+                      "ts": [_ts(h) for h in lh]}).sort_values("ts"),
+        pd.DataFrame({"ts": [_ts(h) for h in rh],
+                      "payload": [float(h) for h in rh]}),
+        on="ts", direction="forward",
+    )
+    expect = {
+        r.event_id: (None if pd.isna(r.payload) else r.payload)
+        for _, r in want.iterrows()
+    }
+    keyed = {
+        r.event_id: r.r_payload
+        for r in asof_join(left, right, on="ts", by="k",
+                           direction="forward").collect()
+    }
+    keyless = {
+        r.event_id: r.r_payload
+        for r in asof_join(left.drop("k"), right.drop("k"), on="ts",
+                           direction="forward", block_hours=2.0).collect()
+    }
+    assert keyed == expect and keyless == expect
+    assert expect[2] == 5.0   # exact tie at h=5 matches its own instant
+    assert expect[5] is None  # after the last right record
