@@ -946,6 +946,14 @@ def q_w13_regularize_by_key(spark, sf_dir):
     ).select("user_id", "grid_ts", "value", "is_gap")
 
 
+def q_a13_progress_by_window(spark, sf_dir):
+    """A1's dual-denominator progress at window granularity — the
+    navigator's 'which windows still need eyes' dashboard."""
+    from qctimeseries_spark.summary import progress_by_window
+
+    return progress_by_window(_windowed(spark, sf_dir), "value")
+
+
 def q_j3_asof_forward(spark, sf_dir):
     """Forward as-of: every event gains the EARLIEST calibration record
     at-or-after it per user; oracle = union + first-following window
@@ -1023,6 +1031,7 @@ QUERIES.update(
         "st7_stream_resample": q_st7_stream_resample,
         "w13_regularize_by_key": q_w13_regularize_by_key,
         "j3_asof_forward": q_j3_asof_forward,
+        "a13_progress_by_window": q_a13_progress_by_window,
     }
 )
 
@@ -1466,6 +1475,23 @@ SELECT user_id,
        COUNT(value) AS value_count
 FROM events
 GROUP BY 1, 2""",
+    "a13_progress_by_window": f"""
+WITH {_WIN_SQL}
+SELECT win_id,
+       COUNT(value) AS total,
+       ROUND(100.0 * SUM(CASE WHEN value IS NOT NULL
+                               AND value_qcflag NOT IN (0, -1)
+                              THEN 1 ELSE 0 END)
+             / COUNT(value), 2) AS pct_checked,
+       ROUND(100.0 * SUM(CASE WHEN value_qcflag = 1 THEN 1 ELSE 0 END)
+             / COUNT(*), 2) AS pct_approved,
+       ROUND(100.0 * SUM(CASE WHEN value_qcflag = 0 THEN 1 ELSE 0 END)
+             / COUNT(*), 2) AS pct_unchecked,
+       ROUND(100.0 * SUM(CASE WHEN value_qcflag = -1 THEN 1 ELSE 0 END)
+             / COUNT(*), 2) AS pct_missing,
+       ROUND(100.0 * SUM(CASE WHEN value_qcflag = -2 THEN 1 ELSE 0 END)
+             / COUNT(*), 2) AS pct_flagged
+FROM w GROUP BY win_id""",
     "j3_asof_forward": """
 WITH cal AS (
   SELECT user_id, ts, MAX(value) AS cal_value

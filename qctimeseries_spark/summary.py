@@ -150,3 +150,62 @@ def flag_domain_check(
         .distinct()
         .orderBy("variable", "flag")
     )
+
+
+def progress_by_window(
+    df: DataFrame,
+    var: str,
+    suffix: str = DEFAULT_SUFFIX,
+    *,
+    win_col: str = "win_id",
+    hide_complete: bool = False,
+) -> DataFrame:
+    """A1's dual-denominator accounting at WINDOW granularity: one row
+    per window with the same total/percentage columns — the review
+    dashboard a navigator pages through ("which windows still need
+    eyes"), extending the reference's table-level summary
+    (``R/qc_summary.R:68-93``) to its own window unit.
+
+    One groupBy on the window id (uniform integer key); composes with
+    ``assign_windows``.  ``hide_complete`` keeps windows with
+    unfinished checking, mirroring P11.
+    """
+    validate_flag_exists(df, var, suffix)
+    if win_col not in df.columns:
+        raise ValueError(
+            f"{win_col!r} not found — run assign_windows first"
+        )
+    flag = F.col(flag_col(var, suffix))
+    value = F.col(var)
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    def pct(num, den):
+        return F.round(F.try_divide(F.lit(100.0) * num, den), 2)
+
+    agg = df.groupBy(win_col).agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(value).alias("n_valid"),
+        cnt(
+            value.isNotNull() & ~flag.isin(FLAG_UNCHECKED, FLAG_MISSING)
+        ).alias("n_checked"),
+        cnt(flag == FLAG_APPROVED).alias("n_approved"),
+        cnt(flag == FLAG_UNCHECKED).alias("n_unchecked"),
+        cnt(flag == FLAG_MISSING).alias("n_missing"),
+        cnt(flag == FLAG_MANUAL).alias("n_flagged"),
+    )
+    out = agg.select(
+        win_col,
+        F.col("n_valid").alias("total"),
+        pct(F.col("n_checked"), F.col("n_valid")).alias("pct_checked"),
+        pct(F.col("n_approved"), F.col("n_all")).alias("pct_approved"),
+        pct(F.col("n_unchecked"), F.col("n_all")).alias("pct_unchecked"),
+        pct(F.col("n_missing"), F.col("n_all")).alias("pct_missing"),
+        pct(F.col("n_flagged"), F.col("n_all")).alias("pct_flagged"),
+    )
+    if hide_complete:
+        out = out.filter(
+            F.col("pct_checked").isNull() | (F.col("pct_checked") < 100)
+        )
+    return out

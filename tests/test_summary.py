@@ -65,3 +65,40 @@ def test_flag_domain_check(multivar):
     )
     bad = flag_domain_check(dirty, "temp").collect()
     assert [(r.variable, r.flag) for r in bad] == [("temp", 9)]
+
+
+def test_progress_by_window_dual_denominators(spark):
+    """Per-window progress keeps A1's two denominators: pct_checked is
+    over non-NULL values, the class percentages over ALL rows."""
+    import datetime as dt
+
+    from qctimeseries_spark import add_flags, assign_windows
+    from qctimeseries_spark.summary import progress_by_window
+
+    t0 = dt.datetime(2024, 1, 1)
+    # window 0: 2 null, 2 approved; window 1: 4 unchecked
+    rows = [
+        (t0 + dt.timedelta(hours=h), None if h < 2 else float(h))
+        for h in range(4)
+    ] + [(t0 + dt.timedelta(hours=24 + h), float(h)) for h in range(4)]
+    df = add_flags(
+        spark.createDataFrame(rows, "ts timestamp, value double"),
+        "value", time_col="ts",
+    )
+    df = df.withColumn(
+        "value_qcflag",
+        F.when(
+            (F.col("value").isNotNull()) & (F.col("ts") < t0 + dt.timedelta(hours=24)),
+            1,
+        ).otherwise(F.col("value_qcflag")),
+    )
+    out = {r["win_id"]: r for r in
+           progress_by_window(assign_windows(df, "ts", 24), "value").collect()}
+    w0, w1 = out[0], out[1]
+    assert w0["total"] == 2 and w0["pct_checked"] == 100.0
+    assert w0["pct_missing"] == 50.0 and w0["pct_approved"] == 50.0
+    assert w1["pct_checked"] == 0.0 and w1["pct_unchecked"] == 100.0
+    hidden = progress_by_window(
+        assign_windows(df, "ts", 24), "value", hide_complete=True
+    ).collect()
+    assert [r["win_id"] for r in hidden] == [1]
