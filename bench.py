@@ -49,6 +49,8 @@ EXTENDED = [
     "t8_hash_sample",
     "a9_percentiles",
     "c2_curate",
+    "w11_interpolate",
+    "a12_rolling_by_key",
 ]
 
 HEADLINE = CORE + EXTENDED
