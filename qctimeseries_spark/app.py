@@ -370,6 +370,18 @@ class QcSession:
         ).filter((F.col("is_outlier") == 1) & (F.col(f) == 0))
         return [r[self.id_col] for r in cands.select(self.id_col).collect()]
 
+    def window_progress(self, *, hide_complete: bool = False):
+        """Per-window review dashboard: A1's progress columns for every
+        window of the current index (``hide_complete`` keeps only the
+        windows still needing eyes) — the batch answer to "where do I
+        navigate next"."""
+        from qctimeseries_spark.summary import progress_by_window
+
+        return progress_by_window(
+            self._windowed(), self.var, self.suffix,
+            hide_complete=hide_complete,
+        ).orderBy(WIN_COL)
+
     def window_label(self) -> str:
         """"Window N / M   t0 - t1" over the window's actual rows
         (``R/qc_window_app.R:338-341``)."""

@@ -201,3 +201,23 @@ def test_qc_pipeline_rules_stage_flags_violations(spark):
     assert {r["value"] for r in bad} >= {900.0}
     # the masked clean output nulls the violation
     assert clean.filter(F.col("value") == 900.0).count() == 0
+
+
+def test_session_window_progress_dashboard(spark):
+    import datetime as dt
+
+    from qctimeseries_spark import QcSession, add_flags
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(hours=h), float(h)) for h in range(96)]
+    df = add_flags(
+        spark.createDataFrame(rows, "ts timestamp, value double"),
+        "value", time_col="ts",
+    )
+    sess = QcSession(df, "value", time_col="ts", win_hours=24.0)
+    sess.approve_unflagged()  # window 0 fully checked
+    dash = {r["win_id"]: r["pct_checked"] for r in sess.window_progress().collect()}
+    assert dash[0] == 100.0 and all(dash[w] == 0.0 for w in (1, 2, 3))
+    todo = [r["win_id"] for r in
+            sess.window_progress(hide_complete=True).collect()]
+    assert todo == [1, 2, 3]
