@@ -756,13 +756,84 @@ def interpolate_linear(
             .drop("_p", "_n")
         )
     else:
-        d = _directional_carry(
-            df, time_col, value_col,
-            block_hours=block_hours, forward=True, t_out="_pt", v_out="_pv",
+        # fused two-direction carry: ONE block sort serves both window
+        # frames, ONE groupBy yields each block's first+last observation,
+        # ONE pass over the tiny block frame cumulates both carries —
+        # half the shuffles of two independent directional passes
+        block_us = int(round(block_hours * 3600 * 1_000_000))
+        blk = F.expr(
+            _floor_div_sql(f"unix_micros(`{time_col}`)", block_us)
         )
-        d = _directional_carry(
-            d, time_col, value_col,
-            block_hours=block_hours, forward=False, t_out="_nt", v_out="_nv",
+        src = df.withColumn("_blk", blk)
+        obs = F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(
+                F.col(time_col).alias("t"), F.col(value_col).alias("v")
+            ),
+        )
+        wf = (
+            Window.partitionBy("_blk")
+            .orderBy(time_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wb = (
+            Window.partitionBy("_blk")
+            .orderBy(time_col)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        src = src.withColumn(
+            "_pw", F.last(obs, ignorenulls=True).over(wf)
+        ).withColumn("_nw", F.first(obs, ignorenulls=True).over(wb))
+        bounds = (
+            src.filter(F.col(value_col).isNotNull())
+            .groupBy("_blk")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(value_col).alias("v"),
+                    ),
+                    F.col(time_col),
+                ).alias("_bl"),
+                F.min_by(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(value_col).alias("v"),
+                    ),
+                    F.col(time_col),
+                ).alias("_bf"),
+            )
+        )
+        carry = (
+            src.select("_blk").distinct()
+            .join(bounds, "_blk", "left")
+            .withColumn(
+                "_cp",
+                F.last(F.col("_bl"), ignorenulls=True).over(
+                    Window.orderBy("_blk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+            )
+            .withColumn(
+                "_cn",
+                F.first(F.col("_bf"), ignorenulls=True).over(
+                    Window.orderBy("_blk").rowsBetween(
+                        1, Window.unboundedFollowing
+                    )
+                ),
+            )
+            .select("_blk", "_cp", "_cn")
+        )
+        prev = F.coalesce(F.col("_pw"), F.col("_cp"))
+        nxt = F.coalesce(F.col("_nw"), F.col("_cn"))
+        d = (
+            src.join(F.broadcast(carry), "_blk")
+            .withColumn("_pt", prev["t"])
+            .withColumn("_pv", prev["v"])
+            .withColumn("_nt", nxt["t"])
+            .withColumn("_nv", nxt["v"])
+            .drop("_blk", "_pw", "_nw", "_cp", "_cn")
         )
     t = F.unix_micros(F.col(time_col)).cast("double")
     t0 = F.unix_micros(F.col("_pt")).cast("double")
