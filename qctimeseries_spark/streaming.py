@@ -385,6 +385,7 @@ def detect_anomalies_stateful(
     z: float = 3.0,
     min_n: int = 10,
     watermark: str = "1 hour",
+    scale: float = 100.0,
 ) -> DataFrame:
     """Per-key streaming anomaly detector: emit events whose value sits
     more than ``z`` sample deviations from the EXPANDING mean/std of
@@ -412,7 +413,6 @@ def detect_anomalies_stateful(
     """
     import pandas as pd  # noqa: F401 — worker-side dependency
 
-    scale = 100.0
     out_schema = (
         f"{key_col} bigint, {time_col} timestamp, {value_col} double, "
         "n_prior bigint, exp_mean double, exp_std double"
