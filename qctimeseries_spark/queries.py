@@ -946,6 +946,29 @@ def q_w13_regularize_by_key(spark, sf_dir):
     ).select("user_id", "grid_ts", "value", "is_gap")
 
 
+def q_a14_ewma(spark, sf_dir):
+    """Exponential smoothing over user 7's 6 h-bucketed series via the
+    affine block fold; oracle = per-row sequential list_reduce fold
+    (DuckDB), bridged by 6-dp rounding."""
+    from qctimeseries_spark.windows import ewma
+
+    width_us = 6 * 3600 * 1_000_000
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .groupBy(
+            F.expr(
+                f"timestamp_micros((unix_micros(ts) DIV {width_us}L)"
+                f" * {width_us}L)"
+            ).alias("ts")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("value"))
+    )
+    return ewma(s, "ts", "value", alpha=0.3, block_hours=48.0).select(
+        "ts", "value", "value_ewma"
+    )
+
+
 def q_a13_progress_by_window(spark, sf_dir):
     """A1's dual-denominator progress at window granularity — the
     navigator's 'which windows still need eyes' dashboard."""
@@ -1032,6 +1055,7 @@ QUERIES.update(
         "w13_regularize_by_key": q_w13_regularize_by_key,
         "j3_asof_forward": q_j3_asof_forward,
         "a13_progress_by_window": q_a13_progress_by_window,
+        "a14_ewma": q_a14_ewma,
     }
 )
 
@@ -1475,6 +1499,18 @@ SELECT user_id,
        COUNT(value) AS value_count
 FROM events
 GROUP BY 1, 2""",
+    "a14_ewma": """
+WITH s AS (
+  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ts,
+         ROUND(AVG(value), 6) AS value
+  FROM events WHERE user_id = 7 GROUP BY 1
+),
+r AS (SELECT ts, value, ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM s),
+arr AS (SELECT array_agg(value ORDER BY ts) AS vs FROM s)
+SELECT ts, value,
+       ROUND(list_reduce(list_slice(vs, 1, rn),
+                         (acc, v) -> 0.3 * v + 0.7 * acc), 6) AS value_ewma
+FROM r, arr""",
     "a13_progress_by_window": f"""
 WITH {_WIN_SQL}
 SELECT win_id,

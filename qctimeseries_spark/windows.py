@@ -1041,3 +1041,101 @@ def regularize_by_key(
     return j.withColumn(
         "is_gap", F.col("_present").isNull().cast("int")
     ).drop("_present")
+
+
+def ewma(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    block_hours: float = 24.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average over a single non-null,
+    time-ordered series: ``s_0 = v_0``, then
+    ``s_i = alpha·v_i + (1−alpha)·s_{i−1}`` (pandas ``ewm(adjust=False)``
+    semantics).  Impute first (:func:`fill_forward` /
+    :func:`interpolate_linear`) — NULL values raise.
+
+    A sequential recurrence has no Catalyst window form, but it is
+    AFFINE in the carried state, so it distributes exactly: each block
+    emits ``(A_i, B_i)`` with ``s_i = A_i + B_i · S_in`` (A = zero-state
+    local recurrence, B = accumulated decay); block end-states fold
+    sequentially on the driver — O(#blocks) scalar arithmetic, the only
+    sequential work — and broadcast back.  The first block's incoming
+    state is the series' first value, which reproduces the ``s_0 = v_0``
+    init through the same affine path.  The in-block recurrence is a
+    per-block loop inside an Arrow batch; blocks are bounded by
+    ``block_hours``, so the loop never sees more than one block of
+    rows.  Output rounds to 6 dp (cross-engine float stability).
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    out_col = out_col or f"{value_col}_ewma"
+    one_minus = 1.0 - alpha
+    block_us = int(round(block_hours * 3600 * 1_000_000))
+    blk = F.expr(_floor_div_sql(f"unix_micros(`{time_col}`)", block_us))
+    src = df.withColumn("_blk", blk).repartition(F.col("_blk"))
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+    out_schema = f"{in_fields}, _A double, _B double"
+
+    def coeffs(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            for _, g in pdf.groupby("_blk", sort=False):
+                g = g.sort_values(time_col).copy()
+                v = g[value_col].to_numpy(dtype="float64")
+                if np.isnan(v).any():
+                    raise ValueError(
+                        "ewma requires a non-null series; impute first"
+                    )
+                A = np.empty(len(v))
+                B = np.empty(len(v))
+                a_acc, b_acc = 0.0, 1.0
+                for i in range(len(v)):
+                    a_acc = alpha * v[i] + one_minus * a_acc
+                    b_acc = one_minus * b_acc
+                    A[i] = a_acc
+                    B[i] = b_acc
+                g["_A"] = A
+                g["_B"] = B
+                yield g
+
+    with_ab = src.mapInPandas(coeffs, out_schema)
+    # per-block end coefficients + the global first value, folded on the
+    # driver into each block's incoming state
+    ends = (
+        with_ab.groupBy("_blk")
+        .agg(
+            F.max_by(
+                F.struct(F.col("_A").alias("A"), F.col("_B").alias("B")),
+                F.col(time_col),
+            ).alias("_end"),
+            F.min_by(F.col(value_col), F.col(time_col)).alias("_vfirst"),
+        )
+        .orderBy("_blk")
+        .collect()
+    )
+    if not ends:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    s_in = float(ends[0]["_vfirst"])  # reproduces s_0 = v_0
+    states = []
+    for r in ends:
+        states.append((int(r["_blk"]), s_in))
+        s_in = r["_end"]["A"] + r["_end"]["B"] * s_in
+    spark = df.sparkSession
+    state_df = spark.createDataFrame(states, "_blk long, _sin double")
+    return (
+        with_ab.join(F.broadcast(state_df), "_blk")
+        .withColumn(
+            out_col, F.round(F.col("_A") + F.col("_B") * F.col("_sin"), 6)
+        )
+        .drop("_blk", "_A", "_B", "_sin")
+    )

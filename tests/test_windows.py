@@ -591,3 +591,35 @@ def test_interpolate_per_key_matches_pandas(spark):
         want = None if pd.isna(r["li"]) else round(r["li"], 6)
         have = got[(r["k"], r["ts"])]
         assert (have is None and want is None) or abs(have - want) < 1e-9
+
+
+def test_ewma_matches_pandas_across_blocks(spark):
+    """The affine block fold reproduces pandas ewm(adjust=False)
+    exactly (to the 6-dp output rounding), including across many block
+    boundaries."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from qctimeseries_spark.windows import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [20.0 + ((h * 13) % 29) for h in range(200)]
+    rows = [(t0 + dt.timedelta(hours=3 * h), vals[h]) for h in range(200)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        r["ts"]: r["value_ewma"]
+        for r in ewma(df, "ts", "value", alpha=0.3, block_hours=24.0).collect()
+    }
+    want = (
+        pd.Series(vals, index=[t0 + dt.timedelta(hours=3 * h) for h in range(200)])
+        .ewm(alpha=0.3, adjust=False)
+        .mean()
+    )
+    for ts, w in want.items():
+        assert abs(got[ts] - round(w, 6)) < 2e-6
+    # error contracts
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma(df, "ts", "value", alpha=0.0)
