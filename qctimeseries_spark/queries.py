@@ -946,6 +946,22 @@ def q_w13_regularize_by_key(spark, sf_dir):
     ).select("user_id", "grid_ts", "value", "is_gap")
 
 
+def q_st8_stream_ewma(spark, sf_dir):
+    """Streaming per-key EWMA drained append-mode; oracle = batch
+    per-key sequential fold — identical fold order on both engines, so
+    values are bit-equal even before the 6-dp rounding."""
+    from qctimeseries_spark.streaming import (
+        ewma_stateful,
+        run_available_now,
+        stream_events,
+    )
+
+    return run_available_now(
+        ewma_stateful(stream_events(spark, sf_dir), alpha=0.3),
+        output_mode="append",
+    )
+
+
 def q_a14_ewma(spark, sf_dir):
     """Exponential smoothing over user 7's 6 h-bucketed series via the
     affine block fold; oracle = per-row sequential list_reduce fold
@@ -1056,6 +1072,7 @@ QUERIES.update(
         "j3_asof_forward": q_j3_asof_forward,
         "a13_progress_by_window": q_a13_progress_by_window,
         "a14_ewma": q_a14_ewma,
+        "st8_stream_ewma": q_st8_stream_ewma,
     }
 )
 
@@ -1499,6 +1516,23 @@ SELECT user_id,
        COUNT(value) AS value_count
 FROM events
 GROUP BY 1, 2""",
+    "st8_stream_ewma": """
+WITH nn AS (
+  SELECT user_id, ts, value FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM nn
+),
+arr AS (
+  SELECT user_id, array_agg(value ORDER BY ts) AS vs
+  FROM nn GROUP BY user_id
+)
+SELECT r.user_id, r.ts, r.value,
+       ROUND(list_reduce(list_slice(arr.vs, 1, r.rn),
+                         (acc, v) -> 0.3 * v + 0.7 * acc), 6) AS value_ewma
+FROM r JOIN arr USING (user_id)""",
     "a14_ewma": """
 WITH s AS (
   SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ts,

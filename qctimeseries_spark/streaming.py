@@ -527,3 +527,77 @@ def stream_resample(
     win = F.window(F.col(time_col), f"{step_us // 1_000_000} seconds")
     out = src.groupBy(*(key_cols or []), win.alias("_win")).agg(*exprs)
     return out.withColumn("bucket_ts", F.col("_win.start")).drop("_win")
+
+
+def ewma_stateful(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key streaming EWMA: every event emits with the running
+    ``s = alpha·v + (1−alpha)·s_prev`` of its key (init ``s = v`` at
+    the key's first observation) — the streaming twin of
+    :func:`~qctimeseries_spark.windows.ewma`.
+
+    State per key is two scalars (current smoothed value, last event
+    time); per-batch work is one bounded loop over the key's new rows.
+    NULL values neither update state nor emit; rows at-or-before the
+    carried timestamp drop, so on in-order-per-key streams the output
+    equals the batch per-key sequential fold (the oracle).  Emitted
+    values round to 6 dp for cross-engine comparison stability.
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    one_minus = 1.0 - alpha
+    out_schema = (
+        f"{key_col} bigint, {time_col} timestamp, {value_col} double, "
+        f"{value_col}_ewma double"
+    )
+    state_schema = "s double, last_us bigint"
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        s, last_us = state.get if state.exists else (None, None)
+        frames = [pdf[[time_col, value_col]] for pdf in pdf_iter]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values(time_col)
+        pdf = pdf[pdf[value_col].notna()]
+        us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        if last_us is not None:
+            keep = us > last_us
+            pdf, us = pdf[keep], us[keep]
+        if len(pdf) == 0:
+            return
+        v = pdf[value_col].to_numpy(dtype="float64")
+        out = np.empty(len(v))
+        cur = s
+        for i in range(len(v)):
+            cur = v[i] if cur is None else alpha * v[i] + one_minus * cur
+            out[i] = cur
+        state.update((float(cur), int(us[-1])))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                time_col: pdf[time_col].to_numpy(),
+                value_col: v,
+                f"{value_col}_ewma": np.round(out, 6),
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.withWatermark(time_col, watermark)
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
