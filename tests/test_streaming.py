@@ -379,3 +379,43 @@ def test_stream_anomalies_state_spans_microbatches(spark, tmp_path):
     }
     assert srows == brows
     assert len(srows) > 0
+
+
+def test_stream_ewma_state_spans_microbatches(spark, tmp_path):
+    """The running smooth carries across micro-batches: one file per
+    trigger over a time-split source equals the batch per-key fold."""
+    from qctimeseries_spark.streaming import ewma_stateful, run_available_now
+
+    ev = read_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    src_dir = str(tmp_path / "split")
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+        src_dir, mode="append"
+    )
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
+        src_dir, mode="append"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id bigint, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    streamed = run_available_now(
+        ewma_stateful(stream, alpha=0.3), output_mode="append"
+    )
+    srows = {(r["user_id"], r["ts"]): r["value_ewma"] for r in streamed.collect()}
+
+    # batch reference: per-key sequential fold in pandas
+    import pandas as pd
+
+    pdf = ev.filter(F.col("value").isNotNull()).toPandas().sort_values(
+        ["user_id", "ts"]
+    )
+    want = {}
+    for k, g in pdf.groupby("user_id"):
+        s = None
+        for _, r in g.iterrows():
+            s = r["value"] if s is None else 0.3 * r["value"] + 0.7 * s
+            want[(k, r["ts"])] = round(s, 6)
+    assert srows == want and len(srows) > 0
