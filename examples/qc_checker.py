@@ -39,6 +39,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         "value",
         time_col="ts",
         flag_predicates={"value": F.col("value") > 150},
+        # automated screening stage: range + jump rules flag -2 too
+        rules={"value": {"lo": 0.0, "hi": 140.0, "max_step": 120.0}},
     )
     print("== progress after rule-based flagging ==")
     prog.show(truncate=False)
