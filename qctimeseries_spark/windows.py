@@ -1051,6 +1051,7 @@ def ewma(
     alpha: float,
     block_hours: float = 24.0,
     out_col: str | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Exponentially weighted moving average over a single non-null,
     time-ordered series: ``s_0 = v_0``, then
@@ -1076,6 +1077,37 @@ def ewma(
         raise ValueError("alpha must be in (0, 1]")
     out_col = out_col or f"{value_col}_ewma"
     one_minus = 1.0 - alpha
+    if key_col is not None:
+        # per-key: keys parallelize naturally; one sequential fold per
+        # key inside an Arrow batch (a dominant hot key is the caveat —
+        # EWMA is inherently sequential per series, so split such a key
+        # out and run the keyless block-fold path on it)
+        fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
+        schema_out = f"{fields}, `{out_col}` double"
+
+        def fold(pdf):
+            import numpy as np
+
+            pdf = pdf.sort_values(time_col).copy()
+            v = pdf[value_col].to_numpy(dtype="float64")
+            if np.isnan(v).any():
+                raise ValueError(
+                    "ewma requires a non-null series; impute first"
+                )
+            out = np.empty(len(v))
+            cur = None
+            for i in range(len(v)):
+                cur = v[i] if cur is None else (
+                    alpha * v[i] + one_minus * cur
+                )
+                out[i] = cur
+            pdf[out_col] = np.round(out, 6)
+            return pdf
+
+        return df.groupBy(key_col).applyInPandas(fold, schema_out)
     block_us = int(round(block_hours * 3600 * 1_000_000))
     blk = F.expr(_floor_div_sql(f"unix_micros(`{time_col}`)", block_us))
     src = df.withColumn("_blk", blk).repartition(F.col("_blk"))

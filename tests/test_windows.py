@@ -623,3 +623,27 @@ def test_ewma_matches_pandas_across_blocks(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         ewma(df, "ts", "value", alpha=0.0)
+
+
+def test_ewma_per_key_matches_pandas(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from qctimeseries_spark.windows import ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, t0 + dt.timedelta(hours=h), float(k * 50 + (h * 7) % 13))
+        for k in (1, 2) for h in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    got = {
+        (r["k"], r["ts"]): r["value_ewma"]
+        for r in ewma(df, "ts", "value", alpha=0.4, key_col="k").collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "value"]).sort_values(["k", "ts"])
+    for k, g in pdf.groupby("k"):
+        want = g.set_index("ts")["value"].ewm(alpha=0.4, adjust=False).mean()
+        for ts, w in want.items():
+            assert abs(got[(k, ts)] - round(w, 6)) < 2e-6
