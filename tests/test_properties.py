@@ -302,3 +302,36 @@ def test_curate_quality_threshold_monotone(spark):
         assert ids <= set(range(40))
         prev = ids
     assert prev == set()  # nothing clears quality > 1
+
+
+@given(
+    hours=st.lists(
+        st.integers(0, 400), min_size=2, max_size=40, unique=True
+    ),
+    alpha_pct=st.integers(5, 95),
+)
+@SETTINGS
+def test_ewma_block_fold_matches_sequential(spark, hours, alpha_pct):
+    """Law: the affine block fold equals the plain sequential recurrence
+    for arbitrary irregular timestamps and alphas (block boundaries
+    land anywhere relative to the data)."""
+    import datetime as dt
+
+    from qctimeseries_spark.windows import ewma
+
+    alpha = alpha_pct / 100.0
+    t0 = dt.datetime(2024, 1, 1)
+    hs = sorted(hours)
+    vals = [float((h * 31) % 97) for h in hs]
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=h), v) for h, v in zip(hs, vals)],
+        "ts timestamp, value double",
+    )
+    got = {
+        r["ts"]: r["value_ewma"]
+        for r in ewma(df, "ts", "value", alpha=alpha, block_hours=48.0).collect()
+    }
+    s = None
+    for h, v in zip(hs, vals):
+        s = v if s is None else alpha * v + (1 - alpha) * s
+        assert abs(got[t0 + dt.timedelta(hours=h)] - round(s, 6)) < 2e-6
