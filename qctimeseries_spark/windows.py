@@ -448,10 +448,16 @@ def fill_forward(
     block_hours: float = 24.0,
     out_col: str | None = None,
     key_col: str | None = None,
+    max_gap_seconds: float | None = None,
 ) -> DataFrame:
     """Last-observation-carried-forward over a single global series —
     the imputation step after :func:`regularize` (fill the gap rows
     from the last real observation).
+
+    ``max_gap_seconds`` bounds how far a value carries: gap rows more
+    than that far from the observation stay NULL — the QC-integrity
+    knob that keeps imputation from inventing data across day-long
+    holes.
 
     The naive formulation — ``last(value, ignorenulls) OVER (ORDER BY
     t)`` with no partitioning — funnels the whole series through ONE
@@ -469,6 +475,18 @@ def fill_forward(
     ``time_col`` values (regularized series satisfy this).
     """
     out_col = out_col or f"{value_col}_filled"
+
+    def _cap(frame: DataFrame, t_src) -> DataFrame:
+        if max_gap_seconds is None:
+            return frame
+        age = F.unix_micros(F.col(time_col)) - F.unix_micros(t_src)
+        return frame.withColumn(
+            out_col,
+            F.when(
+                age <= int(max_gap_seconds * 1_000_000), F.col(out_col)
+            ),
+        )
+
     if key_col is not None:
         # keys partition naturally: one plain partitioned window
         w = (
@@ -476,47 +494,25 @@ def fill_forward(
             .orderBy(time_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        return df.withColumn(
-            out_col, F.last(F.col(value_col), ignorenulls=True).over(w)
-        )
-    block_us = int(round(block_hours * 3600 * 1_000_000))
-    b = F.expr(
-        _floor_div_sql(f"unix_micros(`{time_col}`)", block_us)
-    ).alias("_blk")
-    src = df.withColumn("_blk", b)
-    within = F.last(F.col(value_col), ignorenulls=True).over(
-        Window.partitionBy("_blk")
-        .orderBy(time_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    src = src.withColumn("_within", within)
-    # each block's last non-null observation (max_by on unique times)
-    block_last = (
-        src.filter(F.col(value_col).isNotNull())
-        .groupBy("_blk")
-        .agg(F.max_by(F.col(value_col), F.col(time_col)).alias("_bv"))
-    )
-    # cumulate carries over the tiny #blocks frame; the unpartitioned
-    # window is deliberate — it runs over block COUNT, not row count
-    all_blocks = src.select("_blk").distinct()
-    carry = (
-        all_blocks.join(block_last, "_blk", "left")
-        .withColumn(
-            "_carry",
-            F.last(F.col("_bv"), ignorenulls=True).over(
-                Window.orderBy("_blk").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
+        obs = F.when(
+            F.col(value_col).isNotNull(),
+            F.struct(
+                F.col(time_col).alias("t"), F.col(value_col).alias("v")
             ),
         )
-        .select("_blk", "_carry")
+        got = F.last(obs, ignorenulls=True).over(w)
+        out = df.withColumn("_ff", got).withColumn(
+            out_col, F.col("_ff")["v"]
+        )
+        out = _cap(out, F.col("_ff")["t"])
+        return out.drop("_ff")
+    d = _directional_carry(
+        df, time_col, value_col,
+        block_hours=block_hours, forward=True, t_out="_ft", v_out="_fv",
     )
-    return (
-        src.join(F.broadcast(carry), "_blk")
-        .withColumn(out_col, F.coalesce(F.col("_within"), F.col("_carry")))
-        .drop("_blk", "_within", "_carry")
-    )
-
+    out = d.withColumn(out_col, F.col("_fv"))
+    out = _cap(out, F.col("_ft"))
+    return out.drop("_ft", "_fv")
 
 def rolling_stats(
     df: DataFrame,
@@ -715,6 +711,7 @@ def interpolate_linear(
     block_hours: float = 24.0,
     out_col: str | None = None,
     key_col: str | None = None,
+    max_gap_seconds: float | None = None,
 ) -> DataFrame:
     """Linear interpolation across gap rows of a single global series:
     each NULL value takes the time-weighted blend of the nearest
@@ -850,6 +847,33 @@ def interpolate_linear(
         .when(F.col("_pv").isNotNull(), F.col("_pv"))
         .otherwise(F.col("_nv"))
     )
+    if max_gap_seconds is not None:
+        # only bridge holes narrower than the horizon; one-sided edge
+        # carries obey the same distance bound from their single anchor
+        gap_us = int(max_gap_seconds * 1_000_000)
+        span = F.unix_micros(F.col("_nt")) - F.unix_micros(F.col("_pt"))
+        ok_two = span <= gap_us
+        ok_prev = (
+            F.unix_micros(F.col(time_col)) - F.unix_micros(F.col("_pt"))
+        ) <= gap_us
+        ok_next = (
+            F.unix_micros(F.col("_nt")) - F.unix_micros(F.col(time_col))
+        ) <= gap_us
+        interp = (
+            F.when(F.col(value_col).isNotNull(), F.col(value_col))
+            .when(
+                F.col("_pv").isNotNull() & F.col("_nv").isNotNull() & ok_two,
+                F.round(lerp, 6),
+            )
+            .when(
+                F.col("_pv").isNotNull() & F.col("_nv").isNull() & ok_prev,
+                F.col("_pv"),
+            )
+            .when(
+                F.col("_nv").isNotNull() & F.col("_pv").isNull() & ok_next,
+                F.col("_nv"),
+            )
+        )
     return d.withColumn(out_col, interp).drop("_pt", "_pv", "_nt", "_nv")
 
 

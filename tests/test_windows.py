@@ -647,3 +647,50 @@ def test_ewma_per_key_matches_pandas(spark):
         want = g.set_index("ts")["value"].ewm(alpha=0.4, adjust=False).mean()
         for ts, w in want.items():
             assert abs(got[(k, ts)] - round(w, 6)) < 2e-6
+
+
+def test_fill_forward_max_gap_bounds_carry(spark):
+    """Values stop carrying past max_gap_seconds — long holes stay
+    NULL in both the keyless and per-key paths."""
+    import datetime as dt
+
+    from qctimeseries_spark.windows import fill_forward
+
+    t0 = dt.datetime(2024, 1, 1)
+    obs = {0: 1.0, 50: 2.0}
+    rows = [(1, t0 + dt.timedelta(hours=h), obs.get(h)) for h in range(60)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, value double")
+    for kw in ({}, {"key_col": "k"}):
+        got = {
+            int((r["ts"] - t0).total_seconds() // 3600): r["value_filled"]
+            for r in fill_forward(
+                df, "ts", "value", max_gap_seconds=5 * 3600.0, **kw
+            ).collect()
+        }
+        assert got[0] == 1.0 and got[3] == 1.0 and got[5] == 1.0
+        assert got[6] is None          # beyond the 5h carry horizon
+        assert got[49] is None         # deep in the hole
+        assert got[50] == 2.0 and got[55] == 2.0
+        assert got[56] is None
+
+
+def test_interpolate_max_gap_leaves_wide_holes_null(spark):
+    import datetime as dt
+
+    from qctimeseries_spark.windows import interpolate_linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    obs = {0: 0.0, 4: 4.0, 30: 30.0}   # 4h hole (bridgeable), 26h hole (not)
+    rows = [(t0 + dt.timedelta(hours=h), obs.get(h)) for h in range(45)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        int((r["ts"] - t0).total_seconds() // 3600): r["value_interp"]
+        for r in interpolate_linear(
+            df, "ts", "value", max_gap_seconds=6 * 3600.0
+        ).collect()
+    }
+    assert got[2] == 2.0               # inside the narrow hole: blended
+    assert got[10] is None and got[20] is None  # wide hole: left NULL
+    assert got[30] == 30.0
+    assert got[33] == 30.0             # trailing carry within the bound
+    assert got[40] is None             # trailing carry beyond the bound
