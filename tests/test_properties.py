@@ -335,3 +335,65 @@ def test_ewma_block_fold_matches_sequential(spark, hours, alpha_pct):
     for h, v in zip(hs, vals):
         s = v if s is None else alpha * v + (1 - alpha) * s
         assert abs(got[t0 + dt.timedelta(hours=h)] - round(s, 6)) < 2e-6
+
+
+@given(
+    hours=st.lists(st.integers(0, 300), min_size=1, max_size=30, unique=True),
+    step=st.sampled_from([30, 60, 180, 360]),
+)
+@SETTINGS
+def test_regularize_grid_laws(spark, hours, step):
+    """Laws: the grid spans exactly [min, max] at the step cadence;
+    every observation lands on its instant with is_gap=0; every other
+    grid row is a NULL gap."""
+    import datetime as dt
+
+    from qctimeseries_spark.windows import regularize
+
+    t0 = dt.datetime(2024, 1, 1)
+    hs = sorted(hours)
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=h), float(h)) for h in hs],
+        "ts timestamp, value double",
+    )
+    out = regularize(df, "ts", step_minutes=float(step)).collect()
+    span_min = (hs[-1] - hs[0]) * 60
+    assert len(out) == span_min // step + 1
+    by_ts = {r["grid_ts"]: r for r in out}
+    for h in hs:
+        ts = t0 + dt.timedelta(hours=h)
+        if (h - hs[0]) * 60 % step == 0:  # on-grid observation
+            assert by_ts[ts]["value"] == float(h)
+            assert by_ts[ts]["is_gap"] == 0
+    n_obs_on_grid = sum(
+        1 for h in hs if (h - hs[0]) * 60 % step == 0
+    )
+    assert sum(r["is_gap"] for r in out) == len(out) - n_obs_on_grid
+
+
+@given(
+    n=st.integers(1, 60),
+    step=st.sampled_from([60, 720, 1440]),
+)
+@SETTINGS
+def test_resample_conserves_counts_and_bounds(spark, n, step):
+    """Laws: bucket counts sum to the row count; per-bucket min ≤ avg ≤
+    max; bucket starts are step-aligned."""
+    import datetime as dt
+
+    from qctimeseries_spark import resample
+
+    t0 = dt.datetime(2024, 1, 3, 7, 13)
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(minutes=37 * i), float((i * 11) % 23))
+         for i in range(n)],
+        "ts timestamp, value double",
+    )
+    out = resample(
+        df, "ts", step_minutes=float(step),
+        aggs={"value": ["avg", "min", "max", "count"]},
+    ).collect()
+    assert sum(r["value_count"] for r in out) == n
+    for r in out:
+        assert r["value_min"] <= r["value_avg"] <= r["value_max"]
+        assert (r["bucket_ts"].timestamp() * 1000) % (step * 60 * 1000) == 0
