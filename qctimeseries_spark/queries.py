@@ -963,26 +963,32 @@ def q_st8_stream_ewma(spark, sf_dir):
 
 
 def q_a14_ewma(spark, sf_dir):
-    """Exponential smoothing over user 7's 6 h-bucketed series via the
-    affine block fold; oracle = per-row sequential list_reduce fold
-    (DuckDB), bridged by 6-dp rounding."""
+    """Batch per-key exponential smoothing over 6 h-bucketed per-user
+    series (users < 10).  The per-key path folds sequentially — the
+    SAME order as the oracle's per-key list_reduce — so values are
+    bit-equal before the 6-dp rounding at any scale factor.  (The
+    keyless affine block fold regroups the float arithmetic, which can
+    land the occasional value on the other side of a rounding grid
+    line; it is pytest-verified against pandas instead of hash-pinned —
+    see tests/test_windows.py and tests/test_properties.py.)"""
     from qctimeseries_spark.windows import ewma
 
     width_us = 6 * 3600 * 1_000_000
     s = (
         read_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") == 7)
+        .filter(F.col("user_id") < 10)
         .groupBy(
+            "user_id",
             F.expr(
                 f"timestamp_micros((unix_micros(ts) DIV {width_us}L)"
                 f" * {width_us}L)"
-            ).alias("ts")
+            ).alias("ts"),
         )
         .agg(F.round(F.avg("value"), 6).alias("value"))
     )
-    return ewma(s, "ts", "value", alpha=0.3, block_hours=48.0).select(
-        "ts", "value", "value_ewma"
-    )
+    return ewma(
+        s, "ts", "value", alpha=0.5, key_col="user_id"
+    ).select("user_id", "ts", "value", "value_ewma")
 
 
 def q_a13_progress_by_window(spark, sf_dir):
@@ -1535,16 +1541,23 @@ SELECT r.user_id, r.ts, r.value,
 FROM r JOIN arr USING (user_id)""",
     "a14_ewma": """
 WITH s AS (
-  SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ts,
+  SELECT user_id,
+         make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ts,
          ROUND(AVG(value), 6) AS value
-  FROM events WHERE user_id = 7 GROUP BY 1
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
 ),
-r AS (SELECT ts, value, ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM s),
-arr AS (SELECT array_agg(value ORDER BY ts) AS vs FROM s)
-SELECT ts, value,
-       ROUND(list_reduce(list_slice(vs, 1, rn),
-                         (acc, v) -> 0.3 * v + 0.7 * acc), 6) AS value_ewma
-FROM r, arr""",
+r AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM s
+),
+arr AS (
+  SELECT user_id, array_agg(value ORDER BY ts) AS vs FROM s GROUP BY user_id
+)
+SELECT r.user_id, r.ts, r.value,
+       ROUND(list_reduce(list_slice(arr.vs, 1, r.rn),
+                         (acc, v) -> 0.5 * v + 0.5 * acc), 6) AS value_ewma
+FROM r JOIN arr USING (user_id)""",
     "a13_progress_by_window": f"""
 WITH {_WIN_SQL}
 SELECT win_id,

@@ -582,12 +582,16 @@ def ewma_stateful(
             cur = v[i] if cur is None else alpha * v[i] + one_minus * cur
             out[i] = cur
         state.update((float(cur), int(us[-1])))
+        # round-half-away mirrors SQL ROUND (np.round is half-to-even,
+        # which diverges at the exact halves dyadic alphas produce)
         yield pd.DataFrame(
             {
                 key_col: key[0],
                 time_col: pdf[time_col].to_numpy(),
                 value_col: v,
-                f"{value_col}_ewma": np.round(out, 6),
+                f"{value_col}_ewma": np.copysign(
+                    np.floor(np.abs(out) * 1e6 + 0.5) / 1e6, out
+                ),
             }
         )
 

@@ -1128,7 +1128,12 @@ def ewma(
                     alpha * v[i] + one_minus * cur
                 )
                 out[i] = cur
-            pdf[out_col] = np.round(out, 6)
+            # ROUND-HALF-AWAY to match SQL ROUND (numpy's np.round is
+            # half-to-even; dyadic alphas like 0.5 make exact decimal
+            # halves common and the two conventions then diverge)
+            pdf[out_col] = np.copysign(
+                np.floor(np.abs(out) * 1e6 + 0.5) / 1e6, out
+            )
             return pdf
 
         return df.groupBy(key_col).applyInPandas(fold, schema_out)
