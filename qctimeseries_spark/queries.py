@@ -137,7 +137,7 @@ _APP_SQL = (
     + f""",
 app AS (
   SELECT *,
-         CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS INT) AS rowid,
+         CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS rowid,
          CAST((epoch_us(ts) - (SELECT MIN(epoch_us(ts)) FROM events))
               // {_WIDTH_US} AS INT) AS win_id
   FROM seeded

@@ -110,6 +110,26 @@ def with_rowid(
         "_rid_bucket",
         F.coalesce(F.sum("count").over(cum), F.lit(0)).alias("_rid_offset"),
     )
+    return _number_from_offsets(bucketed, offsets, time_col, ties, col)
+
+
+def _number_from_offsets(
+    bucketed: DataFrame,
+    offsets: DataFrame,
+    time_col: str,
+    ties: list,
+    col: str,
+) -> DataFrame:
+    """Final phase of :func:`with_rowid`: join each row to its bucket's
+    starting offset and number within the bucket.
+
+    The sum is BIGINT end-to-end — ``offsets`` carries ``sum(count)``
+    (already long) and the result is cast to ``long``, never ``int``:
+    at the 100 TB design point the row count exceeds 2^31 and an int
+    cast would silently wrap rowids negative (R's integer ``.I`` errors
+    at overflow; a silent wrap corrupts the primary key).  Factored out
+    so tests can drive it with synthetic offsets straddling 2^31.
+    """
     within = Window.partitionBy("_rid_bucket").orderBy(
         F.col(time_col).asc_nulls_first(), *ties
     )
@@ -117,7 +137,7 @@ def with_rowid(
         bucketed.join(F.broadcast(offsets), "_rid_bucket")
         .withColumn(
             col,
-            (F.col("_rid_offset") + F.row_number().over(within)).cast("int"),
+            (F.col("_rid_offset") + F.row_number().over(within)).cast("long"),
         )
         .drop("_rid_bucket", "_rid_offset")
     )

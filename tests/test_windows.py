@@ -69,6 +69,42 @@ def test_rowid_keeps_null_timestamps(spark):
     assert [r.k for r in by_rowid[:3]] == [100, 101, 102]  # NULLs first
 
 
+def test_rowid_schema_is_long(multivar):
+    # primary key must be BIGINT: at the 100 TB design point row counts
+    # exceed 2^31 and an int rowid would silently wrap negative
+    out = with_rowid(multivar, "DateTime")
+    assert dict(out.dtypes)["rowid"] == "bigint"
+
+
+def test_rowid_offsets_straddling_2_31_stay_monotone(spark):
+    # drive the production numbering phase with synthetic bucket offsets
+    # on both sides of 2^31: rowids must stay positive, collision-free
+    # and monotone in (bucket, time) — i.e. no 32-bit wrap anywhere
+    from qctimeseries_spark.windows import _number_from_offsets
+
+    t0 = dt.datetime(2024, 1, 1)
+    per_bucket = 5
+    rows = [
+        (b, t0 + dt.timedelta(days=b, hours=i), b * per_bucket + i)
+        for b in range(4)
+        for i in range(per_bucket)
+    ]
+    bucketed = spark.createDataFrame(
+        rows, "_rid_bucket long, DateTime timestamp, k long"
+    )
+    base = 2**31 - 7  # offsets cross the int32 boundary mid-sequence
+    offsets = spark.createDataFrame(
+        [(b, base + b * per_bucket) for b in range(4)],
+        "_rid_bucket long, _rid_offset long",
+    )
+    out = _number_from_offsets(bucketed, offsets, "DateTime", [F.col("k")], "rowid")
+    got = sorted((r.k, r.rowid) for r in out.collect())
+    ids = [rid for _, rid in got]
+    assert ids == list(range(base + 1, base + 1 + 4 * per_bucket))
+    assert all(i > 2**31 - 8 for i in ids)  # nothing wrapped negative
+    assert len(set(ids)) == len(ids)
+
+
 def test_pre_anchor_rows_get_negative_windows(spark):
     t0 = dt.datetime(2024, 1, 5)
     df = spark.createDataFrame(
