@@ -92,44 +92,98 @@ def write_exports(
 _XLSX_MAX_ROWS = 1_048_576  # per-sheet cap, R/qc_exports.R:99
 
 
+def _with_chunk_ids(
+    df: DataFrame, order_by: list[str] | None, cap: int = _XLSX_MAX_ROWS
+) -> tuple[DataFrame, DataFrame]:
+    """Assign ``_chunk = floor(global_rank / cap)`` without a
+    single-task global sort (the two-phase discipline of
+    ``with_rowid``, ``windows.py``).
+
+    Phase 1 range-shuffles on the sort key (ascending partition ids =
+    ascending key ranges) and counts rows per partition — a
+    #partitions-sized frame collected to the driver, where the prefix
+    sum becomes each partition's starting offset.  Phase 2 numbers
+    within each partition and adds the offset; every heavy stage runs
+    across all executors.  The shuffled frame is persisted so the count
+    job and the numbering/export jobs see the SAME (sampled) range
+    boundaries.  Returns ``(chunked, pinned)``; callers must
+    ``pinned.unpersist()`` when done.
+
+    Without ``order_by`` the input's own partitioning is kept and rows
+    are numbered in per-partition arrival order
+    (``monotonically_increasing_id``), matching the old fallback
+    semantics: stable per run, re-chunked if the source repartitions.
+    """
+    if order_by:
+        order = [F.col(c) for c in order_by]
+        part = df.repartitionByRange(*order)
+        extra: list[str] = []
+    else:
+        part = df.withColumn("_mid", F.monotonically_increasing_id())
+        order = [F.col("_mid")]
+        extra = ["_mid"]
+    from pyspark.sql import Window
+
+    bucketed = part.withColumn("_pid", F.spark_partition_id()).persist()
+    counts = {
+        r["_pid"]: r["count"]
+        for r in bucketed.groupBy("_pid").count().collect()
+    }
+    running, offsets = 0, []
+    for pid in sorted(counts):
+        offsets.append((pid, running))
+        running += counts[pid]
+    off = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long"
+    )
+    within = Window.partitionBy("_pid").orderBy(*order)
+    chunked = (
+        bucketed.join(F.broadcast(off), "_pid")
+        .withColumn(
+            "_chunk",
+            F.floor((F.col("_off") + F.row_number().over(within) - 1) / cap),
+        )
+        .drop("_pid", "_off", *extra)
+    )
+    return chunked, bucketed
+
+
 def _write_xlsx(
     df: DataFrame, base: str, order_by: list[str] | None = None
 ) -> list[str]:
-    """S5 chunked XLSX: ≤1,048,576 rows per sheet.  Chunk id =
-    floor((row_number-1)/cap) computed engine-side; each chunk streams
-    to the driver via toPandas.  Gated on openpyxl availability.
+    """S5 chunked XLSX: ≤1,048,576 rows per sheet (``R/qc_exports.R:
+    92-122``).  Chunk id = floor(global_rank/cap) via the two-phase
+    numbering of :func:`_with_chunk_ids` — never a single-task global
+    sort; each chunk streams to the driver via toPandas (XLSX is an
+    out-of-engine sink by nature).  Gated on openpyxl availability.
 
-    Pass ``order_by`` for deterministic chunk boundaries across retries;
-    the ``monotonically_increasing_id`` fallback keeps input order per
-    partition but can re-chunk if the source repartitions.  An empty
-    DataFrame writes a single header-only sheet (the reference writes
-    one empty sheet for n == 0).
+    Pass ``order_by`` for deterministic chunk boundaries across retries.
+    An empty DataFrame writes a single header-only sheet (the reference
+    writes one empty sheet for n == 0).
     """
     try:
         import openpyxl  # noqa: F401
         import pandas as pd  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(f"xlsx export needs openpyxl: {exc}") from exc
-    from pyspark.sql import Window
 
-    order = (
-        [F.col(c) for c in order_by]
-        if order_by
-        else [F.monotonically_increasing_id()]
-    )
-    w = Window.orderBy(*order)
-    chunked = df.withColumn(
-        "_chunk", F.floor((F.row_number().over(w) - 1) / _XLSX_MAX_ROWS)
-    )
+    chunked, pinned = _with_chunk_ids(df, order_by)
     mx = chunked.agg(F.max("_chunk")).collect()[0][0]
     n_chunks = int(mx) + 1 if mx is not None else 1
     path = base + ".xlsx"
     import pandas as pd
 
-    with pd.ExcelWriter(path, engine="openpyxl") as writer:
-        for k in range(n_chunks):
-            pdf = chunked.filter(F.col("_chunk") == k).drop("_chunk").toPandas()
-            pdf.to_excel(writer, sheet_name=f"sheet{k + 1}", index=False)
+    try:
+        with pd.ExcelWriter(path, engine="openpyxl") as writer:
+            for k in range(n_chunks):
+                pdf = (
+                    chunked.filter(F.col("_chunk") == k)
+                    .drop("_chunk")
+                    .toPandas()
+                )
+                pdf.to_excel(writer, sheet_name=f"sheet{k + 1}", index=False)
+    finally:
+        pinned.unpersist()
     return [path]
 
 

@@ -28,8 +28,11 @@ def plan_summary(df: DataFrame, *, executed: bool = False) -> dict:
 
     Returns keys: ``shuffles`` (hash/range/single-partition exchanges),
     ``broadcasts``, ``sort_merge_joins``, ``nested_loop_joins``,
-    ``codegen_stages``, and ``scans`` — a list of per-scan dicts with
-    ``columns`` (read-schema width) and ``pushed_filters``.
+    ``codegen_stages``, ``global_windows`` (window operators with NO
+    partition spec — every row through one task; acceptable only on
+    bounded frames like per-bucket offset tables), and ``scans`` — a
+    list of per-scan dicts with ``columns`` (read-schema width) and
+    ``pushed_filters``.
     """
     if executed:
         df.collect()
@@ -44,7 +47,16 @@ def plan_summary(df: DataFrame, *, executed: bool = False) -> dict:
             plan,
         )
     ]
+    # a physical Window line prints [funcs], [partSpec], [orderSpec];
+    # the unpartitioned form drops the middle group, leaving ONE "], ["
+    global_windows = sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"\s*[+\-:|* ]*Window \[", line)
+        and line.count("], [") == 1
+    )
     return {
+        "global_windows": global_windows,
         "shuffles": len(
             re.findall(
                 r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",

@@ -103,6 +103,51 @@ def test_write_exports_roundtrip(qc, spark, tmp_path):
     assert len(sums) >= 4
 
 
+def test_xlsx_chunk_ids_match_global_order(spark):
+    # S5 chunking must agree with the global sort order at any cap
+    from qctimeseries_spark.exports import _with_chunk_ids
+
+    df = spark.createDataFrame(
+        [(i * 37 % 101, i) for i in range(101)], "k int, payload int"
+    ).repartition(7)
+    chunked, pinned = _with_chunk_ids(df, ["k"], cap=10)
+    try:
+        rows = chunked.collect()
+    finally:
+        pinned.unpersist()
+    got = {r.k: r._chunk for r in rows}
+    assert got == {k: k // 10 for k in range(101)}  # rank order, cap 10
+
+
+def test_xlsx_chunking_has_no_global_window(spark):
+    # the old implementation funneled the full table through ONE task
+    # via row_number() OVER (ORDER BY ...) with no partition spec
+    from qctimeseries_spark.exports import _with_chunk_ids
+    from qctimeseries_spark.plans import plan_summary
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k int, v double"
+    )
+    for order_by in (["k"], None):
+        chunked, pinned = _with_chunk_ids(df, order_by, cap=10)
+        try:
+            assert plan_summary(chunked)["global_windows"] == 0
+        finally:
+            pinned.unpersist()
+
+
+def test_xlsx_chunk_ids_empty_frame(spark):
+    from qctimeseries_spark.exports import _with_chunk_ids
+
+    df = spark.createDataFrame([], "k int, v double")
+    chunked, pinned = _with_chunk_ids(df, ["k"], cap=10)
+    try:
+        assert chunked.count() == 0
+        assert chunked.columns == ["k", "v", "_chunk"]
+    finally:
+        pinned.unpersist()
+
+
 def test_qc_pipeline_end_to_end(multivar):
     qc_df, clean, prog = qc_pipeline(
         multivar,
