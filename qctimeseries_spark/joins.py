@@ -89,6 +89,12 @@ def asof_join(
     (pandas ``merge_asof(tolerance=...)`` semantics).  Ties on the time
     column match (at-or-before).
 
+    NULL ``on`` values: left rows are always PRESERVED (left-join
+    semantics) and come back with NULL payload — a NULL timestamp
+    compares unknown to every right timestamp, so nothing matches.
+    Timestamp-less RIGHT rows never match real left rows; filter them
+    out upstream if the input may contain them.
+
     Without ``by`` the ordered carry has no key to partition on, so it
     runs the two-phase block pattern instead of a global window (which
     would funnel the union through ONE task — round 2 guarded that
@@ -142,12 +148,28 @@ def asof_join(
         for c in carried:
             merged = merged.withColumn(c, pick(c).over(w))
     else:
-        from qctimeseries_spark.windows import _floor_div_sql
+        from qctimeseries_spark.windows import _NULL_BUCKET, _floor_div_sql
 
         block_us = int(round(block_hours * 3600 * 1_000_000))
+        # NULL `on` rows get a sentinel block that sorts before every
+        # real block (the with_rowid discipline): a bare unix_micros
+        # block id is NULL there, and the inner join-back onto the
+        # carry frame would silently DROP those left rows — breaking
+        # left-join row preservation.  In the sentinel block NULL-time
+        # left rows can only match NULL-time right rows (none, once
+        # right is sane), and its boundary record is excluded from the
+        # cross-block carry below, so a timestamp-less right record
+        # never leaks into real blocks.  The sentinel sits on the side
+        # the carry never reaches: before all blocks for backward
+        # (nothing precedes it), after all blocks for forward (nothing
+        # follows it) — so NULL-time rows also never RECEIVE a carry.
+        sentinel = -_NULL_BUCKET if fwd else _NULL_BUCKET
         merged = merged.withColumn(
             "_blk",
-            F.expr(_floor_div_sql(f"unix_micros(`{on}`)", block_us)),
+            F.coalesce(
+                F.expr(_floor_div_sql(f"unix_micros(`{on}`)", block_us)),
+                F.lit(sentinel),
+            ),
         )
         w = (
             Window.partitionBy("_blk")
@@ -161,7 +183,7 @@ def asof_join(
         # its own values), cumulated across the tiny #blocks frame
         bound_pick = F.min_by if fwd else F.max_by
         block_last = (
-            merged.filter(F.col("_side") == 0)
+            merged.filter((F.col("_side") == 0) & F.col(on).isNotNull())
             .groupBy("_blk")
             .agg(
                 bound_pick(

@@ -123,6 +123,33 @@ def test_asof_keyless_block_path_equals_small_blocks(spark):
     assert small[199] == "b"
 
 
+def test_asof_keyless_preserves_null_timestamp_left_rows(spark):
+    """Left-join row preservation: NULL `on` left rows must come back
+    (with NULL payload) in BOTH directions — the block path's join onto
+    the carry frame once silently dropped them (NULL block id)."""
+    left = spark.createDataFrame(
+        [(1, _ts(2)), (2, None), (3, _ts(8)), (4, None)],
+        "event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(_ts(1), "a"), (_ts(7), "b")], "ts timestamp, tag string"
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r.event_id: r.r_tag
+            for r in asof_join(
+                left, right, on="ts", direction=direction
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}, direction  # nothing dropped
+        assert out[2] is None and out[4] is None, direction
+    back = {
+        r.event_id: r.r_tag
+        for r in asof_join(left, right, on="ts").collect()
+    }
+    assert back[1] == "a" and back[3] == "b"
+
+
 def test_asof_forward_matches_pandas(spark):
     """direction='forward' equals pandas merge_asof(direction='forward')
     for keyed and keyless (block path) inputs, including exact ties."""
