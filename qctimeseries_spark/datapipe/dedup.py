@@ -799,6 +799,13 @@ def _dup_pairs_numpy(u: DataFrame, id_col: str, threshold: float) -> DataFrame:
     the same left-to-right fold as ``F.aggregate``/DuckDB
     ``list_reduce``, so scores are bit-equal to the catalyst strategy.
     Block rows are chunked to bound the (chunk × n) score matrix.
+
+    The pair frame is materialized eagerly (``localCheckpoint``) so the
+    persisted input and the broadcast matrix can be released before
+    returning — repeated calls in one session must not accumulate up to
+    ~512 MB of executor/driver memory each (this tier is already eager:
+    it collects the corpus to the driver, and the row-cap guard bounds
+    both the matrix and the checkpointed pair list).
     """
     import numpy as np
     import pandas as pd
@@ -845,4 +852,10 @@ def _dup_pairs_numpy(u: DataFrame, id_col: str, threshold: float) -> DataFrame:
                     }
                 )
 
-    return u.mapInPandas(gen, f"id_a long, id_b long, cos double")
+    try:
+        return u.mapInPandas(
+            gen, "id_a long, id_b long, cos double"
+        ).localCheckpoint(eager=True)
+    finally:
+        u.unpersist()
+        bc.destroy()

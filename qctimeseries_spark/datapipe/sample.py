@@ -98,12 +98,23 @@ def sample_to_token_budget(
     pushed to the scan) and resolves only the single boundary bucket
     with a window cumsum over ~1/SAMPLE_MOD of the corpus.  The result
     is row-identical to the global-prefix semantics at any scale.
+
+    NULL ``token_col`` rows count as ZERO tokens: they ride along in
+    whichever prefix position their key hash gives them without
+    consuming budget (both the per-bucket totals and the boundary
+    cumsum coalesce NULL sums to 0, so an all-NULL bucket cannot poison
+    the driver-side scan).  Filter them upstream if unpriced documents
+    should not be sampled at all.
     """
     df = df.filter(F.col(key_col).isNotNull())
     b = df.withColumn("_bucket", sample_bucket(key_col, seed))
     hist = (
         b.groupBy("_bucket")
-        .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col(token_col).cast("long")), F.lit(0)
+            ).alias("_t")
+        )
         .orderBy("_bucket")
         .collect()
     )
@@ -121,8 +132,11 @@ def sample_to_token_budget(
         b.filter(F.col("_bucket") == cut)
         .withColumn(
             "_cum",
-            F.sum(F.col(token_col).cast("long")).over(
-                Window.partitionBy("_bucket").orderBy(key_col)
+            F.coalesce(
+                F.sum(F.col(token_col).cast("long")).over(
+                    Window.partitionBy("_bucket").orderBy(key_col)
+                ),
+                F.lit(0),
             ),
         )
         .filter(F.col("_cum") <= rem)

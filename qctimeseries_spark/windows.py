@@ -263,8 +263,11 @@ def sessionize(
     running count of gap-exceeding steps (lag + cumulative sum over the
     same sorted window, so the sort is done once).  ``ties`` break
     equal timestamps deterministically.  NULL timestamps sort first
-    within their key and attach to session 1 (their gap vs the previous
-    row is NULL, which never exceeds the threshold).
+    within their key and EACH starts its own session (ids 1..k for k
+    NULL rows — the lag is NULL at every one of them, and a NULL gap is
+    treated as a break, same as the first real row after the NULL run);
+    :func:`sessionize_salted` behaves identically.  Filter NULL
+    timestamps upstream if they should not count as sessions.
     """
     validate_time_col(df, time_col)
     gap_us = round(gap_minutes * 60.0 * 1_000_000)

@@ -468,6 +468,26 @@ def test_sample_to_token_budget_prefix_and_monotone(docs, spark):
     assert everything == {r["doc_id"] for r in d.collect()}
 
 
+def test_sample_to_token_budget_null_tokens_count_as_zero(spark):
+    """NULL-token rows ride along free (documented policy) and an
+    all-NULL bucket must not crash the driver-side histogram scan."""
+    from qctimeseries_spark.datapipe import sample_to_token_budget
+
+    rows = [(f"k{i}", 100 if i % 3 else None) for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id string, n_tokens int")
+    out = sample_to_token_budget(d, "doc_id", "n_tokens", 1500).collect()
+    kept = {r.doc_id for r in out}
+    priced = sum(1 for r in out if r.n_tokens is not None)
+    assert priced * 100 <= 1500  # budget respected by priced rows
+    assert kept  # non-empty
+    # all-NULL corpus: sum is NULL everywhere; must not TypeError
+    allnull = spark.createDataFrame(
+        [(f"k{i}", None) for i in range(10)], "doc_id string, n_tokens int"
+    )
+    got = sample_to_token_budget(allnull, "doc_id", "n_tokens", 5).collect()
+    assert len(got) == 10  # zero-cost rows all fit any budget
+
+
 def test_split_corpus_disjoint_exhaustive_and_prefix_coherent(docs, spark):
     """Splits partition the corpus; hash_sample at the first split's
     fraction equals exactly that split (shared bucket axis)."""
