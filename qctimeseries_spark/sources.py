@@ -6,8 +6,40 @@ the vignette workflow; RData save/load ≙ Parquet state round-trip).
 
 from __future__ import annotations
 
+import os
+import tempfile
+import urllib.parse
+import urllib.request
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _fetch_url(url: str) -> str:
+    """Download a CSV URL to a driver-local temp file and return its
+    path.
+
+    Driver-side by design: the vignette's ``read.csv("https://…")`` is
+    a BOOTSTRAP step for a single modest file, and Spark executors
+    cannot read http(s) — there is no distributed http data source.
+    The whole payload passes through (and stays on) the driver's disk,
+    so this is bounded by driver storage; for repeated or large-scale
+    ingestion, land the data on a shared filesystem / object store
+    first and read it there.
+    """
+    suffix = os.path.splitext(urllib.parse.urlparse(url).path)[1] or ".csv"
+    fd, tmp = tempfile.mkstemp(prefix="qcts_url_", suffix=suffix)
+    try:
+        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:
+            while True:
+                block = resp.read(1 << 20)
+                if not block:
+                    break
+                out.write(block)
+    except BaseException:
+        os.unlink(tmp)
+        raise
+    return tmp
 
 
 def read_csv(
@@ -22,7 +54,16 @@ def read_csv(
     """S1 CSV source (vignette ``read.csv`` + POSIXct cast,
     ``overall_workflow.Rmd:97-108``).  Header on, schema inference on
     unless an explicit schema is given (always prefer explicit schemas
-    at scale — inference is an extra full scan)."""
+    at scale — inference is an extra full scan).
+
+    http(s) URLs are accepted (the vignette imports straight from a
+    URL, ``overall_workflow.Rmd:97-99,331``): the file is fetched once
+    to driver-local temp storage and read from there — see
+    :func:`_fetch_url` for the driver-size bound.  Every other path
+    goes straight to ``spark.read.csv`` (local, HDFS, s3a, …).
+    """
+    if urllib.parse.urlparse(path).scheme in ("http", "https"):
+        path = _fetch_url(path)
     reader = spark.read.option("header", True)
     if schema is not None:
         reader = reader.schema(schema)

@@ -1,0 +1,42 @@
+import threading
+
+from qctimeseries_spark.sources import read_csv
+
+
+def _serve_once(directory):
+    """Tiny localhost HTTP server over a directory; returns (url, stop)."""
+    import functools
+    from http.server import HTTPServer, SimpleHTTPRequestHandler
+
+    handler = functools.partial(
+        SimpleHTTPRequestHandler, directory=str(directory)
+    )
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return f"http://127.0.0.1:{srv.server_port}", srv.shutdown
+
+
+def test_read_csv_from_url(spark, tmp_path):
+    # the reference vignette's first step imports straight from a URL
+    csv = tmp_path / "site1.csv"
+    csv.write_text(
+        "DateTime,temp\n"
+        "2024-01-01 00:00:00,1.5\n"
+        "2024-01-01 01:00:00,2.5\n"
+    )
+    url, stop = _serve_once(tmp_path)
+    try:
+        df = read_csv(spark, f"{url}/site1.csv", time_col="DateTime")
+        rows = df.orderBy("DateTime").collect()
+    finally:
+        stop()
+    assert [r.temp for r in rows] == [1.5, 2.5]
+    assert rows[0].DateTime.year == 2024  # POSIXct-style cast applied
+
+
+def test_read_csv_local_path_unaffected(spark, tmp_path):
+    csv = tmp_path / "plain.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(csv))
+    assert df.count() == 2 and set(df.columns) == {"a", "b"}
