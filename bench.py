@@ -51,6 +51,7 @@ EXTENDED = [
     "c2_curate",
     "w11_interpolate",
     "a12_rolling_by_key",
+    "m3_media_decode",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -30,6 +30,7 @@ from qctimeseries_spark.datapipe.sample import (
 from qctimeseries_spark.datapipe.hashing import fast_hash64, hash60
 from qctimeseries_spark.datapipe.multimodal import (
     attach_media,
+    decode_media,
     extract_features,
     media_summary,
     repartition_by_bytes,
@@ -75,6 +76,7 @@ __all__ = [
     "fast_hash64",
     "hash60",
     "attach_media",
+    "decode_media",
     "extract_features",
     "media_summary",
     "repartition_by_bytes",

@@ -7,9 +7,13 @@ control — streams payload bytes through Python without driver
 involvement.  Header understanding is real: :func:`parse_media` walks
 PNG chunks (IHDR width/height), JPEG segments (SOF0/SOF2 dimensions),
 RIFF/WAVE chunks (fmt sample-rate → duration), and MP4 boxes (mvhd
-timescale/duration) with nothing beyond ``struct``/``zlib``.  Only the
-*pixel/sample decode* step is stubbed (:func:`_decode_payload` — no
-image/audio library ships in this container); the deterministic
+timescale/duration) with nothing beyond ``struct``/``zlib``.  Payload
+DECODE is real wherever the stdlib suffices: PNG IDAT is a genuine
+zlib stream (built by :func:`_zlib_stored`, inflated by
+``zlib.decompress``) and WAV data is PCM16 (``struct`` unpack to
+signed samples) — see :func:`_decode_payload` / :func:`decode_media`.
+JPEG entropy decode and MP4 demux genuinely need codec libraries this
+container doesn't ship and stay gated; the deterministic
 :func:`_fake_features` stands in for the embedding tier and nothing
 else.
 
@@ -31,6 +35,7 @@ through pandas without ever collecting to the driver.
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 import zlib
 from collections.abc import Iterator
@@ -80,8 +85,46 @@ FEATURE_SCHEMA = StructType(
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: container framing overhead in bytes around the content segment —
-#: constants by construction (fixed-size headers), asserted in tests
+#: constants by construction (fixed-size headers), asserted in tests.
+#: PNG adds :func:`zlib_stored_overhead` on top (the IDAT stream is a
+#: real zlib stream, sized by the stored-block layout).
 FMT_OVERHEAD = {"png": 57, "jpeg": 27, "wav": 44, "mp4": 140}
+
+_ZLIB_BLOCK = 65535  # max stored-block payload (RFC 1951 LEN is 16-bit)
+
+
+def zlib_stored_overhead(n: int) -> int:
+    """Byte overhead of :func:`_zlib_stored` around ``n`` content bytes:
+    2 (zlib header) + 4 (adler32) + 5 per stored block.  Pure function
+    of ``n`` — mirrored arithmetically by the Catalyst ``n_bytes``
+    expression and the DuckDB oracles."""
+    blocks = max(1, (n + _ZLIB_BLOCK - 1) // _ZLIB_BLOCK)
+    return 6 + 5 * blocks
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """A genuine zlib stream around ``data`` using stored (uncompressed)
+    deflate blocks, built byte-deterministically.
+
+    ``zlib.decompress`` inflates it like any other zlib stream — the
+    decode side is real inflate — but unlike ``zlib.compress(data, 0)``
+    the block layout here is pinned by THIS code, not by whatever
+    buffer-size block splits the linked zlib build chooses, so payload
+    sizes stay a portable pure function of the content length.
+    """
+    out = [b"\x78\x01"]  # CMF/FLG: deflate, 32K window, level-0 check
+    blocks = [
+        data[i : i + _ZLIB_BLOCK] for i in range(0, len(data), _ZLIB_BLOCK)
+    ] or [b""]
+    for i, blk in enumerate(blocks):
+        final = 1 if i == len(blocks) - 1 else 0
+        out.append(
+            bytes([final])
+            + struct.pack("<HH", len(blk), len(blk) ^ 0xFFFF)
+            + blk
+        )
+    out.append(struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF))
+    return b"".join(out)
 
 #: WAV sample-rate wheel for synthetic metadata derivation
 WAV_RATES = [8000, 16000, 22050, 44100, 48000]
@@ -95,9 +138,10 @@ MP4_TIMESCALE = 600
 
 
 def build_png(width: int, height: int, content: bytes) -> bytes:
-    """Minimal PNG: signature + IHDR + one IDAT carrying ``content`` +
-    IEND, with real CRC32s.  (Content is raw bytes, not zlib-compressed
-    scanlines — header-valid, decode-stubbed.)"""
+    """Minimal PNG: signature + IHDR + one IDAT holding ``content`` as
+    a REAL zlib stream (:func:`_zlib_stored`) + IEND, with real CRC32s.
+    ``zlib.decompress`` over the IDAT bytes recovers ``content`` — the
+    decode path is genuine inflate, not a passthrough."""
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -108,7 +152,12 @@ def build_png(width: int, height: int, content: bytes) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", content) + chunk(b"IEND", b"")
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib_stored(content))
+        + chunk(b"IEND", b"")
+    )
 
 
 def build_jpeg(width: int, height: int, content: bytes) -> bytes:
@@ -360,8 +409,15 @@ def attach_media(
         .when(mid % 3 == 1, F.lit("audio"))
         .otherwise(F.lit("video"))
     )
+    # PNG framing + the zlib stored-block overhead: 6 fixed bytes plus
+    # 5 per block — zlib_stored_overhead(L) spelled in Catalyst, with
+    # exact integer DIV (float division drifts at block boundaries)
+    png_zlib = F.expr(
+        f"6 + 5 * greatest(1L, (octet_length(`{text_col}`)"
+        f" + {_ZLIB_BLOCK - 1}) DIV {_ZLIB_BLOCK})"
+    )
     overhead = (
-        F.when(mid % 6 == 0, F.lit(FMT_OVERHEAD["png"]))
+        F.when(mid % 6 == 0, F.lit(FMT_OVERHEAD["png"]) + png_zlib)
         .when(mid % 6 == 3, F.lit(FMT_OVERHEAD["jpeg"]))
         .when(mid % 3 == 1, F.lit(FMT_OVERHEAD["wav"]))
         .otherwise(F.lit(FMT_OVERHEAD["mp4"]))
@@ -380,14 +436,33 @@ def attach_media(
 # ---------------------------------------------------------------------------
 
 
-def _decode_payload(payload: bytes, fmt: str) -> bytes:
-    """REAL PIXEL/SAMPLE DECODE GOES HERE.  PIL.Image.open /
-    soundfile.read / av.open — none available in this container.
-    Header parsing does NOT go through this: :func:`parse_media` reads
-    dimensions/duration from the container itself."""
+def _decode_payload(content: bytes, fmt: str) -> list[int]:
+    """Decode a parsed content segment to its raw units — REAL decode
+    where the format needs nothing beyond the stdlib:
+
+    - ``png``: the IDAT stream is zlib — a genuine ``zlib.decompress``
+      (inflate) yields the pixel-byte stream; returns one int per byte.
+    - ``wav``: the data chunk is PCM16 little-endian — returns signed
+      16-bit samples (a trailing ragged byte, impossible in well-formed
+      PCM16, is dropped).
+
+    JPEG entropy decode and MP4 mdat demux genuinely require codec
+    libraries (PIL / av) that this container does not ship — those
+    formats still raise, and callers map that to ``decoded=false``.
+    Raises ``ValueError`` on corrupt zlib data.
+    """
+    if fmt == "png":
+        try:
+            return list(zlib.decompress(content))
+        except zlib.error as exc:
+            raise ValueError(f"corrupt PNG IDAT zlib stream: {exc}") from exc
+    if fmt == "wav":
+        n = len(content) // 2
+        return list(struct.unpack(f"<{n}h", content[: 2 * n]))
     raise NotImplementedError(
-        f"no codec for {fmt!r} in this environment — features use the"
-        " deterministic _fake_features stand-in over the content segment"
+        f"no codec for {fmt!r} in this environment (JPEG entropy / MP4"
+        " demux need PIL/av) — features use the deterministic"
+        " _fake_features stand-in over the content segment"
     )
 
 
@@ -435,8 +510,12 @@ def extract_features(
         try:
             meta = parse_media(payload)
             content = meta["content"]
+            if meta["fmt"] == "png":
+                # features describe the decoded pixel stream, not the
+                # zlib wrapper around it
+                content = zlib.decompress(content)
             valid = True
-        except ValueError:
+        except (ValueError, zlib.error):
             meta = {"fmt": None}
             content = payload
             valid = False
@@ -486,6 +565,91 @@ def repartition_by_bytes(
     total = media.agg(F.sum("n_bytes").alias("b")).collect()[0]["b"] or 0
     n = max(1, int(total / (target_partition_mb * 1024 * 1024)) + 1)
     return media.repartition(n)
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("decoded", BooleanType()),
+        StructField("n_units", LongType()),
+        StructField("sum_units", LongType()),
+        StructField("mean_unit", DoubleType()),
+        StructField("rms_unit", DoubleType()),
+    ]
+)
+
+
+def decode_media(
+    media: DataFrame, *, batch_rows: int = 256, partitions: int | None = None
+) -> DataFrame:
+    """Arrow-batched payload DECODE: container parse + real unit decode
+    (:func:`_decode_payload` — PNG inflate to pixel bytes, WAV PCM16 to
+    signed samples) + per-item unit statistics.
+
+    Emits one row per media item: ``decoded`` (false for formats whose
+    decode needs a codec library, and for corrupt payloads), the unit
+    count, the exact integer unit sum, and ``mean``/``rms`` derived
+    from it.  All sums are integers < 2^53, so the double statistics
+    are bit-exact and engine-portable (the DuckDB oracle reproduces
+    them arithmetically from the document bytes).
+
+    Same scale shape as :func:`extract_features`: repartition first so
+    the Python stage parallelizes, stream Arrow batches, never collect.
+    """
+    n = partitions or media.sparkSession.sparkContext.defaultParallelism
+    media = media.repartition(n)
+
+    def row(media_id, payload: bytes) -> dict:
+        fmt = None
+        units = None
+        try:
+            meta = parse_media(payload)
+            fmt = meta["fmt"]
+            units = _decode_payload(meta["content"], fmt)
+        except (ValueError, NotImplementedError):
+            pass
+        out = {
+            "media_id": media_id,
+            "fmt": fmt,
+            "decoded": units is not None,
+            "n_units": None,
+            "sum_units": None,
+            "mean_unit": None,
+            "rms_unit": None,
+        }
+        if units is not None:
+            n_units = len(units)
+            out["n_units"] = n_units
+            # zero-unit items keep NULL stats (not 0): an empty sum is
+            # "nothing measured", and the oracle's list_sum agrees
+            out["sum_units"] = sum(units) if n_units else None
+            if n_units:
+                # math.sqrt is the correctly-rounded IEEE sqrt — the
+                # same op DuckDB's sqrt() performs, so results are
+                # bit-identical cross-engine (x ** 0.5 is pow, which
+                # carries no such guarantee)
+                out["mean_unit"] = out["sum_units"] / n_units
+                out["rms_unit"] = math.sqrt(
+                    sum(u * u for u in units) / n_units
+                )
+        return out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    [
+                        row(m, bytes(p))
+                        for m, p in zip(chunk["media_id"], chunk["payload"])
+                    ],
+                    columns=[f.name for f in DECODE_SCHEMA.fields],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, DECODE_SCHEMA
+    )
 
 
 def media_summary(media: DataFrame) -> DataFrame:

@@ -33,6 +33,7 @@ from qctimeseries_spark.datapipe.curate import curate_corpus
 from qctimeseries_spark.datapipe.hashing import hash60_sql
 from qctimeseries_spark.datapipe.multimodal import (
     attach_media,
+    decode_media,
     extract_features,
     media_summary,
 )
@@ -496,6 +497,22 @@ def q_m2_media_features(spark, sf_dir):
     )
 
 
+def q_m3_media_decode(spark, sf_dir):
+    """REAL payload decode over the derived media table: PNG IDAT is
+    inflated (genuine zlib) to the pixel-byte stream, WAV data is
+    unpacked as signed PCM16 samples; per-item unit count / exact sum /
+    mean / RMS.  JPEG and MP4 stay ``decoded=false`` (entropy decode /
+    demux need codec libraries this container doesn't ship).
+
+    The oracle recomputes the statistics arithmetically from the
+    document bytes (hex-pair expansion of the UTF-8 blob), so a hash
+    match proves the Spark side genuinely inverted the zlib stream and
+    the PCM sample layout — integer sums are < 2^53 and the derived
+    doubles are single correctly-rounded ops, hence bit-portable.
+    """
+    return decode_media(attach_media(_docs(spark, sf_dir)))
+
+
 def q_t10_token_budget(spark, sf_dir):
     """Deterministic token-budget prefix: documents in hash-bucket
     order until 6,000 cumulative whitespace tokens.  Two-phase at
@@ -584,6 +601,7 @@ DATAPIPE_QUERIES = {
     "t8_hash_sample": q_t8_hash_sample,
     "m1_media_summary": q_m1_media_summary,
     "m2_media_features": q_m2_media_features,
+    "m3_media_decode": q_m3_media_decode,
     "c2_curate": q_c2_curate,
     "t10_token_budget": q_t10_token_budget,
     "t11_split": q_t11_split,
@@ -954,10 +972,12 @@ WHERE quality >= 0.5
 WITH m AS (
   SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
          ELSE 'video' END AS modality,
-         strlen(text) + CASE WHEN doc_id % 6 = 0 THEN 57
-                             WHEN doc_id % 6 = 3 THEN 27
-                             WHEN doc_id % 3 = 1 THEN 44
-                             ELSE 140 END AS nb
+         strlen(text) + CASE
+           WHEN doc_id % 6 = 0 THEN 57 + 6 + 5 * greatest(1,
+                (strlen(text) + 65534) // 65535)
+           WHEN doc_id % 6 = 3 THEN 27
+           WHEN doc_id % 3 = 1 THEN 44
+           ELSE 140 END AS nb
   FROM documents
 )
 SELECT modality, COUNT(*) AS n_items,
@@ -977,8 +997,10 @@ WITH m AS (
   FROM documents
 )
 SELECT doc_id AS media_id, modality, fmt,
-       CAST(L + CASE fmt WHEN 'png' THEN 57 WHEN 'jpeg' THEN 27
-                         WHEN 'wav' THEN 44 ELSE 140 END AS BIGINT)
+       CAST(L + CASE fmt
+                WHEN 'png' THEN 57 + 6 + 5 * greatest(1, (L + 65534) // 65535)
+                WHEN 'jpeg' THEN 27
+                WHEN 'wav' THEN 44 ELSE 140 END AS BIGINT)
            AS n_bytes,
        TRUE AS valid,
        CASE WHEN fmt IN ('png', 'jpeg')
@@ -997,4 +1019,55 @@ SELECT doc_id AS media_id, modality, fmt,
                      AS VARCHAR)), ',')
            AS features_u8
 FROM m""",
+    # m3: the decode oracle expands the document's UTF-8 bytes from the
+    # hex rendering of the blob (one INT per byte), then reproduces the
+    # PNG pixel-byte stats and the signed little-endian PCM16 sample
+    # stats arithmetically.  Integer sums are exact in BIGINT and the
+    # mean/rms doubles are single correctly-rounded ops, so the value
+    # hash is bit-comparable with the Spark side's real inflate/unpack.
+    "m3_media_decode": """
+WITH m AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         CASE WHEN doc_id % 6 = 0 THEN 'png' WHEN doc_id % 6 = 3 THEN 'jpeg'
+              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS fmt
+  FROM documents
+),
+b AS (
+  SELECT doc_id, fmt, L,
+         list_transform(range(0, CAST(L AS INT)),
+           i -> CAST(concat('0x', substr(hex(encode(text)), 2 * i + 1, 2))
+                     AS INT)) AS bytes
+  FROM m
+),
+s AS (
+  SELECT doc_id, fmt, L, bytes,
+         CASE WHEN fmt = 'wav' THEN
+           list_transform(range(0, CAST(L // 2 AS INT)),
+             k -> CASE WHEN bytes[2 * k + 2] >= 128
+                       THEN bytes[2 * k + 1] + 256 * bytes[2 * k + 2] - 65536
+                       ELSE bytes[2 * k + 1] + 256 * bytes[2 * k + 2] END)
+         END AS samples
+  FROM b
+),
+u AS (
+  SELECT doc_id, fmt,
+         fmt IN ('png', 'wav') AS decoded,
+         CASE WHEN fmt = 'png' THEN L
+              WHEN fmt = 'wav' THEN L // 2 END AS n_units,
+         CASE WHEN fmt = 'png' THEN list_sum(bytes)
+              WHEN fmt = 'wav' THEN list_sum(samples) END AS su,
+         CASE WHEN fmt = 'png'
+              THEN list_sum(list_transform(bytes, x -> x * x))
+              WHEN fmt = 'wav'
+              THEN list_sum(list_transform(samples, x -> x * x)) END AS sq
+  FROM s
+)
+SELECT doc_id AS media_id, fmt, decoded,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(CASE WHEN n_units > 0 THEN su END AS BIGINT) AS sum_units,
+       CASE WHEN n_units > 0 THEN CAST(su AS DOUBLE) / n_units
+            END AS mean_unit,
+       CASE WHEN n_units > 0 THEN sqrt(CAST(sq AS DOUBLE) / n_units)
+            END AS rms_unit
+FROM u""",
 }

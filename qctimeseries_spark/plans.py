@@ -57,6 +57,7 @@ def plan_summary(df: DataFrame, *, executed: bool = False) -> dict:
     )
     return {
         "global_windows": global_windows,
+        "cartesian_products": plan.count("CartesianProduct"),
         "shuffles": len(
             re.findall(
                 r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",

@@ -1102,6 +1102,9 @@ QUERIES.update(
 #         keeps a driver row via p8_flag_class_filters, and v1/v4/v5
 #         keep the window-slice plan in-window.  Deferred in round 3 to
 #         make room for the composed curation pipeline (c2_curate).
+#   t5  = rolling-hash fingerprint; the same hash machinery stays
+#         driver-checked via d1 (exact-dedup fingerprints) and c2.
+#         Deferred in round 4 for the real-decode query m3_media_decode.
 _DEFERRED = (
     "u5_reset_all",
     "u4_reset_window",
@@ -1115,6 +1118,7 @@ _DEFERRED = (
     "f5_iso_export",
     "a4_anchor",
     "v2_approved_overlay",
+    "t5_fingerprint",
 )
 QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
     k: QUERIES[k] for k in _DEFERRED

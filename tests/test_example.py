@@ -1,10 +1,80 @@
-"""Smoke test: the scripted data-checker example runs end-to-end."""
+"""Smoke test: the scripted data-checker example runs end-to-end —
+plus the driver-contract guards (registry window coverage and
+plan-shape regression pins for the headline set)."""
 
+import re
 import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
 REPO = Path(__file__).resolve().parents[1]
+
+#: the driver hash-checks only the FIRST 50 registry entries; every
+#: operator family must keep at least one entry inside that window or
+#: a careless insert silently downgrades it to replica-only checking
+FAMILIES = {
+    "s", "p", "f", "w", "a", "u", "v",  # SURVEY §2 QC core
+    "d", "x", "t", "m", "c", "st", "h", "j",  # extension surface
+}
+
+
+def _family(name: str) -> str:
+    m = re.match(r"([a-z]+)\d", name)
+    assert m, f"query name {name!r} does not follow <family><n>_<slug>"
+    return m.group(1)
+
+
+def test_driver_window_covers_every_family():
+    from qctimeseries_spark.queries import ORACLE, QUERIES
+
+    names = list(QUERIES)
+    assert len(QUERIES) == len(ORACLE)
+    assert set(QUERIES) == set(ORACLE)
+    assert {_family(n) for n in names} == FAMILIES  # no unknown family
+    in_window = {_family(n) for n in names[:50]}
+    missing = FAMILIES - in_window
+    assert not missing, (
+        f"families {sorted(missing)} fell out of the driver's 50-entry"
+        f" hard-check window — reorder the registry (see _DEFERRED)"
+    )
+
+
+#: plan-shape pins for the bench headline set, measured at sf0.001.
+#: global_windows: unpartitioned window operators — only BOUNDED frames
+#: (per-window renumbering, #blocks boundary carries) may use one.
+#: nested_loop_joins: only the broadcast-single-row centroid crossJoin
+#: of the knn queries.  A pin failing means a full-size frame picked up
+#: a single-task stage — audit before bumping the number.
+_PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
+    "w3_admitted_windows": (1, 0),
+    "w11_interpolate": (1, 0),
+    "x1_knn_bruteforce": (0, 1),
+}
+_MUST_BROADCAST = {"h3_segment_revenue", "h5_nation_revenue",
+                   "d2_minhash_dedup", "t7_contamination", "j2_range_join"}
+
+
+def _headline_names():
+    sys.path.insert(0, str(REPO))
+    from bench import HEADLINE
+
+    return HEADLINE
+
+
+@pytest.mark.parametrize("name", _headline_names())
+def test_headline_plan_shape(spark, name):
+    from qctimeseries_spark.plans import plan_summary
+    from qctimeseries_spark.queries import QUERIES
+
+    ps = plan_summary(QUERIES[name](spark, "/root/testdata/sf0.001"))
+    gw_max, nlj_max = _PLAN_PINS.get(name, (0, 0))
+    assert ps["cartesian_products"] == 0, ps
+    assert ps["global_windows"] <= gw_max, ps
+    assert ps["nested_loop_joins"] <= nlj_max, ps
+    if name in _MUST_BROADCAST:
+        assert ps["broadcasts"] >= 1, ps  # dim side must broadcast
 
 
 def test_qc_checker_example_runs(tmp_path):

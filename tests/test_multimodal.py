@@ -12,15 +12,18 @@ from qctimeseries_spark.datapipe.multimodal import (
     FMT_OVERHEAD,
     MP4_TIMESCALE,
     WAV_RATES,
+    _decode_payload,
     attach_media,
     build_jpeg,
     build_mp4,
     build_payload,
     build_png,
     build_wav,
+    decode_media,
     extract_features,
     media_fmt,
     parse_media,
+    zlib_stored_overhead,
 )
 
 
@@ -32,8 +35,15 @@ def test_builder_parser_roundtrip_all_formats():
         fmt = media_fmt(mid)
         content = text.encode("utf-8")
         assert meta["fmt"] == fmt
-        assert meta["content"] == content
-        assert len(payload) == len(content) + FMT_OVERHEAD[fmt]
+        if fmt == "png":
+            # IDAT is a genuine zlib stream around the content
+            assert zlib.decompress(meta["content"]) == content
+            assert len(payload) == len(content) + FMT_OVERHEAD[
+                fmt
+            ] + zlib_stored_overhead(len(content))
+        else:
+            assert meta["content"] == content
+            assert len(payload) == len(content) + FMT_OVERHEAD[fmt]
         if fmt in ("png", "jpeg"):
             assert meta["width"] == 16 + mid % 2033
             assert meta["height"] == 16 + (mid * 7) % 1777
@@ -45,12 +55,36 @@ def test_builder_parser_roundtrip_all_formats():
             assert meta["duration_s"] == (60 + (mid * 97) % 360000) / MP4_TIMESCALE
 
 
-def test_parse_real_zlib_png():
-    # genuine PNG encoding: zlib-compressed filtered scanline as IDAT
-    idat = zlib.compress(b"\x00" + b"\x10\x20\x30" * 2)
-    meta = parse_media(build_png(2, 1, idat))
+def test_parse_png_idat_inflates_with_any_zlib_encoder():
+    # the parser must accept IDAT from a normal compressor too, not
+    # just our stored-block builder — splice a zlib.compress stream in
+    scanline = b"\x00" + b"\x10\x20\x30" * 2
+    built = build_png(2, 1, scanline)
+    meta = parse_media(built)
     assert (meta["width"], meta["height"]) == (2, 1)
-    assert meta["content"] == idat
+    assert zlib.decompress(meta["content"]) == scanline
+    assert _decode_payload(meta["content"], "png") == list(scanline)
+    # and a genuinely-compressed stream decodes identically
+    assert _decode_payload(zlib.compress(scanline), "png") == list(scanline)
+
+
+def test_decode_payload_wav_pcm16_signed():
+    import struct as _s
+
+    samples = [0, 1, -1, 32767, -32768, 12345]
+    content = _s.pack(f"<{len(samples)}h", *samples)
+    assert _decode_payload(content, "wav") == samples
+    # trailing ragged byte is dropped
+    assert _decode_payload(content + b"\x7f", "wav") == samples
+
+
+def test_decode_payload_gated_formats_raise():
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"entropy", "jpeg")
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"mdat", "mp4")
+    with pytest.raises(ValueError):
+        _decode_payload(b"not zlib at all", "png")
 
 
 def test_parse_jpeg_skips_app0_segment():
@@ -131,6 +165,42 @@ def test_extract_features_header_derived(spark):
         else:
             assert r["duration_s"] > 0
             assert r["width"] is None
+
+
+def test_decode_media_stats_match_python(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(12)], DOC_SCHEMA
+    )
+    out = {
+        r["media_id"]: r
+        for r in decode_media(attach_media(docs)).collect()
+    }
+    assert len(out) == 12
+    for mid, r in out.items():
+        fmt = media_fmt(mid)
+        content = f"document number {mid} body text".encode()
+        assert r["fmt"] == fmt
+        if fmt == "png":
+            assert r["decoded"] is True
+            assert r["n_units"] == len(content)
+            assert r["sum_units"] == sum(content)
+            assert r["mean_unit"] == sum(content) / len(content)
+            assert r["rms_unit"] == math.sqrt(
+                sum(b * b for b in content) / len(content)
+            )
+        elif fmt == "wav":
+            import struct as _s
+
+            n = len(content) // 2
+            samples = _s.unpack(f"<{n}h", content[: 2 * n])
+            assert r["decoded"] is True
+            assert r["n_units"] == n
+            assert r["sum_units"] == sum(samples)
+        else:  # jpeg / mp4: decode needs a codec — gated, not faked
+            assert r["decoded"] is False
+            assert r["n_units"] is None and r["mean_unit"] is None
 
 
 def test_extract_features_corrupt_payload_is_flagged_not_fatal(spark):
