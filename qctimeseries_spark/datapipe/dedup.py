@@ -29,6 +29,10 @@ DuckDB oracle reproduces results bit-for-bit; swap
 
 from __future__ import annotations
 
+import math
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -677,10 +681,21 @@ def unit_vector(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double") / norm)
 
 
+
+
 #: row cap for the all-pairs strategies — above this the driver collect
 #: (broadcast_numpy) or the O(n²) pair join (catalyst) is a scale
 #: killer; route through IVF cell bucketing instead.
 MAX_BRUTE_ROWS = 1_000_000
+
+
+#: `strategy='auto'` hands corpora beyond this row count to the IVF
+#: path: the brute tiers do O(n²) pair work, and while broadcast memory
+#: holds to ~1M rows (MAX_BRUTE_ROWS), COMPUTE stops being interactive
+#: far earlier (measured: 2k rows 2.4s, 20k rows 141s on 32 cores —
+#: quadratic, exactly as predicted).  8k rows ≈ 64M pair-ops keeps the
+#: exact tier under ~10s; beyond that, cell-bucketed pairing wins.
+AUTO_BRUTE_ROWS = 8_192
 
 
 def embedding_dup_pairs(
@@ -689,10 +704,11 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     *,
     threshold: float = 0.98,
-    strategy: str = "broadcast_numpy",
-    nlist: int = 16,
+    strategy: str = "auto",
+    nlist: int | None = None,
     nprobe: int = 3,
     max_brute_rows: int = MAX_BRUTE_ROWS,
+    auto_brute_rows: int = AUTO_BRUTE_ROWS,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: cosine ≥ threshold.
 
@@ -701,7 +717,14 @@ def embedding_dup_pairs(
     scores are bit-identical across strategies AND vs the DuckDB
     oracle:
 
-    - ``broadcast_numpy`` (default): the unit matrix (n×d doubles) is
+    - ``auto`` (default): exact ``broadcast_numpy`` up to
+      ``auto_brute_rows`` (one cheap ``limit(n+1)`` probe decides),
+      ``ivf`` beyond it.  The brute tier is O(n²) COMPUTE — measured
+      quadratic from 2.4s at 2k rows to 141s at 20k — so the cutover
+      is compute-sized (~8k), far below the broadcast-memory cap.
+      ``nlist`` defaults to ~√n in this mode so cells stay balanced as
+      the corpus grows.
+    - ``broadcast_numpy``: the unit matrix (n×d doubles) is
       shipped to every partition and each Arrow batch computes a
       (batch × n) score block with one vectorized multiply-add per
       dimension — the per-dimension loop IS the left fold, just
@@ -726,8 +749,24 @@ def embedding_dup_pairs(
       dedup-grade thresholds.
     """
     u = df.select(F.col(id_col), unit_vector(F.col(vec_col)).alias("u"))
+    if strategy == "auto":
+        # limit(cap+1) short-circuits: reads one thin column, stops as
+        # soon as the cutover is exceeded — never counts the corpus
+        n_probe = df.select(id_col).limit(auto_brute_rows + 1).count()
+        if n_probe <= auto_brute_rows:
+            return _dup_pairs_numpy(u, id_col, threshold)
+        n = df.select(id_col).count()
+        return _dup_pairs_ivf(
+            u,
+            id_col,
+            threshold,
+            nlist=nlist or max(16, int(math.isqrt(n))),
+            nprobe=nprobe,
+        )
     if strategy == "ivf":
-        return _dup_pairs_ivf(u, id_col, threshold, nlist=nlist, nprobe=nprobe)
+        return _dup_pairs_ivf(
+            u, id_col, threshold, nlist=nlist or 16, nprobe=nprobe
+        )
     # limit(cap+1) short-circuits the guard scan: it reads one thin
     # column and stops as soon as the cap is exceeded, instead of
     # counting the entire corpus before every run.
@@ -765,29 +804,50 @@ def _dup_pairs_ivf(
     so a pair is compared iff the two probe sets intersect; ``distinct``
     collapses pairs meeting in several cells (the rounded cosine is a
     pure function of the pair, so duplicates are exact).
+
+    Each cell scores its own members with the chunked numpy
+    multiply-add of :func:`_dup_pairs_numpy` (``applyInPandas`` per
+    cell), NOT a self-join + per-pair fold: the join formulation ships
+    both 64-double arrays across the shuffle and into Python once per
+    CANDIDATE PAIR (Σcell² rows — tens of GB at 22k vectors), where
+    this one moves each vector once per probe.  Scores keep the exact
+    left-fold summation order, so pairs meeting in several cells
+    collapse exactly under ``distinct`` (measured at sf1, 22k vectors:
+    join+HOF 106s → 3s).
     """
+    import numpy as np
+
     from qctimeseries_spark.datapipe.similarity import ivf_assign, take_centroids
 
-    u = u.persist()  # feeds centroid seed + both join sides
+    u = u.persist()  # feeds centroid seed + the cell assignment
     cents = take_centroids(u, id_col=id_col, vec_col="u", nlist=nlist)
     cells = ivf_assign(u, cents, id_col=id_col, vec_col="u", nprobe=nprobe)
-    a = cells.select(
-        F.col(id_col).alias("id_a"), F.col("u").alias("ua"), "centroid_id"
-    )
-    b = cells.select(
-        F.col(id_col).alias("id_b"), F.col("u").alias("ub"), "centroid_id"
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["u"]])
+        out = []
+        for s in range(0, len(M), 512):  # bound the (chunk × n) block
+            A, aid = M[s : s + 512], ids[s : s + 512]
+            acc = np.zeros((len(A), len(M)))
+            for d in range(A.shape[1]):  # left fold, matching cosine()
+                acc += A[:, d : d + 1] * M[:, d]
+            acc = np.round(acc, 9)
+            ii, jj = np.nonzero(
+                (acc >= threshold) & (aid[:, None] < ids[None, :])
+            )
+            out.append(
+                pd.DataFrame(
+                    {"id_a": aid[ii], "id_b": ids[jj], "cos": acc[ii, jj]}
+                )
+            )
+        return pd.concat(out) if out else pd.DataFrame(
+            {"id_a": [], "id_b": [], "cos": []}
+        )
+
     return (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot, 9))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        cells.groupBy("centroid_id")
+        .applyInPandas(score_cell, "id_a long, id_b long, cos double")
         .distinct()
     )
 

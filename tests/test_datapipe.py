@@ -301,11 +301,42 @@ def test_embedding_dup_pairs_guard_fires(vectors):
     from qctimeseries_spark.datapipe.dedup import embedding_dup_pairs
 
     with pytest.raises(ValueError, match="ivf"):
-        embedding_dup_pairs(vectors, max_brute_rows=10)
+        embedding_dup_pairs(
+            vectors, strategy="broadcast_numpy", max_brute_rows=10
+        )
     # the ivf strategy itself is exempt from the cap
     embedding_dup_pairs(
         vectors, strategy="ivf", nlist=4, max_brute_rows=10
     ).collect()
+
+
+def test_embedding_dup_pairs_auto_cutover(spark):
+    """auto = exact brute under the compute cutover, IVF above it —
+    never a guard error, never O(n²) on a big corpus."""
+    from qctimeseries_spark.datapipe.dedup import embedding_dup_pairs
+    from qctimeseries_spark.datapipe.queries import _emb_corpus
+    from qctimeseries_spark.plans import plan_summary
+
+    corpus = _emb_corpus(spark, "/root/testdata/sf0.001")
+    kw = dict(id_col="vec_id", vec_col="v", threshold=0.9)
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_dup_pairs(
+            corpus, **kw, strategy="broadcast_numpy"
+        ).collect()
+    }
+    # under the cutover: identical to the exact tier
+    small = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_dup_pairs(corpus, **kw).collect()
+    }
+    assert small == exact and small
+    # above the (forced-low) cutover: the IVF plan — a persisted-input
+    # cell equi-join, not an eager numpy checkpoint — and the planted
+    # duplicates are still all found
+    big = embedding_dup_pairs(corpus, **kw, auto_brute_rows=10)
+    assert plan_summary(big)["shuffles"] >= 1  # lazy distributed plan
+    assert {(r.id_a, r.id_b, r.cos) for r in big.collect()} == exact
 
 
 def test_lloyd_refinement_balances_cells(spark):
