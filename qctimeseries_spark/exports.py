@@ -149,42 +149,183 @@ def _with_chunk_ids(
 
 
 def _write_xlsx(
-    df: DataFrame, base: str, order_by: list[str] | None = None
+    df: DataFrame,
+    base: str,
+    order_by: list[str] | None = None,
+    max_rows: int = _XLSX_MAX_ROWS,
 ) -> list[str]:
     """S5 chunked XLSX: ≤1,048,576 rows per sheet (``R/qc_exports.R:
     92-122``).  Chunk id = floor(global_rank/cap) via the two-phase
     numbering of :func:`_with_chunk_ids` — never a single-task global
     sort; each chunk streams to the driver via toPandas (XLSX is an
-    out-of-engine sink by nature).  Gated on openpyxl availability.
+    out-of-engine sink by nature).
+
+    Writes through openpyxl when installed; otherwise falls back to
+    :func:`_write_xlsx_builtin`, a dependency-free OOXML writer (XLSX
+    is a zip of XML parts), so the sink runs end-to-end in bare
+    environments too.
 
     Pass ``order_by`` for deterministic chunk boundaries across retries.
     An empty DataFrame writes a single header-only sheet (the reference
     writes one empty sheet for n == 0).
     """
-    try:
-        import openpyxl  # noqa: F401
-        import pandas as pd  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(f"xlsx export needs openpyxl: {exc}") from exc
-
-    chunked, pinned = _with_chunk_ids(df, order_by)
-    mx = chunked.agg(F.max("_chunk")).collect()[0][0]
-    n_chunks = int(mx) + 1 if mx is not None else 1
-    path = base + ".xlsx"
     import pandas as pd
 
     try:
-        with pd.ExcelWriter(path, engine="openpyxl") as writer:
-            for k in range(n_chunks):
-                pdf = (
-                    chunked.filter(F.col("_chunk") == k)
-                    .drop("_chunk")
-                    .toPandas()
-                )
-                pdf.to_excel(writer, sheet_name=f"sheet{k + 1}", index=False)
+        import openpyxl  # noqa: F401
+
+        engine = "openpyxl"
+    except ImportError:
+        engine = "builtin"
+
+    chunked, pinned = _with_chunk_ids(df, order_by, cap=max_rows)
+    mx = chunked.agg(F.max("_chunk")).collect()[0][0]
+    n_chunks = int(mx) + 1 if mx is not None else 1
+    path = base + ".xlsx"
+
+    def chunk_pdf(k: int):
+        return chunked.filter(F.col("_chunk") == k).drop("_chunk").toPandas()
+
+    try:
+        if engine == "openpyxl":
+            with pd.ExcelWriter(path, engine="openpyxl") as writer:
+                for k in range(n_chunks):
+                    chunk_pdf(k).to_excel(
+                        writer, sheet_name=f"sheet{k + 1}", index=False
+                    )
+        else:
+            _write_xlsx_builtin(
+                path,
+                (
+                    (f"sheet{k + 1}", chunk_pdf(k))
+                    for k in range(n_chunks)
+                ),
+            )
     finally:
         pinned.unpersist()
     return [path]
+
+
+def _xlsx_col_ref(i: int) -> str:
+    """0-based column index → spreadsheet letters (0→A, 26→AA)."""
+    out = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+def _xlsx_cell(ref: str, v) -> str:
+    """One ``<c>`` element: numeric for real numbers, boolean for
+    bools, inline string otherwise (no shared-string table — inline
+    strings keep the writer single-pass and dependency-free)."""
+    import math as _math
+    from xml.sax.saxutils import escape
+
+    if v is None or (isinstance(v, float) and _math.isnan(v)):
+        return ""
+    if isinstance(v, bool):
+        return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+    if isinstance(v, (int, float)) and not (
+        isinstance(v, float) and _math.isinf(v)
+    ):
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+
+def _write_xlsx_builtin(path: str, sheets) -> None:
+    """Dependency-free XLSX writer: the minimal OOXML package
+    (content types, package/workbook rels, workbook, one worksheet
+    part per sheet) via stdlib ``zipfile``.
+
+    ``sheets`` yields ``(name, pandas.DataFrame)`` lazily so only one
+    chunk's rows are in memory at a time.  Values use inline strings /
+    raw numerics with no style part — readable by Excel, LibreOffice,
+    and openpyxl.
+    """
+    import zipfile
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        names = []
+        for idx, (name, pdf) in enumerate(sheets, start=1):
+            names.append(name)
+            rows_xml = []
+            header = f"<row r=\"1\">" + "".join(
+                _xlsx_cell(f"{_xlsx_col_ref(c)}1", col)
+                for c, col in enumerate(pdf.columns)
+            ) + "</row>"
+            rows_xml.append(header)
+            for r, rec in enumerate(
+                pdf.itertuples(index=False, name=None), start=2
+            ):
+                rows_xml.append(
+                    f'<row r="{r}">'
+                    + "".join(
+                        _xlsx_cell(f"{_xlsx_col_ref(c)}{r}", v)
+                        for c, v in enumerate(rec)
+                    )
+                    + "</row>"
+                )
+            z.writestr(
+                f"xl/worksheets/sheet{idx}.xml",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<worksheet xmlns="http://schemas.openxmlformats.org/'
+                'spreadsheetml/2006/main"><sheetData>'
+                + "".join(rows_xml)
+                + "</sheetData></worksheet>",
+            )
+        sheet_tags = "".join(
+            f'<sheet name="{n}" sheetId="{i}" r:id="rId{i}"/>'
+            for i, n in enumerate(names, start=1)
+        )
+        sheet_rels = "".join(
+            f'<Relationship Id="rId{i}" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/"
+            f'worksheet" Target="worksheets/sheet{i}.xml"/>'
+            for i in range(1, len(names) + 1)
+        )
+        sheet_types = "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i}.xml" '
+            'ContentType="application/vnd.openxmlformats-officedocument.'
+            'spreadsheetml.worksheet+xml"/>'
+            for i in range(1, len(names) + 1)
+        )
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Types xmlns="http://schemas.openxmlformats.org/package/'
+            '2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.'
+            'openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.'
+            'spreadsheetml.sheet.main+xml"/>' + sheet_types + "</Types>",
+        )
+        z.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/"
+            'officeDocument" Target="xl/workbook.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<workbook xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main" xmlns:r="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships">'
+            f"<sheets>{sheet_tags}</sheets></workbook>",
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/'
+            f'package/2006/relationships">{sheet_rels}</Relationships>',
+        )
 
 
 def _write_checksums(out_dir: str, stem: str, written: dict) -> str:

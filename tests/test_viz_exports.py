@@ -136,6 +136,75 @@ def test_xlsx_chunking_has_no_global_window(spark):
             pinned.unpersist()
 
 
+def _read_xlsx_sheets(path):
+    """Parse the OOXML parts back with stdlib zip + ElementTree."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    out = {}
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        names = [s.get("name") for s in wb.iter(f"{ns}sheet")]
+        for i, name in enumerate(names, start=1):
+            root = ET.fromstring(z.read(f"xl/worksheets/sheet{i}.xml"))
+            rows = []
+            for row in root.iter(f"{ns}row"):
+                vals = []
+                for c in row.iter(f"{ns}c"):
+                    if c.get("t") == "inlineStr":
+                        vals.append(c.find(f"{ns}is/{ns}t").text)
+                    else:
+                        v = c.find(f"{ns}v")
+                        vals.append(None if v is None else float(v.text))
+                rows.append(vals)
+            out[name] = rows
+    return out
+
+
+def test_xlsx_sink_end_to_end_without_openpyxl(spark, tmp_path):
+    """S5 runs for real in this container: the builtin OOXML writer
+    chunks sheets at the cap and the written workbook parses back."""
+    from qctimeseries_spark.exports import _write_xlsx
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) / 4) for i in range(25)],
+        "id int, label string, score double",
+    )
+    paths = _write_xlsx(df, str(tmp_path / "site1"), ["id"], max_rows=10)
+    sheets = _read_xlsx_sheets(paths[0])
+    assert sorted(sheets) == ["sheet1", "sheet2", "sheet3"]  # 10+10+5
+    assert sheets["sheet1"][0] == ["id", "label", "score"]
+    body = [r for name in sorted(sheets) for r in sheets[name][1:]]
+    assert [r[0] for r in body] == [float(i) for i in range(25)]  # order
+    assert body[3] == [3.0, "name3", 0.75]
+    assert len(sheets["sheet3"]) == 1 + 5
+
+
+def test_xlsx_sink_via_write_exports(spark, tmp_path):
+    from qctimeseries_spark import write_exports
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.5)],
+        "id int, DateTime string, v double",
+    ).withColumn("DateTime", F.col("DateTime").cast("timestamp"))
+    from qctimeseries_spark import add_flags
+
+    out = write_exports(
+        add_flags(df, ["v"]),
+        str(tmp_path),
+        "s",
+        time_col="DateTime",
+        write_csv=False,
+        write_parquet=False,
+        write_xlsx=True,
+        xlsx_order_by=["id"],
+    )
+    assert out["xlsx"] and all(
+        _read_xlsx_sheets(p) for p in out["xlsx"]
+    )  # qc + clean variants both parse
+
+
 def test_xlsx_chunk_ids_empty_frame(spark):
     from qctimeseries_spark.exports import _with_chunk_ids
 
