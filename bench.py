@@ -52,6 +52,7 @@ EXTENDED = [
     "w11_interpolate",
     "a12_rolling_by_key",
     "m3_media_decode",
+    "t12_bpe_pairs",
 ]
 
 HEADLINE = CORE + EXTENDED

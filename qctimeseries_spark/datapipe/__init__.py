@@ -23,6 +23,7 @@ from qctimeseries_spark.datapipe.dedup import (
 from qctimeseries_spark.datapipe.curate import curate_corpus, drop_near_dups
 from qctimeseries_spark.datapipe.sample import (
     hash_sample,
+    mixture_weights,
     sample_bucket,
     sample_to_token_budget,
     split_corpus,
@@ -43,6 +44,7 @@ from qctimeseries_spark.datapipe.similarity import (
     take_centroids,
 )
 from qctimeseries_spark.datapipe.text import (
+    bpe_pair_counts,
     contamination_check,
     fingerprint,
     lang_id,
@@ -58,7 +60,9 @@ __all__ = [
     "drop_near_dups",
     "recall_at_k",
     "dup_clusters",
+    "bpe_pair_counts",
     "hash_sample",
+    "mixture_weights",
     "sample_bucket",
     "sample_to_token_budget",
     "split_corpus",

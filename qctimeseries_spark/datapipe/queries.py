@@ -52,6 +52,7 @@ from qctimeseries_spark.datapipe.text import (
     quality_score,
     redact_pii,
     text_stats,
+    token_count,
 )
 from qctimeseries_spark.sources import read_table
 
@@ -522,6 +523,38 @@ def q_t10_token_budget(spark, sf_dir):
     return sample_to_token_budget(d, "doc_id", "n_tokens", budget=6000)
 
 
+#: the t13 mixture targets, normalized once so the Spark literals and
+#: the oracle's VALUES list are the same doubles
+_MIX_TARGETS = {"en": 0.4, "zh": 0.3, "de": 0.1, "fr": 0.1, "es": 0.1}
+
+
+def q_t12_bpe_pairs(spark, sf_dir):
+    """Tokenizer-training statistic: top-40 adjacent character pairs
+    weighted by word frequency (the first BPE merge iteration's
+    argmax candidates).  Corpus-sized work = one shuffle on the word;
+    pair expansion runs over the vocabulary only.  Deterministic
+    selection: count desc, pair asc."""
+    from qctimeseries_spark.datapipe.text import bpe_pair_counts
+
+    return (
+        bpe_pair_counts(_docs(spark, sf_dir))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(40)
+    )
+
+
+def q_t13_mixture(spark, sf_dir):
+    """Data-mixing computation: per-language token totals, corpus
+    share, and the per-group keep fraction realizing a 40/30/10/10/10
+    en/zh/de/fr/es token mixture without upsampling."""
+    from qctimeseries_spark.datapipe.sample import mixture_weights
+
+    d = _docs(spark, sf_dir).select(
+        "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return mixture_weights(d, "lang", "n_tokens", _MIX_TARGETS)
+
+
 def q_t11_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test tagging — contiguous hash
     bucket ranges, pure function of the doc id."""
@@ -605,6 +638,8 @@ DATAPIPE_QUERIES = {
     "c2_curate": q_c2_curate,
     "t10_token_budget": q_t10_token_budget,
     "t11_split": q_t11_split,
+    "t12_bpe_pairs": q_t12_bpe_pairs,
+    "t13_mixture": q_t13_mixture,
 }
 
 
@@ -1070,4 +1105,46 @@ SELECT doc_id AS media_id, fmt, decoded,
        CASE WHEN n_units > 0 THEN sqrt(CAST(sq AS DOUBLE) / n_units)
             END AS rms_unit
 FROM u""",
+    "t12_bpe_pairs": f"""
+WITH w AS (
+  SELECT unnest({_TOKS.format(c='text')}) AS w FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS n FROM w GROUP BY w),
+p AS (
+  SELECT unnest(list_transform(range(1, CAST(strlen(w) AS INT)),
+                               i -> substr(w, i, 2))) AS pair,
+         n
+  FROM wc
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM p GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 40""",
+    "t13_mixture": f"""
+WITH tk AS (
+  SELECT lang, CAST(len({_TOKS.format(c='text')}) AS BIGINT) AS n
+  FROM documents
+),
+g AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens FROM tk GROUP BY lang),
+tgt AS (
+  SELECT * FROM (VALUES {', '.join(
+      f"('{k}', {v / sum(_MIX_TARGETS.values())!r})"
+      for k, v in _MIX_TARGETS.items()
+  )}) t(lang, target_share)
+),
+j AS (
+  SELECT g.lang, n_tokens, COALESCE(target_share, 0.0) AS target_share
+  FROM g LEFT JOIN tgt USING (lang)
+),
+s AS (
+  SELECT SUM(n_tokens) AS _total,
+         MIN(CASE WHEN target_share > 0
+                  THEN n_tokens / target_share END) AS _T
+  FROM j
+)
+SELECT lang, n_tokens,
+       ROUND(n_tokens / _total, 9) AS share,
+       target_share,
+       ROUND(LEAST(1.0, target_share * _T / n_tokens), 9) AS keep_frac
+FROM j, s""",
 }

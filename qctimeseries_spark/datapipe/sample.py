@@ -147,6 +147,70 @@ def sample_to_token_budget(
     )
 
 
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Per-group sampling fractions that realize a target token
+    mixture — the data-mixing computation of a training pipeline
+    ("40% en / 30% zh / ...").
+
+    Semantics: find the largest corpus size T every group can supply at
+    its (normalized) target share without upsampling —
+    ``T = min over targeted groups of n_tokens_g / target_g`` — then
+    ``keep_frac_g = target_g · T / n_tokens_g`` (exactly 1.0 for the
+    binding group; 0 for groups with no target).  Feeding keep_frac
+    into :func:`hash_sample` fractions yields the mixed corpus
+    deterministically.
+
+    One tiny aggregation per group plus two broadcast scalars — no
+    corpus-sized shuffle beyond the groupBy.  Returns (group, n_tokens,
+    share, target_share, keep_frac); doubles are single divisions of
+    exact integer sums, rounded to 9 dp identically to the DuckDB
+    mirror.
+    """
+    total_target = sum(targets.values())
+    if total_target <= 0:
+        raise ValueError("targets must contain at least one positive share")
+    norm = {k: v / total_target for k, v in targets.items()}
+    g = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens")
+    )
+    tgt = F.lit(None).cast("double")
+    expr = None
+    for k, v in norm.items():
+        cond = F.col(group_col) == k
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(
+            cond, F.lit(v)
+        )
+    tgt = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    g = g.withColumn("target_share", tgt)
+    scalars = g.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.min(
+            F.when(
+                F.col("target_share") > 0,
+                F.col("n_tokens") / F.col("target_share"),
+            )
+        ).alias("_T"),
+    )
+    return g.crossJoin(F.broadcast(scalars)).select(
+        group_col,
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_total"), 9).alias("share"),
+        "target_share",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("target_share") * F.col("_T") / F.col("n_tokens"),
+            ),
+            9,
+        ).alias("keep_frac"),
+    )
+
+
 def split_corpus(
     df: DataFrame,
     key_col: str,

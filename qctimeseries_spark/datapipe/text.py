@@ -127,6 +127,38 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies, weighted by
+    word frequency — the statistic the first BPE merge iteration
+    maximizes (tokenizer training's inner loop).
+
+    Scale shape: the only corpus-sized stage is the token explode +
+    word count (ONE shuffle on the word); pair expansion and the final
+    pair aggregation run over the VOCABULARY (distinct words), which is
+    orders of magnitude smaller than the corpus and bounded regardless
+    of corpus growth.  The pair id is the 2-char substring itself —
+    ``substr(w, i, 2)`` — which DuckDB reproduces verbatim, keeping the
+    oracle a pure SQL mirror.  Returns (pair, n_occurrences).
+    """
+    w = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("n_words"))
+    pairs = vocab.select(
+        # sequence(1, 0) in Spark DESCENDS instead of being empty, so
+        # 1-char words need the explicit guard
+        F.explode(
+            F.expr(
+                "IF(length(w) < 2, array(),"
+                " transform(sequence(1, length(w) - 1),"
+                " i -> substr(w, i, 2)))"
+            )
+        ).alias("pair"),
+        "n_words",
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("n_words").cast("long").alias("n_occurrences")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
     lowercased text — the exact-dedup key."""

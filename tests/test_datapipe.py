@@ -519,6 +519,49 @@ def test_sample_to_token_budget_null_tokens_count_as_zero(spark):
     assert len(got) == 10  # zero-cost rows all fit any budget
 
 
+def test_bpe_pair_counts_hand_checked(spark):
+    from qctimeseries_spark.datapipe import bpe_pair_counts
+
+    d = spark.createDataFrame(
+        [(1, "aba ab"), (2, "ABA x")], "doc_id long, text string"
+    )
+    got = {r.pair: r.n_occurrences for r in bpe_pair_counts(d).collect()}
+    # vocab: aba (×2, pairs ab+ba each), ab (×1, pair ab), x (no pairs)
+    assert got == {"ab": 3, "ba": 2}
+
+
+def test_mixture_weights_semantics(spark):
+    import math
+
+    from qctimeseries_spark.datapipe import mixture_weights
+
+    d = spark.createDataFrame(
+        [("en", 800), ("zh", 100), ("de", 100)],
+        "lang string, n_tokens int",
+    )
+    # zh is the binding group: T = min(800/.5, 100/.5) = 200
+    out = {
+        r.lang: r
+        for r in mixture_weights(
+            d, "lang", "n_tokens", {"en": 0.5, "zh": 0.5}
+        ).collect()
+    }
+    assert out["zh"].keep_frac == 1.0  # binding group keeps everything
+    assert math.isclose(out["en"].keep_frac, 100 / 800)
+    assert out["de"].keep_frac == 0.0 and out["de"].target_share == 0.0
+    assert math.isclose(out["en"].share, 0.8)
+    # un-normalized targets behave like normalized ones
+    out2 = {
+        r.lang: r.keep_frac
+        for r in mixture_weights(
+            d, "lang", "n_tokens", {"en": 5, "zh": 5}
+        ).collect()
+    }
+    assert out2 == {k: v.keep_frac for k, v in out.items()}
+    with pytest.raises(ValueError):
+        mixture_weights(d, "lang", "n_tokens", {})
+
+
 def test_split_corpus_disjoint_exhaustive_and_prefix_coherent(docs, spark):
     """Splits partition the corpus; hash_sample at the first split's
     fraction equals exactly that split (shared bucket axis)."""
