@@ -749,6 +749,37 @@ QUERIES = {
 # Tail-only entries: distinct operators that did not displace a driver
 # slot — they are covered by pytest and the local oracle replica, and
 # sit after the driver's 50-entry window by construction.
+def q_st9_stream_asof(spark, sf_dir):
+    """Streaming as-of enrichment: every event in the stream gains the
+    most recent prior calibration record for its user, via the
+    broadcast sorted-array resolution (stateless, stream-side
+    shuffle-free), drained append-mode.  Oracle = the same DuckDB ASOF
+    LEFT JOIN that checks the batch operator (j1) — the stream must
+    converge to the batch answer."""
+    from qctimeseries_spark.streaming import (
+        asof_enrich_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    cal = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cal_value"))
+    )
+    s = stream_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = run_available_now(
+        asof_enrich_stream(s, cal, on="ts", by="user_id"),
+        output_mode="append",
+    )
+    return out.select(
+        "event_id",
+        F.col("r_ts").alias("cal_ts"),
+        F.col("r_cal_value").alias("cal_value"),
+    )
+
+
 def q_st4_session_windows(spark, sf_dir):
     """Streaming session windows: gap-merged per-user sessions drained
     via availableNow; oracle = batch lag/cumsum sessionization with a
@@ -1079,6 +1110,7 @@ QUERIES.update(
         "a13_progress_by_window": q_a13_progress_by_window,
         "a14_ewma": q_a14_ewma,
         "st8_stream_ewma": q_st8_stream_ewma,
+        "st9_stream_asof": q_st9_stream_asof,
     }
 )
 
@@ -1526,6 +1558,15 @@ SELECT user_id,
        COUNT(value) AS value_count
 FROM events
 GROUP BY 1, 2""",
+    "st9_stream_asof": """
+WITH cal AS (
+  SELECT user_id, ts, MAX(value) AS cal_value
+  FROM events WHERE event_id % 97 = 0
+  GROUP BY user_id, ts
+)
+SELECT e.event_id, cal.ts AS cal_ts, cal.cal_value
+FROM events e
+ASOF LEFT JOIN cal ON e.user_id = cal.user_id AND e.ts >= cal.ts""",
     "st8_stream_ewma": """
 WITH nn AS (
   SELECT user_id, ts, value FROM events WHERE value IS NOT NULL

@@ -376,6 +376,69 @@ def enrich_stream(
     return stream.join(d, on, how)
 
 
+def asof_enrich_stream(
+    stream: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-safe as-of enrichment: each stream row gains the payload
+    of the most recent ``right`` record with ``right.on <= row.on``
+    (optionally per ``by`` key) — "the calibration in effect at each
+    event", continuously.
+
+    The batch :func:`~qctimeseries_spark.joins.asof_join` union+carry
+    plan needs a global sort per key, which Structured Streaming
+    cannot express incrementally.  But the static side here is a
+    calibration/config table — small by nature — so each (key's)
+    record list is collected into ONE time-sorted array, broadcast,
+    and resolved per stream row with a pure projection:
+    ``try_element_at(filter(arr, c -> c.t <= on), -1)``.  Stateless and
+    shuffle-free on the stream side, so it composes before watermarked
+    aggregations; the static side re-resolves every micro-batch, so a
+    file-backed calibration table picks up new records between
+    batches.
+
+    Bounds: per-key right-side record lists must fit an array column
+    (thousands, not millions — far beyond any calibration cadence).
+    For a genuinely large right side, run the batch ``asof_join``
+    inside ``foreachBatch`` instead.  Works identically on a batch
+    left frame, which is how the DuckDB ``ASOF JOIN`` oracle checks
+    it.  NULL ``on`` stream rows come back with NULL payload (left
+    rows always preserved), matching the batch operator's contract.
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in right.columns if c != on and c not in by]
+    overlap = set(payload) & set(stream.columns)
+    if overlap:
+        raise ValueError(
+            f"right payload columns {sorted(overlap)} collide with left;"
+            f" rename or rely on right_prefix before joining"
+        )
+    rec = F.struct(F.col(on).alias("_t"), *[F.col(c) for c in payload])
+    if by:
+        arrs = right.groupBy(*by).agg(
+            F.array_sort(F.collect_list(rec)).alias("_cal")
+        )
+        joined = stream.join(F.broadcast(arrs), by, "left")
+    else:
+        arr = right.agg(F.array_sort(F.collect_list(rec)).alias("_cal"))
+        joined = stream.crossJoin(F.broadcast(arr))
+    t = F.col(on)
+    # try_element_at: a row before any right record filters to an empty
+    # array, which must yield NULL, not an ANSI index error
+    hit = F.try_element_at(
+        F.filter(F.col("_cal"), lambda c: c["_t"] <= t), F.lit(-1)
+    )
+    return joined.select(
+        *stream.columns,
+        hit["_t"].alias(f"{right_prefix}{on}"),
+        *[hit[c].alias(f"{right_prefix}{c}") for c in payload],
+    )
+
+
 def detect_anomalies_stateful(
     stream: DataFrame,
     *,

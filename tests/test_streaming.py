@@ -419,3 +419,62 @@ def test_stream_ewma_state_spans_microbatches(spark, tmp_path):
             s = r["value"] if s is None else 0.3 * r["value"] + 0.7 * s
             want[(k, r["ts"])] = round(s, 6)
     assert srows == want and len(srows) > 0
+
+
+def test_stream_asof_matches_batch_asof(spark):
+    """asof_enrich_stream drained over a bounded source must equal the
+    batch asof_join, including rows before any calibration record."""
+    import pytest
+
+    from qctimeseries_spark.joins import asof_join
+    from qctimeseries_spark.streaming import asof_enrich_stream
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    cal = (
+        read_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cal_value"))
+    )
+    s = stream_events(spark, SF_DIR).select("event_id", "user_id", "ts")
+    streamed = run_available_now(
+        asof_enrich_stream(s, cal, on="ts", by="user_id"),
+        output_mode="append",
+    )
+    srows = {
+        r["event_id"]: (r["r_ts"], r["r_cal_value"])
+        for r in streamed.collect()
+    }
+    batch = asof_join(ev, cal, on="ts", by="user_id")
+    brows = {
+        r["event_id"]: (r["r_ts"], r["r_cal_value"]) for r in batch.collect()
+    }
+    assert srows == brows and len(srows) == 1000
+    assert any(v == (None, None) for v in srows.values())  # pre-first-cal
+
+    # column collision is rejected up front, like the batch operator
+    with pytest.raises(ValueError, match="collide"):
+        asof_enrich_stream(
+            s, cal.withColumnRenamed("cal_value", "event_id"),
+            on="ts", by="user_id",
+        )
+
+
+def test_stream_asof_keyless_and_null_ts(spark):
+    from qctimeseries_spark.streaming import asof_enrich_stream
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 02:00:00"), (2, None), (3, "2024-01-01 08:00:00")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("2024-01-01 01:00:00", "a"), ("2024-01-01 07:00:00", "b")],
+        "ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.event_id: r.r_tag
+        for r in asof_enrich_stream(left, right, on="ts").collect()
+    }
+    assert out == {1: "a", 2: None, 3: "b"}  # NULL ts preserved, no match
