@@ -22,6 +22,7 @@ from qctimeseries_spark.datapipe.dedup import (
 )
 from qctimeseries_spark.datapipe.curate import curate_corpus, drop_near_dups
 from qctimeseries_spark.datapipe.sample import (
+    assign_token_shards,
     hash_sample,
     mixture_weights,
     sample_bucket,
@@ -60,6 +61,7 @@ __all__ = [
     "drop_near_dups",
     "recall_at_k",
     "dup_clusters",
+    "assign_token_shards",
     "bpe_pair_counts",
     "hash_sample",
     "mixture_weights",

@@ -555,6 +555,18 @@ def q_t13_mixture(spark, sf_dir):
     return mixture_weights(d, "lang", "n_tokens", _MIX_TARGETS)
 
 
+def q_t14_token_shards(spark, sf_dir):
+    """Shard packing: documents in deterministic hash order, cut every
+    2,000 cumulative tokens; a doc's shard is where its first token
+    lands.  Two-phase prefix sum (bucket histogram + partitioned
+    within-bucket cumsum) — the oracle is the equivalent single global
+    window cumsum."""
+    from qctimeseries_spark.datapipe.sample import assign_token_shards
+
+    d = text_stats(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    return assign_token_shards(d, "doc_id", "n_tokens", 2000)
+
+
 def q_t11_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test tagging — contiguous hash
     bucket ranges, pure function of the doc id."""
@@ -640,6 +652,7 @@ DATAPIPE_QUERIES = {
     "t11_split": q_t11_split,
     "t12_bpe_pairs": q_t12_bpe_pairs,
     "t13_mixture": q_t13_mixture,
+    "t14_token_shards": q_t14_token_shards,
 }
 
 
@@ -1147,4 +1160,22 @@ SELECT lang, n_tokens,
        target_share,
        ROUND(LEAST(1.0, target_share * _T / n_tokens), 9) AS keep_frac
 FROM j, s""",
+    "t14_token_shards": f"""
+WITH tkc AS (
+  SELECT doc_id,
+         CAST(len({_TOKS.format(c='text')}) AS INT) AS n_tokens,
+         {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")} % 1000000
+             AS bucket
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(CAST(n_tokens AS BIGINT))
+                    OVER (ORDER BY bucket, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cume
+  FROM tkc
+)
+SELECT doc_id, n_tokens, CAST(cume // 2000 AS BIGINT) AS shard_id
+FROM c""",
 }

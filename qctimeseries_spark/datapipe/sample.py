@@ -147,6 +147,81 @@ def sample_to_token_budget(
     )
 
 
+def assign_token_shards(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    tokens_per_shard: int,
+    *,
+    seed: str = "qcts",
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Pack the corpus into fixed-size training shards: documents in
+    deterministic hash order, cut every ``tokens_per_shard`` cumulative
+    tokens — the end-of-pipeline "write N-token shards" step
+    (``df.write.partitionBy(out_col)`` then gives one directory per
+    shard).
+
+    A document's shard is where its FIRST token lands
+    (``floor(exclusive_prefix / K)``), so every shard except the last
+    holds ≥ K tokens' worth of starts and the assignment is a pure
+    function of the key hash: stable across runs, engines, and
+    cluster sizes, and a strict refinement of
+    :func:`sample_to_token_budget` prefixes (budget B keeps exactly
+    shards 0..B/K plus a boundary slice).
+
+    Scale shape — the same two-phase prefix sum as
+    :func:`sample_to_token_budget`, generalized from one cut to a cut
+    every K: per-bucket token totals (ONE shuffle over ≤ SAMPLE_MOD
+    groups), driver prefix-sum over the ≤1M-row histogram (documented
+    bound), then a PARTITIONED within-bucket cumsum + offset.  No
+    global window, no single-task stage.  NULL ``token_col`` counts as
+    0 (the :func:`sample_to_token_budget` policy); NULL keys are
+    excluded like every hash-keyed op here.
+    """
+    if tokens_per_shard <= 0:
+        raise ValueError("tokens_per_shard must be positive")
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(key_col).isNotNull())
+    b = df.withColumn("_bucket", sample_bucket(key_col, seed))
+    hist = (
+        b.groupBy("_bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.col(token_col).cast("long")), F.lit(0)
+            ).alias("_t")
+        )
+        .orderBy("_bucket")
+        .collect()
+    )
+    running, offsets = 0, []
+    for r in hist:
+        offsets.append((r["_bucket"], running))
+        running += r["_t"]
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        offsets or [(0, 0)], "_bucket long, _off long"
+    )
+    w = Window.partitionBy("_bucket").orderBy(key_col)
+    tok = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    return (
+        b.join(F.broadcast(off), "_bucket")
+        .withColumn(
+            "_cum_excl",
+            F.coalesce(
+                F.sum(F.col(token_col).cast("long")).over(w), F.lit(0)
+            )
+            - tok
+            + F.col("_off"),
+        )
+        .withColumn(
+            out_col, F.expr(f"_cum_excl DIV {int(tokens_per_shard)}L")
+        )
+        .drop("_bucket", "_off", "_cum_excl")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str,

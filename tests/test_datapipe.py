@@ -519,6 +519,40 @@ def test_sample_to_token_budget_null_tokens_count_as_zero(spark):
     assert len(got) == 10  # zero-cost rows all fit any budget
 
 
+def test_assign_token_shards_packs_in_hash_order(docs, spark):
+    """Shards partition the corpus; in hash order every shard boundary
+    respects the cumulative-token cut; coherent with the budget op."""
+    from qctimeseries_spark.datapipe import (
+        assign_token_shards,
+        sample_to_token_budget,
+    )
+    from qctimeseries_spark.datapipe.sample import sample_bucket
+
+    d = text_stats(docs).select("doc_id", "n_tokens")
+    K = 500
+    out = assign_token_shards(d, "doc_id", "n_tokens", K)
+    rows = sorted(
+        out.withColumn("_b", sample_bucket("doc_id")).collect(),
+        key=lambda r: (r["_b"], r["doc_id"]),
+    )
+    assert len(rows) == d.count()  # every doc gets a shard
+    cum = 0
+    for r in rows:
+        assert r["shard_id"] == cum // K  # first-token placement
+        cum += r["n_tokens"]
+    # budget B = 2K keeps exactly the docs whose INCLUSIVE prefix fits —
+    # a subset of shards 0..1 plus nothing beyond the boundary
+    kept = {
+        r["doc_id"]
+        for r in sample_to_token_budget(d, "doc_id", "n_tokens", 2 * K).collect()
+    }
+    shard_of = {r["doc_id"]: r["shard_id"] for r in rows}
+    assert kept and all(shard_of[k] <= 1 for k in kept)
+
+    with pytest.raises(ValueError):
+        assign_token_shards(d, "doc_id", "n_tokens", 0)
+
+
 def test_bpe_pair_counts_hand_checked(spark):
     from qctimeseries_spark.datapipe import bpe_pair_counts
 
