@@ -2,7 +2,8 @@
 point for the datapipe extension (no reference equivalent; the
 reference is a single-table QC tool, SURVEY.md §2.7):
 
-    dedup → decontaminate → quality-filter → sample → token budget,
+    dedup → decontaminate → quality-filter → sample → token budget →
+    mixture weights → token shards,
 
 with near-dup clustering and an ANN index sanity check on the side.
 
@@ -23,11 +24,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F  # noqa: E402
 
 from qctimeseries_spark.datapipe import (  # noqa: E402
+    assign_token_shards,
     curate_corpus,
     dup_clusters,
+    hash_sample,
     knn_bruteforce,
     knn_ivf,
     minhash_dedup_pairs,
+    mixture_weights,
     recall_at_k,
     sample_to_token_budget,
     split_corpus,
@@ -72,14 +76,41 @@ def main(sf_dir: str) -> int:
     kept = fitted.agg(F.sum("n_tokens")).collect()[0][0] or 0
     print(f"token budget {budget}: kept {fitted.count()} docs / {kept} tokens")
 
-    # 3b. deterministic splits: same doc always lands in the same split
+    # 3b. deterministic splits: same doc always lands in the same split.
+    #     NOTE the distinct seed: the curation chain already hash-sampled
+    #     on doc_id with the default seed, so splitting with the SAME
+    #     seed would collapse every survivor into 'train' (survivors all
+    #     sit in the low buckets).  Different seed -> independent hash.
     tagged = split_corpus(
         curated.select("doc_id"), "doc_id",
         {"train": 0.9, "val": 0.05, "test": 0.05},
+        seed="qcts-split",
     )
     sizes = {r["split"]: r["n"] for r in
              tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
     print(f"splits: {sizes}")
+
+    # 3c. language mixture: compute per-lang keep fractions realizing a
+    #     target token mix without upsampling, apply them via the
+    #     deterministic hash sample, and pack the result into
+    #     fixed-token training shards (write with partitionBy(shard_id))
+    mw = mixture_weights(
+        curated.select("lang", "n_tokens"),
+        "lang",
+        "n_tokens",
+        {"en": 0.5, "zh": 0.2, "de": 0.1, "fr": 0.1, "es": 0.1},
+    )
+    fracs = {r["lang"]: r["keep_frac"] for r in mw.collect()}
+    mixed = hash_sample(
+        curated.select("doc_id", "lang", "n_tokens"),
+        "doc_id",
+        strata_col="lang",
+        fractions=fracs,
+        default_fraction=0.0,
+    )
+    sharded = assign_token_shards(mixed, "doc_id", "n_tokens", 2000)
+    n_shards = sharded.agg(F.countDistinct("shard_id")).collect()[0][0]
+    print(f"mixture: {mixed.count()} docs -> {n_shards} x 2000-token shards")
 
     # 4. ANN index sanity: IVF recall@10 vs brute force on embeddings
     emb = read_table(spark, sf_dir, "embeddings")

@@ -310,6 +310,13 @@ def split_corpus(
     Fractions are consumed in dict order; keys hashing past the total
     get NULL (use fractions summing to 1.0 for an exhaustive split).
     One CASE expression — no shuffle, pushes to the scan.
+
+    The shared bucket axis is a feature WITHIN one concern and a trap
+    ACROSS concerns: a corpus already filtered by ``hash_sample`` on
+    the same (seed, key) holds only low buckets, so splitting it with
+    the default seed collapses every survivor into the first split.
+    Sampling and splitting that must be independent need DIFFERENT
+    seeds (e.g. ``seed="qcts-split"``).
     """
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
