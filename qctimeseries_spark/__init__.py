@@ -47,6 +47,7 @@ from qctimeseries_spark.windows import (
     fill_forward,
     fill_backward,
     interpolate_linear,
+    cusum,
     rolling_stats,
     flag_outlier_candidates,
     shift_global,
@@ -147,6 +148,7 @@ __all__ = [
     "fill_forward",
     "fill_backward",
     "interpolate_linear",
+    "cusum",
     "rolling_stats",
     "flag_outlier_candidates",
     "shift_global",

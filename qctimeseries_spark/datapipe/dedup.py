@@ -412,6 +412,7 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     cache: bool = True,
+    max_candidates_per_doc: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs via the chunk pigeonhole trick.
 
@@ -424,9 +425,30 @@ def simhash_dup_pairs(
     persisted once (``cache=True``) — the ``bits``-wide majority fold
     is the dominant cost and would otherwise run twice.  It is tiny:
     one id + one BIGINT per document.
+
+    SATURATION GUARD: each chunk has only ``2^(bits/chunks)`` possible
+    values, so once the corpus outgrows that space the equi-join
+    degrades toward all-pairs — expected candidates per doc ≈
+    ``chunks · n / 2^width``, quadratic total (measured: the default
+    8-bit chunks hang at ~50k docs).  The guard probes the corpus with
+    a short-circuiting ``limit(cap+1)`` and raises once the candidate
+    estimate exceeds ``max_candidates_per_doc``; remedies, in order:
+    lower ``max_hamming`` so fewer-but-wider chunks fit (e.g. ≤3 over
+    64 bits → 4×16-bit chunks → 65k values, good to ~1M docs), or use
+    :func:`minhash_dedup_pairs`, whose banded buckets scale with true
+    duplication instead of the hash-space size.
     """
     width = bits // chunks
     mask = (1 << width) - 1
+    cap = max(1, max_candidates_per_doc * (1 << width) // chunks)
+    if df.select(id_col).limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"simhash pigeonhole saturated: > {cap} docs with"
+            f" {chunks}x{width}-bit chunks means ≳{max_candidates_per_doc}"
+            " candidates per doc (quadratic). Lower max_hamming (fewer,"
+            " wider chunks), raise bits, or use minhash_dedup_pairs at"
+            " this scale."
+        )
     st = simhash_table(df, id_col, text_col, bits=bits)
     if cache:
         st = st.persist()

@@ -749,6 +749,35 @@ QUERIES = {
 # Tail-only entries: distinct operators that did not displace a driver
 # slot — they are covered by pytest and the local oracle replica, and
 # sit after the driver's 50-entry window by construction.
+def q_a15_cusum(spark, sf_dir):
+    """Per-user two-sided CUSUM drift screen over integer centi-units
+    (value × 100 — exact prefix sums, bit-equal cross-engine), target
+    100.00 / slack 5.00 / alarm threshold 50.00.  Two partitioned
+    window passes; the oracle is the same prefix-sum closed form in
+    SQL."""
+    from qctimeseries_spark.windows import cusum
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    out = cusum(
+        ev,
+        "cv",
+        "ts",
+        target=10000,
+        slack=500,
+        threshold=5000,
+        key_col="user_id",
+        ties=["event_id"],
+    )
+    return out.select(
+        "user_id", "event_id", "cusum_pos", "cusum_neg", "cusum_alarm"
+    )
+
+
 def q_st9_stream_asof(spark, sf_dir):
     """Streaming as-of enrichment: every event in the stream gains the
     most recent prior calibration record for its user, via the
@@ -1111,6 +1140,7 @@ QUERIES.update(
         "a14_ewma": q_a14_ewma,
         "st8_stream_ewma": q_st8_stream_ewma,
         "st9_stream_asof": q_st9_stream_asof,
+        "a15_cusum": q_a15_cusum,
     }
 )
 
@@ -1558,6 +1588,33 @@ SELECT user_id,
        COUNT(value) AS value_count
 FROM events
 GROUP BY 1, 2""",
+    "a15_cusum": """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cv
+  FROM events
+),
+p AS (
+  SELECT user_id, event_id, ts,
+         SUM(cv - 10500) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS cp,
+         SUM(cv - 9500) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cm
+  FROM v
+),
+s AS (
+  SELECT user_id, event_id,
+         CAST(cp - LEAST(0, MIN(cp) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+              AS DOUBLE) AS cusum_pos,
+         CAST(GREATEST(0, MAX(cm) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) - cm
+              AS DOUBLE) AS cusum_neg
+  FROM p
+)
+SELECT user_id, event_id, cusum_pos, cusum_neg,
+       (cusum_pos > 5000 OR cusum_neg > 5000) AS cusum_alarm
+FROM s""",
     "st9_stream_asof": """
 WITH cal AS (
   SELECT user_id, ts, MAX(value) AS cal_value

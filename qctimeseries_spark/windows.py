@@ -537,6 +537,75 @@ def fill_forward(
     out = _cap(out, F.col("_ft"))
     return out.drop("_ft", "_fv")
 
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    *,
+    target,
+    slack=0,
+    threshold=None,
+    key_col: str | None = None,
+    ties: list[str] | None = None,
+    pos_col: str = "cusum_pos",
+    neg_col: str = "cusum_neg",
+    alarm_col: str = "cusum_alarm",
+) -> DataFrame:
+    """Two-sided CUSUM drift statistics per series — the classic
+    change-point screen (Page 1954): ``s⁺`` accumulates excursions
+    above ``target + slack``, ``s⁻`` below ``target − slack``, each
+    resetting at 0; ``alarm`` fires while either exceeds
+    ``threshold``.  Catches slow sensor drift that per-point range and
+    spike rules (``rules.apply_qc_rules``) never see.
+
+    Scale shape: the textbook recurrence ``s⁺_i = max(0, s⁺_{i-1} +
+    x_i − k)`` looks inherently sequential, but it unrolls to prefix
+    sums — ``s⁺_i = P_i − min(0, min_{j≤i} P_j)`` and mirrored for
+    ``s⁻`` with a running max — so the whole computation is two
+    partitioned window passes (cumsum, then running min/max of it):
+    one shuffle on the key, no per-row Python, no single-task stage.
+
+    Cross-engine determinism: feed an INTEGER-unit value column (e.g.
+    centi-units via ``round(x * 100)``) with integer target/slack —
+    integer prefix sums are exact under any summation association, so
+    results hash bit-equal vs the SQL mirror (the ``st6``/``a14``
+    discipline).  Raw doubles work but windowed float sums may differ
+    in the last bits across engines.  NULL values contribute nothing
+    (the statistic carries through); rows before the first non-NULL
+    value have NULL statistics.
+    """
+    part = [key_col] if key_col else []
+    order = [F.col(time_col), *(F.col(c) for c in ties or [])]
+    w = Window.partitionBy(*part).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    x = F.col(value_col)
+    p = F.sum(x - (F.lit(target) + F.lit(slack))).over(w)
+    m = F.sum(x - (F.lit(target) - F.lit(slack))).over(w)
+    staged = df.withColumn("_cu_p", p).withColumn("_cu_m", m)
+    w2 = Window.partitionBy(*part).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = staged.withColumn(
+        pos_col,
+        F.col("_cu_p")
+        - F.least(F.lit(0).cast("double"), F.min("_cu_p").over(w2)),
+    ).withColumn(
+        neg_col,
+        F.greatest(F.lit(0).cast("double"), F.max("_cu_m").over(w2))
+        - F.col("_cu_m"),
+    )
+    if threshold is not None:
+        out = out.withColumn(
+            alarm_col,
+            F.coalesce(
+                (F.col(pos_col) > threshold) | (F.col(neg_col) > threshold),
+                F.lit(False),
+            ),
+        )
+    return out.drop("_cu_p", "_cu_m")
+
+
 def rolling_stats(
     df: DataFrame,
     time_col: str,

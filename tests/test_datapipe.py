@@ -656,3 +656,16 @@ def test_curate_near_dup_stage_drops_paraphrase(docs, spark):
     assert 1 not in with_nd          # near-dup of 0 removed
     assert 0 in with_nd              # keeper survives
     assert with_nd < without
+
+
+def test_simhash_saturation_guard(docs, spark):
+    from qctimeseries_spark.datapipe.dedup import simhash_dup_pairs
+
+    # 4-bit chunks + tiny budget -> cap of 2 docs; the fixture's 6 trip it
+    with pytest.raises(ValueError, match="saturated"):
+        simhash_dup_pairs(docs, bits=32, max_hamming=7, chunks=8,
+                          max_candidates_per_doc=1).collect()
+    # the d3 config at oracle scale stays under the default budget
+    assert simhash_dup_pairs(
+        docs, bits=64, max_hamming=7, chunks=8
+    ).count() > 0

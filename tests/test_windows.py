@@ -730,3 +730,41 @@ def test_interpolate_max_gap_leaves_wide_holes_null(spark):
     assert got[30] == 30.0
     assert got[33] == 30.0             # trailing carry within the bound
     assert got[40] is None             # trailing carry beyond the bound
+
+
+def test_cusum_equals_sequential_recurrence(spark):
+    """The prefix-sum closed form must reproduce Page's recurrence
+    s+ = max(0, s+ + x - (t+k)), s- = max(0, s- - (x - (t-k))) exactly
+    (integer units -> exact arithmetic), including alarm edges."""
+    import random
+
+    from qctimeseries_spark.windows import cusum
+
+    rng = random.Random(11)
+    rows = []
+    for uid in (1, 2):
+        base = 100
+        for i in range(120):
+            if 40 <= i < 80 and uid == 1:
+                base = 103  # planted drift for user 1 only
+            rows.append((uid, i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i),
+                         base + rng.randint(-4, 4)))
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, x long"
+    )
+    out = cusum(df, "x", "ts", target=100, slack=1, threshold=30,
+                key_col="user_id", ties=["event_id"])
+    got = {
+        (r.user_id, r.event_id): (r.cusum_pos, r.cusum_neg, r.cusum_alarm)
+        for r in out.collect()
+    }
+    want = {}
+    for uid in (1, 2):
+        sp = sn = 0
+        for u, i, _, x in [r for r in rows if r[0] == uid]:
+            sp = max(0, sp + x - 101)
+            sn = max(0, sn - (x - 99))
+            want[(uid, i)] = (float(sp), float(sn), sp > 30 or sn > 30)
+    assert got == want
+    assert any(a for _, _, a in want.values())  # the drift fires
+    assert not any(a for (u, _), (_, _, a) in want.items() if u == 2)
