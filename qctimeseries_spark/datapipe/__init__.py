@@ -37,6 +37,7 @@ from qctimeseries_spark.datapipe.multimodal import (
     media_summary,
     repartition_by_bytes,
 )
+from qctimeseries_spark.datapipe.monitor import population_stability
 from qctimeseries_spark.datapipe.similarity import (
     ivf_assign,
     knn_bruteforce,
@@ -65,6 +66,7 @@ __all__ = [
     "bpe_pair_counts",
     "hash_sample",
     "mixture_weights",
+    "population_stability",
     "sample_bucket",
     "sample_to_token_budget",
     "split_corpus",

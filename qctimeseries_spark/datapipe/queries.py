@@ -567,6 +567,28 @@ def q_t14_token_shards(spark, sf_dir):
     return assign_token_shards(d, "doc_id", "n_tokens", 2000)
 
 
+#: t15 bucket edges over n_tokens — explicit (not quantile-derived) so
+#: the bucketing is deterministic across snapshots and engines
+_PSI_EDGES = [20.0, 40.0, 60.0, 80.0, 100.0]
+
+
+def q_t15_psi(spark, sf_dir):
+    """Corpus drift screen: PSI of the token-count distribution,
+    even-id docs (the 'new crawl') vs odd-id docs (the reference).
+    Two thin bucket-count aggregations + a broadcast join — corpus
+    size touches only the counting scans."""
+    from qctimeseries_spark.datapipe.monitor import population_stability
+
+    d = text_stats(_docs(spark, sf_dir)).select("doc_id", "n_tokens")
+    cur = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("n_tokens").cast("double").alias("x")
+    )
+    ref = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("n_tokens").cast("double").alias("x")
+    )
+    return population_stability(cur, ref, "x", _PSI_EDGES)
+
+
 def q_t11_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test tagging — contiguous hash
     bucket ranges, pure function of the doc id."""
@@ -653,6 +675,7 @@ DATAPIPE_QUERIES = {
     "t12_bpe_pairs": q_t12_bpe_pairs,
     "t13_mixture": q_t13_mixture,
     "t14_token_shards": q_t14_token_shards,
+    "t15_psi": q_t15_psi,
 }
 
 
@@ -1178,4 +1201,40 @@ c AS (
 )
 SELECT doc_id, n_tokens, CAST(cume // 2000 AS BIGINT) AS shard_id
 FROM c""",
+    # t15: shares are exact integer-count ratios; psi uses the UNROUNDED
+    # shares with the 1e-6 floor, mirroring monitor.population_stability
+    # term-for-term ((p - q) * ln(p / q), then one 6-dp round)
+    "t15_psi": f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS.format(c='text')}) AS INT) AS n
+  FROM documents
+),
+cb AS (
+  SELECT CASE WHEN n < 20 THEN 0 WHEN n < 40 THEN 1 WHEN n < 60 THEN 2
+              WHEN n < 80 THEN 3 WHEN n < 100 THEN 4 ELSE 5 END AS bucket
+  FROM d WHERE doc_id % 2 = 0
+),
+rb AS (
+  SELECT CASE WHEN n < 20 THEN 0 WHEN n < 40 THEN 1 WHEN n < 60 THEN 2
+              WHEN n < 80 THEN 3 WHEN n < 100 THEN 4 ELSE 5 END AS bucket
+  FROM d WHERE doc_id % 2 = 1
+),
+cs AS (
+  SELECT bucket, CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM cb) AS s
+  FROM cb GROUP BY bucket
+),
+rs AS (
+  SELECT bucket, CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM rb) AS s
+  FROM rb GROUP BY bucket
+),
+b AS (SELECT unnest(range(0, 6)) AS bucket)
+SELECT CAST(b.bucket AS INT) AS bucket,
+       ROUND(COALESCE(cs.s, 0.0), 6) AS share_cur,
+       ROUND(COALESCE(rs.s, 0.0), 6) AS share_ref,
+       ROUND((GREATEST(COALESCE(cs.s, 0.0), 1e-06)
+              - GREATEST(COALESCE(rs.s, 0.0), 1e-06))
+             * ln(GREATEST(COALESCE(cs.s, 0.0), 1e-06)
+                  / GREATEST(COALESCE(rs.s, 0.0), 1e-06)), 6) AS psi
+FROM b LEFT JOIN cs ON b.bucket = cs.bucket
+       LEFT JOIN rs ON b.bucket = rs.bucket""",
 }

@@ -669,3 +669,30 @@ def test_simhash_saturation_guard(docs, spark):
     assert simhash_dup_pairs(
         docs, bits=64, max_hamming=7, chunks=8
     ).count() > 0
+
+
+def test_population_stability_detects_shift(spark):
+    import math as _m
+
+    from qctimeseries_spark.datapipe import population_stability
+
+    ref = spark.createDataFrame(
+        [(float(10 + i % 50),) for i in range(400)], "x double"
+    )
+    same = population_stability(ref, ref, "x", [20.0, 40.0])
+    rows = {r.bucket: r for r in same.collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(abs(r.psi) < 1e-12 for r in rows.values())  # identical dists
+    # shift everything up: mass leaves low buckets, lands high -> PSI big
+    cur = ref.select((F.col("x") + 40.0).alias("x"))
+    shifted = population_stability(cur, ref, "x", [20.0, 40.0]).collect()
+    total = sum(r.psi for r in shifted)
+    assert total > 0.25  # conventional "shifted" threshold
+    # empty-bucket epsilon keeps terms finite
+    assert all(_m.isfinite(r.psi) for r in shifted)
+    # NULLs are excluded, not counted as a bucket
+    with_null = ref.union(spark.createDataFrame([(None,)], "x double"))
+    again = population_stability(with_null, ref, "x", [20.0, 40.0])
+    assert {r.bucket: r.psi for r in again.collect()} == {
+        r.bucket: r.psi for r in same.collect()
+    }

@@ -32,8 +32,18 @@ def audit(name: str, df) -> None:
     scans = re.findall(r"FileScan parquet \[([^\]]*)\].*?PushedFilters: (\[[^\]]*\])", plan)
     sort_merge = plan.count("SortMergeJoin")
     nested = plan.count("NestedLoopJoin")
+    cartesian = plan.count("CartesianProduct")
+    # unpartitioned Window operators (every row through one task): the
+    # partitioned form prints [funcs], [partSpec], [orderSpec]; the
+    # global form drops the middle group, leaving ONE "], ["
+    global_win = sum(
+        1
+        for line in plan.splitlines()
+        if re.match(r"\s*[+\-:|* ]*Window \[", line)
+        and line.count("], [") == 1
+    )
     print(f"== {name}: shuffles={n_exchange} bcast={n_bcast} wsc={n_wsc} "
-          f"smj={sort_merge} nlj={nested}")
+          f"smj={sort_merge} nlj={nested} cart={cartesian} gwin={global_win}")
     for cols, pushed in scans:
         ncols = 0 if not cols.strip() else cols.count(",") + 1
         print(f"   scan cols={ncols} pushed={pushed[:90]}")
