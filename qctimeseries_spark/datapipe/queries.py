@@ -702,6 +702,19 @@ st AS (
   FROM tk
 )"""
 
+# quality in exact integer micro-units, mirroring text.quality_score:
+# the float-sum formulation lands on true decimal midpoints (0.5 × a
+# 6-dp ratio) where engines round apart; every term here is an exact
+# integer and the final ÷1e6 is one correctly-rounded division.
+_QUALITY_SQL = """CAST(
+  (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 400000 ELSE 0 END
+   + CASE WHEN CAST(round(uniq_ratio * 1000000) AS BIGINT) >= 800000
+          THEN 400000
+          ELSE (CAST(round(uniq_ratio * 1000000) AS BIGINT) + 1) // 2 END
+   + (1000000 - LEAST(CAST(round(punct_ratio * 1000000) AS BIGINT) * 5,
+                      1000000)) // 5
+  ) AS DOUBLE) / 1000000.0"""
+
 
 def _lang_struct(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
@@ -872,10 +885,7 @@ SELECT doc_id, n_chars_calc, n_tokens, n_bpe_tokens, n_uniq_tokens,
 FROM st""",
     "t3_quality": f"""
 WITH {_STATS_SQL}
-SELECT doc_id,
-       ROUND(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
-             + 0.4 * LEAST(uniq_ratio * 1.25, 1.0)
-             + 0.2 * (1.0 - LEAST(punct_ratio * 5, 1.0)), 6) AS quality
+SELECT doc_id, {_QUALITY_SQL} AS quality
 FROM st""",
     "t4_lang_id": f"""
 WITH tk AS (SELECT *, {_TOKS.format(c='text')} AS tkl FROM documents),
@@ -1024,10 +1034,7 @@ st AS (
 ),
 q AS (
   SELECT doc_id, lang, fingerprint, n_tokens,
-         ROUND(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4
-                    ELSE 0.0 END
-               + 0.4 * LEAST(uniq_ratio * 1.25, 1.0)
-               + 0.2 * (1.0 - LEAST(punct_ratio * 5, 1.0)), 6) AS quality
+         {_QUALITY_SQL} AS quality
   FROM st
 )
 SELECT doc_id, lang, fingerprint, n_tokens, quality

@@ -88,15 +88,38 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1]: length band + lexical
     diversity − punctuation noise.  Deterministic and explainable —
-    the shape of C4/Gopher-style heuristic filters."""
+    the shape of C4/Gopher-style heuristic filters.
+
+    Computed in exact integer MICRO-units, not float-sum-then-round:
+    the diversity term is 0.5 × a 6-dp ratio, which lands on a TRUE
+    decimal midpoint whenever the ratio's last digit is odd — engines
+    then disagree on the 6-dp rounding through float error (caught by
+    the sf1 oracle sweep: 170 of 50k docs split .792307 vs .792308).
+    Every term below is an exact integer (half-up on the single ÷2;
+    the ÷5 is always exact), so ``quality = micro / 1e6`` is one
+    correctly-rounded division and bit-equal everywhere.
+    """
     s = text_stats(df, text_col)
     len_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
-    score = (
-        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.lit(0.4) * F.least(F.col("uniq_ratio") * 1.25, F.lit(1.0))
-        + F.lit(0.2) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0)))
+    # the 6-dp ratios are exact micro-integers in disguise (×1e6 of a
+    # double within 1e-10 of an integer rounds exactly on any engine)
+    u_micro = F.round(F.col("uniq_ratio") * 1_000_000).cast("long")
+    p_micro = F.round(F.col("punct_ratio") * 1_000_000).cast("long")
+    len_term = F.when(len_ok, F.lit(400_000)).otherwise(F.lit(0)).cast("long")
+    # 0.4 · min(1.25u, 1): capped ⇔ u_micro ≥ 800000; else u_micro/2,
+    # half-up on the odd midpoints ((u+1) DIV 2)
+    div_term = F.when(
+        u_micro >= 800_000, F.lit(400_000).cast("long")
+    ).otherwise(F.floor((u_micro + 1) / 2).cast("long"))
+    # 0.2 · (1 − min(5p, 1)): the numerator is a multiple of 5, so the
+    # ÷5 is exact integer division
+    noise_term = F.floor(
+        (F.lit(1_000_000) - F.least(p_micro * 5, F.lit(1_000_000))) / 5
+    ).cast("long")
+    micro = len_term + div_term + noise_term
+    return s.withColumn(
+        "quality", micro.cast("double") / F.lit(1_000_000.0)
     )
-    return s.withColumn("quality", F.round(score, 6))
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
