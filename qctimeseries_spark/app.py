@@ -370,6 +370,53 @@ class QcSession:
         ).filter((F.col("is_outlier") == 1) & (F.col(f) == 0))
         return [r[self.id_col] for r in cands.select(self.id_col).collect()]
 
+    def suggest_drift(
+        self,
+        *,
+        target: float | None = None,
+        slack: float | None = None,
+        threshold: float | None = None,
+    ) -> list[int]:
+        """CUSUM drift CANDIDATES in the current window: rowids of
+        unchecked (flag 0) rows while either one-sided CUSUM statistic
+        exceeds ``threshold`` — the slow-creep complement to
+        :meth:`suggest_outliers`, which only sees per-point deviation.
+        Same contract: automation proposes, the reviewer disposes.
+
+        Defaults derive from the window's own slice: ``target`` = its
+        mean, ``slack`` = 0.5 σ, ``threshold`` = 4 σ (tuning knobs, not
+        statistics — pass explicit values for a calibrated screen).
+        Runs over the pruned current-window slice only.
+        """
+        from qctimeseries_spark.windows import cusum
+
+        f = flag_col(self.var, self.suffix)
+        sl = self._windowed().filter(
+            (F.col(WIN_COL) == self.current_win_id)
+            & F.col(self.var).isNotNull()
+        )
+        if target is None or slack is None or threshold is None:
+            stats = sl.agg(
+                F.avg(self.var).alias("m"), F.stddev(self.var).alias("s")
+            ).collect()[0]
+            if stats["m"] is None or not stats["s"]:
+                return []
+            target = target if target is not None else float(stats["m"])
+            slack = slack if slack is not None else 0.5 * float(stats["s"])
+            threshold = (
+                threshold if threshold is not None else 4.0 * float(stats["s"])
+            )
+        cands = cusum(
+            sl,
+            self.var,
+            self.time_col,
+            target=target,
+            slack=slack,
+            threshold=threshold,
+            ties=[self.id_col],
+        ).filter(F.col("cusum_alarm") & (F.col(f) == 0))
+        return [r[self.id_col] for r in cands.select(self.id_col).collect()]
+
     def window_progress(self, *, hide_complete: bool = False):
         """Per-window review dashboard: A1's progress columns for every
         window of the current index (``hide_complete`` keeps only the

@@ -221,3 +221,29 @@ def test_session_window_progress_dashboard(spark):
     todo = [r["win_id"] for r in
             sess.window_progress(hide_complete=True).collect()]
     assert todo == [1, 2, 3]
+
+
+def test_suggest_drift_flags_planted_creep(spark):
+    """A slow upward creep in one window must surface CUSUM candidates
+    there (rows after the drift onset), and none in a clean window."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(96):  # 4 x 24h windows, hourly
+        v = 100.0 + (i % 3 - 1) * 0.5        # flat noise
+        if 30 <= i < 48:                     # creep inside window 1
+            v += (i - 29) * 0.8
+        rows.append((t0 + dt.timedelta(hours=i), v))
+    df = add_flags(
+        spark.createDataFrame(rows, "DateTime timestamp, temp double"),
+        ["temp"],
+    )
+    sess = QcSession(df, "temp", time_col="DateTime", win_hours=24)
+    sess.jump(1)
+    ids = sess.suggest_drift(target=100.0, slack=1.0, threshold=10.0)
+    assert ids  # the creep fires
+    sess.jump(3)
+    assert sess.suggest_drift(target=100.0, slack=1.0, threshold=10.0) == []
+    # candidates already flagged are not re-proposed
+    sess.jump(1)
+    sess.flag_selection(ids)
+    assert sess.suggest_drift(target=100.0, slack=1.0, threshold=10.0) == []
