@@ -778,6 +778,35 @@ def q_a15_cusum(spark, sf_dir):
     )
 
 
+def q_st10_stream_cusum(spark, sf_dir):
+    """Streaming per-key CUSUM over integer centi-units, drained
+    append-mode — must hash-equal the batch closed form (a15's oracle):
+    the stateful recurrence and the prefix-sum formulation are the
+    same function, computed two ways."""
+    from qctimeseries_spark.streaming import (
+        cusum_stateful,
+        run_available_now,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    return run_available_now(
+        cusum_stateful(
+            s,
+            value_col="cv",
+            target=10000,
+            slack=500,
+            threshold=5000,
+        ),
+        output_mode="append",
+    )
+
+
 def q_st9_stream_asof(spark, sf_dir):
     """Streaming as-of enrichment: every event in the stream gains the
     most recent prior calibration record for its user, via the
@@ -1141,6 +1170,7 @@ QUERIES.update(
         "st8_stream_ewma": q_st8_stream_ewma,
         "st9_stream_asof": q_st9_stream_asof,
         "a15_cusum": q_a15_cusum,
+        "st10_stream_cusum": q_st10_stream_cusum,
     }
 )
 
@@ -1588,6 +1618,33 @@ SELECT user_id,
        COUNT(value) AS value_count
 FROM events
 GROUP BY 1, 2""",
+    "st10_stream_cusum": """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cv
+  FROM events
+),
+p AS (
+  SELECT user_id, event_id, ts,
+         SUM(cv - 10500) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS cp,
+         SUM(cv - 9500) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cm
+  FROM v
+),
+s AS (
+  SELECT user_id, event_id,
+         CAST(cp - LEAST(0, MIN(cp) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))
+              AS DOUBLE) AS cusum_pos,
+         CAST(GREATEST(0, MAX(cm) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) - cm
+              AS DOUBLE) AS cusum_neg
+  FROM p
+)
+SELECT user_id, event_id, cusum_pos, cusum_neg,
+       (cusum_pos > 5000 OR cusum_neg > 5000) AS cusum_alarm
+FROM s""",
     "a15_cusum": """
 WITH v AS (
   SELECT user_id, event_id, ts,

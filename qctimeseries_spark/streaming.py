@@ -592,6 +592,93 @@ def stream_resample(
     return out.withColumn("bucket_ts", F.col("_win.start")).drop("_win")
 
 
+def cusum_stateful(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key streaming CUSUM: every event emits with its key's
+    running two-sided drift statistics (``s⁺ = max(0, s⁺ + v − target
+    − slack)``, mirrored for ``s⁻``) and the alarm flag — the
+    streaming twin of :func:`~qctimeseries_spark.windows.cusum`, which
+    computes the identical recurrence batch-side via its prefix-sum
+    closed form.
+
+    State per key is three scalars; per-batch work is one bounded loop
+    over the key's new rows.  Feed integer-unit values (the ``a15``
+    discipline) and the running sums stay exact, so the drained stream
+    hashes bit-equal against the batch closed-form oracle.  NULL
+    values neither update state nor emit; rows at-or-before the
+    carried timestamp drop (in-order-per-key contract, as
+    :func:`ewma_stateful`).
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    hi = float(target) + float(slack)
+    lo = float(target) - float(slack)
+    thr = float(threshold) if threshold is not None else None
+    out_schema = (
+        f"{key_col} bigint, {id_col} bigint, "
+        "cusum_pos double, cusum_neg double, cusum_alarm boolean"
+    )
+    state_schema = "sp double, sn double, last_us bigint"
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        sp, sn, last_us = state.get if state.exists else (0.0, 0.0, None)
+        frames = [pdf[[id_col, time_col, value_col]] for pdf in pdf_iter]
+        if not frames:
+            return
+        pdf = pd.concat(frames).sort_values([time_col, id_col])
+        pdf = pdf[pdf[value_col].notna()]
+        us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        if last_us is not None:
+            keep = us > last_us
+            pdf, us = pdf[keep], us[keep]
+        if len(pdf) == 0:
+            return
+        v = pdf[value_col].to_numpy(dtype="float64")
+        pos = np.empty(len(v))
+        neg = np.empty(len(v))
+        for i in range(len(v)):
+            sp = max(0.0, sp + v[i] - hi)
+            sn = max(0.0, sn - (v[i] - lo))
+            pos[i], neg[i] = sp, sn
+        state.update((float(sp), float(sn), int(us[-1])))
+        out = {
+            key_col: key[0],
+            id_col: pdf[id_col].to_numpy(),
+            "cusum_pos": pos,
+            "cusum_neg": neg,
+        }
+        out["cusum_alarm"] = (
+            (pos > thr) | (neg > thr)
+            if thr is not None
+            else np.zeros(len(v), dtype=bool)
+        )
+        yield pd.DataFrame(out)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.withWatermark(time_col, watermark)
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def ewma_stateful(
     stream: DataFrame,
     *,

@@ -478,3 +478,47 @@ def test_stream_asof_keyless_and_null_ts(spark):
         for r in asof_enrich_stream(left, right, on="ts").collect()
     }
     assert out == {1: "a", 2: None, 3: "b"}  # NULL ts preserved, no match
+
+
+def test_stream_cusum_state_spans_microbatches(spark, tmp_path):
+    """Cross-batch state carry: a time-split two-file source drained one
+    file per trigger must equal the hand-rolled per-key recurrence."""
+    from qctimeseries_spark.streaming import cusum_stateful, run_available_now
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    src_dir = str(tmp_path / "split")
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+        src_dir, mode="append"
+    )
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
+        src_dir, mode="append"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("user_id bigint, event_id bigint, ts timestamp, cv bigint")
+        .option("maxFilesPerTrigger", "1")
+        .load(src_dir)
+    )
+    got = {
+        (r.user_id, r.event_id): (r.cusum_pos, r.cusum_neg, r.cusum_alarm)
+        for r in run_available_now(
+            cusum_stateful(
+                stream, value_col="cv", target=10000, slack=500,
+                threshold=5000,
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    want = {}
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in pdf.groupby("user_id"):
+        sp = sn = 0.0
+        for _, r in g.iterrows():
+            sp = max(0.0, sp + r["cv"] - 10500)
+            sn = max(0.0, sn - (r["cv"] - 9500))
+            want[(uid, r["event_id"])] = (sp, sn, sp > 5000 or sn > 5000)
+    assert got == want and len(got) == 1000
