@@ -53,6 +53,7 @@ EXTENDED = [
     "a12_rolling_by_key",
     "m3_media_decode",
     "t12_bpe_pairs",
+    "a15_cusum",
 ]
 
 HEADLINE = CORE + EXTENDED
