@@ -841,7 +841,10 @@ def _dup_pairs_ivf(
 
     from qctimeseries_spark.datapipe.similarity import ivf_assign, take_centroids
 
-    u = u.persist()  # feeds centroid seed + the cell assignment
+    # NOT persisted: the unit frame is corpus-sized, and caching it for
+    # the session (no unpersist hook exists on a lazy return) costs far
+    # more at scale than the one extra narrow normalization scan the
+    # centroid seeding adds — unit_vector is a pure projection.
     cents = take_centroids(u, id_col=id_col, vec_col="u", nlist=nlist)
     cells = ivf_assign(u, cents, id_col=id_col, vec_col="u", nprobe=nprobe)
 
