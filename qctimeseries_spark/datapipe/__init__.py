@@ -9,6 +9,7 @@ candidate sets, no driver-side loops).
 
 from qctimeseries_spark.datapipe.dedup import (
     cosine,
+    dedup_against_store,
     dup_clusters,
     embedding_dup_pairs,
     exact_dedup,
@@ -73,6 +74,7 @@ __all__ = [
     "contamination_check",
     "redact_pii",
     "embedding_dup_pairs",
+    "dedup_against_store",
     "exact_dedup",
     "jaccard_on",
     "lsh_candidates",

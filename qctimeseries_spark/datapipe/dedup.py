@@ -33,7 +33,7 @@ import math
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from qctimeseries_spark.datapipe.hashing import bind, fast_hash64, hash60
@@ -231,6 +231,59 @@ def exact_dedup(
         )
         .filter(F.col("n_dups") > 1)
     )
+
+
+def dedup_against_store(
+    df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    update_store: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup: drop rows whose normalized-text
+    fingerprint is already in the persistent store OR duplicated
+    within this batch (keeper = min id), then append the survivors'
+    fingerprints — the production "don't re-ingest what an earlier
+    crawl already delivered" step, so each batch pays one anti-join
+    instead of re-deduplicating the whole historical corpus.
+
+    The store is a plain append-only Parquet directory of (fingerprint)
+    rows; at scale, write it bucketed on the fingerprint
+    (:func:`~qctimeseries_spark.state.save_bucketed`) so the anti-join
+    is a zero-shuffle merge.  First call against a missing store just
+    dedups within the batch and seeds it.  The within-batch keeper uses
+    the same min-id rule as :func:`exact_dedup`, so a batch replayed
+    against its own store output is a no-op (idempotent ingestion).
+
+    Survivors are returned WITH their fingerprint column (callers
+    usually want to carry it).  ``update_store=False`` makes it a dry
+    run.  The append itself is one atomic-per-file Parquet write; for
+    concurrent writers, route through the state commit machinery
+    (`state.py`) instead of raw appends.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    spark = df.sparkSession
+    normalized = F.array_join(tokens(F.col(text_col)), " ")
+    fp = df.withColumn("fingerprint", hash60(normalized))
+    try:
+        known = spark.read.parquet(store_path).select("fingerprint")
+    except AnalysisException:
+        known = None
+    if known is not None:
+        fp = fp.join(known, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint")
+    survivors = (
+        fp.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+    )
+    if update_store:
+        survivors.select("fingerprint").write.mode("append").parquet(
+            store_path
+        )
+    return survivors
 
 
 def minhash_table(

@@ -455,6 +455,29 @@ def q_t8_hash_sample(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_d6_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup: even-id docs seed a persistent
+    fingerprint store, then a second batch (odd docs ∪ re-crawled
+    copies of every 10th odd doc) dedups against it — re-crawls and
+    store hits drop, within-batch dups keep the min id.  Each batch
+    pays one anti-join, never a re-dedup of history.  The oracle is
+    the equivalent set algebra over both batches."""
+    import tempfile
+
+    from qctimeseries_spark.datapipe.dedup import dedup_against_store
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    recrawl = odd.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    store = tempfile.mkdtemp(prefix="qcts_fps_") + "/fingerprints"
+    dedup_against_store(even, store)  # batch 1 seeds the store
+    out = dedup_against_store(odd.unionByName(recrawl), store)
+    return out.select("doc_id", "fingerprint")
+
+
 def q_m1_media_summary(spark, sf_dir):
     """Per-modality byte/row accounting over the derived media table."""
     return media_summary(attach_media(_docs(spark, sf_dir)))
@@ -676,6 +699,7 @@ DATAPIPE_QUERIES = {
     "t13_mixture": q_t13_mixture,
     "t14_token_shards": q_t14_token_shards,
     "t15_psi": q_t15_psi,
+    "d6_incremental_dedup": q_d6_incremental_dedup,
 }
 
 
@@ -1244,4 +1268,21 @@ SELECT CAST(b.bucket AS INT) AS bucket,
                   / GREATEST(COALESCE(rs.s, 0.0), 1e-06)), 6) AS psi
 FROM b LEFT JOIN cs ON b.bucket = cs.bucket
        LEFT JOIN rs ON b.bucket = rs.bucket""",
+    "d6_incremental_dedup": f"""
+WITH fp AS (
+  SELECT doc_id, {hash60_sql(_NORM_TEXT)} AS fingerprint FROM documents
+),
+even AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+b2 AS (
+  SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, fingerprint FROM fp
+  WHERE doc_id % 2 = 1 AND doc_id % 10 = 1
+),
+fresh AS (
+  SELECT * FROM b2
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM even)
+)
+SELECT MIN(doc_id) AS doc_id, fingerprint
+FROM fresh GROUP BY fingerprint""",
 }

@@ -696,3 +696,29 @@ def test_population_stability_detects_shift(spark):
     assert {r.bucket: r.psi for r in again.collect()} == {
         r.bucket: r.psi for r in same.collect()
     }
+
+
+def test_dedup_against_store_incremental_and_idempotent(spark, tmp_path):
+    from qctimeseries_spark.datapipe import dedup_against_store
+
+    store = str(tmp_path / "fps")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA  beta")],
+        "doc_id long, text string",
+    )
+    s1 = dedup_against_store(b1, store)
+    assert {r.doc_id for r in s1.collect()} == {1, 2}  # 3 dups 1 in-batch
+    # second batch: one store hit, one in-batch dup pair, one new doc
+    b2 = spark.createDataFrame(
+        [(10, "gamma delta"), (11, "epsilon zeta"),
+         (12, "epsilon  ZETA"), (13, "eta theta")],
+        "doc_id long, text string",
+    )
+    s2 = dedup_against_store(b2, store)
+    assert {r.doc_id for r in s2.collect()} == {11, 13}
+    # replaying batch 2 against the updated store is a no-op
+    assert dedup_against_store(b2, store).count() == 0
+    # dry run leaves the store untouched
+    b3 = spark.createDataFrame([(20, "iota kappa")], "doc_id long, text string")
+    assert dedup_against_store(b3, store, update_store=False).count() == 1
+    assert dedup_against_store(b3, store, update_store=False).count() == 1
