@@ -506,8 +506,12 @@ def extract_features(
     n = partitions or media.sparkSession.sparkContext.defaultParallelism
     media = media.repartition(n)
 
-    def row(media_id, modality, n_bytes, payload: bytes) -> dict:
+    def row(media_id, modality, n_bytes, payload) -> dict:
         try:
+            # a NULL payload (upstream fetch failure) is just another
+            # corrupt blob: valid=false, never a stage-killing TypeError
+            if payload is None:
+                raise ValueError("NULL payload")
             meta = parse_media(payload)
             content = meta["content"]
             if meta["fmt"] == "png":
@@ -517,7 +521,7 @@ def extract_features(
             valid = True
         except (ValueError, zlib.error):
             meta = {"fmt": None}
-            content = payload
+            content = payload if payload is not None else b""
             valid = False
         return {
             "media_id": media_id,
@@ -539,7 +543,7 @@ def extract_features(
                 chunk = pdf.iloc[start : start + batch_rows]
                 yield pd.DataFrame(
                     [
-                        row(m, mo, nb, bytes(p))
+                        row(m, mo, nb, None if p is None else bytes(p))
                         for m, mo, nb, p in zip(
                             chunk["media_id"],
                             chunk["modality"],
@@ -600,10 +604,12 @@ def decode_media(
     n = partitions or media.sparkSession.sparkContext.defaultParallelism
     media = media.repartition(n)
 
-    def row(media_id, payload: bytes) -> dict:
+    def row(media_id, payload) -> dict:
         fmt = None
         units = None
         try:
+            if payload is None:
+                raise ValueError("NULL payload")
             meta = parse_media(payload)
             fmt = meta["fmt"]
             units = _decode_payload(meta["content"], fmt)
@@ -641,7 +647,7 @@ def decode_media(
                 chunk = pdf.iloc[start : start + batch_rows]
                 yield pd.DataFrame(
                     [
-                        row(m, bytes(p))
+                        row(m, None if p is None else bytes(p))
                         for m, p in zip(chunk["media_id"], chunk["payload"])
                     ],
                     columns=[f.name for f in DECODE_SCHEMA.fields],

@@ -217,3 +217,22 @@ def test_extract_features_corrupt_payload_is_flagged_not_fatal(spark):
     assert len(out[1]["features"]) == 4  # fallback features over raw bytes
     assert out[4]["valid"] is True
     assert out[4]["sample_rate"] == WAV_RATES[4]
+
+
+def test_null_payload_is_invalid_not_fatal(spark):
+    # at scale some blob fetches FAIL and land as NULL; one NULL must
+    # not kill a 1000-executor stage in either media operator
+    media = spark.createDataFrame(
+        [
+            (1, "image", "png", 0, None),
+            (6, "image", "png", int(len(build_payload(6, "ok"))),
+             bytearray(build_payload(6, "ok"))),
+        ],
+        "media_id long, modality string, fmt string, n_bytes long, payload binary",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media, dim=4).collect()}
+    assert feats[1]["valid"] is False and len(feats[1]["features"]) == 4
+    assert feats[6]["valid"] is True
+    dec = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert dec[1]["decoded"] is False and dec[1]["n_units"] is None
+    assert dec[6]["decoded"] is True
