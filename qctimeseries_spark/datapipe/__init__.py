@@ -17,6 +17,7 @@ from qctimeseries_spark.datapipe.dedup import (
     lsh_candidates,
     minhash_dedup_pairs,
     minhash_signatures,
+    neardup_against_store,
     shingles,
     simhash,
     simhash_dup_pairs,
@@ -80,6 +81,7 @@ __all__ = [
     "lsh_candidates",
     "minhash_dedup_pairs",
     "minhash_signatures",
+    "neardup_against_store",
     "shingles",
     "simhash",
     "simhash_dup_pairs",

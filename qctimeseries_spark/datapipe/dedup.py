@@ -261,6 +261,13 @@ def dedup_against_store(
     run.  The append itself is one atomic-per-file Parquet write; for
     concurrent writers, route through the state commit machinery
     (`state.py`) instead of raw appends.
+
+    The returned frame is MATERIALIZED (eager ``localCheckpoint``)
+    before the store append: the lazy plan reads the same parquet path
+    it appends to, so without the barrier a metadata-cache refresh (or
+    a concurrent writer) between construction and the caller's action
+    would anti-join the batch's own survivors away — and the dedup
+    would compute twice (once for the write, once at the action).
     """
     from pyspark.sql.utils import AnalysisException
 
@@ -278,12 +285,126 @@ def dedup_against_store(
         fp.withColumn("_keep", F.min(id_col).over(w))
         .filter(F.col(id_col) == F.col("_keep"))
         .drop("_keep")
+        .localCheckpoint(eager=True)
     )
     if update_store:
         survivors.select("fingerprint").write.mode("append").parquet(
             store_path
         )
     return survivors
+
+
+def neardup_against_store(
+    df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+    threshold: float = 0.7,
+    update_store: bool = True,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion against a persistent signature
+    store: drop batch rows that are exact *or* near duplicates of
+    anything an earlier crawl already delivered, then append the
+    survivors' signatures.
+
+    The production crawl case :func:`dedup_against_store` exists for
+    is dominated by *near*-identical re-crawls — boilerplate drift,
+    injected timestamps, mirror banners — which sail straight past an
+    exact-fingerprint store.  This operator persists, per retained
+    document, its exact fingerprint, its MinHash **band hashes**, and
+    its **hashed shingle set**, so each new batch pays:
+
+    1. ONE anti-join on the fingerprint (exact tier — same as
+       :func:`dedup_against_store`);
+    2. ONE banded equi-join on ``(band, h)`` between the remaining
+       batch rows and the store (the :func:`lsh_candidates` plan
+       shape, batch × store instead of self × self — never O(n·m));
+    3. exact shingle-Jaccard verification on the candidates only
+       (integer array intersection on the STORED shingle hashes — no
+       re-tokenization of historical text, which the store does not
+       retain);
+    4. a within-batch exact min-id keeper (within-batch *near*-dups
+       are out of scope by contract — run
+       :func:`minhash_dedup_pairs` + :func:`dup_clusters` over the
+       batch first if the batch itself may contain drifted copies).
+
+    Store layout: one Parquet row per retained document —
+    ``(store_id, fingerprint, bands array<struct<band,h>>, hs
+    array<long>)``.  The shingle-hash column is the storage price of
+    verified near-dedup (~8 bytes per ~5 chars of text); at 100 TB
+    bucket the store on the fingerprint and explode-materialize a
+    band index bucketed on ``(band, h)`` so both anti-join tiers are
+    zero-shuffle merges.  A batch replayed against its own store
+    output is a no-op (every row hits the exact tier), so ingestion
+    stays idempotent.  Survivors are MATERIALIZED before the append
+    (same barrier rationale as :func:`dedup_against_store`) and
+    returned with their ``fingerprint`` column.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    spark = df.sparkSession
+    rows = k // bands
+    normalized = F.array_join(tokens(F.col(text_col)), " ")
+    base = (
+        df.withColumn("fingerprint", hash60(normalized))
+        .withColumn("hs", hashed_shingles(F.col(text_col), ngram))
+    )
+    base = base.withColumn(
+        "bands", band_hashes(minhash_from_hashes(F.col("hs"), k), bands, rows)
+    )
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:
+        store = None
+    persisted = None
+    if store is not None:
+        # exact tier
+        base = base.join(
+            store.select("fingerprint").distinct(), "fingerprint", "left_anti"
+        )
+        # near tier: batch-side signatures feed the candidate join, the
+        # verify join, and the survivor scan — persist once
+        base = persisted = base.persist()
+        nb = base.select(
+            F.col(id_col), F.explode("bands").alias("bh")
+        ).select(id_col, "bh.band", "bh.h")
+        sb = store.select(
+            "store_id", F.explode("bands").alias("bh")
+        ).select("store_id", "bh.band", "bh.h")
+        cand = nb.join(sb, ["band", "h"]).select(id_col, "store_id").distinct()
+        ver = cand.join(
+            base.select(F.col(id_col), F.col("hs").alias("hs_new")), id_col
+        ).join(
+            store.select("store_id", F.col("hs").alias("hs_old")), "store_id"
+        )
+        inter = F.size(F.array_intersect(F.col("hs_new"), F.col("hs_old")))
+        union = F.size(F.array_union(F.col("hs_new"), F.col("hs_old")))
+        near_hits = (
+            ver.filter(
+                F.round(inter.cast("double") / union, 6) >= threshold
+            )
+            .select(id_col)
+            .distinct()
+        )
+        base = base.join(near_hits, id_col, "left_anti")
+    w = Window.partitionBy("fingerprint")
+    survivors = (
+        base.withColumn("_keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep"))
+        .drop("_keep")
+        .localCheckpoint(eager=True)
+    )
+    if persisted is not None:
+        persisted.unpersist()
+    if update_store:
+        survivors.select(
+            F.col(id_col).alias("store_id"), "fingerprint", "bands", "hs"
+        ).write.mode("append").parquet(store_path)
+    return survivors.drop("bands", "hs")
 
 
 def minhash_table(
@@ -466,6 +587,7 @@ def simhash_dup_pairs(
     chunks: int = 4,
     cache: bool = True,
     max_candidates_per_doc: int = 64,
+    auto_widen: bool = True,
 ) -> DataFrame:
     """SimHash near-dup pairs via the chunk pigeonhole trick.
 
@@ -479,29 +601,80 @@ def simhash_dup_pairs(
     is the dominant cost and would otherwise run twice.  It is tiny:
     one id + one BIGINT per document.
 
-    SATURATION GUARD: each chunk has only ``2^(bits/chunks)`` possible
-    values, so once the corpus outgrows that space the equi-join
-    degrades toward all-pairs — expected candidates per doc ≈
-    ``chunks · n / 2^width``, quadratic total (measured: the default
-    8-bit chunks hang at ~50k docs).  The guard probes the corpus with
-    a short-circuiting ``limit(cap+1)`` and raises once the candidate
-    estimate exceeds ``max_candidates_per_doc``; remedies, in order:
-    lower ``max_hamming`` so fewer-but-wider chunks fit (e.g. ≤3 over
-    64 bits → 4×16-bit chunks → 65k values, good to ~1M docs), or use
-    :func:`minhash_dedup_pairs`, whose banded buckets scale with true
-    duplication instead of the hash-space size.
+    SATURATION GUARD + AUTO-WIDEN: each chunk has only
+    ``2^(bits/chunks)`` possible values, so once the corpus outgrows
+    that space the equi-join degrades toward all-pairs — expected
+    candidates per doc ≈ ``chunks · n / 2^width``, quadratic total
+    (measured: the default 8-bit chunks hang at ~50k docs).  The guard
+    probes the corpus with short-circuiting ``limit(cap+1)`` scans
+    (never a full count while a cap binds); past the configured cap it
+    AUTO-WIDENS instead of making the caller re-parameterize: 64-bit
+    signatures in progressively fewer, wider chunks
+    (``max_hamming+1`` → 4×16-bit → 2×32-bit), taking the first rung
+    whose value space fits the corpus.  A widened run computes a
+    DIFFERENT signature layout, so pair sets are not comparable
+    point-for-point across configs (SimHash similarity is
+    resolution-dependent by construction); and once the rung's chunk
+    count drops to ``max_hamming`` or below, the pigeonhole recall
+    guarantee narrows to distance ``chunks − 1`` — pairs between that
+    and ``max_hamming`` are still emitted when they happen to collide,
+    but are no longer guaranteed candidates.  Both are warned.  Pass
+    ``auto_widen=False`` to keep the hard error.  Corpora past every
+    rung raise, pointing at :func:`minhash_dedup_pairs`, whose banded
+    buckets scale with true duplication instead of the hash-space
+    size.
     """
-    width = bits // chunks
-    mask = (1 << width) - 1
-    cap = max(1, max_candidates_per_doc * (1 << width) // chunks)
-    if df.select(id_col).limit(cap + 1).count() > cap:
+    if chunks <= max_hamming:
         raise ValueError(
-            f"simhash pigeonhole saturated: > {cap} docs with"
-            f" {chunks}x{width}-bit chunks means ≳{max_candidates_per_doc}"
-            " candidates per doc (quadratic). Lower max_hamming (fewer,"
-            " wider chunks), raise bits, or use minhash_dedup_pairs at"
-            " this scale."
+            f"pigeonhole needs chunks > max_hamming ({chunks} <= {max_hamming}):"
+            " a pair may differ in every chunk and never collide; lower"
+            " max_hamming or raise chunks"
         )
+    import warnings
+
+    def _cap(width_: int, chunks_: int) -> int:
+        return max(1, max_candidates_per_doc * (1 << width_) // chunks_)
+
+    width = bits // chunks
+    # widen ladder: 64-bit signatures, full-recall rung first, then
+    # wider chunks that trade the guarantee horizon for capacity
+    ladder = []
+    if auto_widen:
+        for c in sorted({max_hamming + 1, 4, 2}, reverse=True):
+            if c >= 2 and 64 // c > width:
+                ladder.append((64 // c, c))
+    n_probe, probed = 0, -1  # probed = scan horizon; n_probe exact iff <= probed
+    for w_, c_ in [(width, chunks), *ladder]:
+        cap = _cap(w_, c_)
+        if probed < 0 or (n_probe > probed and cap > probed):
+            # progressive probe: extend only as far as this rung's cap
+            n_probe = df.select(id_col).limit(cap + 1).count()
+            probed = cap
+        if n_probe <= cap:
+            if (w_, c_) != (width, chunks):
+                guard = min(c_ - 1, max_hamming)
+                note = "" if guard == max_hamming else (
+                    f"; recall is guaranteed only to hamming <= {guard}"
+                    f" (best-effort beyond, up to {max_hamming})"
+                )
+                warnings.warn(
+                    f"simhash_dup_pairs: corpus exceeds the"
+                    f" {chunks}x{width}-bit chunk capacity; auto-widening"
+                    f" to {c_}x{w_}-bit chunks over 64-bit signatures."
+                    " Pair sets are not comparable across signature"
+                    f" layouts{note}.",
+                    stacklevel=2,
+                )
+                bits, chunks, width = 64, c_, w_
+            break
+    else:
+        raise ValueError(
+            f"simhash pigeonhole saturated: > {probed} docs even at the"
+            " widest 64-bit chunk layout means"
+            f" ≳{max_candidates_per_doc} candidates per doc (quadratic)."
+            " Use minhash_dedup_pairs at this scale."
+        )
+    mask = (1 << width) - 1
     st = simhash_table(df, id_col, text_col, bits=bits)
     if cache:
         st = st.persist()
@@ -830,6 +1003,16 @@ def embedding_dup_pairs(
         n_probe = df.select(id_col).limit(auto_brute_rows + 1).count()
         if n_probe <= auto_brute_rows:
             return _dup_pairs_numpy(u, id_col, threshold)
+        import warnings
+
+        warnings.warn(
+            f"embedding_dup_pairs: corpus exceeds {auto_brute_rows} rows;"
+            " auto strategy switches from exact all-pairs to approximate"
+            " IVF (multi-probe cell pairing). Pairs whose probe sets do"
+            " not intersect can be missed; pin strategy='broadcast_numpy'"
+            " for guaranteed-complete pairs (O(n²) compute).",
+            stacklevel=2,
+        )
         n = df.select(id_col).count()
         return _dup_pairs_ivf(
             u,

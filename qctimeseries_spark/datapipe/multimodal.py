@@ -480,6 +480,19 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return [float(x) for x in out[:dim]]
 
 
+def _spread(media: DataFrame, partitions: int | None) -> DataFrame:
+    """Repartition a media frame for a Python-heavy stage — only when
+    it is narrower than the target (``partitions`` or the session
+    default parallelism).  ``partitions=0`` skips unconditionally.
+    The width probe reads plan metadata, not data (no job)."""
+    if partitions == 0:
+        return media
+    n = partitions or media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() >= n:
+        return media
+    return media.repartition(n)
+
+
 def extract_features(
     media: DataFrame, *, dim: int = 16, batch_rows: int = 256,
     partitions: int | None = None,
@@ -501,10 +514,14 @@ def extract_features(
     handful of large files, and a single-partition ``mapInPandas``
     serializes the whole Python stage (benchmarked 4× slower at sf0.1).
     The shuffle moves the payload bytes once — worth it because the
-    Python decode step downstream is the bottleneck, not the shuffle.
+    Python decode step downstream is the bottleneck, not the shuffle —
+    but it is SKIPPED when the input already carries at least that
+    many partitions (e.g. the output of :func:`attach_media` over a
+    well-partitioned corpus): re-shuffling payload bytes that are
+    already spread out buys nothing.  ``partitions=0`` forces the
+    gate off entirely.
     """
-    n = partitions or media.sparkSession.sparkContext.defaultParallelism
-    media = media.repartition(n)
+    media = _spread(media, partitions)
 
     def row(media_id, modality, n_bytes, payload) -> dict:
         try:
@@ -599,10 +616,11 @@ def decode_media(
     them arithmetically from the document bytes).
 
     Same scale shape as :func:`extract_features`: repartition first so
-    the Python stage parallelizes, stream Arrow batches, never collect.
+    the Python stage parallelizes (skipped when the input is already
+    spread at least that wide; ``partitions=0`` disables), stream
+    Arrow batches, never collect.
     """
-    n = partitions or media.sparkSession.sparkContext.defaultParallelism
-    media = media.repartition(n)
+    media = _spread(media, partitions)
 
     def row(media_id, payload) -> dict:
         fmt = None

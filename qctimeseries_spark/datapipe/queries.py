@@ -198,7 +198,8 @@ sig AS (
 )"""
 
 
-def _band_sql(bands: int, rows: int) -> str:
+def _band_eb_sql(bands: int, rows: int) -> str:
+    """CTE eb(doc_id, band, h) — per-doc banded signature hashes."""
     h = hash60_sql(
         f"array_to_string(list_transform(list_slice(sig, band * {rows} + 1,"
         f" band * {rows} + {rows}), x -> CAST(x AS VARCHAR)), ',')"
@@ -207,7 +208,11 @@ def _band_sql(bands: int, rows: int) -> str:
 eb AS (
   SELECT doc_id, band, {h} AS h
   FROM sig, (SELECT unnest(range(0, {bands})) AS band) b
-),
+)"""
+
+
+def _band_sql(bands: int, rows: int) -> str:
+    return f"""{_band_eb_sql(bands, rows)},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM eb a JOIN eb b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
@@ -461,7 +466,14 @@ def q_d6_incremental_dedup(spark, sf_dir):
     copies of every 10th odd doc) dedups against it — re-crawls and
     store hits drop, within-batch dups keep the min id.  Each batch
     pays one anti-join, never a re-dedup of history.  The oracle is
-    the equivalent set algebra over both batches."""
+    the equivalent set algebra over both batches.
+
+    Both batches run EAGERLY here (dedup_against_store materializes
+    its result before the store append), so the driver's timed action
+    over the returned frame measures only the final projection; the
+    store is a per-invocation temp dir removed before returning —
+    the materialized survivors no longer reference it."""
+    import shutil
     import tempfile
 
     from qctimeseries_spark.datapipe.dedup import dedup_against_store
@@ -472,9 +484,50 @@ def q_d6_incremental_dedup(spark, sf_dir):
     recrawl = odd.filter(F.col("doc_id") % 10 == 1).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    store = tempfile.mkdtemp(prefix="qcts_fps_") + "/fingerprints"
-    dedup_against_store(even, store)  # batch 1 seeds the store
-    out = dedup_against_store(odd.unionByName(recrawl), store)
+    tmp = tempfile.mkdtemp(prefix="qcts_fps_")
+    try:
+        store = tmp + "/fingerprints"
+        dedup_against_store(even, store)  # batch 1 seeds the store
+        out = dedup_against_store(odd.unionByName(recrawl), store)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("doc_id", "fingerprint")
+
+
+def q_d7_incremental_neardup(spark, sf_dir):
+    """Incremental NEAR-dup ingestion: even-id docs seed a persistent
+    signature store (fingerprint + MinHash band hashes + shingle
+    hashes), then a second batch (odd docs ∪ boilerplate-drifted
+    re-crawls of every 6th doc — three appended tokens, which an
+    exact-fingerprint store cannot catch) dedups against it.  Drifted
+    re-crawls drop on a band collision verified at shingle-Jaccard
+    ≥ 0.6; fresh odd docs survive.  The oracle is the identical set
+    algebra — same MinHash family, same banding, same verification —
+    so both engines make the same (deterministic) LSH decisions.
+
+    Both batches run eagerly at construction (the store operators
+    materialize before appending); the store is a per-invocation temp
+    dir removed before returning."""
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.dedup import neardup_against_store
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    drift = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" crawled mirror banner")).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_nds_")
+    try:
+        store = tmp + "/signatures"
+        kw = dict(k=15, bands=5, ngram=3, threshold=0.6)
+        neardup_against_store(even, store, **kw)  # batch 1 seeds
+        out = neardup_against_store(odd.unionByName(drift), store, **kw)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return out.select("doc_id", "fingerprint")
 
 
@@ -700,6 +753,7 @@ DATAPIPE_QUERIES = {
     "t14_token_shards": q_t14_token_shards,
     "t15_psi": q_t15_psi,
     "d6_incremental_dedup": q_d6_incremental_dedup,
+    "d7_incremental_neardup": q_d7_incremental_neardup,
 }
 
 
@@ -1178,7 +1232,7 @@ WITH w AS (
 ),
 wc AS (SELECT w, COUNT(*) AS n FROM w GROUP BY w),
 p AS (
-  SELECT unnest(list_transform(range(1, CAST(strlen(w) AS INT)),
+  SELECT unnest(list_transform(range(1, CAST(length(w) AS INT)),
                                i -> substr(w, i, 2))) AS pair,
          n
   FROM wc
@@ -1285,4 +1339,55 @@ fresh AS (
 )
 SELECT MIN(doc_id) AS doc_id, fingerprint
 FROM fresh GROUP BY fingerprint""",
+    # d7: same MinHash family / banding / verification as the Spark
+    # operator, so both engines make identical (deterministic) LSH
+    # decisions — the oracle checks the SAME set algebra, not ground
+    # truth similarity
+    "d7_incremental_neardup": f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         concat(text, ' crawled mirror banner') AS text
+  FROM documents WHERE doc_id % 6 = 0
+),
+{_shingle_sql('corpus', 3)},
+{_minhash_sql(15)},
+{_band_eb_sql(5, 3)},
+jh AS (
+  SELECT doc_id, list_distinct(list_transform(s, x -> {hash60_sql('x')})) AS hs
+  FROM sh
+),
+fp AS (
+  SELECT doc_id, {hash60_sql(_NORM_TEXT)} AS fingerprint FROM corpus
+),
+seed AS (
+  SELECT MIN(doc_id) AS doc_id, fingerprint FROM fp
+  WHERE doc_id % 2 = 0 AND doc_id < 1000000 GROUP BY fingerprint
+),
+b2 AS (
+  SELECT doc_id, fingerprint FROM fp
+  WHERE (doc_id % 2 = 1 AND doc_id < 1000000) OR doc_id >= 1000000
+),
+x1 AS (
+  SELECT * FROM b2 WHERE fingerprint NOT IN (SELECT fingerprint FROM seed)
+),
+ncand AS (
+  SELECT DISTINCT n.doc_id AS id_new, s.doc_id AS id_old
+  FROM eb n JOIN eb s ON n.band = s.band AND n.h = s.h
+  WHERE n.doc_id IN (SELECT doc_id FROM x1)
+    AND s.doc_id IN (SELECT doc_id FROM seed)
+),
+nver AS (
+  SELECT DISTINCT ncand.id_new
+  FROM ncand
+  JOIN jh a ON a.doc_id = ncand.id_new
+  JOIN jh b ON b.doc_id = ncand.id_old
+  WHERE ROUND(CAST(len(list_filter(a.hs, x -> list_contains(b.hs, x))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.hs, b.hs))), 6) >= 0.6
+),
+x2 AS (
+  SELECT * FROM x1 WHERE doc_id NOT IN (SELECT id_new FROM nver)
+)
+SELECT MIN(doc_id) AS doc_id, fingerprint FROM x2 GROUP BY fingerprint""",
 }

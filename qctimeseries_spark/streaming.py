@@ -611,13 +611,21 @@ def cusum_stateful(
     computes the identical recurrence batch-side via its prefix-sum
     closed form.
 
-    State per key is three scalars; per-batch work is one bounded loop
-    over the key's new rows.  Feed integer-unit values (the ``a15``
-    discipline) and the running sums stay exact, so the drained stream
-    hashes bit-equal against the batch closed-form oracle.  NULL
-    values neither update state nor emit; rows at-or-before the
-    carried timestamp drop (in-order-per-key contract, as
-    :func:`ewma_stateful`).
+    State per key is four scalars; per-batch work is VECTORIZED — the
+    recurrence unrolls to its prefix-sum closed form seeded with the
+    carried state (``s⁺_i = max(s⁺_in + P_i, P_i − min_{k≤i} P_k)``
+    with ``P`` the cumulative excess — two numpy passes, no per-row
+    Python; a hot key delivering ~1M rows per micro-batch pays two
+    cumsum/extrema sweeps instead of ~1M interpreter iterations), and
+    for integer-unit inputs it is bit-identical to the sequential
+    fold.  Feed integer-unit values (the ``a15`` discipline) and the
+    running sums stay exact, so the drained stream hashes bit-equal
+    against the batch closed-form oracle.  NULL values contribute
+    nothing but EMIT with the key's carried statistics (matching the
+    batch operator, whose windowed sums ignore NULLs); rows before the
+    key's first non-NULL value emit NULL statistics with
+    ``cusum_alarm=false``.  Rows at-or-before the carried timestamp
+    drop (in-order-per-key contract, as :func:`ewma_stateful`).
     """
     import pandas as pd  # noqa: F401 — worker-side dependency
 
@@ -628,44 +636,66 @@ def cusum_stateful(
         f"{key_col} bigint, {id_col} bigint, "
         "cusum_pos double, cusum_neg double, cusum_alarm boolean"
     )
-    state_schema = "sp double, sn double, last_us bigint"
+    state_schema = "sp double, sn double, last_us bigint, nseen bigint"
 
     def fn(key, pdf_iter, state):
         import numpy as np
         import pandas as pd
 
-        sp, sn, last_us = state.get if state.exists else (0.0, 0.0, None)
+        sp, sn, last_us, nseen = (
+            state.get if state.exists else (0.0, 0.0, None, 0)
+        )
         frames = [pdf[[id_col, time_col, value_col]] for pdf in pdf_iter]
         if not frames:
             return
         pdf = pd.concat(frames).sort_values([time_col, id_col])
-        pdf = pdf[pdf[value_col].notna()]
         us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
         if last_us is not None:
             keep = us > last_us
             pdf, us = pdf[keep], us[keep]
         if len(pdf) == 0:
             return
-        v = pdf[value_col].to_numpy(dtype="float64")
-        pos = np.empty(len(v))
-        neg = np.empty(len(v))
-        for i in range(len(v)):
-            sp = max(0.0, sp + v[i] - hi)
-            sn = max(0.0, sn - (v[i] - lo))
-            pos[i], neg[i] = sp, sn
-        state.update((float(sp), float(sn), int(us[-1])))
-        out = {
-            key_col: key[0],
-            id_col: pdf[id_col].to_numpy(),
-            "cusum_pos": pos,
-            "cusum_neg": neg,
-        }
-        out["cusum_alarm"] = (
-            (pos > thr) | (neg > thr)
-            if thr is not None
-            else np.zeros(len(v), dtype=bool)
+        v = pdf[value_col].to_numpy(dtype="float64")  # NULL -> NaN
+        mask = ~np.isnan(v)
+        vv = v[mask]
+        pos = np.full(len(v), np.nan)
+        neg = np.full(len(v), np.nan)
+        if len(vv):
+            P = np.cumsum(vv - hi)
+            pos[mask] = np.maximum(sp + P, P - np.minimum.accumulate(P))
+            M = np.cumsum(vv - lo)
+            neg[mask] = np.maximum(sn - M, np.maximum.accumulate(M) - M)
+            sp = float(pos[mask][-1])
+            sn = float(neg[mask][-1])
+        # NULL-value rows carry the statistic through (batch: windowed
+        # sums ignore NULLs); before the key's first observation the
+        # carried statistic is itself NULL
+        pos = pd.Series(pos).ffill().to_numpy()
+        neg = pd.Series(neg).ffill().to_numpy()
+        if nseen > 0:
+            pos = np.where(np.isnan(pos), sp, pos)
+            neg = np.where(np.isnan(neg), sn, neg)
+        state.update((sp, sn, int(us[-1]), int(nseen + len(vv))))
+        out = pd.DataFrame(
+            {
+                key_col: key[0],
+                id_col: pdf[id_col].to_numpy(),
+                # NaN must land as SQL NULL, not double NaN: route the
+                # stat columns through object dtype with None holes
+                "cusum_pos": pd.Series(pos, dtype=object).where(
+                    ~np.isnan(pos), None
+                ),
+                "cusum_neg": pd.Series(neg, dtype=object).where(
+                    ~np.isnan(neg), None
+                ),
+                "cusum_alarm": (
+                    (pos > thr) | (neg > thr)  # NaN compares False,
+                    if thr is not None  # matching batch coalesce(false)
+                    else np.zeros(len(v), dtype=bool)
+                ),
+            }
         )
-        yield pd.DataFrame(out)
+        yield out
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -694,11 +724,17 @@ def ewma_stateful(
     :func:`~qctimeseries_spark.windows.ewma`.
 
     State per key is two scalars (current smoothed value, last event
-    time); per-batch work is one bounded loop over the key's new rows.
-    NULL values neither update state nor emit; rows at-or-before the
-    carried timestamp drop, so on in-order-per-key streams the output
-    equals the batch per-key sequential fold (the oracle).  Emitted
-    values round to 6 dp for cross-engine comparison stability.
+    time); per-batch work is VECTORIZED — the affine recurrence runs
+    through pandas ``ewm(adjust=False)`` (C loop) seeded by prepending
+    the carried state as a virtual first observation, which is
+    bit-identical to the per-row Python fold (same ``α·v + (1−α)·s``
+    product pair per step; verified in tests), so a hot key delivering
+    ~1M rows per micro-batch pays one C sweep instead of ~1M
+    interpreter iterations.  NULL values neither update state nor
+    emit; rows at-or-before the carried timestamp drop, so on
+    in-order-per-key streams the output equals the batch per-key
+    sequential fold (the oracle).  Emitted values round to 6 dp for
+    cross-engine comparison stability.
     """
     import pandas as pd  # noqa: F401 — worker-side dependency
 
@@ -726,11 +762,19 @@ def ewma_stateful(
         if len(pdf) == 0:
             return
         v = pdf[value_col].to_numpy(dtype="float64")
-        out = np.empty(len(v))
-        cur = s
-        for i in range(len(v)):
-            cur = v[i] if cur is None else alpha * v[i] + one_minus * cur
-            out[i] = cur
+        # seeded affine fold: ewm(adjust=False) computes the identical
+        # (1−α)·s + α·v product pair per step, so prepending the carried
+        # state as a virtual first sample reproduces the sequential
+        # recurrence bit-for-bit in one C pass (one_minus kept for the
+        # docstring contract; the C path multiplies by the same value)
+        seed = np.empty(0) if s is None else np.array([s], dtype="float64")
+        out = (
+            pd.Series(np.concatenate([seed, v]))
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .to_numpy()[len(seed):]
+        )
+        cur = out[-1]
         state.update((float(cur), int(us[-1])))
         # round-half-away mirrors SQL ROUND (np.round is half-to-even,
         # which diverges at the exact halves dyadic alphas produce)

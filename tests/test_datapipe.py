@@ -105,12 +105,38 @@ def test_lsh_candidates_exclude_dissimilar(docs):
 
 
 def test_simhash_pairs(docs):
+    # chunks must exceed max_hamming (pigeonhole) — 8x4-bit over 32 bits
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in simhash_dup_pairs(docs, max_hamming=6).collect()
+        for r in simhash_dup_pairs(docs, max_hamming=6, chunks=8).collect()
     }
     assert pairs.get((0, 3)) == 0  # identical token sets
     assert (0, 1) in pairs
+
+
+def test_simhash_rejects_broken_pigeonhole(docs):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole needs chunks"):
+        simhash_dup_pairs(docs, max_hamming=6)  # default chunks=4
+
+
+def test_simhash_auto_widens_past_saturation(docs):
+    import warnings as _warnings
+
+    # cap for 8x4-bit at budget 1 is 2 docs; the fixture's 6 trip it and
+    # the operator should widen to 4x16-bit (cap 16k) instead of raising
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_dup_pairs(
+                docs, bits=32, max_hamming=3, chunks=8,
+                max_candidates_per_doc=1,
+            ).collect()
+        }
+    assert any("auto-widening" in str(w.message) for w in rec)
+    assert (0, 3) in pairs  # identical token sets always collide
 
 
 def test_cosine_identity(vectors):
@@ -662,9 +688,11 @@ def test_simhash_saturation_guard(docs, spark):
     from qctimeseries_spark.datapipe.dedup import simhash_dup_pairs
 
     # 4-bit chunks + tiny budget -> cap of 2 docs; the fixture's 6 trip it
+    # (auto_widen off keeps the hard error)
     with pytest.raises(ValueError, match="saturated"):
         simhash_dup_pairs(docs, bits=32, max_hamming=7, chunks=8,
-                          max_candidates_per_doc=1).collect()
+                          max_candidates_per_doc=1,
+                          auto_widen=False).collect()
     # the d3 config at oracle scale stays under the default budget
     assert simhash_dup_pairs(
         docs, bits=64, max_hamming=7, chunks=8
@@ -722,3 +750,50 @@ def test_dedup_against_store_incremental_and_idempotent(spark, tmp_path):
     b3 = spark.createDataFrame([(20, "iota kappa")], "doc_id long, text string")
     assert dedup_against_store(b3, store, update_store=False).count() == 1
     assert dedup_against_store(b3, store, update_store=False).count() == 1
+
+
+def test_neardup_against_store_catches_drifted_recrawls(spark, tmp_path):
+    """The band store drops near-identical re-crawls that sail past an
+    exact-fingerprint store, keeps genuinely new docs, and stays
+    idempotent on replay."""
+    from qctimeseries_spark.datapipe import neardup_against_store
+
+    store = str(tmp_path / "sigs")
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew strong potions at midnight under pale moonlight"
+    )
+    other = (
+        "completely different subject matter entirely unrelated words "
+        "describing ocean currents tides reefs coral fish plankton"
+    )
+    kw = dict(k=15, bands=5, ngram=3, threshold=0.6)
+    b1 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    s1 = neardup_against_store(b1, store, **kw)
+    assert {r.doc_id for r in s1.collect()} == {1, 2}
+    assert "fingerprint" in s1.columns
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),                           # exact re-crawl
+            (11, base + " crawled mirror 2026"),  # boilerplate drift
+            (12, "fresh new document about trains and stations and "
+                 "signals and bridges and long slow freight journeys"),
+        ],
+        "doc_id long, text string",
+    )
+    s2 = neardup_against_store(b2, store, **kw)
+    assert {r.doc_id for r in s2.collect()} == {12}
+    # replaying batch 2 against the updated store is a no-op
+    assert neardup_against_store(b2, store, **kw).count() == 0
+    # the exact-only store would have kept the drifted copy
+    from qctimeseries_spark.datapipe import dedup_against_store
+
+    exact_store = str(tmp_path / "fps")
+    dedup_against_store(b1, exact_store)
+    kept_exact = {
+        r.doc_id for r in dedup_against_store(b2, exact_store).collect()
+    }
+    assert 11 in kept_exact
