@@ -54,9 +54,35 @@ EXTENDED = [
     "m3_media_decode",
     "t12_bpe_pairs",
     "a15_cusum",
+    # round-5 additions: stateful streaming + incremental stores
+    "st9_stream_asof",
+    "st10_stream_cusum",
+    "d6_incremental_dedup",
+    "d7_incremental_neardup",
 ]
 
 HEADLINE = CORE + EXTENDED
+
+
+def _calibrate(spark) -> float:
+    """Fixed synthetic workload timed at bench start: a constant-size
+    JVM-side hash+aggregate over ``range(2^26)``.  Identical plan every
+    round, so its time moves only with HOST speed — cross-round query
+    ratios divide by it to cancel host drift (three rounds of bench
+    deltas were host-confounded before this existed; see
+    BENCHNOTES.md §1).  Best-of-3."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        # mask before summing: a raw Σ xxhash64 overflows int64 under
+        # ANSI mode
+        spark.range(1 << 26).select(
+            F.sum(F.xxhash64("id").bitwiseAND(F.lit(0xFFFF))).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
 
 
 def main() -> int:
@@ -81,6 +107,9 @@ def main() -> int:
     spark.range(cores * 10).repartition(cores).mapInPandas(
         _ident, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    calibration = _calibrate(spark)
+    print(f"# calibration: {calibration}s", file=sys.stderr)
 
     # best-of-N per query: this host sees multi-second external load
     # bursts (measured 10x swings on identical plans); the minimum is
@@ -125,6 +154,9 @@ def main() -> int:
                     sum(times[q] for q in EXTENDED if q in times), 3
                 ),
                 "all_total": round(sum(times.values()), 3),
+                # host-drift normalizer: divide cross-round query times
+                # by the calibration ratio before comparing
+                "calibration": calibration,
             }
         )
     )

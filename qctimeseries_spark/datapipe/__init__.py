@@ -49,6 +49,7 @@ from qctimeseries_spark.datapipe.similarity import (
 )
 from qctimeseries_spark.datapipe.text import (
     bpe_pair_counts,
+    bpe_train,
     contamination_check,
     fingerprint,
     lang_id,
@@ -66,6 +67,7 @@ __all__ = [
     "dup_clusters",
     "assign_token_shards",
     "bpe_pair_counts",
+    "bpe_train",
     "hash_sample",
     "mixture_weights",
     "population_stability",

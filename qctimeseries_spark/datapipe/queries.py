@@ -494,6 +494,59 @@ def q_d6_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "fingerprint")
 
 
+def q_t16_bpe_merges(spark, sf_dir):
+    """Full (bounded) BPE trainer: 10 iterated merges over the corpus
+    vocabulary, deterministic tie-break (count desc, pair asc).  The
+    oracle unrolls the identical merge loop as chained CTEs — same
+    single-character symbol encoding, same private-use codepoints for
+    minted symbols, same left-to-right non-overlapping replace — so
+    the merge SEQUENCE itself is what the hash pins."""
+    from qctimeseries_spark.datapipe.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=10)
+
+
+def _bpe_merges_sql(n: int) -> str:
+    """DuckDB mirror of :func:`bpe_train`: the merge loop unrolled to
+    ``n`` CTE stages (pair count → argmax → replace), token surfaces
+    decoded by substituting each minted private-use symbol with its
+    (already fully decoded) predecessor token."""
+    toks = _TOKS.format(c="text")
+    # MATERIALIZED: each stage is referenced several times downstream
+    # (scalar subqueries + the next vocabulary) — without it DuckDB
+    # inlines the chain and evaluation doubles per merge
+    parts = [
+        f"w0 AS (SELECT unnest({toks}) AS w FROM documents)",
+        "v0 AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM w0 GROUP BY w)",
+    ]
+    for i in range(n):
+        parts.append(
+            f"p{i} AS (SELECT unnest(list_transform("
+            f"range(1, CAST(length(w) AS INT)), j -> substr(w, j, 2)))"
+            f" AS pair, n FROM v{i})"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT pair, CAST(SUM(n) AS BIGINT)"
+            f" AS cnt FROM p{i} GROUP BY pair ORDER BY cnt DESC, pair"
+            f" LIMIT 1)"
+        )
+        tok = "pair"
+        for j in range(i - 1, -1, -1):
+            tok = f"replace({tok}, chr({0xE000 + j}), (SELECT token FROM m{j}))"
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT {i} AS merge_rank, pair,"
+            f" {tok} AS token, cnt AS n_occurrences FROM b{i})"
+        )
+        if i + 1 < n:
+            parts.append(
+                f"v{i + 1} AS MATERIALIZED (SELECT replace(w,"
+                f" (SELECT pair FROM b{i}), chr({0xE000 + i})) AS w, n"
+                f" FROM v{i})"
+            )
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(n))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
 def q_d7_incremental_neardup(spark, sf_dir):
     """Incremental NEAR-dup ingestion: even-id docs seed a persistent
     signature store (fingerprint + MinHash band hashes + shingle
@@ -754,6 +807,7 @@ DATAPIPE_QUERIES = {
     "t15_psi": q_t15_psi,
     "d6_incremental_dedup": q_d6_incremental_dedup,
     "d7_incremental_neardup": q_d7_incremental_neardup,
+    "t16_bpe_merges": q_t16_bpe_merges,
 }
 
 
@@ -1390,4 +1444,5 @@ x2 AS (
   SELECT * FROM x1 WHERE doc_id NOT IN (SELECT id_new FROM nver)
 )
 SELECT MIN(doc_id) AS doc_id, fingerprint FROM x2 GROUP BY fingerprint""",
+    "t16_bpe_merges": _bpe_merges_sql(10),
 }

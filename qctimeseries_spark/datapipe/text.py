@@ -182,6 +182,91 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: first Unicode private-use codepoint — merged BPE symbols are minted
+#: from here so every symbol stays exactly ONE character and pair
+#: merging is a plain 2-char → 1-char string replace (no boundary
+#: markers, no overlap hazards) in any engine
+BPE_PUA_BASE = 0xE000
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", *, n_merges: int = 10):
+    """Iterated BPE merge training over the corpus vocabulary: returns
+    the merge table ``(merge_rank, pair, token, n_occurrences)`` —
+    ``pair`` is the winning adjacent symbol pair at that rank, ``token``
+    its fully decoded surface string, ``n_occurrences`` its
+    frequency-weighted count at selection time.  Ties break
+    deterministically (count desc, then pair asc in binary UTF-8
+    order), so the merge sequence is reproducible cross-engine.
+
+    Symbol representation: every symbol is exactly one character —
+    initial symbols are the word's characters, and each merge mints a
+    fresh private-use codepoint (``chr(BPE_PUA_BASE + rank)``).  Pair
+    counting is then the adjacent-2-char enumeration of
+    :func:`bpe_pair_counts`, and applying a merge is a plain
+    left-to-right non-overlapping string ``replace`` — the exact greedy
+    BPE merge semantics — with no symbol-boundary markers to corrupt
+    (Java and DuckDB ``replace`` agree on overlapping runs: ``aaa``
+    with pair ``aa`` → ``Xa``).
+
+    Scale shape: the corpus is touched ONCE (token explode → word-count
+    shuffle); every merge iteration runs over the VOCABULARY (distinct
+    words) only — one pair aggregation + a 1-row argmax collect + one
+    narrow ``replace`` projection, each round persisted and the prior
+    round released so the plan stays O(1) deep.  Driver state is the
+    merge list itself (``n_merges`` rows).  At 100 TB the vocabulary
+    is millions of rows, not billions — the per-iteration cost is
+    independent of corpus size.
+    """
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    if n_merges > 0x700:  # stay inside the BMP private-use area
+        raise ValueError("n_merges exceeds the private-use symbol budget")
+    spark = df.sparkSession
+    w = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("n_words")).persist()
+    decoded: dict[str, str] = {}
+    merges: list[tuple[int, str, str, int]] = []
+    prev = vocab
+    try:
+        for rank in range(n_merges):
+            pairs = prev.select(
+                F.explode(
+                    F.expr(
+                        "IF(length(w) < 2, array(),"
+                        " transform(sequence(1, length(w) - 1),"
+                        " i -> substr(w, i, 2)))"
+                    )
+                ).alias("pair"),
+                "n_words",
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("n_words").cast("long").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, cnt = best[0]["pair"], best[0]["cnt"]
+            sym = chr(BPE_PUA_BASE + rank)
+            token = "".join(decoded.get(c, c) for c in pair)
+            decoded[sym] = token
+            merges.append((rank, pair, token, cnt))
+            nxt = prev.withColumn(
+                "w", F.replace(F.col("w"), F.lit(pair), F.lit(sym))
+            ).persist()
+            nxt.count()  # materialize before releasing the parent
+            prev.unpersist()
+            prev = nxt
+    finally:
+        prev.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, pair string, token string, n_occurrences long",
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
     lowercased text — the exact-dedup key."""

@@ -1174,46 +1174,49 @@ QUERIES.update(
     }
 )
 
-# The driver harness checks at most the FIRST 50 registry entries, so
-# thin variants of already-checked plans are deferred to the tail to
-# keep every distinct operator family inside the hard-correctness
-# window.  Deferred entries still run in pytest and in the local oracle
-# replica (tools/check_correctness.py):
-#   u4  = u2's guarded-window update with value 0 instead of -2
-#   w4  = w3 with include=None (one filter removed)
-#   p2  = bare two-column projection (exercised implicitly everywhere)
-#   v6  = v1 with hide_flagged=False (one filter removed)
-#   d4  = d2's LSH machinery with different banding, no threshold
-#   p5  = p4's mask with cut at flag<1 instead of flag<0
-#   u3  = u6's second phase standalone (same predicate and overlay)
-#   v3  = v2 with flag<=-2 instead of flag==1 (same plan, one constant)
-#   f5  = ISO render, exercised inside s1's CSV roundtrip formatting
-#   a4  = bare min(t), computed inside every windowed query's anchor
-#   u5  = u4 without the window scope (same guarded overlay)
-#   v2  = window slice + flag==1 filter; the P8 flag-class predicate
-#         keeps a driver row via p8_flag_class_filters, and v1/v4/v5
-#         keep the window-slice plan in-window.  Deferred in round 3 to
-#         make room for the composed curation pipeline (c2_curate).
-#   t5  = rolling-hash fingerprint; the same hash machinery stays
-#         driver-checked via d1 (exact-dedup fingerprints) and c2.
-#         Deferred in round 4 for the real-decode query m3_media_decode.
-_DEFERRED = (
-    "u5_reset_all",
-    "u4_reset_window",
-    "w4_viewer_windows",
-    "p2_projection",
-    "v6_viewer_slice",
-    "d4_ngram_jaccard",
-    "p5_strict_clean",
-    "u3_approve_window",
-    "v3_flagged_overlay",
+# The driver harness hash-checks at most the FIRST 50 registry
+# entries; every entry outside that window is still checked by pytest
+# and the local oracle replica (tools/check_correctness.py), but only
+# window entries get the driver's independent hash verdict.  To keep
+# that verdict honest across a registry ~2x the window, the window
+# ROTATES each round: this round's explicit window promotes every
+# entry that has never (or not recently) held a driver slot, plus the
+# minimum keepers whose family has no other representative (s/h/m/x/c
+# live only in the round-4 window).  Round 6 should rotate back to
+# roughly the round-4 window (the current tail) so every query gets a
+# driver verdict within ~2 rounds.  The family-coverage guard
+# (tests/test_example.py) enforces that no family ever leaves the
+# window.
+_WINDOW_R5 = (
+    # QC core rotations (thin-variant siblings of round-4 entries)
     "f5_iso_export",
-    "a4_anchor",
-    "v2_approved_overlay",
-    "t5_fingerprint",
+    "u3_approve_window", "u4_reset_window", "u5_reset_all",
+    "p2_projection", "p5_strict_clean",
+    "v2_approved_overlay", "v3_flagged_overlay", "v6_viewer_slice",
+    "w4_viewer_windows", "a4_anchor", "t5_fingerprint",
+    # never-window-checked time-series / relational / streaming ops
+    "w9_regularize", "w10_ffill", "w11_interpolate", "w12_resample",
+    "w13_regularize_by_key",
+    "a9_percentiles", "a10_rolling_outliers", "a11_qc_rules",
+    "a12_rolling_by_key", "a13_progress_by_window", "a14_ewma",
+    "a15_cusum",
+    "j2_range_join", "j3_asof_forward",
+    "t9_sessionize_salted",
+    "st4_session_windows", "st5_stream_enrich", "st6_stream_anomalies",
+    "st7_stream_resample", "st8_stream_ewma", "st9_stream_asof",
+    "st10_stream_cusum",
+    # never-window-checked datapipe ops (incl. this round's d7/t16)
+    "t10_token_budget", "t11_split", "t12_bpe_pairs", "t13_mixture",
+    "t14_token_shards", "t15_psi", "t16_bpe_merges",
+    "d4_ngram_jaccard", "d6_incremental_dedup", "d7_incremental_neardup",
+    # family keepers (sole in-registry representatives outside the
+    # round-4 window set: s, h, m, x, c)
+    "s4_parquet_roundtrip", "h5_nation_revenue", "m3_media_decode",
+    "x2_knn_ivf", "c1_dup_clusters", "c2_curate",
 )
-QUERIES = {k: v for k, v in QUERIES.items() if k not in _DEFERRED} | {
-    k: QUERIES[k] for k in _DEFERRED
+assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R5} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R5
 }
 
 ORACLE = {

@@ -797,3 +797,28 @@ def test_neardup_against_store_catches_drifted_recrawls(spark, tmp_path):
         r.doc_id for r in dedup_against_store(b2, exact_store).collect()
     }
     assert 11 in kept_exact
+
+
+def test_bpe_train_merge_sequence(spark):
+    """Hand-checked 3-merge sequence incl. tie-breaks and a minted
+    symbol participating in a later merge (token decode)."""
+    from qctimeseries_spark.datapipe.text import BPE_PUA_BASE, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        "doc_id long, text string",
+    )
+    out = [tuple(r) for r in bpe_train(df, n_merges=3).collect()]
+    # rank 0: 'lo' and 'ow' tie at 6, pair-asc picks 'lo'
+    # rank 1: '<sym0>w' (= 'low') at 6 beats ne/ew at 3
+    # rank 2: 'ew' and 'ne' tie at 3, pair-asc picks 'ew'
+    assert out == [
+        (0, "lo", "lo", 6),
+        (1, chr(BPE_PUA_BASE) + "w", "low", 6),
+        (2, "ew", "ew", 3),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(df, n_merges=0)

@@ -37,8 +37,15 @@ def test_driver_window_covers_every_family():
     missing = FAMILIES - in_window
     assert not missing, (
         f"families {sorted(missing)} fell out of the driver's 50-entry"
-        f" hard-check window — reorder the registry (see _DEFERRED)"
+        f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
+    # round-5 rotation: this round's new operators and a sample of the
+    # previously never-window-checked entries hold driver slots
+    window = set(names[:50])
+    assert {
+        "d7_incremental_neardup", "t16_bpe_merges", "st10_stream_cusum",
+        "a14_ewma", "u4_reset_window", "w11_interpolate",
+    } <= window
 
 
 #: plan-shape pins for the bench headline set, measured at sf0.001.
