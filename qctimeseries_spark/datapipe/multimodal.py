@@ -8,12 +8,16 @@ involvement.  Header understanding is real: :func:`parse_media` walks
 PNG chunks (IHDR width/height), JPEG segments (SOF0/SOF2 dimensions),
 RIFF/WAVE chunks (fmt sample-rate → duration), and MP4 boxes (mvhd
 timescale/duration) with nothing beyond ``struct``/``zlib``.  Payload
-DECODE is real wherever the stdlib suffices: PNG IDAT is a genuine
+DECODE is real wherever pure Python suffices: PNG IDAT is a genuine
 zlib stream (built by :func:`_zlib_stored`, inflated by
-``zlib.decompress``) and WAV data is PCM16 (``struct`` unpack to
-signed samples) — see :func:`_decode_payload` / :func:`decode_media`.
-JPEG entropy decode and MP4 demux genuinely need codec libraries this
-container doesn't ship and stay gated; the deterministic
+``zlib.decompress``), WAV data is PCM16 (``struct`` unpack to signed
+samples), and JPEG is a REAL baseline codec — :func:`encode_jpeg_dc`
+emits standard-Huffman entropy-coded DC-tier grayscale images and
+:func:`decode_jpeg` rebuilds Huffman tables from the file's DHT
+segments, entropy-decodes (DC prediction, sign extension, AC run/size
+with ZRL/EOB), dequantizes, and runs the full 8x8 floating-point IDCT.
+Only the MP4 elementary-stream decode genuinely needs codec libraries
+this container doesn't ship and stays gated; the deterministic
 :func:`_fake_features` stands in for the embedding tier and nothing
 else.
 
@@ -190,6 +194,341 @@ def build_wav(sample_rate: int, channels: int, content: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# ---------------------------------------------------------------------------
+# real baseline JPEG codec (DC-quantized grayscale; ITU T.81)
+# ---------------------------------------------------------------------------
+
+#: standard luminance Huffman tables (ITU T.81 Annex K.3) — written into
+#: every encoded file's DHT segments and re-built from bytes by the
+#: decoder, which never consults these constants.
+JPEG_DC_COUNTS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+JPEG_DC_SYMBOLS = tuple(range(12))
+JPEG_AC_COUNTS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+JPEG_AC_SYMBOLS = tuple(
+    int(h, 16)
+    for h in (
+        "01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07 22 71 14 32 81 91"
+        " a1 08 23 42 b1 c1 15 52 d1 f0 24 33 62 72 82 09 0a 16 17 18 19 1a"
+        " 25 26 27 28 29 2a 34 35 36 37 38 39 3a 43 44 45 46 47 48 49 4a 53"
+        " 54 55 56 57 58 59 5a 63 64 65 66 67 68 69 6a 73 74 75 76 77 78 79"
+        " 7a 83 84 85 86 87 88 89 8a 92 93 94 95 96 97 98 99 9a a2 a3 a4 a5"
+        " a6 a7 a8 a9 aa b2 b3 b4 b5 b6 b7 b8 b9 ba c2 c3 c4 c5 c6 c7 c8 c9"
+        " ca d2 d3 d4 d5 d6 d7 d8 d9 da e1 e2 e3 e4 e5 e6 e7 e8 e9 ea f1 f2"
+        " f3 f4 f5 f6 f7 f8 f9 fa"
+    ).split()
+)
+
+#: zigzag scan order: natural (row-major) coefficient index for each
+#: scan position
+JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: uniform quantization step: q=8 makes a DC-only block decode to the
+#: exact integer ``128 + qdc`` (IDCT of a lone F00 is F00/8 everywhere)
+JPEG_QUANT = 8
+
+
+def _huff_canonical(counts, symbols) -> dict:
+    """symbol -> (code, length) under canonical JPEG code assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing; pads the
+    final partial byte with ZERO bits (decoders ignore pad content;
+    zero-padding keeps the stream 0xFF-free by construction, so the
+    byte length stays a closed-form function of the code lengths)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = self.nbits = 0
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc << (8 - self.nbits))
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+def _dht_segment(tc_th: int, counts, symbols) -> bytes:
+    data = bytes([tc_th]) + bytes(counts) + bytes(symbols)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(data)) + data
+
+
+def _jpeg_dc_header(width: int, height: int) -> bytes:
+    """Everything before the entropy-coded data: SOI, DQT (uniform q=8),
+    both standard DHTs, SOF0 (8-bit grayscale), SOS."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(
+        [JPEG_QUANT] * 64
+    )
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 11, 8, height, width, 1)
+        + bytes([1, 0x11, 0])
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + dqt
+        + _dht_segment(0x00, JPEG_DC_COUNTS, JPEG_DC_SYMBOLS)
+        + _dht_segment(0x10, JPEG_AC_COUNTS, JPEG_AC_SYMBOLS)
+        + sof
+        + sos
+    )
+
+
+#: fixed byte count of header + EOI around the entropy segment —
+#: asserted against the real builder in tests, mirrored by the oracles
+JPEG_DC_OVERHEAD = len(_jpeg_dc_header(8, 8)) + 2
+
+
+def encode_jpeg_dc(width: int, height: int, qdcs) -> bytes:
+    """REAL baseline JPEG encoder for DC-quantized grayscale images:
+    each 8x8 block carries one quantized DC coefficient (its pixels all
+    decode to ``128 + qdc``) and an empty AC spectrum (EOB).  Emits
+    standard Annex K Huffman tables, a uniform q=8 DQT, SOF0, and a
+    genuinely entropy-coded scan: DC differences Huffman-coded with
+    sign-extension bits, one EOB per block — any conforming baseline
+    decoder reconstructs the image.
+
+    ``width``/``height`` must be multiples of 8 (no partial-block crop
+    in the DC tier); ``qdcs`` supplies one value in [-16, 15] per block
+    in raster block order.
+    """
+    if width % 8 or height % 8 or width <= 0 or height <= 0:
+        raise ValueError("DC-tier JPEG needs positive multiple-of-8 dims")
+    nb = (width // 8) * (height // 8)
+    qdcs = list(qdcs)
+    if len(qdcs) != nb:
+        raise ValueError(f"need {nb} DC values, got {len(qdcs)}")
+    if any(not -16 <= q <= 15 for q in qdcs):
+        raise ValueError("quantized DC out of [-16, 15]")
+    dc_codes = _huff_canonical(JPEG_DC_COUNTS, JPEG_DC_SYMBOLS)
+    eob_code, eob_len = _huff_canonical(JPEG_AC_COUNTS, JPEG_AC_SYMBOLS)[0x00]
+    w = _BitWriter()
+    prev = 0
+    for q in qdcs:
+        d = q - prev
+        prev = q
+        s = abs(d).bit_length()
+        code, length = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(d if d > 0 else d + (1 << s) - 1, s)
+        w.write(eob_code, eob_len)
+    return _jpeg_dc_header(width, height) + w.finish() + b"\xff\xd9"
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing applied up front."""
+
+    def __init__(self, data: bytes):
+        self.data = data.replace(b"\xff\x00", b"\xff")
+        self.pos = 0  # bit position
+
+    def read_bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted")
+        bit = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """DC/AC magnitude bits -> signed value (T.81 F.2.2.1 EXTEND)."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_IDCT_BASIS = None
+
+
+def _idct_basis():
+    """64x64 IDCT basis: pixel(y,x) = basis[y*8+x] . F (natural order)."""
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import numpy as np
+
+        m = np.zeros((64, 64))
+        for y in range(8):
+            for x in range(8):
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        m[y * 8 + x, v * 8 + u] = (
+                            0.25 * cu * cv
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+        _IDCT_BASIS = m
+    return _IDCT_BASIS
+
+
+def decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decoder (single-component 8-bit, the subset
+    the encoder above and common grayscale files use): walks the
+    segments, rebuilds the Huffman tables FROM THE FILE's DHT segments,
+    entropy-decodes every block (DC prediction + sign extension, AC
+    run/size with ZRL and EOB), dequantizes against the file's DQT, and
+    runs a full 8x8 floating-point IDCT with level shift and clamping.
+
+    Returns ``{"width", "height", "pixels"}`` with ``pixels`` the
+    row-major ``bytes`` of the reconstructed image (cropped to the SOF
+    dimensions).  Raises ``ValueError`` on anything malformed —
+    callers map that to ``decoded=false``.
+    """
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_tq = None
+    pos = 2
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit DQT unsupported")
+                quant[tq] = list(data[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                counts = list(data[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = list(data[i + 17 : i + 17 + n])
+                table = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = symbols[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack(
+                ">BHHB", data[:6]
+            )
+            if precision != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component JPEG decoded")
+            comp_tq = data[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 decoded")
+        elif marker == 0xDA:  # SOS
+            if payload[-2:] != b"\xff\xd9":
+                raise ValueError("JPEG missing EOI")
+            ns = data[0]
+            if ns != 1:
+                raise ValueError("only single-component scans decoded")
+            td, ta = data[2] >> 4, data[2] & 0xF
+            scan = (td, ta)
+            entropy = payload[pos + 2 + seg_len : -2]
+            break
+        pos += 2 + seg_len
+    if scan is None or width is None or comp_tq not in quant:
+        raise ValueError("JPEG missing SOS/SOF/DQT")
+    td, ta = scan
+    if (0, td) not in huff or (1, ta) not in huff:
+        raise ValueError("JPEG missing DHT")
+    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+    q = quant[comp_tq]
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    reader = _BitReader(entropy)
+    coeffs = np.zeros((bw * bh, 64))
+    dc = 0
+    for b in range(bw * bh):
+        s = _huff_decode(reader, dc_tab)
+        dc += _extend(reader.read_bits(s), s)
+        coeffs[b, 0] = dc * q[0]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(reader, ac_tab)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL: 16 zeros
+                k += 16
+                continue
+            k += rs >> 4
+            size = rs & 0xF
+            if k > 63 or size == 0:
+                raise ValueError("bad JPEG AC run/size")
+            coeffs[b, JPEG_ZIGZAG[k]] = _extend(
+                reader.read_bits(size), size
+            ) * q[k]
+            k += 1
+    blocks = coeffs @ _idct_basis().T  # (nb, 64) pixel values
+    img = np.empty((bh * 8, bw * 8))
+    for b in range(bw * bh):
+        by, bx = divmod(b, bw)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blocks[b].reshape(
+            8, 8
+        )
+    pixels = np.clip(np.floor(img + 128.5), 0, 255).astype(np.uint8)
+    return {
+        "width": width,
+        "height": height,
+        "pixels": pixels[:height, :width].tobytes(),
+    }
+
+
 def build_mp4(timescale: int, duration_units: int, content: bytes) -> bytes:
     """Minimal ISO-BMFF: ftyp + moov(mvhd v0 with timescale/duration) +
     mdat holding ``content``."""
@@ -355,16 +694,37 @@ def media_fmt(media_id: int) -> str:
     return "wav" if media_id % 3 == 1 else "mp4"
 
 
+def jpeg_dims(media_id: int) -> tuple[int, int]:
+    """Synthetic JPEG dimensions: multiples of 8 (the DC tier carries
+    no partial-block crop), wheel-derived from the id."""
+    return 8 * (1 + media_id % 6), 8 * (1 + (media_id * 7) % 5)
+
+
+def jpeg_qdc(media_id: int, block: int) -> int:
+    """Per-block quantized DC value wheel: block pixel value decodes to
+    ``128 + qdc`` ∈ [116, 123] — deliberately ASCII-range so the DuckDB
+    oracle can rebuild the exact pixel string for the feature hash."""
+    return -(5 + (media_id + 3 * block) % 8)
+
+
 def build_payload(media_id: int, text: str) -> bytes:
     """Wrap a document's UTF-8 bytes in a real container whose header
-    metadata is a pure function of the id (mirrored by the oracle)."""
+    metadata is a pure function of the id (mirrored by the oracle).
+    JPEG payloads carry no text: they are REAL entropy-coded DC-tier
+    images (:func:`encode_jpeg_dc`) whose pixel content is itself a
+    pure function of the id."""
     content = text.encode("utf-8")
     fmt = media_fmt(media_id)
-    if fmt == "png" or fmt == "jpeg":
+    if fmt == "png":
         width = 16 + media_id % 2033
         height = 16 + (media_id * 7) % 1777
-        build = build_png if fmt == "png" else build_jpeg
-        return build(width, height, content)
+        return build_png(width, height, content)
+    if fmt == "jpeg":
+        width, height = jpeg_dims(media_id)
+        nb = (width // 8) * (height // 8)
+        return encode_jpeg_dc(
+            width, height, [jpeg_qdc(media_id, b) for b in range(nb)]
+        )
     if fmt == "wav":
         rate = WAV_RATES[media_id % 5]
         channels = 1 + media_id % 2
@@ -416,17 +776,43 @@ def attach_media(
         f"6 + 5 * greatest(1L, (octet_length(`{text_col}`)"
         f" + {_ZLIB_BLOCK - 1}) DIV {_ZLIB_BLOCK})"
     )
-    overhead = (
-        F.when(mid % 6 == 0, F.lit(FMT_OVERHEAD["png"]) + png_zlib)
-        .when(mid % 6 == 3, F.lit(FMT_OVERHEAD["jpeg"]))
-        .when(mid % 3 == 1, F.lit(FMT_OVERHEAD["wav"]))
-        .otherwise(F.lit(FMT_OVERHEAD["mp4"]))
+    # JPEG payloads are real entropy-coded streams: size = fixed header
+    # + ceil(bits/8), where per-block bits = DC code len + magnitude
+    # bits + EOB(4), all a pure function of the id (see jpeg_qdc; the
+    # DC diff of block b needs only q(b) and q(b-1) — no recurrence)
+    jq = f"-(5 + (`{id_col}` + 3 * {{b}}) % 8)"
+    ad = (
+        f"abs({jq.format(b='b')} - IF(b = 0, 0, {jq.format(b='(b - 1)')}))"
+    )
+    jpeg_bytes = F.expr(
+        f"{JPEG_DC_OVERHEAD} + (aggregate("
+        f" sequence(0, CAST((1 + `{id_col}` % 6) * (1 + (`{id_col}` * 7) % 5)"
+        f"   - 1 AS INT)),"
+        f" 0L,"
+        f" (t, b) -> t + 4 + CASE WHEN {ad} = 0 THEN 2"
+        f"   WHEN {ad} < 2 THEN 4 WHEN {ad} < 4 THEN 5"
+        f"   WHEN {ad} < 8 THEN 6 ELSE 7 END) + 7) DIV 8"
+    )
+    n_bytes = (
+        F.when(
+            mid % 6 == 0,
+            F.octet_length(F.col(text_col))
+            + F.lit(FMT_OVERHEAD["png"]) + png_zlib,
+        )
+        .when(mid % 6 == 3, jpeg_bytes)
+        .when(
+            mid % 3 == 1,
+            F.octet_length(F.col(text_col)) + F.lit(FMT_OVERHEAD["wav"]),
+        )
+        .otherwise(
+            F.octet_length(F.col(text_col)) + F.lit(FMT_OVERHEAD["mp4"])
+        )
     )
     return df.select(
         mid.alias("media_id"),
         modality.alias("modality"),
         fmt.alias("fmt"),
-        (F.octet_length(F.col(text_col)) + overhead).cast("long").alias("n_bytes"),
+        n_bytes.cast("long").alias("n_bytes"),
         payload_udf(mid, F.col(text_col)).alias("payload"),
     )
 
@@ -446,10 +832,12 @@ def _decode_payload(content: bytes, fmt: str) -> list[int]:
       16-bit samples (a trailing ragged byte, impossible in well-formed
       PCM16, is dropped).
 
-    JPEG entropy decode and MP4 mdat demux genuinely require codec
-    libraries (PIL / av) that this container does not ship — those
-    formats still raise, and callers map that to ``decoded=false``.
-    Raises ``ValueError`` on corrupt zlib data.
+    JPEG is decoded by :func:`decode_jpeg` (which needs the FULL
+    payload for its DQT/DHT tables, not just the content segment) —
+    callers route it there.  MP4 mdat demux recovers an elementary
+    stream whose decode genuinely requires codec libraries (av) this
+    container does not ship — it raises, and callers map that to
+    ``decoded=false``.  Raises ``ValueError`` on corrupt zlib data.
     """
     if fmt == "png":
         try:
@@ -460,9 +848,9 @@ def _decode_payload(content: bytes, fmt: str) -> list[int]:
         n = len(content) // 2
         return list(struct.unpack(f"<{n}h", content[: 2 * n]))
     raise NotImplementedError(
-        f"no codec for {fmt!r} in this environment (JPEG entropy / MP4"
-        " demux need PIL/av) — features use the deterministic"
-        " _fake_features stand-in over the content segment"
+        f"no codec for {fmt!r} in this environment (JPEG decodes via"
+        " decode_jpeg on the full payload; MP4 elementary-stream decode"
+        " needs av)"
     )
 
 
@@ -535,6 +923,10 @@ def extract_features(
                 # features describe the decoded pixel stream, not the
                 # zlib wrapper around it
                 content = zlib.decompress(content)
+            elif meta["fmt"] == "jpeg":
+                # same for JPEG: full entropy decode + IDCT — a jpeg
+                # whose scan doesn't decode is invalid, like bad zlib
+                content = decode_jpeg(payload)["pixels"]
             valid = True
         except (ValueError, zlib.error):
             meta = {"fmt": None}
@@ -605,11 +997,13 @@ def decode_media(
     media: DataFrame, *, batch_rows: int = 256, partitions: int | None = None
 ) -> DataFrame:
     """Arrow-batched payload DECODE: container parse + real unit decode
-    (:func:`_decode_payload` — PNG inflate to pixel bytes, WAV PCM16 to
-    signed samples) + per-item unit statistics.
+    (PNG inflate to pixel bytes, JPEG entropy decode + dequant + IDCT
+    to pixels via :func:`decode_jpeg`, WAV PCM16 to signed samples) +
+    per-item unit statistics.
 
-    Emits one row per media item: ``decoded`` (false for formats whose
-    decode needs a codec library, and for corrupt payloads), the unit
+    Emits one row per media item: ``decoded`` (false for MP4, whose
+    elementary-stream decode needs a codec library, and for corrupt
+    payloads), the unit
     count, the exact integer unit sum, and ``mean``/``rms`` derived
     from it.  All sums are integers < 2^53, so the double statistics
     are bit-exact and engine-portable (the DuckDB oracle reproduces
@@ -630,7 +1024,11 @@ def decode_media(
                 raise ValueError("NULL payload")
             meta = parse_media(payload)
             fmt = meta["fmt"]
-            units = _decode_payload(meta["content"], fmt)
+            if fmt == "jpeg":
+                # real entropy decode + IDCT over the full payload
+                units = list(decode_jpeg(payload)["pixels"])
+            else:
+                units = _decode_payload(meta["content"], fmt)
         except (ValueError, NotImplementedError):
             pass
         out = {

@@ -32,6 +32,7 @@ from qctimeseries_spark.datapipe.dedup import MINHASH_P, minhash_coeffs
 from qctimeseries_spark.datapipe.curate import curate_corpus
 from qctimeseries_spark.datapipe.hashing import hash60_sql
 from qctimeseries_spark.datapipe.multimodal import (
+    JPEG_DC_OVERHEAD,
     attach_media,
     decode_media,
     extract_features,
@@ -817,6 +818,44 @@ DATAPIPE_QUERIES = {
 
 _NORM_TEXT = "array_to_string(" + _TOKS.format(c="text") + ", ' ')"
 
+# --- synthetic JPEG mirrors (multimodal.jpeg_dims / jpeg_qdc /
+# encode_jpeg_dc): dimensions in 8x8 blocks, per-block quantized DC,
+# entropy-coded byte count, and the exact decoded raster string.
+# Pixel value = 128 + qdc = 123 - (doc_id + 3b) % 8 — ASCII range by
+# construction, so DuckDB strings hold the raw pixel bytes.
+_JW8 = "(1 + doc_id % 6)"
+_JH8 = "(1 + (doc_id * 7) % 5)"
+
+
+def _jpeg_q(b: str) -> str:
+    return f"(-(5 + (doc_id + 3 * ({b})) % 8))"
+
+
+def _jpeg_nbytes_sql() -> str:
+    """Mirror of the Catalyst jpeg n_bytes fold: fixed header + EOI
+    plus ceil(entropy bits / 8); per-block bits = DC code length +
+    magnitude bits + 4 (EOB), from the DC diff's size category."""
+    ad = (
+        f"abs({_jpeg_q('b')} - CASE WHEN b = 0 THEN 0"
+        f" ELSE {_jpeg_q('b - 1')} END)"
+    )
+    return (
+        f"{JPEG_DC_OVERHEAD} + (list_sum(list_transform("
+        f"range(0, {_JW8} * {_JH8}), b -> 4 + CASE WHEN {ad} = 0 THEN 2"
+        f" WHEN {ad} < 2 THEN 4 WHEN {ad} < 4 THEN 5 WHEN {ad} < 8 THEN 6"
+        f" ELSE 7 END)) + 7) // 8"
+    )
+
+
+#: the decoded jpeg image as a raster-order string (one char per
+#: pixel): each block-row repeats its 8-pixel-wide block spans 8 times
+_JPEG_RASTER = (
+    f"array_to_string(list_transform(range(0, {_JH8}), br ->"
+    f" repeat(array_to_string(list_transform(range(0, {_JW8}), bx ->"
+    f" repeat(chr(CAST(123 - (doc_id + 3 * (br * {_JW8} + bx)) % 8"
+    f" AS INT)), 8)), ''), 8)), '')"
+)
+
 _STATS_SQL = f"""
 tk AS (SELECT *, {_TOKS.format(c='text')} AS tkl FROM documents),
 st AS (
@@ -1178,23 +1217,26 @@ WHERE quality >= 0.5
     # The container framing overheads (57/27/44/140) and the
     # width/height/rate/duration formulas mirror multimodal.build_payload;
     # the Spark side recovers them by parsing actual container bytes.
-    "m1_media_summary": """
+    "m1_media_summary": f"""
 WITH m AS (
   SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
          ELSE 'video' END AS modality,
-         strlen(text) + CASE
-           WHEN doc_id % 6 = 0 THEN 57 + 6 + 5 * greatest(1,
+         CASE
+           WHEN doc_id % 6 = 0 THEN strlen(text) + 57 + 6 + 5 * greatest(1,
                 (strlen(text) + 65534) // 65535)
-           WHEN doc_id % 6 = 3 THEN 27
-           WHEN doc_id % 3 = 1 THEN 44
-           ELSE 140 END AS nb
+           WHEN doc_id % 6 = 3 THEN {_jpeg_nbytes_sql()}
+           WHEN doc_id % 3 = 1 THEN strlen(text) + 44
+           ELSE strlen(text) + 140 END AS nb
   FROM documents
 )
 SELECT modality, COUNT(*) AS n_items,
        CAST(SUM(nb) AS BIGINT) AS total_bytes,
        CAST(MAX(nb) AS BIGINT) AS max_bytes
 FROM m GROUP BY modality""",
-    "m2_media_features": """
+    # m2: jpeg rows mirror the REAL DC-tier codec — dims from the 8x8
+    # block wheel, n_bytes from the entropy-coded length, and features
+    # over the exact decoded pixel raster (rebuilt as an ASCII string)
+    "m2_media_features": f"""
 WITH m AS (
   SELECT doc_id, text, strlen(text) AS L,
          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1205,18 +1247,24 @@ WITH m AS (
              AS rate,
          1 + doc_id % 2 AS ch
   FROM documents
+),
+c AS (
+  SELECT *, CASE WHEN fmt = 'jpeg' THEN {_JPEG_RASTER}
+                 ELSE text END AS content
+  FROM m
 )
 SELECT doc_id AS media_id, modality, fmt,
-       CAST(L + CASE fmt
-                WHEN 'png' THEN 57 + 6 + 5 * greatest(1, (L + 65534) // 65535)
-                WHEN 'jpeg' THEN 27
-                WHEN 'wav' THEN 44 ELSE 140 END AS BIGINT)
+       CAST(CASE fmt
+                WHEN 'png' THEN L + 57 + 6 + 5 * greatest(1,
+                     (L + 65534) // 65535)
+                WHEN 'jpeg' THEN {_jpeg_nbytes_sql()}
+                WHEN 'wav' THEN L + 44 ELSE L + 140 END AS BIGINT)
            AS n_bytes,
        TRUE AS valid,
-       CASE WHEN fmt IN ('png', 'jpeg')
-            THEN CAST(16 + doc_id % 2033 AS INT) END AS width,
-       CASE WHEN fmt IN ('png', 'jpeg')
-            THEN CAST(16 + (doc_id * 7) % 1777 AS INT) END AS height,
+       CASE WHEN fmt = 'png' THEN CAST(16 + doc_id % 2033 AS INT)
+            WHEN fmt = 'jpeg' THEN CAST(8 * {_JW8} AS INT) END AS width,
+       CASE WHEN fmt = 'png' THEN CAST(16 + (doc_id * 7) % 1777 AS INT)
+            WHEN fmt = 'jpeg' THEN CAST(8 * {_JH8} AS INT) END AS height,
        CASE WHEN fmt = 'wav' THEN CAST(rate AS INT) END AS sample_rate,
        CASE WHEN fmt = 'wav' THEN CAST(L AS DOUBLE) / (rate * ch * 2)
             WHEN fmt = 'mp4'
@@ -1224,18 +1272,18 @@ SELECT doc_id AS media_id, modality, fmt,
        END AS duration_s,
        CAST(16 AS INT) AS feature_dim,
        array_to_string(list_transform(range(0, 16),
-           i -> CAST(CAST(concat('0x', substr(md5(concat(text, '0')),
+           i -> CAST(CAST(concat('0x', substr(md5(concat(content, '0')),
                                               2 * i + 1, 2)) AS INT)
                      AS VARCHAR)), ',')
            AS features_u8
-FROM m""",
+FROM c""",
     # m3: the decode oracle expands the document's UTF-8 bytes from the
     # hex rendering of the blob (one INT per byte), then reproduces the
     # PNG pixel-byte stats and the signed little-endian PCM16 sample
     # stats arithmetically.  Integer sums are exact in BIGINT and the
     # mean/rms doubles are single correctly-rounded ops, so the value
     # hash is bit-comparable with the Spark side's real inflate/unpack.
-    "m3_media_decode": """
+    "m3_media_decode": f"""
 WITH m AS (
   SELECT doc_id, text, strlen(text) AS L,
          CASE WHEN doc_id % 6 = 0 THEN 'png' WHEN doc_id % 6 = 3 THEN 'jpeg'
@@ -1261,15 +1309,23 @@ s AS (
 ),
 u AS (
   SELECT doc_id, fmt,
-         fmt IN ('png', 'wav') AS decoded,
+         fmt IN ('png', 'wav', 'jpeg') AS decoded,
          CASE WHEN fmt = 'png' THEN L
-              WHEN fmt = 'wav' THEN L // 2 END AS n_units,
+              WHEN fmt = 'wav' THEN L // 2
+              WHEN fmt = 'jpeg' THEN 64 * {_JW8} * {_JH8} END AS n_units,
          CASE WHEN fmt = 'png' THEN list_sum(bytes)
-              WHEN fmt = 'wav' THEN list_sum(samples) END AS su,
+              WHEN fmt = 'wav' THEN list_sum(samples)
+              WHEN fmt = 'jpeg' THEN list_sum(list_transform(
+                   range(0, {_JW8} * {_JH8}),
+                   b -> 64 * (123 - (doc_id + 3 * b) % 8))) END AS su,
          CASE WHEN fmt = 'png'
               THEN list_sum(list_transform(bytes, x -> x * x))
               WHEN fmt = 'wav'
-              THEN list_sum(list_transform(samples, x -> x * x)) END AS sq
+              THEN list_sum(list_transform(samples, x -> x * x))
+              WHEN fmt = 'jpeg' THEN list_sum(list_transform(
+                   range(0, {_JW8} * {_JH8}),
+                   b -> 64 * (123 - (doc_id + 3 * b) % 8)
+                        * (123 - (doc_id + 3 * b) % 8))) END AS sq
   FROM s
 )
 SELECT doc_id AS media_id, fmt, decoded,

@@ -10,6 +10,7 @@ from pyspark.sql import types as T
 
 from qctimeseries_spark.datapipe.multimodal import (
     FMT_OVERHEAD,
+    JPEG_DC_OVERHEAD,
     MP4_TIMESCALE,
     WAV_RATES,
     _decode_payload,
@@ -19,8 +20,12 @@ from qctimeseries_spark.datapipe.multimodal import (
     build_payload,
     build_png,
     build_wav,
+    decode_jpeg,
     decode_media,
+    encode_jpeg_dc,
     extract_features,
+    jpeg_dims,
+    jpeg_qdc,
     media_fmt,
     parse_media,
     zlib_stored_overhead,
@@ -41,18 +46,108 @@ def test_builder_parser_roundtrip_all_formats():
             assert len(payload) == len(content) + FMT_OVERHEAD[
                 fmt
             ] + zlib_stored_overhead(len(content))
+        elif fmt == "jpeg":
+            # real entropy-coded DC-tier image: the decoder must
+            # reconstruct every block's 128+qdc pixels exactly
+            w, h = jpeg_dims(mid)
+            assert (meta["width"], meta["height"]) == (w, h)
+            dec = decode_jpeg(payload)
+            assert (dec["width"], dec["height"]) == (w, h)
+            px = dec["pixels"]
+            assert len(px) == w * h
+            bw = w // 8
+            for b in range(bw * (h // 8)):
+                by, bx = divmod(b, bw)
+                got = px[(by * 8) * w + bx * 8]
+                assert got == 128 + jpeg_qdc(mid, b)
         else:
             assert meta["content"] == content
             assert len(payload) == len(content) + FMT_OVERHEAD[fmt]
-        if fmt in ("png", "jpeg"):
+        if fmt == "png":
             assert meta["width"] == 16 + mid % 2033
             assert meta["height"] == 16 + (mid * 7) % 1777
         elif fmt == "wav":
             rate, ch = WAV_RATES[mid % 5], 1 + mid % 2
             assert meta["sample_rate"] == rate
             assert meta["duration_s"] == len(content) / (rate * ch * 2)
-        else:
+        elif fmt == "mp4":
             assert meta["duration_s"] == (60 + (mid * 97) % 360000) / MP4_TIMESCALE
+
+
+def test_jpeg_codec_ac_coefficients_roundtrip():
+    """The decoder's AC path (run/size, ZRL, EOB, sign extension) is
+    real: hand-encode a block with AC coefficients using the standard
+    tables and check the IDCT output against an independent float
+    IDCT."""
+    import math as _m
+
+    from qctimeseries_spark.datapipe.multimodal import (
+        JPEG_AC_COUNTS,
+        JPEG_AC_SYMBOLS,
+        JPEG_DC_COUNTS,
+        JPEG_DC_SYMBOLS,
+        JPEG_ZIGZAG,
+        _BitWriter,
+        _huff_canonical,
+        _jpeg_dc_header,
+    )
+
+    dc_codes = _huff_canonical(JPEG_DC_COUNTS, JPEG_DC_SYMBOLS)
+    ac_codes = _huff_canonical(JPEG_AC_COUNTS, JPEG_AC_SYMBOLS)
+    w = _BitWriter()
+
+    def put(codes, sym):
+        c, ln = codes[sym]
+        w.write(c, ln)
+
+    def put_mag(v):
+        s = abs(v).bit_length()
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+        return s
+
+    # block: DC diff +3; AC: zigzag k=1 -> +2, 17 zeros (ZRL + run 1),
+    # zigzag k=19 -> -4, EOB
+    put(dc_codes, 2); put_mag(3)
+    put(ac_codes, 0x02); put_mag(2)          # run 0, size 2
+    put(ac_codes, 0xF0)                      # ZRL: 16 zeros
+    put(ac_codes, 0x13); put_mag(-4)         # run 1, size 3
+    put(ac_codes, 0x00)                      # EOB
+    payload = _jpeg_dc_header(8, 8) + w.finish() + b"\xff\xd9"
+
+    dec = decode_jpeg(payload)
+    got = list(dec["pixels"])
+
+    # independent reference IDCT over the dequantized coefficients
+    F = [0.0] * 64
+    F[JPEG_ZIGZAG[0]] = 3 * 8
+    F[JPEG_ZIGZAG[1]] = 2 * 8
+    F[JPEG_ZIGZAG[19]] = -4 * 8
+    want = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    cu = 1 / _m.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / _m.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        0.25 * cu * cv * F[v * 8 + u]
+                        * _m.cos((2 * x + 1) * u * _m.pi / 16)
+                        * _m.cos((2 * y + 1) * v * _m.pi / 16)
+                    )
+            want.append(max(0, min(255, int(_m.floor(s + 128.5)))))
+    assert got == want
+    assert len(set(got)) > 1  # genuinely non-uniform block
+
+
+def test_encode_jpeg_dc_validates_inputs():
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        encode_jpeg_dc(12, 8, [0, 0])
+    with pytest.raises(ValueError, match="DC values"):
+        encode_jpeg_dc(16, 8, [0])
+    with pytest.raises(ValueError, match="quantized DC"):
+        encode_jpeg_dc(8, 8, [99])
+    assert len(encode_jpeg_dc(8, 8, [-5])) == JPEG_DC_OVERHEAD + 2
 
 
 def test_parse_png_idat_inflates_with_any_zlib_encoder():
@@ -155,9 +250,12 @@ def test_extract_features_header_derived(spark):
         assert r["valid"] is True
         assert r["fmt"] == media_fmt(mid)
         assert len(r["features"]) == 8
-        if r["fmt"] in ("png", "jpeg"):
+        if r["fmt"] == "png":
             assert r["width"] == 16 + mid % 2033
             assert r["height"] == 16 + (mid * 7) % 1777
+            assert r["duration_s"] is None
+        elif r["fmt"] == "jpeg":
+            assert (r["width"], r["height"]) == jpeg_dims(mid)
             assert r["duration_s"] is None
         elif r["fmt"] == "wav":
             assert r["sample_rate"] == WAV_RATES[mid % 5]
@@ -198,7 +296,15 @@ def test_decode_media_stats_match_python(spark):
             assert r["decoded"] is True
             assert r["n_units"] == n
             assert r["sum_units"] == sum(samples)
-        else:  # jpeg / mp4: decode needs a codec — gated, not faked
+        elif fmt == "jpeg":  # real entropy decode + IDCT
+            w, h = jpeg_dims(mid)
+            nb = (w // 8) * (h // 8)
+            assert r["decoded"] is True
+            assert r["n_units"] == w * h
+            assert r["sum_units"] == sum(
+                64 * (128 + jpeg_qdc(mid, b)) for b in range(nb)
+            )
+        else:  # mp4: elementary-stream decode needs a codec — gated
             assert r["decoded"] is False
             assert r["n_units"] is None and r["mean_unit"] is None
 
