@@ -305,6 +305,7 @@ def neardup_against_store(
     ngram: int = 3,
     threshold: float = 0.7,
     update_store: bool = True,
+    within_batch_neardup: bool = False,
 ) -> DataFrame:
     """Incremental NEAR-dup ingestion against a persistent signature
     store: drop batch rows that are exact *or* near duplicates of
@@ -327,10 +328,15 @@ def neardup_against_store(
        (integer array intersection on the STORED shingle hashes — no
        re-tokenization of historical text, which the store does not
        retain);
-    4. a within-batch exact min-id keeper (within-batch *near*-dups
-       are out of scope by contract — run
-       :func:`minhash_dedup_pairs` + :func:`dup_clusters` over the
-       batch first if the batch itself may contain drifted copies).
+    4. a within-batch exact min-id keeper; pass
+       ``within_batch_neardup=True`` to upgrade it to a NEAR keeper —
+       the batch's own band hashes self-join into candidate pairs,
+       verified at the same Jaccard threshold and clustered
+       transitively (:func:`dup_clusters`), one keeper per cluster.
+       Exact dups collide in every band at Jaccard 1.0, so the near
+       keeper subsumes the exact one.  Off by default: a batch of
+       mutually-fresh documents pays nothing extra, and the d7 oracle
+       pins the default contract.
 
     Store layout: one Parquet row per retained document —
     ``(store_id, fingerprint, bands array<struct<band,h>>, hs
@@ -391,13 +397,62 @@ def neardup_against_store(
             .distinct()
         )
         base = base.join(near_hits, id_col, "left_anti")
-    w = Window.partitionBy("fingerprint")
-    survivors = (
-        base.withColumn("_keep", F.min(id_col).over(w))
-        .filter(F.col(id_col) == F.col("_keep"))
-        .drop("_keep")
-        .localCheckpoint(eager=True)
-    )
+    if within_batch_neardup:
+        # NEAR keeper: self-join the batch's band hashes (same plan as
+        # lsh_candidates), verify at the same threshold, cluster, keep
+        # the cluster minimum — subsumes the exact keeper
+        if persisted is None:
+            base = persisted = base.persist()
+        eb = base.select(
+            F.col(id_col), F.explode("bands").alias("bh")
+        ).select(id_col, "bh.band", "bh.h")
+        a, b = eb.alias("a"), eb.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.h") == F.col("b.h"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        hsj = base.select(F.col(id_col), F.col("hs"))
+        ver = pairs.join(
+            hsj.select(F.col(id_col).alias("id_a"), F.col("hs").alias("ha")),
+            "id_a",
+        ).join(
+            hsj.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hb")),
+            "id_b",
+        )
+        inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+        union = F.size(F.array_union(F.col("ha"), F.col("hb")))
+        dup_pairs = ver.filter(
+            F.round(inter.cast("double") / union, 6) >= threshold
+        ).select("id_a", "id_b")
+        clusters = dup_clusters(dup_pairs)
+        keepers = (
+            clusters.groupBy("cluster_id")
+            .agg(F.min("id").alias("_keep"))
+            .select(F.col("_keep").alias(id_col))
+        )
+        dropped = clusters.join(
+            keepers.withColumnRenamed(id_col, "id"), "id", "left_anti"
+        ).select(F.col("id").alias(id_col))
+        survivors = base.join(
+            dropped, id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+    else:
+        w = Window.partitionBy("fingerprint")
+        survivors = (
+            base.withColumn("_keep", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("_keep")
+            .localCheckpoint(eager=True)
+        )
     if persisted is not None:
         persisted.unpersist()
     if update_store:

@@ -822,3 +822,45 @@ def test_bpe_train_merge_sequence(spark):
 
     with _pytest.raises(ValueError, match="n_merges"):
         bpe_train(df, n_merges=0)
+
+
+def test_neardup_store_within_batch_keeper(spark, tmp_path):
+    """within_batch_neardup=True keeps one doc per near-dup cluster
+    INSIDE the batch; the default keeps both drifted copies."""
+    from qctimeseries_spark.datapipe import neardup_against_store
+
+    base = (
+        "some very particular prose about canals locks barges towpaths "
+        "and the slow economics of nineteenth century inland freight"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " scraped from mirror two"),
+            (3, "entirely different musings on glaciers moraines eskers "
+                "and the patience of ice over ordinary stone"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(k=15, bands=5, ngram=3, threshold=0.6)
+    kept_default = {
+        r.doc_id
+        for r in neardup_against_store(
+            batch, str(tmp_path / "a"), **kw
+        ).collect()
+    }
+    assert kept_default == {1, 2, 3}  # near-dups within batch survive
+    kept_near = {
+        r.doc_id
+        for r in neardup_against_store(
+            batch, str(tmp_path / "b"), within_batch_neardup=True, **kw
+        ).collect()
+    }
+    assert kept_near == {1, 3}  # cluster keeper drops the re-crawl
+    # and the store holds only the keepers: a replay is a no-op
+    assert (
+        neardup_against_store(
+            batch, str(tmp_path / "b"), within_batch_neardup=True, **kw
+        ).count()
+        == 0
+    )
