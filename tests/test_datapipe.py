@@ -357,11 +357,12 @@ def test_embedding_dup_pairs_auto_cutover(spark):
         for r in embedding_dup_pairs(corpus, **kw).collect()
     }
     assert small == exact and small
-    # above the (forced-low) cutover: the IVF plan — a persisted-input
-    # cell equi-join, not an eager numpy checkpoint — and the planted
-    # duplicates are still all found
+    # above the (forced-low) cutover: the IVF tier — eager (the pair
+    # result is checkpointed so the scoped unit-vector cache releases
+    # before returning; plan shows the materialized scan, no pending
+    # shuffles) — and the planted duplicates are still all found
     big = embedding_dup_pairs(corpus, **kw, auto_brute_rows=10)
-    assert plan_summary(big)["shuffles"] >= 1  # lazy distributed plan
+    assert plan_summary(big)["shuffles"] == 0  # already materialized
     assert {(r.id_a, r.id_b, r.cos) for r in big.collect()} == exact
 
 
