@@ -34,7 +34,9 @@ from qctimeseries_spark.datapipe.sample import (
 from qctimeseries_spark.datapipe.hashing import fast_hash64, hash60
 from qctimeseries_spark.datapipe.multimodal import (
     attach_media,
+    decode_jpeg,
     decode_media,
+    encode_jpeg_dc,
     extract_features,
     media_summary,
     repartition_by_bytes,
@@ -90,7 +92,9 @@ __all__ = [
     "fast_hash64",
     "hash60",
     "attach_media",
+    "decode_jpeg",
     "decode_media",
+    "encode_jpeg_dc",
     "extract_features",
     "media_summary",
     "repartition_by_bytes",

@@ -294,10 +294,12 @@ def q_d3_simhash_pairs(spark, sf_dir):
     corpus: docs have ~26 distinct tokens, so the planted 3-token-tail
     near-dups land at hamming 2-12 (74% ≤ 7).  The previous 32-bit /
     hamming ≤ 6 / 4-chunk config both flooded (37% of ALL pairs passed)
-    and silently broke the guarantee (6 ≥ 4).  Longer real-world docs
-    separate much better — production should raise chunk width (16-bit
-    → 65k buckets/chunk) as corpus size grows; for short-doc corpora
-    MinHash (d2) is the scale path.
+    and silently broke the guarantee (6 ≥ 4; such configs now raise).
+    Longer real-world docs separate much better — past chunk-space
+    saturation the operator AUTO-WIDENS toward 16/32-bit chunks (with
+    a warned, narrower recall horizon), which is what lets this query
+    run at sf1 (50k docs); for short-doc corpora MinHash (d2) remains
+    the scale path.
     """
     return simhash_dup_pairs(
         _near_corpus(spark, sf_dir), bits=64, max_hamming=7, chunks=8
