@@ -11,6 +11,7 @@ from qctimeseries_spark.datapipe.dedup import (
     cosine,
     dedup_against_store,
     dup_clusters,
+    embedding_dedup_against_store,
     embedding_dup_pairs,
     exact_dedup,
     jaccard_on,
@@ -78,6 +79,7 @@ __all__ = [
     "split_corpus",
     "contamination_check",
     "redact_pii",
+    "embedding_dedup_against_store",
     "embedding_dup_pairs",
     "dedup_against_store",
     "exact_dedup",

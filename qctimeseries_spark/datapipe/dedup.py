@@ -462,6 +462,162 @@ def neardup_against_store(
     return survivors.drop("bands", "hs")
 
 
+def embedding_dedup_against_store(
+    df: DataFrame,
+    store_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.98,
+    nprobe: int = 3,
+    max_store_brute: int = 8192,
+    update_store: bool = True,
+) -> DataFrame:
+    """Incremental EMBEDDING near-dup ingestion against a persistent
+    unit-vector store: drop batch rows whose cosine against ANY stored
+    vector reaches ``threshold``, append the survivors' unit vectors —
+    the third member of the incremental-ingestion triad
+    (:func:`dedup_against_store` exact, :func:`neardup_against_store`
+    lexical, this one semantic).  Catches re-encodes and paraphrases
+    that share no surface text at all.
+
+    Mechanics: batch vectors unit-normalize once
+    (:func:`unit_vector_arrow` — bit-identical to the HOF fold); the
+    store holds ``(store_id, u)`` rows.  Scoring tiers, decided by a
+    short-circuiting ``limit(cap+1)`` probe of the STORE:
+
+    - **broadcast** (store ≤ ``max_store_brute`` rows): the store
+      matrix ships to every partition once; each Arrow batch computes
+      its (rows × store) score block with the per-dimension
+      multiply-add (the exact left fold of :func:`cosine`), keeping
+      each row's MAX store cosine.  O(batch × store) compute, zero
+      shuffle on the batch.
+    - **IVF** (larger stores): centroids from the store
+      (:func:`~qctimeseries_spark.datapipe.similarity.take_centroids`),
+      store rows assigned to their cell, batch rows multi-probed into
+      ``nprobe`` cells; per-cell numpy scoring, then a per-row max —
+      work drops to O(Σ batch_cell × store_cell) and the only wide
+      stage shuffles on the cell id.  Approximate: the reported
+      ``max_store_cos`` is the max over PROBED cells (dedup-grade
+      thresholds make a probed miss vanishingly rare, the
+      ``embedding_dup_pairs`` argument).
+
+    Survivors return the input columns + ``max_store_cos`` (the
+    rounded-9dp max cosine vs the store; NULL when the store did not
+    exist yet), MATERIALIZED before the append.  A batch replayed
+    against its own store output is a no-op — every vector matches
+    itself at cosine 1.0.  Within-batch near-dups are out of scope by
+    contract (run :func:`embedding_dup_pairs` + :func:`dup_clusters`
+    over the batch first).
+    """
+    import numpy as np
+
+    from pyspark.sql.utils import AnalysisException
+
+    spark = df.sparkSession
+    u = df.withColumn("_u", unit_vector_arrow(F.col(vec_col)))
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException:
+        store = None
+    bc = None
+    if store is not None:
+        n_store = store.select("store_id").limit(max_store_brute + 1).count()
+        if n_store == 0:  # directory exists but holds no rows yet
+            store = None
+    if store is None:
+        survivors = u.withColumn(
+            "max_store_cos", F.lit(None).cast("double")
+        ).localCheckpoint(eager=True)
+    else:
+        if n_store <= max_store_brute:
+            stp = store.select("store_id", "u").toPandas()
+            bc = spark.sparkContext.broadcast(np.stack(stp["u"].to_numpy()))
+
+            @F.pandas_udf("double")
+            def _maxcos(vs: pd.Series) -> pd.Series:
+                M = bc.value
+                if not len(vs):
+                    return pd.Series([], dtype="float64")
+                A = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+                acc = np.zeros((len(A), len(M)))
+                for d in range(A.shape[1]):  # left fold, matching cosine()
+                    acc += A[:, d : d + 1] * M[:, d]
+                return pd.Series(np.round(acc, 9).max(axis=1))
+
+            u = u.withColumn("max_store_cos", _maxcos(F.col("_u")))
+        else:
+            from qctimeseries_spark.datapipe.similarity import (
+                ivf_assign,
+                take_centroids,
+            )
+
+            su = store.select(
+                F.col("store_id").alias(id_col), F.col("u")
+            )
+            cents = take_centroids(
+                su, id_col=id_col, vec_col="u",
+                nlist=max(16, math.isqrt(n_store)),
+            )
+            scell = ivf_assign(
+                su, cents, id_col=id_col, vec_col="u", nprobe=1
+            ).select(
+                "centroid_id", F.lit("s").alias("_side"),
+                F.col(id_col), F.col("u"),
+            )
+            bcell = ivf_assign(
+                u.select(F.col(id_col), F.col("_u").alias("u")),
+                cents, id_col=id_col, vec_col="u", nprobe=nprobe,
+            ).select(
+                "centroid_id", F.lit("b").alias("_side"),
+                F.col(id_col), F.col("u"),
+            )
+
+            def cell_max(pdf: pd.DataFrame) -> pd.DataFrame:
+                b = pdf[pdf["_side"] == "b"]
+                s = pdf[pdf["_side"] == "s"]
+                if not len(b) or not len(s):
+                    return pd.DataFrame({id_col: [], "mc": []})
+                A = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in b["u"]]
+                )
+                M = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in s["u"]]
+                )
+                acc = np.zeros((len(A), len(M)))
+                for d in range(A.shape[1]):
+                    acc += A[:, d : d + 1] * M[:, d]
+                return pd.DataFrame(
+                    {
+                        id_col: b[id_col].to_numpy(),
+                        "mc": np.round(acc, 9).max(axis=1),
+                    }
+                )
+
+            mx = (
+                scell.unionByName(bcell)
+                .groupBy("centroid_id")
+                .applyInPandas(cell_max, f"{id_col} long, mc double")
+                .groupBy(id_col)
+                .agg(F.max("mc").alias("max_store_cos"))
+            )
+            u = u.join(mx, id_col, "left")
+        survivors = (
+            u.filter(
+                F.col("max_store_cos").isNull()
+                | (F.col("max_store_cos") < threshold)
+            )
+            .localCheckpoint(eager=True)
+        )
+        if bc is not None:  # checkpoint is eager — safe to release
+            bc.destroy()
+    if update_store:
+        survivors.select(
+            F.col(id_col).alias("store_id"), F.col("_u").alias("u")
+        ).write.mode("append").parquet(store_path)
+    return survivors.drop("_u")
+
+
 def minhash_table(
     df: DataFrame,
     id_col: str = "doc_id",

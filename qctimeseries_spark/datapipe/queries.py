@@ -497,6 +497,39 @@ def q_d6_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "fingerprint")
 
 
+def q_d8_embedding_store(spark, sf_dir):
+    """Incremental SEMANTIC dedup: even-id vectors seed a persistent
+    unit-vector store, then a second batch (odd vectors ∪ perturbed
+    copies of every 10th vector at cosine ≈ 0.99) dedups against it —
+    perturbed re-encodes drop on a store cosine ≥ 0.9, fresh vectors
+    survive with their max store cosine.  The oracle mirrors the exact
+    brute tier: every batch×store cosine with the identical left-fold
+    summation, rounded to 9 dp before the max/threshold.
+
+    Eager at construction (store ops materialize before appending);
+    per-invocation temp store removed before returning."""
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.dedup import embedding_dedup_against_store
+
+    c = _emb_corpus(spark, sf_dir)
+    even = c.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 1000000))
+    batch = c.filter(
+        ((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1000000))
+        | (F.col("vec_id") >= 1000000)
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_emb_")
+    try:
+        store = tmp + "/vectors"
+        kw = dict(id_col="vec_id", vec_col="v", threshold=0.9)
+        embedding_dedup_against_store(even, store, **kw)  # seed
+        out = embedding_dedup_against_store(batch, store, **kw)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("vec_id", F.round("max_store_cos", 9).alias("max_store_cos"))
+
+
 def q_t16_bpe_merges(spark, sf_dir):
     """Full (bounded) BPE trainer: 10 iterated merges over the corpus
     vocabulary, deterministic tie-break (count desc, pair asc).  The
@@ -811,6 +844,7 @@ DATAPIPE_QUERIES = {
     "d6_incremental_dedup": q_d6_incremental_dedup,
     "d7_incremental_neardup": q_d7_incremental_neardup,
     "t16_bpe_merges": q_t16_bpe_merges,
+    "d8_embedding_store": q_d8_embedding_store,
 }
 
 
@@ -1503,4 +1537,35 @@ x2 AS (
 )
 SELECT MIN(doc_id) AS doc_id, fingerprint FROM x2 GROUP BY fingerprint""",
     "t16_bpe_merges": _bpe_merges_sql(10),
+    # d8: the oracle replicates the EXACT Spark float path — unit
+    # vectors first (each element one divide by the left-fold norm),
+    # then a left-fold dot of the unit elements, rounded to 9 dp before
+    # the max/threshold — so all 125k batch×store cosines are
+    # bit-identical, not merely close (dot/(na*nb) would differ in the
+    # last ulp often enough to flip a 9-dp rounding somewhere)
+    "d8_embedding_store": f"""
+WITH {_EMB_CORPUS_SQL},
+un AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(x AS DOUBLE) /
+           sqrt(list_reduce(list_transform(v, y -> CAST(y AS DOUBLE)
+                                                   * CAST(y AS DOUBLE)),
+                            (p, q) -> p + q))) AS u
+  FROM corpus
+),
+store AS (
+  SELECT vec_id, u FROM un WHERE vec_id % 2 = 0 AND vec_id < 1000000
+),
+batch AS (
+  SELECT vec_id, u FROM un
+  WHERE (vec_id % 2 = 1 AND vec_id < 1000000) OR vec_id >= 1000000
+),
+sc AS (
+  SELECT b.vec_id,
+         MAX(ROUND(list_reduce(
+               list_transform(range(1, len(b.u) + 1), i -> b.u[i] * s.u[i]),
+               (p, q) -> p + q), 9)) AS max_store_cos
+  FROM batch b, store s GROUP BY b.vec_id
+)
+SELECT vec_id, max_store_cos FROM sc WHERE max_store_cos < 0.9""",
 }

@@ -865,3 +865,39 @@ def test_neardup_store_within_batch_keeper(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_embedding_store_drops_reencodes_both_tiers(spark, tmp_path):
+    """Semantic store dedup: perturbed re-encodes drop at cosine ≥
+    threshold, fresh vectors survive with their max store cosine;
+    the IVF tier (forced by a tiny brute cap) agrees with broadcast;
+    replay is a no-op."""
+    from qctimeseries_spark.datapipe import embedding_dedup_against_store
+
+    def vec(seed, dim=8):
+        return [float((seed * 31 + i * 7) % 13 - 6) for i in range(dim)]
+
+    b1 = spark.createDataFrame(
+        [(i, vec(i)) for i in range(0, 40, 2)],
+        "vec_id long, embedding array<double>",
+    )
+    # odd ids fresh; 100+ ids are tiny perturbations of stored evens
+    b2 = spark.createDataFrame(
+        [(i, vec(i)) for i in range(1, 40, 2)]
+        + [(100 + i, [x + 0.01 for x in vec(i)]) for i in range(0, 40, 8)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(threshold=0.95)
+    s = str(tmp_path / "bb")
+    assert embedding_dedup_against_store(b1, s, **kw).count() == 20
+    out = embedding_dedup_against_store(b2, s, **kw)
+    kept = {r.vec_id for r in out.collect()}
+    assert all(v < 100 for v in kept)          # every re-encode dropped
+    assert all(r.max_store_cos is not None and r.max_store_cos < 0.95
+               for r in out.collect())
+    assert embedding_dedup_against_store(b2, s, **kw).count() == 0  # replay
+    # IVF tier (store over the forced cap) drops the same re-encodes
+    s2 = str(tmp_path / "ivf")
+    embedding_dedup_against_store(b1, s2, **kw)
+    out2 = embedding_dedup_against_store(b2, s2, **kw, max_store_brute=4)
+    assert {r.vec_id for r in out2.collect() if r.vec_id >= 100} == set()

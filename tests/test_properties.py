@@ -397,3 +397,38 @@ def test_resample_conserves_counts_and_bounds(spark, n, step):
     for r in out:
         assert r["value_min"] <= r["value_avg"] <= r["value_max"]
         assert (r["bucket_ts"].timestamp() * 1000) % (step * 60 * 1000) == 0
+
+
+@given(
+    bw=st.integers(1, 5),
+    bh=st.integers(1, 4),
+    data=st.data(),
+)
+@SETTINGS
+def test_jpeg_codec_roundtrip_property(bw, bh, data):
+    """Law: encode → decode reconstructs every block's 128+qdc pixels
+    exactly, for any block grid and any legal DC sequence (the encoder
+    is pure Python — no Spark session involved)."""
+    from qctimeseries_spark.datapipe.multimodal import (
+        decode_jpeg,
+        encode_jpeg_dc,
+    )
+
+    nb = bw * bh
+    qdcs = data.draw(
+        st.lists(st.integers(-16, 15), min_size=nb, max_size=nb)
+    )
+    payload = encode_jpeg_dc(bw * 8, bh * 8, qdcs)
+    dec = decode_jpeg(payload)
+    assert (dec["width"], dec["height"]) == (bw * 8, bh * 8)
+    px = dec["pixels"]
+    assert len(px) == bw * 8 * bh * 8
+    for b, q in enumerate(qdcs):
+        by, bx = divmod(b, bw)
+        block = [
+            px[(by * 8 + y) * bw * 8 + bx * 8 + x]
+            for y in range(8)
+            for x in range(8)
+        ]
+        want = max(0, min(255, 128 + q))
+        assert block == [want] * 64, (b, q)
