@@ -59,7 +59,9 @@ from qctimeseries_spark.datapipe.text import (
     quality_score,
     redact_pii,
     text_stats,
+    tfidf_top_terms,
     token_count,
+    unigram_logprob,
 )
 
 __all__ = [
@@ -108,5 +110,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "text_stats",
+    "tfidf_top_terms",
     "token_count",
+    "unigram_logprob",
 ]

@@ -497,6 +497,25 @@ def q_d6_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "fingerprint")
 
 
+def q_t17_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF terms per document, deterministic (score desc,
+    term asc) ranking; idf via libm-exact ln so the 6-dp rounds agree
+    bit-for-bit with DuckDB."""
+    from qctimeseries_spark.datapipe.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+def q_t18_unigram_nll(spark, sf_dir):
+    """Per-doc Laplace-unigram negative log-likelihood (the perplexity
+    quality signal): per-token -ln p quantized to exact integer
+    micro-units before the per-doc sum, so grouping order cannot move
+    the hash."""
+    from qctimeseries_spark.datapipe.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_d8_embedding_store(spark, sf_dir):
     """Incremental SEMANTIC dedup: even-id vectors seed a persistent
     unit-vector store, then a second batch (odd vectors ∪ perturbed
@@ -845,6 +864,8 @@ DATAPIPE_QUERIES = {
     "d7_incremental_neardup": q_d7_incremental_neardup,
     "t16_bpe_merges": q_t16_bpe_merges,
     "d8_embedding_store": q_d8_embedding_store,
+    "t17_tfidf": q_t17_tfidf,
+    "t18_unigram_nll": q_t18_unigram_nll,
 }
 
 
@@ -1568,4 +1589,42 @@ sc AS (
   FROM batch b, store s GROUP BY b.vec_id
 )
 SELECT vec_id, max_store_cos FROM sc WHERE max_store_cos < 0.9""",
+    "t17_tfidf": f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKS.format(c='text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tk GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT doc_id, term, tf, df, ROUND(tf * ln(n.n / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n
+),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS INT) AS rk
+  FROM s
+)
+SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 5""",
+    "t18_unigram_nll": f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKS.format(c='text')}) AS term FROM documents
+),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY term),
+tv AS (
+  SELECT CAST(SUM(c) + COUNT(*) AS DOUBLE) AS denom FROM c
+),
+m AS (
+  SELECT tk.doc_id,
+         CAST(FLOOR(-ln((c.c + 1.0) / tv.denom) * 1000000 + 0.5)
+              AS BIGINT) AS m
+  FROM tk JOIN c USING (term), tv
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(m) AS BIGINT) AS nll_micro,
+       ROUND(SUM(m) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS avg_nll
+FROM m GROUP BY doc_id""",
 }

@@ -901,3 +901,44 @@ def test_embedding_store_drops_reencodes_both_tiers(spark, tmp_path):
     embedding_dedup_against_store(b1, s2, **kw)
     out2 = embedding_dedup_against_store(b2, s2, **kw, max_store_brute=4)
     assert {r.vec_id for r in out2.collect() if r.vec_id >= 100} == set()
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from qctimeseries_spark.datapipe import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "zebra zebra zebra common common"),
+            (2, "common words everywhere common words"),
+            (3, "quokka common words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rk): r for r in tfidf_top_terms(df, k=2).collect()}
+    # doc 1's most distinctive term is its tripled rare word
+    assert out[(1, 1)].term == "zebra" and out[(1, 1)].tf == 3
+    assert out[(1, 1)].df == 1
+    # ubiquitous words score zero idf (df == N -> ln 1)
+    assert all(
+        r.tfidf == 0.0 for r in out.values() if r.term == "common"
+    )
+    assert out[(3, 1)].term == "quokka"
+
+
+def test_unigram_logprob_flags_rare_token_docs(spark):
+    from qctimeseries_spark.datapipe import unigram_logprob
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "the the the xylophone qat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 8 and out[2].n_tokens == 5
+    # the rare-token doc is less likely under the corpus model
+    assert out[2].avg_nll > out[1].avg_nll
+    # integer micro-unit bookkeeping is self-consistent
+    for r in out.values():
+        assert abs(r.avg_nll - r.nll_micro / r.n_tokens / 1e6) < 1e-6
