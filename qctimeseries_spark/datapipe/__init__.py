@@ -58,6 +58,7 @@ from qctimeseries_spark.datapipe.text import (
     lang_id,
     quality_score,
     redact_pii,
+    repetition_stats,
     text_stats,
     tfidf_top_terms,
     token_count,
@@ -109,6 +110,7 @@ __all__ = [
     "fingerprint",
     "lang_id",
     "quality_score",
+    "repetition_stats",
     "text_stats",
     "tfidf_top_terms",
     "token_count",

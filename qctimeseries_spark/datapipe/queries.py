@@ -516,6 +516,15 @@ def q_t18_unigram_nll(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_t19_repetition(spark, sf_dir):
+    """Gopher-style repetition screen: duplicate 2/3-gram ratios +
+    top-word share per document, every ratio one correctly-rounded
+    division of exact integers."""
+    from qctimeseries_spark.datapipe.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_d8_embedding_store(spark, sf_dir):
     """Incremental SEMANTIC dedup: even-id vectors seed a persistent
     unit-vector store, then a second batch (odd vectors ∪ perturbed
@@ -866,6 +875,7 @@ DATAPIPE_QUERIES = {
     "d8_embedding_store": q_d8_embedding_store,
     "t17_tfidf": q_t17_tfidf,
     "t18_unigram_nll": q_t18_unigram_nll,
+    "t19_repetition": q_t19_repetition,
 }
 
 
@@ -1627,4 +1637,38 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(m) AS BIGINT) AS nll_micro,
        ROUND(SUM(m) / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 6) AS avg_nll
 FROM m GROUP BY doc_id""",
+    "t19_repetition": f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS tkl FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(len(tkl) AS INT) AS n_tokens,
+         CASE WHEN len(tkl) >= 2 THEN list_transform(range(0, len(tkl) - 1),
+              i -> array_to_string(list_slice(tkl, i + 1, i + 2), ' '))
+              ELSE [] END AS g2,
+         CASE WHEN len(tkl) >= 3 THEN list_transform(range(0, len(tkl) - 2),
+              i -> array_to_string(list_slice(tkl, i + 1, i + 3), ' '))
+              ELSE [] END AS g3
+  FROM tk
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN len(g2) > 0 THEN ROUND(1.0 -
+              CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+              ELSE 0.0 END AS dup_bigram_ratio,
+         CASE WHEN len(g3) > 0 THEN ROUND(1.0 -
+              CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+              ELSE 0.0 END AS dup_trigram_ratio
+  FROM g
+),
+c AS (
+  SELECT doc_id, term, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(tkl) AS term FROM tk) GROUP BY doc_id, term
+),
+t AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top FROM c GROUP BY doc_id)
+SELECT r.doc_id, n_tokens, dup_bigram_ratio, dup_trigram_ratio,
+       CASE WHEN n_tokens > 0
+            THEN ROUND(CAST(COALESCE(top, 0) AS DOUBLE) / n_tokens, 6)
+            ELSE 0.0 END AS top_word_share
+FROM r LEFT JOIN t ON r.doc_id = t.doc_id""",
 }

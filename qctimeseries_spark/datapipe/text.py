@@ -393,6 +393,82 @@ def unigram_logprob(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition signals (the Gopher-rules family):
+    duplicate n-gram ratios (``1 − distinct/total`` for word 2- and
+    3-grams, row-local over the token array) and ``top_word_share``
+    (the most frequent token's share of the document) — boilerplate,
+    keyword-stuffed and looping-generation documents light up on
+    exactly these.
+
+    The n-gram ratios are pure Catalyst per-row expressions (token
+    array let-bound, no shuffle); the top-word share is one
+    ``(doc, term)`` count shuffle joined back.  Every emitted ratio is
+    one correctly-rounded division of two exact integers, so results
+    hash bit-equal cross-engine.  Documents shorter than the n-gram
+    width emit 0 ratios (nothing can repeat).
+    """
+
+    def dup_ratio(tk: Column, n: int) -> Column:
+        grams = F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.array_join(F.slice(tk, i + 1, n), " "),
+            ),
+        ).otherwise(F.array())
+        return bind(
+            grams,
+            lambda g: F.when(F.size(g) > 0,
+                F.round(
+                    1.0
+                    - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+
+    base = df.select(
+        F.col(id_col),
+        bind(
+            tokens(F.col(text_col)),
+            lambda tk: F.struct(
+                F.size(tk).alias("n_tokens"),
+                dup_ratio(tk, 2).alias("dup_bigram_ratio"),
+                dup_ratio(tk, 3).alias("dup_trigram_ratio"),
+            ),
+        ).alias("_s"),
+    ).select(id_col, "_s.*")
+    top = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_top"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .withColumn(
+            "top_word_share",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.coalesce(F.col("_top"), F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_top")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
     lowercased text — the exact-dedup key."""

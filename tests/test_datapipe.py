@@ -942,3 +942,25 @@ def test_unigram_logprob_flags_rare_token_docs(spark):
     # integer micro-unit bookkeeping is self-consistent
     for r in out.values():
         assert abs(r.avg_nll - r.nll_micro / r.n_tokens / 1e6) < 1e-6
+
+
+def test_repetition_stats_flags_loops(spark):
+    from qctimeseries_spark.datapipe import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "each word in this sentence differs from the others"),
+            (3, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    # looping doc: 8 tokens, 7 bigrams, only 2 distinct
+    assert out[1].dup_bigram_ratio == round(1 - 2 / 7, 6)
+    assert out[1].top_word_share == 0.5
+    assert out[2].dup_bigram_ratio == 0.0
+    assert out[2].top_word_share == round(1 / 9, 6)
+    assert out[3].dup_bigram_ratio == 0.0  # shorter than the n-gram
+    assert out[3].dup_trigram_ratio == 0.0
+    assert out[3].top_word_share == 1.0
