@@ -559,8 +559,14 @@ def embedding_dedup_against_store(
                 su, id_col=id_col, vec_col="u",
                 nlist=max(16, math.isqrt(n_store)),
             )
+            # BOTH sides multi-probe (the d5 symmetric design): a pair
+            # is compared iff the probe sets intersect.  Store-side
+            # nprobe=1 measured a ~3% miss rate on true >=0.9 matches
+            # at 10k store rows (the stored twin sitting just inside a
+            # neighboring cell); symmetric probing closes it for 3x
+            # join volume, same plan shape.
             scell = ivf_assign(
-                su, cents, id_col=id_col, vec_col="u", nprobe=1
+                su, cents, id_col=id_col, vec_col="u", nprobe=nprobe
             ).select(
                 "centroid_id", F.lit("s").alias("_side"),
                 F.col(id_col), F.col("u"),
