@@ -54,11 +54,16 @@ EXTENDED = [
     "m3_media_decode",
     "t12_bpe_pairs",
     "a15_cusum",
-    # round-5 additions: stateful streaming + incremental stores
+    # round-5 additions: stateful streaming + incremental stores +
+    # corpus-model text quality + the embedding store
     "st9_stream_asof",
     "st10_stream_cusum",
     "d6_incremental_dedup",
     "d7_incremental_neardup",
+    "d8_embedding_store",
+    "t17_tfidf",
+    "t18_unigram_nll",
+    "t19_repetition",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -1183,10 +1183,11 @@ QUERIES.update(
 # entry that has never (or not recently) held a driver slot, plus the
 # minimum keepers whose family has no other representative (s/h/m/x/c
 # live only in the round-4 window).  Round 6 should rotate back to
-# roughly the round-4 window (the current tail) so every query gets a
-# driver verdict within ~2 rounds.  The family-coverage guard
-# (tests/test_example.py) enforces that no family ever leaves the
-# window.
+# roughly the round-4 window (the current tail) PLUS the operators
+# added late this round that have not yet held a slot (d8, t17, t18,
+# t19), so every query gets a driver verdict within ~2 rounds.  The
+# family-coverage guard (tests/test_example.py) enforces that no
+# family ever leaves the window.
 _WINDOW_R5 = (
     # QC core rotations (thin-variant siblings of round-4 entries)
     "f5_iso_export",
