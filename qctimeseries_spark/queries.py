@@ -807,6 +807,44 @@ def q_st10_stream_cusum(spark, sf_dir):
     )
 
 
+#: st11 drift-screen bucket edges over the events value distribution
+_PSI_EDGES = [60.0, 90.0, 110.0, 140.0, 200.0]
+
+
+def _psi_bucket_sql(col: str) -> str:
+    """DuckDB mirror of monitor._bucketize over _PSI_EDGES."""
+    out = f"CASE WHEN {col} < {_PSI_EDGES[0]!r} THEN 0"
+    for i, e in enumerate(_PSI_EDGES[1:], start=1):
+        out += f" WHEN {col} < {e!r} THEN {i}"
+    return out + f" ELSE {len(_PSI_EDGES)} END"
+
+
+def q_st11_stream_psi(spark, sf_dir):
+    """Streaming windowed drift screen: per daily window, the
+    per-bucket PSI of the live value distribution vs a fixed reference
+    snapshot (even event ids), drained append-mode.  The oracle
+    recomputes each watermark-closed window's PSI batch-side with the
+    identical shares/eps/rounding arithmetic."""
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_psi,
+    )
+
+    ref = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("value")
+    )
+    s = stream_events(spark, sf_dir).select("ts", "value")
+    return run_available_now(
+        stream_psi(
+            s, ref, edges=_PSI_EDGES, window_minutes=1440.0,
+        ),
+        output_mode="append",
+    )
+
+
 def q_st9_stream_asof(spark, sf_dir):
     """Streaming as-of enrichment: every event in the stream gains the
     most recent prior calibration record for its user, via the
@@ -1171,6 +1209,7 @@ QUERIES.update(
         "st9_stream_asof": q_st9_stream_asof,
         "a15_cusum": q_a15_cusum,
         "st10_stream_cusum": q_st10_stream_cusum,
+        "st11_stream_psi": q_st11_stream_psi,
     }
 )
 
@@ -1649,6 +1688,43 @@ s AS (
 SELECT user_id, event_id, cusum_pos, cusum_neg,
        (cusum_pos > 5000 OR cusum_neg > 5000) AS cusum_alarm
 FROM s""",
+    # st11: the drained stream must equal the batch per-window PSI for
+    # every watermark-closed window — identical share divisions, eps
+    # floor, and 6-dp rounds
+    "st11_stream_psi": f"""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+rc AS (
+  SELECT {_psi_bucket_sql('value')} AS bucket, COUNT(*) AS n
+  FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+),
+rt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM rc),
+wc AS (
+  SELECT make_timestamp((epoch_us(ts) // {24 * 3600 * 1_000_000})
+                        * {24 * 3600 * 1_000_000}) AS bucket_ts,
+         {_psi_bucket_sql('value')} AS bucket, COUNT(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+wt AS (SELECT bucket_ts, CAST(SUM(n) AS BIGINT) AS t FROM wc GROUP BY 1),
+grid AS (
+  SELECT wt.bucket_ts, b.bucket, wt.t
+  FROM wt, (SELECT unnest(range(0, {len(_PSI_EDGES) + 1})) AS bucket) b
+),
+j AS (
+  SELECT g.bucket_ts, CAST(g.bucket AS INT) AS bucket,
+         CAST(COALESCE(wc.n, 0) AS BIGINT) AS n,
+         CAST(COALESCE(wc.n, 0) AS DOUBLE) / g.t AS scr,
+         COALESCE(CAST(rc.n AS DOUBLE) / (SELECT t FROM rt), 0.0) AS srr
+  FROM grid g
+  LEFT JOIN wc ON wc.bucket_ts = g.bucket_ts AND wc.bucket = g.bucket
+  LEFT JOIN rc ON rc.bucket = g.bucket
+)
+SELECT bucket_ts, bucket, n,
+       ROUND(scr, 6) AS share_cur,
+       ROUND(srr, 6) AS share_ref,
+       ROUND((GREATEST(scr, 1e-06) - GREATEST(srr, 1e-06))
+             * ln(GREATEST(scr, 1e-06) / GREATEST(srr, 1e-06)), 6) AS psi
+FROM j, m
+WHERE bucket_ts + INTERVAL 24 HOUR <= m.mx - INTERVAL 1 HOUR""",
     "a15_cusum": """
 WITH v AS (
   SELECT user_id, event_id, ts,

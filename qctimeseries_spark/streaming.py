@@ -592,6 +592,100 @@ def stream_resample(
     return out.withColumn("bucket_ts", F.col("_win.start")).drop("_win")
 
 
+def stream_psi(
+    stream: DataFrame,
+    reference: DataFrame,
+    *,
+    value_col: str = "value",
+    time_col: str = "ts",
+    edges: list[float],
+    window_minutes: float,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Live drift monitoring: per tumbling window, the per-bucket
+    Population Stability Index of the streamed value distribution vs a
+    fixed REFERENCE snapshot — the streaming twin of
+    :func:`~qctimeseries_spark.datapipe.monitor.population_stability`,
+    answering "is what's arriving right now still distributed like the
+    corpus we trained on?" window by window.
+
+    The reference's bucket shares are computed ONCE at construction
+    (two thin aggregations over the snapshot) and ride into the
+    streaming plan as literals — the stream side then needs ONE
+    windowed aggregation with per-bucket conditional counters (buckets
+    are the explicit ``edges``, a handful), so state per window is
+    O(#buckets) scalars and the whole computation stays append-mode
+    compatible: windows finalize and evict at the watermark, and the
+    drained output equals the batch PSI computed per closed window
+    (how the oracle checks it).  Every arithmetic step mirrors the
+    batch operator exactly (integer-count shares, ``PSI_EPS`` floor,
+    6-dp rounds), so stream and batch hash-agree.  NULL values are
+    excluded, as in batch.
+
+    Emits one row per (window, bucket): ``bucket_ts, bucket, n,
+    share_cur, share_ref, psi``.
+    """
+    from qctimeseries_spark.datapipe.monitor import PSI_EPS, _bucketize
+
+    nb = len(edges) + 1
+    step_us = int(round(window_minutes * 60 * 1_000_000))
+    if step_us <= 0 or step_us % 1_000_000:
+        raise ValueError("window_minutes must be a positive whole-second step")
+
+    # reference shares, frozen at construction: exact integer-count
+    # ratios, identical to the batch operator's division
+    ref_counts = dict.fromkeys(range(nb), 0)
+    rows = (
+        reference.filter(F.col(value_col).isNotNull())
+        .select(_bucketize(F.col(value_col), edges).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in rows:
+        ref_counts[r["b"]] = r["n"]
+    ref_total = sum(ref_counts.values())
+    if ref_total == 0:
+        raise ValueError("reference snapshot has no non-NULL values")
+    ref_share = {b: c / ref_total for b, c in ref_counts.items()}
+
+    src = (
+        stream.withWatermark(time_col, watermark)
+        if stream.isStreaming
+        else stream
+    )
+    src = src.filter(F.col(value_col).isNotNull())
+    bucket = _bucketize(F.col(value_col), edges)
+    win = F.window(F.col(time_col), f"{step_us // 1_000_000} seconds")
+    counters = [
+        F.sum(F.when(bucket == i, 1).otherwise(0)).alias(f"_c{i}")
+        for i in range(nb)
+    ]
+    agg = src.groupBy(win.alias("_win")).agg(*counters)
+    total = sum((F.col(f"_c{i}") for i in range(nb)), F.lit(0))
+    terms = []
+    for i in range(nb):
+        share = F.col(f"_c{i}").cast("double") / total
+        p = F.greatest(share, F.lit(PSI_EPS))
+        q = F.greatest(F.lit(ref_share[i]), F.lit(PSI_EPS))
+        terms.append(
+            F.struct(
+                F.lit(i).alias("bucket"),
+                F.col(f"_c{i}").alias("n"),
+                F.round(share, 6).alias("share_cur"),
+                F.round(F.lit(ref_share[i]), 6).alias("share_ref"),
+                F.round((p - q) * F.log(p / q), 6).alias("psi"),
+            )
+        )
+    return (
+        agg.select(
+            F.col("_win.start").alias("bucket_ts"),
+            F.explode(F.array(*terms)).alias("_t"),
+        )
+        .select("bucket_ts", "_t.*")
+    )
+
+
 def cusum_stateful(
     stream: DataFrame,
     *,

@@ -645,3 +645,58 @@ def test_stream_recurrences_vectorized_throughput(spark, tmp_path):
     assert (s_cu.p, s_cu.n, s_cu.c) == (b_cu.p, b_cu.n, b_cu.c)
     assert s_ew.c == n and s_ew.s is not None
     assert elapsed < 120, f"stateful recurrences took {elapsed:.1f}s for {n} rows"
+
+
+def test_stream_psi_matches_batch_monitor_per_window(spark, tmp_path):
+    """Drained windowed PSI equals the batch population_stability
+    computed per closed window, including state carry across a
+    two-file drain."""
+    from qctimeseries_spark.datapipe.monitor import population_stability
+    from qctimeseries_spark.streaming import run_available_now, stream_psi
+
+    ev = read_table(spark, SF_DIR, "events").select("ts", "value")
+    ref = (
+        read_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("value")
+    )
+    edges = [60.0, 90.0, 110.0, 140.0, 200.0]
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    ev.filter(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    ev.filter(F.unix_micros("ts") > cut).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    got = {
+        (r.bucket_ts, r.bucket): (r.n, r.share_cur, r.share_ref, r.psi)
+        for r in run_available_now(
+            stream_psi(
+                stream, ref, edges=edges, window_minutes=1440.0,
+            ),
+            output_mode="append",
+        ).collect()
+    }
+    assert got  # at least one window closed under the watermark
+    # batch reference: population_stability per emitted window
+    for wstart in {k[0] for k in got}:
+        import datetime as dt
+
+        wend = wstart + dt.timedelta(days=1)
+        cur = ev.filter(
+            (F.col("ts") >= F.lit(wstart)) & (F.col("ts") < F.lit(wend))
+        ).select("value")
+        want = {
+            r.bucket: (r.share_cur, r.share_ref, r.psi)
+            for r in population_stability(cur, ref, "value", edges).collect()
+        }
+        for b in range(len(edges) + 1):
+            n, scur, sref, psi = got[(wstart, b)]
+            assert (scur, sref, psi) == want[b], (wstart, b)
