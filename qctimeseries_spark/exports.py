@@ -92,6 +92,20 @@ def write_exports(
 _XLSX_MAX_ROWS = 1_048_576  # per-sheet cap, R/qc_exports.R:99
 
 
+def write_jsonl(
+    df: DataFrame, path: str, *, compression: str | None = None
+) -> None:
+    """JSON-Lines sink (one object per line) — the de-facto exchange
+    format for training corpora.  Lossless for string/integer/boolean
+    columns; ``compression='gzip'`` produces ``.json.gz`` part files.
+    Writes distributed part files like every other sink here — a
+    downstream consumer globs the directory."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def _with_chunk_ids(
     df: DataFrame, order_by: list[str] | None, cap: int = _XLSX_MAX_ROWS
 ) -> tuple[DataFrame, DataFrame]:

@@ -478,6 +478,24 @@ def q_s1_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_s10_jsonl_roundtrip(spark, sf_dir):
+    """JSONL sink then source over the documents corpus — the standard
+    training-data exchange format; explicit read schema pins types and
+    column order, and the roundtrip must be lossless (the oracle reads
+    the original table)."""
+    from qctimeseries_spark.exports import write_jsonl
+    from qctimeseries_spark.sources import read_jsonl
+
+    path = os.path.join(_SCRATCH, "jsonl_roundtrip")
+    write_jsonl(read_table(spark, sf_dir, "documents"), path)
+    return read_jsonl(
+        spark,
+        path,
+        schema="doc_id bigint, text string, lang string,"
+        " source string, n_chars bigint",
+    )
+
+
 def q_s4_parquet_roundtrip(spark, sf_dir):
     """S2+S4: zstd parquet sink then source (R/qc_exports.R:82-89)."""
     path = os.path.join(_SCRATCH, "parquet_roundtrip")
@@ -1210,6 +1228,7 @@ QUERIES.update(
         "a15_cusum": q_a15_cusum,
         "st10_stream_cusum": q_st10_stream_cusum,
         "st11_stream_psi": q_st11_stream_psi,
+        "s10_jsonl_roundtrip": q_s10_jsonl_roundtrip,
     }
 )
 
@@ -1464,6 +1483,10 @@ SELECT event_id, ts, value FROM events""",
     "s4_parquet_roundtrip": f"""
 WITH {_SEEDED_SQL}
 SELECT event_id, value, value_qcflag FROM seeded""",
+    # s10: the JSONL roundtrip must be lossless — the oracle is the
+    # original table
+    "s10_jsonl_roundtrip": """
+SELECT doc_id, text, lang, source, n_chars FROM documents""",
     "h1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

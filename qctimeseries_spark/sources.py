@@ -88,6 +88,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSON-Lines source — the de-facto exchange format for training
+    corpora (one JSON object per line; newlines inside strings are
+    escaped by construction, so files split cleanly at any byte
+    boundary and scale out like CSV).  Pass an explicit ``schema`` to
+    skip the inference scan (a full extra read of the data) and to pin
+    column order; without one, Spark infers and alphabetizes."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table, normalizing timestamp physical types.
 

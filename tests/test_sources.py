@@ -40,3 +40,29 @@ def test_read_csv_local_path_unaffected(spark, tmp_path):
     csv.write_text("a,b\n1,x\n2,y\n")
     df = read_csv(spark, str(csv))
     assert df.count() == 2 and set(df.columns) == {"a", "b"}
+
+
+def test_jsonl_roundtrip_lossless_with_unicode_and_gzip(spark, tmp_path):
+    from qctimeseries_spark.exports import write_jsonl
+    from qctimeseries_spark.sources import read_jsonl
+
+    df = spark.createDataFrame(
+        [
+            (1, 'line with "quotes" and\nnewline', "en"),
+            (2, "中文テスト ünïcødé", "zh"),
+            (3, None, None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    p = str(tmp_path / "plain")
+    write_jsonl(df, p)
+    back = read_jsonl(spark, p, schema="doc_id long, text string, lang string")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+    # gzip part files round-trip too
+    g = str(tmp_path / "gz")
+    write_jsonl(df, g, compression="gzip")
+    import glob
+
+    assert glob.glob(g + "/*.json.gz")
+    back_gz = read_jsonl(spark, g, schema="doc_id long, text string, lang string")
+    assert back_gz.count() == 3
