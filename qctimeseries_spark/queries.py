@@ -714,7 +714,12 @@ def q_t1_sessionize(spark, sf_dir):
 
 _REV = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
-from qctimeseries_spark.datapipe.queries import DATAPIPE_ORACLE, DATAPIPE_QUERIES
+from qctimeseries_spark.datapipe.hashing import hash60_sql
+from qctimeseries_spark.datapipe.queries import (
+    DATAPIPE_ORACLE,
+    DATAPIPE_QUERIES,
+    _NORM_TEXT,
+)
 
 QUERIES = {
     "f1_add_flags": q_f1_add_flags,
@@ -861,6 +866,57 @@ def q_st11_stream_psi(spark, sf_dir):
         ),
         output_mode="append",
     )
+
+
+def q_st12_stream_ingest_dedup(spark, sf_dir):
+    """Streaming ingestion dedup against the persistent fingerprint
+    store: the d6 crawl scenario re-played as a stream.  Two source
+    files arrive in mtime order — batch 1 the even-id docs, batch 2 the
+    odd docs ∪ re-crawled copies of every 10th odd doc — and each
+    micro-batch pays one anti-join against the store via
+    ``foreachBatch`` (``ingest_dedup_stream``).  The drained survivor
+    table must equal the batch set algebra: min-id keeper per
+    fingerprint, first-arrived batch wins — which is the oracle."""
+    import glob
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.streaming import ingest_dedup_stream
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    recrawl = odd.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_st12_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        # one file per planted batch; explicit mtimes pin the file-source
+        # processing order (oldest first) so batch 1 seeds the store
+        for i, batch in enumerate([even, odd.unionByName(recrawl)]):
+            stage = os.path.join(tmp, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = ingest_dedup_stream(
+            stream,
+            os.path.join(tmp, "store"),
+            os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        # the survivor table must outlive the per-invocation temp dir
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("doc_id", "fingerprint")
 
 
 def q_st9_stream_asof(spark, sf_dir):
@@ -1228,6 +1284,7 @@ QUERIES.update(
         "a15_cusum": q_a15_cusum,
         "st10_stream_cusum": q_st10_stream_cusum,
         "st11_stream_psi": q_st11_stream_psi,
+        "st12_stream_ingest_dedup": q_st12_stream_ingest_dedup,
         "s10_jsonl_roundtrip": q_s10_jsonl_roundtrip,
     }
 )
@@ -1237,45 +1294,43 @@ QUERIES.update(
 # and the local oracle replica (tools/check_correctness.py), but only
 # window entries get the driver's independent hash verdict.  To keep
 # that verdict honest across a registry ~2x the window, the window
-# ROTATES each round: this round's explicit window promotes every
-# entry that has never (or not recently) held a driver slot, plus the
-# minimum keepers whose family has no other representative (s/h/m/x/c
-# live only in the round-4 window).  Round 6 should rotate back to
-# roughly the round-4 window (the current tail) PLUS the operators
-# added late this round that have not yet held a slot (d8, t17, t18,
-# t19), so every query gets a driver verdict within ~2 rounds.  The
+# ROTATES each round (r4 window ≈ the QC core + first datapipe wave,
+# r5 window = the never-checked tail).  Round 6 rotates back to the
+# round-4 set PLUS the seven entries that have never held a driver
+# slot (d8/s10/st11/t17/t18/t19 landed after r5's window froze; st12
+# is new this round), releasing seven r4 entries whose families stay
+# covered by richer siblings (s4←s1/s10, h5←h1/h3, m1←m2/m3, x1←x2,
+# t1←t9's r5 slot, t4/t8←five other t slots).  Every registry entry
+# has now held a driver slot within the last two rounds.  The
 # family-coverage guard (tests/test_example.py) enforces that no
 # family ever leaves the window.
-_WINDOW_R5 = (
-    # QC core rotations (thin-variant siblings of round-4 entries)
-    "f5_iso_export",
-    "u3_approve_window", "u4_reset_window", "u5_reset_all",
-    "p2_projection", "p5_strict_clean",
-    "v2_approved_overlay", "v3_flagged_overlay", "v6_viewer_slice",
-    "w4_viewer_windows", "a4_anchor", "t5_fingerprint",
-    # never-window-checked time-series / relational / streaming ops
-    "w9_regularize", "w10_ffill", "w11_interpolate", "w12_resample",
-    "w13_regularize_by_key",
-    "a9_percentiles", "a10_rolling_outliers", "a11_qc_rules",
-    "a12_rolling_by_key", "a13_progress_by_window", "a14_ewma",
-    "a15_cusum",
-    "j2_range_join", "j3_asof_forward",
-    "t9_sessionize_salted",
-    "st4_session_windows", "st5_stream_enrich", "st6_stream_anomalies",
-    "st7_stream_resample", "st8_stream_ewma", "st9_stream_asof",
-    "st10_stream_cusum",
-    # never-window-checked datapipe ops (incl. this round's d7/t16)
-    "t10_token_budget", "t11_split", "t12_bpe_pairs", "t13_mixture",
-    "t14_token_shards", "t15_psi", "t16_bpe_merges",
-    "d4_ngram_jaccard", "d6_incremental_dedup", "d7_incremental_neardup",
-    # family keepers (sole in-registry representatives outside the
-    # round-4 window set: s, h, m, x, c)
-    "s4_parquet_roundtrip", "h5_nation_revenue", "m3_media_decode",
-    "x2_knn_ivf", "c1_dup_clusters", "c2_curate",
+_WINDOW_R6 = (
+    # QC core (round-4 set)
+    "f1_add_flags", "u1_seeded_flags", "p4_apply_flags",
+    "p1_remove_flags", "f4_transfer_flags", "p3_filter_conjunction",
+    "p8_flag_class_filters", "a1_progress", "p11_hide_complete",
+    "a2_consistency", "a3_flag_domain", "w1_assign_windows",
+    "w3_admitted_windows", "w8_window_range", "u2_flag_window",
+    "u6_flag_approve_advance", "f2_rowid", "p10_rowid_semijoin",
+    "a5_axis_range", "v1_main_trace", "v4_secondary_trace",
+    "v5_check_panel", "v1_downsample",
+    # sources / relational / joins / streaming (round-4 set)
+    "s1_csv_roundtrip", "h1_pricing_summary", "h3_segment_revenue",
+    "j1_asof_join",
+    "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
+    # datapipe (round-4 set)
+    "d1_exact_dedup", "d2_minhash_dedup", "d3_simhash_pairs",
+    "d5_embedding_dups", "c1_dup_clusters", "x2_knn_ivf",
+    "t2_text_stats", "t3_quality", "t6_redact_pii", "t7_contamination",
+    "m2_media_features", "m3_media_decode", "c2_curate",
+    # never-driver-checked entries promoted this round
+    "d8_embedding_store", "s10_jsonl_roundtrip",
+    "st11_stream_psi", "st12_stream_ingest_dedup",
+    "t17_tfidf", "t18_unigram_nll", "t19_repetition",
 )
-assert len(_WINDOW_R5) == 50 and len(set(_WINDOW_R5)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R5} | {
-    k: v for k, v in QUERIES.items() if k not in _WINDOW_R5
+assert len(_WINDOW_R6) == 50 and len(set(_WINDOW_R6)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R6} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R6
 }
 
 ORACLE = {
@@ -1711,6 +1766,29 @@ s AS (
 SELECT user_id, event_id, cusum_pos, cusum_neg,
        (cusum_pos > 5000 OR cusum_neg > 5000) AS cusum_alarm
 FROM s""",
+    # st12: the drained streaming-ingestion survivor table must equal
+    # the batch set algebra over the two planted source files — min-id
+    # keeper per fingerprint within a batch, first-arrived batch wins
+    "st12_stream_ingest_dedup": f"""
+WITH fp AS (
+  SELECT doc_id, {hash60_sql(_NORM_TEXT)} AS fingerprint FROM documents
+),
+b1 AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 0),
+b2 AS (
+  SELECT doc_id, fingerprint FROM fp WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, fingerprint FROM fp
+  WHERE doc_id % 2 = 1 AND doc_id % 10 = 1
+),
+s1 AS (SELECT MIN(doc_id) AS doc_id, fingerprint FROM b1 GROUP BY fingerprint),
+s2 AS (
+  SELECT MIN(doc_id) AS doc_id, fingerprint FROM b2
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM s1)
+  GROUP BY fingerprint
+)
+SELECT doc_id, fingerprint FROM s1
+UNION ALL
+SELECT doc_id, fingerprint FROM s2""",
     # st11: the drained stream must equal the batch per-window PSI for
     # every watermark-closed window — identical share divisions, eps
     # floor, and 6-dp rounds

@@ -267,6 +267,63 @@ def dedup_stream(
     )
 
 
+def ingest_dedup_stream(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming CONTENT dedup against the persistent fingerprint
+    store: every micro-batch runs
+    :func:`~qctimeseries_spark.datapipe.dedup.dedup_against_store`
+    (anti-join on the store, min-id keeper within the batch, survivors'
+    fingerprints appended to the store) and appends the survivors to
+    ``out_path`` — the production crawl-ingestion loop as a stream,
+    completing the batch triad's streaming counterpart.
+
+    Unlike :func:`dedup_stream` (identity dedup by key within a
+    watermark horizon, state in the stream engine), the state here is
+    the CONTENT fingerprint store itself — append-only Parquet shared
+    with the batch operator, unbounded horizon, one anti-join per
+    batch.  Because ``dedup_against_store`` is idempotent under replay
+    (a replayed batch hits its own store rows and drops entirely), the
+    at-least-once ``foreachBatch`` contract upgrades to effective
+    exactly-once for the STORE; the survivor sink append can still
+    double-write on a retry mid-batch, so production sinks should key
+    on the fingerprint (or use a transactional table format).
+
+    Drains bounded sources with ``trigger(availableNow)`` and returns
+    the materialized survivor table ``(input columns + fingerprint)``.
+    Scale: per-batch cost is one batch×store anti-join — at 100 TB
+    bucket the store on the fingerprint so it is a zero-shuffle merge
+    (see the batch operator's docstring); history is never recomputed.
+    """
+    import uuid as _uuid
+
+    from qctimeseries_spark.datapipe.dedup import dedup_against_store
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        survivors = dedup_against_store(
+            batch, store_path, id_col=id_col, text_col=text_col
+        )
+        survivors.write.mode("append").parquet(out_path)
+
+    checkpoint_dir = (
+        checkpoint_dir or f"/tmp/qcts_ingest_ckpt_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.read.parquet(out_path)
+
+
 def stream_to_state(
     flagged: DataFrame,
     path: str,

@@ -39,12 +39,13 @@ def test_driver_window_covers_every_family():
         f"families {sorted(missing)} fell out of the driver's 50-entry"
         f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
-    # round-5 rotation: this round's new operators and a sample of the
-    # previously never-window-checked entries hold driver slots
+    # round-6 rotation: the last never-driver-checked entries (plus
+    # this round's st12) hold driver slots
     window = set(names[:50])
     assert {
-        "d7_incremental_neardup", "t16_bpe_merges", "st10_stream_cusum",
-        "a14_ewma", "u4_reset_window", "w11_interpolate",
+        "d8_embedding_store", "s10_jsonl_roundtrip", "st11_stream_psi",
+        "st12_stream_ingest_dedup", "t17_tfidf", "t18_unigram_nll",
+        "t19_repetition",
     } <= window
 
 

@@ -1,6 +1,9 @@
 """Streaming extension tests: the stream pipeline must agree with the
 identical batch computation on a bounded source."""
 
+import os
+from pathlib import Path
+
 from pyspark.sql import functions as F
 
 from qctimeseries_spark.sources import read_table
@@ -700,3 +703,52 @@ def test_stream_psi_matches_batch_monitor_per_window(spark, tmp_path):
         for b in range(len(edges) + 1):
             n, scur, sref, psi = got[(wstart, b)]
             assert (scur, sref, psi) == want[b], (wstart, b)
+
+
+def test_ingest_dedup_stream_matches_batch_and_replay_is_noop(spark, tmp_path):
+    """Streaming content dedup: the drained survivor set equals the
+    batch min-id-per-fingerprint algebra with first-arrived-batch
+    priority, and re-draining the same source against the SAME store is
+    a no-op (the idempotent-replay contract of dedup_against_store)."""
+    from qctimeseries_spark.streaming import ingest_dedup_stream
+
+    # batch 0: ids 1..4 (2 and 4 share content -> keeper 2)
+    # batch 1: id 5 fresh, id 6 re-crawl of 1 (store hit), ids 7/8
+    #          within-batch dups of each other (keeper 7)
+    b0 = [(1, "alpha beta gamma"), (2, "delta epsilon"),
+          (3, "zeta eta theta"), (4, "delta  epsilon")]
+    b1 = [(5, "iota kappa"), (6, "alpha beta gamma"),
+          (7, "mu nu xi"), (8, "mu nu  xi")]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([b0, b1]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(stage)
+        part = next(Path(stage).glob("part-*.parquet"))
+        dst = src / f"batch{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return ingest_dedup_stream(
+            stream, str(tmp_path / "store"), str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    out = drain("ckpt1")
+    assert {r.doc_id for r in out.collect()} == {1, 2, 3, 5, 7}
+    # store holds exactly the survivors' fingerprints
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 5 == store.select("fingerprint").distinct().count()
+    # at-least-once replay: fresh checkpoint, same files, same store —
+    # every row hits the exact tier, zero new survivors appended
+    out2 = drain("ckpt2")
+    assert out2.count() == 5  # out dir unchanged by the replay
+    assert spark.read.parquet(str(tmp_path / "store")).count() == 5
