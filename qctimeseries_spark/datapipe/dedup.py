@@ -128,16 +128,24 @@ def band_hashes(sig: Column, bands: int, rows: int) -> Column:
     Returns an array of ``bands`` structs (band, h).  Two documents
     collide in a band iff their signature slices are identical there —
     P[collide] = 1-(1-J^rows)^bands, the standard S-curve.
+
+    ``sig`` is let-bound (:func:`bind`): it is referenced once per band
+    inside the lambda, and Catalyst does not CSE across lambda bodies —
+    unbound, a MinHash-aggregate argument re-folds the whole shingle
+    array per band (measured 5× the signature cost at sf1).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            hash60(
-                F.concat_ws(",", F.transform(
-                    F.slice(sig, b * rows + 1, rows), lambda x: x.cast("string")
-                ))
-            ).alias("h"),
+    return bind(
+        sig,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                hash60(
+                    F.concat_ws(",", F.transform(
+                        F.slice(s, b * rows + 1, rows), lambda x: x.cast("string")
+                    ))
+                ).alias("h"),
+            ),
         ),
     )
 
@@ -199,6 +207,22 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the input arrives narrower — a small parquet scan (one or two
+    row-groups) otherwise runs the per-row signature projections
+    (tokenize → shingle → MD5 → MinHash fold) on a couple of cores
+    while the rest idle (measured: the whole d7 signature stage on 2 of
+    32 cores at sf1).  A no-op when the input is already at least that
+    wide, so a production scan with thousands of partitions is never
+    down-partitioned and pays no extra shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # dedup plans
 # ---------------------------------------------------------------------------
@@ -222,7 +246,7 @@ def exact_dedup(
     h = fast_hash64 if fast else hash60
     normalized = F.array_join(tokens(F.col(text_col)), " ")
     return (
-        df.select(F.col(id_col), h(normalized).alias("fingerprint"))
+        fan_out(df).select(F.col(id_col), h(normalized).alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keeper"),
@@ -273,7 +297,7 @@ def dedup_against_store(
 
     spark = df.sparkSession
     normalized = F.array_join(tokens(F.col(text_col)), " ")
-    fp = df.withColumn("fingerprint", hash60(normalized))
+    fp = fan_out(df).withColumn("fingerprint", hash60(normalized))
     try:
         known = spark.read.parquet(store_path).select("fingerprint")
     except AnalysisException:
@@ -356,7 +380,7 @@ def neardup_against_store(
     rows = k // bands
     normalized = F.array_join(tokens(F.col(text_col)), " ")
     base = (
-        df.withColumn("fingerprint", hash60(normalized))
+        fan_out(df).withColumn("fingerprint", hash60(normalized))
         .withColumn("hs", hashed_shingles(F.col(text_col), ngram))
     )
     base = base.withColumn(
@@ -633,7 +657,7 @@ def minhash_table(
     ngram: int = 3,
 ) -> DataFrame:
     """(id, minhash signature) projection — the narrow stage."""
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         minhash_signatures(F.col(text_col), k, ngram).alias("sig"),
     )
@@ -698,7 +722,7 @@ def jaccard_on(
     cheaper and the shuffle payload shrinks from ~n·len(text) to 8n
     bytes (hash collisions at 2^-60 are noise next to MinHash error).
     """
-    sh = docs.select(
+    sh = fan_out(docs).select(
         F.col(id_col),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), ngram), hash60)
@@ -738,7 +762,7 @@ def minhash_dedup_pairs(
     one id + ~doc_len/5 bigints per row.
     """
     rows = k // bands
-    hs = df.select(
+    hs = fan_out(df).select(
         F.col(id_col), hashed_shingles(F.col(text_col), ngram).alias("hs")
     )
     if cache:
@@ -789,7 +813,7 @@ def simhash_table(
     bits: int = 32,
 ) -> DataFrame:
     """(id, simhash) projection."""
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col), simhash(F.col(text_col), bits).alias("simhash")
     )
 
