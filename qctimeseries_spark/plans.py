@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def plan_summary(df: DataFrame, *, executed: bool = False) -> dict:
@@ -70,3 +70,68 @@ def plan_summary(df: DataFrame, *, executed: bool = False) -> dict:
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "scans": scans,
     }
+
+
+def job_audit(spark: SparkSession, fn, *, group: str | None = None):
+    """Execution-level counters for the Spark JOBS a callable triggers —
+    the audit view :func:`plan_summary` cannot give for EAGER pipelines.
+
+    Operators that materialize at construction time (the incremental
+    stores d6/d7/d8, ``dup_clusters``' label-propagation rounds) return
+    a checkpointed stub whose physical plan is empty — a shuffle
+    regression inside the pipeline is invisible to a plan-string audit.
+    This helper runs ``fn()`` tagged with a job group (thread-local, so
+    only the calling thread's jobs are counted) and reads the driver's
+    AppStatusStore for everything that actually ran:
+
+    ``jobs``, ``stages``, ``tasks`` (completed), ``shuffle_write_bytes``
+    / ``shuffle_read_bytes``, ``input_bytes`` — plus ``result`` (the
+    callable's return value).  A super-linear regression (e.g. a
+    quadratic candidate join losing its band pruning) shows up as a
+    job/stage/shuffle-byte jump even when the returned stub's plan
+    stays empty; CI pins those counters.
+
+    Caveat: streaming queries execute on their own threads, so a
+    ``foreachBatch`` drain inside ``fn`` contributes nothing to the
+    group — audit those through their batch twins.
+    """
+    import uuid
+
+    # a FRESH group per call: getJobIdsForGroup returns every job ever
+    # tagged with the group id, so reuse would accumulate across audits
+    group = group or f"qcts_job_audit_{uuid.uuid4().hex[:8]}"
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    try:
+        result = fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    tracker = sc.statusTracker()
+    job_ids = sorted(tracker.getJobIdsForGroup(group))
+    stage_ids = sorted(
+        {
+            s
+            for j in job_ids
+            for s in (getattr(tracker.getJobInfo(j), "stageIds", None) or [])
+        }
+    )
+    out = {
+        "jobs": len(job_ids),
+        "stages": len(stage_ids),
+        "tasks": 0,
+        "shuffle_write_bytes": 0,
+        "shuffle_read_bytes": 0,
+        "input_bytes": 0,
+        "result": result,
+    }
+    store = sc._jsc.sc().statusStore()
+    for sid in stage_ids:
+        try:
+            sd = store.lastStageAttempt(sid)
+        except Exception:  # noqa: BLE001 — skipped stage: no attempt data
+            continue
+        out["tasks"] += sd.numCompleteTasks()
+        out["shuffle_write_bytes"] += sd.shuffleWriteBytes()
+        out["shuffle_read_bytes"] += sd.shuffleReadBytes()
+        out["input_bytes"] += sd.inputBytes()
+    return out

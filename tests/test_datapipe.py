@@ -964,3 +964,34 @@ def test_repetition_stats_flags_loops(spark):
     assert out[3].dup_bigram_ratio == 0.0  # shorter than the n-gram
     assert out[3].dup_trigram_ratio == 0.0
     assert out[3].top_word_share == 1.0
+
+
+def test_job_audit_sees_eager_pipeline_and_pins_d7(spark):
+    """The plan-string audit reports an empty plan for eager pipelines
+    (they return a checkpointed stub), so job_audit must expose what
+    actually RAN — and d7's construction job count is pinned so a
+    quadratic regression (e.g. the banded candidate join degrading to
+    per-row actions) fails CI even though the returned stub's plan
+    stays empty."""
+    from qctimeseries_spark.plans import job_audit, plan_summary
+    from qctimeseries_spark.queries import QUERIES
+
+    ja = job_audit(
+        spark,
+        lambda: QUERIES["d7_incremental_neardup"](
+            spark, "/root/testdata/sf0.001"
+        ),
+    )
+    # the stub's own plan is empty — exactly the blind spot job_audit fills
+    ps = plan_summary(ja["result"])
+    assert ps["shuffles"] == 0
+    # non-trivial execution counters: the two store pipelines shuffled
+    assert ja["jobs"] > 0 and ja["stages"] >= ja["jobs"]
+    assert ja["shuffle_write_bytes"] > 0
+    assert ja["input_bytes"] > 0
+    # job-count ceiling: measured 22 construction jobs at sf0.01/sf0.001
+    # (constant in data size — the pipeline shape, not the rows).  A
+    # regression that turns a banded join into per-row driver actions
+    # blows straight past this.
+    assert ja["jobs"] <= 26, f"d7 construction launched {ja['jobs']} jobs"
+    assert ja["result"].count() > 0

@@ -19,7 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def audit(name: str, df) -> None:
+def audit(name: str, df, construction=None) -> None:
     # execute first: with AQE the pre-execution plan is a skeleton
     # (isFinalPlan=false, no codegen markers); the final stages — and
     # their WholeStageCodegen "*(n)" prefixes — exist only after a run
@@ -44,6 +44,18 @@ def audit(name: str, df) -> None:
     )
     print(f"== {name}: shuffles={n_exchange} bcast={n_bcast} wsc={n_wsc} "
           f"smj={sort_merge} nlj={nested} cart={cartesian} gwin={global_win}")
+    if construction is not None:
+        # eager pipelines (d6/d7/d8/c1) do their work at construction
+        # and return a checkpointed stub — the plan counters above see
+        # nothing, so report what actually RAN (qctimeseries_spark.
+        # plans.job_audit over the construction-time jobs)
+        print(
+            f"   construction: jobs={construction['jobs']}"
+            f" stages={construction['stages']} tasks={construction['tasks']}"
+            f" shuffleW={construction['shuffle_write_bytes']}"
+            f" shuffleR={construction['shuffle_read_bytes']}"
+            f" input={construction['input_bytes']}"
+        )
     for cols, pushed in scans:
         ncols = 0 if not cols.strip() else cols.count(",") + 1
         print(f"   scan cols={ncols} pushed={pushed[:90]}")
@@ -52,6 +64,7 @@ def audit(name: str, df) -> None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    from qctimeseries_spark.plans import job_audit
     from qctimeseries_spark.queries import QUERIES
     from qctimeseries_spark.session import get_spark
 
@@ -62,7 +75,8 @@ def main() -> int:
         if name.startswith("s1") or name.startswith("s4") or name.startswith("st1"):
             continue  # sink roundtrips / streaming — not a single plan
         try:
-            audit(name, fn(spark, sf_dir))
+            ja = job_audit(spark, lambda: fn(spark, sf_dir))
+            audit(name, ja["result"], construction=ja if ja["jobs"] else None)
         except Exception as exc:  # noqa: BLE001
             print(f"== {name}: ERROR {exc}")
     spark.stop()
