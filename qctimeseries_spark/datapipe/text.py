@@ -275,6 +275,7 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     *,
     k: int = 5,
+    exact: bool = True,
 ) -> DataFrame:
     """Per-document top-``k`` distinctive terms by TF-IDF: ``tfidf =
     tf · ln(N / df)`` rounded to 6 dp, ranked (score desc, term asc) —
@@ -289,10 +290,16 @@ def tfidf_top_terms(
 
     Cross-engine exactness: JVM ``Math.log`` and libm disagree in the
     last bit for ~4% of inputs (measured), which a 6-dp round can
-    surface — so idf runs through an Arrow ``pandas_udf`` calling the
-    scalar libm ``math.log`` once per DISTINCT df value per batch
+    surface — so with ``exact=True`` (default, the oracle-checked
+    mode) idf runs through an Arrow ``pandas_udf`` calling the scalar
+    libm ``math.log`` once per DISTINCT df value per batch
     (bit-identical to DuckDB's ``ln``).  The multiply and round are
-    single correctly-rounded ops on both engines.
+    single correctly-rounded ops on both engines.  ``exact=False`` is
+    the production mode: native ``F.ln`` keeps the whole plan inside
+    whole-stage codegen (no Python worker round-trip) at the price of
+    a possible last-bit difference vs libm — agreement is ≤1e-9
+    relative (pinned by pytest), which only matters if you hash
+    results across engines.
     """
     import math
 
@@ -314,8 +321,13 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        _idf(F.col("df"))
+        if exact
+        else F.ln(F.lit(n_docs) / F.col("df").cast("double"))
+    )
     scored = tf.join(dfreq, "term").withColumn(
-        "tfidf", F.round(F.col("tf") * _idf(F.col("df")), 6)
+        "tfidf", F.round(F.col("tf") * idf, 6)
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
@@ -331,6 +343,8 @@ def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    exact: bool = True,
 ) -> DataFrame:
     """Per-document unigram negative log-likelihood under the corpus's
     own Laplace-smoothed unigram model — the perplexity-style quality
@@ -347,9 +361,15 @@ def unigram_logprob(
 
     Scale shape: one corpus shuffle for the counts, a term-keyed join
     back (the count table is vocabulary-sized — broadcastable for most
-    corpora), one groupBy for the per-doc sum.  The ln runs through a
+    corpora), one groupBy for the per-doc sum.  With ``exact=True``
+    (default, the oracle-checked mode) the ln runs through a
     scalar-libm lookup per DISTINCT count value per batch (same
     cross-engine exactness rationale as :func:`tfidf_top_terms`).
+    ``exact=False`` is the production mode: native ``F.ln`` and the
+    same micro-unit quantization in pure Catalyst — no Python worker
+    round-trip, identical schema; a last-bit ln difference can move a
+    micro-unit on a rounding boundary (avg_nll agreement ≤1e-9
+    relative, pinned by pytest).
     """
     import math
 
@@ -375,9 +395,15 @@ def unigram_logprob(
         }
         return pd.Series([lut[int(c)] for c in vals])
 
+    if exact:
+        m = _nll_micro(F.col("c"))
+    else:
+        m = F.floor(
+            -F.ln((F.col("c") + 1.0) / F.lit(denom)) * 1e6 + 0.5
+        ).cast("long")
     return (
         tok.join(counts, "term")
-        .select(F.col(id_col), _nll_micro(F.col("c")).alias("m"))
+        .select(F.col(id_col), m.alias("m"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

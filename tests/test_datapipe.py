@@ -995,3 +995,41 @@ def test_job_audit_sees_eager_pipeline_and_pins_d7(spark):
     # blows straight past this.
     assert ja["jobs"] <= 26, f"d7 construction launched {ja['jobs']} jobs"
     assert ja["result"].count() > 0
+
+
+def test_tfidf_and_nll_fast_mode_agree_and_stay_jvm_side(spark):
+    """exact=False (production mode) must agree with the oracle-exact
+    libm path to 1e-9 relative and keep the plan free of Python UDF
+    nodes (the whole point: no Python worker round-trip in the hot
+    path)."""
+    from qctimeseries_spark.datapipe.text import (
+        tfidf_top_terms,
+        unigram_logprob,
+    )
+    from qctimeseries_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+
+    # k large enough to keep every term: rank flips on a last-bit tie
+    # must not hide rows from the comparison
+    te = {
+        (r.doc_id, r.term): r.tfidf
+        for r in tfidf_top_terms(docs, k=10**6, exact=True).collect()
+    }
+    tf_fast = tfidf_top_terms(docs, k=10**6, exact=False)
+    plan = tf_fast._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "fast mode must not ship to Python"
+    tfd = {(r.doc_id, r.term): r.tfidf for r in tf_fast.collect()}
+    assert te.keys() == tfd.keys()
+    for key, v in te.items():
+        assert abs(tfd[key] - v) <= 1e-9 * max(1.0, abs(v)), key
+
+    ne = {r.doc_id: r for r in unigram_logprob(docs, exact=True).collect()}
+    nll_fast = unigram_logprob(docs, exact=False)
+    plan = nll_fast._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    nf = {r.doc_id: r for r in nll_fast.collect()}
+    assert ne.keys() == nf.keys()
+    for d, r in ne.items():
+        assert nf[d].n_tokens == r.n_tokens
+        assert abs(nf[d].avg_nll - r.avg_nll) <= 1e-9 * max(1.0, abs(r.avg_nll)), d
