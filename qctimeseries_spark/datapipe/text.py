@@ -191,7 +191,13 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 BPE_PUA_BASE = 0xE000
 
 
-def bpe_train(df: DataFrame, text_col: str = "text", *, n_merges: int = 10):
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_merges: int = 10,
+    batch: int = 1,
+):
     """Iterated BPE merge training over the corpus vocabulary: returns
     the merge table ``(merge_rank, pair, token, n_occurrences)`` —
     ``pair`` is the winning adjacent symbol pair at that rank, ``token``
@@ -218,11 +224,37 @@ def bpe_train(df: DataFrame, text_col: str = "text", *, n_merges: int = 10):
     merge list itself (``n_merges`` rows).  At 100 TB the vocabulary
     is millions of rows, not billions — the per-iteration cost is
     independent of corpus size.
+
+    ``batch`` > 1 cuts the driver-round-trip cadence (the limit for a
+    production 32k-merge tokenizer, where one Spark job per merge means
+    32k sequential jobs): each round collects the top-``batch`` ranked
+    pairs plus the per-symbol count maxima, then accepts a PREFIX of
+    the ranked list that is provably the exact schedule the sequential
+    loop would take — so the merge table is IDENTICAL for every
+    ``batch`` value (pinned by pytest).  Acceptance walks the ranking
+    in order and stops at the first pair that
+
+    - shares a character with an already-accepted pair this round
+      (its count could have changed under those merges), or
+    - fails ``cnt > new_pair_bound``: every pair CREATED by an accepted
+      merge ``A=xy`` corresponds, occurrence-for-occurrence, to a
+      round-start adjacency — ``(w,Z_A)`` to ``(w,x)``, ``(Z_A,v)`` to
+      ``(y,v)``, ``(Z_A,Z_B)`` to ``(y,u_B)`` — so its count is bounded
+      by the round-start maxima of pairs ENDING in some accepted ``x``
+      or STARTING in some accepted ``y``; a strictly larger count
+      cannot be overtaken (nor tied: fresh-symbol pairs lose the
+      pair-asc tie-break only unpredictably, so ties stop the batch).
+
+    Jobs per round are constant (ranked top-k + symbol maxima + the
+    materializing count), so driver round-trips drop by the average
+    accepted-prefix length.
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if n_merges > 0x700:  # stay inside the BMP private-use area
         raise ValueError("n_merges exceeds the private-use symbol budget")
+    if batch < 1:
+        raise ValueError("batch must be >= 1")
     spark = df.sparkSession
     w = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
     vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("n_words")).persist()
@@ -230,7 +262,7 @@ def bpe_train(df: DataFrame, text_col: str = "text", *, n_merges: int = 10):
     merges: list[tuple[int, str, str, int]] = []
     prev = vocab
     try:
-        for rank in range(n_merges):
+        while len(merges) < n_merges:
             pairs = prev.select(
                 F.explode(
                     F.expr(
@@ -241,24 +273,110 @@ def bpe_train(df: DataFrame, text_col: str = "text", *, n_merges: int = 10):
                 ).alias("pair"),
                 "n_words",
             )
-            best = (
-                pairs.groupBy("pair")
-                .agg(F.sum("n_words").cast("long").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-                .limit(1)
-                .collect()
+            pc = pairs.groupBy("pair").agg(
+                F.sum("n_words").cast("long").alias("cnt")
             )
-            if not best:
+            want = min(batch, n_merges - len(merges))
+            if want == 1:
+                top = [
+                    (r["pair"], r["cnt"])
+                    for r in pc.orderBy(
+                        F.col("cnt").desc(), F.col("pair").asc()
+                    )
+                    .limit(1)
+                    .collect()
+                ]
+                sym_max = {}
+            else:
+                # ONE collect per round: the ranked top-`want` pairs
+                # unioned with the round-start per-symbol maxima (the
+                # new-pair bound); the top subset re-sorts driver-side
+                # since union does not preserve subquery order
+                ranked = (
+                    pc.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                    .limit(want)
+                    .select(
+                        F.lit("top").alias("kind"),
+                        F.col("pair").alias("a"),
+                        F.lit("").alias("b"),
+                        "cnt",
+                    )
+                )
+                symm = (
+                    pc.select(
+                        F.explode(
+                            F.array(
+                                F.struct(
+                                    F.substring("pair", 1, 1).alias("s"),
+                                    F.lit("start").alias("pos"),
+                                    F.col("cnt"),
+                                ),
+                                F.struct(
+                                    F.substring("pair", 2, 1).alias("s"),
+                                    F.lit("end").alias("pos"),
+                                    F.col("cnt"),
+                                ),
+                            )
+                        ).alias("e")
+                    )
+                    .groupBy("e.s", "e.pos")
+                    .agg(F.max("e.cnt").alias("cnt"))
+                    .select(
+                        F.lit("sym").alias("kind"),
+                        F.col("s").alias("a"),
+                        F.col("pos").alias("b"),
+                        "cnt",
+                    )
+                )
+                pc = pc.persist()  # two branches of one action
+                rows = ranked.unionByName(symm).collect()
+                pc.unpersist()
+                top = sorted(
+                    ((r["a"], r["cnt"]) for r in rows if r["kind"] == "top"),
+                    key=lambda t: (-t[1], t[0]),
+                )
+                sym_max = {
+                    (r["a"], r["b"]): r["cnt"]
+                    for r in rows
+                    if r["kind"] == "sym"
+                }
+            if not top:
                 break
-            pair, cnt = best[0]["pair"], best[0]["cnt"]
-            sym = chr(BPE_PUA_BASE + rank)
-            token = "".join(decoded.get(c, c) for c in pair)
-            decoded[sym] = token
-            merges.append((rank, pair, token, cnt))
-            nxt = prev.withColumn(
-                "w", F.replace(F.col("w"), F.lit(pair), F.lit(sym))
-            ).persist()
-            nxt.count()  # materialize before releasing the parent
+            accepted = [top[0]]
+            if want > 1:
+                used: set[str] = set(accepted[0][0])
+                bound = max(
+                    sym_max.get((accepted[0][0][0], "end"), 0),
+                    sym_max.get((accepted[0][0][1], "start"), 0),
+                )
+                for p, c in top[1:]:
+                    if used & set(p) or c <= bound:
+                        break
+                    accepted.append((p, c))
+                    used |= set(p)
+                    bound = max(
+                        bound,
+                        sym_max.get((p[0], "end"), 0),
+                        sym_max.get((p[1], "start"), 0),
+                    )
+            wcol = F.col("w")
+            for pair, cnt in accepted:
+                rank = len(merges)
+                sym = chr(BPE_PUA_BASE + rank)
+                token = "".join(decoded.get(c, c) for c in pair)
+                decoded[sym] = token
+                merges.append((rank, pair, token, cnt))
+                # left-to-right non-overlapping replace, applied in rank
+                # order — identical to the one-merge-per-job schedule
+                wcol = F.replace(wcol, F.lit(pair), F.lit(sym))
+            if len(merges) >= n_merges:
+                break  # no later round reads the updated vocabulary
+            # eager localCheckpoint: materializes AND truncates lineage,
+            # so the logical plan stays O(1) deep no matter how many
+            # rounds run (a chained-projection lineage overflowed plan
+            # rendering past ~15 rounds); the superseded checkpoint's
+            # blocks free via the ContextCleaner when prev rebinds
+            nxt = prev.withColumn("w", wcol).localCheckpoint(eager=True)
             prev.unpersist()
             prev = nxt
     finally:

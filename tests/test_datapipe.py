@@ -1033,3 +1033,46 @@ def test_tfidf_and_nll_fast_mode_agree_and_stay_jvm_side(spark):
     for d, r in ne.items():
         assert nf[d].n_tokens == r.n_tokens
         assert abs(nf[d].avg_nll - r.avg_nll) <= 1e-9 * max(1.0, abs(r.avg_nll)), d
+
+
+def test_bpe_batch_schedule_is_exact_and_cuts_driver_roundtrips(spark):
+    """batch>1 must produce the IDENTICAL merge table to the
+    one-merge-per-round schedule (the acceptance rule only takes a
+    prefix it can prove sequential BPE would take), and on a corpus
+    with symbol-disjoint frequent pairs it must collapse driver
+    round-trips to well under one job per merge."""
+    from qctimeseries_spark.datapipe.text import bpe_train
+    from qctimeseries_spark.plans import job_audit
+    from qctimeseries_spark.sources import read_table
+
+    # exactness on the real corpus (shared letters force short prefixes
+    # — the hard case for the acceptance proof)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=12, batch=1).collect()]
+    for b in (4, 64):
+        got = [tuple(r) for r in bpe_train(docs, n_merges=12, batch=b).collect()]
+        assert got == seq, f"batch={b} diverged from the sequential schedule"
+
+    # throughput on disjoint-alphabet words: ten 2-char words with
+    # strictly descending counts — every merge is symbol-disjoint and
+    # creates no new pairs, so one round accepts all ten
+    rows = []
+    for i, w in enumerate(["ab", "cd", "ef", "gh", "ij",
+                           "kl", "mn", "op", "qr", "st"]):
+        rows += [(i * 100 + j, w) for j in range(100 - i)]
+    toy = spark.createDataFrame(rows, "doc_id long, text string")
+    seq_toy = [tuple(r) for r in bpe_train(toy, n_merges=10, batch=1).collect()]
+    # pin the ACTION count with AQE off (with it on, every shuffle
+    # stage surfaces as its own job id — same discipline as
+    # test_dup_clusters_one_job_per_round)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        ja = job_audit(
+            spark, lambda: bpe_train(toy, n_merges=10, batch=16).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    got_toy = [tuple(r) for r in ja["result"]]
+    assert got_toy == seq_toy and len(got_toy) == 10
+    assert ja["jobs"] / 10 < 0.5, f"{ja['jobs']} jobs for 10 merges"
