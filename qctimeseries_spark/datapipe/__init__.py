@@ -49,6 +49,7 @@ from qctimeseries_spark.datapipe.similarity import (
     knn_ivf,
     recall_at_k,
     take_centroids,
+    tune_nprobe,
 )
 from qctimeseries_spark.datapipe.text import (
     bpe_pair_counts,
@@ -70,6 +71,7 @@ __all__ = [
     "curate_corpus",
     "drop_near_dups",
     "recall_at_k",
+    "tune_nprobe",
     "dup_clusters",
     "assign_token_shards",
     "bpe_pair_counts",

@@ -270,6 +270,88 @@ def knn_ivf(
     )
 
 
+def tune_nprobe(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_recall: float = 0.98,
+    k: int = 10,
+    nlist: int = 16,
+    n_queries: int = 50,
+    refine: int = 0,
+) -> dict:
+    """Recall-targeted probe selection for the IVF index: measure
+    recall@``k`` on a deterministic held-out query sample at doubling
+    ``nprobe`` values and return the smallest one whose MEASURED recall
+    reaches the target — the d8 lesson institutionalized (a fixed
+    nprobe=1 silently missed 6/200 planted re-encodes at sf1; recall is
+    parameter-sensitive and must be measured, not assumed).
+
+    The sample is the ``n_queries`` lowest ``xxhash64(id)`` vectors —
+    a pure hash function of the ids, so the tuning run is reproducible.
+    Ground truth is exact brute force on the SAMPLE only (n_queries ×
+    corpus, the bounded evaluation cost — never corpus²); each
+    candidate ``nprobe`` pays one IVF query join over the sample.  At
+    100 TB, tune on a sampled slice of the store and reuse the chosen
+    value for the full run.
+
+    Returns ``{"nprobe", "recall", "target", "evaluated"}`` where
+    ``evaluated`` maps each tried nprobe to its measured mean recall;
+    the chosen value is also logged via ``warnings.warn`` so batch jobs
+    record it.  If even ``nprobe=nlist`` (exhaustive probing) misses
+    the target — possible when rounded-cosine ties at the k-th rank
+    resolve differently — the exhaustive value is returned with its
+    measured recall.
+    """
+    import warnings
+
+    sample = (
+        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_queries)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col))
+        .persist()
+    )
+    exact = knn_bruteforce(
+        corpus, sample, id_col=id_col, vec_col=vec_col,
+        query_id_col="query_id", k=k,
+    ).persist()
+    evaluated: dict[int, float] = {}
+    chosen, chosen_recall = nlist, 0.0
+    p = 1
+    while True:
+        p = min(p, nlist)
+        approx = knn_ivf(
+            corpus, sample, id_col=id_col, vec_col=vec_col,
+            query_id_col="query_id", k=k, nlist=nlist, nprobe=p,
+            refine=refine,
+        )
+        r = (
+            recall_at_k(exact, approx)
+            .agg(F.avg("recall").alias("r"))
+            .collect()[0]["r"]
+        )
+        evaluated[p] = round(float(r or 0.0), 6)
+        chosen, chosen_recall = p, evaluated[p]
+        if chosen_recall >= target_recall or p >= nlist:
+            break
+        p *= 2
+    sample.unpersist()
+    exact.unpersist()
+    warnings.warn(
+        f"tune_nprobe: chose nprobe={chosen} (measured recall@{k} "
+        f"{chosen_recall} vs target {target_recall}; evaluated "
+        f"{evaluated})",
+        stacklevel=2,
+    )
+    return {
+        "nprobe": chosen,
+        "recall": chosen_recall,
+        "target": target_recall,
+        "evaluated": evaluated,
+    }
+
+
 def recall_at_k(
     exact: DataFrame,
     approx: DataFrame,

@@ -1076,3 +1076,37 @@ def test_bpe_batch_schedule_is_exact_and_cuts_driver_roundtrips(spark):
     got_toy = [tuple(r) for r in ja["result"]]
     assert got_toy == seq_toy and len(got_toy) == 10
     assert ja["jobs"] / 10 < 0.5, f"{ja['jobs']} jobs for 10 merges"
+
+
+def test_tune_nprobe_hits_recall_target_at_sf01(spark):
+    """Recall-targeted probe selection on the sf0.1 embeddings: the
+    auto-chosen nprobe's MEASURED recall@10 must reach the 0.98 target,
+    the choice must be logged, and re-running must reproduce it (the
+    sample is a pure hash of the ids)."""
+    import warnings
+
+    from qctimeseries_spark.datapipe import tune_nprobe
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.1", "embeddings")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = tune_nprobe(
+            emb, vec_col="embedding", target_recall=0.98, k=10,
+            nlist=16, n_queries=40,
+        )
+    assert out["recall"] >= 0.98, out
+    assert out["nprobe"] <= 16
+    # monotone sweep: recall never decreases as probes widen
+    probes = sorted(out["evaluated"])
+    recalls = [out["evaluated"][p] for p in probes]
+    assert recalls == sorted(recalls), out
+    assert any("tune_nprobe: chose nprobe=" in str(w.message) for w in caught)
+    # reproducible choice
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        again = tune_nprobe(
+            emb, vec_col="embedding", target_recall=0.98, k=10,
+            nlist=16, n_queries=40,
+        )
+    assert again == out
