@@ -64,6 +64,8 @@ EXTENDED = [
     "t17_tfidf",
     "t18_unigram_nll",
     "t19_repetition",
+    # round-6 addition: streaming ingestion dedup
+    "st12_stream_ingest_dedup",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -142,6 +144,12 @@ def main() -> int:
         print(f"# {name}: {times[name]}s {[round(r, 2) for r in runs]}", file=sys.stderr)
 
     core_total = round(sum(times[q] for q in CORE if q in times), 3)
+    # host-drift-free view: each query in CALIBRATION UNITS (raw time /
+    # this run's calibration).  Cross-round regressions read directly
+    # off these — no manual host forensics (BENCHNOTES.md §1): a query
+    # whose normalized value doubles got slower in real terms no matter
+    # what the host was doing that day.
+    normalized = {q: round(t / calibration, 3) for q, t in times.items()}
     print(
         json.dumps(
             {
@@ -162,6 +170,12 @@ def main() -> int:
                 # host-drift normalizer: divide cross-round query times
                 # by the calibration ratio before comparing
                 "calibration": calibration,
+                # per-query times in calibration units (raw/calibration)
+                # — compare these across rounds directly
+                "queries_normalized": normalized,
+                "core_subtotal_normalized": round(
+                    sum(normalized[q] for q in CORE if q in normalized), 3
+                ),
             }
         )
     )

@@ -61,6 +61,7 @@ from qctimeseries_spark.updates import (
     flag_and_approve_window,
 )
 from qctimeseries_spark.viz import (
+    flag_levels,
     main_trace,
     approved_overlay,
     flagged_overlay,
@@ -86,6 +87,7 @@ from qctimeseries_spark.state import (
 )
 
 __all__ = [
+    "flag_levels",
     "FLAG_APPROVED",
     "FLAG_UNCHECKED",
     "FLAG_MISSING",

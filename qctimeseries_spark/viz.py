@@ -202,3 +202,29 @@ def downsample_minmax(
         )
         .orderBy("bucket")
     )
+
+
+def flag_levels() -> dict:
+    """Per-flag display mapping for front-ends rendering the V1–V5
+    slices: level → (label, color), mirroring the reference's
+    ``qc_flag_levels`` (``R/qc_plots.R:181-192``) literal-for-literal —
+    so a plotly/notebook front-end colors traces identically to the
+    reference's Shiny app.
+
+    Keys are the integer flag values of ``schema.FLAG_DOMAIN``; the
+    reference keys its list by the string forms ("1","0","-1","-2"),
+    returned here under ``levels``/``labels``/``colors`` for drop-in
+    parity alongside the typed ``by_flag`` view.
+    """
+    ordered = [
+        (1, "approved", "forestgreen"),
+        (0, "unchecked", "steelblue"),
+        (-1, "auto flag", "orange"),
+        (-2, "manual flag", "red"),
+    ]
+    return {
+        "levels": [str(v) for v, _, _ in ordered],
+        "labels": [lab for _, lab, _ in ordered],
+        "colors": {str(v): c for v, _, c in ordered},
+        "by_flag": {v: {"label": lab, "color": c} for v, lab, c in ordered},
+    }

@@ -259,3 +259,19 @@ def test_window_extent():
     margin = dt.timedelta(seconds=86400 * 0.02)
     assert lo == dt.datetime(2024, 1, 3) - margin
     assert hi == dt.datetime(2024, 1, 4) + margin
+
+
+def test_flag_levels_matches_reference_literals():
+    """flag_levels() mirrors qc_flag_levels (R/qc_plots.R:181-192)
+    literal-for-literal so front-ends color V1-V5 slices identically."""
+    import qctimeseries_spark as qc
+    from qctimeseries_spark.schema import FLAG_DOMAIN
+
+    fl = qc.flag_levels()
+    assert fl["levels"] == ["1", "0", "-1", "-2"]
+    assert fl["labels"] == ["approved", "unchecked", "auto flag", "manual flag"]
+    assert fl["colors"] == {
+        "1": "forestgreen", "0": "steelblue", "-1": "orange", "-2": "red"
+    }
+    assert set(fl["by_flag"]) == set(FLAG_DOMAIN)
+    assert fl["by_flag"][-2] == {"label": "manual flag", "color": "red"}
