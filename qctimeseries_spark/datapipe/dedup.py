@@ -36,7 +36,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from qctimeseries_spark.datapipe.hashing import bind, fast_hash64, hash60
+from qctimeseries_spark.datapipe.hashing import (
+    bind,
+    fan_out,
+    fast_hash64,
+    hash60,
+)
 from qctimeseries_spark.datapipe.text import tokens
 
 # ---------------------------------------------------------------------------
@@ -207,20 +212,6 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def fan_out(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the session's default parallelism
-    when the input arrives narrower — a small parquet scan (one or two
-    row-groups) otherwise runs the per-row signature projections
-    (tokenize → shingle → MD5 → MinHash fold) on a couple of cores
-    while the rest idle (measured: the whole d7 signature stage on 2 of
-    32 cores at sf1).  A no-op when the input is already at least that
-    wide, so a production scan with thousands of partitions is never
-    down-partitioned and pays no extra shuffle.
-    """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
 
 
 # ---------------------------------------------------------------------------
@@ -362,17 +353,23 @@ def neardup_against_store(
        mutually-fresh documents pays nothing extra, and the d7 oracle
        pins the default contract.
 
-    Store layout: one Parquet row per retained document —
-    ``(store_id, fingerprint, bands array<struct<band,h>>, hs
-    array<long>)``.  The shingle-hash column is the storage price of
-    verified near-dedup (~8 bytes per ~5 chars of text); at 100 TB
-    bucket the store on the fingerprint and explode-materialize a
-    band index bucketed on ``(band, h)`` so both anti-join tiers are
-    zero-shuffle merges.  A batch replayed against its own store
-    output is a no-op (every row hits the exact tier), so ingestion
-    stays idempotent.  Survivors are MATERIALIZED before the append
-    (same barrier rationale as :func:`dedup_against_store`) and
-    returned with their ``fingerprint`` column.
+    Store layout (two Parquet directories under ``store_path``):
+    ``docs/`` holds one row per retained document — ``(store_id,
+    fingerprint, hs array<long>)`` — and ``bands/`` holds the
+    PRE-EXPLODED band index ``(store_id, h)`` partitioned by ``band``,
+    so each batch's candidate join reads the index directly instead of
+    re-exploding the whole document store per batch (the index is
+    written once, at append time, by the batch that created the rows).
+    The shingle-hash column is the storage price of verified near-dedup
+    (~8 bytes per ~5 chars of text); at 100 TB additionally bucket
+    ``docs/`` on the fingerprint and ``bands/`` on ``h`` within each
+    band partition so both anti-join tiers are zero-shuffle merges,
+    and compact the per-batch index files periodically.  A batch
+    replayed against its own store output is a no-op (every row hits
+    the exact tier), so ingestion stays idempotent.  Survivors are
+    MATERIALIZED before the append (same barrier rationale as
+    :func:`dedup_against_store`) and returned with their
+    ``fingerprint`` column.
     """
     from pyspark.sql.utils import AnalysisException
 
@@ -387,7 +384,7 @@ def neardup_against_store(
         "bands", band_hashes(minhash_from_hashes(F.col("hs"), k), bands, rows)
     )
     try:
-        store = spark.read.parquet(store_path)
+        store = spark.read.parquet(store_path + "/docs")
     except AnalysisException:
         store = None
     persisted = None
@@ -402,9 +399,9 @@ def neardup_against_store(
         nb = base.select(
             F.col(id_col), F.explode("bands").alias("bh")
         ).select(id_col, "bh.band", "bh.h")
-        sb = store.select(
-            "store_id", F.explode("bands").alias("bh")
-        ).select("store_id", "bh.band", "bh.h")
+        sb = spark.read.parquet(store_path + "/bands").select(
+            "store_id", F.col("band").cast("int").alias("band"), "h"
+        )
         cand = nb.join(sb, ["band", "h"]).select(id_col, "store_id").distinct()
         ver = cand.join(
             base.select(F.col(id_col), F.col("hs").alias("hs_new")), id_col
@@ -481,8 +478,18 @@ def neardup_against_store(
         persisted.unpersist()
     if update_store:
         survivors.select(
-            F.col(id_col).alias("store_id"), "fingerprint", "bands", "hs"
-        ).write.mode("append").parquet(store_path)
+            F.col(id_col).alias("store_id"), "fingerprint", "hs"
+        ).write.mode("append").parquet(store_path + "/docs")
+        # repartition on the partition key first: partitionBy otherwise
+        # opens one file per (task, band) — 32 tasks × b bands of tiny
+        # files per append; keyed, each band writes one file per batch
+        survivors.select(
+            F.col(id_col).alias("store_id"), F.explode("bands").alias("bh")
+        ).select("store_id", "bh.band", "bh.h").repartition(
+            bands, F.col("band")
+        ).write.mode("append").partitionBy("band").parquet(
+            store_path + "/bands"
+        )
     return survivors.drop("bands", "hs")
 
 
@@ -539,7 +546,7 @@ def embedding_dedup_against_store(
     from pyspark.sql.utils import AnalysisException
 
     spark = df.sparkSession
-    u = df.withColumn("_u", unit_vector_arrow(F.col(vec_col)))
+    u = fan_out(df).withColumn("_u", unit_vector_arrow(F.col(vec_col)))
     try:
         store = spark.read.parquet(store_path)
     except AnalysisException:
@@ -1275,7 +1282,7 @@ def embedding_dup_pairs(
     """
     # Arrow-vectorized normalization: bit-identical to the HOF fold,
     # ~40x faster, and every strategy downstream re-reads this column
-    u = df.select(
+    u = fan_out(df).select(
         F.col(id_col), unit_vector_arrow(F.col(vec_col)).alias("u")
     )
     if strategy == "auto":

@@ -16,7 +16,7 @@ hash functions for MinHash from a single primitive.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -56,3 +56,19 @@ def bind(arr: Column, fn) -> Column:
     shingle pipeline at sf0.01).
     """
     return F.transform(F.array(arr), fn)[0]
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the input arrives narrower — a small parquet scan (one or two
+    row-groups) otherwise runs the per-row signature projections
+    (tokenize → shingle → MD5 → MinHash fold) on a couple of cores
+    while the rest idle (measured: the whole d7 signature stage on 2 of
+    32 cores at sf1).  A no-op when the input is already at least that
+    wide, so a production scan with thousands of partitions is never
+    down-partitioned and pays no extra shuffle.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

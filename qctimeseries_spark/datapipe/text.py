@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from qctimeseries_spark.datapipe.hashing import bind, hash60
+from qctimeseries_spark.datapipe.hashing import bind, fan_out, hash60
 
 TOKEN_RE = r"\s+"
 # BPE-ish word/punct splitter for token *counting* (not a real BPE):
@@ -73,7 +73,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
 
-    out = df.withColumn("_st", bind(tokens(F.col(text_col)), stats))
+    out = fan_out(df).withColumn("_st", bind(tokens(F.col(text_col)), stats))
     for f in (
         "n_chars_calc",
         "n_tokens",
@@ -144,7 +144,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         # to the lexicographically greatest language code
         return F.sort_array(F.array(*scores), asc=False)[0]
 
-    best = df.withColumn("_best", bind(tokens(F.col(text_col)), pick))
+    best = fan_out(df).withColumn("_best", bind(tokens(F.col(text_col)), pick))
     return (
         best.withColumn("lang_pred", F.col("_best")["lang"])
         .withColumn("lang_hits", F.col("_best")["hits"])
@@ -165,7 +165,7 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``substr(w, i, 2)`` — which DuckDB reproduces verbatim, keeping the
     oracle a pure SQL mirror.  Returns (pair, n_occurrences).
     """
-    w = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    w = fan_out(df).select(F.explode(tokens(F.col(text_col))).alias("w"))
     vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("n_words"))
     pairs = vocab.select(
         # sequence(1, 0) in Spark DESCENDS instead of being empty, so
@@ -256,7 +256,7 @@ def bpe_train(
     if batch < 1:
         raise ValueError("batch must be >= 1")
     spark = df.sparkSession
-    w = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    w = fan_out(df).select(F.explode(tokens(F.col(text_col))).alias("w"))
     vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("n_words")).persist()
     decoded: dict[str, str] = {}
     merges: list[tuple[int, str, str, int]] = []
@@ -434,7 +434,8 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     tf = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        fan_out(df)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -491,7 +492,7 @@ def unigram_logprob(
     """
     import math
 
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
@@ -576,6 +577,7 @@ def repetition_stats(
             ).otherwise(F.lit(0.0)),
         )
 
+    df = fan_out(df)
     base = df.select(
         F.col(id_col),
         bind(
@@ -617,7 +619,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
     lowercased text — the exact-dedup key."""
     normalized = F.array_join(tokens(F.col(text_col)), " ")
-    return df.withColumn("fingerprint", hash60(normalized))
+    return fan_out(df).withColumn("fingerprint", hash60(normalized))
 
 
 # PII patterns — kept to the Java-regex ∩ RE2 common subset (no
