@@ -919,6 +919,60 @@ def q_st12_stream_ingest_dedup(spark, sf_dir):
     return out.select("doc_id", "fingerprint")
 
 
+def q_st13_stream_ingest_neardup(spark, sf_dir):
+    """Streaming NEAR-dup ingestion: the d7 crawl scenario re-played as
+    a stream.  Two source files arrive in mtime order — batch 1 the
+    even-id docs, batch 2 the odd docs ∪ boilerplate-drifted re-crawls
+    of every 6th doc — and each micro-batch pays the signature-store
+    tiers via ``foreachBatch`` (``ingest_neardup_stream``).  The
+    drained survivor table must equal the batch set algebra: d7's
+    result plus the seed batch's own survivors, which is the oracle
+    (same MinHash family, banding and verification, so both engines
+    make identical LSH decisions)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.streaming import ingest_neardup_stream
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    even = d.filter(F.col("doc_id") % 2 == 0)
+    odd = d.filter(F.col("doc_id") % 2 == 1)
+    drift = d.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" crawled mirror banner")).alias("text"),
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_st13_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, batch in enumerate([even, odd.unionByName(drift)]):
+            stage = os.path.join(tmp, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = ingest_neardup_stream(
+            stream,
+            os.path.join(tmp, "store"),
+            os.path.join(tmp, "out"),
+            k=15,
+            bands=5,
+            ngram=3,
+            threshold=0.6,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("doc_id", "fingerprint")
+
+
 def q_st9_stream_asof(spark, sf_dir):
     """Streaming as-of enrichment: every event in the stream gains the
     most recent prior calibration record for its user, via the
@@ -1285,6 +1339,7 @@ QUERIES.update(
         "st10_stream_cusum": q_st10_stream_cusum,
         "st11_stream_psi": q_st11_stream_psi,
         "st12_stream_ingest_dedup": q_st12_stream_ingest_dedup,
+        "st13_stream_ingest_neardup": q_st13_stream_ingest_neardup,
         "s10_jsonl_roundtrip": q_s10_jsonl_roundtrip,
     }
 )
@@ -1301,9 +1356,11 @@ QUERIES.update(
 # is new this round), releasing seven r4 entries whose families stay
 # covered by richer siblings (s4←s1/s10, h5←h1/h3, m1←m2/m3, x1←x2,
 # t1←t9's r5 slot, t4/t8←five other t slots).  Every registry entry
-# has now held a driver slot within the last two rounds.  The
-# family-coverage guard (tests/test_example.py) enforces that no
-# family ever leaves the window.
+# except st13 (added after this window froze) has now held a driver
+# slot within the last two rounds; round 7 should rotate back to
+# roughly the r5 window plus st13.  The family-coverage guard
+# (tests/test_example.py) enforces that no family ever leaves the
+# window.
 _WINDOW_R6 = (
     # QC core (round-4 set)
     "f1_add_flags", "u1_seeded_flags", "p4_apply_flags",
@@ -1789,6 +1846,20 @@ s2 AS (
 SELECT doc_id, fingerprint FROM s1
 UNION ALL
 SELECT doc_id, fingerprint FROM s2""",
+    # st13: the drained streaming NEAR-dup survivor table = d7's batch
+    # set algebra PLUS the seed batch's own survivors — derived from
+    # the d7 oracle by lifting its final argmax into a CTE and unioning
+    # the seed
+    "st13_stream_ingest_neardup": DATAPIPE_ORACLE[
+        "d7_incremental_neardup"
+    ].replace(
+        "\nSELECT MIN(doc_id) AS doc_id, fingerprint FROM x2"
+        " GROUP BY fingerprint",
+        ",\nx3 AS (SELECT MIN(doc_id) AS doc_id, fingerprint FROM x2"
+        " GROUP BY fingerprint)\n"
+        "SELECT doc_id, fingerprint FROM seed\n"
+        "UNION ALL\nSELECT doc_id, fingerprint FROM x3",
+    ),
     # st11: the drained stream must equal the batch per-window PSI for
     # every watermark-closed window — identical share divisions, eps
     # floor, and 6-dp rounds

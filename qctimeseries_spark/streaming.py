@@ -324,6 +324,62 @@ def ingest_dedup_stream(
     return stream.sparkSession.read.parquet(out_path)
 
 
+def ingest_neardup_stream(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+    threshold: float = 0.7,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming NEAR-dup ingestion against the persistent signature
+    store: the lexical twin of :func:`ingest_dedup_stream` — every
+    micro-batch runs
+    :func:`~qctimeseries_spark.datapipe.dedup.neardup_against_store`
+    (exact anti-join tier, banded batch×store candidate join, shingle
+    Jaccard verify, survivors' signatures appended), so boilerplate
+    drift and mirror banners that sail past an exact-fingerprint store
+    drop in-stream.
+
+    Same idempotence shape as the exact twin: a replayed batch hits
+    the exact tier against its own store rows and drops entirely, so
+    the store converges under at-least-once delivery; survivor-sink
+    appends can still double-write on a mid-batch retry (key the
+    production sink on the fingerprint).  Per-batch cost is the
+    batch-sized signature stage plus two store joins that read the
+    bucketed ``docs/`` + ``bands/`` layout — history is never
+    re-signed.  Drains bounded sources with ``trigger(availableNow)``
+    and returns the materialized survivor table.
+    """
+    import uuid as _uuid
+
+    from qctimeseries_spark.datapipe.dedup import neardup_against_store
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        survivors = neardup_against_store(
+            batch, store_path, id_col=id_col, text_col=text_col,
+            k=k, bands=bands, ngram=ngram, threshold=threshold,
+        )
+        survivors.write.mode("append").parquet(out_path)
+
+    checkpoint_dir = (
+        checkpoint_dir or f"/tmp/qcts_neardup_ckpt_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.read.parquet(out_path)
+
+
 def stream_to_state(
     flagged: DataFrame,
     path: str,

@@ -752,3 +752,42 @@ def test_ingest_dedup_stream_matches_batch_and_replay_is_noop(spark, tmp_path):
     out2 = drain("ckpt2")
     assert out2.count() == 5  # out dir unchanged by the replay
     assert spark.read.parquet(str(tmp_path / "store")).count() == 5
+
+
+def test_ingest_neardup_stream_drops_drifted_recrawls(spark, tmp_path):
+    """Streaming NEAR-dup ingestion: a drifted re-crawl (three appended
+    tokens — invisible to the exact fingerprint) arriving in a later
+    micro-batch drops on the store's band+Jaccard tiers; fresh docs
+    survive both batches."""
+    from qctimeseries_spark.streaming import ingest_neardup_stream
+
+    long_a = "the quick brown fox jumps over the lazy dog by the river"
+    b0 = [(1, long_a), (2, "totally different words about columnar engines")]
+    b1 = [(3, long_a + " mirror banner"),  # near-dup of 1 -> dropped
+          (4, "fresh content nothing like the others at all here")]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([b0, b1]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(stage)
+        dst = src / f"batch{i}.parquet"
+        next(Path(stage).glob("part-*.parquet")).rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = ingest_neardup_stream(
+        stream, str(tmp_path / "store"), str(tmp_path / "out"),
+        k=15, bands=5, ngram=3, threshold=0.6,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 2, 4}
+    # the store holds exactly the survivors' signatures (bucketed layout)
+    docs = spark.read.parquet(str(tmp_path / "store" / "docs"))
+    assert {r.store_id for r in docs.collect()} == {1, 2, 4}
+    bands = spark.read.parquet(str(tmp_path / "store" / "bands"))
+    assert bands.select("band").distinct().count() == 5
