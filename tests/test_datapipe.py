@@ -989,11 +989,12 @@ def test_job_audit_sees_eager_pipeline_and_pins_d7(spark):
     assert ja["jobs"] > 0 and ja["stages"] >= ja["jobs"]
     assert ja["shuffle_write_bytes"] > 0
     assert ja["input_bytes"] > 0
-    # job-count ceiling: measured 22 construction jobs at sf0.01/sf0.001
-    # (constant in data size — the pipeline shape, not the rows).  A
-    # regression that turns a banded join into per-row driver actions
-    # blows straight past this.
-    assert ja["jobs"] <= 26, f"d7 construction launched {ja['jobs']} jobs"
+    # job-count ceiling: measured 27 construction jobs at sf0.01/sf0.001
+    # (constant in data size — the pipeline shape, not the rows: two
+    # store pipelines, each with a docs append plus a keyed band-index
+    # append).  A regression that turns a banded join into per-row
+    # driver actions blows straight past this.
+    assert ja["jobs"] <= 31, f"d7 construction launched {ja['jobs']} jobs"
     assert ja["result"].count() > 0
 
 
