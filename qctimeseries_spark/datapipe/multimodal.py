@@ -7,19 +7,24 @@ control — streams payload bytes through Python without driver
 involvement.  Header understanding is real: :func:`parse_media` walks
 PNG chunks (IHDR width/height), JPEG segments (SOF0/SOF2 dimensions),
 RIFF/WAVE chunks (fmt sample-rate → duration), and MP4 boxes (mvhd
-timescale/duration) with nothing beyond ``struct``/``zlib``.  Payload
+timescale/duration, mdhd sample rate) with nothing beyond
+``struct``/``zlib``.  Payload
 DECODE is real wherever pure Python suffices: PNG IDAT is a genuine
 zlib stream (built by :func:`_zlib_stored`, inflated by
 ``zlib.decompress``), WAV data is PCM16 (``struct`` unpack to signed
-samples), and JPEG is a REAL baseline codec — :func:`encode_jpeg_dc`
+samples), JPEG is a REAL baseline codec — :func:`encode_jpeg_dc`
 emits standard-Huffman entropy-coded DC-tier grayscale images and
 :func:`decode_jpeg` rebuilds Huffman tables from the file's DHT
 segments, entropy-decodes (DC prediction, sign extension, AC run/size
-with ZRL/EOB), dequantizes, and runs the full 8x8 floating-point IDCT.
-Only the MP4 elementary-stream decode genuinely needs codec libraries
-this container doesn't ship and stays gated; the deterministic
-:func:`_fake_features` stands in for the embedding tier and nothing
-else.
+with ZRL/EOB), dequantizes, and runs the full 8x8 floating-point IDCT
+— and MP4 is a conformant ISO-BMFF file carrying a ``twos``
+(uncompressed twos-complement PCM16) audio track that
+:func:`decode_mp4` demuxes for real: it reads stsd/stsz/stco from the
+file and unpacks the samples the table points at.  Compressed MP4
+sample-entry codecs (AVC/AAC/...) genuinely need codec libraries this
+container doesn't ship and stay gated inside :func:`decode_mp4`; the
+deterministic :func:`_fake_features` stands in for the embedding tier
+and nothing else.
 
 Since no real media files exist in the test data, :func:`attach_media`
 *builds* genuine containers (correct magic numbers, chunk CRCs, segment
@@ -92,7 +97,7 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: constants by construction (fixed-size headers), asserted in tests.
 #: PNG adds :func:`zlib_stored_overhead` on top (the IDAT stream is a
 #: real zlib stream, sized by the stored-block layout).
-FMT_OVERHEAD = {"png": 57, "jpeg": 27, "wav": 44, "mp4": 140}
+FMT_OVERHEAD = {"png": 57, "jpeg": 27, "wav": 44, "mp4": 525}
 
 _ZLIB_BLOCK = 65535  # max stored-block payload (RFC 1951 LEN is 16-bit)
 
@@ -529,21 +534,167 @@ def decode_jpeg(payload: bytes):
     }
 
 
-def build_mp4(timescale: int, duration_units: int, content: bytes) -> bytes:
-    """Minimal ISO-BMFF: ftyp + moov(mvhd v0 with timescale/duration) +
-    mdat holding ``content``."""
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def build_mp4(
+    timescale: int,
+    duration_units: int,
+    content: bytes,
+    *,
+    sample_rate: int = 8000,
+) -> bytes:
+    """Conformant ISO-BMFF with a REAL decodable track: ftyp +
+    moov(mvhd + trak carrying a ``twos`` big-endian PCM16 mono audio
+    track whose samples are the ``content`` bytes) + mdat.
+
+    ``twos`` (QuickTime/ISO uncompressed twos-complement PCM) is a
+    genuine registered sample-entry format that needs no entropy
+    libraries, so :func:`decode_mp4` can demux and decode it for real:
+    the sample table (stsd/stts/stsc/stsz/stco) is written faithfully —
+    uniform 2-byte samples, one chunk, absolute chunk offset — and the
+    decoder trusts only what it reads back from those boxes.  All box
+    sizes are content-length-independent (stsz uses the uniform
+    sample-size field, one stts/stsc/stco entry), so the container
+    overhead is the constant ``FMT_OVERHEAD['mp4']`` the byte-account
+    oracles mirror.  An odd trailing content byte is mdat padding
+    outside the sample table, exactly like a WAV data chunk with an
+    odd byte count.
+    """
+    n = len(content) // 2
     ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 512)
     # mvhd v0 payload: ver/flags(4) ctime(4) mtime(4) timescale(4)
     # duration(4) + rate/volume/reserved/matrix/predefined/next_track(80)
-    mvhd_payload = (
-        struct.pack(">I", 0)
-        + struct.pack(">IIII", 0, 0, timescale, duration_units)
-        + b"\x00" * 80
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, duration_units)
+        + b"\x00" * 80,
     )
-    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
-    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
-    mdat = struct.pack(">I", 8 + len(content)) + b"mdat" + content
+    # tkhd v0: ver/flags(4, track-enabled) ctime/mtime(8) id(4) rsvd(4)
+    # duration(4) + rsvd/layer/group/volume/rsvd(16) matrix(36) w/h(8)
+    tkhd = _box(
+        b"tkhd",
+        struct.pack(">IIIIII", 0x7, 0, 0, 1, 0, duration_units)
+        + b"\x00" * 60,
+    )
+    # mdhd v0: ver/flags ctime mtime timescale(=sample rate) duration
+    # (=sample count) language/predefined
+    mdhd = _box(
+        b"mdhd",
+        struct.pack(">IIIII", 0, 0, 0, sample_rate, n)
+        + struct.pack(">HH", 0x55C4, 0),  # 'und' language
+    )
+    hdlr = _box(
+        b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"soun" + b"\x00" * 13
+    )
+    smhd = _box(b"smhd", struct.pack(">IHH", 0, 0, 0))
+    dref = _box(
+        b"dref",
+        struct.pack(">II", 0, 1)
+        + _box(b"url ", struct.pack(">I", 1)),  # flag 1: self-contained
+    )
+    dinf = _box(b"dinf", dref)
+    # SoundSampleEntry 'twos': reserved(6) data_ref_index(2) version/
+    # revision/vendor(8) channels(2) samplesize(2) compression/packet(4)
+    # samplerate(4, 16.16 fixed)
+    entry = _box(
+        b"twos",
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 8
+        + struct.pack(">HHI", 1, 16, 0)
+        + struct.pack(">I", sample_rate << 16),
+    )
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stts = _box(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsc = _box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    stsz = _box(b"stsz", struct.pack(">III", 0, 2, n))
+    # stco: absolute offset of the single chunk — every header box is
+    # fixed-size, so the offset is the constant container overhead
+    stbl_sans_stco = stsd + stts + stsc + stsz
+    stco_size = 8 + 12
+    stbl_size = 8 + len(stbl_sans_stco) + stco_size
+    minf_size = 8 + len(smhd) + len(dinf) + stbl_size
+    mdia_size = 8 + len(mdhd) + len(hdlr) + minf_size
+    trak_size = 8 + len(tkhd) + mdia_size
+    moov_size = 8 + len(mvhd) + trak_size
+    chunk_off = len(ftyp) + moov_size + 8  # + mdat header
+    stco = _box(b"stco", struct.pack(">III", 0, 1, chunk_off))
+    stbl = _box(b"stbl", stbl_sans_stco + stco)
+    minf = _box(b"minf", smhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    mdat = _box(b"mdat", content)
     return ftyp + moov + mdat
+
+
+def decode_mp4(p: bytes) -> dict:
+    """REAL ISO-BMFF demux + PCM decode: walk moov→trak→mdia→minf→stbl,
+    read the sample description (stsd), sample sizes (stsz) and chunk
+    offsets (stco) FROM THE FILE, then unpack the samples the table
+    points at.  Only uncompressed twos-complement PCM sample entries
+    (``twos``, 16-bit) decode — that is what "no codec libraries"
+    honestly supports; any other sample-entry format raises
+    ``NotImplementedError`` (the principled gate, now scoped to
+    actually-compressed codecs).
+
+    Returns ``{"samples": [int16...], "sample_rate", "channels"}``.
+    """
+
+    def find(off: int, end: int, typ: bytes):
+        for t, o, e in _mp4_boxes(p, off, end):
+            if t == typ:
+                return o, e
+        return None
+
+    moov = find(0, len(p), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    trak = find(*moov, b"trak")
+    if trak is None:
+        raise ValueError("MP4 has no track")
+    mdia = find(*trak, b"mdia")
+    minf = mdia and find(*mdia, b"minf")
+    stbl = minf and find(*minf, b"stbl")
+    if stbl is None:
+        raise ValueError("MP4 track missing sample table")
+    stsd = find(*stbl, b"stsd")
+    stsz = find(*stbl, b"stsz")
+    stco = find(*stbl, b"stco")
+    if stsd is None or stsz is None or stco is None:
+        raise ValueError("MP4 sample table incomplete")
+    # stsd: first sample entry's format decides decodability
+    entry_off = stsd[0] + 8  # skip ver/flags + entry_count
+    (entry_size,) = struct.unpack(">I", p[entry_off : entry_off + 4])
+    fmt = p[entry_off + 4 : entry_off + 8]
+    if fmt != b"twos":
+        raise NotImplementedError(
+            f"no codec for MP4 sample entry {fmt!r} in this environment"
+            " (only uncompressed twos-complement PCM decodes without"
+            " codec libraries)"
+        )
+    channels, sample_size = struct.unpack(
+        ">HH", p[entry_off + 24 : entry_off + 28]
+    )
+    (rate_fixed,) = struct.unpack(">I", p[entry_off + 32 : entry_off + 36])
+    if sample_size != 16:
+        raise ValueError(f"unsupported twos sample size {sample_size}")
+    ver_flags, uniform, count = struct.unpack(">III", p[stsz[0] : stsz[0] + 12])
+    if uniform == 0:
+        raise ValueError("per-sample stsz table not emitted by this builder")
+    _, n_chunks, chunk_off = struct.unpack(">III", p[stco[0] : stco[0] + 12])
+    if n_chunks != 1:
+        raise ValueError("multi-chunk stco not emitted by this builder")
+    data = p[chunk_off : chunk_off + uniform * count]
+    if len(data) != uniform * count:
+        raise ValueError("MP4 sample data truncated")
+    return {
+        "samples": list(struct.unpack(f">{count}h", data)),
+        "sample_rate": rate_fixed >> 16,
+        "channels": channels,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -640,6 +791,7 @@ def _mp4_boxes(p: bytes, off: int, end: int):
 def _parse_mp4(p: bytes) -> dict:
     duration_s = None
     content = None
+    sample_rate = None
     for typ, data_off, box_end in _mp4_boxes(p, 0, len(p)):
         if typ == b"moov":
             for ctyp, c_off, c_end in _mp4_boxes(p, data_off, box_end):
@@ -652,11 +804,25 @@ def _parse_mp4(p: bytes) -> dict:
                     else:
                         timescale, duration = struct.unpack(">II", cdata[12:20])
                     duration_s = duration / timescale
+                elif ctyp == b"trak":
+                    # media timescale of an audio track IS its sample
+                    # rate (mdhd); absent on track-less containers
+                    for t2, o2, e2 in _mp4_boxes(p, c_off, c_end):
+                        if t2 != b"mdia":
+                            continue
+                        for t3, o3, e3 in _mp4_boxes(p, o2, e2):
+                            if t3 == b"mdhd":
+                                (sample_rate,) = struct.unpack(
+                                    ">I", p[o3 + 12 : o3 + 16]
+                                )
         elif typ == b"mdat":
             content = p[data_off:box_end]
     if duration_s is None or content is None:
         raise ValueError("MP4 missing mvhd/mdat")
-    return {"fmt": "mp4", "duration_s": duration_s, "content": content}
+    out = {"fmt": "mp4", "duration_s": duration_s, "content": content}
+    if sample_rate:
+        out["sample_rate"] = sample_rate
+    return out
 
 
 def parse_media(payload: bytes) -> dict:
@@ -729,7 +895,12 @@ def build_payload(media_id: int, text: str) -> bytes:
         rate = WAV_RATES[media_id % 5]
         channels = 1 + media_id % 2
         return build_wav(rate, channels, content)
-    return build_mp4(MP4_TIMESCALE, 60 + (media_id * 97) % 360000, content)
+    return build_mp4(
+        MP4_TIMESCALE,
+        60 + (media_id * 97) % 360000,
+        content,
+        sample_rate=WAV_RATES[media_id % 5],
+    )
 
 
 def attach_media(
@@ -832,12 +1003,10 @@ def _decode_payload(content: bytes, fmt: str) -> list[int]:
       16-bit samples (a trailing ragged byte, impossible in well-formed
       PCM16, is dropped).
 
-    JPEG is decoded by :func:`decode_jpeg` (which needs the FULL
-    payload for its DQT/DHT tables, not just the content segment) —
-    callers route it there.  MP4 mdat demux recovers an elementary
-    stream whose decode genuinely requires codec libraries (av) this
-    container does not ship — it raises, and callers map that to
-    ``decoded=false``.  Raises ``ValueError`` on corrupt zlib data.
+    JPEG is decoded by :func:`decode_jpeg` and MP4 by
+    :func:`decode_mp4` (both need the FULL payload — DQT/DHT tables,
+    the stbl sample table) — callers route them there.  Raises
+    ``ValueError`` on corrupt zlib data.
     """
     if fmt == "png":
         try:
@@ -849,8 +1018,7 @@ def _decode_payload(content: bytes, fmt: str) -> list[int]:
         return list(struct.unpack(f"<{n}h", content[: 2 * n]))
     raise NotImplementedError(
         f"no codec for {fmt!r} in this environment (JPEG decodes via"
-        " decode_jpeg on the full payload; MP4 elementary-stream decode"
-        " needs av)"
+        " decode_jpeg, MP4 via decode_mp4 — both on the full payload)"
     )
 
 
@@ -1001,9 +1169,8 @@ def decode_media(
     to pixels via :func:`decode_jpeg`, WAV PCM16 to signed samples) +
     per-item unit statistics.
 
-    Emits one row per media item: ``decoded`` (false for MP4, whose
-    elementary-stream decode needs a codec library, and for corrupt
-    payloads), the unit
+    Emits one row per media item: ``decoded`` (false for corrupt
+    payloads or compressed MP4 sample-entry codecs), the unit
     count, the exact integer unit sum, and ``mean``/``rms`` derived
     from it.  All sums are integers < 2^53, so the double statistics
     are bit-exact and engine-portable (the DuckDB oracle reproduces
@@ -1027,6 +1194,10 @@ def decode_media(
             if fmt == "jpeg":
                 # real entropy decode + IDCT over the full payload
                 units = list(decode_jpeg(payload)["pixels"])
+            elif fmt == "mp4":
+                # real ISO-BMFF demux: the sample table in the file
+                # locates the twos-PCM16 samples (big-endian)
+                units = decode_mp4(payload)["samples"]
             else:
                 units = _decode_payload(meta["content"], fmt)
         except (ValueError, NotImplementedError):

@@ -1281,7 +1281,7 @@ WHERE quality >= 0.5
   AND {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")} % 1000000
       < 500000"""
     ),
-    # The container framing overheads (57/27/44/140) and the
+    # The container framing overheads (57/27/44/525) and the
     # width/height/rate/duration formulas mirror multimodal.build_payload;
     # the Spark side recovers them by parsing actual container bytes.
     "m1_media_summary": f"""
@@ -1293,7 +1293,7 @@ WITH m AS (
                 (strlen(text) + 65534) // 65535)
            WHEN doc_id % 6 = 3 THEN {_jpeg_nbytes_sql()}
            WHEN doc_id % 3 = 1 THEN strlen(text) + 44
-           ELSE strlen(text) + 140 END AS nb
+           ELSE strlen(text) + 525 END AS nb
   FROM documents
 )
 SELECT modality, COUNT(*) AS n_items,
@@ -1325,14 +1325,15 @@ SELECT doc_id AS media_id, modality, fmt,
                 WHEN 'png' THEN L + 57 + 6 + 5 * greatest(1,
                      (L + 65534) // 65535)
                 WHEN 'jpeg' THEN {_jpeg_nbytes_sql()}
-                WHEN 'wav' THEN L + 44 ELSE L + 140 END AS BIGINT)
+                WHEN 'wav' THEN L + 44 ELSE L + 525 END AS BIGINT)
            AS n_bytes,
        TRUE AS valid,
        CASE WHEN fmt = 'png' THEN CAST(16 + doc_id % 2033 AS INT)
             WHEN fmt = 'jpeg' THEN CAST(8 * {_JW8} AS INT) END AS width,
        CASE WHEN fmt = 'png' THEN CAST(16 + (doc_id * 7) % 1777 AS INT)
             WHEN fmt = 'jpeg' THEN CAST(8 * {_JH8} AS INT) END AS height,
-       CASE WHEN fmt = 'wav' THEN CAST(rate AS INT) END AS sample_rate,
+       CASE WHEN fmt IN ('wav', 'mp4') THEN CAST(rate AS INT)
+            END AS sample_rate,
        CASE WHEN fmt = 'wav' THEN CAST(L AS DOUBLE) / (rate * ch * 2)
             WHEN fmt = 'mp4'
             THEN CAST(60 + (doc_id * 97) % 360000 AS DOUBLE) / 600
@@ -1346,8 +1347,8 @@ SELECT doc_id AS media_id, modality, fmt,
 FROM c""",
     # m3: the decode oracle expands the document's UTF-8 bytes from the
     # hex rendering of the blob (one INT per byte), then reproduces the
-    # PNG pixel-byte stats and the signed little-endian PCM16 sample
-    # stats arithmetically.  Integer sums are exact in BIGINT and the
+    # PNG pixel-byte stats and the signed PCM16 sample stats (WAV
+    # little-endian, MP4 twos big-endian) arithmetically.  Integer sums are exact in BIGINT and the
     # mean/rms doubles are single correctly-rounded ops, so the value
     # hash is bit-comparable with the Spark side's real inflate/unpack.
     "m3_media_decode": f"""
@@ -1371,23 +1372,29 @@ s AS (
              k -> CASE WHEN bytes[2 * k + 2] >= 128
                        THEN bytes[2 * k + 1] + 256 * bytes[2 * k + 2] - 65536
                        ELSE bytes[2 * k + 1] + 256 * bytes[2 * k + 2] END)
+              WHEN fmt = 'mp4' THEN
+           -- twos PCM16 is BIG-endian: first byte is the sign byte
+           list_transform(range(0, CAST(L // 2 AS INT)),
+             k -> CASE WHEN bytes[2 * k + 1] >= 128
+                       THEN 256 * bytes[2 * k + 1] + bytes[2 * k + 2] - 65536
+                       ELSE 256 * bytes[2 * k + 1] + bytes[2 * k + 2] END)
          END AS samples
   FROM b
 ),
 u AS (
   SELECT doc_id, fmt,
-         fmt IN ('png', 'wav', 'jpeg') AS decoded,
+         fmt IN ('png', 'wav', 'jpeg', 'mp4') AS decoded,
          CASE WHEN fmt = 'png' THEN L
-              WHEN fmt = 'wav' THEN L // 2
+              WHEN fmt IN ('wav', 'mp4') THEN L // 2
               WHEN fmt = 'jpeg' THEN 64 * {_JW8} * {_JH8} END AS n_units,
          CASE WHEN fmt = 'png' THEN list_sum(bytes)
-              WHEN fmt = 'wav' THEN list_sum(samples)
+              WHEN fmt IN ('wav', 'mp4') THEN list_sum(samples)
               WHEN fmt = 'jpeg' THEN list_sum(list_transform(
                    range(0, {_JW8} * {_JH8}),
                    b -> 64 * (123 - (doc_id + 3 * b) % 8))) END AS su,
          CASE WHEN fmt = 'png'
               THEN list_sum(list_transform(bytes, x -> x * x))
-              WHEN fmt = 'wav'
+              WHEN fmt IN ('wav', 'mp4')
               THEN list_sum(list_transform(samples, x -> x * x))
               WHEN fmt = 'jpeg' THEN list_sum(list_transform(
                    range(0, {_JW8} * {_JH8}),

@@ -304,9 +304,15 @@ def test_decode_media_stats_match_python(spark):
             assert r["sum_units"] == sum(
                 64 * (128 + jpeg_qdc(mid, b)) for b in range(nb)
             )
-        else:  # mp4: elementary-stream decode needs a codec — gated
-            assert r["decoded"] is False
-            assert r["n_units"] is None and r["mean_unit"] is None
+        else:  # mp4: REAL stbl demux to big-endian twos-PCM16 samples
+            import struct as _s
+
+            n = len(content) // 2
+            samples = _s.unpack(f">{n}h", content[: 2 * n])
+            assert r["decoded"] is True
+            assert r["n_units"] == n
+            assert r["sum_units"] == sum(samples)
+            assert r["mean_unit"] == sum(samples) / n
 
 
 def test_extract_features_corrupt_payload_is_flagged_not_fatal(spark):
@@ -342,3 +348,25 @@ def test_null_payload_is_invalid_not_fatal(spark):
     dec = {r["media_id"]: r for r in decode_media(media).collect()}
     assert dec[1]["decoded"] is False and dec[1]["n_units"] is None
     assert dec[6]["decoded"] is True
+
+
+def test_decode_mp4_demuxes_sample_table_and_gates_compressed_codecs():
+    """decode_mp4 trusts only what it reads back from stsd/stsz/stco —
+    and the NotImplementedError gate now applies ONLY to genuinely
+    compressed sample-entry codecs (e.g. AVC), not to every MP4."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from qctimeseries_spark.datapipe.multimodal import build_mp4, decode_mp4
+
+    content = bytes(range(200)) * 3 + b"\x81"  # odd length: mdat padding
+    p = build_mp4(600, 777, content, sample_rate=44100)
+    d = decode_mp4(p)
+    n = len(content) // 2
+    assert d["samples"] == list(_s.unpack(f">{n}h", content[: 2 * n]))
+    assert d["sample_rate"] == 44100 and d["channels"] == 1
+    # forge the sample-entry format to a compressed codec: gated
+    forged = p.replace(b"twos", b"avc1", 1)
+    with _pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4(forged)
