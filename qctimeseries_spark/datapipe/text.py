@@ -165,7 +165,10 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``substr(w, i, 2)`` — which DuckDB reproduces verbatim, keeping the
     oracle a pure SQL mirror.  Returns (pair, n_occurrences).
     """
-    w = fan_out(df).select(F.explode(tokens(F.col(text_col))).alias("w"))
+    # no fan_out: the word-count shuffle redistributes immediately and
+    # the pair stage runs over the (small) vocabulary (measured: the
+    # extra repartition regressed t12 1.5x at sf0.1)
+    w = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
     vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("n_words"))
     pairs = vocab.select(
         # sequence(1, 0) in Spark DESCENDS instead of being empty, so
