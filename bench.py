@@ -64,8 +64,9 @@ EXTENDED = [
     "t17_tfidf",
     "t18_unigram_nll",
     "t19_repetition",
-    # round-6 addition: streaming ingestion dedup
+    # round-6 additions: streaming ingestion dedup (exact + NEAR)
     "st12_stream_ingest_dedup",
+    "st13_stream_ingest_neardup",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -92,11 +92,17 @@ def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     return out
 
 
-def hashed_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct 60-bit hashes of the word-n-gram shingles — the shared
-    upstream of MinHash (``% P`` rebase) and exact Jaccard (int-array
-    intersection).  ONE MD5 per shingle, computed once."""
-    return F.array_distinct(F.transform(shingles(col, n), hash60))
+def hashed_shingles(col: Column, n: int = 3, *, fast: bool = False) -> Column:
+    """Distinct 64-bit hashes of the word-n-gram shingles — the shared
+    upstream of MinHash (``pmod P`` rebase) and exact Jaccard
+    (int-array intersection).  ONE hash per shingle, computed once:
+    engine-portable MD5-based :func:`hash60` by default (the
+    oracle-checked path), whole-stage-codegen ``xxhash64`` with
+    ``fast=True`` (the production path — same plan shape, no MD5 in
+    the loop; LSH decisions differ per hash family, as any reseeding
+    would)."""
+    h = fast_hash64 if fast else hash60
+    return F.array_distinct(F.transform(shingles(col, n), h))
 
 
 def minhash_from_hashes(hs: Column, k: int = 16) -> Column:
@@ -109,7 +115,8 @@ def minhash_from_hashes(hs: Column, k: int = 16) -> Column:
     the input array is evaluated once per row.
     """
     coeffs = minhash_coeffs(k)
-    base = F.transform(hs, lambda h: h % MINHASH_P)
+    # pmod, not %: xxhash64 inputs (the fast path) are signed
+    base = F.transform(hs, lambda h: F.pmod(h, F.lit(MINHASH_P)))
     kvecs = F.transform(
         base,
         lambda h: F.array(
@@ -127,7 +134,9 @@ def minhash_signatures(col: Column, k: int = 16, n: int = 3) -> Column:
     return minhash_from_hashes(hashed_shingles(col, n), k)
 
 
-def band_hashes(sig: Column, bands: int, rows: int) -> Column:
+def band_hashes(
+    sig: Column, bands: int, rows: int, *, fast: bool = False
+) -> Column:
     """LSH banding: hash each ``rows``-wide slice of the signature.
 
     Returns an array of ``bands`` structs (band, h).  Two documents
@@ -139,13 +148,14 @@ def band_hashes(sig: Column, bands: int, rows: int) -> Column:
     unbound, a MinHash-aggregate argument re-folds the whole shingle
     array per band (measured 5× the signature cost at sf1).
     """
+    h = fast_hash64 if fast else hash60
     return bind(
         sig,
         lambda s: F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.cast("int").alias("band"),
-                hash60(
+                h(
                     F.concat_ws(",", F.transform(
                         F.slice(s, b * rows + 1, rows), lambda x: x.cast("string")
                     ))
@@ -762,9 +772,18 @@ def minhash_dedup_pairs(
     ngram: int = 3,
     threshold: float = 0.7,
     cache: bool = True,
+    fast: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact-Jaccard
     verify → threshold.
+
+    ``fast=True`` is the production mode: every per-shingle and
+    per-band hash is JVM-native xxhash64 instead of the
+    oracle-portable MD5 — the Jaccard VALUES on verified pairs are
+    identical (set intersections don't care which hash named the
+    shingles, up to 2^-64 collisions), the candidate set differs only
+    as any LSH reseeding would, and exact duplicates are still
+    guaranteed to collide in every band.
 
     The hashed-shingle table feeds FOUR plan branches (both sides of
     the candidate self-join and both sides of the Jaccard join), so it
@@ -774,14 +793,17 @@ def minhash_dedup_pairs(
     """
     rows = k // bands
     hs = fan_out(df).select(
-        F.col(id_col), hashed_shingles(F.col(text_col), ngram).alias("hs")
+        F.col(id_col),
+        hashed_shingles(F.col(text_col), ngram, fast=fast).alias("hs"),
     )
     if cache:
         hs = hs.persist()
     sig = hs.select(id_col, minhash_from_hashes(F.col("hs"), k).alias("sig"))
     exploded = sig.select(
         F.col(id_col),
-        F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh"),
+        F.explode(
+            band_hashes(F.col("sig"), bands, rows, fast=fast)
+        ).alias("bh"),
     ).select(id_col, "bh.band", "bh.h")
     a, b = exploded.alias("a"), exploded.alias("b")
     cands = (

@@ -1111,3 +1111,28 @@ def test_tune_nprobe_hits_recall_target_at_sf01(spark):
             nlist=16, n_queries=40,
         )
     assert again == out
+
+
+def test_minhash_fast_mode_is_md5_free_and_finds_exact_dups(docs):
+    """fast=True (production) must keep MD5 out of the plan entirely
+    (xxhash64 is whole-stage-codegen) while preserving the hard
+    guarantees: exact duplicates collide in every band (found with
+    jaccard 1.0) and every emitted pair still passes the exact-Jaccard
+    verification threshold."""
+    fast = minhash_dedup_pairs(docs, k=15, bands=5, threshold=0.5, fast=True)
+    plan = fast._jdf.queryExecution().executedPlan().toString().lower()
+    assert "md5" not in plan, "fast mode must not pay MD5 per shingle"
+    assert "xxhash64" in plan
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in fast.collect()}
+    assert pairs[(0, 3)] == 1.0  # normalized-identical docs: guaranteed
+    assert all(j >= 0.5 for j in pairs.values())
+    # the exact (oracle) mode agrees on the verified-similarity values
+    # for every pair both modes surface
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(
+            docs, k=15, bands=5, threshold=0.5
+        ).collect()
+    }
+    for key in pairs.keys() & exact.keys():
+        assert pairs[key] == exact[key], key
