@@ -60,6 +60,7 @@ from qctimeseries_spark.datapipe.text import (
     quality_score,
     redact_pii,
     repetition_stats,
+    strip_repeated_lines,
     text_stats,
     tfidf_top_terms,
     token_count,
@@ -113,6 +114,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "repetition_stats",
+    "strip_repeated_lines",
     "text_stats",
     "tfidf_top_terms",
     "token_count",

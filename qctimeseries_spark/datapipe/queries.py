@@ -843,6 +843,29 @@ def q_c2_curate(spark, sf_dir):
     return out.select("doc_id", "lang", "fingerprint", "n_tokens", "quality")
 
 
+def q_t20_line_dedup(spark, sf_dir):
+    """C4-style repeated-line (boilerplate) removal: each doc becomes
+    three lines — its own text, a banner shared by every doc_id%7
+    class (planted boilerplate), and a unique tail.  Lines occurring
+    in ≥3 distinct documents are stripped; the oracle is the identical
+    split/count/filter/reassemble algebra."""
+    from qctimeseries_spark.datapipe.text import strip_repeated_lines
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(
+                F.lit("subscribe banner "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+            F.concat(F.lit("unique tail "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return strip_repeated_lines(d, min_docs=3)
+
+
 DATAPIPE_QUERIES = {
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_dedup": q_d2_minhash_dedup,
@@ -876,6 +899,7 @@ DATAPIPE_QUERIES = {
     "t17_tfidf": q_t17_tfidf,
     "t18_unigram_nll": q_t18_unigram_nll,
     "t19_repetition": q_t19_repetition,
+    "t20_line_dedup": q_t20_line_dedup,
 }
 
 
@@ -1678,4 +1702,33 @@ SELECT r.doc_id, n_tokens, dup_bigram_ratio, dup_trigram_ratio,
             THEN ROUND(CAST(COALESCE(top, 0) AS DOUBLE) / n_tokens, 6)
             ELSE 0.0 END AS top_word_share
 FROM r LEFT JOIN t ON r.doc_id = t.doc_id""",
+    # t20: identical split/count/filter/reassemble algebra; parallel
+    # unnest zips (line, pos) so reassembly order is pinned
+    "t20_line_dedup": """
+WITH src AS (
+  SELECT doc_id,
+         concat(text, chr(10), 'subscribe banner ',
+                CAST(doc_id % 7 AS VARCHAR), chr(10),
+                'unique tail ', CAST(doc_id AS VARCHAR)) AS text
+  FROM documents
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM src),
+l AS (
+  SELECT doc_id, unnest(lines) AS line,
+         unnest(range(1, len(lines) + 1)) AS pos
+  FROM ls
+),
+f AS (SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3),
+k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM f)),
+r AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM k GROUP BY doc_id
+),
+t AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN r USING (doc_id)""",
 }

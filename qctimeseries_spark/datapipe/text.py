@@ -618,6 +618,67 @@ def repetition_stats(
     )
 
 
+def strip_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line occurring (as an
+    exact match) in at least ``min_docs`` DISTINCT documents, keeping
+    the remaining lines in their original order — the classic
+    "three-sentence rule" that strips cookie banners, nav bars and
+    subscription prompts which per-DOCUMENT dedup can never catch
+    (each host document is unique; only the LINE repeats).
+
+    Returns ``(id, text_clean, n_lines, n_removed)``; a document whose
+    every line is boilerplate keeps an empty ``text_clean``.
+
+    Scale shape: one ``(line)`` shuffle for the distinct-document
+    count; the frequent-line set is boilerplate — tiny by definition —
+    so it BROADCASTS into the anti-join and the corpus-side probe is
+    map-side; reassembly is one groupBy(id) whose per-group state is
+    the document's own lines (sorted by original position, so output
+    is deterministic under any partitioning).  No line text is ever
+    shuffled twice.
+    """
+    lines = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(frequent), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.col("n_lines"),
+            (
+                F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
     lowercased text — the exact-dedup key."""
@@ -679,7 +740,9 @@ def contamination_check(
     """
     from qctimeseries_spark.datapipe.dedup import hashed_shingles
 
-    doc_sh = df.select(
+    # the corpus-side shingle+MD5 projection is the heavy stage — fan
+    # narrow scans out so it parallelizes (no-op on wide inputs)
+    doc_sh = fan_out(df).select(
         F.col(id_col),
         F.explode(hashed_shingles(F.col(text_col), ngram)).alias("h"),
     )

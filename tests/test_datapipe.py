@@ -1136,3 +1136,29 @@ def test_minhash_fast_mode_is_md5_free_and_finds_exact_dups(docs):
     }
     for key in pairs.keys() & exact.keys():
         assert pairs[key] == exact[key], key
+
+
+def test_strip_repeated_lines_c4_rule(spark):
+    """Lines in >= min_docs distinct documents drop; survivors keep
+    their original order; an all-boilerplate doc keeps empty text;
+    within-doc repetition alone does not trigger the rule (the count
+    is DISTINCT documents)."""
+    from qctimeseries_spark.datapipe import strip_repeated_lines
+
+    nav = "home | products | contact"
+    rows = [
+        (1, f"{nav}\nunique first doc\n{nav}"),     # nav repeated in-doc
+        (2, f"intro two\n{nav}\nbody two"),
+        (3, f"{nav}\nbody three"),
+        (4, "standalone\nstandalone"),              # in-doc dup only: kept
+        (5, nav),                                   # all boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_repeated_lines(df, min_docs=3).collect()}
+    assert out[1].text_clean == "unique first doc"
+    assert (out[1].n_lines, out[1].n_removed) == (3, 2)
+    assert out[2].text_clean == "intro two\nbody two"
+    assert out[3].text_clean == "body three"
+    assert out[4].text_clean == "standalone\nstandalone"  # 1 doc < 3
+    assert out[4].n_removed == 0
+    assert out[5].text_clean == "" and out[5].n_removed == 1
