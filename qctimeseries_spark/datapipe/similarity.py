@@ -223,7 +223,7 @@ def knn_ivf(
     query_id_col: str = "query_id",
     k: int = 10,
     nlist: int = 16,
-    nprobe: int = 4,
+    nprobe: int | str = 4,
     refine: int = 0,
 ) -> DataFrame:
     """Approximate top-k: IVF cell restriction, then exact rank within
@@ -234,7 +234,15 @@ def knn_ivf(
     the all-pairs join — scanned work drops to ~nprobe/nlist of brute
     force, the recall/cost dial of a classic IVF index.  ``refine``
     passes through to :func:`take_centroids` (Lloyd iterations).
+    ``nprobe="auto"`` runs :func:`tune_nprobe` first (recall-targeted,
+    measured on a hash-sampled held-out slice, logged) and uses its
+    choice — pay the tuning sweep once, reuse the value for the run.
     """
+    if nprobe == "auto":
+        nprobe = tune_nprobe(
+            corpus, id_col=id_col, vec_col=vec_col, k=k, nlist=nlist,
+            refine=refine,
+        )["nprobe"]
     cents = take_centroids(
         corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=refine
     )

