@@ -17,6 +17,7 @@ from qctimeseries_spark.datapipe.dedup import (
     jaccard_on,
     lsh_candidates,
     minhash_dedup_pairs,
+    semantic_dedup,
     minhash_signatures,
     neardup_against_store,
     shingles,
@@ -92,6 +93,7 @@ __all__ = [
     "jaccard_on",
     "lsh_candidates",
     "minhash_dedup_pairs",
+    "semantic_dedup",
     "minhash_signatures",
     "neardup_against_store",
     "shingles",

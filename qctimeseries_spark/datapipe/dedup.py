@@ -1503,3 +1503,41 @@ def _dup_pairs_numpy(u: DataFrame, id_col: str, threshold: float) -> DataFrame:
     finally:
         u.unpersist()
         bc.destroy()
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.98,
+    **pair_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding near-dup pairs
+    (:func:`embedding_dup_pairs`) → transitive clusters
+    (:func:`dup_clusters`) → keep the minimum-id member per cluster,
+    drop the rest.  Returns the surviving rows of ``df`` unchanged —
+    the whole-corpus retention pass that removes re-encodes and
+    paraphrase groups sharing no surface text.
+
+    Scale shape is the composition of its verified parts: pair
+    generation is IVF-bucketed past the brute cutover, clustering is
+    bounded-driver union-find or distributed label propagation, and
+    the final drop is one anti-join on the id.  Cluster transitivity
+    means a chain a~b~c collapses to ONE keeper even when cos(a,c)
+    misses the threshold — exactly SemDeDup's group semantics.
+    ``pair_kwargs`` pass through to :func:`embedding_dup_pairs`
+    (``strategy``, ``nprobe``, ...).
+    """
+    pairs = embedding_dup_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        **pair_kwargs,
+    )
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    keepers = clusters.groupBy("cluster_id").agg(F.min("id").alias("_keep"))
+    dropped = (
+        clusters.join(keepers, "cluster_id")
+        .filter(F.col("id") != F.col("_keep"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(dropped, id_col, "left_anti")

@@ -866,12 +866,28 @@ def q_t20_line_dedup(spark, sf_dir):
     return strip_repeated_lines(d, min_docs=3)
 
 
+def q_d9_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style retention pass over the planted embedding corpus:
+    cosine-0.9 pairs -> transitive clusters -> min-id keeper; every
+    perturbed re-encode (vec_id >= 1000000) collapses into its
+    original's cluster and drops.  The oracle composes d5's exact pair
+    algebra with c1's recursive-CTE reachability closure."""
+    from qctimeseries_spark.datapipe.dedup import semantic_dedup
+
+    out = semantic_dedup(
+        _emb_corpus(spark, sf_dir), id_col="vec_id", vec_col="v",
+        threshold=0.9,
+    )
+    return out.select("vec_id")
+
+
 DATAPIPE_QUERIES = {
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_dedup": q_d2_minhash_dedup,
     "d3_simhash_pairs": q_d3_simhash_pairs,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "d5_embedding_dups": q_d5_embedding_dups,
+    "d9_semantic_dedup": q_d9_semantic_dedup,
     "c1_dup_clusters": q_c1_dup_clusters,
     "x1_knn_bruteforce": q_x1_knn_bruteforce,
     "x2_knn_ivf": q_x2_knn_ivf,
@@ -1084,6 +1100,41 @@ p AS (
   FROM u a JOIN u b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9""",
+    "d9_semantic_dedup": f"""
+WITH RECURSIVE {_EMB_CORPUS_SQL.lstrip()},
+un AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_reduce(
+             list_transform(v, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+             (p, q) -> p + q))) AS u
+  FROM corpus
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM un a JOIN un b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_reduce(list_transform(range(1, len(a.u) + 1),
+                                         i -> a.u[i] * b.u[i]),
+                          (p, q) -> p + q), 9) >= 0.9
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+nd AS (SELECT DISTINCT src AS id FROM e),
+reach(a, b) AS (
+  SELECT id, id FROM nd
+  UNION
+  SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src
+),
+cl AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+keepers AS (SELECT cluster_id, MIN(id) AS keep FROM cl GROUP BY cluster_id),
+dropped AS (
+  SELECT cl.id FROM cl JOIN keepers USING (cluster_id)
+  WHERE cl.id != keepers.keep
+)
+SELECT vec_id FROM corpus
+WHERE vec_id NOT IN (SELECT id FROM dropped)""",
     "x1_knn_bruteforce": f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5

@@ -1356,9 +1356,9 @@ QUERIES.update(
 # is new this round), releasing seven r4 entries whose families stay
 # covered by richer siblings (s4←s1/s10, h5←h1/h3, m1←m2/m3, x1←x2,
 # t1←t9's r5 slot, t4/t8←five other t slots).  Every registry entry
-# except st13 and t20 (added after this window froze) has now held a
-# driver slot within the last two rounds; round 7 should rotate back
-# to roughly the r5 window plus st13 and t20.  The family-coverage
+# except st13, t20 and d9 (added after this window froze) has now
+# held a driver slot within the last two rounds; round 7 should
+# rotate back to roughly the r5 window plus st13, t20 and d9.  The family-coverage
 # guard (tests/test_example.py) enforces that no family ever leaves
 # the window.
 _WINDOW_R6 = (

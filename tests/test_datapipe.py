@@ -1188,3 +1188,30 @@ def test_knn_ivf_auto_nprobe(spark):
             for r in knn_ivf(emb, q, k=10, nlist=16, nprobe="auto").collect()
         }
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_semantic_dedup_collapses_transitive_chains(spark):
+    """A chain a~b~c (where cos(a,c) is below threshold) still keeps
+    exactly one member — SemDeDup group semantics, not pairwise."""
+    import numpy as np
+
+    from qctimeseries_spark.datapipe.dedup import semantic_dedup
+
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    step = np.array([0.0, 1.0, 0.0, 0.0])
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).tolist()
+
+    rows = [
+        (1, unit(base)),                 # a
+        (2, unit(base + 0.30 * step)),   # b: cos(a,b) ≈ 0.958
+        (3, unit(base + 0.62 * step)),   # c: cos(b,c) ≈ 0.965, cos(a,c) ≈ 0.85
+        (9, unit(step)),                 # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    survivors = {
+        r.vec_id
+        for r in semantic_dedup(df, threshold=0.95).select("vec_id").collect()
+    }
+    assert survivors == {1, 9}  # whole chain collapses to its min id
