@@ -1215,3 +1215,16 @@ def test_semantic_dedup_collapses_transitive_chains(spark):
         for r in semantic_dedup(df, threshold=0.95).select("vec_id").collect()
     }
     assert survivors == {1, 9}  # whole chain collapses to its min id
+
+
+def test_fan_out_is_noop_on_wide_inputs(spark):
+    """fan_out must never down-partition or add a shuffle to an input
+    already at least as wide as the session parallelism (the 100 TB
+    case) — and must widen a narrow one."""
+    from qctimeseries_spark.datapipe.hashing import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(par + 4)
+    assert fan_out(wide) is wide  # identical object: no plan change
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow).rdd.getNumPartitions() == par
