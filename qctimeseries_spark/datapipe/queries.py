@@ -570,11 +570,12 @@ def q_t16_bpe_merges(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=10)
 
 
-def _bpe_merges_sql(n: int) -> str:
-    """DuckDB mirror of :func:`bpe_train`: the merge loop unrolled to
-    ``n`` CTE stages (pair count → argmax → replace), token surfaces
-    decoded by substituting each minted private-use symbol with its
-    (already fully decoded) predecessor token."""
+def _bpe_chain_parts(n: int, *, with_merges: bool) -> list[str]:
+    """The unrolled BPE merge loop as CTE parts — vocabulary ``v{i}``,
+    pair counts ``p{i}``/argmax ``b{i}`` per rank, and (when
+    ``with_merges``) the decoded merge rows ``m{i}``.  Shared by the
+    t16 (train) and t21 (train→encode) oracles so the two mirrors
+    cannot drift."""
     toks = _TOKS.format(c="text")
     # MATERIALIZED: each stage is referenced several times downstream
     # (scalar subqueries + the next vocabulary) — without it DuckDB
@@ -594,21 +595,65 @@ def _bpe_merges_sql(n: int) -> str:
             f" AS cnt FROM p{i} GROUP BY pair ORDER BY cnt DESC, pair"
             f" LIMIT 1)"
         )
-        tok = "pair"
-        for j in range(i - 1, -1, -1):
-            tok = f"replace({tok}, chr({0xE000 + j}), (SELECT token FROM m{j}))"
-        parts.append(
-            f"m{i} AS MATERIALIZED (SELECT {i} AS merge_rank, pair,"
-            f" {tok} AS token, cnt AS n_occurrences FROM b{i})"
-        )
+        if with_merges:
+            tok = "pair"
+            for j in range(i - 1, -1, -1):
+                tok = (
+                    f"replace({tok}, chr({0xE000 + j}),"
+                    f" (SELECT token FROM m{j}))"
+                )
+            parts.append(
+                f"m{i} AS MATERIALIZED (SELECT {i} AS merge_rank, pair,"
+                f" {tok} AS token, cnt AS n_occurrences FROM b{i})"
+            )
         if i + 1 < n:
             parts.append(
                 f"v{i + 1} AS MATERIALIZED (SELECT replace(w,"
                 f" (SELECT pair FROM b{i}), chr({0xE000 + i})) AS w, n"
                 f" FROM v{i})"
             )
+    return parts
+
+
+def _bpe_merges_sql(n: int) -> str:
+    """DuckDB mirror of :func:`bpe_train`: the merge loop unrolled to
+    ``n`` CTE stages (pair count → argmax → replace), token surfaces
+    decoded by substituting each minted private-use symbol with its
+    (already fully decoded) predecessor token."""
+    parts = _bpe_chain_parts(n, with_merges=True)
     union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(n))
     return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def _bpe_encode_sql(n: int) -> str:
+    """DuckDB mirror of :func:`bpe_train` → :func:`bpe_encode`:
+    re-derives the ``n``-merge table (shared CTE chain with the t16
+    oracle), then applies the identical rank-ordered replace chain to
+    every document's tokens — ``length(encoded)`` is the BPE token
+    count because every symbol is one character."""
+    parts = _bpe_chain_parts(n, with_merges=False)
+    toks = _TOKS.format(c="text")
+    enc = "w"
+    for i in range(n):
+        enc = f"replace({enc}, b{i}.pair, chr({0xE000 + i}))"
+    froms = ", ".join(f"b{i}" for i in range(n))
+    parts.append(f"tk AS (SELECT doc_id, {toks} AS tk FROM documents)")
+    parts.append(
+        f"e AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,"
+        f" CAST(COALESCE(list_sum(list_transform(tk, w -> length(w))), 0)"
+        f" AS BIGINT) AS n_chars,"
+        f" CAST(COALESCE(list_sum(list_transform(tk, w -> length({enc}))),"
+        f" 0) AS BIGINT) AS n_bpe_tokens"
+        f" FROM tk, {froms})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT doc_id, n_tokens, n_chars, n_bpe_tokens,"
+        " CASE WHEN n_bpe_tokens > 0 THEN"
+        " ROUND(n_chars / CAST(n_bpe_tokens AS DOUBLE), 6)"
+        " ELSE 0.0 END AS chars_per_bpe_token FROM e"
+    )
 
 
 def q_d7_incremental_neardup(spark, sf_dir):
@@ -881,6 +926,30 @@ def q_d9_semantic_dedup(spark, sf_dir):
     return out.select("vec_id")
 
 
+def q_t21_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION: train 10 BPE merges on the corpus (the
+    t16 schedule), then encode every document with the resulting merge
+    table — per-doc whitespace-token, character and BPE-token counts
+    plus chars-per-BPE-token (the compression the tokenizer actually
+    achieves).  The oracle re-derives the identical merge table in SQL
+    (same chained CTEs as t16) and applies the same replace chain, so
+    the hash pins train→apply end-to-end."""
+    from qctimeseries_spark.datapipe.text import bpe_encode, bpe_train
+
+    d = _docs(spark, sf_dir)
+    return bpe_encode(d, bpe_train(d, n_merges=10))
+
+
+def q_t22_bigram_nll(spark, sf_dir):
+    """Per-doc Laplace-BIGRAM negative log-likelihood — the word-order
+    quality screen (shuffled-word spam scores normal under t18's
+    unigram model but lights up here).  Same integer micro-unit
+    quantization before the per-doc sum as t18."""
+    from qctimeseries_spark.datapipe.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 DATAPIPE_QUERIES = {
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_dedup": q_d2_minhash_dedup,
@@ -916,6 +985,8 @@ DATAPIPE_QUERIES = {
     "t18_unigram_nll": q_t18_unigram_nll,
     "t19_repetition": q_t19_repetition,
     "t20_line_dedup": q_t20_line_dedup,
+    "t21_bpe_encode": q_t21_bpe_encode,
+    "t22_bigram_nll": q_t22_bigram_nll,
 }
 
 

@@ -390,6 +390,85 @@ def bpe_train(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus — the tokenizer
+    APPLICATION step that turns curated text into training-token
+    accounting: ``(id, n_tokens, n_chars, n_bpe_tokens,
+    chars_per_bpe_token)``.  This is the number that actually prices a
+    pre-training run (token budgets, shard sizing, mixture weighting
+    by real tokenizer tokens instead of whitespace words).
+
+    ``merges`` is the DataFrame returned by :func:`bpe_train` (or an
+    iterable of ``(merge_rank, pair)``); it is collected driver-side —
+    a merge table is tokenizer-sized (thousands of rows), never
+    corpus-sized.  Encoding a word is the same left-to-right
+    non-overlapping single-character ``replace`` chain the trainer
+    itself applies, in rank order, so ``length(encoded)`` IS the BPE
+    token count (every symbol is one character — see
+    :data:`BPE_PUA_BASE`).
+
+    Scale shape: pure Catalyst, ZERO shuffle — the token array is
+    let-bound once per row and the whole merge chain runs inside
+    whole-stage codegen as nested ``replace`` calls; output is one row
+    per input row.  ``fan_out`` widens narrow scans so the per-row
+    chain uses every core.  The ratio is one correctly-rounded
+    division of exact integers (hash-stable cross-engine).
+    """
+    if isinstance(merges, DataFrame):
+        table = [
+            (r["merge_rank"], r["pair"])
+            for r in merges.select("merge_rank", "pair")
+            .orderBy("merge_rank")
+            .collect()
+        ]
+    else:
+        table = sorted(merges)
+
+    def encode(w: Column) -> Column:
+        for rank, pair in table:
+            w = F.replace(w, F.lit(pair), F.lit(chr(BPE_PUA_BASE + rank)))
+        return w
+
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            bind(
+                tokens(F.col(text_col)),
+                lambda tk: F.struct(
+                    F.size(tk).cast("long").alias("n_tokens"),
+                    F.aggregate(
+                        tk,
+                        F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(w),
+                    ).alias("n_chars"),
+                    F.aggregate(
+                        tk,
+                        F.lit(0).cast("long"),
+                        lambda acc, w: acc + F.length(encode(w)),
+                    ).alias("n_bpe_tokens"),
+                ),
+            ).alias("_s"),
+        )
+        .select(id_col, "_s.*")
+        .withColumn(
+            "chars_per_bpe_token",
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.round(
+                    F.col("n_chars").cast("double") / F.col("n_bpe_tokens"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",
@@ -537,6 +616,118 @@ def unigram_logprob(
                 F.col("nll_micro") / F.col("n_tokens").cast("double") / 1e6,
                 6,
             ),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-document bigram negative log-likelihood under the corpus's
+    own Laplace-smoothed bigram model — the next step up from
+    :func:`unigram_logprob`: it scores word ORDER, so shuffled-word
+    spam and template-stitched text that a unigram model rates as
+    normal light up here.
+
+    ``p(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V)`` with ``c(w1,w2)``
+    the corpus bigram count, ``ctx(w1)`` the count of bigrams starting
+    with ``w1`` (so the conditional sums to 1 over the smoothed
+    vocabulary), ``V`` the unigram vocabulary size.  Emits ``(id,
+    n_bigrams, nll_micro, avg_nll)``; documents shorter than 2 tokens
+    emit ``n_bigrams = 0`` with a 0 NLL.  Per-bigram ``-ln p`` is
+    quantized to integer micro-units BEFORE the per-document sum
+    (grouping order cannot move the hash), same as the unigram screen.
+
+    Scale shape: one corpus shuffle on the bigram explode, a
+    bigram-keyed aggregation, a context aggregation OVER the bigram
+    count table (vocabulary-sized, not corpus-sized), and two keyed
+    joins back.  With ``exact=True`` the ln runs through a scalar-libm
+    LUT per distinct ``(c, ctx)`` pair per batch (cross-engine
+    bit-exactness, see :func:`tfidf_top_terms`); ``exact=False`` keeps
+    the whole plan in whole-stage codegen with native ``F.ln``.
+    """
+    import math
+
+    base = fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("tk")
+    )
+    big = base.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select(id_col, "g.w1", "g.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bc.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    v = int(
+        base.select(F.explode("tk").alias("t")).select("t").distinct().count()
+    )
+
+    @F.pandas_udf("long")
+    def _nll_micro(cs: pd.Series, ctxs: pd.Series) -> pd.Series:
+        lut: dict[tuple[int, int], int] = {}
+        out = []
+        for c, cx in zip(cs.to_numpy("int64"), ctxs.to_numpy("int64")):
+            key = (int(c), int(cx))
+            m = lut.get(key)
+            if m is None:
+                m = int(
+                    math.floor(
+                        -math.log((c + 1.0) / (cx + float(v))) * 1e6 + 0.5
+                    )
+                )
+                lut[key] = m
+            out.append(m)
+        return pd.Series(out)
+
+    if exact:
+        m = _nll_micro(F.col("c"), F.col("ctx"))
+    else:
+        m = F.floor(
+            -F.ln((F.col("c") + 1.0) / (F.col("ctx") + F.lit(float(v))))
+            * 1e6
+            + 0.5
+        ).cast("long")
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select(F.col(id_col), m.alias("m"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("m").alias("nll_micro"),
+        )
+    )
+    # docs with <2 tokens produce no bigram rows — restore them as 0s
+    return (
+        base.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("nll_micro", F.lit(0).cast("long")).alias("nll_micro"),
+        )
+        .withColumn(
+            "avg_nll",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(
+                    F.col("nll_micro")
+                    / F.col("n_bigrams").cast("double")
+                    / 1e6,
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
     )
 
