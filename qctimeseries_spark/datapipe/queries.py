@@ -1853,4 +1853,45 @@ SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
        CAST(t.n_lines AS BIGINT) AS n_lines,
        CAST(t.n_lines - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM t LEFT JOIN r USING (doc_id)""",
+    # t21: the t16 merge-table CTE chain re-derived, then the identical
+    # rank-ordered replace chain applied to every document's tokens
+    "t21_bpe_encode": _bpe_encode_sql(10),
+    # t22: Laplace-bigram NLL — bigram counts, per-context totals over
+    # the COUNT table (vocabulary-sized), unigram-vocab denominator,
+    # micro-unit quantization before the per-doc sum (t18's pattern);
+    # <2-token docs restored as 0s by the left join
+    "t22_bigram_nll": f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS.format(c='text')} AS tkl FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tkl)), i -> tkl[i])) AS w1,
+         unnest(list_transform(range(1, len(tkl)), i -> tkl[i + 1])) AS w2
+  FROM tk
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY w1, w2),
+cx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctx FROM bc GROUP BY w1),
+vv AS (
+  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+  FROM (SELECT unnest(tkl) AS t FROM tk)
+),
+m AS (
+  SELECT b.doc_id,
+         CAST(FLOOR(-ln((c + 1.0) / (ctx + vv.v)) * 1000000 + 0.5)
+              AS BIGINT) AS m
+  FROM b JOIN bc USING (w1, w2) JOIN cx USING (w1), vv
+),
+s AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(m) AS BIGINT) AS nll_micro
+  FROM m GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(nll_micro, 0) AS BIGINT) AS nll_micro,
+       CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN ROUND(nll_micro / CAST(n_bigrams AS DOUBLE) / 1000000.0, 6)
+            ELSE 0.0 END AS avg_nll
+FROM tk LEFT JOIN s USING (doc_id)""",
 }

@@ -1349,45 +1349,46 @@ QUERIES.update(
 # and the local oracle replica (tools/check_correctness.py), but only
 # window entries get the driver's independent hash verdict.  To keep
 # that verdict honest across a registry ~2x the window, the window
-# ROTATES each round (r4 window ≈ the QC core + first datapipe wave,
-# r5 window = the never-checked tail).  Round 6 rotates back to the
-# round-4 set PLUS the seven entries that have never held a driver
-# slot (d8/s10/st11/t17/t18/t19 landed after r5's window froze; st12
-# is new this round), releasing seven r4 entries whose families stay
-# covered by richer siblings (s4←s1/s10, h5←h1/h3, m1←m2/m3, x1←x2,
-# t1←t9's r5 slot, t4/t8←five other t slots).  Every registry entry
-# except st13, t20 and d9 (added after this window froze) has now
-# held a driver slot within the last two rounds; round 7 should
-# rotate back to roughly the r5 window plus st13, t20 and d9.  The family-coverage
-# guard (tests/test_example.py) enforces that no family ever leaves
-# the window.
-_WINDOW_R6 = (
-    # QC core (round-4 set)
-    "f1_add_flags", "u1_seeded_flags", "p4_apply_flags",
-    "p1_remove_flags", "f4_transfer_flags", "p3_filter_conjunction",
-    "p8_flag_class_filters", "a1_progress", "p11_hide_complete",
-    "a2_consistency", "a3_flag_domain", "w1_assign_windows",
-    "w3_admitted_windows", "w8_window_range", "u2_flag_window",
-    "u6_flag_approve_advance", "f2_rowid", "p10_rowid_semijoin",
-    "a5_axis_range", "v1_main_trace", "v4_secondary_trace",
-    "v5_check_panel", "v1_downsample",
-    # sources / relational / joins / streaming (round-4 set)
-    "s1_csv_roundtrip", "h1_pricing_summary", "h3_segment_revenue",
-    "j1_asof_join",
-    "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
-    # datapipe (round-4 set)
-    "d1_exact_dedup", "d2_minhash_dedup", "d3_simhash_pairs",
-    "d5_embedding_dups", "c1_dup_clusters", "x2_knn_ivf",
-    "t2_text_stats", "t3_quality", "t6_redact_pii", "t7_contamination",
-    "m2_media_features", "m3_media_decode", "c2_curate",
+# ROTATES each round (r4 ≈ QC core + first datapipe wave, r5 = the
+# never-checked tail, r6 = the r4 set + the post-r5 arrivals).
+# Round 7 rotates back to the r5 set PLUS the five entries that have
+# never held a driver slot (d9/st13/t20 landed after r5's window
+# froze; t21/t22 gained oracles this round), releasing five r5
+# entries whose families stay covered by richer siblings (c1←c2,
+# a4←seven other a slots, t5's fingerprint + d4's Jaccard verify run
+# inside d6/d7/st13's store algebra, t12's pair counts inside
+# t16/t21's full trainer).  After this rotation every registry entry
+# has held a driver slot within the last three rounds.  The
+# family-coverage guard (tests/test_example.py) enforces that no
+# family ever leaves the window.
+_WINDOW_R7 = (
+    # QC core (round-5 set)
+    "f5_iso_export", "u3_approve_window", "u4_reset_window",
+    "u5_reset_all", "p2_projection", "p5_strict_clean",
+    "v2_approved_overlay", "v3_flagged_overlay", "v6_viewer_slice",
+    "w4_viewer_windows", "w9_regularize", "w10_ffill",
+    "w11_interpolate", "w12_resample", "w13_regularize_by_key",
+    "a9_percentiles", "a10_rolling_outliers", "a11_qc_rules",
+    "a12_rolling_by_key", "a13_progress_by_window", "a14_ewma",
+    "a15_cusum",
+    # sources / relational / joins / streaming (round-5 set)
+    "s4_parquet_roundtrip", "h5_nation_revenue",
+    "j2_range_join", "j3_asof_forward", "t9_sessionize_salted",
+    "st4_session_windows", "st5_stream_enrich", "st6_stream_anomalies",
+    "st7_stream_resample", "st8_stream_ewma", "st9_stream_asof",
+    "st10_stream_cusum",
+    # datapipe (round-5 set)
+    "t10_token_budget", "t11_split", "t13_mixture", "t14_token_shards",
+    "t15_psi", "t16_bpe_merges", "d6_incremental_dedup",
+    "d7_incremental_neardup", "m3_media_decode", "x2_knn_ivf",
+    "c2_curate",
     # never-driver-checked entries promoted this round
-    "d8_embedding_store", "s10_jsonl_roundtrip",
-    "st11_stream_psi", "st12_stream_ingest_dedup",
-    "t17_tfidf", "t18_unigram_nll", "t19_repetition",
+    "d9_semantic_dedup", "st13_stream_ingest_neardup",
+    "t20_line_dedup", "t21_bpe_encode", "t22_bigram_nll",
 )
-assert len(_WINDOW_R6) == 50 and len(set(_WINDOW_R6)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R6} | {
-    k: v for k, v in QUERIES.items() if k not in _WINDOW_R6
+assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R7
 }
 
 ORACLE = {

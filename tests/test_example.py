@@ -39,13 +39,12 @@ def test_driver_window_covers_every_family():
         f"families {sorted(missing)} fell out of the driver's 50-entry"
         f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
-    # round-6 rotation: the last never-driver-checked entries (plus
-    # this round's st12) hold driver slots
+    # round-7 rotation: the last never-driver-checked entries (plus
+    # this round's oracle-gaining t21/t22) hold driver slots
     window = set(names[:50])
     assert {
-        "d8_embedding_store", "s10_jsonl_roundtrip", "st11_stream_psi",
-        "st12_stream_ingest_dedup", "t17_tfidf", "t18_unigram_nll",
-        "t19_repetition",
+        "d9_semantic_dedup", "st13_stream_ingest_neardup",
+        "t20_line_dedup", "t21_bpe_encode", "t22_bigram_nll",
     } <= window
 
 
@@ -69,6 +68,19 @@ def _headline_names():
     from bench import HEADLINE
 
     return HEADLINE
+
+
+def test_extensions_doc_totals_match_registry():
+    """EXTENSIONS.md is the auditing surface — its totals line must
+    track the live registry exactly (r6 verdict: doc drift)."""
+    from qctimeseries_spark.queries import ORACLE, QUERIES
+
+    doc = (REPO / "EXTENSIONS.md").read_text()
+    claim = f"{len(QUERIES)} registered queries / {len(ORACLE)}\nDuckDB-oracle-paired"
+    assert claim in doc, (
+        f"EXTENSIONS.md totals drifted: expected {claim!r} "
+        f"(registry={len(QUERIES)}, oracle={len(ORACLE)})"
+    )
 
 
 @pytest.mark.parametrize("name", _headline_names())
