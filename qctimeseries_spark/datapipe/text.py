@@ -8,6 +8,8 @@ billions of documents.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -815,7 +817,9 @@ def strip_repeated_lines(
     text_col: str = "text",
     *,
     min_docs: int = 3,
+    min_frac: float | None = None,
     sep: str = "\n",
+    broadcast_cap: int | None = 2_000_000,
 ) -> DataFrame:
     """C4-style boilerplate removal: drop every line occurring (as an
     exact match) in at least ``min_docs`` DISTINCT documents, keeping
@@ -824,17 +828,32 @@ def strip_repeated_lines(
     subscription prompts which per-DOCUMENT dedup can never catch
     (each host document is unique; only the LINE repeats).
 
+    ``min_frac`` (fraction of total documents) raises the threshold to
+    ``max(min_docs, ceil(min_frac · n_docs))`` — the threshold that
+    actually BOUNDS the frequent set on a web-scale corpus, where a
+    fixed ``min_docs=3`` admits every empty/short/common line
+    (10⁸–10⁹ rows at 100 TB).
+
     Returns ``(id, text_clean, n_lines, n_removed)``; a document whose
     every line is boilerplate keeps an empty ``text_clean``.
 
     Scale shape: one ``(line)`` shuffle for the distinct-document
-    count; the frequent-line set is boilerplate — tiny by definition —
-    so it BROADCASTS into the anti-join and the corpus-side probe is
-    map-side; reassembly is one groupBy(id) whose per-group state is
-    the document's own lines (sorted by original position, so output
-    is deterministic under any partitioning).  No line text is ever
+    count.  The frequent-line set is usually boilerplate-sized, but
+    "tiny by definition" is an assumption, not a guarantee — so the
+    broadcast hint is GATED: the set is materialized once
+    (``localCheckpoint``, self-cleaning) and counted under a bounded
+    ``limit`` probe; only a set ≤ ``broadcast_cap`` rows is hinted
+    into the map-side anti-join, anything larger falls back to a
+    plain anti-join whose strategy AQE picks from measured sizes
+    (``broadcast_cap=None`` skips the probe and never hints).
+    Reassembly is one groupBy(id) whose per-group state is the
+    document's own lines (sorted by original position, so output is
+    deterministic under any partitioning).  No line text is ever
     shuffled twice.
     """
+    if min_frac is not None:
+        n_docs = df.select(id_col).count()
+        min_docs = max(min_docs, math.ceil(min_frac * n_docs))
     lines = fan_out(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
@@ -845,7 +864,13 @@ def strip_repeated_lines(
         .filter(F.col("nd") >= min_docs)
         .select("line")
     )
-    kept = lines.join(F.broadcast(frequent), "line", "left_anti")
+    if broadcast_cap is not None:
+        # one bounded probe on the materialized set decides the hint;
+        # the checkpoint means the agg never re-runs for the join
+        frequent = frequent.localCheckpoint(eager=True)
+        if frequent.limit(broadcast_cap + 1).count() <= broadcast_cap:
+            frequent = F.broadcast(frequent)
+    kept = lines.join(frequent, "line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

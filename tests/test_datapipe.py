@@ -1164,6 +1164,44 @@ def test_strip_repeated_lines_c4_rule(spark):
     assert out[5].text_clean == "" and out[5].n_removed == 1
 
 
+def test_strip_repeated_lines_broadcast_guard(spark):
+    """The broadcast hint is GATED on the probed frequent-set size:
+    with a cap the set exceeds, the anti-join runs WITHOUT a forced
+    hint (AQE picks the strategy) and the results are identical — the
+    100 TB failure mode where min_docs=3 admits 10⁸⁺ common lines must
+    not force an unbounded broadcast.  ``min_frac`` raises the
+    threshold proportionally to corpus size (the bounding knob)."""
+    from qctimeseries_spark.datapipe import strip_repeated_lines
+
+    nav = "home | products | contact"
+    rows = [(i, f"{nav}\nunique body {i}") for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hinted = strip_repeated_lines(df, min_docs=3)
+    unhinted = strip_repeated_lines(df, min_docs=3, broadcast_cap=0)
+    assert "ResolvedHint (strategy=broadcast)" in (
+        hinted._jdf.queryExecution().logical().toString()
+    )
+    assert "Hint" not in unhinted._jdf.queryExecution().logical().toString()
+    key = lambda d: sorted(map(tuple, d.collect()))
+    assert key(hinted) == key(unhinted)
+
+    # min_frac bounds the threshold by corpus size: 8 docs * 0.5 → 4,
+    # but nav appears in all 8, so it still drops; a line in only 3
+    # docs now survives
+    rows3 = rows + [(100 + j, "thrice line\nown body") for j in range(3)]
+    df3 = spark.createDataFrame(
+        [(i, t if i < 100 else t) for i, t in rows3],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in strip_repeated_lines(df3, min_docs=3, min_frac=0.5).collect()
+    }
+    assert out[1].text_clean == "unique body 1"      # nav (11/11 docs) drops
+    assert out[100].text_clean == "thrice line\nown body"  # 3 < ceil(5.5)
+
+
 def test_knn_ivf_auto_nprobe(spark):
     """nprobe='auto' routes through the recall-targeted tuner and the
     resulting index hits the 0.98 default target against brute force
