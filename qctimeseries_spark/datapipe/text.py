@@ -392,11 +392,73 @@ def bpe_train(
     )
 
 
+#: merge-table size beyond which ``bpe_encode(mode="auto")`` switches
+#: off the nested-``replace`` Catalyst chain: each merge adds one
+#: nested call per token, and past ~1k the generated expression blows
+#: the 64 KB JVM method limit (whole-stage codegen falls back to
+#: interpreted evaluation) while plan stringification grows O(N).
+BPE_EXPR_MERGE_CEILING = 1000
+
+
+def _bpe_encode_arrow(
+    df: DataFrame, table, text_col: str, id_col: str
+) -> DataFrame:
+    """Arrow ``mapInPandas`` BPE count path for production-sized merge
+    tables (32k–100k ranks): the driver-collected table is applied
+    with Python ``str.replace`` — the same left-to-right
+    non-overlapping semantics as Catalyst ``F.replace`` — memoized per
+    DISTINCT token per batch, so the chain cost is paid once per word
+    shape, not once per occurrence.  No expression-depth ceiling; the
+    only budget is the trainer's own symbol space."""
+    import re
+
+    pairs = [(pair, chr(BPE_PUA_BASE + rank)) for rank, pair in table]
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, n_tokens long, n_chars long,"
+        " n_bpe_tokens long"
+    )
+    ws = re.compile(r"\s+", re.ASCII)  # Java \s is the ASCII class
+
+    def run(batches):
+        cache: dict[str, int] = {}
+
+        def enc_len(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                e = w
+                for pair, sym in pairs:
+                    e = e.replace(pair, sym)
+                n = len(e)
+                cache[w] = n
+            return n
+
+        for pdf in batches:
+            nt, nc, nb = [], [], []
+            for text in pdf[text_col]:
+                tks = [t for t in ws.split((text or "").lower()) if t]
+                nt.append(len(tks))
+                nc.append(sum(map(len, tks)))
+                nb.append(sum(enc_len(t) for t in tks))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": nt,
+                    "n_chars": nc,
+                    "n_bpe_tokens": nb,
+                }
+            )
+
+    return fan_out(df).select(id_col, text_col).mapInPandas(run, schema)
+
+
 def bpe_encode(
     df: DataFrame,
     merges,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    mode: str = "auto",
 ) -> DataFrame:
     """Apply a trained BPE merge table to the corpus — the tokenizer
     APPLICATION step that turns curated text into training-token
@@ -414,12 +476,27 @@ def bpe_encode(
     token count (every symbol is one character — see
     :data:`BPE_PUA_BASE`).
 
-    Scale shape: pure Catalyst, ZERO shuffle — the token array is
-    let-bound once per row and the whole merge chain runs inside
-    whole-stage codegen as nested ``replace`` calls; output is one row
-    per input row.  ``fan_out`` widens narrow scans so the per-row
-    chain uses every core.  The ratio is one correctly-rounded
-    division of exact integers (hash-stable cross-engine).
+    ``mode``:
+
+    - ``"expr"`` — pure Catalyst, ZERO shuffle: the token array is
+      let-bound once per row and the whole merge chain runs inside
+      whole-stage codegen as nested ``replace`` calls (the
+      oracle-exact path).  CEILING: one nested call per merge per
+      token — past ~1k merges the generated method exceeds the 64 KB
+      JVM limit, codegen falls back to interpreted evaluation, and
+      plan stringification is O(merges); a real 32k-merge tokenizer
+      cannot run this path.
+    - ``"arrow"`` — Arrow ``mapInPandas`` with per-batch distinct-token
+      memoization: the production path for tokenizer-sized tables,
+      pinned token-identical to ``"expr"`` by pytest.
+    - ``"auto"`` (default) — ``"expr"`` up to
+      :data:`BPE_EXPR_MERGE_CEILING` ranks, ``"arrow"`` above.
+
+    Both paths emit one row per input row with identical integer
+    counts; the ratio is one correctly-rounded division of exact
+    integers computed in Catalyst either way (hash-stable
+    cross-engine).  ``fan_out`` widens narrow scans so the per-row
+    chain uses every core.
     """
     if isinstance(merges, DataFrame):
         table = [
@@ -431,43 +508,51 @@ def bpe_encode(
     else:
         table = sorted(merges)
 
+    if mode == "auto":
+        mode = "expr" if len(table) <= BPE_EXPR_MERGE_CEILING else "arrow"
+    if mode not in ("expr", "arrow"):
+        raise ValueError(f"mode must be auto|expr|arrow, got {mode!r}")
+
     def encode(w: Column) -> Column:
         for rank, pair in table:
             w = F.replace(w, F.lit(pair), F.lit(chr(BPE_PUA_BASE + rank)))
         return w
 
-    return (
-        fan_out(df)
-        .select(
-            F.col(id_col),
-            bind(
-                tokens(F.col(text_col)),
-                lambda tk: F.struct(
-                    F.size(tk).cast("long").alias("n_tokens"),
-                    F.aggregate(
-                        tk,
-                        F.lit(0).cast("long"),
-                        lambda acc, w: acc + F.length(w),
-                    ).alias("n_chars"),
-                    F.aggregate(
-                        tk,
-                        F.lit(0).cast("long"),
-                        lambda acc, w: acc + F.length(encode(w)),
-                    ).alias("n_bpe_tokens"),
-                ),
-            ).alias("_s"),
+    if mode == "arrow":
+        counts = _bpe_encode_arrow(df, table, text_col, id_col)
+    else:
+        counts = (
+            fan_out(df)
+            .select(
+                F.col(id_col),
+                bind(
+                    tokens(F.col(text_col)),
+                    lambda tk: F.struct(
+                        F.size(tk).cast("long").alias("n_tokens"),
+                        F.aggregate(
+                            tk,
+                            F.lit(0).cast("long"),
+                            lambda acc, w: acc + F.length(w),
+                        ).alias("n_chars"),
+                        F.aggregate(
+                            tk,
+                            F.lit(0).cast("long"),
+                            lambda acc, w: acc + F.length(encode(w)),
+                        ).alias("n_bpe_tokens"),
+                    ),
+                ).alias("_s"),
+            )
+            .select(id_col, "_s.*")
         )
-        .select(id_col, "_s.*")
-        .withColumn(
-            "chars_per_bpe_token",
-            F.when(
-                F.col("n_bpe_tokens") > 0,
-                F.round(
-                    F.col("n_chars").cast("double") / F.col("n_bpe_tokens"),
-                    6,
-                ),
-            ).otherwise(F.lit(0.0)),
-        )
+    return counts.withColumn(
+        "chars_per_bpe_token",
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
     )
 
 

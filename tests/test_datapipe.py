@@ -1079,6 +1079,41 @@ def test_bpe_batch_schedule_is_exact_and_cuts_driver_roundtrips(spark):
     assert ja["jobs"] / 10 < 0.5, f"{ja['jobs']} jobs for 10 merges"
 
 
+def test_bpe_encode_arrow_matches_expr(spark):
+    """The production Arrow encode path must be token-identical to the
+    oracle-exact nested-replace Catalyst path on the real corpus, and
+    mode='auto' must switch paths at BPE_EXPR_MERGE_CEILING (the
+    codegen 64 KB ceiling documented on bpe_encode)."""
+    from qctimeseries_spark.datapipe.text import (
+        BPE_EXPR_MERGE_CEILING,
+        bpe_encode,
+        bpe_train,
+    )
+    from qctimeseries_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    merges = bpe_train(docs, n_merges=10)
+    key = lambda d: sorted(map(tuple, d.collect()))
+    expr = key(bpe_encode(docs, merges, mode="expr"))
+    arrow = key(bpe_encode(docs, merges, mode="arrow"))
+    assert arrow == expr
+
+    # auto dispatch: a table past the ceiling routes to mapInPandas,
+    # a tokenizer-sized one stays pure Catalyst
+    big_table = [
+        (r, f"Ā{i:04d}"[:2] + chr(0x0200 + r % 64))
+        for r, i in ((r, r) for r in range(BPE_EXPR_MERGE_CEILING + 1))
+    ]
+    big = bpe_encode(docs.limit(5), big_table)
+    small = bpe_encode(docs.limit(5), big_table[:5])
+    assert "MapInPandas" in big._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in (
+        small._jdf.queryExecution().executedPlan().toString()
+    )
+    with pytest.raises(ValueError, match="auto|expr|arrow"):
+        bpe_encode(docs, merges, mode="fast")
+
+
 def test_tune_nprobe_hits_recall_target_at_sf01(spark):
     """Recall-targeted probe selection on the sf0.1 embeddings: the
     auto-chosen nprobe's MEASURED recall@10 must reach the 0.98 target,
