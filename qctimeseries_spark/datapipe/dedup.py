@@ -269,6 +269,7 @@ def dedup_against_store(
     text_col: str = "text",
     *,
     update_store: bool = True,
+    sink_path: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup: drop rows whose normalized-text
     fingerprint is already in the persistent store OR duplicated
@@ -276,6 +277,18 @@ def dedup_against_store(
     fingerprints — the production "don't re-ingest what an earlier
     crawl already delivered" step, so each batch pays one anti-join
     instead of re-deduplicating the whole historical corpus.
+
+    ``sink_path`` appends the survivor ROWS to a Parquet survivor
+    table BEFORE the store update — the ordering that makes replay
+    safe: a retry that died between sink write and store append
+    recomputes the identical survivors (the store is unchanged) and
+    appends them again, which a fingerprint-keyed dedup-on-read heals
+    (fingerprints are globally unique across batches — a fingerprint
+    survives at most once — so ``dropDuplicates(["fingerprint"])``
+    over the sink is exact); a retry that died AFTER the store append
+    finds every row in the exact tier and writes nothing.  Writing the
+    sink after the store (the old streaming order) LOSES survivors on
+    that second retry — the replayed batch computes empty.
 
     The store is a plain append-only Parquet directory of (fingerprint)
     rows; at scale, write it bucketed on the fingerprint
@@ -316,6 +329,8 @@ def dedup_against_store(
         .drop("_keep")
         .localCheckpoint(eager=True)
     )
+    if sink_path is not None:
+        survivors.write.mode("append").parquet(sink_path)
     if update_store:
         survivors.select("fingerprint").write.mode("append").parquet(
             store_path
@@ -335,6 +350,7 @@ def neardup_against_store(
     threshold: float = 0.7,
     update_store: bool = True,
     within_batch_neardup: bool = False,
+    sink_path: str | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup ingestion against a persistent signature
     store: drop batch rows that are exact *or* near duplicates of
@@ -383,7 +399,9 @@ def neardup_against_store(
     the exact tier), so ingestion stays idempotent.  Survivors are
     MATERIALIZED before the append (same barrier rationale as
     :func:`dedup_against_store`) and returned with their
-    ``fingerprint`` column.
+    ``fingerprint`` column.  ``sink_path`` appends the survivor rows
+    (public schema — input columns + fingerprint) before the store
+    append, same replay rationale as :func:`dedup_against_store`.
     """
     from pyspark.sql.utils import AnalysisException
 
@@ -400,6 +418,22 @@ def neardup_against_store(
     try:
         store = spark.read.parquet(store_path + "/docs")
     except AnalysisException:
+        # a pre-docs/bands revision wrote signature rows directly under
+        # store_path; silently treating that as "empty store" would
+        # re-admit every known near-dup and append a docs/ dir beside
+        # the orphaned history — fail loudly instead
+        try:
+            legacy = spark.read.parquet(store_path)
+        except AnalysisException:
+            legacy = None
+        if legacy is not None and "fingerprint" in legacy.columns:
+            raise ValueError(
+                f"signature store at {store_path!r} uses the legacy"
+                " single-directory layout (parquet files directly under"
+                " the store path); migrate it to the docs/ + bands/"
+                " layout (re-seed via neardup_against_store on the"
+                " retained documents) before appending new batches"
+            )
         store = None
     persisted = None
     if store is not None:
@@ -490,6 +524,8 @@ def neardup_against_store(
         )
     if persisted is not None:
         persisted.unpersist()
+    if sink_path is not None:
+        survivors.drop("bands", "hs").write.mode("append").parquet(sink_path)
     if update_store:
         survivors.select(
             F.col(id_col).alias("store_id"), "fingerprint", "hs"

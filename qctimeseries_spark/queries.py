@@ -1851,6 +1851,8 @@ SELECT doc_id, fingerprint FROM s2""",
     # set algebra PLUS the seed batch's own survivors — derived from
     # the d7 oracle by lifting its final argmax into a CTE and unioning
     # the seed
+    # the guard below asserts the replace actually fired — a reworded
+    # d7 tail would otherwise silently degrade this oracle to d7's
     "st13_stream_ingest_neardup": DATAPIPE_ORACLE[
         "d7_incremental_neardup"
     ].replace(
@@ -2134,3 +2136,11 @@ FROM o
 WHERE date_diff('microsecond', prev, ts) > 86400000000""",
     **DATAPIPE_ORACLE,
 }
+
+# derived-oracle guard: st13 is d7's SQL with its final argmax lifted
+# into a CTE — if the d7 tail is ever reworded, str.replace no-ops and
+# st13 would silently check d7's rows instead
+assert (
+    ORACLE["st13_stream_ingest_neardup"]
+    != DATAPIPE_ORACLE["d7_incremental_neardup"]
+), "st13 oracle derivation no-opped — d7's SQL tail was reworded"

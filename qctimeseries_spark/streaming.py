@@ -267,6 +267,27 @@ def dedup_stream(
     )
 
 
+def _read_survivors(stream: DataFrame, out_path: str) -> DataFrame:
+    """Fingerprint-keyed dedup-on-read view of a survivor sink: heals
+    the double-append a mid-batch retry can leave (replayed rows are
+    byte-identical, and a fingerprint survives at most once across
+    batches, so ``dropDuplicates`` on it is exact).  A drained stream
+    that produced zero batches or zero survivors has no files at
+    ``out_path`` — return an empty frame with the expected schema
+    (input columns + fingerprint) instead of raising."""
+    from pyspark.sql.types import LongType
+    from pyspark.sql.utils import AnalysisException
+
+    spark = stream.sparkSession
+    try:
+        out = spark.read.parquet(out_path)
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], stream.schema.add("fingerprint", LongType())
+        )
+    return out.dropDuplicates(["fingerprint"])
+
+
 def ingest_dedup_stream(
     stream: DataFrame,
     store_path: str,
@@ -288,15 +309,21 @@ def ingest_dedup_stream(
     watermark horizon, state in the stream engine), the state here is
     the CONTENT fingerprint store itself — append-only Parquet shared
     with the batch operator, unbounded horizon, one anti-join per
-    batch.  Because ``dedup_against_store`` is idempotent under replay
-    (a replayed batch hits its own store rows and drops entirely), the
+    batch.  ``dedup_against_store`` is idempotent under replay (a
+    replayed batch hits its own store rows and drops entirely), so the
     at-least-once ``foreachBatch`` contract upgrades to effective
-    exactly-once for the STORE; the survivor sink append can still
-    double-write on a retry mid-batch, so production sinks should key
-    on the fingerprint (or use a transactional table format).
+    exactly-once for the STORE — and the survivor sink is keyed on the
+    fingerprint to close the remaining retry hole: the batch operator
+    appends survivors to the sink BEFORE the store (a retry that died
+    in between recomputes the identical survivors and double-appends;
+    one that died after the store append writes nothing — never a
+    loss), and the returned table reads the sink through
+    ``dropDuplicates(["fingerprint"])``, which is exact because a
+    fingerprint survives at most once across all batches.
 
     Drains bounded sources with ``trigger(availableNow)`` and returns
-    the materialized survivor table ``(input columns + fingerprint)``.
+    the survivor table ``(input columns + fingerprint)`` — empty with
+    that schema if the stream produced no batches or no survivors.
     Scale: per-batch cost is one batch×store anti-join — at 100 TB
     bucket the store on the fingerprint so it is a zero-shuffle merge
     (see the batch operator's docstring); history is never recomputed.
@@ -306,10 +333,10 @@ def ingest_dedup_stream(
     from qctimeseries_spark.datapipe.dedup import dedup_against_store
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
-        survivors = dedup_against_store(
-            batch, store_path, id_col=id_col, text_col=text_col
+        dedup_against_store(
+            batch, store_path, id_col=id_col, text_col=text_col,
+            sink_path=out_path,
         )
-        survivors.write.mode("append").parquet(out_path)
 
     checkpoint_dir = (
         checkpoint_dir or f"/tmp/qcts_ingest_ckpt_{_uuid.uuid4().hex[:8]}"
@@ -321,7 +348,7 @@ def ingest_dedup_stream(
         .start()
     )
     q.awaitTermination()
-    return stream.sparkSession.read.parquet(out_path)
+    return _read_survivors(stream, out_path)
 
 
 def ingest_neardup_stream(
@@ -348,24 +375,27 @@ def ingest_neardup_stream(
 
     Same idempotence shape as the exact twin: a replayed batch hits
     the exact tier against its own store rows and drops entirely, so
-    the store converges under at-least-once delivery; survivor-sink
-    appends can still double-write on a mid-batch retry (key the
-    production sink on the fingerprint).  Per-batch cost is the
-    batch-sized signature stage plus two store joins that read the
-    bucketed ``docs/`` + ``bands/`` layout — history is never
-    re-signed.  Drains bounded sources with ``trigger(availableNow)``
-    and returns the materialized survivor table.
+    the store converges under at-least-once delivery — and the
+    survivor sink is fingerprint-keyed the same way (sink append
+    before store append inside the batch operator, dedup-on-read
+    here), so a mid-batch retry can neither double-count nor lose
+    survivors.  Per-batch cost is the batch-sized signature stage plus
+    two store joins that read the bucketed ``docs/`` + ``bands/``
+    layout — history is never re-signed.  Drains bounded sources with
+    ``trigger(availableNow)`` and returns the survivor table — empty
+    with the expected schema if the stream produced no batches or no
+    survivors.
     """
     import uuid as _uuid
 
     from qctimeseries_spark.datapipe.dedup import neardup_against_store
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
-        survivors = neardup_against_store(
+        neardup_against_store(
             batch, store_path, id_col=id_col, text_col=text_col,
             k=k, bands=bands, ngram=ngram, threshold=threshold,
+            sink_path=out_path,
         )
-        survivors.write.mode("append").parquet(out_path)
 
     checkpoint_dir = (
         checkpoint_dir or f"/tmp/qcts_neardup_ckpt_{_uuid.uuid4().hex[:8]}"
@@ -377,7 +407,7 @@ def ingest_neardup_stream(
         .start()
     )
     q.awaitTermination()
-    return stream.sparkSession.read.parquet(out_path)
+    return _read_survivors(stream, out_path)
 
 
 def stream_to_state(

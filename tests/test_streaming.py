@@ -791,3 +791,77 @@ def test_ingest_neardup_stream_drops_drifted_recrawls(spark, tmp_path):
     assert {r.store_id for r in docs.collect()} == {1, 2, 4}
     bands = spark.read.parquet(str(tmp_path / "store" / "bands"))
     assert bands.select("band").distinct().count() == 5
+
+
+def test_survivor_sink_heals_mid_batch_retry(spark, tmp_path):
+    """The fingerprint-keyed survivor sink survives BOTH mid-batch
+    retry windows: a retry after the sink write but before the store
+    append double-appends identical rows (healed by dedup-on-read),
+    and a retry after the store append writes nothing (the sink
+    already holds the batch — no loss).  The old sink-after-store
+    order LOST survivors in the second window."""
+    from qctimeseries_spark.datapipe.dedup import dedup_against_store
+    from qctimeseries_spark.streaming import _read_survivors
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta")],
+        "doc_id bigint, text string",
+    )
+    # attempt 1 dies between sink write and store append
+    dedup_against_store(batch, store, sink_path=out, update_store=False)
+    # full replay: same store state -> identical survivors recomputed,
+    # sink double-appended, store finally seeded
+    dedup_against_store(batch, store, sink_path=out)
+    assert spark.read.parquet(out).count() == 4  # raw sink has dupes
+    healed = _read_survivors(batch, out)
+    assert sorted(r.doc_id for r in healed.collect()) == [1, 2]
+    # attempt 3 dies after the store append -> replay computes empty,
+    # appends nothing: no loss, no growth
+    dedup_against_store(batch, store, sink_path=out)
+    assert spark.read.parquet(out).count() == 4
+    assert sorted(
+        r.doc_id for r in _read_survivors(batch, out).collect()
+    ) == [1, 2]
+    assert spark.read.parquet(store).count() == 2
+
+
+def test_ingest_stream_empty_source_returns_empty_schema(spark, tmp_path):
+    """A drained stream with zero batches (or zero survivors) has no
+    files at out_path — the ingest operators return an empty frame
+    with the expected (input + fingerprint) schema instead of raising
+    AnalysisException."""
+    from qctimeseries_spark.streaming import ingest_dedup_stream
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(str(src))
+    )
+    out = ingest_dedup_stream(
+        stream, str(tmp_path / "store"), str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "text", "fingerprint"]
+
+
+def test_neardup_store_rejects_legacy_layout(spark, tmp_path):
+    """A signature store written by the pre-docs/bands revision (parquet
+    files directly under store_path) must raise a migration error, not
+    be silently treated as empty (which would re-admit every known
+    near-dup)."""
+    import pytest
+
+    from qctimeseries_spark.datapipe.dedup import neardup_against_store
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, 42, [1, 2, 3])], "store_id bigint, fingerprint long, hs array<long>"
+    ).write.parquet(store)
+    batch = spark.createDataFrame(
+        [(9, "some new text here")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="legacy"):
+        neardup_against_store(batch, store, k=15, bands=5)
