@@ -636,9 +636,11 @@ def embedding_dedup_against_store(
             su = store.select(
                 F.col("store_id").alias(id_col), F.col("u")
             )
+            from qctimeseries_spark.datapipe.similarity import IVF_MAX_NLIST
+
             cents = take_centroids(
                 su, id_col=id_col, vec_col="u",
-                nlist=max(16, math.isqrt(n_store)),
+                nlist=max(16, min(IVF_MAX_NLIST, math.isqrt(n_store))),
             )
             # BOTH sides multi-probe (the d5 symmetric design): a pair
             # is compared iff the probe sets intersect.  Store-side
@@ -1292,6 +1294,15 @@ MAX_BRUTE_ROWS = 1_000_000
 AUTO_BRUTE_ROWS = 8_192
 
 
+def _auto_pairs_nlist(n: int) -> int:
+    """√n cell count, floored at 16 and capped at ``IVF_MAX_NLIST`` —
+    keeps expected cell size ≈ √n so the O(Σ cell²) pairing stage
+    scales linearly in n instead of O(n²/nlist)."""
+    from qctimeseries_spark.datapipe.similarity import IVF_MAX_NLIST
+
+    return max(16, min(IVF_MAX_NLIST, math.isqrt(n)))
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1368,13 +1379,15 @@ def embedding_dup_pairs(
             u,
             id_col,
             threshold,
-            nlist=nlist or max(16, int(math.isqrt(n))),
+            nlist=nlist or _auto_pairs_nlist(n),
             nprobe=nprobe,
         )
     if strategy == "ivf":
-        return _dup_pairs_ivf(
-            u, id_col, threshold, nlist=nlist or 16, nprobe=nprobe
-        )
+        # same √n sizing as the auto cutover — a fixed nlist=16 means
+        # ~n/16-row cells and O(n²/16) pairing work at scale
+        if nlist is None:
+            nlist = _auto_pairs_nlist(df.select(id_col).count())
+        return _dup_pairs_ivf(u, id_col, threshold, nlist=nlist, nprobe=nprobe)
     # limit(cap+1) short-circuits the guard scan: it reads one thin
     # column and stops as soon as the cap is exceeded, instead of
     # counting the entire corpus before every run.

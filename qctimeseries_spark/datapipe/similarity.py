@@ -38,6 +38,32 @@ def _norm(v: Column) -> Column:
     )
 
 
+#: cap for :func:`auto_nlist` — √n keeps mean cell size = √n (the
+#: O(Σ cell²) pairing sweet spot), but past this many centroids the
+#: driver-collected matrix and the rows × nlist assignment product
+#: dominate (4096 × 128d ≈ 4 MB broadcast); callers with bigger
+#: executors can raise it explicitly.
+IVF_MAX_NLIST = 4096
+
+
+def auto_nlist(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    cap: int = IVF_MAX_NLIST,
+) -> int:
+    """``nlist ≈ √n`` (floored at 16, capped at ``cap``) from one thin
+    column count — the classic IVF sizing that keeps expected cell
+    size ≈ √n as the corpus grows, so probe cost and per-cell pairing
+    cost stay balanced.  A fixed ``nlist=16`` is right for the
+    bit-exact oracle queries (they pin it) but wrong at 100 TB, where
+    it would mean ~10⁹-vector cells."""
+    import math
+
+    n = corpus.select(id_col).count()
+    return max(16, min(cap, math.isqrt(n)))
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -136,10 +162,14 @@ def ivf_assign(
 
 
 def take_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
-                   vec_col: str = "embedding", nlist: int = 16,
+                   vec_col: str = "embedding", nlist: int | str = "auto",
                    refine: int = 0) -> DataFrame:
     """Centroids for the IVF index: deterministic id seed, optionally
     Lloyd-refined.
+
+    ``nlist="auto"`` (default) sizes the cell count ≈ √n via
+    :func:`auto_nlist`; pass an int to pin it (the oracle queries pin
+    16 for bit-exact reproducibility).
 
     ``refine=0`` (default) returns the ``nlist`` lowest-id vectors —
     fully reproducible, which is what lets the x2 query keep a complete
@@ -159,6 +189,8 @@ def take_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
     runtime-dependent in the last bits, so refined indexes are for
     production quality, not the bit-exact oracle path.
     """
+    if nlist == "auto":
+        nlist = auto_nlist(corpus, id_col=id_col)
     cents = (
         corpus.orderBy(id_col)
         .limit(nlist)
@@ -222,7 +254,7 @@ def knn_ivf(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 10,
-    nlist: int = 16,
+    nlist: int | str = "auto",
     nprobe: int | str = 4,
     refine: int = 0,
 ) -> DataFrame:
@@ -234,10 +266,15 @@ def knn_ivf(
     the all-pairs join — scanned work drops to ~nprobe/nlist of brute
     force, the recall/cost dial of a classic IVF index.  ``refine``
     passes through to :func:`take_centroids` (Lloyd iterations).
-    ``nprobe="auto"`` runs :func:`tune_nprobe` first (recall-targeted,
-    measured on a hash-sampled held-out slice, logged) and uses its
-    choice — pay the tuning sweep once, reuse the value for the run.
+    ``nlist="auto"`` (default) sizes the index ≈ √n
+    (:func:`auto_nlist`, one thin count, capped); the oracle query
+    pins 16.  ``nprobe="auto"`` runs :func:`tune_nprobe` first
+    (recall-targeted, measured on a hash-sampled held-out slice,
+    logged) and uses its choice — pay the tuning sweep once, reuse the
+    value for the run.
     """
+    if nlist == "auto":
+        nlist = auto_nlist(corpus, id_col=id_col)
     if nprobe == "auto":
         nprobe = tune_nprobe(
             corpus, id_col=id_col, vec_col=vec_col, k=k, nlist=nlist,
@@ -285,7 +322,7 @@ def tune_nprobe(
     vec_col: str = "embedding",
     target_recall: float = 0.98,
     k: int = 10,
-    nlist: int = 16,
+    nlist: int | str = "auto",
     n_queries: int = 50,
     refine: int = 0,
 ) -> dict:
@@ -314,6 +351,8 @@ def tune_nprobe(
     """
     import warnings
 
+    if nlist == "auto":
+        nlist = auto_nlist(corpus, id_col=id_col)
     sample = (
         corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(n_queries)
@@ -347,13 +386,14 @@ def tune_nprobe(
     sample.unpersist()
     exact.unpersist()
     warnings.warn(
-        f"tune_nprobe: chose nprobe={chosen} (measured recall@{k} "
-        f"{chosen_recall} vs target {target_recall}; evaluated "
-        f"{evaluated})",
+        f"tune_nprobe: chose nprobe={chosen} at nlist={nlist} (measured"
+        f" recall@{k} {chosen_recall} vs target {target_recall};"
+        f" evaluated {evaluated})",
         stacklevel=2,
     )
     return {
         "nprobe": chosen,
+        "nlist": nlist,
         "recall": chosen_recall,
         "target": target_recall,
         "evaluated": evaluated,

