@@ -1311,7 +1311,7 @@ def embedding_dup_pairs(
     threshold: float = 0.98,
     strategy: str = "auto",
     nlist: int | None = None,
-    nprobe: int = 3,
+    nprobe: int | str = 3,
     max_brute_rows: int = MAX_BRUTE_ROWS,
     auto_brute_rows: int = AUTO_BRUTE_ROWS,
 ) -> DataFrame:
@@ -1350,8 +1350,19 @@ def embedding_dup_pairs(
       similar centroid affinities, so their probe sets overlap with
       overwhelming probability (nprobe=3 reproduces brute force
       exactly on the sf0.01 planted-dup corpus; nprobe=2 missed 1 of
-      50 pairs).  Approximate in principle, exhaustive in practice at
-      dedup-grade thresholds.
+      50 pairs).  ``nprobe="auto"`` measures instead of assuming — a
+      probe-DOUBLING fixpoint: widen until one more doubling finds no
+      new pair, then accept (the pair set is monotone in nprobe, so
+      equal counts mean equal sets; chosen value logged).  This is the
+      dup-grade criterion — knn recall@k
+      (:func:`~qctimeseries_spark.datapipe.similarity.tune_nprobe`)
+      is the WRONG dial here: on near-uniform embeddings the 10th
+      neighbor sits at cosine ~0.4 and spreads across many cells
+      (measured at sf1: the knn tuner demanded nprobe=128 of 148 —
+      near-brute), while ≥-threshold pairs have nearly identical
+      centroid affinities and converge at small probe counts.
+      Approximate in principle, exhaustive in practice at dedup-grade
+      thresholds.
     """
     # Arrow-vectorized normalization: bit-identical to the HOF fold,
     # ~40x faster, and every strategy downstream re-reads this column
@@ -1417,7 +1428,12 @@ def embedding_dup_pairs(
 
 
 def _dup_pairs_ivf(
-    u: DataFrame, id_col: str, threshold: float, *, nlist: int, nprobe: int
+    u: DataFrame,
+    id_col: str,
+    threshold: float,
+    *,
+    nlist: int,
+    nprobe: int | str,
 ) -> DataFrame:
     """Cell-bucketed near-dup pairing over unit vectors.
 
@@ -1440,6 +1456,29 @@ def _dup_pairs_ivf(
 
     from qctimeseries_spark.datapipe.similarity import ivf_assign, take_centroids
 
+    if nprobe == "auto":
+        # probe-doubling fixpoint: the pair set grows monotonically
+        # with nprobe (probe sets are nested top-k prefixes), so the
+        # first doubling that adds no pair proves convergence.  Each
+        # round's result is an eager checkpoint — counts are free, and
+        # the final round IS the returned frame (no re-run).
+        import warnings
+
+        p = 3
+        cur = _dup_pairs_ivf(u, id_col, threshold, nlist=nlist, nprobe=p)
+        while p < nlist:
+            p2 = min(2 * p, nlist)
+            nxt = _dup_pairs_ivf(u, id_col, threshold, nlist=nlist, nprobe=p2)
+            if nxt.count() == cur.count():
+                break
+            p, cur = p2, nxt
+        warnings.warn(
+            f"embedding_dup_pairs: nprobe='auto' converged at nprobe={p}"
+            f" (nlist={nlist}, {cur.count()} pairs; one further doubling"
+            " found none new)",
+            stacklevel=3,
+        )
+        return cur
     # SCOPED persist: the interpreted-HOF normalization costs far more
     # than the cache (measured at sf1/22k vectors: unpersisted, the
     # unit projection re-evaluates under the probe explode and again in

@@ -16,6 +16,8 @@ hash functions for MinHash from a single primitive.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +60,17 @@ def bind(arr: Column, fn) -> Column:
     return F.transform(F.array(arr), fn)[0]
 
 
+#: logical nodes that imply a shuffle upstream — their output width is
+#: spark.sql.shuffle.partitions (or an explicit expression partition
+#: count), so fan_out has nothing to fix and skips the physical probe
+_WIDE_NODE_RE = re.compile(
+    r"(?m)^[\s+:!*'-]*(?:Join|Aggregate|Window|Sort|Deduplicate"
+    r"|RepartitionByExpression)\b"
+)
+#: coalesce(n) / repartition(n) carry their count statically
+_REPARTITION_RE = re.compile(r"(?m)^[\s+:!*'-]*Repartition (\d+)")
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism
     when the input arrives narrower — a small parquet scan (one or two
@@ -67,8 +80,30 @@ def fan_out(df: DataFrame) -> DataFrame:
     32 cores at sf1).  A no-op when the input is already at least that
     wide, so a production scan with thousands of partitions is never
     down-partitioned and pays no extra shuffle.
+
+    The width probe is tiered by cost: shuffle-rooted plans (join /
+    aggregate / window / sort / keyed repartition upstream) are
+    already ``shuffle.partitions`` wide and decide from the RAW
+    logical tree alone — ``df.rdd.getNumPartitions()`` would force
+    full analysis + physical planning + RDD conversion of a deep plan
+    just to learn a count the config already dictates, a real
+    per-call driver cost now that a dozen operators (some per
+    micro-batch) call this.  ``coalesce``/``repartition`` carry their
+    count statically and also decide plan-side.  Only genuinely
+    shallow plans (scan + narrow ops) pay the physical probe, and for
+    those it is cheap.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().logical().toString()
+    except Exception:  # non-classic DataFrame (e.g. connect) — probe
+        plan = None
+    if plan is not None:
+        if _WIDE_NODE_RE.search(plan):
+            return df
+        m = _REPARTITION_RE.search(plan)
+        if m:
+            return df if int(m.group(1)) >= par else df.repartition(par)
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

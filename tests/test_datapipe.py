@@ -323,6 +323,39 @@ def test_embedding_dup_pairs_ivf_matches_bruteforce(spark):
     assert bf and ivf == bf  # identical pairs AND identical 9-dp scores
 
 
+def test_embedding_dup_pairs_auto_nprobe_fixpoint(spark):
+    """nprobe='auto' on the IVF strategy is a probe-DOUBLING fixpoint
+    (widen until one more doubling finds no new pair) — it must land
+    on the exact brute-force pair set here and log its convergence.
+    The knn-recall tuner is deliberately NOT used: on near-uniform
+    embeddings it demands near-exhaustive probing (measured nprobe=128
+    of 148 at sf1) while ≥-threshold pairs converge at single digits
+    (sf1: nprobe=6, 2000/2000 planted re-encodes dropped in 19.4s)."""
+    import warnings
+
+    from qctimeseries_spark.datapipe.dedup import embedding_dup_pairs
+    from qctimeseries_spark.datapipe.queries import _emb_corpus
+
+    corpus = _emb_corpus(spark, "/root/testdata/sf0.001")
+    kw = dict(id_col="vec_id", vec_col="v", threshold=0.9)
+    bf = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_dup_pairs(corpus, **kw).collect()
+    }
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        auto = {
+            (r.id_a, r.id_b, r.cos)
+            for r in embedding_dup_pairs(
+                corpus, **kw, strategy="ivf", nlist=8, nprobe="auto"
+            ).collect()
+        }
+    assert bf and auto == bf
+    assert any(
+        "nprobe='auto' converged at nprobe=" in str(w.message) for w in caught
+    )
+
+
 def test_embedding_dup_pairs_guard_fires(vectors):
     from qctimeseries_spark.datapipe.dedup import embedding_dup_pairs
 
@@ -1350,3 +1383,34 @@ def test_fan_out_is_noop_on_wide_inputs(spark):
     assert fan_out(wide) is wide  # identical object: no plan change
     narrow = spark.range(1000).coalesce(1)
     assert fan_out(narrow).rdd.getNumPartitions() == par
+
+
+def test_fan_out_probe_is_plan_side_for_shuffle_rooted_inputs(spark, monkeypatch):
+    """Shuffle-rooted plans (join/aggregate/... upstream) must decide
+    from the raw logical tree WITHOUT df.rdd — the physical probe
+    forces full planning of a deep plan per call (ADVICE r6).  Shallow
+    scans still pay the (cheap) probe; coalesce/repartition counts
+    resolve statically."""
+    from pyspark.sql import DataFrame as _DF
+
+    from qctimeseries_spark.datapipe.hashing import fan_out
+
+    par = spark.sparkContext.defaultParallelism
+
+    def _boom(self):
+        raise AssertionError("fan_out touched df.rdd on a wide plan")
+
+    agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+    joined = spark.range(100).join(spark.range(100), "id")
+    monkeypatch.setattr(_DF, "rdd", property(_boom))
+    assert fan_out(agg) is agg
+    assert fan_out(joined) is joined
+    # static repartition counts decide without the probe too
+    widened = fan_out(spark.range(10).coalesce(1))
+    assert "Repartition" in widened._jdf.queryExecution().logical().toString()
+    monkeypatch.undo()
+    assert (
+        fan_out(spark.range(1000).coalesce(1)).rdd.getNumPartitions() == par
+    )
+    wide = spark.range(1000).repartition(par + 4)
+    assert fan_out(wide) is wide
