@@ -950,6 +950,30 @@ def q_t22_bigram_nll(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_t23_span_dedup(spark, sf_dir):
+    """SPAN-level dedup (ExactSubstr family): every 5th doc gains the
+    same 8-token promo tail — unique documents, unique lines, but a
+    verbatim repeated SPAN — and `strip_repeated_spans` must excise
+    exactly the tokens covered by corpus-repeated 6-grams while
+    untouched docs pass through whole.  The oracle replays the
+    identical gram-hash/count/coverage/reassembly algebra."""
+    from qctimeseries_spark.datapipe.text import strip_repeated_spans
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" sponsored content brought to you by our partners"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_repeated_spans(d, width=6, min_count=2)
+
+
 DATAPIPE_QUERIES = {
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_dedup": q_d2_minhash_dedup,
@@ -987,6 +1011,7 @@ DATAPIPE_QUERIES = {
     "t20_line_dedup": q_t20_line_dedup,
     "t21_bpe_encode": q_t21_bpe_encode,
     "t22_bigram_nll": q_t22_bigram_nll,
+    "t23_span_dedup": q_t23_span_dedup,
 }
 
 
@@ -1894,4 +1919,49 @@ SELECT doc_id,
             THEN ROUND(nll_micro / CAST(n_bigrams AS DOUBLE) / 1000000.0, 6)
             ELSE 0.0 END AS avg_nll
 FROM tk LEFT JOIN s USING (doc_id)""",
+    # t23: identical gram-hash/count/coverage/reassembly algebra over
+    # the promo-tailed corpus; parallel unnests zip (pos, gram hash)
+    "t23_span_dedup": f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN concat(text,
+                   ' sponsored content brought to you by our partners')
+              ELSE text END AS text
+  FROM documents
+),
+tk AS (SELECT doc_id, {_TOKS.format(c='text')} AS tkl FROM src),
+g AS (
+  SELECT doc_id,
+         unnest(range(0, CASE WHEN len(tkl) >= 6
+                              THEN len(tkl) - 5 ELSE 0 END)) AS pos,
+         unnest(list_transform(
+             range(0, CASE WHEN len(tkl) >= 6
+                           THEN len(tkl) - 5 ELSE 0 END),
+             i -> {hash60_sql(
+                 "array_to_string(list_slice(tkl, i + 1, i + 6), ' ')"
+             )})) AS gh
+  FROM tk
+),
+f AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, pos + unnest(range(0, 6)) AS tpos
+    FROM g WHERE gh IN (SELECT gh FROM f))
+),
+tp AS (
+  SELECT doc_id, unnest(tkl) AS tok, unnest(range(0, len(tkl))) AS tpos
+  FROM tk
+),
+k AS (SELECT tp.* FROM tp ANTI JOIN cov USING (doc_id, tpos)),
+r AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY tpos), ' ') AS text_clean,
+         COUNT(*) AS n_kept
+  FROM k GROUP BY doc_id
+),
+t AS (SELECT doc_id, CAST(len(tkl) AS BIGINT) AS n_tokens FROM tk)
+SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean, n_tokens,
+       CAST(n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN r USING (doc_id)""",
 }

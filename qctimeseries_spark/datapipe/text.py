@@ -980,6 +980,107 @@ def strip_repeated_lines(
     )
 
 
+def strip_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    width: int = 6,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style repeated-SPAN removal — the third granularity
+    of dedup after whole-document (:func:`~qctimeseries_spark.datapipe
+    .dedup.exact_dedup`) and line-level (:func:`strip_repeated_lines`):
+    drop every token covered by a ``width``-token window whose exact
+    content occurs at least ``min_count`` times ACROSS THE CORPUS
+    (Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better" finds these verbatim spans are what models memorize; they
+    hide inside documents that are unique as wholes and whose lines
+    are unique too — licence blocks, quoted passages, templated
+    paragraphs re-flowed across line breaks).
+
+    Algebra: every doc emits its rolling ``width``-gram hashes with
+    their start position; grams occurring ≥ ``min_count`` times
+    (total occurrences, not distinct docs — same all-copies contract
+    as the C4 line rule) mark positions ``p..p+width-1`` as covered;
+    covered tokens are removed and the survivors rejoin in original
+    order.  Documents shorter than ``width`` emit no grams and pass
+    through whole.  Returns ``(id, text_clean, n_tokens,
+    n_removed)``.
+
+    Scale shape: one ``(gram-hash)`` shuffle for the counts; the
+    frequent-gram set joins back by hash WITHOUT a forced broadcast
+    (the t20 lesson: "small by definition" is an assumption — AQE
+    picks the strategy from measured sizes); coverage expansion
+    explodes ``width`` positions per frequent HIT only, never per
+    gram; reassembly is one groupBy(id), position-sorted so output is
+    deterministic under any partitioning.  The gram hash is
+    :func:`~qctimeseries_spark.datapipe.hashing.hash60` so the DuckDB
+    oracle mirrors it bit-for-bit.
+    """
+    base = fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("tk")
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            bind(
+                F.col("tk"),
+                lambda tk: F.when(
+                    F.size(tk) >= width,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(tk) - width),
+                        lambda i: hash60(
+                            F.array_join(F.slice(tk, i + 1, width), " ")
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>")),
+            )
+        ).alias("pos", "gh"),
+    )
+    frequent = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("gh")
+    )
+    covered = (
+        grams.join(frequent, "gh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (width - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tokpos = base.select(
+        F.col(id_col), F.posexplode("tk").alias("tpos", "tok")
+    )
+    kept = tokpos.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size("tk").cast("long").alias("n_tokens")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.col("n_tokens"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: 60-bit hash of whitespace-normalized,
     lowercased text — the exact-dedup key."""

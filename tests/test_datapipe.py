@@ -1319,6 +1319,50 @@ def test_ivf_auto_nlist(spark):
     assert any(f"nlist={chosen}" in str(w.message) for w in caught)
 
 
+def test_strip_repeated_spans_excises_covered_tokens(spark):
+    """Tokens covered by a corpus-repeated width-gram drop (ALL
+    occurrences — the C4-style all-copies contract); unique text and
+    sub-width docs pass through whole; within-doc repetition counts
+    toward min_count (total occurrences, not distinct docs)."""
+    from qctimeseries_spark.datapipe import strip_repeated_spans
+
+    promo = "sponsored content brought to you by our partners"  # 8 tok
+    rows = [
+        (1, f"alpha beta gamma delta {promo}"),
+        (2, f"epsilon zeta {promo} eta theta"),
+        (3, "iota kappa lam mu nu xi omicron pi"),   # unique: untouched
+        (4, "short doc"),                            # < width: untouched
+        (5, f"{promo} and again {promo}"),           # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_repeated_spans(df, width=6, min_count=2).collect()
+    }
+    assert out[1].text_clean == "alpha beta gamma delta"
+    assert (out[1].n_tokens, out[1].n_removed) == (12, 8)
+    assert out[2].text_clean == "epsilon zeta eta theta"
+    assert out[3].n_removed == 0 and out[3].text_clean.startswith("iota")
+    assert out[4].text_clean == "short doc" and out[4].n_removed == 0
+    # doc 5: both promo copies drop plus the bridging grams' coverage
+    assert "sponsored" not in out[5].text_clean
+    assert out[5].n_tokens == 18
+
+    # a span repeated ONLY within one doc still drops when min_count
+    # counts total occurrences
+    solo = spark.createDataFrame(
+        [(1, "one two three four five six one two three four five six"),
+         (2, "totally different words here now folks")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in strip_repeated_spans(solo, width=6, min_count=2).collect()
+    }
+    assert got[1].text_clean == "" and got[1].n_removed == 12
+    assert got[2].n_removed == 0
+
+
 def test_knn_ivf_auto_nprobe(spark):
     """nprobe='auto' routes through the recall-targeted tuner and the
     resulting index hits the 0.98 default target against brute force
