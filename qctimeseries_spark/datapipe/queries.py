@@ -950,6 +950,38 @@ def q_t22_bigram_nll(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_x3_knn_persisted(spark, sf_dir):
+    """Persisted-index ANN: build_ivf_index writes centroids/ + the
+    centroid-partitioned cells/ store once, knn_query_index serves the
+    same five queries from it via broadcast probe join + dynamic
+    partition pruning.  Result is bit-identical to x2's fresh in-memory
+    build (same seeded centroids, 9-dp rounding, id tie-breaks), so
+    it shares x2's full DuckDB oracle — the hash pins the store
+    ROUNDTRIP: any loss in the parquet persist/read of the float
+    vectors or cell assignment would break it."""
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivf_index,
+        knn_query_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_ivfx_")
+    try:
+        build_ivf_index(emb, tmp + "/index", nlist=16)
+        out = knn_query_index(
+            spark, tmp + "/index", queries, k=10, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_t23_span_dedup(spark, sf_dir):
     """SPAN-level dedup (ExactSubstr family): every 5th doc gains the
     same 8-token promo tail — unique documents, unique lines, but a
@@ -1012,6 +1044,7 @@ DATAPIPE_QUERIES = {
     "t21_bpe_encode": q_t21_bpe_encode,
     "t22_bigram_nll": q_t22_bigram_nll,
     "t23_span_dedup": q_t23_span_dedup,
+    "x3_knn_persisted": q_x3_knn_persisted,
 }
 
 
@@ -1965,3 +1998,8 @@ SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean, n_tokens,
        CAST(n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM t LEFT JOIN r USING (doc_id)""",
 }
+
+# x3 serves the IDENTICAL result from the persisted index store that
+# x2 computes fresh — x2's SQL is its oracle, so the hash check pins
+# the parquet persist/read roundtrip of vectors and cell assignments
+DATAPIPE_ORACLE["x3_knn_persisted"] = DATAPIPE_ORACLE["x2_knn_ivf"]

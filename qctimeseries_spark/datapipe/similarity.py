@@ -290,6 +290,28 @@ def knn_ivf(
         F.col(vec_col).alias("cv"),
         "centroid_id",
     )
+    return _rank_probed_cells(
+        c_cells, queries, cents,
+        vec_col=vec_col, query_id_col=query_id_col, k=k, nprobe=nprobe,
+    )
+
+
+def _rank_probed_cells(
+    c_cells: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    *,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared probe-join-rank tail of :func:`knn_ivf` and
+    :func:`knn_query_index`: queries expand to their ``nprobe``
+    cells, the broadcast equi-join on ``centroid_id`` restricts the
+    scan to probed cells (and drives dynamic partition pruning when
+    ``c_cells`` reads a centroid-partitioned store), exact cosine +
+    per-query top-k window rank the survivors."""
     q_cells = ivf_assign(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
         cents,
@@ -312,6 +334,84 @@ def knn_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | str = "auto",
+    refine: int = 0,
+) -> dict:
+    """Build and PERSIST an IVF index: pay centroid selection and the
+    corpus→cell assignment once, then serve any number of query
+    batches from the store — the production shape (an index over a
+    100 TB embedding store is built by one job and queried by many;
+    rebuilding per query batch, which :func:`knn_ivf` does, is only
+    right for one-shot jobs).
+
+    Layout under ``path``:
+
+    - ``centroids/`` — ``(centroid_id, seed_id, vec)``: nlist rows.
+    - ``cells/`` — the full corpus WITH its cell assignment,
+      PARTITIONED BY ``centroid_id``: a query that probes ``nprobe``
+      cells reads exactly those directories (the probe join is a
+      broadcast on the partition column, so dynamic partition pruning
+      skips the rest of the store at scan time).
+
+    Writes are ``overwrite`` (an index rebuild replaces the old one
+    atomically per partition).  Returns ``{"nlist", "n_vectors"}``.
+    """
+    cents = take_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=refine
+    )
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    assigned = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    )
+    # key the shuffle on the partition column first: partitionBy alone
+    # opens one file per (task, cell)
+    n_cells = cents.count()
+    (
+        assigned.repartition(n_cells, F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/cells")
+    )
+    return {"nlist": n_cells, "n_vectors": assigned.count()}
+
+
+def knn_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED :func:`build_ivf_index`
+    store: the query batch expands to its ``nprobe`` cells and the
+    broadcast equi-join on the store's partition column restricts the
+    ``cells/`` scan to exactly the probed directories (dynamic
+    partition pruning) — per-batch cost scales with ``nprobe/nlist``
+    of the store, and the corpus-side assignment is never recomputed.
+    Results are identical to :func:`knn_ivf` run fresh with the same
+    ``nlist``/``nprobe`` (pinned by the x3 oracle)."""
+    cents = spark.read.parquet(path + "/centroids")
+    c_cells = spark.read.parquet(path + "/cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+    )
+    return _rank_probed_cells(
+        c_cells, queries, cents,
+        vec_col=vec_col, query_id_col=query_id_col, k=k, nprobe=nprobe,
     )
 
 

@@ -1363,6 +1363,45 @@ def test_strip_repeated_spans_excises_covered_tokens(spark):
     assert got[2].n_removed == 0
 
 
+def test_persisted_ivf_index_matches_fresh_build(spark, tmp_path):
+    """build_ivf_index → knn_query_index must reproduce knn_ivf's
+    fresh in-memory result exactly (the store roundtrip is lossless),
+    the cells/ store must be partitioned by centroid_id, and the probe
+    join must drive dynamic partition pruning into the store scan —
+    the property that makes per-batch cost ~nprobe/nlist of the store."""
+    from qctimeseries_spark.datapipe import (
+        build_ivf_index,
+        knn_ivf,
+        knn_query_index,
+    )
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    info = build_ivf_index(emb, str(tmp_path / "ix"), nlist=16)
+    assert info["nlist"] == 16 and info["n_vectors"] == emb.count()
+    assert (tmp_path / "ix" / "cells" / "centroid_id=1").exists()
+
+    served = knn_query_index(
+        spark, str(tmp_path / "ix"), q, k=10, nprobe=4
+    )
+    fresh = knn_ivf(emb, q, k=10, nlist=16, nprobe=4)
+    key = lambda d: sorted(map(tuple, d.collect()))
+    assert key(served) == key(fresh)
+    # a second batch reuses the store without rebuild (no writes here)
+    q2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert knn_query_index(
+        spark, str(tmp_path / "ix"), q2, k=5, nprobe=2
+    ).count() == 15
+    # the probed broadcast join prunes store partitions at runtime
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_knn_ivf_auto_nprobe(spark):
     """nprobe='auto' routes through the recall-targeted tuner and the
     resulting index hits the 0.98 default target against brute force
