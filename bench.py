@@ -67,6 +67,16 @@ EXTENDED = [
     # round-6 additions: streaming ingestion dedup (exact + NEAR)
     "st12_stream_ingest_dedup",
     "st13_stream_ingest_neardup",
+    # round-7 additions: the dedup granularity ladder tail (line /
+    # span / semantic), tokenizer application + bigram screen, and the
+    # persisted-index ANN serve path
+    "t20_line_dedup",
+    "t21_bpe_encode",
+    "t22_bigram_nll",
+    "t23_span_dedup",
+    "t24_source_cap",
+    "d9_semantic_dedup",
+    "x3_knn_persisted",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -950,6 +950,17 @@ def q_t22_bigram_nll(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_t24_source_cap(spark, sf_dir):
+    """Domain balancing: at most 8 docs per source, selected by key
+    hash (an unbiased per-source sample — not a storage-order head).
+    The oracle is the global rank-≤-cap semantics the two-phase
+    histogram construction must reproduce row-identically."""
+    from qctimeseries_spark.datapipe.sample import cap_per_group
+
+    out = cap_per_group(_docs(spark, sf_dir), "source", "doc_id", 8)
+    return out.select("doc_id", "source")
+
+
 def q_x3_knn_persisted(spark, sf_dir):
     """Persisted-index ANN: build_ivf_index writes centroids/ + the
     centroid-partitioned cells/ store once, knn_query_index serves the
@@ -1044,6 +1055,7 @@ DATAPIPE_QUERIES = {
     "t21_bpe_encode": q_t21_bpe_encode,
     "t22_bigram_nll": q_t22_bigram_nll,
     "t23_span_dedup": q_t23_span_dedup,
+    "t24_source_cap": q_t24_source_cap,
     "x3_knn_persisted": q_x3_knn_persisted,
 }
 
@@ -1997,6 +2009,21 @@ t AS (SELECT doc_id, CAST(len(tkl) AS BIGINT) AS n_tokens FROM tk)
 SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean, n_tokens,
        CAST(n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM t LEFT JOIN r USING (doc_id)""",
+    # t24: the global rank-<=-cap semantics the two-phase histogram
+    # construction must reproduce (same seed-prefixed bucket hash)
+    "t24_source_cap": f"""
+WITH b AS (
+  SELECT doc_id, source,
+         {hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")}
+             % 1000000 AS bk
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rk
+  FROM b
+)
+SELECT doc_id, source FROM r WHERE rk <= 8""",
 }
 
 # x3 serves the IDENTICAL result from the persisted index store that

@@ -147,6 +147,73 @@ def sample_to_token_budget(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    cap: int,
+    *,
+    seed: str = "qcts",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, selected deterministically
+    by key hash — the domain-balancing step of corpus curation ("no
+    source may contribute more than N documents"): because selection
+    order is ``(sample_bucket, key)``, the survivors are an UNBIASED
+    per-group sample (not a storage-order head), stable across runs
+    and engines, and growing ``cap`` only ever ADDS rows.
+
+    Scale design: the obvious per-group ``row_number`` window shuffles
+    the whole corpus on ``group_col`` and funnels each group through
+    one task — web-crawl domains are Zipfian, so the top domain alone
+    can be a double-digit share of 100 TB.  Instead, phase 1 builds
+    the per-``(group, bucket)`` histogram (one count shuffle; output
+    is histogram-sized), a window over the HISTOGRAM finds each
+    group's cutoff bucket and its remaining quota, and phase 2 keeps
+    pre-cutoff rows with a plain join-filter while only the boundary
+    bucket's rows (~1/SAMPLE_MOD of the group) pay a ranking window.
+    Row-identical to the global ``rank ≤ cap`` semantics at any scale.
+
+    NULL keys or groups are dropped explicitly (one portable semantic
+    for both engines, as in :func:`hash_sample`).
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    from pyspark.sql import Window
+
+    df = df.filter(
+        F.col(key_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    b = df.withColumn("_bucket", sample_bucket(key_col, seed))
+    hist = b.groupBy(group_col, "_bucket").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    wcum = Window.partitionBy(group_col).orderBy("_bucket")
+    cuts = (
+        hist.withColumn("_cum", F.sum("_n").over(wcum))
+        .withColumn("_prev", F.col("_cum") - F.col("_n"))
+        .filter(F.col("_cum") >= cap)
+        .withColumn("_rk", F.row_number().over(wcum))
+        .filter(F.col("_rk") == 1)
+        .select(
+            group_col,
+            F.col("_bucket").alias("_cut"),
+            (F.lit(cap) - F.col("_prev")).alias("_rem"),
+        )
+    )
+    j = b.join(cuts, group_col, "left")
+    below = j.filter(
+        F.col("_cut").isNull() | (F.col("_bucket") < F.col("_cut"))
+    )
+    wb = Window.partitionBy(group_col).orderBy(key_col)
+    boundary = (
+        j.filter(F.col("_bucket") == F.col("_cut"))
+        .withColumn("_brk", F.row_number().over(wb))
+        .filter(F.col("_brk") <= F.col("_rem"))
+        .drop("_brk")
+    )
+    return below.unionByName(boundary).drop("_bucket", "_cut", "_rem")
+
+
 def assign_token_shards(
     df: DataFrame,
     key_col: str,

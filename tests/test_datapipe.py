@@ -1319,6 +1319,59 @@ def test_ivf_auto_nlist(spark):
     assert any(f"nlist={chosen}" in str(w.message) for w in caught)
 
 
+def test_cap_per_group_matches_global_rank_and_grows_monotonically(spark):
+    """The two-phase histogram construction must equal the global
+    rank-≤-cap semantics (per-group window row_number over the full
+    corpus — the formulation it exists to avoid), survivors must be a
+    monotone function of cap (cap=5 ⊂ cap=8), groups under the cap
+    pass through whole, and NULL keys/groups drop explicitly."""
+    from pyspark.sql import Window
+
+    from qctimeseries_spark.datapipe import cap_per_group
+    from qctimeseries_spark.datapipe.sample import sample_bucket
+    from qctimeseries_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents")
+    ref = (
+        docs.withColumn("_b", sample_bucket("doc_id"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("_b", "doc_id")
+            ),
+        )
+    )
+    want8 = {r.doc_id for r in ref.filter(F.col("_rk") <= 8).collect()}
+    got8 = {
+        r.doc_id
+        for r in cap_per_group(docs, "source", "doc_id", 8).collect()
+    }
+    assert got8 == want8
+    got5 = {
+        r.doc_id
+        for r in cap_per_group(docs, "source", "doc_id", 5).collect()
+    }
+    assert got5 <= got8  # growing the cap only ever adds rows
+    # per-group counts: min(cap, group size)
+    sizes = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    out_sizes = {
+        r.source: r.n
+        for r in cap_per_group(docs, "source", "doc_id", 8)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert out_sizes == {s: min(8, n) for s, n in sizes.items()}
+    # NULL keys / groups drop; zero cap rejected
+    nulls = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (2, None)], "doc_id long, source string"
+    )
+    assert cap_per_group(nulls, "source", "doc_id", 3).count() == 1
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_group(docs, "source", "doc_id", 0)
+
+
 def test_strip_repeated_spans_excises_covered_tokens(spark):
     """Tokens covered by a corpus-repeated width-gram drop (ALL
     occurrences — the C4-style all-copies contract); unique text and
