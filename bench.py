@@ -77,6 +77,7 @@ EXTENDED = [
     "t24_source_cap",
     "d9_semantic_dedup",
     "x3_knn_persisted",
+    "x4_radius_search",
 ]
 
 HEADLINE = CORE + EXTENDED

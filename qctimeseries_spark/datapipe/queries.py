@@ -961,6 +961,23 @@ def q_t24_source_cap(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_x4_radius_search(spark, sf_dir):
+    """Range-query similarity: every corpus vector with cosine ≥ 0.25
+    of a query vector, IVF-restricted (seeded centroids, nlist=16,
+    nprobe=4 — deterministic end-to-end, so fully oracle-expressible).
+    Unlike the knn queries there is NO per-query ranking window — the
+    survivors stream out of the probed-cell join's filter."""
+    from qctimeseries_spark.datapipe.similarity import radius_search
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return radius_search(
+        emb, queries, threshold=0.25, strategy="ivf", nlist=16, nprobe=4
+    )
+
+
 def q_x3_knn_persisted(spark, sf_dir):
     """Persisted-index ANN: build_ivf_index writes centroids/ + the
     centroid-partitioned cells/ store once, knn_query_index serves the
@@ -1057,6 +1074,7 @@ DATAPIPE_QUERIES = {
     "t23_span_dedup": q_t23_span_dedup,
     "t24_source_cap": q_t24_source_cap,
     "x3_knn_persisted": q_x3_knn_persisted,
+    "x4_radius_search": q_x4_radius_search,
 }
 
 
@@ -2009,6 +2027,37 @@ t AS (SELECT doc_id, CAST(len(tkl) AS BIGINT) AS n_tokens FROM tk)
 SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean, n_tokens,
        CAST(n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM t LEFT JOIN r USING (doc_id)""",
+    # x4: the x2 cell restriction with a threshold filter instead of
+    # the top-k window — radius semantics are windowless in BOTH engines
+    "x4_radius_search": f"""
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+         embedding AS centv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+ccell AS (
+  SELECT e.vec_id, e.embedding, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+),
+qcell AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+  WHERE e.vec_id < 5
+)
+SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+       ROUND({_cos_fold_sql('q.qv', 'c.embedding')}, 9) AS cos
+FROM (SELECT * FROM ccell WHERE rk = 1) c
+JOIN (SELECT * FROM qcell WHERE rk <= 4) q USING (cid)
+WHERE c.vec_id != q.query_id
+  AND ROUND({_cos_fold_sql('q.qv', 'c.embedding')}, 9) >= 0.25""",
     # t24: the global rank-<=-cap semantics the two-phase histogram
     # construction must reproduce (same seed-prefixed bucket hash)
     "t24_source_cap": f"""

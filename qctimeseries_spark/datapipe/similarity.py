@@ -415,6 +415,89 @@ def knn_query_index(
     )
 
 
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    threshold: float = 0.8,
+    strategy: str = "brute",
+    nlist: int | str = "auto",
+    nprobe: int | str = 4,
+    refine: int = 0,
+) -> DataFrame:
+    """All corpus vectors with cosine ≥ ``threshold`` per query — the
+    range-query twin of top-k search ("everything at least this
+    similar", the primitive behind dup-candidate pulls and
+    retrieval-with-a-score-floor).
+
+    Unlike top-k there is NO per-query ranking window anywhere: the
+    result is a pure filter over the scored pairs, so the plan has no
+    single-task funnel at any query fan-in — survivors stream straight
+    out of the scan-side join.
+
+    ``strategy="brute"`` broadcasts the query batch over the corpus
+    scan (exact; right whenever |queries| × |corpus| work fits the
+    cluster).  ``strategy="ivf"`` restricts scoring to each query's
+    ``nprobe`` probed cells — ~nprobe/nlist of the corpus scanned, the
+    same recall/cost dial as :func:`knn_ivf`, and with the default
+    seeded centroids the whole thing stays deterministic (the x4 query
+    keeps a full DuckDB oracle).  Scores are 9-dp-rounded exactly like
+    the knn paths so thresholding is reproducible across engines.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    thr = F.lit(float(threshold))
+    if strategy == "brute":
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        return (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+            .filter(F.col("cos") >= thr)
+            .select("query_id", "neighbor_id", "cos")
+        )
+    if strategy != "ivf":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if nlist == "auto":
+        nlist = auto_nlist(corpus, id_col=id_col)
+    if nprobe == "auto":
+        nprobe = tune_nprobe(
+            corpus, id_col=id_col, vec_col=vec_col, nlist=nlist,
+            refine=refine,
+        )["nprobe"]
+    cents = take_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=refine
+    )
+    c_cells = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+    q_cells = ivf_assign(
+        q.select("query_id", F.col("qv").alias(vec_col)),
+        cents,
+        id_col="query_id",
+        vec_col=vec_col,
+        nprobe=nprobe,
+    ).select("query_id", F.col(vec_col).alias("qv"), "centroid_id")
+    return (
+        c_cells.join(F.broadcast(q_cells), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+        .filter(F.col("cos") >= thr)
+        # a pair can meet in several probed cells
+        .select("query_id", "neighbor_id", "cos")
+        .distinct()
+    )
+
+
 def tune_nprobe(
     corpus: DataFrame,
     *,

@@ -174,6 +174,52 @@ def test_knn_ivf_recall_vs_bruteforce(vectors):
     assert recall >= 0.6  # nprobe=4 of nlist=8 cells
 
 
+def test_radius_search_brute_exact_and_ivf_subset(vectors):
+    """Brute radius = the exact threshold filter over all pairs (no
+    ranking window to get wrong); IVF radius ⊆ brute at the same τ
+    (cell restriction can only drop pairs, never invent them) and
+    still finds the planted near-copy at a high threshold."""
+    from qctimeseries_spark.datapipe.similarity import radius_search
+
+    queries = vectors.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in c.join(
+            F.broadcast(
+                queries.select("query_id", F.col("embedding").alias("qv"))
+            ),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+        .filter(F.col("cos") >= 0.2)
+        .collect()
+    }
+    brute = radius_search(vectors, queries, threshold=0.2).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in brute} == want
+    assert all(r["cos"] >= 0.2 for r in brute)
+    ivf = radius_search(
+        vectors, queries, threshold=0.2, strategy="ivf", nlist=8, nprobe=4
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in ivf} <= want
+    # the planted near-copy (vec 100 ≈ vec 0) survives a 0.99 τ
+    hits = radius_search(
+        vectors,
+        queries.filter(F.col("query_id") == 0),
+        threshold=0.99,
+        strategy="ivf",
+        nlist=8,
+        nprobe=4,
+    ).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in hits] == [(0, 100)]
+    with pytest.raises(ValueError, match="strategy"):
+        radius_search(vectors, queries, strategy="nope")
+
+
 def test_redact_pii(spark):
     from qctimeseries_spark.datapipe.text import redact_pii
 
