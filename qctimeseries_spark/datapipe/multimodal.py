@@ -1252,3 +1252,291 @@ def media_summary(media: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("resized", BooleanType()),
+        StructField("in_w", LongType()),
+        StructField("in_h", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("n_px", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+
+def _box_average(px: list[int], w: int, factor: int) -> tuple:
+    """Exact box-average downscale of a row-major raster.
+
+    The raster is ``len(px)`` values wrapped at width ``w`` (the last
+    row may be ragged).  Each output pixel is the FLOOR of the mean of
+    the input pixels its ``factor``×``factor`` box actually covers —
+    integer arithmetic end-to-end, so the result (and the DuckDB
+    mirror's ``//``) is bit-portable with no float rounding question.
+    Returns ``(out_w, out_h, out_pixels)``.
+    """
+    n = len(px)
+    in_h = (n + w - 1) // w
+    out_w = (w + factor - 1) // factor
+    out_h = (in_h + factor - 1) // factor
+    out: list[int] = []
+    for bR in range(out_h):
+        for bC in range(out_w):
+            s = cnt = 0
+            for r in range(bR * factor, min((bR + 1) * factor, in_h)):
+                base = r * w
+                for c in range(bC * factor, min((bC + 1) * factor, w)):
+                    i = base + c
+                    if i < n:
+                        s += px[i]
+                        cnt += 1
+            if cnt:
+                out.append(s // cnt)
+            else:  # box entirely past the ragged tail
+                out.append(0)
+    return out_w, out_h, out
+
+
+def resize_media(
+    media: DataFrame,
+    *,
+    factor: int = 2,
+    batch_rows: int = 256,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Thumbnail the image payloads: REAL decode to the pixel raster
+    (PNG inflate / JPEG entropy decode + IDCT), then an exact
+    ``factor``×``factor`` box-average downscale (:func:`_box_average`),
+    reported as resized-raster statistics.
+
+    PNG pixel content is the inflated IDAT byte stream wrapped at the
+    container's declared width (the stream is the image's row-major
+    bytes; a short final row stays ragged and its boxes average only
+    the bytes that exist).  JPEG rasters come back full-size from
+    :func:`decode_jpeg`.  WAV/MP4 have no spatial axes —
+    ``resized=false`` (temporal reduction is :func:`sample_frames`).
+
+    Scale shape: identical to :func:`decode_media` — spread by
+    partition budget, Arrow ``mapInPandas``, one row out per item, no
+    driver involvement; corrupt payloads degrade to ``resized=false``
+    rather than failing the stage.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    media = _spread(media, partitions)
+
+    def row(media_id, payload) -> dict:
+        fmt = None
+        res = None
+        try:
+            if payload is None:
+                raise ValueError("NULL payload")
+            meta = parse_media(payload)
+            fmt = meta["fmt"]
+            if fmt == "png":
+                px = _decode_payload(meta["content"], "png")
+                n_raw = len(px)  # decoded stream length, NOT the
+                # zlib-framed content segment length
+                res = _box_average(px, meta["width"], factor)
+            elif fmt == "jpeg":
+                d = decode_jpeg(payload)
+                n_raw = len(d["pixels"])
+                res = _box_average(list(d["pixels"]), d["width"], factor)
+        except (ValueError, NotImplementedError):
+            fmt = fmt or None
+        out = {
+            "media_id": media_id,
+            "fmt": fmt,
+            "resized": res is not None,
+            "in_w": None,
+            "in_h": None,
+            "out_w": None,
+            "out_h": None,
+            "n_px": None,
+            "sum_px": None,
+            "mean_px": None,
+        }
+        if res is not None:
+            out_w, out_h, px = res
+            w = meta["width"]
+            out["in_w"] = w
+            out["in_h"] = (
+                meta["height"] if fmt == "jpeg" else (n_raw + w - 1) // w
+            )
+            out["out_w"] = out_w
+            out["out_h"] = out_h
+            out["n_px"] = len(px)
+            out["sum_px"] = sum(px) if px else None
+            out["mean_px"] = (sum(px) / len(px)) if px else None
+        return out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    [
+                        row(m, None if p is None else bytes(p))
+                        for m, p in zip(chunk["media_id"], chunk["payload"])
+                    ],
+                    columns=[f.name for f in RESIZE_SCHEMA.fields],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, RESIZE_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("sampled", BooleanType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("sum_sampled", LongType()),
+        StructField("mean_sampled", DoubleType()),
+        StructField("rms_sampled", DoubleType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    every: int = 4,
+    batch_rows: int = 256,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Temporal frame sampling over the time-axis payloads: keep every
+    ``every``-th frame, decoding ONLY those — the op that makes video
+    ingestion tractable (you never decode 100% of a corpus to sample
+    1% of its frames).
+
+    MP4 is the honest case: the stbl sample table (stsz uniform size +
+    stco chunk offset, read from the file) locates each frame's byte
+    range, and ``struct.unpack_from`` touches exactly the sampled
+    offsets — a genuine index-driven partial decode, not a full decode
+    followed by a slice.  WAV frames are fixed-stride PCM16, so the
+    sampled offsets are plain arithmetic.  PNG/JPEG have no time axis
+    — ``sampled=false``.
+
+    Emits total frame count (from the sample table / data-chunk size —
+    metadata, not decode work), the sampled count, and exact integer
+    sum plus mean/RMS over the sampled frames, all engine-portable.
+    """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    media = _spread(media, partitions)
+
+    def row(media_id, payload) -> dict:
+        fmt = None
+        frames = None
+        n_total = None
+        try:
+            if payload is None:
+                raise ValueError("NULL payload")
+            meta = parse_media(payload)
+            fmt = meta["fmt"]
+            if fmt == "wav":
+                content = meta["content"]
+                n_total = len(content) // 2
+                frames = [
+                    struct.unpack_from("<h", content, 2 * k)[0]
+                    for k in range(0, n_total, every)
+                ]
+            elif fmt == "mp4":
+                off, size, n_total = _mp4_sample_index(payload)
+                frames = [
+                    struct.unpack_from(">h", payload, off + k * size)[0]
+                    for k in range(0, n_total, every)
+                ]
+        except (ValueError, NotImplementedError):
+            fmt = fmt or None
+        out = {
+            "media_id": media_id,
+            "fmt": fmt,
+            "sampled": frames is not None,
+            "n_frames": n_total,
+            "n_sampled": None,
+            "sum_sampled": None,
+            "mean_sampled": None,
+            "rms_sampled": None,
+        }
+        if frames is not None:
+            out["n_sampled"] = len(frames)
+            out["sum_sampled"] = sum(frames) if frames else None
+            if frames:
+                out["mean_sampled"] = sum(frames) / len(frames)
+                out["rms_sampled"] = math.sqrt(
+                    sum(f * f for f in frames) / len(frames)
+                )
+        return out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    [
+                        row(m, None if p is None else bytes(p))
+                        for m, p in zip(chunk["media_id"], chunk["payload"])
+                    ],
+                    columns=[f.name for f in FRAMES_SCHEMA.fields],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, FRAMES_SCHEMA
+    )
+
+
+def _mp4_sample_index(p: bytes) -> tuple[int, int, int]:
+    """The frame index of a ``twos``-PCM MP4: (first-sample byte
+    offset, uniform sample size, sample count) straight from the
+    file's stsz/stco — the metadata a frame sampler needs, WITHOUT
+    decoding any sample data.  Shares :func:`decode_mp4`'s honesty
+    gate: compressed sample entries raise ``NotImplementedError``.
+    """
+
+    def find(off: int, end: int, typ: bytes):
+        for t, o, e in _mp4_boxes(p, off, end):
+            if t == typ:
+                return o, e
+        return None
+
+    moov = find(0, len(p), b"moov")
+    if moov is None:
+        raise ValueError("MP4 missing moov")
+    trak = find(*moov, b"trak")
+    if trak is None:
+        raise ValueError("MP4 has no track")
+    mdia = find(*trak, b"mdia")
+    minf = mdia and find(*mdia, b"minf")
+    stbl = minf and find(*minf, b"stbl")
+    if stbl is None:
+        raise ValueError("MP4 track missing sample table")
+    stsd = find(*stbl, b"stsd")
+    stsz = find(*stbl, b"stsz")
+    stco = find(*stbl, b"stco")
+    if stsd is None or stsz is None or stco is None:
+        raise ValueError("MP4 sample table incomplete")
+    entry_off = stsd[0] + 8
+    fmt = p[entry_off + 4 : entry_off + 8]
+    if fmt != b"twos":
+        raise NotImplementedError(
+            f"no codec for MP4 sample entry {fmt!r} in this environment"
+        )
+    _, uniform, count = struct.unpack(">III", p[stsz[0] : stsz[0] + 12])
+    if uniform == 0:
+        raise ValueError("per-sample stsz table not emitted by this builder")
+    _, n_chunks, chunk_off = struct.unpack(">III", p[stco[0] : stco[0] + 12])
+    if n_chunks != 1:
+        raise ValueError("multi-chunk stco not emitted by this builder")
+    if chunk_off + uniform * count > len(p):
+        raise ValueError("MP4 sample data truncated")
+    return chunk_off, uniform, count

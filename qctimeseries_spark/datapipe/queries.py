@@ -752,6 +752,30 @@ def q_m3_media_decode(spark, sf_dir):
     return decode_media(attach_media(_docs(spark, sf_dir)))
 
 
+def q_m4_resize(spark, sf_dir):
+    """Image thumbnailing over the derived media table: REAL decode to
+    the pixel raster (PNG inflate / JPEG entropy decode + IDCT), then
+    an exact 2×2 box-average downscale — integer floor arithmetic
+    end-to-end, so the resized-raster statistics hash across engines.
+    WAV/MP4 have no spatial axes (``resized=false``); their temporal
+    reduction is m5."""
+    from qctimeseries_spark.datapipe.multimodal import resize_media
+
+    return resize_media(attach_media(_docs(spark, sf_dir)), factor=2)
+
+
+def q_m5_frame_sample(spark, sf_dir):
+    """Temporal frame sampling: keep every 4th frame of the time-axis
+    payloads, decoding ONLY those — MP4 frames are located via the
+    file's own stbl (stsz uniform size + stco chunk offset) and
+    ``struct.unpack_from`` touches exactly the sampled byte ranges, a
+    genuine index-driven partial decode.  PNG/JPEG have no time axis
+    (``sampled=false``)."""
+    from qctimeseries_spark.datapipe.multimodal import sample_frames
+
+    return sample_frames(attach_media(_docs(spark, sf_dir)), every=4)
+
+
 def q_t10_token_budget(spark, sf_dir):
     """Deterministic token-budget prefix: documents in hash-bucket
     order until 6,000 cumulative whitespace tokens.  Two-phase at
@@ -1054,6 +1078,8 @@ DATAPIPE_QUERIES = {
     "m1_media_summary": q_m1_media_summary,
     "m2_media_features": q_m2_media_features,
     "m3_media_decode": q_m3_media_decode,
+    "m4_resize": q_m4_resize,
+    "m5_frame_sample": q_m5_frame_sample,
     "c2_curate": q_c2_curate,
     "t10_token_budget": q_t10_token_budget,
     "t11_split": q_t11_split,
@@ -1585,6 +1611,133 @@ FROM c""",
     # little-endian, MP4 twos big-endian) arithmetically.  Integer sums are exact in BIGINT and the
     # mean/rms doubles are single correctly-rounded ops, so the value
     # hash is bit-comparable with the Spark side's real inflate/unpack.
+    # m4: the 2x2 box-average is mirrored arithmetically — png over the
+    # width-wrapped document bytes (ragged tail boxes average only the
+    # bytes that exist), jpeg in closed form (a 2x2 box never crosses an
+    # 8x8 block, so each output pixel IS the block's decoded DC value
+    # 123 - (doc_id + 3b) % 8 and each block contributes 16 of them)
+    "m4_resize": f"""
+WITH m AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         CASE WHEN doc_id % 6 = 0 THEN 'png' WHEN doc_id % 6 = 3 THEN 'jpeg'
+              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS fmt
+  FROM documents
+),
+png AS (
+  SELECT doc_id, fmt, L,
+         16 + doc_id % 2033 AS W,
+         (L + (16 + doc_id % 2033) - 1) // (16 + doc_id % 2033) AS H,
+         list_transform(range(0, CAST(L AS INT)),
+           i -> CAST(concat('0x', substr(hex(encode(text)), 2 * i + 1, 2))
+                     AS INT)) AS bytes
+  FROM m WHERE fmt = 'png'
+),
+pngpx AS (
+  SELECT doc_id, fmt, W, H, (W + 1) // 2 AS oW, (H + 1) // 2 AS oH,
+         list_transform(range(0, CAST(((W + 1) // 2) * ((H + 1) // 2) AS INT)),
+           bi -> list_filter(
+             [CASE WHEN 2 * (bi % ((W + 1) // 2)) < W
+                    AND (2 * (bi // ((W + 1) // 2))) * W
+                        + 2 * (bi % ((W + 1) // 2)) < L
+                   THEN bytes[(2 * (bi // ((W + 1) // 2))) * W
+                              + 2 * (bi % ((W + 1) // 2)) + 1] END,
+              CASE WHEN 2 * (bi % ((W + 1) // 2)) + 1 < W
+                    AND (2 * (bi // ((W + 1) // 2))) * W
+                        + 2 * (bi % ((W + 1) // 2)) + 1 < L
+                   THEN bytes[(2 * (bi // ((W + 1) // 2))) * W
+                              + 2 * (bi % ((W + 1) // 2)) + 2] END,
+              CASE WHEN 2 * (bi % ((W + 1) // 2)) < W
+                    AND (2 * (bi // ((W + 1) // 2)) + 1) * W
+                        + 2 * (bi % ((W + 1) // 2)) < L
+                   THEN bytes[(2 * (bi // ((W + 1) // 2)) + 1) * W
+                              + 2 * (bi % ((W + 1) // 2)) + 1] END,
+              CASE WHEN 2 * (bi % ((W + 1) // 2)) + 1 < W
+                    AND (2 * (bi // ((W + 1) // 2)) + 1) * W
+                        + 2 * (bi % ((W + 1) // 2)) + 1 < L
+                   THEN bytes[(2 * (bi // ((W + 1) // 2)) + 1) * W
+                              + 2 * (bi % ((W + 1) // 2)) + 2] END],
+             x -> x IS NOT NULL)) AS boxes
+  FROM png
+),
+pngagg AS (
+  SELECT doc_id, fmt, W AS in_w, H AS in_h, oW AS out_w, oH AS out_h,
+         len(boxes) AS n_px,
+         list_sum(list_transform(boxes,
+           b -> CASE WHEN len(b) > 0 THEN list_sum(b) // len(b)
+                     ELSE 0 END)) AS sum_px
+  FROM pngpx
+),
+jpgagg AS (
+  SELECT doc_id, fmt,
+         8 * {_JW8} AS in_w, 8 * {_JH8} AS in_h,
+         4 * {_JW8} AS out_w, 4 * {_JH8} AS out_h,
+         16 * {_JW8} * {_JH8} AS n_px,
+         16 * list_sum(list_transform(range(0, {_JW8} * {_JH8}),
+               b -> 123 - (doc_id + 3 * b) % 8)) AS sum_px
+  FROM m WHERE fmt = 'jpeg'
+)
+SELECT doc_id AS media_id, fmt, TRUE AS resized,
+       CAST(in_w AS BIGINT) AS in_w, CAST(in_h AS BIGINT) AS in_h,
+       CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+       CAST(n_px AS BIGINT) AS n_px,
+       CAST(CASE WHEN n_px > 0 THEN sum_px END AS BIGINT) AS sum_px,
+       CASE WHEN n_px > 0 THEN CAST(sum_px AS DOUBLE) / n_px END AS mean_px
+FROM (SELECT * FROM pngagg UNION ALL SELECT * FROM jpgagg)
+UNION ALL
+SELECT doc_id, fmt, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM m WHERE fmt IN ('wav', 'mp4')""",
+    # m5: every-4th-frame sampling mirrored by list positions 4k+1 over
+    # the byte-derived PCM sample list (wav little-endian, mp4 twos
+    # big-endian); png/jpeg have no time axis
+    "m5_frame_sample": f"""
+WITH m AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         CASE WHEN doc_id % 6 = 0 THEN 'png' WHEN doc_id % 6 = 3 THEN 'jpeg'
+              WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS fmt
+  FROM documents
+),
+b AS (
+  SELECT doc_id, fmt, L,
+         list_transform(range(0, CAST(L AS INT)),
+           i -> CAST(concat('0x', substr(hex(encode(text)), 2 * i + 1, 2))
+                     AS INT)) AS bytes
+  FROM m WHERE fmt IN ('wav', 'mp4')
+),
+s AS (
+  SELECT doc_id, fmt, L // 2 AS n,
+         CASE WHEN fmt = 'wav' THEN
+           list_transform(range(0, CAST(L // 2 AS INT)),
+             k -> CASE WHEN bytes[2 * k + 2] >= 128
+                       THEN bytes[2 * k + 1] + 256 * bytes[2 * k + 2] - 65536
+                       ELSE bytes[2 * k + 1] + 256 * bytes[2 * k + 2] END)
+         ELSE
+           list_transform(range(0, CAST(L // 2 AS INT)),
+             k -> CASE WHEN bytes[2 * k + 1] >= 128
+                       THEN 256 * bytes[2 * k + 1] + bytes[2 * k + 2] - 65536
+                       ELSE 256 * bytes[2 * k + 1] + bytes[2 * k + 2] END)
+         END AS samples
+  FROM b
+),
+f AS (
+  SELECT doc_id, fmt, n,
+         list_transform(range(0, CAST((n + 3) // 4 AS INT)),
+           k -> samples[4 * k + 1]) AS fr
+  FROM s
+)
+SELECT doc_id AS media_id, fmt, TRUE AS sampled,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(len(fr) AS BIGINT) AS n_sampled,
+       CAST(CASE WHEN len(fr) > 0 THEN list_sum(fr) END AS BIGINT)
+           AS sum_sampled,
+       CASE WHEN len(fr) > 0 THEN CAST(list_sum(fr) AS DOUBLE) / len(fr)
+            END AS mean_sampled,
+       CASE WHEN len(fr) > 0 THEN
+            sqrt(CAST(list_sum(list_transform(fr, x -> x * x)) AS DOUBLE)
+                 / len(fr)) END AS rms_sampled
+FROM f
+UNION ALL
+SELECT doc_id, fmt, FALSE, NULL, NULL, NULL, NULL, NULL
+FROM m WHERE fmt IN ('png', 'jpeg')""",
     "m3_media_decode": f"""
 WITH m AS (
   SELECT doc_id, text, strlen(text) AS L,

@@ -370,3 +370,112 @@ def test_decode_mp4_demuxes_sample_table_and_gates_compressed_codecs():
     forged = p.replace(b"twos", b"avc1", 1)
     with _pytest.raises(NotImplementedError, match="avc1"):
         decode_mp4(forged)
+
+
+def test_box_average_exact_semantics():
+    """Floor-of-mean box averaging over a width-wrapped raster: full
+    boxes, a ragged final row whose boxes average only existing bytes,
+    and factor=1 as the identity."""
+    from qctimeseries_spark.datapipe.multimodal import _box_average
+
+    # 4-wide, 10 values -> 3 rows (last row ragged: 2 values)
+    px = [10, 20, 30, 40, 50, 60, 70, 80, 90, 100]
+    out_w, out_h, out = _box_average(px, 4, 2)
+    assert (out_w, out_h) == (2, 2)
+    # box(0,0)={10,20,50,60}//4=35  box(0,1)={30,40,70,80}=55
+    # box(1,0)={90,100}//2=95      box(1,1)= no bytes -> 0
+    assert out == [35, 55, 95, 0]
+    # factor=1 keeps every byte; the ragged final row still pads to a
+    # full rectangular output (empty boxes -> 0), same as the oracle
+    assert _box_average(px, 4, 1) == (4, 3, px + [0, 0])
+    # factor wider than the image: one box, floor of the global mean
+    assert _box_average(px, 4, 100) == (1, 1, [sum(px) // len(px)])
+
+
+def test_resize_media_matches_python(spark):
+    """The Spark resize path equals a direct Python recompute: png over
+    the wrapped document bytes, jpeg over the block-constant decoded
+    raster; audio formats are resized=false."""
+    from qctimeseries_spark.datapipe.multimodal import (
+        _box_average,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(12)], DOC_SCHEMA
+    )
+    out = {
+        r["media_id"]: r
+        for r in resize_media(attach_media(docs), factor=2).collect()
+    }
+    assert len(out) == 12
+    for mid, r in out.items():
+        fmt = media_fmt(mid)
+        assert r["fmt"] == fmt
+        content = f"document number {mid} body text".encode()
+        if fmt == "png":
+            w = 16 + mid % 2033
+            ow, oh, px = _box_average(list(content), w, 2)
+            assert r["resized"] is True
+            assert (r["in_w"], r["in_h"]) == (w, (len(content) + w - 1) // w)
+            assert (r["out_w"], r["out_h"]) == (ow, oh)
+            assert r["n_px"] == len(px)
+            assert r["sum_px"] == sum(px)
+        elif fmt == "jpeg":
+            w, h = jpeg_dims(mid)
+            nb = (w // 8) * (h // 8)
+            # a 2x2 box never crosses an 8x8 block: each block yields
+            # 16 output pixels equal to its decoded DC value
+            assert r["resized"] is True
+            assert (r["out_w"], r["out_h"]) == (w // 2, h // 2)
+            assert r["n_px"] == (w // 2) * (h // 2)
+            assert r["sum_px"] == sum(
+                16 * (128 + jpeg_qdc(mid, b)) for b in range(nb)
+            )
+        else:
+            assert r["resized"] is False
+            assert r["n_px"] is None
+    with pytest.raises(ValueError, match="factor"):
+        resize_media(attach_media(docs), factor=0)
+
+
+def test_sample_frames_partial_decode_matches_python(spark):
+    """Every-4th-frame sampling equals the content-derived slice (wav
+    little-endian, mp4 big-endian via its own stbl); images are
+    sampled=false; every=1 degenerates to the full decode."""
+    import struct as _s
+
+    from qctimeseries_spark.datapipe.multimodal import sample_frames
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(12)], DOC_SCHEMA
+    )
+    media = attach_media(docs)
+    out = {
+        r["media_id"]: r for r in sample_frames(media, every=4).collect()
+    }
+    assert len(out) == 12
+    for mid, r in out.items():
+        fmt = media_fmt(mid)
+        content = f"document number {mid} body text".encode()
+        n = len(content) // 2
+        if fmt in ("wav", "mp4"):
+            order = "<" if fmt == "wav" else ">"
+            allf = _s.unpack(f"{order}{n}h", content[: 2 * n])
+            want = list(allf)[0::4]
+            assert r["sampled"] is True
+            assert r["n_frames"] == n
+            assert r["n_sampled"] == len(want)
+            assert r["sum_sampled"] == sum(want)
+        else:
+            assert r["sampled"] is False
+            assert r["n_frames"] is None
+    # every=1 == the full frame set
+    full = {
+        r["media_id"]: r for r in sample_frames(media, every=1).collect()
+    }
+    for mid, r in full.items():
+        if r["sampled"]:
+            assert r["n_sampled"] == r["n_frames"]
+    with pytest.raises(ValueError, match="every"):
+        sample_frames(media, every=0)
