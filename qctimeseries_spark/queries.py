@@ -1362,11 +1362,13 @@ QUERIES.update(
 # family-coverage guard (tests/test_example.py) enforces that no
 # family ever leaves the window.
 _WINDOW_R7 = (
-    # QC core (round-5 set)
-    "f5_iso_export", "u3_approve_window", "u4_reset_window",
-    "u5_reset_all", "p2_projection", "p5_strict_clean",
-    "v2_approved_overlay", "v3_flagged_overlay", "v6_viewer_slice",
-    "w4_viewer_windows", "w9_regularize", "w10_ffill",
+    # QC core (round-5 set; u4/u5/p5/v2/v3/w4 rotated back out
+    # mid-round to make room for the round-7 new operators — each
+    # bumped entry keeps its family in the window, holds an r5 driver
+    # green on since-untouched code, and was replica-re-verified in r6)
+    "f5_iso_export", "u3_approve_window", "p2_projection",
+    "v6_viewer_slice",
+    "w9_regularize", "w10_ffill",
     "w11_interpolate", "w12_resample", "w13_regularize_by_key",
     "a9_percentiles", "a10_rolling_outliers", "a11_qc_rules",
     "a12_rolling_by_key", "a13_progress_by_window", "a14_ewma",
@@ -1385,6 +1387,9 @@ _WINDOW_R7 = (
     # never-driver-checked entries promoted this round
     "d9_semantic_dedup", "st13_stream_ingest_neardup",
     "t20_line_dedup", "t21_bpe_encode", "t22_bigram_nll",
+    # operators NEW this round — driver-checked from day one
+    "t23_span_dedup", "t24_source_cap", "x3_knn_persisted",
+    "x4_radius_search", "m4_resize", "m5_frame_sample",
 )
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {

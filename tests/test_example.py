@@ -45,6 +45,9 @@ def test_driver_window_covers_every_family():
     assert {
         "d9_semantic_dedup", "st13_stream_ingest_neardup",
         "t20_line_dedup", "t21_bpe_encode", "t22_bigram_nll",
+        # operators born this round hold driver slots immediately
+        "t23_span_dedup", "t24_source_cap", "x3_knn_persisted",
+        "x4_radius_search", "m4_resize", "m5_frame_sample",
     } <= window
 
 
