@@ -945,7 +945,7 @@ def q_d9_semantic_dedup(spark, sf_dir):
 
     out = semantic_dedup(
         _emb_corpus(spark, sf_dir), id_col="vec_id", vec_col="v",
-        threshold=0.9,
+        threshold=0.9, nprobe="auto",
     )
     return out.select("vec_id")
 
