@@ -67,6 +67,7 @@ EXTENDED = [
     # round-6 additions: streaming ingestion dedup (exact + NEAR)
     "st12_stream_ingest_dedup",
     "st13_stream_ingest_neardup",
+    "st14_stream_ingest_embedding",
     # round-7 additions: the dedup granularity ladder tail (line /
     # span / semantic), tokenizer application + bigram screen, and the
     # persisted-index ANN serve path
@@ -78,6 +79,8 @@ EXTENDED = [
     "d9_semantic_dedup",
     "x3_knn_persisted",
     "x4_radius_search",
+    "m4_resize",
+    "m5_frame_sample",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -553,6 +553,7 @@ def embedding_dedup_against_store(
     nprobe: int = 3,
     max_store_brute: int = 8192,
     update_store: bool = True,
+    sink_path: str | None = None,
 ) -> DataFrame:
     """Incremental EMBEDDING near-dup ingestion against a persistent
     unit-vector store: drop batch rows whose cosine against ANY stored
@@ -700,6 +701,13 @@ def embedding_dedup_against_store(
         )
         if bc is not None:  # checkpoint is eager — safe to release
             bc.destroy()
+    if sink_path is not None:
+        # sink BEFORE store (the st12/st13 retry ordering): a retry
+        # that died in between recomputes identical survivors against
+        # the unchanged store and double-appends — healed by the
+        # id-keyed dedup-on-read view; one that died after the store
+        # append replays to zero survivors and writes nothing.
+        survivors.drop("_u").write.mode("append").parquet(sink_path)
     if update_store:
         survivors.select(
             F.col(id_col).alias("store_id"), F.col("_u").alias("u")

@@ -973,6 +973,64 @@ def q_st13_stream_ingest_neardup(spark, sf_dir):
     return out.select("doc_id", "fingerprint")
 
 
+def q_st14_stream_ingest_embedding(spark, sf_dir):
+    """Streaming SEMANTIC dedup ingestion: the d8 scenario re-played
+    as a stream, completing the streaming ingestion triad (st12 exact,
+    st13 lexical, st14 embedding).  Two source files arrive in mtime
+    order — batch 1 the even-id vectors (seeding the unit-vector
+    store), batch 2 the odd vectors ∪ perturbed re-encodes of every
+    10th vector — and each micro-batch scores against the persistent
+    store via ``foreachBatch`` (``ingest_embedding_stream``).  The
+    drained survivor table must equal the batch set algebra: every
+    seed vector (NULL max cosine — the store did not exist yet) plus
+    d8's batch-2 survivors, which is the oracle (same left-fold
+    cosine, same 9-dp rounding, so both engines make identical
+    threshold decisions)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.queries import _emb_corpus
+    from qctimeseries_spark.streaming import ingest_embedding_stream
+
+    c = _emb_corpus(spark, sf_dir)
+    even = c.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 1000000))
+    batch = c.filter(
+        ((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 1000000))
+        | (F.col("vec_id") >= 1000000)
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_st14_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, b in enumerate([even, batch]):
+            stage = os.path.join(tmp, f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("vec_id bigint, v array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = ingest_embedding_stream(
+            stream,
+            os.path.join(tmp, "store"),
+            os.path.join(tmp, "out"),
+            id_col="vec_id",
+            vec_col="v",
+            threshold=0.9,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select(
+        "vec_id", F.round("max_store_cos", 9).alias("max_store_cos")
+    )
+
+
 def q_st9_stream_asof(spark, sf_dir):
     """Streaming as-of enrichment: every event in the stream gains the
     most recent prior calibration record for its user, via the
@@ -1340,6 +1398,7 @@ QUERIES.update(
         "st11_stream_psi": q_st11_stream_psi,
         "st12_stream_ingest_dedup": q_st12_stream_ingest_dedup,
         "st13_stream_ingest_neardup": q_st13_stream_ingest_neardup,
+        "st14_stream_ingest_embedding": q_st14_stream_ingest_embedding,
         "s10_jsonl_roundtrip": q_s10_jsonl_roundtrip,
     }
 )
@@ -2149,3 +2208,19 @@ assert (
     ORACLE["st13_stream_ingest_neardup"]
     != DATAPIPE_ORACLE["d7_incremental_neardup"]
 ), "st13 oracle derivation no-opped — d7's SQL tail was reworded"
+
+# st14: d8's oracle with the seed batch's own survivors unioned in —
+# the drained streaming survivor table is the seed (NULL max cosine:
+# the store did not exist for batch 1) plus d8's batch-2 result
+ORACLE["st14_stream_ingest_embedding"] = DATAPIPE_ORACLE[
+    "d8_embedding_store"
+].replace(
+    "\nSELECT vec_id, max_store_cos FROM sc WHERE max_store_cos < 0.9",
+    "\nSELECT vec_id, CAST(NULL AS DOUBLE) AS max_store_cos FROM store\n"
+    "UNION ALL\n"
+    "SELECT vec_id, max_store_cos FROM sc WHERE max_store_cos < 0.9",
+)
+assert (
+    ORACLE["st14_stream_ingest_embedding"]
+    != DATAPIPE_ORACLE["d8_embedding_store"]
+), "st14 oracle derivation no-opped — d8's SQL tail was reworded"

@@ -267,25 +267,32 @@ def dedup_stream(
     )
 
 
-def _read_survivors(stream: DataFrame, out_path: str) -> DataFrame:
-    """Fingerprint-keyed dedup-on-read view of a survivor sink: heals
-    the double-append a mid-batch retry can leave (replayed rows are
-    byte-identical, and a fingerprint survives at most once across
-    batches, so ``dropDuplicates`` on it is exact).  A drained stream
-    that produced zero batches or zero survivors has no files at
+def _read_survivors(
+    stream: DataFrame,
+    out_path: str,
+    *,
+    key_col: str = "fingerprint",
+    added_col: tuple | None = ("fingerprint", "long"),
+) -> DataFrame:
+    """Key-deduplicated read view of a survivor sink: heals the
+    double-append a mid-batch retry can leave (replayed rows are
+    byte-identical, and a key survives at most once across batches,
+    so ``dropDuplicates`` on it is exact).  A drained stream that
+    produced zero batches or zero survivors has no files at
     ``out_path`` — return an empty frame with the expected schema
-    (input columns + fingerprint) instead of raising."""
-    from pyspark.sql.types import LongType
+    (input columns + ``added_col``, the column the batch operator's
+    sink appends) instead of raising."""
     from pyspark.sql.utils import AnalysisException
 
     spark = stream.sparkSession
     try:
         out = spark.read.parquet(out_path)
     except AnalysisException:
-        return spark.createDataFrame(
-            [], stream.schema.add("fingerprint", LongType())
-        )
-    return out.dropDuplicates(["fingerprint"])
+        schema = stream.schema
+        if added_col is not None:
+            schema = schema.add(*added_col)
+        return spark.createDataFrame([], schema)
+    return out.dropDuplicates([key_col])
 
 
 def ingest_dedup_stream(
@@ -408,6 +415,67 @@ def ingest_neardup_stream(
     )
     q.awaitTermination()
     return _read_survivors(stream, out_path)
+
+
+def ingest_embedding_stream(
+    stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    nprobe: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming SEMANTIC dedup against the persistent unit-vector
+    store — the third member of the streaming ingestion triad
+    (:func:`ingest_dedup_stream` exact, :func:`ingest_neardup_stream`
+    lexical, this one embedding-space): every micro-batch runs
+    :func:`~qctimeseries_spark.datapipe.dedup.embedding_dedup_against_store`
+    (max store cosine per row, drop at ≥ ``threshold``, survivors'
+    unit vectors appended), so re-encodes and paraphrases sharing no
+    surface text drop in-stream.
+
+    Same replay shape as the twins: a batch replayed against its own
+    store output is a no-op (every vector matches itself at cosine
+    1.0), so the store converges under at-least-once delivery; the
+    survivor sink is written before the store append inside the batch
+    operator and read back through ``dropDuplicates`` on the id (a
+    vector id survives at most once across batches), closing the
+    mid-batch-retry double-append hole.  Per-batch cost is the
+    broadcast or IVF store-scoring tier — history vectors are never
+    re-normalized.  Drains bounded sources with
+    ``trigger(availableNow)`` and returns the survivor table
+    ``(input columns + max_store_cos)`` — empty with that schema if
+    the stream produced no batches or no survivors.
+    """
+    import uuid as _uuid
+
+    from qctimeseries_spark.datapipe.dedup import (
+        embedding_dedup_against_store,
+    )
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        embedding_dedup_against_store(
+            batch, store_path, id_col=id_col, vec_col=vec_col,
+            threshold=threshold, nprobe=nprobe, sink_path=out_path,
+        )
+
+    checkpoint_dir = (
+        checkpoint_dir or f"/tmp/qcts_embing_ckpt_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_survivors(
+        stream, out_path,
+        key_col=id_col, added_col=("max_store_cos", "double"),
+    )
 
 
 def stream_to_state(

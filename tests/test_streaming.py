@@ -865,3 +865,102 @@ def test_neardup_store_rejects_legacy_layout(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="legacy"):
         neardup_against_store(batch, store, k=15, bands=5)
+
+
+def test_ingest_embedding_stream_drops_reencodes_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Streaming SEMANTIC ingestion: a perturbed re-encode (cosine
+    ≈ 0.998 vs its original, zero shared surface text possible)
+    arriving in a later micro-batch drops on the store cosine tier;
+    fresh orthogonal vectors survive.  Replaying the same source
+    against the same store is a no-op (every vector matches itself at
+    cosine 1.0), and the id-keyed sink heals a mid-batch retry."""
+    from qctimeseries_spark.datapipe.dedup import (
+        embedding_dedup_against_store,
+    )
+    from qctimeseries_spark.streaming import (
+        _read_survivors,
+        ingest_embedding_stream,
+    )
+
+    e = [0.0] * 8
+    def v(i, scale=1.0):
+        out = list(e); out[i] = scale; return out
+    b0 = [(1, v(0)), (2, v(1))]
+    b1 = [(3, [0.999, 0.02, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # ~vec 1
+          (4, v(2))]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate([b0, b1]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, "vec_id bigint, v array<double>").coalesce(
+            1
+        ).write.parquet(stage)
+        dst = src / f"batch{i}.parquet"
+        next(Path(stage).glob("part-*.parquet")).rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("vec_id bigint, v array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return ingest_embedding_stream(
+            stream, str(tmp_path / "store"), str(tmp_path / "out"),
+            id_col="vec_id", vec_col="v", threshold=0.9,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    out = drain("ckpt1")
+    rows = {r.vec_id: r.max_store_cos for r in out.collect()}
+    assert set(rows) == {1, 2, 4}          # 3 dropped: cos ~0.9998 vs 1
+    assert rows[1] is None and rows[2] is None  # seed batch: empty store
+    assert rows[4] == 0.0                  # orthogonal to the store
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == 3
+    # replay with a fresh checkpoint: self-match at cosine 1.0 -> no
+    # new survivors, no store growth
+    out2 = drain("ckpt2")
+    assert out2.count() == 3
+    assert spark.read.parquet(str(tmp_path / "store")).count() == 3
+    # mid-batch retry window: sink written, store append lost -> the
+    # replayed batch recomputes identical survivors; dedup-on-read
+    # heals the double-append
+    store2, out_p = str(tmp_path / "store2"), str(tmp_path / "out2")
+    batch = spark.createDataFrame(b0, "vec_id bigint, v array<double>")
+    embedding_dedup_against_store(
+        batch, store2, id_col="vec_id", vec_col="v", threshold=0.9,
+        sink_path=out_p, update_store=False,
+    )
+    embedding_dedup_against_store(
+        batch, store2, id_col="vec_id", vec_col="v", threshold=0.9,
+        sink_path=out_p,
+    )
+    assert spark.read.parquet(out_p).count() == 4  # raw sink has dupes
+    healed = _read_survivors(
+        batch, out_p, key_col="vec_id",
+        added_col=("max_store_cos", "double"),
+    )
+    assert sorted(r.vec_id for r in healed.collect()) == [1, 2]
+
+
+def test_ingest_embedding_stream_empty_source_returns_empty_schema(
+    spark, tmp_path
+):
+    from qctimeseries_spark.streaming import ingest_embedding_stream
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("vec_id bigint, v array<double>")
+        .parquet(str(src))
+    )
+    out = ingest_embedding_stream(
+        stream, str(tmp_path / "store"), str(tmp_path / "out"),
+        id_col="vec_id", vec_col="v",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "v", "max_store_cos"]
