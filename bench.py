@@ -76,6 +76,7 @@ EXTENDED = [
     "t22_bigram_nll",
     "t23_span_dedup",
     "t24_source_cap",
+    "t25_quality_classifier",
     "d9_semantic_dedup",
     "x3_knn_persisted",
     "x4_radius_search",

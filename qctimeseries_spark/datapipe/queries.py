@@ -985,6 +985,16 @@ def q_t24_source_cap(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_t25_quality_classifier(spark, sf_dir):
+    """Model-based quality filter: linear classifier over hashed
+    unigram∪bigram features (the hashing trick), integer milli-unit
+    weights so the per-doc sum is exact and the score one
+    correctly-rounded division.  Zero shuffles — pure row-local map."""
+    from qctimeseries_spark.datapipe.text import classify_quality
+
+    return classify_quality(_docs(spark, sf_dir))
+
+
 def q_x4_radius_search(spark, sf_dir):
     """Range-query similarity: every corpus vector with cosine ≥ 0.25
     of a query vector, IVF-restricted (seeded centroids, nlist=16,
@@ -1099,6 +1109,7 @@ DATAPIPE_QUERIES = {
     "t22_bigram_nll": q_t22_bigram_nll,
     "t23_span_dedup": q_t23_span_dedup,
     "t24_source_cap": q_t24_source_cap,
+    "t25_quality_classifier": q_t25_quality_classifier,
     "x3_knn_persisted": q_x3_knn_persisted,
     "x4_radius_search": q_x4_radius_search,
 }
@@ -2211,6 +2222,31 @@ FROM (SELECT * FROM ccell WHERE rk = 1) c
 JOIN (SELECT * FROM qcell WHERE rk <= 4) q USING (cid)
 WHERE c.vec_id != q.query_id
   AND ROUND({_cos_fold_sql('q.qv', 'c.embedding')}, 9) >= 0.25""",
+    # t25: the hashing-trick classifier mirrored feature-by-feature —
+    # bucket = hash60(feature) % B, weight = integer milli-units from
+    # hash60 of the bucket id, score = one division of exact integers
+    "t25_quality_classifier": f"""
+WITH tk AS (SELECT doc_id, {_TOKS.format(c='text')} AS tkl FROM documents),
+f AS (
+  SELECT doc_id,
+         list_concat(tkl,
+           list_transform(range(1, CAST(len(tkl) AS INT)),
+             i -> concat(tkl[i], ' ', tkl[i + 1]))) AS fs
+  FROM tk
+),
+a AS (
+  SELECT doc_id, len(fs) AS n,
+         COALESCE(list_sum(list_transform(fs,
+           x -> {hash60_sql("concat('qcts-w:', CAST(" + hash60_sql('x') + " % 4096 AS VARCHAR))")}
+                % 2001 - 1000)), 0) AS s
+  FROM f
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_features,
+       CAST(s AS BIGINT) AS weight_milli,
+       CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / (n * 1000)
+            END AS quality_logit,
+       CASE WHEN n > 0 THEN s >= 0 END AS keep
+FROM a""",
     # t24: the global rank-<=-cap semantics the two-phase histogram
     # construction must reproduce (same seed-prefixed bucket hash)
     "t24_source_cap": f"""

@@ -819,6 +819,87 @@ def bigram_logprob(
     )
 
 
+#: hashing-trick feature space + integer milli-unit weight range for
+#: :func:`classify_quality` — weights live in [-1000, 1000] so the
+#: per-document accumulation is EXACT integer arithmetic
+CLASSIFIER_BUCKETS = 4096
+CLASSIFIER_WEIGHT_SEED = "qcts-w"
+
+
+def classify_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    buckets: int = CLASSIFIER_BUCKETS,
+    seed: str = CLASSIFIER_WEIGHT_SEED,
+) -> DataFrame:
+    """Linear quality classifier over hashed n-gram features — the
+    fastText/CCNet-style *model-based* filter shape, distinct from the
+    heuristic ratios (:func:`quality_score`) and the LM screens
+    (:func:`unigram_logprob` / :func:`bigram_logprob`): features are
+    token unigrams ∪ bigrams hashed into ``buckets`` (the hashing
+    trick), each bucket carries a fixed weight, and the document score
+    is the mean feature weight.
+
+    The weight table here is derived deterministically from the bucket
+    id (hash60 → integer milli-units in [-1000, 1000]) — in production
+    you substitute trained weights; the PLUMBING is the deliverable:
+    weights are integers, so the per-document sum is exact and the
+    score is one correctly-rounded division — bit-portable with no
+    float-summation-order question (the t18 quantization argument).
+
+    Scale shape: **zero shuffles** — everything is row-local over the
+    let-bound token array (tokenize once, features once, one aggregate
+    fold), a pure codegen-side map at any corpus size.
+
+    Emits ``(id, n_features, weight_milli, quality_logit, keep)``;
+    zero-feature documents score NULL/NULL with ``keep`` NULL.
+    """
+
+    def weight(x: Column) -> Column:
+        bucket = hash60(x) % buckets
+        return (
+            hash60(F.concat(F.lit(f"{seed}:"), bucket.cast("string")))
+            % 2001
+            - 1000
+        )
+
+    def score(tk: Column) -> Column:
+        feats = F.concat(
+            tk,
+            F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.slice(tk, 1, F.size(tk) - 1),
+                    lambda x, i: F.concat(x, F.lit(" "), tk[i + 1]),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        return F.struct(
+            F.size(feats).cast("long").alias("n"),
+            F.aggregate(
+                feats,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + weight(x),
+            ).alias("s"),
+        )
+
+    out = fan_out(df).select(
+        F.col(id_col),
+        bind(tokens(F.col(text_col)), score).alias("_sc"),
+    )
+    n = F.col("_sc.n")
+    s = F.col("_sc.s")
+    return out.select(
+        id_col,
+        n.alias("n_features"),
+        s.alias("weight_milli"),
+        F.when(n > 0, s.cast("double") / (n * 1000)).alias("quality_logit"),
+        F.when(n > 0, s >= 0).alias("keep"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

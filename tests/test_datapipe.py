@@ -1596,3 +1596,40 @@ def test_fan_out_probe_is_plan_side_for_shuffle_rooted_inputs(spark, monkeypatch
     )
     wide = spark.range(1000).repartition(par + 4)
     assert fan_out(wide) is wide
+
+
+def test_classify_quality_exact_and_zero_shuffle(spark):
+    """The hashed-feature classifier equals a direct Python recompute
+    of the same hash-derived weight table (unigrams ∪ bigrams), empty
+    docs score NULL, and the plan is shuffle-free (a pure row-local
+    map — the operator's whole scale claim)."""
+    import hashlib
+
+    from qctimeseries_spark.datapipe import classify_quality
+    from qctimeseries_spark.plans import plan_summary
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def w(feat):
+        return h60(f"qcts-w:{h60(feat) % 4096}") % 2001 - 1000
+
+    rows = [(1, "alpha beta gamma"), (2, "single"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in classify_quality(df).collect()}
+    for did, text in rows:
+        tk = [t for t in text.lower().split() if t]
+        feats = tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        r = out[did]
+        assert r.n_features == len(feats)
+        assert r.weight_milli == sum(w(f) for f in feats)
+        if feats:
+            assert r.quality_logit == r.weight_milli / (len(feats) * 1000)
+            assert r.keep is (r.weight_milli >= 0)
+        else:
+            assert r.quality_logit is None and r.keep is None
+    # no key-partitioning shuffle anywhere (fan_out's round-robin
+    # spread of a narrow input is not one, and no-ops on wide scans):
+    # the classifier is a pure row-local map at any corpus size
+    ps = plan_summary(classify_quality(df))
+    assert ps["shuffles"] == 0 and ps["global_windows"] == 0, ps
