@@ -1021,6 +1021,8 @@ def q_st14_stream_ingest_embedding(spark, sf_dir):
             id_col="vec_id",
             vec_col="v",
             threshold=0.9,
+            # exact tier through sf1 for the oracle hash (see q_d8)
+            max_store_brute=32768,
             checkpoint_dir=os.path.join(tmp, "ckpt"),
         )
         out = out.localCheckpoint(eager=True)

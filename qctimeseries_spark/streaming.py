@@ -426,6 +426,7 @@ def ingest_embedding_stream(
     vec_col: str = "embedding",
     threshold: float = 0.98,
     nprobe: int = 3,
+    max_store_brute: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Streaming SEMANTIC dedup against the persistent unit-vector
@@ -456,10 +457,14 @@ def ingest_embedding_stream(
         embedding_dedup_against_store,
     )
 
+    kw = {} if max_store_brute is None else {
+        "max_store_brute": max_store_brute
+    }
+
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         embedding_dedup_against_store(
             batch, store_path, id_col=id_col, vec_col=vec_col,
-            threshold=threshold, nprobe=nprobe, sink_path=out_path,
+            threshold=threshold, nprobe=nprobe, sink_path=out_path, **kw,
         )
 
     checkpoint_dir = (
