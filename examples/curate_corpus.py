@@ -58,6 +58,34 @@ def main(sf_dir: str) -> int:
     n_curated = curated.count()
     print(f"curate: {n_raw} raw docs -> {n_curated} curated")
 
+    # 1b. the finer dedup granularities: strip corpus-repeated
+    #     boilerplate LINES (C4-style) then repeated SPANS
+    #     (ExactSubstr-style) from the survivors' text
+    from qctimeseries_spark.datapipe import (
+        strip_repeated_lines,
+        strip_repeated_spans,
+    )
+
+    lined = strip_repeated_lines(
+        curated.select("doc_id", "text"), min_docs=3
+    )
+    spanned = strip_repeated_spans(
+        lined.select("doc_id", F.col("text_clean").alias("text")),
+        width=20, min_count=3,
+    )
+    trimmed = spanned.filter(F.col("n_removed") > 0).count()
+    print(f"line+span dedup: {trimmed} docs lost repeated spans")
+
+    # 1c. domain balancing + the model-based quality screen
+    from qctimeseries_spark.datapipe import cap_per_group, classify_quality
+
+    balanced = cap_per_group(
+        docs.join(curated.select("doc_id"), "doc_id"), "lang", "doc_id", 200
+    )
+    scored = classify_quality(balanced)
+    n_keep = scored.filter(F.col("keep")).count()
+    print(f"balance+classify: {balanced.count()} balanced, {n_keep} keep")
+
     # 2. near-dup audit on the survivors: MinHash-LSH pairs -> clusters
     pairs = minhash_dedup_pairs(
         curated.select("doc_id", "text"), k=15, bands=5, threshold=0.6
@@ -123,6 +151,25 @@ def main(sf_dir: str) -> int:
     )
     mean_rec = rec.agg(F.avg("recall")).collect()[0][0]
     print(f"IVF recall@10 vs brute force: {mean_rec:.3f}")
+
+    # 4b. build the index ONCE, serve query batches from the store —
+    #     and answer a radius query ("everything at least this
+    #     similar") with no per-query ranking window at all
+    import tempfile
+
+    from qctimeseries_spark.datapipe import (
+        build_ivf_index,
+        knn_query_index,
+        radius_search,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="qcts_ivf_") as ix:
+        info = build_ivf_index(emb, ix, nlist=8)
+        served = knn_query_index(spark, ix, queries, k=10, nprobe=4)
+        print(f"persisted index: nlist={info['nlist']}, "
+              f"served {served.count()} knn rows from the store")
+    near = radius_search(emb, queries, threshold=0.25)
+    print(f"radius search (cos >= 0.25): {near.count()} pairs")
 
     spark.stop()
     return 0
