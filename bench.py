@@ -71,6 +71,8 @@ EXTENDED = [
     # round-7 additions: the dedup granularity ladder tail (line /
     # span / semantic), tokenizer application + bigram screen, and the
     # persisted-index ANN serve path
+    "h4_order_priority",
+    "h6_forecast_revenue",
     "t20_line_dedup",
     "t21_bpe_encode",
     "t22_bigram_nll",

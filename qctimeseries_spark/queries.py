@@ -586,6 +586,60 @@ def q_h5_nation_revenue(spark, sf_dir):
     )
 
 
+def q_h4_order_priority(spark, sf_dir):
+    """Order-priority count (TPC-H Q4 shape, adapted to this schema's
+    columns): 1996-Q1 orders having at least one lineitem shipped
+    AFTER the order date, counted per priority.  The plan shape this
+    adds to the suite: a LEFT SEMI join whose condition correlates
+    BOTH sides (key equality + l_shipdate > o_orderdate) — existence
+    semantics with no row duplication and no post-join dedup, the
+    fact side streamed once."""
+    ords = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    ).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        ords.join(
+            li,
+            (ords.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > ords.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_h6_forecast_revenue(spark, sf_dir):
+    """Forecast-revenue delta (TPC-H Q6 shape): one pushed-down
+    range-filter scan — ship year 1996, discount in [0.05, 0.07],
+    quantity < 24 — and a single global money agg.  Every predicate
+    reaches the parquet scan (PushedFilters); decimal money math casts
+    to double only at the end."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 2))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def q_st1_stream_flag_counts(spark, sf_dir):
     """Structured Streaming end-to-end (SURVEY.md §7.2/9): file-source
     stream → stateless flag init → watermarked 24 h tumbling-window flag
@@ -761,6 +815,8 @@ QUERIES = {
     "h1_pricing_summary": q_h1_pricing_summary,
     "h3_segment_revenue": q_h3_segment_revenue,
     "h5_nation_revenue": q_h5_nation_revenue,
+    "h4_order_priority": q_h4_order_priority,
+    "h6_forecast_revenue": q_h6_forecast_revenue,
     "t1_sessionize": q_t1_sessionize,
     "j1_asof_join": q_j1_asof_join,
     "st1_stream_flag_counts": q_st1_stream_flag_counts,
@@ -1690,6 +1746,23 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name""",
+    "h4_order_priority": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority""",
+    "h6_forecast_revenue": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
     "t1_sessionize": """
 WITH o AS (
   SELECT user_id,
