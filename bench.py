@@ -68,6 +68,7 @@ EXTENDED = [
     "st12_stream_ingest_dedup",
     "st13_stream_ingest_neardup",
     "st14_stream_ingest_embedding",
+    "st15_stream_knn_serve",
     # round-7 additions: the dedup granularity ladder tail (line /
     # span / semantic), tokenizer application + bigram screen, and the
     # persisted-index ANN serve path

@@ -478,6 +478,60 @@ def q_s1_csv_roundtrip(spark, sf_dir):
     )
 
 
+def q_st15_stream_knn_serve(spark, sf_dir):
+    """Online ANN serving: build the IVF index ONCE from the
+    embeddings table, then answer a STREAM of query-vector batches
+    against the persisted store (two source files in mtime order:
+    vec_id < 5, then 5 ≤ vec_id < 10).  Serving is deterministic
+    (seeded centroids, 9-dp rounding, id tie-breaks), so the drained
+    result equals the batch x2 algebra over the union of streamed
+    queries — which is the oracle."""
+    import glob
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.similarity import build_ivf_index
+    from qctimeseries_spark.sources import read_table as _rt
+    from qctimeseries_spark.streaming import knn_serve_stream
+
+    emb = _rt(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="qcts_st15_")
+    try:
+        build_ivf_index(emb, os.path.join(tmp, "index"), nlist=16)
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        batches = [
+            emb.filter(F.col("vec_id") < 5),
+            emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)),
+        ]
+        for i, b in enumerate(batches):
+            q = b.select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            stage = os.path.join(tmp, f"stage{i}")
+            q.coalesce(1).write.parquet(stage)
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("query_id bigint, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = knn_serve_stream(
+            stream,
+            os.path.join(tmp, "index"),
+            os.path.join(tmp, "out"),
+            k=10,
+            nprobe=4,
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("query_id", "neighbor_id", "cos", "rank")
+
+
 def q_s10_jsonl_roundtrip(spark, sf_dir):
     """JSONL sink then source over the documents corpus — the standard
     training-data exchange format; explicit read schema pins types and
@@ -1457,6 +1511,7 @@ QUERIES.update(
         "st12_stream_ingest_dedup": q_st12_stream_ingest_dedup,
         "st13_stream_ingest_neardup": q_st13_stream_ingest_neardup,
         "st14_stream_ingest_embedding": q_st14_stream_ingest_embedding,
+        "st15_stream_knn_serve": q_st15_stream_knn_serve,
         "s10_jsonl_roundtrip": q_s10_jsonl_roundtrip,
     }
 )
@@ -2299,3 +2354,13 @@ assert (
     ORACLE["st14_stream_ingest_embedding"]
     != DATAPIPE_ORACLE["d8_embedding_store"]
 ), "st14 oracle derivation no-opped — d8's SQL tail was reworded"
+
+# st15: deterministic serving means the drained stream result equals
+# the batch x2 algebra over the union of streamed query batches —
+# x2's oracle with the query-id bound widened from 5 to 10
+ORACLE["st15_stream_knn_serve"] = DATAPIPE_ORACLE["x2_knn_ivf"].replace(
+    "WHERE e.vec_id < 5", "WHERE e.vec_id < 10"
+)
+assert (
+    ORACLE["st15_stream_knn_serve"] != DATAPIPE_ORACLE["x2_knn_ivf"]
+), "st15 oracle derivation no-opped — x2's query filter was reworded"

@@ -483,6 +483,69 @@ def ingest_embedding_stream(
     )
 
 
+def knn_serve_stream(
+    stream: DataFrame,
+    index_path: str,
+    out_path: str,
+    *,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Online ANN serving: a stream of query vectors answered against
+    a PERSISTED :func:`~qctimeseries_spark.datapipe.similarity.build_ivf_index`
+    store — the production build-once/serve-many pattern as a stream.
+    Each micro-batch runs
+    :func:`~qctimeseries_spark.datapipe.similarity.knn_query_index`:
+    the batch expands to its ``nprobe`` cells and the broadcast probe
+    join restricts the ``cells/`` scan to exactly the probed
+    directories (dynamic partition pruning), so per-batch cost scales
+    with ``nprobe/nlist`` of the store and the corpus side is never
+    recomputed — the index is shared, immutable state.
+
+    Results append to ``out_path``; serving is deterministic (seeded
+    centroids, 9-dp rounding, id tie-breaks), so a replayed batch
+    recomputes byte-identical rows and the ``(query_id, rank)``-keyed
+    dedup-on-read makes the drained table exact under at-least-once
+    delivery.  Returns the drained ``(query_id, neighbor_id, cos,
+    rank)`` table — empty with that schema if the stream produced no
+    batches.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql.utils import AnalysisException
+
+    from qctimeseries_spark.datapipe.similarity import knn_query_index
+
+    def _serve(batch: DataFrame, batch_id: int) -> None:
+        knn_query_index(
+            batch.sparkSession, index_path, batch,
+            vec_col=vec_col, query_id_col=query_id_col,
+            k=k, nprobe=nprobe,
+        ).write.mode("append").parquet(out_path)
+
+    checkpoint_dir = (
+        checkpoint_dir or f"/tmp/qcts_serve_ckpt_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream.sparkSession
+    try:
+        out = spark.read.parquet(out_path)
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos double, rank int"
+        )
+    return out.dropDuplicates(["query_id", "rank"])
+
+
 def stream_to_state(
     flagged: DataFrame,
     path: str,

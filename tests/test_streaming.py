@@ -964,3 +964,89 @@ def test_ingest_embedding_stream_empty_source_returns_empty_schema(
     )
     assert out.count() == 0
     assert out.columns == ["vec_id", "v", "max_store_cos"]
+
+
+def test_knn_serve_stream_matches_batch_and_replays_exactly(spark, tmp_path):
+    """Streaming ANN serving against a persisted IVF index: the
+    drained result equals the batch knn_query_index over the union of
+    streamed query batches, and a replay with a fresh checkpoint
+    leaves the deduped result identical (deterministic serving +
+    (query_id, rank)-keyed dedup-on-read)."""
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivf_index,
+        knn_query_index,
+    )
+    from qctimeseries_spark.streaming import knn_serve_stream
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ix = str(tmp_path / "index")
+    build_ivf_index(emb, ix, nlist=8)
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 3), (3, 6)]):
+        q = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        stage = str(tmp_path / f"stage{i}")
+        q.coalesce(1).write.parquet(stage)
+        dst = src / f"batch{i}.parquet"
+        next(Path(stage).glob("part-*.parquet")).rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(
+                "query_id bigint, embedding array<float>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return knn_serve_stream(
+            stream, ix, str(tmp_path / "out"), k=5, nprobe=4,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in drain("ckpt1").collect()
+    }
+    want_q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in knn_query_index(
+            spark, ix, want_q, k=5, nprobe=4
+        ).collect()
+    }
+    assert got == want and len(got) == 30
+    # at-least-once replay: identical rows recomputed, dedup-on-read
+    # keeps the drained table exact
+    got2 = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in drain("ckpt2").collect()
+    }
+    assert got2 == want
+
+
+def test_knn_serve_stream_empty_source_returns_empty_schema(spark, tmp_path):
+    from qctimeseries_spark.datapipe.similarity import build_ivf_index
+    from qctimeseries_spark.streaming import knn_serve_stream
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ix = str(tmp_path / "index")
+    build_ivf_index(emb, ix, nlist=8)
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("query_id bigint, embedding array<float>")
+        .parquet(str(src))
+    )
+    out = knn_serve_stream(
+        stream, ix, str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
