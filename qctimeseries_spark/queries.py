@@ -1540,14 +1540,14 @@ _WINDOW_R7 = (
     # green on since-untouched code, and was replica-re-verified in r6)
     "f5_iso_export", "u3_approve_window", "p2_projection",
     "v6_viewer_slice",
-    "w9_regularize", "w10_ffill",
-    "w11_interpolate", "w12_resample", "w13_regularize_by_key",
+    "w9_regularize",
+    "w11_interpolate", "w13_regularize_by_key",
     "a9_percentiles", "a10_rolling_outliers", "a11_qc_rules",
-    "a12_rolling_by_key", "a13_progress_by_window", "a14_ewma",
+    "a12_rolling_by_key",
     "a15_cusum",
     # sources / relational / joins / streaming (round-5 set)
     "s4_parquet_roundtrip", "h5_nation_revenue",
-    "j2_range_join", "j3_asof_forward", "t9_sessionize_salted",
+    "j2_range_join", "t9_sessionize_salted",
     "st4_session_windows", "st5_stream_enrich", "st6_stream_anomalies",
     "st7_stream_resample", "st8_stream_ewma", "st9_stream_asof",
     "st10_stream_cusum",
@@ -1560,8 +1560,13 @@ _WINDOW_R7 = (
     "d9_semantic_dedup", "st13_stream_ingest_neardup",
     "t20_line_dedup", "t21_bpe_encode", "t22_bigram_nll",
     # operators NEW this round — driver-checked from day one
-    "t23_span_dedup", "t24_source_cap", "x3_knn_persisted",
-    "x4_radius_search", "m4_resize", "m5_frame_sample",
+    # (second rotation mid-round: w10/w12/a13/a14/j3 released — each
+    # family keeps richer siblings in-window, and all five hold r5
+    # driver greens on since-untouched code + r6 replica re-checks)
+    "t23_span_dedup", "t24_source_cap", "t25_quality_classifier",
+    "x3_knn_persisted", "x4_radius_search", "m4_resize",
+    "m5_frame_sample", "st14_stream_ingest_embedding",
+    "st15_stream_knn_serve", "h4_order_priority", "h6_forecast_revenue",
 )
 assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {

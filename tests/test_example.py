@@ -46,8 +46,11 @@ def test_driver_window_covers_every_family():
         "d9_semantic_dedup", "st13_stream_ingest_neardup",
         "t20_line_dedup", "t21_bpe_encode", "t22_bigram_nll",
         # operators born this round hold driver slots immediately
-        "t23_span_dedup", "t24_source_cap", "x3_knn_persisted",
-        "x4_radius_search", "m4_resize", "m5_frame_sample",
+        "t23_span_dedup", "t24_source_cap", "t25_quality_classifier",
+        "x3_knn_persisted", "x4_radius_search", "m4_resize",
+        "m5_frame_sample", "st14_stream_ingest_embedding",
+        "st15_stream_knn_serve", "h4_order_priority",
+        "h6_forecast_revenue",
     } <= window
 
 
