@@ -1523,54 +1523,45 @@ QUERIES.update(
 # that verdict honest across a registry ~2x the window, the window
 # ROTATES each round (r4 ≈ QC core + first datapipe wave, r5 = the
 # never-checked tail, r6 = the r4 set + the post-r5 arrivals).
-# Round 7 rotates back to the r5 set PLUS the five entries that have
-# never held a driver slot (d9/st13/t20 landed after r5's window
-# froze; t21/t22 gained oracles this round), releasing five r5
-# entries whose families stay covered by richer siblings (c1←c2,
-# a4←seven other a slots, t5's fingerprint + d4's Jaccard verify run
-# inside d6/d7/st13's store algebra, t12's pair counts inside
-# t16/t21's full trainer).  After this rotation every registry entry
-# has held a driver slot within the last three rounds.  The
-# family-coverage guard (tests/test_example.py) enforces that no
-# family ever leaves the window.
-_WINDOW_R7 = (
-    # QC core (round-5 set; u4/u5/p5/v2/v3/w4 rotated back out
-    # mid-round to make room for the round-7 new operators — each
-    # bumped entry keeps its family in the window, holds an r5 driver
-    # green on since-untouched code, and was replica-re-verified in r6)
-    "f5_iso_export", "u3_approve_window", "p2_projection",
-    "v6_viewer_slice",
-    "w9_regularize",
-    "w11_interpolate", "w13_regularize_by_key",
-    "a9_percentiles", "a10_rolling_outliers", "a11_qc_rules",
-    "a12_rolling_by_key",
-    "a15_cusum",
-    # sources / relational / joins / streaming (round-5 set)
-    "s4_parquet_roundtrip", "h5_nation_revenue",
-    "j2_range_join", "t9_sessionize_salted",
-    "st4_session_windows", "st5_stream_enrich", "st6_stream_anomalies",
-    "st7_stream_resample", "st8_stream_ewma", "st9_stream_asof",
-    "st10_stream_cusum",
-    # datapipe (round-5 set)
-    "t10_token_budget", "t11_split", "t13_mixture", "t14_token_shards",
-    "t15_psi", "t16_bpe_merges", "d6_incremental_dedup",
-    "d7_incremental_neardup", "m3_media_decode", "x2_knn_ivf",
-    "c2_curate",
-    # never-driver-checked entries promoted this round
-    "d9_semantic_dedup", "st13_stream_ingest_neardup",
-    "t20_line_dedup", "t21_bpe_encode", "t22_bigram_nll",
-    # operators NEW this round — driver-checked from day one
-    # (second rotation mid-round: w10/w12/a13/a14/j3 released — each
-    # family keeps richer siblings in-window, and all five hold r5
-    # driver greens on since-untouched code + r6 replica re-checks)
-    "t23_span_dedup", "t24_source_cap", "t25_quality_classifier",
-    "x3_knn_persisted", "x4_radius_search", "m4_resize",
-    "m5_frame_sample", "st14_stream_ingest_embedding",
-    "st15_stream_knn_serve", "h4_order_priority", "h6_forecast_revenue",
+# Round 8 rotates onto the 67-entry tail that sat OUTSIDE the r7
+# window, prioritizing the 27 entries whose implementing modules
+# changed in round 7 (dedup.py / text.py / similarity.py /
+# streaming.py / multimodal.py / sample.py) — those held only
+# r5/earlier driver greens plus r7 replica greens, and the driver's
+# own hash verdict is the hard signal (VERDICT r7 task 1).  The
+# remaining 23 slots go to QC-core tail entries so every family stays
+# in-window; the 17 tail entries left out (u4/u5, p5/p8/p10/p11,
+# a2–a5, w4/w8/w12, v2/v3, v1_downsample, h3) all hold r7 replica
+# greens on since-r5-untouched code and richer in-window siblings.
+# The r7 window (d9, t20–t25, x3/x4, m4/m5, st13–st15, h4/h6, …)
+# rotates out with fresh r7 driver greens.  The family-coverage guard
+# (tests/test_example.py) enforces that no family ever leaves the
+# window.
+_WINDOW_R8 = (
+    # r7-modified datapipe modules — driver re-verdict this round
+    "d1_exact_dedup", "d2_minhash_dedup", "d3_simhash_pairs",
+    "d4_ngram_jaccard", "d5_embedding_dups", "d8_embedding_store",
+    "c1_dup_clusters", "x1_knn_bruteforce",
+    "t2_text_stats", "t3_quality", "t4_lang_id", "t5_fingerprint",
+    "t6_redact_pii", "t7_contamination", "t8_hash_sample",
+    "t12_bpe_pairs", "t17_tfidf", "t18_unigram_nll", "t19_repetition",
+    "m1_media_summary", "m2_media_features",
+    "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
+    "st11_stream_psi", "st12_stream_ingest_dedup",
+    "s10_jsonl_roundtrip",
+    # QC core tail (r5/earlier driver greens on unchanged code)
+    "f1_add_flags", "f2_rowid", "f4_transfer_flags",
+    "u1_seeded_flags", "u2_flag_window", "u6_flag_approve_advance",
+    "p1_remove_flags", "p3_filter_conjunction", "p4_apply_flags",
+    "a1_progress", "a13_progress_by_window", "a14_ewma",
+    "w1_assign_windows", "w3_admitted_windows", "w10_ffill",
+    "v1_main_trace", "v4_secondary_trace", "v5_check_panel",
+    "s1_csv_roundtrip", "h1_pricing_summary", "t1_sessionize",
+    "j1_asof_join", "j3_asof_forward",
 )
-assert len(_WINDOW_R7) == 50 and len(set(_WINDOW_R7)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R7} | {
-    k: v for k, v in QUERIES.items() if k not in _WINDOW_R7
+assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R8
 }
 
 ORACLE = {

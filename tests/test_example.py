@@ -39,18 +39,20 @@ def test_driver_window_covers_every_family():
         f"families {sorted(missing)} fell out of the driver's 50-entry"
         f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
-    # round-7 rotation: the last never-driver-checked entries (plus
-    # this round's oracle-gaining t21/t22) hold driver slots
+    # round-8 rotation: every entry whose implementing module changed
+    # in round 7 holds a driver slot this round (VERDICT r7 task 1)
     window = set(names[:50])
     assert {
-        "d9_semantic_dedup", "st13_stream_ingest_neardup",
-        "t20_line_dedup", "t21_bpe_encode", "t22_bigram_nll",
-        # operators born this round hold driver slots immediately
-        "t23_span_dedup", "t24_source_cap", "t25_quality_classifier",
-        "x3_knn_persisted", "x4_radius_search", "m4_resize",
-        "m5_frame_sample", "st14_stream_ingest_embedding",
-        "st15_stream_knn_serve", "h4_order_priority",
-        "h6_forecast_revenue",
+        "d1_exact_dedup", "d2_minhash_dedup", "d3_simhash_pairs",
+        "d4_ngram_jaccard", "d5_embedding_dups", "d8_embedding_store",
+        "c1_dup_clusters", "x1_knn_bruteforce",
+        "t2_text_stats", "t3_quality", "t4_lang_id", "t5_fingerprint",
+        "t6_redact_pii", "t7_contamination", "t8_hash_sample",
+        "t12_bpe_pairs", "t17_tfidf", "t18_unigram_nll",
+        "t19_repetition", "m1_media_summary", "m2_media_features",
+        "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
+        "st11_stream_psi", "st12_stream_ingest_dedup",
+        "s10_jsonl_roundtrip",
     } <= window
 
 
