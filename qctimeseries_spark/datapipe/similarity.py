@@ -345,6 +345,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     nlist: int | str = "auto",
     refine: int = 0,
+    cell_files: int = 4,
 ) -> dict:
     """Build and PERSIST an IVF index: pay centroid selection and the
     corpus→cell assignment once, then serve any number of query
@@ -362,9 +363,21 @@ def build_ivf_index(
       broadcast on the partition column, so dynamic partition pruning
       skips the rest of the store at scan time).
 
+    The cell write is SALTED: the shuffle keys on ``(centroid_id,
+    salt)`` with ``cell_files`` salt values, so each cell is written
+    by ~``cell_files`` tasks into ~``cell_files`` files.  Keying on
+    ``centroid_id`` alone would funnel every cell through ONE task
+    into ONE file — at 100 TB with nlist capped at 4096 that is
+    ~25 GB written single-threaded per cell, and a probed-cell read
+    would get a single split.  ``partitionBy("centroid_id")`` is
+    unchanged, so the serve-side dynamic partition pruning is too;
+    the salt is dropped before the write and never hits disk.
+
     Writes are ``overwrite`` (an index rebuild replaces the old one
     atomically per partition).  Returns ``{"nlist", "n_vectors"}``.
     """
+    if cell_files < 1:
+        raise ValueError(f"cell_files must be >= 1, got {cell_files}")
     cents = take_centroids(
         corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=refine
     )
@@ -373,10 +386,17 @@ def build_ivf_index(
         corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
     )
     # key the shuffle on the partition column first: partitionBy alone
-    # opens one file per (task, cell)
+    # opens one file per (task, cell).  The deterministic id-hash salt
+    # spreads each cell over ~cell_files writer tasks.
     n_cells = cents.count()
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(cell_files)))
     (
-        assigned.repartition(n_cells, F.col("centroid_id"))
+        assigned.withColumn("_cell_salt", salt)
+        .repartition(
+            n_cells * int(cell_files),
+            F.col("centroid_id"), F.col("_cell_salt"),
+        )
+        .drop("_cell_salt")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path + "/cells")

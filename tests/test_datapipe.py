@@ -1501,6 +1501,38 @@ def test_persisted_ivf_index_matches_fresh_build(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
+def test_ivf_index_cell_write_is_salted(spark, tmp_path):
+    """The cells/ store write must spread each cell over ~cell_files
+    tasks/files (VERDICT r7: keying the shuffle on centroid_id alone
+    writes each cell as ONE file by ONE task — a ~25 GB single-task
+    funnel per cell at 100 TB).  Salting must not change served
+    results, and the salt column must never reach disk."""
+    from qctimeseries_spark.datapipe import build_ivf_index, knn_query_index
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    salted, single = str(tmp_path / "salted"), str(tmp_path / "single")
+    build_ivf_index(emb, salted, nlist=2, cell_files=4)
+    build_ivf_index(emb, single, nlist=2, cell_files=1)
+    cell_dirs = sorted(
+        (tmp_path / "salted" / "cells").glob("centroid_id=*")
+    )
+    assert len(cell_dirs) == 2
+    for cell in cell_dirs:
+        files = list(cell.glob("*.parquet"))
+        assert len(files) > 1, f"{cell.name} wrote {len(files)} file(s)"
+    # salt never reaches disk; both layouts serve identical results
+    cells = spark.read.parquet(salted + "/cells")
+    assert "_cell_salt" not in cells.columns
+    key = lambda d: sorted(map(tuple, d.collect()))
+    assert key(knn_query_index(spark, salted, q, k=10, nprobe=2)) == key(
+        knn_query_index(spark, single, q, k=10, nprobe=2)
+    )
+
+
 def test_knn_ivf_auto_nprobe(spark):
     """nprobe='auto' routes through the recall-targeted tuner and the
     resulting index hits the 0.98 default target against brute force
