@@ -90,17 +90,27 @@ EXTENDED = [
 HEADLINE = CORE + EXTENDED
 
 
-def _calibrate(spark) -> float:
-    """Fixed synthetic workload timed at bench start: a constant-size
+def _calibration_probe(spark) -> float:
+    """One timed run of the fixed synthetic workload: a constant-size
     JVM-side hash+aggregate over ``range(2^26)``.  Identical plan every
     round, so its time moves only with HOST speed — cross-round query
     ratios divide by it to cancel host drift (three rounds of bench
     deltas were host-confounded before this existed; see
-    BENCHNOTES.md §1).  Best-of-3."""
+    BENCHNOTES.md §1).
+
+    The probe is sampled SEVERAL times, INTERLEAVED through the query
+    loop, and the normalizer is the MEDIAN of the samples: round 6
+    recorded a single pre-run probe of 0.274 s against a cross-round
+    series of 0.155–0.221 s, which made every normalized number that
+    round read as a fake ~40% regression (VERDICT r7).  A median over
+    probes spread across the run is robust to one load burst and also
+    *sees* load that arrives mid-run, which a start-only probe cannot.
+    """
     from pyspark.sql import functions as F
 
     runs = []
-    for _ in range(3):
+    for _ in range(2):  # min-of-2 per sample point: one GC pause or
+        # scheduler hiccup lands in a single run, not the sample
         t0 = time.time()
         # mask before summing: a raw Σ xxhash64 overflows int64 under
         # ANSI mode
@@ -108,7 +118,13 @@ def _calibrate(spark) -> float:
             F.sum(F.xxhash64("id").bitwiseAND(F.lit(0xFFFF))).alias("h")
         ).write.format("noop").mode("overwrite").save()
         runs.append(time.time() - t0)
-    return round(min(runs), 3)
+    return min(runs)
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> int:
@@ -134,8 +150,13 @@ def main() -> int:
         _ident, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    calibration = _calibrate(spark)
-    print(f"# calibration: {calibration}s", file=sys.stderr)
+    # calibration sampling plan: one DISCARDED warmup probe (codegen +
+    # plan compilation for the probe plan itself), then a sample before
+    # the first query and one after every `probe_every` queries, so ≥5
+    # samples bracket the whole run.  The normalizer is their median.
+    _calibration_probe(spark)  # warmup, discarded
+    calibration_samples = [round(_calibration_probe(spark), 3)]
+    probe_every = max(1, len(HEADLINE) // 4)
 
     # best-of-N per query: this host sees multi-second external load
     # bursts (measured 10x swings on identical plans); the minimum is
@@ -147,7 +168,7 @@ def main() -> int:
     # signature tables) don't accumulate across the run and skew later
     # measurements via memory pressure.
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         fn = QUERIES[name]
         runs: list[float] = []
         for _ in range(5):
@@ -161,6 +182,21 @@ def main() -> int:
         times[name] = round(min(runs), 3)
         spark.catalog.clearCache()
         print(f"# {name}: {times[name]}s {[round(r, 2) for r in runs]}", file=sys.stderr)
+        if (i + 1) % probe_every == 0:
+            calibration_samples.append(round(_calibration_probe(spark), 3))
+
+    if len(calibration_samples) < 3:  # short HEADLINE (e.g. a subset run)
+        while len(calibration_samples) < 3:
+            calibration_samples.append(round(_calibration_probe(spark), 3))
+    calibration = round(_median(calibration_samples), 3)
+    spread = round(
+        (max(calibration_samples) - min(calibration_samples)) / calibration, 3
+    )
+    print(
+        f"# calibration: median {calibration}s over {calibration_samples}"
+        f" (spread {spread:.1%})",
+        file=sys.stderr,
+    )
 
     core_total = round(sum(times[q] for q in CORE if q in times), 3)
     # host-drift-free view: each query in CALIBRATION UNITS (raw time /
@@ -187,8 +223,14 @@ def main() -> int:
                 ),
                 "all_total": round(sum(times.values()), 3),
                 # host-drift normalizer: divide cross-round query times
-                # by the calibration ratio before comparing
+                # by the calibration ratio before comparing.
+                # "calibration" is the MEDIAN of the interleaved
+                # samples; read the samples' spread before trusting a
+                # normalized regression (>10% spread = noisy run,
+                # judge on raw best-of-N instead)
                 "calibration": calibration,
+                "calibration_samples": calibration_samples,
+                "calibration_spread": spread,
                 # per-query times in calibration units (raw/calibration)
                 # — compare these across rounds directly
                 "queries_normalized": normalized,

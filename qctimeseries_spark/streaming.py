@@ -267,21 +267,56 @@ def dedup_stream(
     )
 
 
+#: partition-directory key for the per-batch survivor sinks.  Not
+#: underscore-prefixed: Spark's file listing hides `_*` directories,
+#: which would make the batches invisible to partition discovery.
+_SINK_BATCH_COL = "sink_batch"
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _prepare_batch_dir(spark, out_path: str, batch_id: int) -> str | None:
+    """Idempotent-per-batch sink protocol: each micro-batch writes to
+    its OWN ``sink_batch=<id>/`` directory under ``out_path``.  If the
+    directory is already COMMITTED (``_SUCCESS`` marker — the
+    FileOutputCommitter writes it only at job commit, so its presence
+    means every file of that batch's write is in place), the retry
+    must not write again: return ``None``.  A directory WITHOUT the
+    marker is a crashed partial write — delete it and return the
+    directory path for a clean rewrite.  Net effect: the files on disk
+    hold each batch's survivors exactly once no matter how often the
+    at-least-once engine replays a batch, so EXTERNAL readers (DuckDB,
+    another engine, plain ``read.parquet``) need no dedup-on-read
+    view."""
+    bdir = f"{out_path}/{_SINK_BATCH_COL}={batch_id}"
+    fs, jpath = _hadoop_fs(spark, bdir)
+    if fs.exists(jpath):
+        _, marker = _hadoop_fs(spark, bdir + "/_SUCCESS")
+        if fs.exists(marker):
+            return None  # committed by a previous attempt — exact skip
+        fs.delete(jpath, True)  # crashed partial write — start clean
+    return bdir
+
+
 def _read_survivors(
     stream: DataFrame,
     out_path: str,
     *,
-    key_col: str = "fingerprint",
     added_col: tuple | None = ("fingerprint", "long"),
 ) -> DataFrame:
-    """Key-deduplicated read view of a survivor sink: heals the
-    double-append a mid-batch retry can leave (replayed rows are
-    byte-identical, and a key survives at most once across batches,
-    so ``dropDuplicates`` on it is exact).  A drained stream that
-    produced zero batches or zero survivors has no files at
-    ``out_path`` — return an empty frame with the expected schema
-    (input columns + ``added_col``, the column the batch operator's
-    sink appends) instead of raising."""
+    """Read a per-batch survivor sink back as one table.  Exactness is
+    PHYSICAL (see :func:`_prepare_batch_dir`): each batch's rows are on
+    disk exactly once, so this is a plain read — the only massaging is
+    dropping the ``sink_batch`` partition key that Spark's partition
+    discovery surfaces as a column.  A drained stream that produced
+    zero batches or zero survivors has no files at ``out_path`` —
+    return an empty frame with the expected schema (input columns +
+    ``added_col``, the column the batch operator's sink appends)
+    instead of raising."""
     from pyspark.sql.utils import AnalysisException
 
     spark = stream.sparkSession
@@ -292,7 +327,7 @@ def _read_survivors(
         if added_col is not None:
             schema = schema.add(*added_col)
         return spark.createDataFrame([], schema)
-    return out.dropDuplicates([key_col])
+    return out.drop(_SINK_BATCH_COL)
 
 
 def ingest_dedup_stream(
@@ -319,14 +354,16 @@ def ingest_dedup_stream(
     batch.  ``dedup_against_store`` is idempotent under replay (a
     replayed batch hits its own store rows and drops entirely), so the
     at-least-once ``foreachBatch`` contract upgrades to effective
-    exactly-once for the STORE — and the survivor sink is keyed on the
-    fingerprint to close the remaining retry hole: the batch operator
-    appends survivors to the sink BEFORE the store (a retry that died
-    in between recomputes the identical survivors and double-appends;
-    one that died after the store append writes nothing — never a
-    loss), and the returned table reads the sink through
-    ``dropDuplicates(["fingerprint"])``, which is exact because a
-    fingerprint survives at most once across all batches.
+    exactly-once for the STORE — and the survivor sink is PHYSICALLY
+    exactly-once: each batch writes its own committed
+    ``sink_batch=<id>/`` directory (:func:`_prepare_batch_dir`), a
+    retry either skips a committed directory or cleanly rewrites a
+    crashed partial one, and the batch operator writes the sink BEFORE
+    the store so a retry that died in between recomputes identical
+    survivors against the unchanged store (never a loss).  The files
+    on disk therefore hold every survivor exactly once — an external
+    reader (DuckDB, another engine) sees no duplicates without any
+    dedup-on-read view.
 
     Drains bounded sources with ``trigger(availableNow)`` and returns
     the survivor table ``(input columns + fingerprint)`` — empty with
@@ -340,9 +377,10 @@ def ingest_dedup_stream(
     from qctimeseries_spark.datapipe.dedup import dedup_against_store
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
+        bdir = _prepare_batch_dir(batch.sparkSession, out_path, batch_id)
         dedup_against_store(
             batch, store_path, id_col=id_col, text_col=text_col,
-            sink_path=out_path,
+            sink_path=bdir,
         )
 
     checkpoint_dir = (
@@ -383,10 +421,12 @@ def ingest_neardup_stream(
     Same idempotence shape as the exact twin: a replayed batch hits
     the exact tier against its own store rows and drops entirely, so
     the store converges under at-least-once delivery — and the
-    survivor sink is fingerprint-keyed the same way (sink append
-    before store append inside the batch operator, dedup-on-read
-    here), so a mid-batch retry can neither double-count nor lose
-    survivors.  Per-batch cost is the batch-sized signature stage plus
+    survivor sink uses the same physically-exactly-once per-batch
+    directory protocol (committed ``sink_batch=<id>/`` dirs, sink
+    write before store write inside the batch operator), so a
+    mid-batch retry can neither double-count nor lose survivors and
+    external readers see duplicate-free files.  Per-batch cost is the
+    batch-sized signature stage plus
     two store joins that read the bucketed ``docs/`` + ``bands/``
     layout — history is never re-signed.  Drains bounded sources with
     ``trigger(availableNow)`` and returns the survivor table — empty
@@ -398,10 +438,11 @@ def ingest_neardup_stream(
     from qctimeseries_spark.datapipe.dedup import neardup_against_store
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
+        bdir = _prepare_batch_dir(batch.sparkSession, out_path, batch_id)
         neardup_against_store(
             batch, store_path, id_col=id_col, text_col=text_col,
             k=k, bands=bands, ngram=ngram, threshold=threshold,
-            sink_path=out_path,
+            sink_path=bdir,
         )
 
     checkpoint_dir = (
@@ -441,10 +482,11 @@ def ingest_embedding_stream(
     Same replay shape as the twins: a batch replayed against its own
     store output is a no-op (every vector matches itself at cosine
     1.0), so the store converges under at-least-once delivery; the
-    survivor sink is written before the store append inside the batch
-    operator and read back through ``dropDuplicates`` on the id (a
-    vector id survives at most once across batches), closing the
-    mid-batch-retry double-append hole.  Per-batch cost is the
+    survivor sink uses the physically-exactly-once per-batch
+    directory protocol (committed ``sink_batch=<id>/`` dirs, sink
+    write before store append inside the batch operator), closing the
+    mid-batch-retry double-append hole on disk, not just through the
+    API.  Per-batch cost is the
     broadcast or IVF store-scoring tier — history vectors are never
     re-normalized.  Drains bounded sources with
     ``trigger(availableNow)`` and returns the survivor table
@@ -462,9 +504,10 @@ def ingest_embedding_stream(
     }
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
+        bdir = _prepare_batch_dir(batch.sparkSession, out_path, batch_id)
         embedding_dedup_against_store(
             batch, store_path, id_col=id_col, vec_col=vec_col,
-            threshold=threshold, nprobe=nprobe, sink_path=out_path, **kw,
+            threshold=threshold, nprobe=nprobe, sink_path=bdir, **kw,
         )
 
     checkpoint_dir = (
@@ -478,8 +521,7 @@ def ingest_embedding_stream(
     )
     q.awaitTermination()
     return _read_survivors(
-        stream, out_path,
-        key_col=id_col, added_col=("max_store_cos", "double"),
+        stream, out_path, added_col=("max_store_cos", "double"),
     )
 
 
@@ -505,13 +547,16 @@ def knn_serve_stream(
     with ``nprobe/nlist`` of the store and the corpus side is never
     recomputed — the index is shared, immutable state.
 
-    Results append to ``out_path``; serving is deterministic (seeded
-    centroids, 9-dp rounding, id tie-breaks), so a replayed batch
-    recomputes byte-identical rows and the ``(query_id, rank)``-keyed
-    dedup-on-read makes the drained table exact under at-least-once
-    delivery.  Returns the drained ``(query_id, neighbor_id, cos,
-    rank)`` table — empty with that schema if the stream produced no
-    batches.
+    Results land in per-batch committed ``sink_batch=<id>/``
+    directories under ``out_path`` (:func:`_prepare_batch_dir`): a
+    replayed batch whose directory is already committed skips the
+    recompute entirely, and a crashed partial directory is rewritten
+    clean — so the files on disk are exact under at-least-once
+    delivery with no dedup-on-read, and a query id that appears in
+    several stream batches keeps each batch's answer (they live in
+    different batch directories).  Returns the drained ``(query_id,
+    neighbor_id, cos, rank)`` table — empty with that schema if the
+    stream produced no batches.
     """
     import uuid as _uuid
 
@@ -520,11 +565,14 @@ def knn_serve_stream(
     from qctimeseries_spark.datapipe.similarity import knn_query_index
 
     def _serve(batch: DataFrame, batch_id: int) -> None:
+        bdir = _prepare_batch_dir(batch.sparkSession, out_path, batch_id)
+        if bdir is None:  # committed by a previous attempt
+            return
         knn_query_index(
             batch.sparkSession, index_path, batch,
             vec_col=vec_col, query_id_col=query_id_col,
             k=k, nprobe=nprobe,
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("append").parquet(bdir)
 
     checkpoint_dir = (
         checkpoint_dir or f"/tmp/qcts_serve_ckpt_{_uuid.uuid4().hex[:8]}"
@@ -543,7 +591,7 @@ def knn_serve_stream(
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, cos double, rank int"
         )
-    return out.dropDuplicates(["query_id", "rank"])
+    return out.drop(_SINK_BATCH_COL)
 
 
 def stream_to_state(

@@ -793,37 +793,68 @@ def test_ingest_neardup_stream_drops_drifted_recrawls(spark, tmp_path):
     assert bands.select("band").distinct().count() == 5
 
 
-def test_survivor_sink_heals_mid_batch_retry(spark, tmp_path):
-    """The fingerprint-keyed survivor sink survives BOTH mid-batch
-    retry windows: a retry after the sink write but before the store
-    append double-appends identical rows (healed by dedup-on-read),
-    and a retry after the store append writes nothing (the sink
-    already holds the batch — no loss).  The old sink-after-store
-    order LOST survivors in the second window."""
+def test_survivor_sink_physically_exactly_once_under_retry(spark, tmp_path):
+    """The per-batch survivor sink is exactly-once ON DISK across every
+    mid-batch retry window — verified by reading the raw parquet files
+    with DuckDB (no Spark, no dedup-on-read view), the external-reader
+    contract the r6/r7 dedup-on-read design could not give:
+
+    - retry after the sink commit but before the store append: the
+      committed ``sink_batch=0/`` dir is skipped, never double-written;
+    - retry after the store append: replay computes zero survivors and
+      the committed dir already holds the batch — no loss, no growth;
+    - a CRASHED PARTIAL write (files present, no ``_SUCCESS``) is
+      deleted and rewritten clean."""
+    import duckdb
+
     from qctimeseries_spark.datapipe.dedup import dedup_against_store
-    from qctimeseries_spark.streaming import _read_survivors
+    from qctimeseries_spark.streaming import (
+        _prepare_batch_dir,
+        _read_survivors,
+    )
 
     store, out = str(tmp_path / "store"), str(tmp_path / "out")
     batch = spark.createDataFrame(
         [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha  beta")],
         "doc_id bigint, text string",
     )
-    # attempt 1 dies between sink write and store append
-    dedup_against_store(batch, store, sink_path=out, update_store=False)
-    # full replay: same store state -> identical survivors recomputed,
-    # sink double-appended, store finally seeded
-    dedup_against_store(batch, store, sink_path=out)
-    assert spark.read.parquet(out).count() == 4  # raw sink has dupes
-    healed = _read_survivors(batch, out)
-    assert sorted(r.doc_id for r in healed.collect()) == [1, 2]
-    # attempt 3 dies after the store append -> replay computes empty,
-    # appends nothing: no loss, no growth
-    dedup_against_store(batch, store, sink_path=out)
-    assert spark.read.parquet(out).count() == 4
+
+    def raw_duck():
+        rows = duckdb.sql(
+            "SELECT doc_id, count(*) FROM read_parquet("
+            f"'{out}/**/*.parquet') GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+        return rows
+
+    # attempt 1 dies between sink commit and store append
+    bdir = _prepare_batch_dir(spark, out, 0)
+    assert bdir is not None
+    dedup_against_store(batch, store, sink_path=bdir, update_store=False)
+    # full replay: dir committed -> sink skipped, store finally seeded
+    assert _prepare_batch_dir(spark, out, 0) is None
+    dedup_against_store(batch, store, sink_path=None)
+    assert raw_duck() == [(1, 1), (2, 1)]  # no dupes in the raw files
+    # attempt 3 dies after the store append -> replay: dir still
+    # committed, recompute is empty anyway — no loss, no growth
+    assert _prepare_batch_dir(spark, out, 0) is None
+    dedup_against_store(batch, store, sink_path=None)
+    assert raw_duck() == [(1, 1), (2, 1)]
     assert sorted(
         r.doc_id for r in _read_survivors(batch, out).collect()
     ) == [1, 2]
     assert spark.read.parquet(store).count() == 2
+
+    # crashed partial write: files but no _SUCCESS -> wiped and rewritten
+    part = tmp_path / "out" / "sink_batch=1"
+    part.mkdir()
+    (part / "part-junk.parquet").write_bytes(b"not parquet")
+    bdir = _prepare_batch_dir(spark, out, 1)
+    assert bdir is not None and not (part / "part-junk.parquet").exists()
+    batch2 = spark.createDataFrame(
+        [(9, "omega psi")], "doc_id bigint, text string"
+    )
+    dedup_against_store(batch2, store, sink_path=bdir)
+    assert raw_duck() == [(1, 1), (2, 1), (9, 1)]
 
 
 def test_ingest_stream_empty_source_returns_empty_schema(spark, tmp_path):
@@ -875,11 +906,13 @@ def test_ingest_embedding_stream_drops_reencodes_and_replays_idempotently(
     arriving in a later micro-batch drops on the store cosine tier;
     fresh orthogonal vectors survive.  Replaying the same source
     against the same store is a no-op (every vector matches itself at
-    cosine 1.0), and the id-keyed sink heals a mid-batch retry."""
+    cosine 1.0), and a mid-batch retry skips its committed per-batch
+    sink dir — no duplicates in the raw files."""
     from qctimeseries_spark.datapipe.dedup import (
         embedding_dedup_against_store,
     )
     from qctimeseries_spark.streaming import (
+        _prepare_batch_dir,
         _read_survivors,
         ingest_embedding_stream,
     )
@@ -925,23 +958,25 @@ def test_ingest_embedding_stream_drops_reencodes_and_replays_idempotently(
     out2 = drain("ckpt2")
     assert out2.count() == 3
     assert spark.read.parquet(str(tmp_path / "store")).count() == 3
-    # mid-batch retry window: sink written, store append lost -> the
-    # replayed batch recomputes identical survivors; dedup-on-read
-    # heals the double-append
+    # mid-batch retry window: sink committed, store append lost -> the
+    # replay finds the committed per-batch dir, skips the sink write,
+    # and only the store append re-runs: the raw files never hold a
+    # survivor twice
     store2, out_p = str(tmp_path / "store2"), str(tmp_path / "out2")
     batch = spark.createDataFrame(b0, "vec_id bigint, v array<double>")
+    bdir = _prepare_batch_dir(spark, out_p, 0)
     embedding_dedup_against_store(
         batch, store2, id_col="vec_id", vec_col="v", threshold=0.9,
-        sink_path=out_p, update_store=False,
+        sink_path=bdir, update_store=False,
     )
+    assert _prepare_batch_dir(spark, out_p, 0) is None  # committed
     embedding_dedup_against_store(
         batch, store2, id_col="vec_id", vec_col="v", threshold=0.9,
-        sink_path=out_p,
+        sink_path=None,
     )
-    assert spark.read.parquet(out_p).count() == 4  # raw sink has dupes
+    assert spark.read.parquet(out_p).count() == 2  # no dupes on disk
     healed = _read_survivors(
-        batch, out_p, key_col="vec_id",
-        added_col=("max_store_cos", "double"),
+        batch, out_p, added_col=("max_store_cos", "double"),
     )
     assert sorted(r.vec_id for r in healed.collect()) == [1, 2]
 
@@ -969,9 +1004,10 @@ def test_ingest_embedding_stream_empty_source_returns_empty_schema(
 def test_knn_serve_stream_matches_batch_and_replays_exactly(spark, tmp_path):
     """Streaming ANN serving against a persisted IVF index: the
     drained result equals the batch knn_query_index over the union of
-    streamed query batches, and a replay with a fresh checkpoint
-    leaves the deduped result identical (deterministic serving +
-    (query_id, rank)-keyed dedup-on-read)."""
+    streamed query batches, and a replay with a fresh checkpoint skips
+    the committed per-batch dirs — the RAW FILES stay duplicate-free
+    (physical exactly-once, no dedup-on-read)."""
+    import duckdb
     from qctimeseries_spark.datapipe.similarity import (
         build_ivf_index,
         knn_query_index,
@@ -1021,13 +1057,17 @@ def test_knn_serve_stream_matches_batch_and_replays_exactly(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 30
-    # at-least-once replay: identical rows recomputed, dedup-on-read
-    # keeps the drained table exact
+    # at-least-once replay: committed per-batch dirs are skipped — the
+    # raw parquet files (read by DuckDB, no view) stay duplicate-free
     got2 = {
         (r.query_id, r.rank): (r.neighbor_id, r.cos)
         for r in drain("ckpt2").collect()
     }
     assert got2 == want
+    assert duckdb.sql(
+        "SELECT count(*) FROM read_parquet("
+        f"'{tmp_path / 'out'}/**/*.parquet')"
+    ).fetchone()[0] == 30
 
 
 def test_knn_serve_stream_empty_source_returns_empty_schema(spark, tmp_path):
