@@ -114,6 +114,42 @@ def test_simhash_pairs(docs):
     assert (0, 1) in pairs
 
 
+def test_simhash_planted_pair_recall(spark):
+    """The planted-pair harness that validates d3 at sf1 scale
+    (tools/validate_d3_sf1.py — the registered query's DuckDB oracle
+    is infeasible there: the 31-token synthetic vocab makes the true
+    pair set ~108.8M rows), pinned here at pytest scale: every planted
+    twin pair whose TRUE 64-bit hamming is <= 3 must be recovered, and
+    a 100k-token vocabulary keeps incidental pairs at zero.  Recall is
+    the only open property — emitted pairs are exact-checked by the
+    operator, so false positives are impossible by construction."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from validate_d3_sf1 import TWIN_BASE, build_corpus
+
+    from qctimeseries_spark.datapipe.dedup import (
+        simhash_dup_pairs,
+        simhash_table,
+    )
+
+    n_docs, n_twins = 3000, 150
+    corpus = build_corpus(spark, n_docs, n_twins)
+    pairs = simhash_dup_pairs(corpus, bits=64, chunks=4, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    st = simhash_table(corpus, bits=64)
+    sig = {r.doc_id: r.simhash for r in st.collect()}
+    want = {
+        (i, TWIN_BASE + i)
+        for i in range(n_twins)
+        if bin(sig[i] ^ sig[TWIN_BASE + i]).count("1") <= 3
+    }
+    assert n_twins // 2 <= len(want) <= n_twins
+    assert want <= got  # full recall on the planted pairs
+    assert got == want  # and zero incidental pairs at 64 bits
+
+
 def test_simhash_rejects_broken_pigeonhole(docs):
     import pytest as _pytest
 

@@ -89,6 +89,11 @@ def test_extensions_doc_totals_match_registry():
         f"EXTENSIONS.md totals drifted: expected {claim!r} "
         f"(registry={len(QUERIES)}, oracle={len(ORACLE)})"
     )
+    # the sf1 paragraph must name the one allowed exclusion (d3, a
+    # harness-OOM limit) and its replacement validation — r7 advice:
+    # this sentence drifted a full round behind the actual state
+    assert "every registered query except\nd3" in doc
+    assert "validate_d3_sf1.py" in doc
 
 
 @pytest.mark.parametrize("name", _headline_names())
