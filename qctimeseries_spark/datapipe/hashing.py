@@ -60,15 +60,23 @@ def bind(arr: Column, fn) -> Column:
     return F.transform(F.array(arr), fn)[0]
 
 
-#: logical nodes that imply a shuffle upstream — their output width is
-#: spark.sql.shuffle.partitions (or an explicit expression partition
-#: count), so fan_out has nothing to fix and skips the physical probe
+#: logical nodes that imply a shuffle upstream.  Their RUNTIME width is
+#: not knowable from the plan alone: AQE partition coalescing (default
+#: on, no surviving min-partition-num pin in Spark 4) shrinks small
+#: shuffle outputs well below parallelism (measured: a 100k-row
+#: aggregate lands on ONE partition), and a broadcast-hash join never
+#: shuffles its probe side at all — so these route to the size-estimate
+#: tier below, never to a blind "already wide" skip.
 _WIDE_NODE_RE = re.compile(
     r"(?m)^[\s+:!*'-]*(?:Join|Aggregate|Window|Sort|Deduplicate"
     r"|RepartitionByExpression)\b"
 )
-#: coalesce(n) / repartition(n) carry their count statically
-_REPARTITION_RE = re.compile(r"(?m)^[\s+:!*'-]*Repartition (\d+)")
+#: repartition(n) prints as `Repartition n, true`; coalesce(n) as
+#: `Repartition n, false`.  Only the SHUFFLE form carries its true
+#: runtime width (AQE never coalesces an explicit user repartition);
+#: coalesce cannot exceed its child's width, so its count proves
+#: nothing and it falls through to the probe tiers.
+_REPARTITION_RE = re.compile(r"(?m)^[\s+:!*'-]*Repartition (\d+), true")
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -81,29 +89,53 @@ def fan_out(df: DataFrame) -> DataFrame:
     wide, so a production scan with thousands of partitions is never
     down-partitioned and pays no extra shuffle.
 
-    The width probe is tiered by cost: shuffle-rooted plans (join /
-    aggregate / window / sort / keyed repartition upstream) are
-    already ``shuffle.partitions`` wide and decide from the RAW
-    logical tree alone — ``df.rdd.getNumPartitions()`` would force
-    full analysis + physical planning + RDD conversion of a deep plan
-    just to learn a count the config already dictates, a real
-    per-call driver cost now that a dozen operators (some per
-    micro-batch) call this.  ``coalesce``/``repartition`` carry their
-    count statically and also decide plan-side.  Only genuinely
-    shallow plans (scan + narrow ops) pay the physical probe, and for
-    those it is cheap.
+    The width probe is tiered by cost:
+
+    - ``repartition(n)`` roots carry their exact runtime width in the
+      plan (AQE never coalesces an explicit repartition) — decided
+      from the logical string alone.
+    - shuffle-rooted plans (join / aggregate / window / sort / keyed
+      repartition / coalesce upstream) have NO statically knowable
+      width — AQE coalescing shrinks small shuffles below parallelism
+      and broadcast joins never shuffle the probe side — and the
+      physical probe is no help either: under AQE,
+      ``df.rdd.getNumPartitions()`` EXECUTES the upstream stages.
+      Decide on the optimizer's size estimate instead: a frame small
+      enough to possibly be narrow (≤ parallelism ×
+      ``files.maxPartitionBytes``) costs at most one scan-partition
+      per core to round-robin — cheap insurance before expensive
+      per-row work — while a bigger frame is never AQE-coalesced
+      below parallelism (the 1 MB-per-partition floor) and skips.
+    - genuinely shallow plans (scan + narrow ops) pay the physical
+      probe, which is cheap and exact there.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     try:
         plan = df._jdf.queryExecution().logical().toString()
     except Exception:  # non-classic DataFrame (e.g. connect) — probe
         plan = None
     if plan is not None:
-        if _WIDE_NODE_RE.search(plan):
-            return df
         m = _REPARTITION_RE.search(plan)
         if m:
             return df if int(m.group(1)) >= par else df.repartition(par)
+        if _WIDE_NODE_RE.search(plan):
+            try:
+                est = int(
+                    str(
+                        df._jdf.queryExecution().optimizedPlan().stats()
+                        .sizeInBytes()
+                    )
+                )
+            except Exception:
+                est = None
+            if est is None:  # no estimate — keep the old skip behavior
+                return df
+            max_part = int(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+                .rstrip("b")
+            )
+            return df.repartition(par) if est <= par * max_part else df
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

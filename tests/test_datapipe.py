@@ -1635,12 +1635,15 @@ def test_fan_out_is_noop_on_wide_inputs(spark):
     assert fan_out(narrow).rdd.getNumPartitions() == par
 
 
-def test_fan_out_probe_is_plan_side_for_shuffle_rooted_inputs(spark, monkeypatch):
-    """Shuffle-rooted plans (join/aggregate/... upstream) must decide
-    from the raw logical tree WITHOUT df.rdd — the physical probe
-    forces full planning of a deep plan per call (ADVICE r6).  Shallow
-    scans still pay the (cheap) probe; coalesce/repartition counts
-    resolve statically."""
+def test_fan_out_widens_narrow_shuffle_rooted_frames(spark, monkeypatch):
+    """Shuffle-rooted plans must decide WITHOUT df.rdd (under AQE the
+    physical probe executes the upstream stages — ADVICE r6), but may
+    not blind-skip them either: AQE coalescing shrinks small shuffle
+    outputs below parallelism and a broadcast join never shuffles its
+    probe side (ADVICE r7).  The size-estimate tier reconciles the
+    two: small shuffle-rooted frames get the insurance repartition,
+    big ones (never AQE-coalesced below parallelism) skip, and neither
+    touches df.rdd."""
     from pyspark.sql import DataFrame as _DF
 
     from qctimeseries_spark.datapipe.hashing import fan_out
@@ -1648,22 +1651,33 @@ def test_fan_out_probe_is_plan_side_for_shuffle_rooted_inputs(spark, monkeypatch
     par = spark.sparkContext.defaultParallelism
 
     def _boom(self):
-        raise AssertionError("fan_out touched df.rdd on a wide plan")
+        raise AssertionError("fan_out touched df.rdd on a shuffle-rooted plan")
 
     agg = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
-    joined = spark.range(100).join(spark.range(100), "id")
+    joined = spark.range(0, 1000, 1, 2).join(
+        F.broadcast(spark.range(1000)), "id"
+    )
+    # big estimate (16 GB of range rows) — never coalesced below par
+    big = spark.range(2_000_000_000).groupBy(
+        (F.col("id") % 1_000_000).alias("k")
+    ).count()
     monkeypatch.setattr(_DF, "rdd", property(_boom))
-    assert fan_out(agg) is agg
-    assert fan_out(joined) is joined
-    # static repartition counts decide without the probe too
-    widened = fan_out(spark.range(10).coalesce(1))
-    assert "Repartition" in widened._jdf.queryExecution().logical().toString()
+    for narrow in (agg, joined):
+        plan = fan_out(narrow)._jdf.queryExecution().logical().toString()
+        assert plan.startswith("Repartition"), plan[:200]
+    assert fan_out(big) is big
+    # an explicit repartition(n >= par) is trusted verbatim, no probe
+    wide = spark.range(1000).repartition(par + 4)
+    assert fan_out(wide) is wide
     monkeypatch.undo()
+    # coalesce counts prove nothing (cannot exceed the child's width):
+    # they take the physical probe and widen when actually narrow
     assert (
         fan_out(spark.range(1000).coalesce(1)).rdd.getNumPartitions() == par
     )
-    wide = spark.range(1000).repartition(par + 4)
-    assert fan_out(wide) is wide
+    # the widened small frames actually land at full parallelism
+    assert fan_out(agg).rdd.getNumPartitions() == par
+    assert fan_out(joined).rdd.getNumPartitions() == par
 
 
 def test_classify_quality_exact_and_zero_shuffle(spark):
