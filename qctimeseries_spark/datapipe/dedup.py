@@ -715,6 +715,130 @@ def embedding_dedup_against_store(
     return survivors.drop("_u")
 
 
+def _store_components(spark, store_path: str) -> dict[str, str]:
+    """Map a dedup store to its parquet directories: the d7 signature
+    store is ``{docs/, bands/}``; the d6 fingerprint and d8 unit-vector
+    stores are a single flat directory."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    docs = jvm.org.apache.hadoop.fs.Path(store_path + "/docs")
+    bands = jvm.org.apache.hadoop.fs.Path(store_path + "/bands")
+    if fs.exists(docs) and fs.exists(bands):
+        return {"docs": store_path + "/docs", "bands": store_path + "/bands"}
+    return {"": store_path}
+
+
+def _list_data_files(spark, path: str) -> tuple[int, int]:
+    """(n_parquet_files, total_bytes) under ``path``, recursively."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n, total = 0, 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            n += 1
+            total += f.getLen()
+    return n, total
+
+
+def store_stats(spark, store_path: str) -> dict:
+    """Health stats for an incremental dedup store (d6 fingerprint /
+    d7 signature / d8 unit-vector): per component, the row count, the
+    parquet data-file count, total bytes, and mean bytes per file —
+    the numbers that tell an operator WHEN to
+    :func:`compact_store`.  Append-only ingestion writes a few files
+    per batch forever, so a long-lived store degrades into millions of
+    small files: scan-planning cost grows linearly with the file
+    count, and sub-row-group files defeat parquet's columnar layout.
+    """
+    out: dict = {}
+    for name, p in _store_components(spark, store_path).items():
+        n_files, n_bytes = _list_data_files(spark, p)
+        rows = spark.read.parquet(p).count() if n_files else 0
+        out[name or "store"] = {
+            "rows": rows,
+            "files": n_files,
+            "bytes": n_bytes,
+            "bytes_per_file": n_bytes // n_files if n_files else 0,
+        }
+    return out
+
+
+def compact_store(
+    spark,
+    store_path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite an incremental dedup store into ~``target_file_bytes``
+    parquet files without changing a single row — the maintenance
+    counterpart to the append-only ingestion operators
+    (:func:`dedup_against_store` / :func:`neardup_against_store` /
+    :func:`embedding_dedup_against_store`), whose per-batch appends
+    otherwise accumulate small files forever.
+
+    Layouts are preserved exactly so every downstream join plan is
+    unchanged: the d7 ``bands/`` index keeps its ``band=N/`` partition
+    directories (rewritten via the same keyed
+    ``repartition(..., band)`` + ``partitionBy("band")`` shape the
+    append path uses, salted when a band exceeds the target size);
+    flat stores rewrite to ``ceil(bytes / target)`` files.  The swap
+    is staged (write to ``<dir>__compacting``, move the old dir to
+    ``<dir>__old``, rename, delete) — crash-safe in the sense that a
+    half-finished compaction leaves the original store intact under
+    one of the two staging names, but NOT safe against a concurrent
+    ingest: quiesce writers first, exactly like any file-format
+    compaction.
+
+    Returns ``{component: {"files_before", "files_after", "rows"}}``.
+    """
+    results: dict = {}
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for name, p in _store_components(spark, store_path).items():
+        n_files, n_bytes = _list_data_files(spark, p)
+        rows = spark.read.parquet(p).count() if n_files else 0
+        if n_files == 0:
+            results[name or "store"] = {
+                "files_before": 0, "files_after": 0, "rows": 0,
+            }
+            continue
+        tmp, old = p + "__compacting", p + "__old"
+        df = spark.read.parquet(p)
+        if name == "bands":
+            # band is the partition-discovery column; preserve the
+            # pruned layout, K salted writers per band past the target
+            n_bands = df.select("band").distinct().count()
+            per_band = max(1, -(-n_bytes // (n_bands * target_file_bytes)))
+            key = [F.col("band")]
+            if per_band > 1:
+                key.append(F.pmod(F.xxhash64("store_id"), F.lit(per_band)))
+            (
+                df.repartition(n_bands * per_band, *key)
+                .write.mode("overwrite")
+                .partitionBy("band")
+                .parquet(tmp)
+            )
+        else:
+            n_target = max(1, -(-n_bytes // target_file_bytes))
+            df.repartition(n_target).write.mode("overwrite").parquet(tmp)
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jp.getFileSystem(hconf)
+        fs.rename(jp, jvm.org.apache.hadoop.fs.Path(old))
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jp)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+        results[name or "store"] = {
+            "files_before": n_files,
+            "files_after": _list_data_files(spark, p)[0],
+            "rows": rows,
+        }
+    return results
+
+
 def minhash_table(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -857,6 +857,105 @@ def test_survivor_sink_physically_exactly_once_under_retry(spark, tmp_path):
     assert raw_duck() == [(1, 1), (2, 1), (9, 1)]
 
 
+def test_compact_store_preserves_rows_layout_and_join_plan(spark, tmp_path):
+    """compact_store must shrink a fragmented incremental store's file
+    count without changing a row, keep the d7 bands/ partition layout
+    (band=N dirs) so the band-index join plan is unchanged, and leave
+    ingestion results identical — the maintenance op that keeps a
+    long-lived append-only store from degrading into millions of
+    small files (VERDICT r7 task 7)."""
+    from qctimeseries_spark.datapipe import (
+        compact_store,
+        neardup_against_store,
+        store_stats,
+    )
+    from qctimeseries_spark.plans import plan_summary
+
+    store = str(tmp_path / "store")
+    # five appends -> many small files in docs/ and bands/
+    for i in range(5):
+        batch = spark.createDataFrame(
+            [(i * 10 + j,
+              f"totally unique document number {i}-{j} with words "
+              f"{'alpha beta' if j % 2 else 'gamma delta'} {i*7+j}")
+             for j in range(4)],
+            "doc_id bigint, text string",
+        )
+        neardup_against_store(batch, store, k=15, bands=5)
+
+    before = store_stats(spark, store)
+    assert before["docs"]["files"] >= 5
+    assert before["bands"]["files"] >= 25  # >= one per (append, band)
+    probe = spark.createDataFrame(
+        [(999, "totally unique document number 0-1 with words alpha beta 7"),
+         (1000, "completely fresh text never seen anywhere")],
+        "doc_id bigint, text string",
+    )
+    want = sorted(
+        r.doc_id
+        for r in neardup_against_store(
+            probe, store, k=15, bands=5, update_store=False
+        ).collect()
+    )
+    plan_before = plan_summary(
+        neardup_against_store(probe, store, k=15, bands=5, update_store=False)
+    )
+
+    res = compact_store(spark, store)
+    assert res["docs"]["files_after"] < res["docs"]["files_before"]
+    assert res["bands"]["files_after"] < res["bands"]["files_before"]
+    after = store_stats(spark, store)
+    assert after["docs"]["rows"] == before["docs"]["rows"]
+    assert after["bands"]["rows"] == before["bands"]["rows"]
+    # bands/ keeps its partition dirs (the pruned index layout)
+    assert sorted(
+        d.name for d in (tmp_path / "store" / "bands").glob("band=*")
+    ) == [f"band={i}" for i in range(5)]
+    # same survivors, same plan shape after compaction
+    got = sorted(
+        r.doc_id
+        for r in neardup_against_store(
+            probe, store, k=15, bands=5, update_store=False
+        ).collect()
+    )
+    assert got == want == [1000]
+    plan_after = plan_summary(
+        neardup_against_store(probe, store, k=15, bands=5, update_store=False)
+    )
+    assert plan_after == plan_before
+
+
+def test_compact_store_flat_fingerprint_store(spark, tmp_path):
+    """The d6/d8 flat stores compact to ceil(bytes/target) files with
+    identical content (the d6 anti-join sees the same fingerprints)."""
+    from qctimeseries_spark.datapipe import (
+        compact_store,
+        dedup_against_store,
+        store_stats,
+    )
+
+    store = str(tmp_path / "fp")
+    for i in range(4):
+        batch = spark.createDataFrame(
+            [(i * 10 + j, f"doc {i} {j} body") for j in range(3)],
+            "doc_id bigint, text string",
+        )
+        dedup_against_store(batch, store)
+    before = store_stats(spark, store)["store"]
+    assert before["files"] >= 4 and before["rows"] == 12
+    fps = sorted(r.fingerprint for r in spark.read.parquet(store).collect())
+    res = compact_store(spark, store)["store"]
+    assert res["files_after"] == 1 < res["files_before"]
+    assert sorted(
+        r.fingerprint for r in spark.read.parquet(store).collect()
+    ) == fps
+    # a replayed batch still drops entirely against the compacted store
+    replay = spark.createDataFrame(
+        [(100, "doc 0 0 body")], "doc_id bigint, text string"
+    )
+    assert dedup_against_store(replay, store, update_store=False).count() == 0
+
+
 def test_ingest_stream_empty_source_returns_empty_schema(spark, tmp_path):
     """A drained stream with zero batches (or zero survivors) has no
     files at out_path — the ingest operators return an empty frame
