@@ -1598,16 +1598,25 @@ def _dup_pairs_ivf(
 
         p = 3
         cur = _dup_pairs_ivf(u, id_col, threshold, nlist=nlist, nprobe=p)
+        confirmed = False  # exit flavor: fixpoint vs exhausted nlist
         while p < nlist:
             p2 = min(2 * p, nlist)
             nxt = _dup_pairs_ivf(u, id_col, threshold, nlist=nlist, nprobe=p2)
             if nxt.count() == cur.count():
+                confirmed = True
                 break
             p, cur = p2, nxt
+        # both exits are exact results, but for different reasons —
+        # say which (r7 advice: the p==nlist exit used to claim a
+        # confirming doubling that never ran)
+        how = (
+            "one further doubling found none new"
+            if confirmed
+            else "reached nlist — every cell scanned, exhaustive"
+        )
         warnings.warn(
             f"embedding_dup_pairs: nprobe='auto' converged at nprobe={p}"
-            f" (nlist={nlist}, {cur.count()} pairs; one further doubling"
-            " found none new)",
+            f" (nlist={nlist}, {cur.count()} pairs; {how})",
             stacklevel=3,
         )
         return cur

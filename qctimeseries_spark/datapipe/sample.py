@@ -162,6 +162,15 @@ def cap_per_group(
     per-group sample (not a storage-order head), stable across runs
     and engines, and growing ``cap`` only ever ADDS rows.
 
+    The run/engine-stability contract assumes ``key_col`` is UNIQUE
+    within each group (it is a document id).  With duplicate keys the
+    boundary-bucket ranking has ties: this implementation breaks them
+    deterministically (secondary sort on a full-row hash, boundary
+    rows only), so repeated SPARK runs still agree — but another
+    engine ranking only by key (e.g. a SQL oracle) may keep a
+    different row of a tied pair, so cross-engine row-identity is
+    only guaranteed for unique keys.
+
     Scale design: the obvious per-group ``row_number`` window shuffles
     the whole corpus on ``group_col`` and funnels each group through
     one task — web-crawl domains are Zipfian, so the top domain alone
@@ -204,7 +213,12 @@ def cap_per_group(
     below = j.filter(
         F.col("_cut").isNull() | (F.col("_bucket") < F.col("_cut"))
     )
-    wb = Window.partitionBy(group_col).orderBy(key_col)
+    # full-row hash as the tie-break: deterministic across Spark runs
+    # even when key_col has duplicates (see docstring); computed for
+    # boundary-bucket rows only (~1/SAMPLE_MOD of each group)
+    wb = Window.partitionBy(group_col).orderBy(
+        key_col, F.xxhash64(*[F.col(c) for c in df.columns])
+    )
     boundary = (
         j.filter(F.col("_bucket") == F.col("_cut"))
         .withColumn("_brk", F.row_number().over(wb))
