@@ -85,6 +85,8 @@ EXTENDED = [
     "x4_radius_search",
     "m4_resize",
     "m5_frame_sample",
+    # round-8 addition: incremental growth of the persisted IVF index
+    "x5_knn_index_append",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -109,8 +111,8 @@ def _calibration_probe(spark) -> float:
     from pyspark.sql import functions as F
 
     runs = []
-    for _ in range(2):  # min-of-2 per sample point: one GC pause or
-        # scheduler hiccup lands in a single run, not the sample
+    for _ in range(3):  # min-of-3 per sample point: a GC pause or an
+        # external load burst lands in single runs, not the sample
         t0 = time.time()
         # mask before summing: a raw Σ xxhash64 overflows int64 under
         # ANSI mode

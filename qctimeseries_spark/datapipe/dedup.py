@@ -715,18 +715,33 @@ def embedding_dedup_against_store(
     return survivors.drop("_u")
 
 
-def _store_components(spark, store_path: str) -> dict[str, str]:
-    """Map a dedup store to its parquet directories: the d7 signature
-    store is ``{docs/, bands/}``; the d6 fingerprint and d8 unit-vector
-    stores are a single flat directory."""
+def _store_components(spark, store_path: str) -> dict[str, tuple]:
+    """Map a persistent store to its parquet directories as
+    ``{name: (path, partition_col, salt_col)}``: the d7 signature
+    store is ``{docs/, bands/}`` (``bands/`` partitioned by ``band``),
+    an x3/x5 IVF index is ``{centroids/, cells/}`` (``cells/``
+    partitioned by ``centroid_id``), and the d6 fingerprint / d8
+    unit-vector stores are a single flat directory.  ``salt_col`` is
+    the column whose hash spreads an oversized partition over several
+    writer files during compaction."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(store_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    docs = jvm.org.apache.hadoop.fs.Path(store_path + "/docs")
-    bands = jvm.org.apache.hadoop.fs.Path(store_path + "/bands")
-    if fs.exists(docs) and fs.exists(bands):
-        return {"docs": store_path + "/docs", "bands": store_path + "/bands"}
-    return {"": store_path}
+
+    def _exists(sub: str) -> bool:
+        return fs.exists(jvm.org.apache.hadoop.fs.Path(store_path + sub))
+
+    if _exists("/docs") and _exists("/bands"):
+        return {
+            "docs": (store_path + "/docs", None, None),
+            "bands": (store_path + "/bands", "band", "store_id"),
+        }
+    if _exists("/centroids") and _exists("/cells"):
+        return {
+            "centroids": (store_path + "/centroids", None, None),
+            "cells": (store_path + "/cells", "centroid_id", None),
+        }
+    return {"": (store_path, None, None)}
 
 
 def _list_data_files(spark, path: str) -> tuple[int, int]:
@@ -756,7 +771,7 @@ def store_stats(spark, store_path: str) -> dict:
     count, and sub-row-group files defeat parquet's columnar layout.
     """
     out: dict = {}
-    for name, p in _store_components(spark, store_path).items():
+    for name, (p, _, _) in _store_components(spark, store_path).items():
         n_files, n_bytes = _list_data_files(spark, p)
         rows = spark.read.parquet(p).count() if n_files else 0
         out[name or "store"] = {
@@ -782,11 +797,13 @@ def compact_store(
     otherwise accumulate small files forever.
 
     Layouts are preserved exactly so every downstream join plan is
-    unchanged: the d7 ``bands/`` index keeps its ``band=N/`` partition
-    directories (rewritten via the same keyed
-    ``repartition(..., band)`` + ``partitionBy("band")`` shape the
-    append path uses, salted when a band exceeds the target size);
-    flat stores rewrite to ``ceil(bytes / target)`` files.  The swap
+    unchanged: partitioned components (the d7 ``bands/`` index, the
+    x3/x5 IVF ``cells/`` store) keep their partition directories
+    (rewritten via the same keyed ``repartition`` + ``partitionBy``
+    shape the append path uses, salted when a partition exceeds the
+    target size — partition pruning and DPP serve plans see the same
+    directory tree); flat stores rewrite to ``ceil(bytes / target)``
+    files.  The swap
     is staged (write to ``<dir>__compacting``, move the old dir to
     ``<dir>__old``, rename, delete) — crash-safe in the sense that a
     half-finished compaction leaves the original store intact under
@@ -799,7 +816,9 @@ def compact_store(
     results: dict = {}
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for name, p in _store_components(spark, store_path).items():
+    for name, (p, part_col, salt_col) in _store_components(
+        spark, store_path
+    ).items():
         n_files, n_bytes = _list_data_files(spark, p)
         rows = spark.read.parquet(p).count() if n_files else 0
         if n_files == 0:
@@ -809,18 +828,23 @@ def compact_store(
             continue
         tmp, old = p + "__compacting", p + "__old"
         df = spark.read.parquet(p)
-        if name == "bands":
-            # band is the partition-discovery column; preserve the
-            # pruned layout, K salted writers per band past the target
-            n_bands = df.select("band").distinct().count()
-            per_band = max(1, -(-n_bytes // (n_bands * target_file_bytes)))
-            key = [F.col("band")]
-            if per_band > 1:
-                key.append(F.pmod(F.xxhash64("store_id"), F.lit(per_band)))
+        if part_col is not None:
+            # preserve the partition-discovery layout; K salted
+            # writers per partition past the target size
+            n_parts = df.select(part_col).distinct().count()
+            per_part = max(1, -(-n_bytes // (n_parts * target_file_bytes)))
+            key = [F.col(part_col)]
+            if per_part > 1:
+                salt_src = salt_col or next(
+                    c for c in df.columns if c != part_col
+                )
+                key.append(
+                    F.pmod(F.xxhash64(salt_src), F.lit(per_part))
+                )
             (
-                df.repartition(n_bands * per_band, *key)
+                df.repartition(n_parts * per_part, *key)
                 .write.mode("overwrite")
-                .partitionBy("band")
+                .partitionBy(part_col)
                 .parquet(tmp)
             )
         else:

@@ -1059,6 +1059,45 @@ def q_x3_knn_persisted(spark, sf_dir):
     return out
 
 
+def q_x5_knn_index_append(spark, sf_dir):
+    """Incremental index growth: build the persisted IVF index on the
+    EVEN-id half of the corpus (so its seeded centroids differ from
+    x2/x3's), append the odd half with `append_to_ivf_index` (assigned
+    to the FROZEN build-time centroids, appended into the existing
+    cells/ partitions — no rebuild), then serve the same five queries.
+    The oracle recomputes the equivalent single pass: centroids from
+    the even half, assignment and scoring over the full corpus — the
+    hash pins that an append-grown store serves exactly like a
+    full-corpus build with the same centroids."""
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        knn_query_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_ivfapp_")
+    try:
+        build_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 0), tmp + "/index", nlist=16
+        )
+        append_to_ivf_index(
+            spark, tmp + "/index", emb.filter(F.col("vec_id") % 2 == 1)
+        )
+        out = knn_query_index(
+            spark, tmp + "/index", queries, k=10, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_t23_span_dedup(spark, sf_dir):
     """SPAN-level dedup (ExactSubstr family): every 5th doc gains the
     same 8-token promo tail — unique documents, unique lines, but a
@@ -1127,6 +1166,7 @@ DATAPIPE_QUERIES = {
     "t25_quality_classifier": q_t25_quality_classifier,
     "x3_knn_persisted": q_x3_knn_persisted,
     "x4_radius_search": q_x4_radius_search,
+    "x5_knn_index_append": q_x5_knn_index_append,
 }
 
 
@@ -2283,3 +2323,19 @@ SELECT doc_id, source FROM r WHERE rk <= 8""",
 # x2 computes fresh — x2's SQL is its oracle, so the hash check pins
 # the parquet persist/read roundtrip of vectors and cell assignments
 DATAPIPE_ORACLE["x3_knn_persisted"] = DATAPIPE_ORACLE["x2_knn_ivf"]
+
+# x5 = x2's algebra with the centroid seed restricted to the EVEN-id
+# half (the build corpus); assignment/scoring stay corpus-wide — the
+# hash pins that append-grown cells/ serve exactly like a full build
+# with the same frozen centroids
+DATAPIPE_ORACLE["x5_knn_index_append"] = DATAPIPE_ORACLE[
+    "x2_knn_ivf"
+].replace(
+    "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)",
+    "FROM (SELECT * FROM embeddings WHERE vec_id % 2 = 0"
+    " ORDER BY vec_id LIMIT 16)",
+)
+assert (
+    DATAPIPE_ORACLE["x5_knn_index_append"]
+    != DATAPIPE_ORACLE["x2_knn_ivf"]
+)

@@ -404,6 +404,61 @@ def build_ivf_index(
     return {"nlist": n_cells, "n_vectors": assigned.count()}
 
 
+def append_to_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_files: int = 4,
+) -> dict:
+    """Grow a persisted :func:`build_ivf_index` store INCREMENTALLY:
+    assign the new vectors to the EXISTING centroids and append them
+    to their ``cells/`` partitions — no rebuild, no touch of the
+    already-stored vectors.  This is how a production index tracks a
+    growing corpus: the build is paid once, each ingest batch pays
+    only its own assignment (one zero-shuffle Arrow scoring pass over
+    the batch) plus a keyed write, and every query served afterwards
+    sees the union.  Results are identical to a
+    :func:`build_ivf_index` run over the full corpus with the same
+    centroids (assignment is a pure per-row function of the centroid
+    matrix) — the x5 oracle pins exactly that equivalence.
+
+    The centroid set is FROZEN by design (recluster = rebuild): recall
+    degrades gracefully as the corpus drifts from the build-time
+    distribution, and monitoring cell-size skew via
+    :func:`~qctimeseries_spark.datapipe.dedup.store_stats` (the
+    ``cells`` component) tells you when a rebuild pays for itself.
+    Appends accumulate ~``cell_files`` files per batch;
+    :func:`~qctimeseries_spark.datapipe.dedup.compact_store` rewrites
+    the store back to target-size files with the partition layout (and
+    so the DPP serve plan) unchanged.
+
+    Returns ``{"appended", "nlist"}``.
+    """
+    if cell_files < 1:
+        raise ValueError(f"cell_files must be >= 1, got {cell_files}")
+    cents = spark.read.parquet(path + "/centroids")
+    n_cells = cents.count()
+    assigned = ivf_assign(
+        new_vectors, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(cell_files)))
+    (
+        assigned.withColumn("_cell_salt", salt)
+        .repartition(
+            n_cells * int(cell_files),
+            F.col("centroid_id"), F.col("_cell_salt"),
+        )
+        .drop("_cell_salt")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path + "/cells")
+    )
+    return {"appended": assigned.count(), "nlist": n_cells}
+
+
 def knn_query_index(
     spark,
     path: str,

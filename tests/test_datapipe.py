@@ -1569,6 +1569,62 @@ def test_ivf_index_cell_write_is_salted(spark, tmp_path):
     )
 
 
+def test_append_to_ivf_index_serves_like_full_build(spark, tmp_path):
+    """Incremental index growth: build on half the corpus, append the
+    other half — every served result must equal a full-corpus
+    build_ivf_index with the SAME centroids (assignment is a pure
+    per-row function of the frozen centroid matrix), the appended rows
+    must land in the existing centroid_id partitions, and
+    compact_store must heal the append fragmentation without changing
+    served results or the partition layout."""
+    from qctimeseries_spark.datapipe import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_store,
+        knn_query_index,
+        store_stats,
+        take_centroids,
+    )
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    growth = emb.filter(F.col("vec_id") % 2 == 1)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    grown, full = str(tmp_path / "grown"), str(tmp_path / "full")
+    build_ivf_index(base, grown, nlist=8)
+    res = append_to_ivf_index(spark, grown, growth)
+    assert res == {"appended": growth.count(), "nlist": 8}
+
+    # reference: full-corpus build FORCED onto the same centroids
+    # (take_centroids over the base half, then assign corpus-wide)
+    from qctimeseries_spark.datapipe.similarity import ivf_assign
+
+    cents = take_centroids(base, nlist=8)
+    cents.write.parquet(full + "/centroids")
+    ivf_assign(emb, cents, nprobe=1).repartition(
+        8, F.col("centroid_id")
+    ).write.partitionBy("centroid_id").parquet(full + "/cells")
+
+    key = lambda d: sorted(map(tuple, d.collect()))
+    want = key(knn_query_index(spark, full, q, k=10, nprobe=3))
+    assert key(knn_query_index(spark, grown, q, k=10, nprobe=3)) == want
+    # appended rows share the partition dirs (no new top-level layout)
+    assert sorted(
+        d.name for d in (tmp_path / "grown" / "cells").glob("centroid_id=*")
+    ) == sorted(
+        d.name for d in (tmp_path / "full" / "cells").glob("centroid_id=*")
+    )
+    # compaction: fewer files, identical serving, same layout
+    before = store_stats(spark, grown)["cells"]["files"]
+    cres = compact_store(spark, grown)
+    assert cres["cells"]["files_after"] < before
+    assert key(knn_query_index(spark, grown, q, k=10, nprobe=3)) == want
+
+
 def test_knn_ivf_auto_nprobe(spark):
     """nprobe='auto' routes through the recall-targeted tuner and the
     resulting index hits the 0.98 default target against brute force

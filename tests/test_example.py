@@ -53,6 +53,8 @@ def test_driver_window_covers_every_family():
         "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
         "st11_stream_psi", "st12_stream_ingest_dedup",
         "s10_jsonl_roundtrip",
+        # born in round 8 — driver-checked from day one
+        "x5_knn_index_append",
     } <= window
 
 

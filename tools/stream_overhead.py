@@ -1,0 +1,167 @@
+"""Fixed vs marginal cost of the availableNow streaming drains
+(st12–st15) — VERDICT r7 task 6.
+
+The bench times each streaming ingest/serve query as one opaque drain,
+but most of that cost is FIXED micro-batch machinery (stream planning,
+checkpoint/WAL commits per batch, source file listing) that amortizes
+in a long-running stream.  Grading streaming entries on the drain
+total therefore overstates their steady-state cost.  This tool
+separates the two: drain the SAME total data as 1 micro-batch and as
+4 micro-batches, fit T(n) = fixed + n * marginal, and report both —
+the marginal per-batch cost is the number a long-running deployment
+actually pays per arriving batch.
+
+Prints one JSON line per flow and a summary table.
+
+Usage: python tools/stream_overhead.py [sf_dir]   (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+REPEATS = 2  # best-of per (flow, n_batches) point
+
+
+def _stage_files(df, src: str, n: int, key: str) -> None:
+    """Write df as n separate parquet files with ascending mtimes so
+    the file source delivers n micro-batches (maxFilesPerTrigger=1)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(src, exist_ok=True)
+    for i in range(n):
+        part = df.filter(F.pmod(F.xxhash64(key), F.lit(n)) == i)
+        stage = src + f"_stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(src, f"batch{i}.parquet")
+        shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+
+def _time_flow(fn) -> float:
+    best = None
+    for _ in range(REPEATS):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from qctimeseries_spark.datapipe.similarity import build_ivf_index
+    from qctimeseries_spark.session import get_spark
+    from qctimeseries_spark.sources import read_table
+    from qctimeseries_spark.streaming import (
+        ingest_dedup_stream,
+        ingest_embedding_stream,
+        ingest_neardup_stream,
+        knn_serve_stream,
+    )
+
+    spark = get_spark("stream-overhead")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs.persist().count()
+    emb.persist().count()
+
+    root = tempfile.mkdtemp(prefix="qcts_overhead_")
+    ix = os.path.join(root, "index")
+    build_ivf_index(emb, ix, nlist=16)
+
+    def read_stream(src, schema):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    def st12(src, run):
+        d = os.path.join(root, f"st12_{run}")
+        ingest_dedup_stream(
+            read_stream(src, "doc_id bigint, text string"),
+            d + "/store", d + "/out", checkpoint_dir=d + "/ckpt",
+        ).count()
+
+    def st13(src, run):
+        d = os.path.join(root, f"st13_{run}")
+        ingest_neardup_stream(
+            read_stream(src, "doc_id bigint, text string"),
+            d + "/store", d + "/out",
+            k=15, bands=5, ngram=3, threshold=0.6,
+            checkpoint_dir=d + "/ckpt",
+        ).count()
+
+    def st14(src, run):
+        d = os.path.join(root, f"st14_{run}")
+        ingest_embedding_stream(
+            read_stream(src, "vec_id bigint, embedding array<float>"),
+            d + "/store", d + "/out",
+            id_col="vec_id", threshold=0.98,
+            checkpoint_dir=d + "/ckpt",
+        ).count()
+
+    def st15(src, run):
+        d = os.path.join(root, f"st15_{run}")
+        knn_serve_stream(
+            read_stream(src, "query_id bigint, embedding array<float>"),
+            ix, d + "/out", k=10, nprobe=4,
+            checkpoint_dir=d + "/ckpt",
+        ).count()
+
+    queries = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    flows = {
+        "st12": (docs, "doc_id", st12),
+        "st13": (docs, "doc_id", st13),
+        "st14": (emb, "vec_id", st14),
+        "st15": (queries, "query_id", st15),
+    }
+
+    results = {}
+    run_id = 0
+    for name, (df, key, flow) in flows.items():
+        times = {}
+        for n in (1, 4):
+            src = os.path.join(root, f"{name}_src{n}")
+            _stage_files(df, src, n, key)
+
+            def once():
+                nonlocal run_id
+                run_id += 1
+                flow(src, run_id)
+
+            times[n] = round(_time_flow(once), 3)
+        marginal = round((times[4] - times[1]) / 3, 3)
+        fixed = round(times[1] - marginal, 3)
+        results[name] = {
+            "t_1batch": times[1],
+            "t_4batch": times[4],
+            "fixed": fixed,
+            "marginal_per_batch": marginal,
+        }
+        print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"sf_dir": sf_dir, "flows": results}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
