@@ -85,8 +85,10 @@ EXTENDED = [
     "x4_radius_search",
     "m4_resize",
     "m5_frame_sample",
-    # round-8 addition: incremental growth of the persisted IVF index
+    # round-8 additions: incremental growth of the persisted IVF
+    # index; int8-quantized brute search
     "x5_knn_index_append",
+    "x6_quantized_knn",
 ]
 
 HEADLINE = CORE + EXTENDED

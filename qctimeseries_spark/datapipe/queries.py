@@ -1098,6 +1098,23 @@ def q_x5_knn_index_append(spark, sf_dir):
     return out
 
 
+def q_x6_quantized_knn(spark, sf_dir):
+    """INT8-quantized similarity search: both sides quantize to
+    symmetric int8 (floor(127·v/max|v| + 0.5), clamped) and the brute
+    top-k runs over the quantized store — ~4× less store IO at 100 TB,
+    with per-vector scales cancelling out of the cosine so the search
+    never dequantizes.  The oracle replays the identical quantization
+    and integer-cosine fold, so the hash pins the quantized store
+    bit-for-bit across engines."""
+    from qctimeseries_spark.datapipe.similarity import knn_quantized
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_quantized(emb, queries, k=10)
+
+
 def q_t23_span_dedup(spark, sf_dir):
     """SPAN-level dedup (ExactSubstr family): every 5th doc gains the
     same 8-token promo tail — unique documents, unique lines, but a
@@ -1167,6 +1184,7 @@ DATAPIPE_QUERIES = {
     "x3_knn_persisted": q_x3_knn_persisted,
     "x4_radius_search": q_x4_radius_search,
     "x5_knn_index_append": q_x5_knn_index_append,
+    "x6_quantized_knn": q_x6_quantized_knn,
 }
 
 
@@ -2339,3 +2357,37 @@ assert (
     DATAPIPE_ORACLE["x5_knn_index_append"]
     != DATAPIPE_ORACLE["x2_knn_ivf"]
 )
+
+# x6: identical quantization (floor(x·127/amax + 0.5), clamp ±127;
+# zero vector -> zeros) and the same integer-cosine left fold — the
+# scales cancel out of the cosine, so neither engine dequantizes
+DATAPIPE_ORACLE["x6_quantized_knn"] = f"""
+WITH am AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE))), (p, q) -> greatest(p, q)) AS amax
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id,
+         CASE WHEN amax = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                x -> CAST(greatest(-127, least(127,
+                       floor(CAST(x AS DOUBLE) * 127 / amax + 0.5)))
+                     AS INT))
+         END AS qvec
+  FROM am
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_cos_fold_sql('q.qvec', 'c.qvec')}, 9) AS cos
+  FROM qq c JOIN qq q ON q.vec_id < 5 AND c.vec_id != q.vec_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 10"""

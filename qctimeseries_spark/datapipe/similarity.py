@@ -459,6 +459,85 @@ def append_to_ivf_index(
     return {"appended": assigned.count(), "nlist": n_cells}
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_vec: str = "qvec",
+    out_scale: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i =
+    clamp(floor(127·v_i/max|v| + 0.5), -127, 127)`` plus the
+    per-vector scale ``max|v|`` — the storage layout that cuts an
+    embedding store's bytes ~4× (and its scan IO with it), the lever
+    that matters when the store is the 100 TB side of a similarity
+    query.
+
+    COSINE over quantized vectors needs no dequantization at all: the
+    per-vector scales cancel in the ratio, so ``cosine(qa, qb)``
+    equals the cosine of the dequantized vectors exactly — searching
+    the int8 store never touches the scale column (it exists for
+    dot-product/L2 consumers, which multiply by ``sa·sb/127²``).
+    Quantization error only perturbs the ANGLE (~1/255 per
+    coordinate), measured as recall in the x6 pytest.
+
+    All arithmetic is expression-level (zero shuffle, codegen) and
+    engine-portable: ``floor(x + 0.5)`` on both sides instead of
+    ``round`` (whose half-tie convention differs across engines), so
+    the x6 oracle reproduces the quantized store bit-for-bit.  A zero
+    vector quantizes to all zeros with scale 0.
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    out = df.withColumn(out_scale, amax)
+    q = F.transform(
+        v,
+        lambda x: F.when(F.col(out_scale) == 0.0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(
+                        x.cast("double") * 127.0 / F.col(out_scale) + 0.5
+                    ),
+                ),
+            ).cast("int")
+        ),
+    )
+    return out.withColumn(out_vec, q)
+
+
+def knn_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine over the INT8-quantized projections of both
+    sides (:func:`quantize_embeddings`): the brute-force plan of
+    :func:`knn_bruteforce` applied to a store a quarter the size.
+    Scores are the quantized cosines (scales cancel — see
+    :func:`quantize_embeddings`), rounded and tie-broken exactly like
+    the full-precision paths, so ordering is engine-reproducible; the
+    approximation budget is the quantization itself, not the search.
+    """
+    qc = quantize_embeddings(corpus, vec_col=vec_col).select(
+        F.col(id_col), F.col("qvec").alias(vec_col)
+    )
+    qq = quantize_embeddings(queries, vec_col=vec_col).select(
+        F.col(query_id_col), F.col("qvec").alias(vec_col)
+    )
+    return knn_bruteforce(
+        qc, qq, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, k=k,
+    )
+
+
 def knn_query_index(
     spark,
     path: str,

@@ -1556,11 +1556,12 @@ _WINDOW_R8 = (
     "a1_progress", "a13_progress_by_window", "a14_ewma",
     "w1_assign_windows", "w3_admitted_windows", "w10_ffill",
     "v1_main_trace", "v4_secondary_trace", "v5_check_panel",
-    "s1_csv_roundtrip", "h1_pricing_summary", "t1_sessionize",
+    "s1_csv_roundtrip", "h1_pricing_summary",
     "j1_asof_join",
-    # born in round 8 — driver-checked from day one (j3 released; j
-    # stays covered by j1, and j3 holds an r7 driver green)
-    "x5_knn_index_append",
+    # born in round 8 — driver-checked from day one (j3/t1 released;
+    # j stays covered by j1, t by its twelve datapipe siblings, and
+    # both released entries hold r5/r7 driver greens)
+    "x5_knn_index_append", "x6_quantized_knn",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

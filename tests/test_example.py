@@ -54,7 +54,7 @@ def test_driver_window_covers_every_family():
         "st11_stream_psi", "st12_stream_ingest_dedup",
         "s10_jsonl_roundtrip",
         # born in round 8 — driver-checked from day one
-        "x5_knn_index_append",
+        "x5_knn_index_append", "x6_quantized_knn",
     } <= window
 
 
@@ -68,6 +68,7 @@ _PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
     "w3_admitted_windows": (1, 0),
     "w11_interpolate": (1, 0),
     "x1_knn_bruteforce": (0, 1),
+    "x6_quantized_knn": (0, 1),  # x1's broadcast != join over int8
 }
 _MUST_BROADCAST = {"h3_segment_revenue", "h5_nation_revenue",
                    "d2_minhash_dedup", "t7_contamination", "j2_range_join"}
