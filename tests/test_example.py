@@ -136,3 +136,16 @@ def test_curate_corpus_example_runs():
     assert "curated" in out.stdout
     assert "token budget" in out.stdout
     assert "IVF recall@10" in out.stdout
+
+
+def test_stream_ingest_example_runs():
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "stream_ingest.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "re-crawls dropped against the store" in out.stdout
+    assert "re-encodes" in out.stdout and "dropped at cosine" in out.stdout
+    assert "from the grown index" in out.stdout
+    assert "after compaction" in out.stdout
