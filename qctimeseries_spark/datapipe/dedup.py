@@ -270,6 +270,8 @@ def dedup_against_store(
     *,
     update_store: bool = True,
     sink_path: str | None = None,
+    store_table: str | None = None,
+    buckets: int = 256,
 ) -> DataFrame:
     """Incremental exact dedup: drop rows whose normalized-text
     fingerprint is already in the persistent store OR duplicated
@@ -291,9 +293,17 @@ def dedup_against_store(
     that second retry — the replayed batch computes empty.
 
     The store is a plain append-only Parquet directory of (fingerprint)
-    rows; at scale, write it bucketed on the fingerprint
-    (:func:`~qctimeseries_spark.state.save_bucketed`) so the anti-join
-    is a zero-shuffle merge.  First call against a missing store just
+    rows.  AT SCALE pass ``store_table``: the store then lives as a
+    catalog table BUCKETED on the fingerprint (``buckets`` buckets,
+    files at ``store_path``), and the per-batch anti-join reads it
+    pre-partitioned — the sort-merge anti-join shuffles ONLY the
+    batch side (one exchange, batch-sized) while the 100 TB store
+    side is scanned in place, never re-shuffled per batch
+    (plan-pinned by ``test_bucketed_fingerprint_store_elides_store_
+    shuffle``).  Appends repartition on the bucket hash first so each
+    write adds one file per bucket, not one per (task, bucket); both
+    modes share the same semantics, replay contract, and results.
+    First call against a missing store just
     dedups within the batch and seeds it.  The within-batch keeper uses
     the same min-id rule as :func:`exact_dedup`, so a batch replayed
     against its own store output is a no-op (idempotent ingestion).
@@ -316,10 +326,17 @@ def dedup_against_store(
     spark = df.sparkSession
     normalized = F.array_join(tokens(F.col(text_col)), " ")
     fp = fan_out(df).withColumn("fingerprint", hash60(normalized))
-    try:
-        known = spark.read.parquet(store_path).select("fingerprint")
-    except AnalysisException:
-        known = None
+    if store_table is not None:
+        known = (
+            spark.table(store_table).select("fingerprint")
+            if spark.catalog.tableExists(store_table)
+            else None
+        )
+    else:
+        try:
+            known = spark.read.parquet(store_path).select("fingerprint")
+        except AnalysisException:
+            known = None
     if known is not None:
         fp = fp.join(known, "fingerprint", "left_anti")
     w = Window.partitionBy("fingerprint")
@@ -332,9 +349,23 @@ def dedup_against_store(
     if sink_path is not None:
         survivors.write.mode("append").parquet(sink_path)
     if update_store:
-        survivors.select("fingerprint").write.mode("append").parquet(
-            store_path
-        )
+        out = survivors.select("fingerprint")
+        if store_table is not None:
+            # repartition on the bucket column first: bucketBy and
+            # repartition share the same Murmur3 bucket hash, so each
+            # writer task holds exactly one bucket -> one new file per
+            # bucket per append (save_bucketed's rationale, state.py)
+            (
+                out.repartition(buckets, F.col("fingerprint"))
+                .write.format("parquet")
+                .mode("append")
+                .bucketBy(buckets, "fingerprint")
+                .sortBy("fingerprint")
+                .option("path", store_path)
+                .saveAsTable(store_table)
+            )
+        else:
+            out.write.mode("append").parquet(store_path)
     return survivors
 
 

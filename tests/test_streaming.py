@@ -925,6 +925,74 @@ def test_compact_store_preserves_rows_layout_and_join_plan(spark, tmp_path):
     assert plan_after == plan_before
 
 
+def test_bucketed_fingerprint_store_elides_store_shuffle(spark, tmp_path):
+    """The 100 TB configuration of the d6 store: with ``store_table``
+    the fingerprint store is a catalog table bucketed on the
+    fingerprint, so the per-batch anti-join shuffles ONLY the batch
+    side — the store scan is bucketed (no Exchange above it), which is
+    the difference between re-shuffling 100 TB per ingest batch and
+    scanning it in place.  Results must be identical to the plain-path
+    store mode."""
+    from qctimeseries_spark.datapipe import dedup_against_store
+    from qctimeseries_spark.datapipe.hashing import hash60
+    from qctimeseries_spark.datapipe.text import tokens
+
+    table = "qcts_test_fp_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    store = str(tmp_path / "fp_bucketed")
+    plain = str(tmp_path / "fp_plain")
+    b1 = spark.createDataFrame(
+        [(i, f"first crawl doc {i} body text") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, f"first crawl doc {i} body text") for i in range(10)]
+        + [(200 + i, f"second crawl fresh doc {i}") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    try:
+        for b in (b1, b2):
+            got = dedup_against_store(
+                b, store, store_table=table, buckets=8
+            )
+            want = dedup_against_store(b, plain)
+            assert sorted(r.doc_id for r in got.collect()) == sorted(
+                r.doc_id for r in want.collect()
+            )
+        # the catalog table is really bucketed, files at store_path
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        }
+        assert desc.get("Num Buckets") == "8", desc
+        assert "fingerprint" in desc.get("Bucket Columns", ""), desc
+        assert any(Path(store).glob("*.parquet"))
+
+        # plan pin: the operator's exact anti-join shape against the
+        # bucketed table — force SMJ (no broadcast) and assert the
+        # store side scans bucketed with no Exchange above it
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = b2.withColumn(
+                "fingerprint",
+                hash60(F.array_join(tokens(F.col("text")), " ")),
+            ).join(
+                spark.table(table).select("fingerprint"),
+                "fingerprint",
+                "left_anti",
+            )
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan[:1500]
+            assert "Bucketed: true" in plan, plan[:1500]
+            # exactly ONE exchange: the batch side; none over the store
+            assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_compact_store_flat_fingerprint_store(spark, tmp_path):
     """The d6/d8 flat stores compact to ceil(bytes/target) files with
     identical content (the d6 anti-join sees the same fingerprints)."""
