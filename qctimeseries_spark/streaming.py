@@ -338,6 +338,8 @@ def ingest_dedup_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint_dir: str | None = None,
+    store_table: str | None = None,
+    buckets: int = 256,
 ) -> DataFrame:
     """Streaming CONTENT dedup against the persistent fingerprint
     store: every micro-batch runs
@@ -369,8 +371,10 @@ def ingest_dedup_stream(
     the survivor table ``(input columns + fingerprint)`` — empty with
     that schema if the stream produced no batches or no survivors.
     Scale: per-batch cost is one batch×store anti-join — at 100 TB
-    bucket the store on the fingerprint so it is a zero-shuffle merge
-    (see the batch operator's docstring); history is never recomputed.
+    pass ``store_table`` so the store is a fingerprint-BUCKETED
+    catalog table and each batch's anti-join shuffles only the batch,
+    never the store (see the batch operator's docstring); history is
+    never recomputed.
     """
     import uuid as _uuid
 
@@ -380,7 +384,7 @@ def ingest_dedup_stream(
         bdir = _prepare_batch_dir(batch.sparkSession, out_path, batch_id)
         dedup_against_store(
             batch, store_path, id_col=id_col, text_col=text_col,
-            sink_path=bdir,
+            sink_path=bdir, store_table=store_table, buckets=buckets,
         )
 
     checkpoint_dir = (
