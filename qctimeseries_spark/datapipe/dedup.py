@@ -628,7 +628,18 @@ def embedding_dedup_against_store(
     from pyspark.sql.utils import AnalysisException
 
     spark = df.sparkSession
-    u = fan_out(df).withColumn("_u", unit_vector_arrow(F.col(vec_col)))
+    # MATERIALIZE the unit projection before scoring: chaining the two
+    # Arrow UDFs (normalize -> score) into one stage measured 12x
+    # slower than running them in separate stages at sf1 (124 s vs
+    # 11 s for the same 12k x 10k score block — per-batch runner
+    # overhead compounds through the chained Python runners).  The
+    # checkpoint is batch-sized, and every tier (brute and IVF, whose
+    # ivf_assign is another Arrow UDF) scores from it.
+    u = (
+        fan_out(df)
+        .withColumn("_u", unit_vector_arrow(F.col(vec_col)))
+        .localCheckpoint(eager=True)
+    )
     try:
         store = spark.read.parquet(store_path)
     except AnalysisException:
