@@ -148,7 +148,13 @@ def test_updates_idempotent(spark, values, op):
 def test_reset_all_progress_sums_to_100(spark, values):
     df = flag_window(_series(spark, values), "temp", 0)
     out = progress(reset_all(df, "temp"), ["temp"]).collect()[0]
-    assert out.pct_unchecked + out.pct_missing == pytest.approx(100.0)
+    # each pct is INDEPENDENTLY rounded to 2 dp (the reference's F9
+    # rounding), so two buckets can sum to 100.01 when both halves
+    # round up (hypothesis found 66.665/33.335) — the invariant the
+    # semantics actually give is 100 ± one ulp per rounded bucket
+    assert out.pct_unchecked + out.pct_missing == pytest.approx(
+        100.0, abs=0.011
+    )
     assert out.pct_approved == 0.0 and out.pct_flagged == 0.0
 
 
