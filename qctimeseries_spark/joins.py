@@ -238,3 +238,105 @@ def asof_join(
             ]
         )
     return out
+
+
+def skew_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "inner",
+    strategy: str = "broadcast",
+    salt: int = 16,
+    threshold_frac: float = 0.05,
+    sample_frac: float = 0.01,
+    max_hot: int = 1000,
+    seed: int = 7,
+) -> DataFrame:
+    """Skew-hardened equi-join: route the hot keys around the shuffle.
+
+    A shuffled equi-join hashes both sides by the key, so a power-law
+    key (half the fact table on one customer/domain/device) lands on
+    ONE reducer — the straggler that dominates the stage at 100 TB.
+    AQE's skew-join splitter only rescues sort-merge joins whose
+    partitions it can subdivide; an aggregation-fed or bucketed plan,
+    or a hot key that also dominates the BUILD side, still funnels.
+
+    This operator makes the routing explicit and row-identical to the
+    plain join: a sampled frequency probe (the :func:`~qctimeseries_spark
+    .windows.hot_keys` estimator, bounded by ``max_hot``) splits the
+    left side into hot and cold key sets.  Cold keys take the normal
+    shuffled join (AQE still free to pick its physical form).  Hot keys
+    take one of two shuffle-free physical forms, then the two legs
+    union:
+
+    - ``strategy="broadcast"``: the right-side slice matching the hot
+      keys broadcasts; hot left rows never shuffle at all.  Right for
+      the overwhelmingly common case — a fact table skewed against a
+      dimension (the hot slice is at most |hot keys| × right rows per
+      key).
+    - ``strategy="salt"``: for big-big joins where even the hot slice
+      of the right side is too large to broadcast.  Hot left rows gain
+      a DETERMINISTIC salt (hash of the whole row mod ``salt``), the
+      hot right slice replicates ``salt`` ways, and the join key
+      becomes ``(key, salt)`` — the hot key's rows spread over
+      ``salt`` reducers at a replication cost of |right hot slice| ×
+      ``salt``.  Deterministic salting keeps the plan replayable
+      (retries and oracles see identical routing).
+
+    ``how`` supports ``inner`` and ``left`` (the split is exhaustive
+    and disjoint on left rows, so both legs preserve outer semantics
+    leg-locally).  The result is row-identical to ``left.join(right,
+    on, how)`` for ANY hot-key estimate — the probe only affects the
+    physical route — which is what lets the j4 oracle stay a plain SQL
+    join.  An empty probe result degrades to exactly the plain join.
+    """
+    from qctimeseries_spark.windows import hot_keys as _hot
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner/left, got {how!r}")
+    if strategy not in ("broadcast", "salt"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    probe_key = keys[0]
+    hot = (
+        _hot(
+            left.select(probe_key),
+            probe_key,
+            threshold_frac=threshold_frac,
+            sample_frac=sample_frac,
+            seed=seed,
+        )
+        .orderBy(F.col("est_share").desc(), probe_key)
+        .limit(max_hot)  # bounded driver collect by construction
+        .collect()
+    )
+    hot_vals = [r[probe_key] for r in hot]
+    if not hot_vals:
+        return left.join(right, keys, how)
+    is_hot = F.col(probe_key).isin(hot_vals)
+    cold = left.filter(~is_hot | F.col(probe_key).isNull()).join(
+        right, keys, how
+    )
+    left_hot = left.filter(is_hot)
+    right_hot = right.filter(F.col(probe_key).isin(hot_vals))
+    if strategy == "broadcast":
+        hot_leg = left_hot.join(F.broadcast(right_hot), keys, how)
+    else:
+        salt_l = F.pmod(
+            F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+        ).alias("_salt")
+        lh = left_hot.select("*", salt_l)
+        rh = right_hot.crossJoin(
+            F.broadcast(
+                left.sparkSession.range(salt).select(
+                    F.col("id").cast("int").alias("_salt")
+                )
+            )
+        )
+        hot_leg = (
+            lh.withColumn("_salt", F.col("_salt").cast("int"))
+            .join(rh, keys + ["_salt"], how)
+            .drop("_salt")
+        )
+    return cold.unionByName(hot_leg)

@@ -1483,8 +1483,67 @@ def q_a12_rolling_by_key(spark, sf_dir):
     )
 
 
+def q_j4_skew_join(spark, sf_dir):
+    """Skew-hardened fact⋈dimension join: ~75% of events collapse onto
+    ONE synthetic account key (the power-law shape that turns a
+    shuffled join's hot reducer into the stage straggler at 100 TB).
+    `skew_join` samples the key frequencies, routes the hot key
+    through a deterministic-salted replicated leg (cold keys join
+    normally, AQE free to choose), and unions — row-identical to the
+    plain join for ANY probe estimate, so the oracle is the plain SQL
+    join."""
+    from qctimeseries_spark.joins import skew_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("user_id") % 4 < 3, F.lit(1).cast("bigint"))
+        .otherwise(F.col("user_id"))
+        .alias("account_id"),
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("account_id"), "c_mktsegment"
+    )
+    out = skew_join(
+        ev, cust, "account_id", how="left", strategy="salt", salt=8
+    )
+    return out.select("event_id", "account_id", "c_mktsegment", "value")
+
+
+def q_a16_seasonal(spark, sf_dir):
+    """Seasonal-profile anomaly screen: each event vs the exact
+    discrete median / IQR of its (event_type, hour-of-day) bucket —
+    Tukey fences on robust per-phase statistics (catches the reading
+    that is normal at 3 p.m. but anomalous at 3 a.m., which a trailing
+    rolling window averages away).  Profile agg shuffles only three
+    projected columns; the profile (|types| × 24 rows) broadcasts
+    back.  percentile_disc picks data elements, so every emitted
+    number is an IEEE op over engine-identical inputs — bit-exact
+    cross-engine with no rounding."""
+    from qctimeseries_spark.windows import seasonal_baseline
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    out = seasonal_baseline(
+        ev, "ts", "value", by=["event_type"], season="hour", iqr_mult=1.5
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.col("season").alias("hod"),
+        "value",
+        "seasonal_med",
+        "seasonal_iqr",
+        "seasonal_dev",
+        "is_anomaly",
+    )
+
+
 QUERIES.update(
     {
+        "a16_seasonal": q_a16_seasonal,
+        "j4_skew_join": q_j4_skew_join,
         "j2_range_join": q_j2_range_join,
         "a9_percentiles": q_a9_percentiles,
         "st4_session_windows": q_st4_session_windows,
@@ -2121,6 +2180,31 @@ s AS (
 SELECT user_id, event_id, cusum_pos, cusum_neg,
        (cusum_pos > 5000 OR cusum_neg > 5000) AS cusum_alarm
 FROM s""",
+    "j4_skew_join": """
+WITH e AS (
+  SELECT event_id, value,
+         CASE WHEN user_id % 4 < 3 THEN CAST(1 AS BIGINT)
+              ELSE user_id END AS account_id
+  FROM events
+)
+SELECT e.event_id, e.account_id, c.c_mktsegment, e.value
+FROM e LEFT JOIN customer c ON e.account_id = c.c_custkey""",
+    "a16_seasonal": """
+WITH b AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+         quantile_disc(value, 0.5) AS seasonal_med,
+         quantile_disc(value, 0.75) - quantile_disc(value, 0.25)
+           AS seasonal_iqr
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.event_type,
+       CAST(EXTRACT(hour FROM e.ts) AS INT) AS hod, e.value,
+       b.seasonal_med, b.seasonal_iqr,
+       e.value - b.seasonal_med AS seasonal_dev,
+       ABS(e.value - b.seasonal_med) > 1.5 * b.seasonal_iqr AS is_anomaly
+FROM events e
+LEFT JOIN b ON e.event_type = b.event_type
+           AND CAST(EXTRACT(hour FROM e.ts) AS INT) = b.hod""",
     "st9_stream_asof": """
 WITH cal AS (
   SELECT user_id, ts, MAX(value) AS cal_value

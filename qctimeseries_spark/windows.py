@@ -684,6 +684,75 @@ def rolling_stats(
     return out
 
 
+def seasonal_baseline(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    *,
+    by: list[str] | None = None,
+    season: str = "hour",
+    iqr_mult: float = 1.5,
+    season_col: str = "season",
+) -> DataFrame:
+    """Seasonal-profile anomaly screen: each row is compared to the
+    robust baseline of its OWN seasonal bucket (hour-of-day by
+    default) instead of a trailing window — the screen that catches a
+    3 a.m. reading that is normal at 3 p.m. (`rolling_stats` cannot:
+    its trailing window mixes all phases of the daily cycle).
+
+    Baseline per ``(by…, season)`` group = exact DISCRETE median
+    (``percentile_disc`` picks a data element, so both engines pick
+    the SAME element — interpolated medians differ in last-ulp
+    arithmetic); spread = the discrete inter-quartile range.  A row is
+    anomalous when ``|value − median| > iqr_mult · IQR`` — the classic
+    Tukey fence on robust statistics, immune to the outliers it is
+    hunting (a z-score baseline inflates its own stddev).
+
+    Scale shape: the profile aggregation shuffles only the projected
+    ``(by…, season, value)`` columns (percentile_disc is sort-based —
+    no partial agg — so project BEFORE aggregating; Catalyst prunes
+    the rest of the row), and the profile itself is tiny (|by-domain|
+    × 24 rows), so the join back is a broadcast — the full-width rows
+    never shuffle.  Emits ``season_col`` / ``seasonal_med`` /
+    ``seasonal_iqr`` / ``seasonal_dev`` / ``is_anomaly``; all derived
+    values are IEEE ops over engine-identical inputs, so results are
+    bit-reproducible cross-engine with no rounding.  NULL values get
+    NULL deviation and NULL flag (and are ignored by the profile, the
+    percentile convention in both engines).
+    """
+    if season == "hour":
+        s_expr = F.hour(F.col(time_col))
+    elif season == "dow":
+        # 0=Sunday..6=Saturday (dayofweek is 1-based in Spark)
+        s_expr = F.dayofweek(F.col(time_col)) - 1
+    elif season == "month":
+        s_expr = F.month(F.col(time_col))
+    else:
+        raise ValueError(f"unknown season {season!r}")
+    by = list(by or [])
+    tagged = df.withColumn(season_col, s_expr.cast("int"))
+    qd = "percentile_disc({q}) WITHIN GROUP (ORDER BY `" + value_col + "`)"
+    profile = (
+        tagged.select(*by, season_col, value_col)
+        .groupBy(*by, season_col)
+        .agg(
+            F.expr(qd.format(q=0.5)).alias("seasonal_med"),
+            (
+                F.expr(qd.format(q=0.75)) - F.expr(qd.format(q=0.25))
+            ).alias("seasonal_iqr"),
+        )
+    )
+    dev = F.col(value_col) - F.col("seasonal_med")
+    return (
+        tagged.join(F.broadcast(profile), by + [season_col], "left")
+        .withColumn("seasonal_dev", dev)
+        .withColumn(
+            "is_anomaly",
+            F.abs(dev) > F.lit(iqr_mult) * F.col("seasonal_iqr"),
+        )
+    )
+
+
 def flag_outlier_candidates(
     df: DataFrame,
     time_col: str,

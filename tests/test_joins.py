@@ -188,3 +188,72 @@ def test_asof_forward_matches_pandas(spark):
     assert keyed == expect and keyless == expect
     assert expect[2] == 5.0   # exact tie at h=5 matches its own instant
     assert expect[5] is None  # after the last right record
+
+
+# ---------------------------------------------------------------------------
+# skew_join (j4)
+# ---------------------------------------------------------------------------
+
+
+def _sorted_rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def skewed_sides(spark):
+    # 80% of fact rows on key 1; some keys absent from the dim side
+    fact = spark.createDataFrame(
+        [(i, 1 if i % 5 != 0 else (i % 7) + 1, float(i)) for i in range(500)],
+        "row_id bigint, k bigint, v double",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 5)], "k bigint, label string"
+    )
+    return fact, dim
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "salt"])
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_skew_join_row_identical_to_plain_join(
+    spark, skewed_sides, strategy, how
+):
+    from qctimeseries_spark.joins import skew_join
+
+    fact, dim = skewed_sides
+    got = skew_join(
+        fact, dim, "k", how=how, strategy=strategy, salt=4,
+        threshold_frac=0.05, sample_frac=0.5,
+    )
+    want = fact.join(dim, "k", how)
+    cols = ["row_id", "k", "v", "label"]
+    assert _sorted_rows(got.select(cols), cols) == _sorted_rows(
+        want.select(cols), cols
+    )
+
+
+def test_skew_join_routes_hot_keys_off_the_shuffle(spark, skewed_sides):
+    from qctimeseries_spark.joins import skew_join
+
+    fact, dim = skewed_sides
+    got = skew_join(
+        fact, dim, "k", strategy="broadcast",
+        threshold_frac=0.05, sample_frac=0.5,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # two legs unioned; the hot leg is a broadcast join (no shuffle of
+    # the hot fact rows)
+    assert "Union" in plan and "BroadcastHashJoin" in plan
+
+
+def test_skew_join_empty_probe_degrades_to_plain_join(spark):
+    from qctimeseries_spark.joins import skew_join
+
+    fact = spark.createDataFrame(
+        [(i, i, float(i)) for i in range(40)], "row_id bigint, k bigint, v double"
+    )
+    dim = spark.createDataFrame([(1, "a")], "k bigint, label string")
+    # uniform keys: nothing crosses threshold_frac -> plain join path
+    got = skew_join(fact, dim, "k", how="left", threshold_frac=0.5)
+    assert got.count() == 40
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan

@@ -768,3 +768,49 @@ def test_cusum_equals_sequential_recurrence(spark):
     assert got == want
     assert any(a for _, _, a in want.values())  # the drift fires
     assert not any(a for (u, _), (_, _, a) in want.items() if u == 2)
+
+
+# ---------------------------------------------------------------------------
+# seasonal baseline (a16)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_baseline_tukey_fences(spark):
+    from qctimeseries_spark.windows import seasonal_baseline
+
+    # hour 3: values {1,2,3,4,100} -> med 3, IQR = q75 - q25 = 4 - 2 = 2
+    # fence = 1.5*2 = 3 -> only 100 (dev 97) is anomalous at hour 3.
+    # hour 15: values {99,100,101} -> med 100, IQR 2 -> 100 is NORMAL.
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 3, 0), float(v))
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])
+    ] + [
+        (10 + i, dt.datetime(2024, 1, 1 + i, 15, 0), float(v))
+        for i, v in enumerate([99.0, 100.0, 101.0])
+    ] + [(99, dt.datetime(2024, 1, 9, 3, 0), None)]
+    df = spark.createDataFrame(rows, "id bigint, ts timestamp, value double")
+    out = seasonal_baseline(df, "ts", "value", iqr_mult=1.5)
+    got = {r["id"]: r for r in out.collect()}
+    assert got[4]["is_anomaly"] is True and got[4]["seasonal_dev"] == 97.0
+    assert all(got[i]["is_anomaly"] is False for i in (0, 1, 2, 3))
+    # the same value 100.0 is normal in its own seasonal phase
+    assert got[11]["is_anomaly"] is False and got[11]["seasonal_med"] == 100.0
+    assert got[0]["seasonal_med"] == 3.0 and got[0]["seasonal_iqr"] == 2.0
+    # NULL value: ignored by the profile, NULL dev/flag for the row
+    assert got[99]["seasonal_dev"] is None and got[99]["is_anomaly"] is None
+    assert got[99]["seasonal_med"] == 3.0
+
+
+def test_seasonal_baseline_by_key_and_dow(spark):
+    from qctimeseries_spark.windows import seasonal_baseline
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 7 * w + 1, 0, 0), float(w))  # Mondays
+        for w in range(4)
+    ] + [("b", dt.datetime(2024, 1, 1, 0, 0), 50.0)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = seasonal_baseline(df, "ts", "value", by=["k"], season="dow")
+    a = out.filter(F.col("k") == "a").select("season").distinct().collect()
+    assert [r["season"] for r in a] == [1]  # Monday = 1 (0=Sunday)
+    b = out.filter(F.col("k") == "b").first()
+    assert b["seasonal_med"] == 50.0 and b["seasonal_iqr"] == 0.0
