@@ -1139,6 +1139,22 @@ def q_t23_span_dedup(spark, sf_dir):
     return strip_repeated_spans(d, width=6, min_count=2)
 
 
+def q_t26_shuffle_shard(spark, sf_dir):
+    """Deterministic global corpus shuffle + shard assignment (the
+    step before a training run reads the data): permutation key =
+    hash60(seed:doc_id) — a pure function of the row, so re-runs,
+    retries, and engines agree on which document is sample #N of
+    shard #K (orderBy(rand()) guarantees none of that).  shard = h %
+    n routes with no global coordination; within-shard position is a
+    per-shard rank — one shuffle on the shard id, parallelism = #
+    shards, no global window.  The oracle replays the identical hash
+    arithmetic."""
+    from qctimeseries_spark.datapipe.sample import shuffle_shard
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return shuffle_shard(d, "doc_id", n_shards=8, seed="r8")
+
+
 DATAPIPE_QUERIES = {
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_dedup": q_d2_minhash_dedup,
@@ -1180,6 +1196,7 @@ DATAPIPE_QUERIES = {
     "t22_bigram_nll": q_t22_bigram_nll,
     "t23_span_dedup": q_t23_span_dedup,
     "t24_source_cap": q_t24_source_cap,
+    "t26_shuffle_shard": q_t26_shuffle_shard,
     "t25_quality_classifier": q_t25_quality_classifier,
     "x3_knn_persisted": q_x3_knn_persisted,
     "x4_radius_search": q_x4_radius_search,
@@ -2361,6 +2378,19 @@ assert (
 # x6: identical quantization (floor(x·127/amax + 0.5), clamp ±127;
 # zero vector -> zeros) and the same integer-cosine left fold — the
 # scales cancel out of the cosine, so neither engine dequantizes
+DATAPIPE_ORACLE["t26_shuffle_shard"] = """
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('r8:',
+           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hh
+  FROM documents
+)
+SELECT doc_id, source, CAST(hh % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8
+                               ORDER BY hh, doc_id) - 1 AS BIGINT)
+         AS shard_pos
+FROM h"""
+
 DATAPIPE_ORACLE["x6_quantized_knn"] = f"""
 WITH am AS (
   SELECT vec_id, embedding,

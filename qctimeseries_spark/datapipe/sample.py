@@ -414,3 +414,51 @@ def split_corpus(
         expr = F.when(bucket < hi, F.lit(name)).otherwise(expr)
     # reversed + otherwise-chaining makes the FIRST matching range win
     return df.withColumn(out_col, expr)
+
+
+def shuffle_shard(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_shards: int,
+    seed: str = "qcts-shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard assignment — the
+    last step before a training run reads the data.
+
+    Training wants documents in a well-mixed order that is REPRODUCIBLE
+    (re-runs, engine changes, and resumed builds must agree on which
+    document is sample #N of shard #K) and decorrelated from every
+    upstream order (crawl time, domain, source file).  ``orderBy(rand())``
+    fails all three: per-partition RNG changes membership across runs
+    and engines, and a retry of one task reshuffles its rows.  Here the
+    shuffle key is ``hash60(seed:key)`` — a pure function of the row —
+    so the permutation is a property of the DATA, not the run.
+
+    ``shard = h % n_shards`` routes rows without any global
+    coordination (shard sizes are multinomial-even, |Δ| ≈ √(n/k));
+    ``pos`` = rank of ``h`` within the shard.  Physically that is ONE
+    shuffle on the shard id with a per-shard sort — exactly the plan a
+    shard writer wants (``partitionBy(shard)`` + rows pre-sorted in
+    shuffle order), with parallelism = ``n_shards`` (pick shards ≫
+    cores at 100 TB: 1k–10k shards, each a sorted file).  No global
+    window anywhere; hash ties break on the key so the order is total.
+
+    Downstream epoch reshuffles reuse the operator with a different
+    ``seed`` — a fresh independent permutation, same physics.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql import Window
+
+    h = hash60(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    out = df.withColumn("_h", h).withColumn(
+        shard_col, (F.col("_h") % n_shards).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy("_h", key_col)
+    return (
+        out.withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("_h")
+    )

@@ -1865,3 +1865,48 @@ def test_classify_quality_exact_and_zero_shuffle(spark):
     # the classifier is a pure row-local map at any corpus size
     ps = plan_summary(classify_quality(df))
     assert ps["shuffles"] == 0 and ps["global_windows"] == 0, ps
+
+
+# ---------------------------------------------------------------------------
+# shuffle_shard (t26)
+# ---------------------------------------------------------------------------
+
+
+def test_shuffle_shard_is_a_deterministic_permutation(spark):
+    from qctimeseries_spark.datapipe.sample import shuffle_shard
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(200)], "doc_id bigint, source string"
+    )
+    a = shuffle_shard(df, "doc_id", n_shards=4, seed="s1").collect()
+    b = shuffle_shard(df, "doc_id", n_shards=4, seed="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert len(a) == 200 and len({r["doc_id"] for r in a}) == 200
+    # per-shard positions are dense 0..n_k-1
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # a different seed is a genuinely different permutation
+    c = shuffle_shard(df, "doc_id", n_shards=4, seed="s2").collect()
+    key = lambda rows: {r["doc_id"]: (r["shard"], r["shard_pos"]) for r in rows}
+    assert key(a) != key(c)
+    # ... and decorrelated from the input order: the first shard's
+    # first docs are not simply the lowest ids
+    first = [r["doc_id"] for r in a if r["shard"] == 0 and r["shard_pos"] < 5]
+    assert first != sorted(first)[:5] or first != list(range(5))
+
+
+def test_shuffle_shard_single_shard_total_order(spark):
+    from qctimeseries_spark.datapipe.sample import shuffle_shard
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
+    out = shuffle_shard(df, "doc_id", n_shards=1).collect()
+    assert {r["shard"] for r in out} == {0}
+    assert sorted(r["shard_pos"] for r in out) == list(range(50))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shuffle_shard(df, "doc_id", n_shards=0)
