@@ -89,6 +89,12 @@ EXTENDED = [
     # index; int8-quantized brute search
     "x5_knn_index_append",
     "x6_quantized_knn",
+    # round-8 late additions: PQ ANN, skew-hardened join, seasonal
+    # anomaly screen, deterministic corpus shuffle
+    "x7_pq_knn",
+    "j4_skew_join",
+    "a16_seasonal",
+    "t26_shuffle_shard",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -1115,6 +1115,24 @@ def q_x6_quantized_knn(spark, sf_dir):
     return knn_quantized(emb, queries, k=10)
 
 
+def q_x7_pq_knn(spark, sf_dir):
+    """Product-quantized ANN: corpus encodes to 8-nibble PQ codes
+    (64–128× less candidate-scan IO than raw vectors — the rung above
+    x6's int8), ADC scores per (query, code) via an m-term LUT fold,
+    top-50 candidates re-rank on exact cosine.  Every float path —
+    codebook construction from the 16 lowest-id unit vectors, encode
+    argmin, LUT dots, ADC fold, cosine — is left-to-right and
+    literal-driven, so the oracle replays the ENTIRE pipeline
+    (training → encode → score → cut → re-rank) bit-for-bit in SQL."""
+    from qctimeseries_spark.datapipe.similarity import knn_pq
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_pq(emb, queries, k=10, m=8, ksub=16, candidates=50)
+
+
 def q_t23_span_dedup(spark, sf_dir):
     """SPAN-level dedup (ExactSubstr family): every 5th doc gains the
     same 8-token promo tail — unique documents, unique lines, but a
@@ -1202,6 +1220,7 @@ DATAPIPE_QUERIES = {
     "x4_radius_search": q_x4_radius_search,
     "x5_knn_index_append": q_x5_knn_index_append,
     "x6_quantized_knn": q_x6_quantized_knn,
+    "x7_pq_knn": q_x7_pq_knn,
 }
 
 
@@ -2374,6 +2393,75 @@ assert (
     DATAPIPE_ORACLE["x5_knn_index_append"]
     != DATAPIPE_ORACLE["x2_knn_ivf"]
 )
+
+# x7: full PQ pipeline replay — codebooks from the 16 lowest-id unit
+# vectors, argmin encode (tie -> lowest codeword), per-query LUT,
+# ADC fold over codes, top-50 candidate cut, exact-cosine re-rank.
+# Every fold is left-to-right, matching the Spark expression chains.
+DATAPIPE_ORACLE["x7_pq_knn"] = f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+           list_reduce(list_transform(embedding,
+             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+             (p, q) -> p + q))) AS u
+  FROM embeddings
+),
+seeds AS (
+  SELECT u, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+  FROM u ORDER BY vec_id LIMIT 16
+),
+cb AS (
+  SELECT t.j, s.c,
+         list_transform(range(1, 9), i -> s.u[t.j * 8 + i]) AS cw
+  FROM seeds s, range(0, 8) t(j)
+),
+enc AS (
+  SELECT vec_id, j, c FROM (
+    SELECT v.vec_id, b.j, b.c,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, b.j ORDER BY
+             list_reduce(list_transform(range(1, 9),
+               i -> (v.u[b.j*8 + i] - b.cw[i])
+                    * (v.u[b.j*8 + i] - b.cw[i])),
+               (p, q) -> p + q), b.c) AS rk
+    FROM u v, cb b)
+  WHERE rk = 1
+),
+codes AS (SELECT vec_id, list(c ORDER BY j) AS pq FROM enc GROUP BY vec_id),
+lut AS (
+  SELECT query_id, list(dot ORDER BY j, c) AS lut
+  FROM (
+    SELECT q.vec_id AS query_id, b.j, b.c,
+           list_reduce(list_transform(range(1, 9),
+             i -> q.u[b.j*8 + i] * b.cw[i]), (p, q) -> p + q) AS dot
+    FROM u q, cb b WHERE q.vec_id < 5)
+  GROUP BY query_id
+),
+sc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         ROUND(list_reduce(list_transform(range(0, 8),
+           j -> l.lut[j*16 + cd.pq[j+1] + 1]), (p, q) -> p + q), 9)
+           AS ascore
+  FROM codes cd, lut l
+  WHERE cd.vec_id != l.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ascore DESC, neighbor_id) AS rk FROM sc)
+  WHERE rk <= 50
+),
+r AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({_cos_fold_sql('q.embedding', 'e.embedding')}, 9) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rk FROM r)
+WHERE rk <= 10"""
 
 # x6: identical quantization (floor(x·127/amax + 0.5), clamp ±127;
 # zero vector -> zeros) and the same integer-cosine left fold — the

@@ -769,3 +769,224 @@ def recall_at_k(
             6,
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (x7)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: subspace ``j``'s codewords are the
+    ``j``-th subvectors of the ``ksub`` lowest-id UNIT vectors.
+
+    The :func:`take_centroids` convention carried to product
+    quantization — a reproducible seed construction (one bounded
+    ``limit(ksub)`` collect) whose float values come out of the SAME
+    left-fold normalization the engines replay bit-for-bit, which is
+    what lets the x7 oracle rebuild the codebooks in SQL and pin the
+    whole PQ pipeline by hash.  Lloyd-refined codebooks (classic PQ
+    training) would tighten cells on clustered data at the cost of
+    runtime-dependent last bits — the x2/x3 ``refine`` trade-off,
+    deliberately not taken on the oracle path.
+
+    Returns ``books[j][c]`` = list of ``d/m`` Python floats.
+    """
+    from qctimeseries_spark.datapipe.dedup import unit_vector
+
+    rows = (
+        corpus.orderBy(id_col)
+        .limit(ksub)
+        .select(unit_vector(F.col(vec_col)).alias("u"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    d = len(rows[0]["u"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        [list(r["u"][j * dsub : (j + 1) * dsub]) for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    packed_col: str | None = "pq_packed",
+) -> DataFrame:
+    """Encode vectors to PQ codes: ``code[j] = argmin_c ‖u_sub_j −
+    codeword_jc‖²`` over the unit-normalized vector (ties → lowest
+    codeword id).
+
+    THE storage lever for a 100 TB embedding store: with m=8, ksub=16
+    a 64-dim float vector (256–512 B) becomes 8 nibbles — ``packed_col``
+    carries them in ONE BIGINT (4 bits × m), a 64–128× compression, and
+    every downstream ADC scan reads 8 bytes/vector instead of the
+    vectors themselves (x6's int8 is 4×; this is the next rung).
+
+    Pure-codegen projection: the codebook is literal (tokenizer-sized,
+    the t21 merge-table precedent), distances are explicit left-to-right
+    squared-difference chains over the let-bound unit vector (`bind` —
+    Catalyst does not CSE inside lambdas), and the argmin is a
+    ``least()`` chain over (dist, c) structs whose lexicographic order
+    IS "min dist, tie → lowest c".  Zero shuffle, zero Python, and
+    every float op replays identically in the DuckDB oracle.
+    """
+    from qctimeseries_spark.datapipe.dedup import unit_vector
+    from qctimeseries_spark.datapipe.hashing import bind
+
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+
+    def body(uu):
+        codes = []
+        for j in range(m):
+            best = None
+            for c in range(ksub):
+                dist = None
+                for i in range(dsub):
+                    t = F.element_at(uu, j * dsub + i + 1) - F.lit(
+                        codebooks[j][c][i]
+                    )
+                    t = t * t
+                    dist = t if dist is None else dist + t
+                cand = F.struct(dist.alias("d"), F.lit(c).alias("c"))
+                best = cand if best is None else F.least(best, cand)
+            codes.append(best["c"])
+        return F.array(*codes)
+
+    out = df.withColumn(code_col, bind(unit_vector(F.col(vec_col)), body))
+    if packed_col is not None:
+        packed = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc
+            + F.element_at(F.col(code_col), j + 1).cast("bigint")
+            * F.pow(F.lit(float(ksub)), j.cast("double")).cast("bigint"),
+        )
+        out = out.withColumn(packed_col, packed)
+    return out
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    candidates: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product-quantized top-k search: ADC candidate generation over
+    8-byte codes, exact re-rank of the survivors.
+
+    The scan that touches the 100 TB side reads ONLY the PQ codes
+    (m × log2(ksub) bits/vector — 64–128× less IO than raw vectors;
+    x6's int8 store is 4×): each query precomputes a lookup table of
+    per-subspace partial dots (m·ksub doubles, built as one codegen
+    projection over the unit query vector), the asymmetric-distance
+    score is an m-term fold of LUT lookups per (query, code) pair, and
+    a per-query window keeps the top ``candidates`` (default
+    ``max(5k, 50)``).  Only those Q×C survivors join back (broadcast —
+    candidate-sized) to the raw vectors for the exact cosine re-rank,
+    so full vectors are read for ~C rows per query, never corpus-wide.
+
+    Approximation lives ONLY in candidate selection (scores in the
+    output are exact cosines, rounded/tie-broken exactly like
+    :func:`knn_bruteforce`); raise ``candidates`` toward the corpus
+    size and the result converges to the brute answer (recall vs brute
+    pinned by pytest).  Every float path — unit fold, LUT dots, ADC
+    fold, cosine — is left-to-right and literal-driven, so the x7
+    oracle replays codebook training, encoding, scoring, candidate
+    cut, and re-rank bit-for-bit in SQL.
+    """
+    from qctimeseries_spark.datapipe.dedup import unit_vector
+    from qctimeseries_spark.datapipe.hashing import bind
+
+    books = codebooks or train_pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
+    )
+    m = len(books)
+    ksub = len(books[0])
+    dsub = len(books[0][0])
+    C = candidates if candidates is not None else max(5 * k, 50)
+
+    codes = pq_encode(
+        corpus, books, vec_col=vec_col, code_col="_pq", packed_col=None
+    ).select(F.col(id_col).alias("neighbor_id"), "_pq")
+
+    def lut_body(uu):
+        entries = []
+        for j in range(m):
+            for c in range(ksub):
+                dot = None
+                for i in range(dsub):
+                    t = F.element_at(uu, j * dsub + i + 1) * F.lit(
+                        books[j][c][i]
+                    )
+                    dot = t if dot is None else dot + t
+                entries.append(dot)
+        return F.array(*entries)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        bind(unit_vector(F.col(vec_col)), lut_body).alias("_lut"),
+    )
+    ascore = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                F.col("_lut"),
+                j * ksub + F.element_at(F.col("_pq"), j + 1) + 1,
+            ),
+        ),
+        9,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ascore", ascore)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= C)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    rescored = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 9))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -325,18 +325,13 @@ def skew_join(
     else:
         salt_l = F.pmod(
             F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
-        ).alias("_salt")
+        ).cast("int").alias("_salt")
         lh = left_hot.select("*", salt_l)
-        rh = right_hot.crossJoin(
-            F.broadcast(
-                left.sparkSession.range(salt).select(
-                    F.col("id").cast("int").alias("_salt")
-                )
-            )
+        # replicate the hot right slice salt-ways via a literal-array
+        # explode — a narrow generator, not a join (keeps the plan
+        # free of nested-loop joins)
+        rh = right_hot.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
         )
-        hot_leg = (
-            lh.withColumn("_salt", F.col("_salt").cast("int"))
-            .join(rh, keys + ["_salt"], how)
-            .drop("_salt")
-        )
+        hot_leg = lh.join(rh, keys + ["_salt"], how).drop("_salt")
     return cold.unionByName(hot_leg)

@@ -1610,17 +1610,20 @@ _WINDOW_R8 = (
     "s10_jsonl_roundtrip",
     # QC core tail (r5/earlier driver greens on unchanged code)
     "f1_add_flags", "f2_rowid", "f4_transfer_flags",
-    "u1_seeded_flags", "u2_flag_window", "u6_flag_approve_advance",
+    "u1_seeded_flags", "u6_flag_approve_advance",
     "p1_remove_flags", "p3_filter_conjunction", "p4_apply_flags",
-    "a1_progress", "a13_progress_by_window", "a14_ewma",
-    "w1_assign_windows", "w3_admitted_windows", "w10_ffill",
+    "a1_progress",
+    "w1_assign_windows", "w3_admitted_windows",
     "v1_main_trace", "v4_secondary_trace", "v5_check_panel",
     "s1_csv_roundtrip", "h1_pricing_summary",
     "j1_asof_join",
-    # born in round 8 — driver-checked from day one (j3/t1 released;
-    # j stays covered by j1, t by its twelve datapipe siblings, and
-    # both released entries hold r5/r7 driver greens)
+    # born in round 8 — driver-checked from day one (released to make
+    # room: j3/t1, then a13/a14/w10/u2 for the late-round arrivals —
+    # every released entry holds an r5/r7 driver green on unchanged
+    # code, and its family stays covered: a by a1+a16, w by w1/w3,
+    # u by u1/u6, j by j1+j4, t by its datapipe siblings)
     "x5_knn_index_append", "x6_quantized_knn",
+    "a16_seasonal", "j4_skew_join", "t26_shuffle_shard", "x7_pq_knn",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

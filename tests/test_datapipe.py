@@ -1910,3 +1910,65 @@ def test_shuffle_shard_single_shard_total_order(spark):
 
     with _pt.raises(ValueError):
         shuffle_shard(df, "doc_id", n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (x7)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_seed_vectors_take_their_own_codewords(spark):
+    import numpy as np
+    from qctimeseries_spark.datapipe.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = train_pq_codebooks(df, m=4, ksub=8)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    enc = {
+        r["vec_id"]: (r["pq_code"], r["pq_packed"])
+        for r in pq_encode(df, books).collect()
+    }
+    # the 8 lowest-id vectors ARE the codebook seeds: distance 0 to
+    # their own codeword in every subspace
+    for c in range(8):
+        assert enc[c][0] == [c, c, c, c]
+        assert enc[c][1] == c * (1 + 8 + 64 + 512)
+    # packed nibbles reconstruct the code list
+    for vid, (code, packed) in enc.items():
+        assert [(packed // (8 ** j)) % 8 for j in range(4)] == code
+
+
+def test_knn_pq_converges_to_brute_at_full_candidates(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from qctimeseries_spark.datapipe.similarity import (
+        knn_bruteforce,
+        knn_pq,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # candidates >= corpus: the candidate cut keeps everyone, so the
+    # exact re-rank IS the brute answer, row for row
+    brute_rows = knn_bruteforce(df, qs, k=5).collect()
+    got = sorted(
+        map(tuple, knn_pq(df, qs, k=5, m=4, ksub=8, candidates=60).collect())
+    )
+    want = sorted(map(tuple, brute_rows))
+    assert got == want
+    # at a tight cut, recall degrades gracefully but stays useful
+    tight = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_pq(df, qs, k=5, m=4, ksub=8, candidates=20).collect()
+    }
+    brute = {(r["query_id"], r["neighbor_id"]) for r in brute_rows}
+    assert len(tight & brute) / len(brute) >= 0.5

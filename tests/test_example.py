@@ -55,6 +55,8 @@ def test_driver_window_covers_every_family():
         "s10_jsonl_roundtrip",
         # born in round 8 — driver-checked from day one
         "x5_knn_index_append", "x6_quantized_knn",
+        "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
+        "x7_pq_knn",
     } <= window
 
 
@@ -69,6 +71,7 @@ _PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
     "w11_interpolate": (1, 0),
     "x1_knn_bruteforce": (0, 1),
     "x6_quantized_knn": (0, 1),  # x1's broadcast != join over int8
+    "x7_pq_knn": (0, 1),  # same broadcast-queries ADC scan over codes
 }
 _MUST_BROADCAST = {"h3_segment_revenue", "h5_nation_revenue",
                    "d2_minhash_dedup", "t7_contamination", "j2_range_join"}
