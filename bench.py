@@ -92,6 +92,7 @@ EXTENDED = [
     # round-8 late additions: PQ ANN, skew-hardened join, seasonal
     # anomaly screen, deterministic corpus shuffle
     "x7_pq_knn",
+    "x8_pq_index",
     "j4_skew_join",
     "a16_seasonal",
     "t26_shuffle_shard",

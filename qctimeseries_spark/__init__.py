@@ -49,6 +49,7 @@ from qctimeseries_spark.windows import (
     interpolate_linear,
     cusum,
     rolling_stats,
+    seasonal_baseline,
     flag_outlier_candidates,
     shift_global,
 )
@@ -74,7 +75,7 @@ from qctimeseries_spark.viz import (
 from qctimeseries_spark.app import QcSession
 from qctimeseries_spark.plans import plan_summary
 from qctimeseries_spark.rules import apply_qc_rules
-from qctimeseries_spark.joins import asof_join
+from qctimeseries_spark.joins import asof_join, skew_join
 from qctimeseries_spark.exports import write_exports, smart_stem
 from qctimeseries_spark.report import save_all_check_plots, panel_downsample
 from qctimeseries_spark.pipeline import qc_pipeline
@@ -132,6 +133,7 @@ __all__ = [
     "utc_from_display",
     "QcSession",
     "asof_join",
+    "skew_join",
     "write_exports",
     "smart_stem",
     "save_all_check_plots",
@@ -152,6 +154,7 @@ __all__ = [
     "interpolate_linear",
     "cusum",
     "rolling_stats",
+    "seasonal_baseline",
     "flag_outlier_candidates",
     "shift_global",
 ]

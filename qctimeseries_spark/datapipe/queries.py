@@ -1133,6 +1133,38 @@ def q_x7_pq_knn(spark, sf_dir):
     return knn_pq(emb, queries, k=10, m=8, ksub=16, candidates=50)
 
 
+def q_x8_pq_index(spark, sf_dir):
+    """IVF-PQ persisted index, built then served: IVF cells bound the
+    candidate scan to ~nprobe/nlist of the store via dynamic partition
+    pruning (the x3 mechanism) while PQ codes bound its bytes to
+    ~9/row (the x7 mechanism); only the top-50 ADC survivors read raw
+    vectors for the exact re-rank.  Deterministic centroids +
+    codebooks let the oracle replay build AND serve end-to-end; the
+    packed code column never reaches the oracle, so the hash transits
+    the pack→shift/mask-unpack round trip."""
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.similarity import (
+        build_pq_index,
+        knn_query_pq_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_pqidx_")
+    try:
+        build_pq_index(emb, tmp + "/idx", nlist=16, m=8, ksub=16)
+        out = knn_query_pq_index(
+            spark, tmp + "/idx", queries, k=10, nprobe=4, candidates=50
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_t23_span_dedup(spark, sf_dir):
     """SPAN-level dedup (ExactSubstr family): every 5th doc gains the
     same 8-token promo tail — unique documents, unique lines, but a
@@ -1221,6 +1253,7 @@ DATAPIPE_QUERIES = {
     "x5_knn_index_append": q_x5_knn_index_append,
     "x6_quantized_knn": q_x6_quantized_knn,
     "x7_pq_knn": q_x7_pq_knn,
+    "x8_pq_index": q_x8_pq_index,
 }
 
 
@@ -2444,6 +2477,101 @@ sc AS (
            AS ascore
   FROM codes cd, lut l
   WHERE cd.vec_id != l.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ascore DESC, neighbor_id) AS rk FROM sc)
+  WHERE rk <= 50
+),
+r AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({_cos_fold_sql('q.embedding', 'e.embedding')}, 9) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rk FROM r)
+WHERE rk <= 10"""
+
+# x8: IVF-PQ index replay — x2's centroid/probe machinery composed
+# with x7's PQ codebook/encode/LUT machinery; ADC restricted to each
+# query's probed cells, top-50 cut, exact-cosine re-rank.
+DATAPIPE_ORACLE["x8_pq_index"] = f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+           list_reduce(list_transform(embedding,
+             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+             (p, q) -> p + q))) AS u
+  FROM embeddings
+),
+seeds AS (
+  SELECT u, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+  FROM u ORDER BY vec_id LIMIT 16
+),
+cb AS (
+  SELECT t.j, s.c,
+         list_transform(range(1, 9), i -> s.u[t.j * 8 + i]) AS cw
+  FROM seeds s, range(0, 8) t(j)
+),
+enc AS (
+  SELECT vec_id, j, c FROM (
+    SELECT v.vec_id, b.j, b.c,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, b.j ORDER BY
+             list_reduce(list_transform(range(1, 9),
+               i -> (v.u[b.j*8 + i] - b.cw[i])
+                    * (v.u[b.j*8 + i] - b.cw[i])),
+               (p, q) -> p + q), b.c) AS rk
+    FROM u v, cb b)
+  WHERE rk = 1
+),
+codes AS (SELECT vec_id, list(c ORDER BY j) AS pq FROM enc GROUP BY vec_id),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+         embedding AS centv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+ccell AS (
+  SELECT e.vec_id, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+),
+qcell AS (
+  SELECT e.vec_id AS query_id, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+  WHERE e.vec_id < 5
+),
+lut AS (
+  SELECT query_id, list(dot ORDER BY j, c) AS lut
+  FROM (
+    SELECT q.vec_id AS query_id, b.j, b.c,
+           list_reduce(list_transform(range(1, 9),
+             i -> q.u[b.j*8 + i] * b.cw[i]), (p, q) -> p + q) AS dot
+    FROM u q, cb b WHERE q.vec_id < 5)
+  GROUP BY query_id
+),
+sc AS (
+  SELECT ql.query_id, cd.vec_id AS neighbor_id,
+         ROUND(list_reduce(list_transform(range(0, 8),
+           j -> l.lut[j*16 + cd.pq[j+1] + 1]), (p, q) -> p + q), 9)
+           AS ascore
+  FROM codes cd
+  JOIN (SELECT vec_id, cid FROM ccell WHERE rk = 1) home
+    ON home.vec_id = cd.vec_id
+  JOIN (SELECT query_id, cid FROM qcell WHERE rk <= 4) ql
+    ON ql.cid = home.cid
+  JOIN lut l ON l.query_id = ql.query_id
+  WHERE cd.vec_id != ql.query_id
 ),
 cand AS (
   SELECT query_id, neighbor_id FROM (

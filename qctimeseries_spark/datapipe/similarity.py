@@ -990,3 +990,192 @@ def knn_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | str = "auto",
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 0,
+    cell_files: int = 4,
+) -> dict:
+    """Build and persist an IVF-PQ index — the layout a 100 TB ANN
+    deployment actually runs: IVF cells bound the scan to
+    ~nprobe/nlist of the store (dynamic partition pruning, the x3
+    mechanism) and PQ codes bound the BYTES of that scan (the serve
+    path's candidate stage reads the 8-byte ``pq_packed`` column, not
+    the vectors — the x7 mechanism).  The two compressions multiply:
+    at nlist=4096 / nprobe=4 / m=8 a candidate scan touches ~0.1% of
+    the store's directories at ~1/64 of the bytes per row.
+
+    Layout under ``path``: ``centroids/`` and salted
+    centroid-partitioned ``cells/`` exactly as :func:`build_ivf_index`
+    (cells additionally carry ``pq_packed``), plus ``pqbooks/`` —
+    ``(j, c, cw)`` codeword rows (m × ksub, tokenizer-sized).
+    ``ksub`` must be a power of two (codes pack into ``log2(ksub)``-bit
+    fields; unpacking at serve time is a shift+mask).  ``refine=0``
+    keeps both centroid and codebook constructions deterministic — the
+    x8 oracle replays the full build in SQL.
+    """
+    if cell_files < 1:
+        raise ValueError(f"cell_files must be >= 1, got {cell_files}")
+    if ksub & (ksub - 1) != 0:
+        raise ValueError(f"ksub must be a power of two, got {ksub}")
+    spark = corpus.sparkSession
+    cents = take_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=refine
+    )
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    books = train_pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
+    )
+    spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(m) for c in range(ksub)],
+        "j int, c int, cw array<double>",
+    ).write.mode("overwrite").parquet(path + "/pqbooks")
+    assigned = pq_encode(
+        ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1),
+        books,
+        vec_col=vec_col,
+        code_col="_pq",
+        packed_col="pq_packed",
+    ).drop("_pq")
+    n_cells = cents.count()
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(cell_files)))
+    (
+        assigned.withColumn("_cell_salt", salt)
+        .repartition(
+            n_cells * int(cell_files),
+            F.col("centroid_id"), F.col("_cell_salt"),
+        )
+        .drop("_cell_salt")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/cells")
+    )
+    return {
+        "nlist": n_cells,
+        "n_vectors": assigned.count(),
+        "m": m,
+        "ksub": ksub,
+    }
+
+
+def knn_query_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+    candidates: int | None = None,
+) -> DataFrame:
+    """Serve top-k from a persisted :func:`build_pq_index` store.
+
+    Three bounded stages: (1) the query batch expands to its
+    ``nprobe`` cells and the broadcast join on the partition column
+    prunes the ``cells/`` scan to those directories, reading ONLY
+    ``(id, pq_packed)`` — the scan that touches the big store moves
+    ~9 bytes/row; (2) the ADC score is an unrolled m-term chain of
+    LUT lookups with a shift+mask unpack per subspace (pure codegen),
+    cut to the top ``candidates`` per query; (3) only those Q×C
+    survivors read their raw vectors (a second pruned scan of the
+    probed partitions, joined on the broadcast candidate set) for the
+    exact-cosine re-rank, ranked exactly like :func:`knn_bruteforce`.
+    Every stage is deterministic, so the x8 oracle replays build +
+    serve end-to-end (the packed column never reaches the oracle —
+    pack/unpack round-trip equivalence is what the hash transits).
+    """
+    from qctimeseries_spark.datapipe.dedup import unit_vector
+    from qctimeseries_spark.datapipe.hashing import bind
+
+    cents = spark.read.parquet(path + "/centroids")
+    brows = spark.read.parquet(path + "/pqbooks").collect()
+    m = 1 + max(r["j"] for r in brows)
+    ksub = 1 + max(r["c"] for r in brows)
+    shift = ksub.bit_length() - 1
+    books = [[None] * ksub for _ in range(m)]
+    for r in brows:
+        books[r["j"]][r["c"]] = list(r["cw"])
+    dsub = len(books[0][0])
+    C = candidates if candidates is not None else max(5 * k, 50)
+
+    q_cells = ivf_assign(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        cents,
+        id_col="query_id",
+        vec_col=vec_col,
+        nprobe=nprobe,
+    ).select("query_id", "centroid_id")
+
+    def lut_body(uu):
+        entries = []
+        for j in range(m):
+            for c in range(ksub):
+                dot = None
+                for i in range(dsub):
+                    t = F.element_at(uu, j * dsub + i + 1) * F.lit(
+                        books[j][c][i]
+                    )
+                    dot = t if dot is None else dot + t
+                entries.append(dot)
+        return F.array(*entries)
+
+    q_lut = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        bind(unit_vector(F.col(vec_col)), lut_body).alias("_lut"),
+    )
+    codes = spark.read.parquet(path + "/cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        "pq_packed",
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+    )
+    # unrolled ADC chain: left-to-right adds, shift+mask code unpack
+    ascore = None
+    for j in range(m):
+        code_j = F.shiftright(F.col("pq_packed"), j * shift).bitwiseAND(
+            F.lit(ksub - 1)
+        )
+        t = F.element_at(F.col("_lut"), (code_j + F.lit(j * ksub + 1)).cast("int"))
+        ascore = t if ascore is None else ascore + t
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        codes.join(F.broadcast(q_cells), "centroid_id")
+        .join(F.broadcast(q_lut), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ascore", F.round(ascore, 9))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= C)
+        .select("query_id", "neighbor_id", "centroid_id")
+    )
+    vecs = spark.read.parquet(path + "/cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    rescored = (
+        vecs.join(F.broadcast(cand), ["centroid_id", "neighbor_id"])
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 9))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1609,7 +1609,7 @@ _WINDOW_R8 = (
     "st11_stream_psi", "st12_stream_ingest_dedup",
     "s10_jsonl_roundtrip",
     # QC core tail (r5/earlier driver greens on unchanged code)
-    "f1_add_flags", "f2_rowid", "f4_transfer_flags",
+    "f1_add_flags", "f2_rowid",
     "u1_seeded_flags", "u6_flag_approve_advance",
     "p1_remove_flags", "p3_filter_conjunction", "p4_apply_flags",
     "a1_progress",
@@ -1624,6 +1624,7 @@ _WINDOW_R8 = (
     # u by u1/u6, j by j1+j4, t by its datapipe siblings)
     "x5_knn_index_append", "x6_quantized_knn",
     "a16_seasonal", "j4_skew_join", "t26_shuffle_shard", "x7_pq_knn",
+    "x8_pq_index",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

@@ -1972,3 +1972,46 @@ def test_knn_pq_converges_to_brute_at_full_candidates(spark):
     }
     brute = {(r["query_id"], r["neighbor_id"]) for r in brute_rows}
     assert len(tight & brute) / len(brute) >= 0.5
+
+
+def test_pq_index_serve_dpp_and_brute_convergence(spark, tmp_path):
+    """build_pq_index → knn_query_pq_index: the candidate scan must be
+    DPP-pruned to the probed cells and must read the packed-code
+    column (not the vectors); at nprobe=nlist and full candidates the
+    serve result equals the brute answer row for row (the candidate
+    funnel passes everyone, the re-rank is exact — transitively pins
+    the pack→shift/mask-unpack round trip end-to-end)."""
+    from qctimeseries_spark.datapipe import (
+        build_pq_index,
+        knn_bruteforce,
+        knn_query_pq_index,
+    )
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    info = build_pq_index(emb, str(tmp_path / "ix"), nlist=4, m=8, ksub=16)
+    assert info == {"nlist": 4, "n_vectors": 500, "m": 8, "ksub": 16}
+    assert (tmp_path / "ix" / "cells" / "centroid_id=1").exists()
+    assert (tmp_path / "ix" / "pqbooks").exists()
+
+    # exhaustive probes + full candidate budget -> the brute answer
+    served = knn_query_pq_index(
+        spark, str(tmp_path / "ix"), q, k=5, nprobe=4, candidates=500
+    )
+    key = lambda d: sorted(map(tuple, d.collect()))
+    assert key(served) == key(knn_bruteforce(emb, q, k=5))
+
+    # the pruned serve: DPP into cells/, codes column in the ADC scan
+    pruned = knn_query_pq_index(
+        spark, str(tmp_path / "ix"), q, k=5, nprobe=1, candidates=20
+    )
+    assert pruned.count() == 15
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "pq_packed" in plan
+
+    with pytest.raises(ValueError):
+        build_pq_index(emb, str(tmp_path / "bad"), nlist=4, ksub=12)

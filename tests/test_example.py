@@ -56,7 +56,7 @@ def test_driver_window_covers_every_family():
         # born in round 8 — driver-checked from day one
         "x5_knn_index_append", "x6_quantized_knn",
         "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
-        "x7_pq_knn",
+        "x7_pq_knn", "x8_pq_index",
     } <= window
 
 
