@@ -401,7 +401,10 @@ def build_ivf_index(
         .partitionBy("centroid_id")
         .parquet(path + "/cells")
     )
-    return {"nlist": n_cells, "n_vectors": assigned.count()}
+    # nprobe=1 assignment is 1:1, so the vector count is the corpus
+    # count — a thin-column count, NOT a re-run of the Arrow
+    # assignment pass (which `assigned.count()` would trigger).
+    return {"nlist": n_cells, "n_vectors": corpus.count()}
 
 
 def append_to_ivf_index(
@@ -456,7 +459,8 @@ def append_to_ivf_index(
         .partitionBy("centroid_id")
         .parquet(path + "/cells")
     )
-    return {"appended": assigned.count(), "nlist": n_cells}
+    # 1:1 at nprobe=1 — count the batch, don't re-run the assignment.
+    return {"appended": new_vectors.count(), "nlist": n_cells}
 
 
 def quantize_embeddings(
@@ -837,39 +841,57 @@ def pq_encode(
     every downstream ADC scan reads 8 bytes/vector instead of the
     vectors themselves (x6's int8 is 4×; this is the next rung).
 
-    Pure-codegen projection: the codebook is literal (tokenizer-sized,
-    the t21 merge-table precedent), distances are explicit left-to-right
-    squared-difference chains over the let-bound unit vector (`bind` —
-    Catalyst does not CSE inside lambdas), and the argmin is a
-    ``least()`` chain over (dist, c) structs whose lexicographic order
-    IS "min dist, tie → lowest c".  Zero shuffle, zero Python, and
-    every float op replays identically in the DuckDB oracle.
+    Arrow batch encode (the :func:`ivf_assign` precedent): the codebook
+    matrix rides to the workers inside a ``pandas_udf`` (m × ksub ×
+    dsub doubles — tokenizer-sized) and each batch computes all
+    row × codeword squared distances with one vectorized
+    subtract-square-accumulate per dimension.  The per-dimension
+    accumulate IS the left fold of the expression formulation (squared
+    terms are never −0.0, so the 0.0 seed is bitwise-exact), the
+    normalization replays :func:`~qctimeseries_spark.datapipe.dedup.
+    unit_vector`'s Σx² order, and ``argmin``'s first-minimum rule IS
+    the "min dist, tie → lowest c" struct order — so codes are
+    bit-identical to the DuckDB oracle's SQL replay.  An unrolled
+    literal-chain Catalyst projection computes the same thing with
+    zero Python, but its m·ksub·dsub-term tree (~5k nodes) overflows
+    whole-stage codegen into interpreted eval and costs seconds of
+    plan compile PER ACTION (measured: the x7/x8 queries spent 13/33 s
+    at sf0.1 on 2000 rows, almost all of it re-analyzing the tree) —
+    the Arrow form keeps the plan kilobyte-sized.  Zero shuffle.
     """
-    from qctimeseries_spark.datapipe.dedup import unit_vector
-    from qctimeseries_spark.datapipe.hashing import bind
-
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
+    CB = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
 
-    def body(uu):
-        codes = []
-        for j in range(m):
-            best = None
-            for c in range(ksub):
-                dist = None
+    @F.pandas_udf("array<int>")
+    def _codes(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        mask = vs.notna().to_numpy()
+        out: list = [None] * len(vs)
+        if mask.any():
+            A = np.stack(
+                [np.asarray(x, dtype=np.float64) for x, ok in zip(vs, mask) if ok]
+            )
+            na = np.zeros(len(A))
+            for d in range(m * dsub):  # left-fold Σx², matching unit_vector
+                na += A[:, d] * A[:, d]
+            U = A / np.sqrt(na)[:, None]
+            codes = np.empty((len(A), m), dtype=np.int32)
+            for j in range(m):
+                dist = np.zeros((len(A), ksub))
                 for i in range(dsub):
-                    t = F.element_at(uu, j * dsub + i + 1) - F.lit(
-                        codebooks[j][c][i]
-                    )
-                    t = t * t
-                    dist = t if dist is None else dist + t
-                cand = F.struct(dist.alias("d"), F.lit(c).alias("c"))
-                best = cand if best is None else F.least(best, cand)
-            codes.append(best["c"])
-        return F.array(*codes)
+                    t = U[:, j * dsub + i, None] - CB[j, :, i][None, :]
+                    dist += t * t
+                codes[:, j] = np.argmin(dist, axis=1)
+            it = iter(codes)
+            for p, ok in enumerate(mask):
+                if ok:
+                    out[p] = next(it)
+        return pd.Series(out)
 
-    out = df.withColumn(code_col, bind(unit_vector(F.col(vec_col)), body))
+    out = df.withColumn(code_col, _codes(F.col(vec_col)))
     if packed_col is not None:
         packed = F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
@@ -880,6 +902,39 @@ def pq_encode(
         )
         out = out.withColumn(packed_col, packed)
     return out
+
+
+def _pq_lut(books) -> "F.pandas_udf":
+    """Arrow ADC lookup-table builder: for a unit-normalized query
+    ``u``, ``lut[j·ksub + c] = Σ_i u[j·dsub + i] · books[j][c][i]`` —
+    the per-subspace partial dots every (query, code) ADC score folds
+    over.  Vectorized per dimension with the same left-fold order as
+    the expression form (±0.0 seed wobble cannot reach the output: the
+    ADC score only orders candidates, and the rank windows tie-break
+    on ids).  Query-batch-sized work on the broadcast side — the big
+    (codes) side of the scoring join stays pure JVM codegen.
+    """
+    CB = np.array(books, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = CB.shape
+
+    @F.pandas_udf("array<double>")
+    def _lut(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        na = np.zeros(len(A))
+        for d in range(m * dsub):  # left-fold Σx², matching unit_vector
+            na += A[:, d] * A[:, d]
+        U = A / np.sqrt(na)[:, None]
+        L = np.zeros((len(A), m * ksub))
+        for j in range(m):
+            for i in range(dsub):
+                L[:, j * ksub : (j + 1) * ksub] += (
+                    U[:, j * dsub + i, None] * CB[j, :, i][None, :]
+                )
+        return pd.Series(list(L))
+
+    return _lut
 
 
 def knn_pq(
@@ -901,8 +956,8 @@ def knn_pq(
     The scan that touches the 100 TB side reads ONLY the PQ codes
     (m × log2(ksub) bits/vector — 64–128× less IO than raw vectors;
     x6's int8 store is 4×): each query precomputes a lookup table of
-    per-subspace partial dots (m·ksub doubles, built as one codegen
-    projection over the unit query vector), the asymmetric-distance
+    per-subspace partial dots (m·ksub doubles, one Arrow pass over the
+    query batch — :func:`_pq_lut`), the asymmetric-distance
     score is an m-term fold of LUT lookups per (query, code) pair, and
     a per-query window keeps the top ``candidates`` (default
     ``max(5k, 50)``).  Only those Q×C survivors join back (broadcast —
@@ -918,37 +973,20 @@ def knn_pq(
     oracle replays codebook training, encoding, scoring, candidate
     cut, and re-rank bit-for-bit in SQL.
     """
-    from qctimeseries_spark.datapipe.dedup import unit_vector
-    from qctimeseries_spark.datapipe.hashing import bind
-
     books = codebooks or train_pq_codebooks(
         corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
     )
     m = len(books)
     ksub = len(books[0])
-    dsub = len(books[0][0])
     C = candidates if candidates is not None else max(5 * k, 50)
 
     codes = pq_encode(
         corpus, books, vec_col=vec_col, code_col="_pq", packed_col=None
     ).select(F.col(id_col).alias("neighbor_id"), "_pq")
 
-    def lut_body(uu):
-        entries = []
-        for j in range(m):
-            for c in range(ksub):
-                dot = None
-                for i in range(dsub):
-                    t = F.element_at(uu, j * dsub + i + 1) * F.lit(
-                        books[j][c][i]
-                    )
-                    dot = t if dot is None else dot + t
-                entries.append(dot)
-        return F.array(*entries)
-
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        bind(unit_vector(F.col(vec_col)), lut_body).alias("_lut"),
+        _pq_lut(books)(F.col(vec_col)).alias("_lut"),
     )
     ascore = F.round(
         F.aggregate(
@@ -1038,29 +1076,38 @@ def build_pq_index(
         [(j, c, books[j][c]) for j in range(m) for c in range(ksub)],
         "j int, c int, cw array<double>",
     ).write.mode("overwrite").parquet(path + "/pqbooks")
-    assigned = pq_encode(
-        ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1),
-        books,
-        vec_col=vec_col,
-        code_col="_pq",
-        packed_col="pq_packed",
-    ).drop("_pq")
     n_cells = cents.count()
+    assigned = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    )
+    # The salted cell shuffle sits BETWEEN the two Arrow passes
+    # (assignment, PQ encode) on purpose: two pandas UDFs chained in
+    # one stage measured ~12× slower than the same work in separate
+    # stages (the d8/st14 sf1 find) — here the shuffle the write needs
+    # anyway is the stage cut, so the second pass costs nothing extra.
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(cell_files)))
-    (
+    shuffled = (
         assigned.withColumn("_cell_salt", salt)
         .repartition(
             n_cells * int(cell_files),
             F.col("centroid_id"), F.col("_cell_salt"),
         )
         .drop("_cell_salt")
+    )
+    (
+        pq_encode(
+            shuffled, books, vec_col=vec_col, code_col="_pq",
+            packed_col="pq_packed",
+        )
+        .drop("_pq")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path + "/cells")
     )
+    # 1:1 at nprobe=1 — a thin corpus count, not a pipeline re-run.
     return {
         "nlist": n_cells,
-        "n_vectors": assigned.count(),
+        "n_vectors": corpus.count(),
         "m": m,
         "ksub": ksub,
     }
@@ -1094,9 +1141,6 @@ def knn_query_pq_index(
     serve end-to-end (the packed column never reaches the oracle —
     pack/unpack round-trip equivalence is what the hash transits).
     """
-    from qctimeseries_spark.datapipe.dedup import unit_vector
-    from qctimeseries_spark.datapipe.hashing import bind
-
     cents = spark.read.parquet(path + "/centroids")
     brows = spark.read.parquet(path + "/pqbooks").collect()
     m = 1 + max(r["j"] for r in brows)
@@ -1105,7 +1149,6 @@ def knn_query_pq_index(
     books = [[None] * ksub for _ in range(m)]
     for r in brows:
         books[r["j"]][r["c"]] = list(r["cw"])
-    dsub = len(books[0][0])
     C = candidates if candidates is not None else max(5 * k, 50)
 
     q_cells = ivf_assign(
@@ -1116,22 +1159,9 @@ def knn_query_pq_index(
         nprobe=nprobe,
     ).select("query_id", "centroid_id")
 
-    def lut_body(uu):
-        entries = []
-        for j in range(m):
-            for c in range(ksub):
-                dot = None
-                for i in range(dsub):
-                    t = F.element_at(uu, j * dsub + i + 1) * F.lit(
-                        books[j][c][i]
-                    )
-                    dot = t if dot is None else dot + t
-                entries.append(dot)
-        return F.array(*entries)
-
     q_lut = queries.select(
         F.col(query_id_col).alias("query_id"),
-        bind(unit_vector(F.col(vec_col)), lut_body).alias("_lut"),
+        _pq_lut(books)(F.col(vec_col)).alias("_lut"),
     )
     codes = spark.read.parquet(path + "/cells").select(
         F.col(id_col).alias("neighbor_id"),
