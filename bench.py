@@ -96,6 +96,12 @@ EXTENDED = [
     "j4_skew_join",
     "a16_seasonal",
     "t26_shuffle_shard",
+    # round-8 final additions: BM25 retrieval, cross-corpus LSH join,
+    # leakage-safe split, filtered ANN
+    "t27_bm25",
+    "d10_cross_neardup",
+    "t28_safe_split",
+    "x9_filtered_knn",
 ]
 
 HEADLINE = CORE + EXTENDED

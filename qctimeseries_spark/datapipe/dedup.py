@@ -1074,6 +1074,88 @@ def minhash_dedup_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_join(
+    corpus: DataFrame,
+    other: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    other_id_col: str = "doc_id",
+    text_col: str = "text",
+    other_text_col: str = "text",
+    k: int = 16,
+    bands: int = 8,
+    ngram: int = 3,
+    threshold: float = 0.7,
+    cache: bool = True,
+    fast: bool = False,
+    broadcast_other: bool = True,
+) -> DataFrame:
+    """CROSS-corpus MinHash-LSH near-dup join: which corpus documents
+    are near-duplicates of a text in ``other``?
+
+    This is FUZZY benchmark decontamination — the near-dup tier above
+    :func:`~qctimeseries_spark.datapipe.text.contamination_check`'s
+    exact-n-gram screen (a paraphrased eval question shares few exact
+    8-grams but high shingle Jaccard) — and equally the "dedup the new
+    crawl against the reference corpus" join.
+
+    Plan shape at 100 TB: the corpus side pays exactly its
+    :func:`minhash_dedup_pairs` cost (one narrow shingle+signature
+    projection, persisted once because candidates and the verifier
+    both read it; banded explode to thin (id, band, h) rows) but the
+    candidate join is NOT a self-join — the ``other`` side's band
+    table is query-sized and broadcast (``broadcast_other=True``, the
+    caller's assertion that ``other`` is an eval set, not a second
+    100 TB corpus; pass False to let AQE pick a shuffle join for
+    corpus-scale ``other``), so the corpus bands never shuffle at all.
+    The Jaccard verify then runs only on candidates, with the
+    ``other`` shingle table broadcast the same way.  No quadratic
+    stage anywhere; output is ``(corpus_id, other_id, jaccard)``.
+
+    ``fast=True`` swaps the oracle-portable MD5 for JVM xxhash64
+    exactly as in :func:`minhash_dedup_pairs` (same guarantees).
+    Callers exclude ``other``'s own rows from ``corpus`` when
+    corpus ⊇ other.
+    """
+    rows = k // bands
+    hs_c = fan_out(corpus).select(
+        F.col(id_col).alias("corpus_id"),
+        hashed_shingles(F.col(text_col), ngram, fast=fast).alias("hs_c"),
+    )
+    if cache:
+        hs_c = hs_c.persist()
+    hs_o = other.select(
+        F.col(other_id_col).alias("other_id"),
+        hashed_shingles(F.col(other_text_col), ngram, fast=fast).alias("hs_o"),
+    )
+
+    def banded(hs, idname, hsname):
+        sig = hs.select(idname, minhash_from_hashes(F.col(hsname), k).alias("sig"))
+        return sig.select(
+            F.col(idname),
+            F.explode(band_hashes(F.col("sig"), bands, rows, fast=fast)).alias("bh"),
+        ).select(idname, "bh.band", "bh.h")
+
+    eb_c = banded(hs_c, "corpus_id", "hs_c")
+    eb_o = banded(hs_o, "other_id", "hs_o")
+    if broadcast_other:
+        eb_o = F.broadcast(eb_o)
+    cands = (
+        eb_c.join(eb_o, ["band", "h"])
+        .select("corpus_id", "other_id")
+        .distinct()
+    )
+    verify_o = hs_o if not broadcast_other else F.broadcast(hs_o)
+    j = cands.join(hs_c, "corpus_id").join(verify_o, "other_id")
+    inter = F.size(F.array_intersect(F.col("hs_c"), F.col("hs_o")))
+    union = F.size(F.array_union(F.col("hs_c"), F.col("hs_o")))
+    return j.select(
+        "corpus_id",
+        "other_id",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def simhash_table(
     df: DataFrame,
     id_col: str = "doc_id",

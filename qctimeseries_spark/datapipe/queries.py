@@ -1189,6 +1189,38 @@ def q_t23_span_dedup(spark, sf_dir):
     return strip_repeated_spans(d, width=6, min_count=2)
 
 
+def q_x9_filtered_knn(spark, sf_dir):
+    """FILTERED vector search against the persisted IVF store: top-10
+    among vectors satisfying a metadata predicate (label < 3).  The
+    build carries every corpus column into cells/, so the predicate
+    applies PRE-scoring (full-recall top-k over the filtered set — a
+    post-filter would return short lists) and reaches the parquet scan
+    as a pushed filter multiplying with the DPP cell pruning.  Oracle
+    = x2's probed-cell replay with the same label cut."""
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivf_index,
+        knn_query_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_fivf_")
+    try:
+        build_ivf_index(emb, tmp + "/index", nlist=16)
+        out = knn_query_index(
+            spark, tmp + "/index", queries, k=10, nprobe=4,
+            where="label < 3",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_t26_shuffle_shard(spark, sf_dir):
     """Deterministic global corpus shuffle + shard assignment (the
     step before a training run reads the data): permutation key =
@@ -1203,6 +1235,71 @@ def q_t26_shuffle_shard(spark, sf_dir):
 
     d = _docs(spark, sf_dir).select("doc_id", "source")
     return shuffle_shard(d, "doc_id", n_shards=8, seed="r8")
+
+
+def q_t28_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split key is the
+    dup-CLUSTER representative (connected components over the d2
+    near-dup pairs), so near-identical documents can never straddle
+    the train/test boundary.  Components run over the tiny pair list;
+    one thin left join attaches them; the split itself is the same
+    zero-shuffle CASE expression as t11.  The oracle replays clusters
+    via the recursive reachability CTE and the identical hash ranges."""
+    from qctimeseries_spark.datapipe.sample import leakage_safe_split
+
+    corpus = _near_corpus(spark, sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, k=15, bands=5, ngram=3, threshold=0.6
+    )
+    return leakage_safe_split(
+        corpus.select("doc_id"),
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+def q_d10_cross_neardup(spark, sf_dir):
+    """Cross-corpus MinHash-LSH join — FUZZY decontamination: corpus
+    docs that are near-duplicates (shingle Jaccard ≥ 0.6) of a
+    benchmark text.  The corpus pays one signature projection and
+    never shuffles its bands (the benchmark band table broadcasts);
+    Jaccard verifies only candidates.  Corpus = the leak corpus minus
+    the benchmark's own rows, so every hit is a genuine leak
+    (the planted 'leaked copy' prefix docs)."""
+    from qctimeseries_spark.datapipe.dedup import minhash_join
+
+    corpus = _leak_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") % 50 != 0) | (F.col("doc_id") >= 3000000)
+    )
+    bench = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    return minhash_join(
+        corpus, bench, k=15, bands=5, ngram=3, threshold=0.6
+    )
+
+
+def q_t27_bm25(spark, sf_dir):
+    """BM25 top-5 retrieval of corpus docs per benchmark query — the
+    sparse decontamination/curation tier.  Corpus collapses once to
+    thin (doc, term, tf) postings; the query vocabulary broadcasts to
+    prune postings map-side before document frequencies; per-term
+    contributions quantize to integer micro-units before the (query,
+    doc) sum (the t18 precedent), so aggregation order cannot move the
+    hash.  Benchmark slice = doc_id % 50 == 0, excluded from the
+    corpus side so ranks carry no self-hits."""
+    from qctimeseries_spark.datapipe.text import bm25_retrieval
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_retrieval(
+        corpus, bench, query_text_col="text", k=5
+    )
 
 
 DATAPIPE_QUERIES = {
@@ -1247,6 +1344,10 @@ DATAPIPE_QUERIES = {
     "t23_span_dedup": q_t23_span_dedup,
     "t24_source_cap": q_t24_source_cap,
     "t26_shuffle_shard": q_t26_shuffle_shard,
+    "t27_bm25": q_t27_bm25,
+    "d10_cross_neardup": q_d10_cross_neardup,
+    "t28_safe_split": q_t28_safe_split,
+    "x9_filtered_knn": q_x9_filtered_knn,
     "t25_quality_classifier": q_t25_quality_classifier,
     "x3_knn_persisted": q_x3_knn_persisted,
     "x4_radius_search": q_x4_radius_search,
@@ -2629,6 +2730,149 @@ s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ROUND({_cos_fold_sql('q.qvec', 'c.qvec')}, 9) AS cos
   FROM qq c JOIN qq q ON q.vec_id < 5 AND c.vec_id != q.vec_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 10"""
+
+from qctimeseries_spark.datapipe.text import BM25_B as _BM25_B
+from qctimeseries_spark.datapipe.text import BM25_K1 as _BM25_K1
+
+# repr() round-trips exactly, so DuckDB parses the SAME doubles the
+# Spark literals carry (1.2 + 1.0 is not the literal 2.2 a priori).
+DATAPIPE_ORACLE["t27_bm25"] = f"""
+WITH post AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS term
+        FROM documents WHERE doc_id % 50 != 0)
+  GROUP BY doc_id, term
+),
+dl AS (SELECT post.*, SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM post),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        WHERE doc_id % 50 != 0),
+ad AS (SELECT CAST(SUM(tf) AS DOUBLE) /
+              (SELECT CAST(n AS DOUBLE) FROM tot) AS avgdl FROM post),
+qt AS (
+  SELECT doc_id AS query_id,
+         unnest(list_distinct({_TOKS.format(c='text')})) AS term
+  FROM documents WHERE doc_id % 50 = 0
+),
+qv AS (SELECT DISTINCT term FROM qt),
+pr AS (SELECT dl.* FROM dl JOIN qv USING (term)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pr GROUP BY term),
+sc AS (
+  SELECT qt.query_id, pr.doc_id,
+         CAST(FLOOR(
+           ln(1.0 + (CAST(tot.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+              / (CAST(tf AS DOUBLE) + {_BM25_K1!r}
+                 * (1.0 - {_BM25_B!r} + {_BM25_B!r}
+                    * (CAST(dl AS DOUBLE) / ad.avgdl))))
+           * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM pr JOIN dfreq USING (term) JOIN qt USING (term), tot, ad
+),
+agg AS (
+  SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS sm,
+         CAST(COUNT(*) AS INT) AS n_shared_terms
+  FROM sc GROUP BY query_id, doc_id
+),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY sm DESC, doc_id) AS INT) AS rank FROM agg)
+SELECT query_id, doc_id, n_shared_terms,
+       ROUND(sm / 1000000.0, 6) AS bm25, rank
+FROM r WHERE rank <= 5"""
+
+# Cross-corpus LSH replay: union the two sides with a disjoint id
+# offset, run the standard self-join pipeline, keep only cross pairs
+# (corpus ids all < the offset, so cand's a<b puts corpus in id_a).
+DATAPIPE_ORACLE["d10_cross_neardup"] = f"""
+WITH lk AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, concat('leaked copy ', text) AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM lk
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text
+  FROM documents WHERE doc_id % 50 = 0
+),
+{_shingle_sql('corpus', 3)},
+{_minhash_sql(15)},
+{_band_sql(5, 3)},
+{_JACCARD_SQL}
+SELECT id_a AS corpus_id, id_b - 10000000 AS other_id, jaccard
+FROM j
+WHERE jaccard >= 0.6 AND id_a < 10000000 AND id_b >= 10000000"""
+
+DATAPIPE_ORACLE["t28_safe_split"] = f"""
+WITH RECURSIVE {_NEAR_CORPUS_SQL.lstrip()},
+{_shingle_sql('corpus', 3)},
+{_minhash_sql(15)},
+{_band_sql(5, 3)},
+{_JACCARD_SQL},
+p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.6),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+nd AS (SELECT DISTINCT src AS id FROM e),
+reach(a, b) AS (
+  SELECT id, id FROM nd
+  UNION
+  SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src
+),
+cl AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+g AS (
+  SELECT corpus.doc_id, COALESCE(cl.cluster_id, corpus.doc_id) AS gk
+  FROM corpus LEFT JOIN cl ON corpus.doc_id = cl.id
+)
+SELECT doc_id,
+       CASE WHEN {hash60_sql("concat('qcts-split:', CAST(gk AS VARCHAR))")}
+                 % 1000000 < 800000 THEN 'train'
+            WHEN {hash60_sql("concat('qcts-split:', CAST(gk AS VARCHAR))")}
+                 % 1000000 < 900000 THEN 'val'
+            WHEN {hash60_sql("concat('qcts-split:', CAST(gk AS VARCHAR))")}
+                 % 1000000 < 1000000 THEN 'test'
+       END AS split
+FROM g"""
+
+DATAPIPE_ORACLE["x9_filtered_knn"] = f"""
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+         embedding AS centv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+ccell AS (
+  SELECT e.vec_id, e.embedding, e.label, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+),
+qcell AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+  WHERE e.vec_id < 5
+),
+s AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+         ROUND({_cos_fold_sql('q.qv', 'c.embedding')}, 9) AS cos
+  FROM (SELECT * FROM ccell WHERE rk = 1 AND label < 3) c
+  JOIN (SELECT * FROM qcell WHERE rk <= 4) q USING (cid)
+  WHERE c.vec_id != q.query_id
 ),
 r AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

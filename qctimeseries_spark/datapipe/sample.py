@@ -462,3 +462,47 @@ def shuffle_shard(
         out.withColumn(pos_col, (F.row_number().over(w) - 1).cast("bigint"))
         .drop("_h")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float],
+    *,
+    key_col: str = "doc_id",
+    seed: str = "qcts-split",
+    out_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """:func:`split_corpus`, made leakage-safe: every near-duplicate
+    CLUSTER lands wholly in one split.
+
+    Plain per-document hash splitting puts two near-identical
+    documents in train and test with probability 2·p(train)·p(test) —
+    at 100 TB dup rates that is millions of eval rows the model has
+    effectively seen, the classic inflated-eval bug.  Here the split
+    key is the document's dup-cluster representative
+    (:func:`~qctimeseries_spark.datapipe.dedup.dup_clusters` over the
+    caller's near-dup ``pairs``; documents without a duplicate key on
+    themselves), so membership stays a pure function of (seed, data)
+    — deterministic across runs and engines — while the train/test
+    boundary can never cut through a duplicate cluster.
+
+    Cost beyond :func:`split_corpus`: the components run over the
+    PAIR LIST (orders of magnitude smaller than the corpus) and one
+    left join attaches cluster ids back — thin (id, cluster) rows,
+    AQE broadcasts them when small.  Fractions behave exactly as in
+    :func:`split_corpus` (consumed in dict order, same bucket axis).
+    """
+    from qctimeseries_spark.datapipe.dedup import dup_clusters
+
+    cl = dup_clusters(pairs, id_a, id_b).select(
+        F.col("id").alias(key_col), "cluster_id"
+    )
+    joined = df.join(cl, key_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("cluster_id"), F.col(key_col))
+    )
+    return split_corpus(
+        joined, "_split_key", splits, seed=seed, out_col=out_col
+    ).drop("_split_key", "cluster_id")

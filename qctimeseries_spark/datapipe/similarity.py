@@ -154,10 +154,14 @@ def ivf_assign(
         order = np.argsort(key, axis=1, kind="stable")[:, :k]
         return pd.Series(list(cids[order].astype(np.int32)))
 
+    # every input column rides along: a persisted index built from a
+    # frame with metadata columns carries them into cells/, which is
+    # what attribute-FILTERED serving needs (vectors and their filter
+    # attributes co-located in the store).
     return df.select(
-        F.col(id_col), F.col(vec_col), _probes(F.col(vec_col)).alias("_p")
+        "*", _probes(F.col(vec_col)).alias("_p")
     ).select(
-        id_col, vec_col, F.explode(F.col("_p")).alias("centroid_id")
+        *df.columns, F.explode(F.col("_p")).alias("centroid_id")
     )
 
 
@@ -552,6 +556,7 @@ def knn_query_index(
     query_id_col: str = "query_id",
     k: int = 10,
     nprobe: int = 4,
+    where=None,
 ) -> DataFrame:
     """Approximate top-k against a PERSISTED :func:`build_ivf_index`
     store: the query batch expands to its ``nprobe`` cells and the
@@ -560,9 +565,22 @@ def knn_query_index(
     partition pruning) — per-batch cost scales with ``nprobe/nlist``
     of the store, and the corpus-side assignment is never recomputed.
     Results are identical to :func:`knn_ivf` run fresh with the same
-    ``nlist``/``nprobe`` (pinned by the x3 oracle)."""
+    ``nlist``/``nprobe`` (pinned by the x3 oracle).
+
+    ``where`` (a Column or SQL string over the store's metadata
+    columns — :func:`ivf_assign` carries every build-frame column into
+    ``cells/``) makes this FILTERED vector search: the predicate
+    applies BEFORE scoring and ranking, so top-k is over the vectors
+    that satisfy it (PRE-filtering — post-filtering k results and
+    discarding misses returns fewer than k and loses recall), and it
+    lands in the parquet scan as a pushed filter on the same pruned
+    directory set (predicate pushdown × partition pruning — the two
+    scan reducers multiply)."""
     cents = spark.read.parquet(path + "/centroids")
-    c_cells = spark.read.parquet(path + "/cells").select(
+    cells = spark.read.parquet(path + "/cells")
+    if where is not None:
+        cells = cells.filter(where)
+    c_cells = cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col("centroid_id").cast("int").alias("centroid_id"),

@@ -1240,3 +1240,114 @@ def contamination_check(
         .groupBy(id_col)
         .agg(F.count_distinct(F.col("h")).alias("n_shared_ngrams"))
     )
+
+
+#: BM25 defaults (Robertson/Sparck-Jones k1, b).  Exposed as module
+#: constants so the oracle SQL interpolates the SAME Python doubles the
+#: Spark literals carry (1.2 is not exactly representable; both engines
+#: must parse/compute the identical bits).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_retrieval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-``k`` BM25 retrieval of corpus documents per query text —
+    the sparse tier of benchmark decontamination (find the training
+    docs a benchmark question could leak from) and of retrieval-based
+    data curation.
+
+    Plan shape at 100 TB: the corpus side collapses once to the thin
+    ``(doc, term, tf)`` postings frame (one shuffle; the widest thing
+    ever shuffled is a token), per-doc lengths ride a window over the
+    same partitioning, and corpus totals (N, avgdl) are a two-number
+    driver collect.  The QUERY vocabulary — tiny by definition — is
+    broadcast to prune the postings map-side before document
+    frequencies are counted, so the stats-and-score stage is
+    proportional to |query vocab| × docs-containing-those-terms, never
+    to the corpus vocabulary.  Scoring joins are all broadcast
+    (query-sized); one final ``(query, doc)`` aggregation and a top-k
+    window end the plan.
+
+    Cross-engine exactness (the t18 precedent): each (query, doc,
+    term) BM25 contribution ``idf · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))``
+    is quantized to integer micro-units BEFORE the per-document sum,
+    so aggregation order cannot move the hash; ``idf = ln(1 + (N−df+½)/
+    (df+½))`` is one libm-exact ``ln`` (the t17 precedent) and
+    ``avgdl`` one exact integer-ratio division.  Ranking: score desc,
+    ``doc_id`` asc.  Returns ``(query_id, doc_id, n_shared_terms,
+    bm25, rank)``; callers exclude the queries' own rows (anti-join)
+    when corpus ⊇ queries.
+    """
+    from pyspark.sql import Window
+
+    postings = (
+        fan_out(corpus)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = postings.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    )
+    n_docs = corpus.count()
+    total_tokens = postings.agg(F.sum("tf")).collect()[0][0] or 0
+    avgdl = float(total_tokens) / float(n_docs)
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    qvocab = qterms.select("term").distinct()
+    pruned = dl.join(F.broadcast(qvocab), "term")
+    dfreq = pruned.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    w_term = idf * (
+        (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dld / F.lit(avgdl))))
+    )
+    micro = F.floor(w_term * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    scored = (
+        pruned.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn("m", micro)
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("m").alias("score_micro"),
+            F.count(F.lit(1)).cast("int").alias("n_shared_terms"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "n_shared_terms",
+            F.round(F.col("score_micro") / F.lit(1000000.0), 6).alias("bm25"),
+            "rank",
+        )
+    )

@@ -1608,10 +1608,13 @@ _WINDOW_R8 = (
     "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
     "st11_stream_psi", "st12_stream_ingest_dedup",
     "s10_jsonl_roundtrip",
-    # QC core tail (r5/earlier driver greens on unchanged code)
-    "f1_add_flags", "f2_rowid",
-    "u1_seeded_flags", "u6_flag_approve_advance",
-    "p1_remove_flags", "p3_filter_conjunction", "p4_apply_flags",
+    # QC core tail (r5/earlier driver greens on unchanged code).
+    # Late-round release: f2/u6/p3/p4 step out (r5 driver greens on
+    # unchanged code; f by f1, u by u1, p by p1) for the four
+    # operators born after the first rotation — t27/t28/d10/x9.
+    "f1_add_flags",
+    "u1_seeded_flags",
+    "p1_remove_flags",
     "a1_progress",
     "w1_assign_windows", "w3_admitted_windows",
     "v1_main_trace", "v4_secondary_trace", "v5_check_panel",
@@ -1625,6 +1628,8 @@ _WINDOW_R8 = (
     "x5_knn_index_append", "x6_quantized_knn",
     "a16_seasonal", "j4_skew_join", "t26_shuffle_shard", "x7_pq_knn",
     "x8_pq_index",
+    "t27_bm25", "t28_safe_split", "d10_cross_neardup",
+    "x9_filtered_knn",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

@@ -2015,3 +2015,122 @@ def test_pq_index_serve_dpp_and_brute_convergence(spark, tmp_path):
 
     with pytest.raises(ValueError):
         build_pq_index(emb, str(tmp_path / "bad"), nlist=4, ksub=12)
+
+
+def test_bm25_retrieval_ranks_matching_doc_first(spark):
+    """A document repeating the query's rare terms outranks docs with
+    one incidental hit; scores are positive and ranks dense from 1."""
+    from qctimeseries_spark.datapipe.text import bm25_retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor quantum flux"),
+            (2, "the cat sat on the mat"),
+            (3, "flux appears once here amid many other plain words"),
+            (4, "entirely unrelated text about gardening and soil"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(100, "quantum flux")], "query_id long, text string"
+    )
+    rows = bm25_retrieval(docs, qs, k=3).collect()
+    assert [r["doc_id"] for r in rows] == [1, 3]
+    assert rows[0]["rank"] == 1 and rows[1]["rank"] == 2
+    assert rows[0]["bm25"] > rows[1]["bm25"] > 0
+    assert rows[0]["n_shared_terms"] == 2 and rows[1]["n_shared_terms"] == 1
+
+
+def test_minhash_join_finds_planted_cross_dup_only(spark):
+    """The cross-corpus LSH join reports the planted corpus↔bench
+    near-dup, never corpus-internal pairs, and a corpus of exact
+    copies of a bench doc collides in every band (guaranteed hit)."""
+    from qctimeseries_spark.datapipe.dedup import minhash_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                         # exact copy of bench 900
+            (2, base + " lambda"),             # near-dup of bench 900
+            (3, "totally different words nothing shared with anything"),
+            (4, "totally different words nothing shared with anybody"),  # near-dup of 3, corpus-internal
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, base)], "doc_id long, text string"
+    )
+    rows = minhash_join(
+        corpus, bench, k=15, bands=5, ngram=3, threshold=0.5
+    ).collect()
+    got = {(r["corpus_id"], r["other_id"]) for r in rows}
+    assert (1, 900) in got                       # exact copy always collides
+    assert all(o == 900 for _, o in got)         # never corpus-internal
+    assert (3, 900) not in got and (4, 900) not in got
+    exact = {r["corpus_id"]: r["jaccard"] for r in rows}
+    assert exact[1] == 1.0
+
+
+def test_leakage_safe_split_never_cuts_a_cluster(spark):
+    """Both ends of every near-dup pair land in the SAME split, and
+    docs without a duplicate split exactly as split_corpus on their
+    own id."""
+    from qctimeseries_spark.datapipe.sample import (
+        leakage_safe_split,
+        split_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chain 10-19 into one component; 50<->51 a second one
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 19)] + [(50, 51)],
+        "id_a long, id_b long",
+    )
+    out = leakage_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    split = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(split) == 200
+    assert len({split[i] for i in range(10, 20)}) == 1   # whole chain together
+    assert split[50] == split[51]
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(
+            docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed="qcts-split",
+        ).collect()
+    }
+    clustered = set(range(10, 20)) | {50, 51}
+    for i in set(range(200)) - clustered:
+        assert split[i] == plain[i]
+
+
+def test_filtered_knn_prefilters_and_pushes_predicate(spark, tmp_path):
+    """where= returns top-k over the filtered set (k survivors even
+    when post-filtering would return fewer), only matching rows, and
+    the predicate reaches the cells/ parquet scan as a pushed filter."""
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivf_index,
+        knn_bruteforce,
+        knn_query_index,
+    )
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    build_ivf_index(emb, str(tmp_path / "ix"), nlist=4)
+    served = knn_query_index(
+        spark, str(tmp_path / "ix"), q, k=5, nprobe=4, where="label < 3"
+    )
+    rows = served.collect()
+    assert len(rows) == 15 and all(r["rank"] <= 5 for r in rows)
+    # exhaustive probes == brute force over the pre-filtered corpus
+    key = lambda rs: sorted((r["query_id"], r["neighbor_id"], r["cos"], r["rank"]) for r in rs)
+    brute = knn_bruteforce(emb.filter("label < 3"), q, k=5).collect()
+    assert key(rows) == key(brute)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "label" in plan, plan[:2000]
