@@ -1269,15 +1269,20 @@ def bm25_retrieval(
 
     Plan shape at 100 TB: the corpus side collapses once to the thin
     ``(doc, term, tf)`` postings frame (one shuffle; the widest thing
-    ever shuffled is a token), per-doc lengths ride a window over the
-    same partitioning, and corpus totals (N, avgdl) are a two-number
-    driver collect.  The QUERY vocabulary — tiny by definition — is
-    broadcast to prune the postings map-side before document
-    frequencies are counted, so the stats-and-score stage is
+    ever shuffled is a token), persisted because document lengths and
+    the pruned scoring branch both read it.  Per-doc lengths are a
+    ``groupBy`` into a two-column frame joined onto the PRUNED
+    postings (an audit of the first cut found the window formulation
+    re-shuffled the full postings for ``dl``; the aggregate ships two
+    longs per doc instead), and corpus totals (N, avgdl) are a
+    two-number driver collect.  The QUERY vocabulary — tiny by
+    definition — is broadcast to prune the postings map-side before
+    document frequencies are counted, so the stats-and-score stage is
     proportional to |query vocab| × docs-containing-those-terms, never
     to the corpus vocabulary.  Scoring joins are all broadcast
-    (query-sized); one final ``(query, doc)`` aggregation and a top-k
-    window end the plan.
+    (query-sized) except the thin ``dl`` attach (AQE-decided); one
+    final ``(query, doc)`` aggregation and a top-k window end the
+    plan.
 
     Cross-engine exactness (the t18 precedent): each (query, doc,
     term) BM25 contribution ``idf · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl))``
@@ -1296,12 +1301,10 @@ def bm25_retrieval(
         .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dl = postings.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy(id_col))
-    )
+    ).persist()
+    dls = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     n_docs = corpus.count()
-    total_tokens = postings.agg(F.sum("tf")).collect()[0][0] or 0
+    total_tokens = dls.agg(F.sum("dl")).collect()[0][0] or 0
     avgdl = float(total_tokens) / float(n_docs)
 
     qterms = queries.select(
@@ -1311,7 +1314,7 @@ def bm25_retrieval(
         ).alias("term"),
     )
     qvocab = qterms.select("term").distinct()
-    pruned = dl.join(F.broadcast(qvocab), "term")
+    pruned = postings.join(F.broadcast(qvocab), "term").join(dls, id_col)
     dfreq = pruned.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
