@@ -102,6 +102,8 @@ EXTENDED = [
     "d10_cross_neardup",
     "t28_safe_split",
     "x9_filtered_knn",
+    "d11_canonical_keep",
+    "x10_cell_sample",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -1487,6 +1487,65 @@ def dup_clusters(
 # ---------------------------------------------------------------------------
 
 
+def canonical_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware retention: keep the BEST-scoring member of each
+    near-dup cluster, not the lowest id.
+
+    The min-id keeper (:func:`dup_clusters` + anti-join, the c2/d9
+    shape) is the right default for reproducibility, but real curation
+    keeps the best copy — the longest text, the highest quality score,
+    the version with intact boilerplate stripped — because re-crawls
+    and mirrors routinely truncate.  ``score_col`` names the metric
+    (higher wins; ties break on ascending id, so the result is still a
+    pure function of the data).
+
+    Returns every input row plus ``cluster_id`` (the component's min
+    id — singleton docs are their own cluster), ``keeper_id`` (the
+    argmax-score member), and ``kept``.
+
+    Scale: components and the keeper election run over the PAIR-LIST
+    members only (orders of magnitude smaller than the corpus — the
+    keeper window partitions by cluster over that small frame, never
+    the corpus); the corpus pays two thin left joins (cluster map,
+    keeper map), both AQE-broadcastable.
+    """
+    cl = dup_clusters(pairs, id_a, id_b)
+    member_scores = cl.join(
+        docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_s").desc(), F.col("id")
+    )
+    keepers = (
+        member_scores.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("cluster_id", F.col("id").alias("keeper_id"))
+    )
+    return (
+        docs.join(
+            cl.withColumnRenamed("id", id_col), id_col, "left"
+        )
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+        .join(keepers, "cluster_id", "left")
+        .withColumn(
+            "keeper_id", F.coalesce(F.col("keeper_id"), F.col(id_col))
+        )
+        .withColumn("kept", F.col(id_col) == F.col("keeper_id"))
+        .select(*docs.columns, "cluster_id", "keeper_id", "kept")
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity between two array<numeric> columns.
 

@@ -1189,6 +1189,39 @@ def q_t23_span_dedup(spark, sf_dir):
     return strip_repeated_spans(d, width=6, min_count=2)
 
 
+def q_d11_canonical_keep(spark, sf_dir):
+    """Quality-aware dedup retention: each near-dup cluster keeps its
+    LONGEST member (token count, ties to the lower id) instead of the
+    min id — re-crawls truncate, so min-id retention routinely keeps
+    the damaged copy.  Components + keeper election run over the tiny
+    pair-list membership; the corpus pays two thin left joins.  On the
+    planted corpus the mangled re-crawls are 3 tokens longer, so the
+    keeper genuinely diverges from c1's min-id choice."""
+    from qctimeseries_spark.datapipe.dedup import canonical_keep
+    from qctimeseries_spark.datapipe.text import token_count
+
+    docs = _near_corpus(spark, sf_dir).withColumn(
+        "n_tokens", token_count(F.col("text"))
+    ).select("doc_id", "n_tokens")
+    pairs = minhash_dedup_pairs(
+        _near_corpus(spark, sf_dir), k=15, bands=5, ngram=3, threshold=0.6
+    )
+    return canonical_keep(docs, pairs, score_col="n_tokens")
+
+
+def q_x10_cell_sample(spark, sf_dir):
+    """Cluster-balanced embedding downsample: ≤ 20 vectors per IVF
+    cell (nlist=16), survivors a deterministic hash sample per cell —
+    coverage-preserving where uniform sampling preserves (wrong) the
+    density of the boilerplate head.  Assignment is the zero-shuffle
+    Arrow pass; the cap is the two-phase histogram (no per-cell
+    funnel).  Oracle replays assignment + cap arithmetic."""
+    from qctimeseries_spark.datapipe.similarity import cell_balanced_sample
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cell_balanced_sample(emb, nlist=16, cap=20)
+
+
 def q_x9_filtered_knn(spark, sf_dir):
     """FILTERED vector search against the persisted IVF store: top-10
     among vectors satisfying a metadata predicate (label < 3).  The
@@ -1348,6 +1381,8 @@ DATAPIPE_QUERIES = {
     "d10_cross_neardup": q_d10_cross_neardup,
     "t28_safe_split": q_t28_safe_split,
     "x9_filtered_knn": q_x9_filtered_knn,
+    "d11_canonical_keep": q_d11_canonical_keep,
+    "x10_cell_sample": q_x10_cell_sample,
     "t25_quality_classifier": q_t25_quality_classifier,
     "x3_knn_persisted": q_x3_knn_persisted,
     "x4_radius_search": q_x4_radius_search,
@@ -2881,3 +2916,76 @@ r AS (
 )
 SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank
 FROM r WHERE rk <= 10"""
+
+DATAPIPE_ORACLE["d11_canonical_keep"] = f"""
+WITH RECURSIVE {_NEAR_CORPUS_SQL.lstrip()},
+{_shingle_sql('corpus', 3)},
+{_minhash_sql(15)},
+{_band_sql(5, 3)},
+{_JACCARD_SQL},
+p AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.6),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+nd AS (SELECT DISTINCT src AS id FROM e),
+reach(a, b) AS (
+  SELECT id, id FROM nd
+  UNION
+  SELECT reach.a, e.dst FROM reach JOIN e ON reach.b = e.src
+),
+cl AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+ntok AS (
+  SELECT doc_id,
+         CAST(len({_TOKS.format(c='text')}) AS INT) AS n_tokens
+  FROM corpus
+),
+mem AS (
+  SELECT cl.id, cl.cluster_id, ntok.n_tokens
+  FROM cl JOIN ntok ON ntok.doc_id = cl.id
+),
+k AS (
+  SELECT cluster_id, id,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, id) AS rk
+  FROM mem
+),
+kp AS (SELECT cluster_id, id AS keeper_id FROM k WHERE rk = 1)
+SELECT ntok.doc_id, ntok.n_tokens,
+       COALESCE(cl.cluster_id, ntok.doc_id) AS cluster_id,
+       COALESCE(kp.keeper_id, ntok.doc_id) AS keeper_id,
+       (ntok.doc_id = COALESCE(kp.keeper_id, ntok.doc_id)) AS kept
+FROM ntok
+LEFT JOIN cl ON ntok.doc_id = cl.id
+LEFT JOIN kp ON cl.cluster_id = kp.cluster_id"""
+
+DATAPIPE_ORACLE["x10_cell_sample"] = f"""
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+         embedding AS centv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+ccell AS (
+  SELECT e.vec_id, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+),
+a AS (SELECT vec_id, cid AS centroid_id FROM ccell WHERE rk = 1),
+b AS (
+  SELECT vec_id, centroid_id,
+         {hash60_sql("concat('qcts:', CAST(vec_id AS VARCHAR))")}
+             % 1000000 AS bk
+  FROM a
+),
+r AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id
+                            ORDER BY bk, vec_id) AS rk
+  FROM b
+)
+SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
+FROM r WHERE rk <= 20"""

@@ -591,6 +591,46 @@ def knn_query_index(
     )
 
 
+def cell_balanced_sample(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | str = "auto",
+    cap: int = 1000,
+    refine: int = 0,
+    seed: str = "qcts",
+) -> DataFrame:
+    """Diversity-preserving downsample of an embedding corpus: at most
+    ``cap`` vectors per IVF cell, selected by deterministic key hash.
+
+    Uniform hash sampling preserves the corpus DISTRIBUTION — which is
+    exactly wrong when the goal is coverage: the dense head (near-dup
+    boilerplate clusters, the dominant modality) keeps its dominance
+    while sparse regions thin toward zero.  Capping per Voronoi cell
+    keeps every region represented up to ``cap`` (the DoReMi/SemDeDup
+    -era "cluster-balanced subset" shape), and the per-cell survivors
+    are an unbiased hash sample of the cell, monotone in ``cap``.
+
+    Plan: one Arrow assignment pass (zero shuffle) projects to thin
+    ``(id, cell)`` rows; the cap is
+    :func:`~qctimeseries_spark.datapipe.sample.cap_per_group`'s
+    two-phase histogram — no per-cell ranking funnel even when one
+    cell holds half the corpus (the skewed-cluster case this operator
+    exists for).  Returns ``(id, centroid_id)`` survivors; join back
+    to fetch vectors.
+    """
+    from qctimeseries_spark.datapipe.sample import cap_per_group
+
+    cents = take_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=refine
+    )
+    assigned = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(id_col, "centroid_id")
+    return cap_per_group(assigned, "centroid_id", id_col, cap, seed=seed)
+
+
 def radius_search(
     corpus: DataFrame,
     queries: DataFrame,

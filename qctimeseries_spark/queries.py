@@ -1616,8 +1616,8 @@ _WINDOW_R8 = (
     "u1_seeded_flags",
     "p1_remove_flags",
     "a1_progress",
-    "w1_assign_windows", "w3_admitted_windows",
-    "v1_main_trace", "v4_secondary_trace", "v5_check_panel",
+    "w3_admitted_windows",
+    "v1_main_trace", "v5_check_panel",
     "s1_csv_roundtrip", "h1_pricing_summary",
     "j1_asof_join",
     # born in round 8 — driver-checked from day one (released to make
@@ -1630,6 +1630,9 @@ _WINDOW_R8 = (
     "x8_pq_index",
     "t27_bm25", "t28_safe_split", "d10_cross_neardup",
     "x9_filtered_knn",
+    # w1/v4 released in turn (w by w3, v by v1/v5; both r5 greens on
+    # unchanged code) for the canonical keeper + cell-balanced sample
+    "d11_canonical_keep", "x10_cell_sample",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

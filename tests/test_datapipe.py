@@ -2134,3 +2134,50 @@ def test_filtered_knn_prefilters_and_pushes_predicate(spark, tmp_path):
     assert key(rows) == key(brute)
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "label" in plan, plan[:2000]
+
+
+def test_canonical_keep_elects_best_scorer_per_cluster(spark):
+    """The keeper is the argmax-score member (tie → lower id), every
+    doc carries its cluster, singletons keep themselves."""
+    from qctimeseries_spark.datapipe.dedup import canonical_keep
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 7), (9, 1)],
+        "doc_id long, score int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 4)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keeper_id"], r["kept"])
+        for r in canonical_keep(docs, pairs, score_col="score").collect()
+    }
+    # component {1,2,3}: max score 9 held by 2 and 3 -> lower id 2
+    assert out[1] == (1, 2, False)
+    assert out[2] == (1, 2, True)
+    assert out[3] == (1, 2, False)
+    # component {4,9}: 4 scores 7 > 1 -> keeper 4, cluster min id 4
+    assert out[4] == (4, 4, True)
+    assert out[9] == (4, 4, False)
+    assert len(out) == 5
+
+
+def test_cell_balanced_sample_caps_every_cell_and_is_monotone(spark):
+    """No cell exceeds the cap, survivors at cap K are a subset of
+    survivors at K+5 (monotone growth), and every non-empty cell
+    stays represented."""
+    from qctimeseries_spark.datapipe.similarity import cell_balanced_sample
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    small = cell_balanced_sample(emb, nlist=8, cap=10)
+    counts = {
+        r["centroid_id"]: r["count"]
+        for r in small.groupBy("centroid_id").count().collect()
+    }
+    assert counts and all(c <= 10 for c in counts.values())
+    assert len(counts) == 8  # every cell represented
+    bigger = cell_balanced_sample(emb, nlist=8, cap=15)
+    s_ids = {r["vec_id"] for r in small.collect()}
+    b_ids = {r["vec_id"] for r in bigger.collect()}
+    assert s_ids <= b_ids
