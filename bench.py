@@ -104,6 +104,12 @@ EXTENDED = [
     "x9_filtered_knn",
     "d11_canonical_keep",
     "x10_cell_sample",
+    # round-8 closing additions: hybrid RRF retrieval, weighted
+    # sampling, n-gram novelty, IVF cell diagnostics
+    "t29_hybrid_rrf",
+    "t30_weighted_sample",
+    "t31_ngram_novelty",
+    "x11_cell_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

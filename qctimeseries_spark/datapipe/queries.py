@@ -1335,6 +1335,80 @@ def q_t27_bm25(spark, sf_dir):
     )
 
 
+def q_t29_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 (sparse) and brute-force embedding
+    cosine (dense) top-10 lists fused by reciprocal-rank fusion into
+    a top-5 — the standard two-tower retrieval shape for curation and
+    decontamination (each tier misses what the other catches: BM25
+    the paraphrases, dense the rare exact terms).  Fusion inputs are
+    |queries| x 10 rows, so the fused stage costs nothing next to the
+    retrievers; per-list contributions quantize to integer nano-units
+    before the sum, so the hash is order-proof.  The documents and
+    embeddings tables share the id axis (vec_id == doc_id), making
+    the benchmark slice doc_id % 50 == 0 on both sides."""
+    from qctimeseries_spark.datapipe.similarity import rrf_fuse
+    from qctimeseries_spark.datapipe.text import bm25_retrieval
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    sparse = bm25_retrieval(corpus, bench, query_text_col="text", k=10)
+    emb = read_table(spark, sf_dir, "embeddings")
+    dense = knn_bruteforce(
+        emb.filter(F.col("vec_id") % 50 != 0),
+        emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=10,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [sparse.select("query_id", "doc_id", "rank"), dense], k=5
+    )
+
+
+def q_t30_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus downsample: the 100 winners of the
+    Efraimidis–Vitter exponential race with weight = n_chars (longer
+    docs proportionally likelier).  Membership is a pure function of
+    (seed, doc_id, weight) — no PRNG — so the oracle selects the
+    identical set; the plan is a narrow hash+ln projection into
+    TakeOrderedAndProject (per-partition top-n heaps, no global
+    sort)."""
+    from qctimeseries_spark.datapipe.sample import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars",
+        100,
+        key_col="doc_id",
+    )
+
+
+def q_t31_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty (share of the doc's distinct word
+    trigrams appearing in no other document) — the corpus-internal
+    duplication profile that picks span-dedup thresholds.  Hashed
+    grams shuffle as 8-byte ids (the wide text column never moves);
+    two thin postings shuffles + one equi-join total."""
+    from qctimeseries_spark.datapipe.text import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
+def q_x11_cell_stats(spark, sf_dir):
+    """IVF index health audit: per-cell occupancy, corpus share, and
+    member-to-centroid cosine spread over the x2 16-cell layout.
+    Zero-shuffle Arrow assignment + broadcast centroid re-attach; the
+    only shuffle carries four numbers per cell.  Member cosines are
+    9-dp-rounded and micro-quantized before the mean's sum, so the
+    result is hash-exact across engines."""
+    from qctimeseries_spark.datapipe.similarity import cell_stats
+
+    return cell_stats(read_table(spark, sf_dir, "embeddings"), nlist=16)
+
+
 DATAPIPE_QUERIES = {
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_dedup": q_d2_minhash_dedup,
@@ -1390,6 +1464,10 @@ DATAPIPE_QUERIES = {
     "x6_quantized_knn": q_x6_quantized_knn,
     "x7_pq_knn": q_x7_pq_knn,
     "x8_pq_index": q_x8_pq_index,
+    "t29_hybrid_rrf": q_t29_hybrid_rrf,
+    "t30_weighted_sample": q_t30_weighted_sample,
+    "t31_ngram_novelty": q_t31_ngram_novelty,
+    "x11_cell_stats": q_x11_cell_stats,
 }
 
 
@@ -2989,3 +3067,147 @@ r AS (
 )
 SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
 FROM r WHERE rk <= 20"""
+
+# Hybrid RRF: replay the t27 BM25 pipeline at k=10, the x1 brute
+# cosine at k=10 over the %50-split embeddings, then fuse with
+# integer nano-unit contributions (1e9 // (60+rank)) — exact in both
+# engines because ranks are small ints.
+DATAPIPE_ORACLE["t29_hybrid_rrf"] = f"""
+WITH post AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS term
+        FROM documents WHERE doc_id % 50 != 0)
+  GROUP BY doc_id, term
+),
+dl AS (SELECT post.*, SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM post),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        WHERE doc_id % 50 != 0),
+ad AS (SELECT CAST(SUM(tf) AS DOUBLE) /
+              (SELECT CAST(n AS DOUBLE) FROM tot) AS avgdl FROM post),
+qt AS (
+  SELECT doc_id AS query_id,
+         unnest(list_distinct({_TOKS.format(c='text')})) AS term
+  FROM documents WHERE doc_id % 50 = 0
+),
+qv AS (SELECT DISTINCT term FROM qt),
+pr AS (SELECT dl.* FROM dl JOIN qv USING (term)),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pr GROUP BY term),
+sc AS (
+  SELECT qt.query_id, pr.doc_id,
+         CAST(FLOOR(
+           ln(1.0 + (CAST(tot.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r})
+              / (CAST(tf AS DOUBLE) + {_BM25_K1!r}
+                 * (1.0 - {_BM25_B!r} + {_BM25_B!r}
+                    * (CAST(dl AS DOUBLE) / ad.avgdl))))
+           * 1000000.0 + 0.5) AS BIGINT) AS m
+  FROM pr JOIN dfreq USING (term) JOIN qt USING (term), tot, ad
+),
+agg AS (
+  SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS sm
+  FROM sc GROUP BY query_id, doc_id
+),
+bm AS (SELECT query_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sm DESC, doc_id) AS rank
+       FROM agg QUALIFY rank <= 10),
+dq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 50 = 0
+),
+ds AS (
+  SELECT dq.query_id, e.vec_id AS doc_id,
+         ROUND({_cos_fold_sql('dq.qv', 'e.embedding')}, 9) AS cos
+  FROM embeddings e, dq
+  WHERE e.vec_id % 50 != 0 AND e.vec_id != dq.query_id
+),
+dn AS (SELECT query_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, doc_id) AS rank
+       FROM ds QUALIFY rank <= 10),
+u AS (
+  SELECT query_id, doc_id, rank FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM dn
+),
+fs AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(1000000000 // (60 + rank)) AS BIGINT) AS sm,
+         CAST(COUNT(*) AS INT) AS n_lists
+  FROM u GROUP BY query_id, doc_id
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sm DESC, doc_id) AS rk FROM fs)
+SELECT query_id, doc_id, n_lists,
+       ROUND(sm / 1000000000.0, 9) AS rrf, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 5"""
+
+# Weighted sample: the A-Res race replayed on the same hash axis —
+# u = (bucket+1)/M over sample_bucket's 'qcts:' prefix, key =
+# ln(u)/weight rounded 9dp, top-100 by key desc with id tie-break.
+DATAPIPE_ORACLE["t30_weighted_sample"] = f"""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ({hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")})
+           % 1000000 AS bucket
+  FROM documents
+  WHERE doc_id IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+),
+k AS (
+  SELECT doc_id, n_chars,
+         ROUND(ln((bucket + 1) / 1000000.0)
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM b
+),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rk
+      FROM k)
+SELECT doc_id, n_chars, es_key, CAST(rk AS INT) AS sample_rank
+FROM r WHERE rk <= 100"""
+
+# N-gram novelty: the d2 hashed-shingle machinery, document frequency
+# over distinct per-doc grams, one join back, per-doc re-aggregation.
+DATAPIPE_ORACLE["t31_ngram_novelty"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+g AS (SELECT doc_id, unnest({_sh_hashed('tk', 3)}) AS gh FROM tk),
+dfq AS (SELECT gh, COUNT(*) AS ndocs FROM g GROUP BY gh),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+         CAST(SUM(CASE WHEN ndocs = 1 THEN 1 ELSE 0 END) AS INT) AS n_novel
+  FROM g JOIN dfq USING (gh) GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       ROUND(n_novel / CAST(n_grams AS DOUBLE), 6) AS novelty
+FROM per"""
+
+# IVF cell stats: x2's rk=1 assignment replay + one aggregation with
+# micro-quantized cosine sums (the t27 exactness precedent).
+DATAPIPE_ORACLE["x11_cell_stats"] = f"""
+WITH cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+         embedding AS centv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+cc AS (
+  SELECT e.vec_id, cents.cid,
+         ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9) AS c,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+),
+a AS (SELECT vec_id, cid AS centroid_id, c FROM cc WHERE rk = 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+s AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(CAST(FLOOR(c * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sm,
+         MIN(c) AS min_cos, MAX(c) AS max_cos
+  FROM a GROUP BY centroid_id
+)
+SELECT centroid_id, n_vectors,
+       ROUND(CAST(n_vectors AS DOUBLE) / tot.n, 6) AS frac,
+       ROUND(sm / (CAST(n_vectors AS DOUBLE) * 1000000.0), 6) AS mean_cos,
+       min_cos, max_cos
+FROM s, tot"""

@@ -506,3 +506,63 @@ def leakage_safe_split(
     return split_corpus(
         joined, "_split_key", splits, seed=seed, out_col=out_col
     ).drop("_split_key", "cluster_id")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    n: int,
+    *,
+    key_col: str,
+    seed: str = "qcts",
+    key_out: str = "es_key",
+    rank_out: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``n`` rows winning an Efraimidis–Vitter exponential race, where a
+    row's win probability is proportional to ``weight_col``.
+
+    Quality-weighted corpus downsampling is the standard shape — "keep
+    2M documents, biased toward high quality" — and uniform hash
+    sampling (:func:`hash_sample`) cannot express it.  A-Res draws one
+    uniform ``u`` per row and ranks by ``u^(1/w)``; we rank by the
+    monotone-equivalent ``ln(u)/w`` (descending — closer to zero is
+    better) to keep the arithmetic to one ``ln`` and one divide.  The
+    uniform comes from the row's key hash (``(bucket+1)/M`` over the
+    :func:`sample_bucket` axis), NOT a PRNG, so membership is a pure
+    function of (seed, key, weight): reruns, retries, and the DuckDB
+    oracle all select the identical set — the property that makes the
+    sample auditable at 100 TB.
+
+    Plan shape: one narrow codegen projection (hash + ln + divide,
+    no shuffle) feeding ``orderBy(...).limit(n)``, which Spark executes
+    as TakeOrderedAndProject — per-partition top-``n`` heaps, then one
+    ``n``-row merge on the driver side of the final stage; the corpus
+    is never globally sorted.  The rank column is numbered AFTER the
+    limit, so its single-partition window touches ``n`` rows, not the
+    corpus.  Keys are 9-dp-rounded with an id tie-break before ranking
+    (the x1 precedent) so the selection boundary cannot sit on a
+    cross-engine double's last ulp.
+
+    Rows with NULL keys or non-positive weights cannot be sampled and
+    are filtered explicitly (zero-weight rows never win the race in
+    the limit; making that exact keeps the oracle trivial).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    base = df.filter(F.col(key_col).isNotNull() & (w > 0))
+    u = (sample_bucket(key_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(SAMPLE_MOD)
+    )
+    key = F.round(F.log(u) / w, 9)
+    picked = (
+        base.withColumn(key_out, key)
+        .orderBy(F.col(key_out).desc(), F.col(key_col))
+        .limit(int(n))
+    )
+    wk = Window.orderBy(F.col(key_out).desc(), F.col(key_col))
+    return picked.withColumn(
+        rank_out, F.row_number().over(wk).cast("int")
+    )

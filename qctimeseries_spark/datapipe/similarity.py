@@ -1267,3 +1267,143 @@ def knn_query_pq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ``len(rankings)`` ranked lists into
+    one: ``score(d) = sum over lists of 1/(k0 + rank_list(d))``.
+
+    The standard hybrid-retrieval combiner (sparse BM25 + dense ANN,
+    or any retriever ensemble): RRF needs no score calibration across
+    retrievers — only ranks — which is exactly why it is the default
+    fusion in production search stacks.  ``k0=60`` is the published
+    constant (Cormack et al., SIGIR'09).
+
+    Plan shape: the inputs are top-k lists, i.e. |queries| x k rows —
+    tiny relative to any corpus — so fusion is one union, one
+    ``groupBy(query, doc)``, and one per-query top-k window; at 100 TB
+    the expensive part is the retrievers upstream, never the fusion.
+    Cross-engine exactness: each contribution is quantized to integer
+    nano-units ``1e9 DIV (k0 + rank)`` BEFORE the sum (the t27
+    precedent, exact here because ranks are small ints), so float
+    summation order cannot move the hash; the displayed ``rrf`` score
+    is the summed micro-units rescaled once.
+
+    Returns ``(query_id, <id_col>, n_lists, rrf, rank)`` with
+    ``rank`` ordered by fused score desc, id asc.
+    """
+    uni = None
+    for r in rankings:
+        t = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col),
+            F.col(rank_col).cast("bigint").alias("_rk"),
+        )
+        uni = t if uni is None else uni.unionByName(t)
+    scored = (
+        uni.withColumn(
+            "_m", F.expr(f"1000000000L DIV ({int(k0)}L + _rk)")
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("_m").alias("_sm"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("_sm").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            "n_lists",
+            F.round(F.col("_sm") / F.lit(1000000000.0), 9).alias("rrf"),
+            "rank",
+        )
+    )
+
+
+def cell_stats(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | str = "auto",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Per-IVF-cell diagnostics: occupancy, corpus share, and the
+    spread of member-to-centroid cosines.
+
+    The index-health / corpus-diversity audit behind every IVF tuning
+    decision: a cell holding half the corpus means probe cost follows
+    that cell (salt it, refine centroids, or raise ``nlist``); a cell
+    whose ``mean_cos`` is low is a catch-all of outliers that will
+    leak recall at any ``nprobe``.  Run it on the same frame that
+    feeds :func:`build_ivf_index` (or pass the index's own
+    ``centroids`` to audit an existing index).
+
+    Plan shape: :func:`ivf_assign`'s zero-shuffle Arrow argmin, a
+    broadcast join of the nlist-row centroid frame to re-attach each
+    winner's vector, and ONE ``groupBy(centroid_id)`` whose payload is
+    four numbers per cell — the only shuffle, nlist rows wide.
+    Cross-engine exactness: member cosines are 9-dp-rounded (bit-equal
+    to the oracle via the shared left-fold), quantized to integer
+    micro-units before the mean's sum (the t27 precedent), and the
+    corpus total is one count.
+    """
+    if centroids is None:
+        centroids = take_centroids(
+            corpus, id_col=id_col, vec_col=vec_col, nlist=nlist
+        )
+    total = corpus.count()
+    assigned = ivf_assign(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    )
+    joined = assigned.join(
+        F.broadcast(
+            centroids.select("centroid_id", F.col(vec_col).alias("_centv"))
+        ),
+        "centroid_id",
+    )
+    cos = F.round(cosine(F.col(vec_col), F.col("_centv")), 9)
+    stats = (
+        joined.select(
+            "centroid_id",
+            cos.alias("_c"),
+            F.floor(cos * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("_m"),
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("_m").alias("_sm"),
+            F.min("_c").alias("min_cos"),
+            F.max("_c").alias("max_cos"),
+        )
+    )
+    return stats.select(
+        "centroid_id",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double") / F.lit(float(total)), 6
+        ).alias("frac"),
+        F.round(
+            F.col("_sm")
+            / (F.col("n_vectors").cast("double") * F.lit(1000000.0)),
+            6,
+        ).alias("mean_cos"),
+        "min_cos",
+        "max_cos",
+    )

@@ -1354,3 +1354,63 @@ def bm25_retrieval(
             "rank",
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    fast: bool = False,
+) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's
+    distinct word ``n``-grams appear in NO other document.
+
+    The corpus-internal counterpart of :func:`contamination_check`
+    (which compares against an external benchmark): a low-novelty
+    document is mostly boilerplate shared with the rest of the corpus
+    — the RefinedWeb-style duplication profile used to pick span-dedup
+    thresholds and to audit what near-dup removal left behind.
+
+    Plan shape at 100 TB: one explode of distinct hashed shingles
+    (the d2/d4 machinery — hashing first means the wide text column
+    never shuffles, only 8-byte gram ids), one ``groupBy(gram)`` for
+    document frequency, one equi-join of the two thin postings frames
+    (same key, AQE-planned), and one per-document re-aggregation.
+    Two shuffles of (doc, gram-hash) pairs total; nothing is ever
+    quadratic, and no row is wider than two longs after the first
+    projection.  ``fast=True`` swaps MD5 for xxhash64 in the shingle
+    hash (production path, not oracle-portable).
+
+    Returns ``(id, n_grams, n_novel, novelty)``; every document has
+    >= 1 shingle (the whole-text fallback of :func:`...dedup.shingles`)
+    so the result is row-aligned with the input.
+    """
+    from qctimeseries_spark.datapipe.dedup import hashed_shingles
+
+    g = df.select(
+        F.col(id_col),
+        F.explode(hashed_shingles(F.col(text_col), n, fast=fast)).alias(
+            "gh"
+        ),
+    )
+    dfreq = g.groupBy("gh").agg(F.count(F.lit(1)).alias("_ndocs"))
+    return (
+        g.join(dfreq, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum((F.col("_ndocs") == 1).cast("int"))
+            .cast("int")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

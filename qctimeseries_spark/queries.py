@@ -1612,14 +1612,14 @@ _WINDOW_R8 = (
     # Late-round release: f2/u6/p3/p4 step out (r5 driver greens on
     # unchanged code; f by f1, u by u1, p by p1) for the four
     # operators born after the first rotation — t27/t28/d10/x9.
+    # Closing release: a1/j1/v5/s1 step out (same rationale; a by
+    # a16, j by j4, v by v1, s by s10) for t29/t30/t31/x11.
     "f1_add_flags",
     "u1_seeded_flags",
     "p1_remove_flags",
-    "a1_progress",
     "w3_admitted_windows",
-    "v1_main_trace", "v5_check_panel",
-    "s1_csv_roundtrip", "h1_pricing_summary",
-    "j1_asof_join",
+    "v1_main_trace",
+    "h1_pricing_summary",
     # born in round 8 — driver-checked from day one (released to make
     # room: j3/t1, then a13/a14/w10/u2 for the late-round arrivals —
     # every released entry holds an r5/r7 driver green on unchanged
@@ -1633,6 +1633,8 @@ _WINDOW_R8 = (
     # w1/v4 released in turn (w by w3, v by v1/v5; both r5 greens on
     # unchanged code) for the canonical keeper + cell-balanced sample
     "d11_canonical_keep", "x10_cell_sample",
+    "t29_hybrid_rrf", "t30_weighted_sample", "t31_ngram_novelty",
+    "x11_cell_stats",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

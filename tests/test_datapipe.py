@@ -2181,3 +2181,94 @@ def test_cell_balanced_sample_caps_every_cell_and_is_monotone(spark):
     s_ids = {r["vec_id"] for r in small.collect()}
     b_ids = {r["vec_id"] for r in bigger.collect()}
     assert s_ids <= b_ids
+
+
+def test_rrf_fuse_blends_lists_and_quantizes_exactly(spark):
+    """A doc ranked 1st in both lists beats a doc ranked 1st in one;
+    contributions are the integer nano-unit 1e9 // (60 + rank), so
+    the fused score is reproducible to the last bit."""
+    from pyspark.sql import functions as F
+
+    from qctimeseries_spark.datapipe.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+    assert rows[10]["rank"] == 1 and rows[10]["n_lists"] == 2
+    # 2 × (1e9 // 61) = 2 × 16393442 nano-units
+    assert rows[10]["rrf"] == round(2 * (10**9 // 61) / 1e9, 9)
+    # rank-2 in one list (1e9//62) vs rank-2 in the other: identical
+    # score, id tie-break orders 11 before 13
+    assert rows[11]["rrf"] == rows[13]["rrf"]
+    assert rows[11]["rank"] < rows[13]["rank"]
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
+    """With one weight 1e6× the rest, the heavy row is (essentially
+    always) selected; membership is a pure function of (seed, key) —
+    two runs agree row-for-row; non-positive weights never selected."""
+    from qctimeseries_spark.datapipe.sample import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i else 1e6) for i in range(200)] + [(999, -5.0)],
+        "doc_id long, w double",
+    )
+    got = weighted_sample(df, "w", 20, key_col="doc_id")
+    rows = sorted(r["doc_id"] for r in got.collect())
+    again = sorted(r["doc_id"] for r in got.collect())
+    assert rows == again and len(rows) == 20
+    assert 0 in rows          # the 1e6-weight row wins its race
+    assert 999 not in rows    # negative weight filtered
+    ranks = [r["sample_rank"] for r in got.collect()]
+    assert sorted(ranks) == list(range(1, 21))
+
+
+def test_ngram_novelty_flags_shared_boilerplate(spark):
+    """A doc sharing every trigram with a twin scores 0 novelty; a
+    unique doc scores 1; counts align with distinct trigrams."""
+    from qctimeseries_spark.datapipe.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # trigrams shared with 2
+            (2, "alpha beta gamma delta"),
+            (3, "utterly unique words never repeated anywhere else"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert rows[1]["novelty"] == 0.0 and rows[2]["novelty"] == 0.0
+    assert rows[3]["novelty"] == 1.0
+    assert rows[1]["n_grams"] == 2  # 4 tokens → 2 distinct trigrams
+    assert rows[3]["n_grams"] == 5
+
+
+def test_cell_stats_partitions_the_corpus_exactly_once(spark):
+    """Cell occupancies sum to the corpus (nprobe=1 assignment is a
+    partition); fracs sum to 1; the cosine spread brackets the mean;
+    seed vectors sit in their own cells at cosine 1."""
+    from qctimeseries_spark.datapipe.similarity import cell_stats
+
+    import math
+
+    vecs = [
+        (i, [math.cos(0.37 * i + d) for d in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = cell_stats(df, nlist=4).collect()
+    assert sum(r["n_vectors"] for r in rows) == 60
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["min_cos"] <= r["mean_cos"] + 1e-6
+        assert r["mean_cos"] <= r["max_cos"] + 1e-6
+        assert r["max_cos"] <= 1.0

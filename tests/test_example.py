@@ -72,6 +72,13 @@ _PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
     "x1_knn_bruteforce": (0, 1),
     "x6_quantized_knn": (0, 1),  # x1's broadcast != join over int8
     "x7_pq_knn": (0, 1),  # same broadcast-queries ADC scan over codes
+    "t29_hybrid_rrf": (0, 1),  # the dense tier IS x1's broadcast != join
+    # t30: rank is numbered AFTER limit(n) — the global window touches
+    # n rows, never the corpus (docstring-pinned plan)
+    "t30_weighted_sample": (1, 0),
+    # x11: take_centroids' row_number over the limit-nlist frame (the
+    # x2 seed-centroid pattern) — nlist rows, not the corpus
+    "x11_cell_stats": (1, 0),
 }
 _MUST_BROADCAST = {"h3_segment_revenue", "h5_nation_revenue",
                    "d2_minhash_dedup", "t7_contamination", "j2_range_join"}
