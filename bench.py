@@ -110,6 +110,10 @@ EXTENDED = [
     "t30_weighted_sample",
     "t31_ngram_novelty",
     "x11_cell_stats",
+    # sketch tier: bounded-state Bloom / count-min / HLL
+    "t32_bloom_prune",
+    "t33_cms_heavyhitters",
+    "t34_hll_distinct",
 ]
 
 HEADLINE = CORE + EXTENDED

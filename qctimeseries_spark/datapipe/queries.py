@@ -1409,6 +1409,58 @@ def q_x11_cell_stats(spark, sf_dir):
     return cell_stats(read_table(spark, sf_dir, "embeddings"), nlist=16)
 
 
+def q_t32_bloom_prune(spark, sf_dir):
+    """Bloom-filter contamination prune: per corpus document, how many
+    of its distinct 8-grams are POSSIBLY in the benchmark slice (both
+    Bloom slots set, m=2^18, k=2) — t7's decontamination screen with
+    the broadcast capped at m slots instead of the benchmark's gram
+    count.  The false positives are deterministic (hash60 slot
+    positions), so the oracle reproduces the exact hit set; benchmark
+    self-rows anti-joined per the t7 convention."""
+    from qctimeseries_spark.datapipe.sketches import bloom_prune
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return bloom_prune(d, bench, ngram=8).join(
+        bench.select("doc_id"), "doc_id", "left_anti"
+    )
+
+
+def q_t33_cms_heavyhitters(spark, sf_dir):
+    """Count-min token-frequency estimation: a 4×1024 sketch built
+    over all token occurrences (map-side combine bounds the shuffle at
+    4096 cells), probed for every distinct term and joined with the
+    exact counts — the (term, est, exact) audit shows the over-count
+    the collisions cost.  All-integer output, hash-exact trivially."""
+    from qctimeseries_spark.datapipe.sketches import cms_build, cms_estimate
+    from qctimeseries_spark.datapipe.text import tokens
+
+    d = _docs(spark, sf_dir)
+    sk = cms_build(d)
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    est = cms_estimate(sk, occ.distinct())
+    exact = occ.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+    return est.join(exact, "term")
+
+
+def q_t34_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-trigram estimate per language: 1024
+    max-rho registers per group (the register state is the shuffle
+    payload — m ints per group no matter the corpus size), harmonic
+    estimate over an EXACT scaled-integer register sum.  Trigram
+    cardinality at sf0.01 pushes past the linear-counting range, so
+    the genuine harmonic branch is exercised."""
+    from qctimeseries_spark.datapipe.dedup import shingles
+    from qctimeseries_spark.datapipe.sketches import hll_distinct
+
+    g = _docs(spark, sf_dir).select(
+        "lang", F.explode(shingles(F.col("text"), 3)).alias("gram")
+    )
+    return hll_distinct(g, "gram", group_cols=("lang",))
+
+
 DATAPIPE_QUERIES = {
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_dedup": q_d2_minhash_dedup,
@@ -1468,6 +1520,9 @@ DATAPIPE_QUERIES = {
     "t30_weighted_sample": q_t30_weighted_sample,
     "t31_ngram_novelty": q_t31_ngram_novelty,
     "x11_cell_stats": q_x11_cell_stats,
+    "t32_bloom_prune": q_t32_bloom_prune,
+    "t33_cms_heavyhitters": q_t33_cms_heavyhitters,
+    "t34_hll_distinct": q_t34_hll_distinct,
 }
 
 
@@ -3211,3 +3266,110 @@ SELECT centroid_id, n_vectors,
        ROUND(sm / (CAST(n_vectors AS DOUBLE) * 1000000.0), 6) AS mean_cos,
        min_cos, max_cos
 FROM s, tot"""
+
+# Bloom prune: slot positions are pure bit ops on the shared hash60
+# gram hashes (m = 2^18, k = 2: low 18 bits, next 18 bits), so the
+# oracle reproduces the exact hit set INCLUDING the false positives —
+# the approximation is defined semantics, not noise.
+from qctimeseries_spark.datapipe.sketches import (  # noqa: E402
+    BLOOM_M as _BLOOM_M,
+    HLL_SUFFIX_BITS as _HLL_SB,
+    hll_alpha_scaled as _hll_alpha_scaled,
+)
+
+DATAPIPE_ORACLE["t32_bloom_prune"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS.format(c='text')} AS tk FROM documents),
+g AS (SELECT doc_id, {_sh_hashed('tk', 8)} AS ghs FROM tk),
+bpos AS (
+  SELECT DISTINCT unnest([h & {_BLOOM_M - 1},
+                          (h >> 18) & {_BLOOM_M - 1}]) AS slot
+  FROM (SELECT unnest(ghs) AS h FROM g WHERE doc_id % 50 = 0)
+),
+cg AS (SELECT doc_id, len(ghs) AS n_grams, unnest(ghs) AS h FROM g),
+hits AS (
+  SELECT cg.doc_id, cg.n_grams
+  FROM cg
+  JOIN bpos b1 ON (cg.h & {_BLOOM_M - 1}) = b1.slot
+  JOIN bpos b2 ON ((cg.h >> 18) & {_BLOOM_M - 1}) = b2.slot
+),
+per AS (
+  SELECT doc_id, CAST(MAX(n_grams) AS INT) AS n_grams,
+         CAST(COUNT(*) AS INT) AS n_hits
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       ROUND(n_hits / CAST(n_grams AS DOUBLE), 6) AS hit_frac
+FROM per WHERE doc_id % 50 != 0"""
+
+# Count-min: 4 seeded-hash rows x 1024 buckets; the estimate is the
+# min over the probed cells — integers end to end.
+_CMS_H = hash60_sql("concat(CAST(9100 + r.range AS VARCHAR), ':', term)")
+DATAPIPE_ORACLE["t33_cms_heavyhitters"] = f"""
+WITH tok AS (SELECT unnest({_TOKS.format(c='text')}) AS term
+             FROM documents),
+cells AS (
+  SELECT CAST(r.range AS INT) AS row,
+         CAST({_CMS_H} % 1024 AS INT) AS bucket
+  FROM tok, range(4) r
+),
+sk AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM cells GROUP BY row, bucket),
+cand AS (SELECT DISTINCT term FROM tok),
+probes AS (
+  SELECT term, CAST(r.range AS INT) AS row,
+         CAST({_CMS_H} % 1024 AS INT) AS bucket
+  FROM cand, range(4) r
+),
+est AS (
+  SELECT term, CAST(MIN(cnt) AS BIGINT) AS est
+  FROM probes JOIN sk USING (row, bucket) GROUP BY term
+),
+ex AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact
+       FROM tok GROUP BY term)
+SELECT term, est, exact FROM est JOIN ex USING (term)"""
+
+# HLL: registers are exact integers (bucket = low 10 bits, rho =
+# 1 + trailing zeros of the 50-bit suffix via w & -w); the harmonic
+# denominator is summed SCALED by 2^50 so it is an exact BIGINT, and
+# the single-literal numerator is the same Python double Spark embeds.
+DATAPIPE_ORACLE["t34_hll_distinct"] = f"""
+WITH tk AS (SELECT lang, {_TOKS.format(c='text')} AS tk FROM documents),
+sh AS (
+  SELECT lang, unnest(list_distinct(
+    CASE WHEN len(tk) >= 3
+      THEN list_transform(range(0, len(tk) - 2),
+                          i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))
+      ELSE [array_to_string(tk, ' ')] END)) AS gram
+  FROM tk
+),
+h AS (SELECT lang, {hash60_sql('gram')} AS h FROM sh),
+r AS (
+  SELECT lang, CAST(h & 1023 AS INT) AS bucket,
+         CASE WHEN (h >> 10) = 0 THEN {_HLL_SB}
+              ELSE LEAST(CAST(ROUND(LOG2((h >> 10) & -(h >> 10))) AS INT) + 1,
+                         {_HLL_SB})
+         END AS rho
+  FROM h
+),
+m AS (SELECT lang, bucket, MAX(rho) AS M FROM r GROUP BY lang, bucket),
+a AS (
+  SELECT lang, CAST(COUNT(*) AS INT) AS nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_SB} - M)) AS BIGINT) AS s
+  FROM m GROUP BY lang
+),
+b AS (
+  SELECT lang, nonzero,
+         s + CAST(1024 - nonzero AS BIGINT)
+             * (CAST(1 AS BIGINT) << {_HLL_SB}) AS rs
+  FROM a
+)
+SELECT lang,
+       CAST(1024 AS INT) AS n_registers,
+       CAST(1024 - nonzero AS INT) AS n_zero,
+       CAST(rs AS BIGINT) AS reg_sum_scaled,
+       ROUND(CASE WHEN ({_hll_alpha_scaled(1024)!r} / CAST(rs AS DOUBLE))
+                       <= 2560.0 AND nonzero < 1024
+                  THEN 1024.0 * LN(1024.0 / CAST(1024 - nonzero AS DOUBLE))
+                  ELSE {_hll_alpha_scaled(1024)!r} / CAST(rs AS DOUBLE)
+             END, 4) AS est_distinct
+FROM b"""

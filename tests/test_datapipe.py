@@ -2272,3 +2272,87 @@ def test_cell_stats_partitions_the_corpus_exactly_once(spark):
         assert r["min_cos"] <= r["mean_cos"] + 1e-6
         assert r["mean_cos"] <= r["max_cos"] + 1e-6
         assert r["max_cos"] <= 1.0
+
+
+def test_bloom_prune_finds_planted_contamination(spark):
+    """A corpus doc repeating a benchmark passage is flagged with every
+    shared gram hit; a doc over a disjoint vocabulary is absent (its
+    grams can still false-positive ONLY if both slots collide — with 3
+    grams against ~20 occupied slots of 2^18 that is effectively
+    impossible, and the assertion pins the deterministic outcome).
+    Non-power-of-two m is rejected."""
+    import pytest as _pytest
+
+    from qctimeseries_spark.datapipe.sketches import bloom_prune
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text + " lambda mu"),          # contaminated
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bloom_prune(corpus, bench, ngram=8).collect()}
+    assert 1 in rows and rows[1]["n_hits"] == 3  # grams 1-3 of 5 shared
+    assert rows[1]["n_grams"] == 5
+    assert 2 not in rows
+    with _pytest.raises(ValueError):
+        bloom_prune(corpus, bench, m=1000).collect()
+
+
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark):
+    """Count-min estimates are upper bounds by construction; with 20
+    terms in 4×1024 cells the min over rows is collision-free, so the
+    estimates equal the exact counts."""
+    from pyspark.sql import functions as F
+
+    from qctimeseries_spark.datapipe.sketches import cms_build, cms_estimate
+    from qctimeseries_spark.datapipe.text import tokens
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20) for _ in range(j % 3 + 1)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    sk = cms_build(docs)
+    occ = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    est = cms_estimate(sk, occ.distinct())
+    exact = occ.groupBy("term").count()
+    j = {r["term"]: r for r in est.join(exact, "term").collect()}
+    assert len(j) == 20
+    for r in j.values():
+        assert r["est"] == r["count"]
+    # sketch size is bounded by depth*width regardless of input
+    assert sk.count() <= 4 * 1024
+
+
+def test_hll_distinct_estimates_within_error_bound_per_group(spark):
+    """HLL with m=1024 carries ~3.3% standard error; assert each
+    group's estimate lands within 5 standard errors of the exact
+    distinct count, registers partition correctly, and the output is
+    deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from qctimeseries_spark.datapipe.sketches import hll_distinct
+
+    df = spark.range(30000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("v"), (F.col("id") % 7919).cast("string")).alias("v"),
+    )
+    got = {r["g"]: r for r in
+           hll_distinct(df, "v", group_cols=("g",)).collect()}
+    exact = {r["g"]: r["x"] for r in
+             df.groupBy("g").agg(F.count_distinct("v").alias("x")).collect()}
+    assert set(got) == set(exact)
+    for g, r in got.items():
+        rel = abs(r["est_distinct"] - exact[g]) / exact[g]
+        assert rel < 5 * 1.04 / (1024 ** 0.5), (g, r["est_distinct"], exact[g])
+        assert r["n_registers"] == 1024
+        assert 0 <= r["n_zero"] < 1024
+    again = {r["g"]: r["est_distinct"] for r in
+             hll_distinct(df, "v", group_cols=("g",)).collect()}
+    assert again == {g: r["est_distinct"] for g, r in got.items()}

@@ -79,6 +79,11 @@ _PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
     # x11: take_centroids' row_number over the limit-nlist frame (the
     # x2 seed-centroid pattern) — nlist rows, not the corpus
     "x11_cell_stats": (1, 0),
+    # sketch tier: no windows, no NL joins — the Bloom probe is two
+    # broadcast semi-joins, cms/hll are bounded-key aggregations
+    "t32_bloom_prune": (0, 0),
+    "t33_cms_heavyhitters": (0, 0),
+    "t34_hll_distinct": (0, 0),
 }
 _MUST_BROADCAST = {"h3_segment_revenue", "h5_nation_revenue",
                    "d2_minhash_dedup", "t7_contamination", "j2_range_join"}
