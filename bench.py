@@ -114,6 +114,12 @@ EXTENDED = [
     "t32_bloom_prune",
     "t33_cms_heavyhitters",
     "t34_hll_distinct",
+    # snapshot delta, embedding drift, and the Q3/Q5-shape relational
+    # plans
+    "d12_snapshot_diff",
+    "x12_embedding_drift",
+    "h7_top_unshipped",
+    "h8_local_nation_revenue",
 ]
 
 HEADLINE = CORE + EXTENDED

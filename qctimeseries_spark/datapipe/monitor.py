@@ -90,3 +90,67 @@ def population_stability(
             F.round((p - q) * F.log(p / q), 6).alias("psi"),
         )
     )
+
+
+def embedding_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension embedding drift between two snapshots: the mean
+    vector of each snapshot and the absolute per-dimension shift.
+
+    The embedding-space counterpart of :func:`population_stability`:
+    a retrained/swapped encoder, a crawl-source mix change, or a
+    pipeline bug (zeroed dims, scale change) all move the mean vector
+    long before they show up in downstream evals.  Dimensions with
+    large ``shift`` localize the change.
+
+    Scale shape: ``posexplode`` fans each vector into (dim, value)
+    pairs that partial-aggregate map-side into at most ``dim`` groups
+    per task, so the one shuffle carries ~dim rows per partition no
+    matter the corpus size; the snapshot join is dim-rows wide.
+    Cross-engine exactness: values quantize to integer
+    ``1/quant``-units (round-half-up) BEFORE the sum, so the grouped
+    sum is exact integer math and each mean is one correctly-rounded
+    division (the x11/t27 precedent).
+    """
+
+    def dim_sums(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col("_v").cast("double")
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v"))
+            .select(
+                "dim",
+                F.floor(v * F.lit(float(quant)) + F.lit(0.5))
+                .cast("bigint")
+                .alias("_q"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.sum("_q").alias(f"_s_{tag}"),
+                F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+            )
+        )
+
+    ref = dim_sums(reference, "ref")
+    cur = dim_sums(current, "cur")
+    mean_ref = F.col("_s_ref") / (
+        F.col("n_ref").cast("double") * F.lit(float(quant))
+    )
+    mean_cur = F.col("_s_cur") / (
+        F.col("n_cur").cast("double") * F.lit(float(quant))
+    )
+    return (
+        ref.join(cur, "dim")
+        .select(
+            "dim",
+            "n_ref",
+            "n_cur",
+            F.round(mean_ref, 9).alias("mean_ref"),
+            F.round(mean_cur, 9).alias("mean_cur"),
+            F.round(F.abs(mean_cur - mean_ref), 9).alias("shift"),
+        )
+    )

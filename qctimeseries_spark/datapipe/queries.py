@@ -1461,6 +1461,47 @@ def q_t34_hll_distinct(spark, sf_dir):
     return hll_distinct(g, "gram", group_cols=("lang",))
 
 
+def q_x12_embedding_drift(spark, sf_dir):
+    """Embedding-space drift audit: per-dimension mean vectors of two
+    snapshot halves (a seeded hash split of vec_id) and the absolute
+    shift — the encoder-swap / source-mix / zeroed-dim screen.  One
+    map-side-combined shuffle of ~dim rows per task, a dim-rows join;
+    means are exact micro-unit integer sums divided once."""
+    from qctimeseries_spark.datapipe.hashing import seeded_hash60
+    from qctimeseries_spark.datapipe.monitor import embedding_drift
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    h = seeded_hash60(F.col("vec_id").cast("string"), 7)
+    return embedding_drift(
+        emb.filter(h % 2 == 0), emb.filter(h % 2 == 1)
+    )
+
+
+def q_d12_snapshot_diff(spark, sf_dir):
+    """Incremental corpus refresh: added / removed / changed documents
+    between two crawl snapshots, via a fingerprint-only full-outer
+    join — the text itself never shuffles (~16 bytes move per doc at
+    any scale).  Both engines derive the same two snapshots from the
+    base table: each drops a seeded-hash 10% of ids, and the new crawl
+    re-edits a seeded-hash 20% of its texts."""
+    from qctimeseries_spark.datapipe.dedup import snapshot_diff
+    from qctimeseries_spark.datapipe.hashing import seeded_hash60
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    old = d.filter(seeded_hash60(sid, 101) % 10 < 9)
+    new = d.filter(seeded_hash60(sid, 102) % 10 < 9).select(
+        "doc_id",
+        F.when(
+            seeded_hash60(sid, 103) % 5 == 0,
+            F.concat(F.col("text"), F.lit(" rev2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
 DATAPIPE_QUERIES = {
     "d1_exact_dedup": q_d1_exact_dedup,
     "d2_minhash_dedup": q_d2_minhash_dedup,
@@ -1523,6 +1564,8 @@ DATAPIPE_QUERIES = {
     "t32_bloom_prune": q_t32_bloom_prune,
     "t33_cms_heavyhitters": q_t33_cms_heavyhitters,
     "t34_hll_distinct": q_t34_hll_distinct,
+    "d12_snapshot_diff": q_d12_snapshot_diff,
+    "x12_embedding_drift": q_x12_embedding_drift,
 }
 
 
@@ -3373,3 +3416,54 @@ SELECT lang,
                   ELSE {_hll_alpha_scaled(1024)!r} / CAST(rs AS DOUBLE)
              END, 4) AS est_distinct
 FROM b"""
+
+
+from qctimeseries_spark.datapipe.hashing import seeded_hash60_sql as _sh60
+
+_D12_NEW_TEXT = (
+    f"CASE WHEN {_sh60('CAST(doc_id AS VARCHAR)', 103)} % 5 = 0 "
+    "THEN text || ' rev2' ELSE text END"
+)
+
+DATAPIPE_ORACLE["d12_snapshot_diff"] = f"""
+WITH old AS (
+  SELECT doc_id, {hash60_sql('text')} AS fp_old FROM documents
+  WHERE {_sh60('CAST(doc_id AS VARCHAR)', 101)} % 10 < 9
+),
+new AS (
+  SELECT doc_id, {hash60_sql(_D12_NEW_TEXT)} AS fp_new
+  FROM documents
+  WHERE {_sh60('CAST(doc_id AS VARCHAR)', 102)} % 10 < 9
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN fp_old IS NULL THEN 'added'
+            WHEN fp_new IS NULL THEN 'removed'
+            WHEN fp_old <> fp_new THEN 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE (fp_old IS NULL OR fp_new IS NULL OR fp_old <> fp_new)"""
+
+
+DATAPIPE_ORACLE["x12_embedding_drift"] = f"""
+WITH halves AS (
+  SELECT vec_id, embedding,
+         {_sh60('CAST(vec_id AS VARCHAR)', 7)} % 2 AS half
+  FROM embeddings
+),
+ex AS (
+  SELECT half, i - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) AS q
+  FROM halves, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+s AS (
+  SELECT half, dim, SUM(q) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY half, dim
+),
+r AS (SELECT dim, s AS s_ref, n AS n_ref FROM s WHERE half = 0),
+c AS (SELECT dim, s AS s_cur, n AS n_cur FROM s WHERE half = 1)
+SELECT r.dim, n_ref, n_cur,
+       ROUND(s_ref / (CAST(n_ref AS DOUBLE) * 1000000.0), 9) AS mean_ref,
+       ROUND(s_cur / (CAST(n_cur AS DOUBLE) * 1000000.0), 9) AS mean_cur,
+       ROUND(ABS(s_cur / (CAST(n_cur AS DOUBLE) * 1000000.0)
+                 - s_ref / (CAST(n_ref AS DOUBLE) * 1000000.0)), 9) AS shift
+FROM r JOIN c ON r.dim = c.dim"""

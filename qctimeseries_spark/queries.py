@@ -694,6 +694,89 @@ def q_h6_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_h7_top_unshipped(spark, sf_dir):
+    """Shipping-priority top-k (TPC-H Q3 shape): revenue of orders
+    taken before the cutoff but with lineitems still shipping after
+    it, for one market segment; the 10 largest.  The segment dim
+    broadcasts; both date filters reach the scans (PushedFilters); the
+    final top-10 is `TakeOrderedAndProject` — per-partition heaps, no
+    global sort of the aggregate.  Deterministic across engines: the
+    decimal revenue sums are exact, ties break on the order key."""
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    ords = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).filter(F.col("o_orderdate") < "1996-03-15")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    ).filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_h8_local_nation_revenue(spark, sf_dir):
+    """Local-supplier revenue (TPC-H Q5 shape): 1996 revenue per
+    nation counting only lineitems whose customer and supplier share
+    that nation.  supplier/nation broadcast (10/25 rows at any SF);
+    the customer attach carries the c_nationkey = s_nationkey
+    correlation in its join condition and stays AQE-decided — at
+    100 TB customer is fact-sized and this becomes the plan's one
+    key-shuffle join alongside lineitem ⋈ orders."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    ords = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(
+            cust,
+            (ords.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def q_st1_stream_flag_counts(spark, sf_dir):
     """Structured Streaming end-to-end (SURVEY.md §7.2/9): file-source
     stream → stateless flag init → watermarked 24 h tumbling-window flag
@@ -870,6 +953,8 @@ QUERIES = {
     "h3_segment_revenue": q_h3_segment_revenue,
     "h5_nation_revenue": q_h5_nation_revenue,
     "h4_order_priority": q_h4_order_priority,
+    "h7_top_unshipped": q_h7_top_unshipped,
+    "h8_local_nation_revenue": q_h8_local_nation_revenue,
     "h6_forecast_revenue": q_h6_forecast_revenue,
     "t1_sessionize": q_t1_sessionize,
     "j1_asof_join": q_j1_asof_join,
@@ -1597,15 +1682,24 @@ QUERIES.update(
 # (tests/test_example.py) enforces that no family ever leaves the
 # window.
 _WINDOW_R8 = (
-    # r7-modified datapipe modules — driver re-verdict this round
+    # r7-modified datapipe modules — driver re-verdict this round.
+    # Final rotation: t5/t8/t12, d4, m2, st3, x1 step out for the
+    # seven operators born after the last release (t32–t34, d12, x12,
+    # h7, h8) — every released entry holds an r8 replica green
+    # (tools/check_correctness.py, full-registry sweep) and its
+    # implementing module keeps ≥4 in-window siblings (text.py via
+    # t2/t3/t4/t6/t7/t17/t18/t19, dedup.py via d1/d2/d3/d5/d8,
+    # multimodal.py via m1, streaming.py via st1/st2/st11/st12,
+    # similarity.py via x5–x12); the entries born this round have
+    # NEVER held a driver verdict, so they outrank re-verdicts.
     "d1_exact_dedup", "d2_minhash_dedup", "d3_simhash_pairs",
-    "d4_ngram_jaccard", "d5_embedding_dups", "d8_embedding_store",
-    "c1_dup_clusters", "x1_knn_bruteforce",
-    "t2_text_stats", "t3_quality", "t4_lang_id", "t5_fingerprint",
-    "t6_redact_pii", "t7_contamination", "t8_hash_sample",
-    "t12_bpe_pairs", "t17_tfidf", "t18_unigram_nll", "t19_repetition",
-    "m1_media_summary", "m2_media_features",
-    "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
+    "d5_embedding_dups", "d8_embedding_store",
+    "c1_dup_clusters",
+    "t2_text_stats", "t3_quality", "t4_lang_id",
+    "t6_redact_pii", "t7_contamination",
+    "t17_tfidf", "t18_unigram_nll", "t19_repetition",
+    "m1_media_summary",
+    "st1_stream_flag_counts", "st2_stream_gaps",
     "st11_stream_psi", "st12_stream_ingest_dedup",
     "s10_jsonl_roundtrip",
     # QC core tail (r5/earlier driver greens on unchanged code).
@@ -1635,6 +1729,9 @@ _WINDOW_R8 = (
     "d11_canonical_keep", "x10_cell_sample",
     "t29_hybrid_rrf", "t30_weighted_sample", "t31_ngram_novelty",
     "x11_cell_stats",
+    "t32_bloom_prune", "t33_cms_heavyhitters", "t34_hll_distinct",
+    "d12_snapshot_diff", "x12_embedding_drift",
+    "h7_top_unshipped", "h8_local_nation_revenue",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
@@ -1874,6 +1971,27 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name""",
+    "h7_top_unshipped": f"""
+SELECT l_orderkey, o_orderdate, {_REV} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+    "h8_local_nation_revenue": f"""
+SELECT n_name, {_REV} AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
     "h4_order_priority": """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders o

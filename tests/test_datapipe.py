@@ -2356,3 +2356,48 @@ def test_hll_distinct_estimates_within_error_bound_per_group(spark):
     again = {r["g"]: r["est_distinct"] for r in
              hll_distinct(df, "v", group_cols=("g",)).collect()}
     assert again == {g: r["est_distinct"] for g, r in got.items()}
+
+
+def test_snapshot_diff_classifies_added_removed_changed(spark):
+    """Full delta semantics: a key only in new is added, only in old is
+    removed, differing text is changed, identical text is absent from
+    the output entirely."""
+    from qctimeseries_spark.datapipe.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma v2"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    # fast mode classifies identically (different hash, same equality)
+    fast = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old, new, fast=True).collect()
+    }
+    assert fast == got
+
+
+def test_embedding_drift_localizes_the_shifted_dimension(spark):
+    """A constant offset planted on one dimension of the current
+    snapshot shows up as that dimension's shift (to quantization
+    precision) while untouched dimensions stay at zero."""
+    from qctimeseries_spark.datapipe.monitor import embedding_drift
+
+    ref = spark.createDataFrame(
+        [(i, [0.1 * i, 0.5, -0.25]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cur = spark.createDataFrame(
+        [(i, [0.1 * i, 0.5 + 0.2, -0.25]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["dim"]: r for r in embedding_drift(ref, cur).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(r["n_ref"] == 20 and r["n_cur"] == 20 for r in rows.values())
+    assert abs(rows[1]["shift"] - 0.2) < 1e-6
+    assert rows[0]["shift"] < 1e-6 and rows[2]["shift"] < 1e-6
+    assert abs(rows[2]["mean_ref"] - (-0.25)) < 1e-6
