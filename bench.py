@@ -120,6 +120,7 @@ EXTENDED = [
     "x12_embedding_drift",
     "h7_top_unshipped",
     "h8_local_nation_revenue",
+    "t35_perplexity_buckets",
 ]
 
 HEADLINE = CORE + EXTENDED

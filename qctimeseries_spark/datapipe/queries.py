@@ -1477,6 +1477,19 @@ def q_x12_embedding_drift(spark, sf_dir):
     )
 
 
+def q_t35_perplexity_buckets(spark, sf_dir):
+    """CCNet-style corpus partition: head/middle/tail terciles by
+    unigram-NLL rank (SQL NTILE(3) semantics over (avg_nll, doc_id)),
+    computed with NO global sort — a value-histogram prefix sum
+    assigns whole buckets driver-side and only the ≤3 boundary
+    value-buckets pay a (per-bucket-partitioned) ranking window."""
+    from qctimeseries_spark.datapipe.sample import ntile_by_score
+    from qctimeseries_spark.datapipe.text import unigram_logprob
+
+    nll = unigram_logprob(_docs(spark, sf_dir)).select("doc_id", "avg_nll")
+    return ntile_by_score(nll, "avg_nll", "doc_id", 3)
+
+
 def q_d12_snapshot_diff(spark, sf_dir):
     """Incremental corpus refresh: added / removed / changed documents
     between two crawl snapshots, via a fingerprint-only full-outer
@@ -1566,6 +1579,7 @@ DATAPIPE_QUERIES = {
     "t34_hll_distinct": q_t34_hll_distinct,
     "d12_snapshot_diff": q_d12_snapshot_diff,
     "x12_embedding_drift": q_x12_embedding_drift,
+    "t35_perplexity_buckets": q_t35_perplexity_buckets,
 }
 
 
@@ -3467,3 +3481,9 @@ SELECT r.dim, n_ref, n_cur,
        ROUND(ABS(s_cur / (CAST(n_cur AS DOUBLE) * 1000000.0)
                  - s_ref / (CAST(n_ref AS DOUBLE) * 1000000.0)), 9) AS shift
 FROM r JOIN c ON r.dim = c.dim"""
+
+
+DATAPIPE_ORACLE["t35_perplexity_buckets"] = f"""
+SELECT doc_id, avg_nll,
+       CAST(NTILE(3) OVER (ORDER BY avg_nll, doc_id) AS INT) AS bucket
+FROM ({DATAPIPE_ORACLE['t18_unigram_nll']})"""

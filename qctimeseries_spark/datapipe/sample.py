@@ -566,3 +566,95 @@ def weighted_sample(
     return picked.withColumn(
         rank_out, F.row_number().over(wk).cast("int")
     )
+
+
+def ntile_by_score(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    n_buckets: int,
+    *,
+    scale: float = 10_000.0,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Global NTILE without a global sort: every row gets a 1-based
+    quantile bucket by ``(score_col, key_col)`` rank — SQL
+    ``NTILE(n) OVER (ORDER BY score, key)`` semantics, reproduced with
+    no single-task stage.
+
+    The CCNet-style corpus partition: rank documents by a quality
+    score (perplexity, classifier margin) and cut the corpus into
+    head/middle/tail for curriculum or filtering decisions.  A naive
+    ``Window.orderBy(score)`` funnels the whole corpus through ONE
+    task; this is the two-phase construction the t14/t24 operators
+    use, applied to a VALUE histogram:
+
+    1. bucket scores by ``floor(score · scale)`` and collect the
+       bucket histogram (≤ score_range · scale rows — pick ``scale``
+       so that stays ≲1M; default 1e4 suits O(10)-range scores like
+       avg-NLL);
+    2. prefix-sum on the driver gives each value-bucket its exclusive
+       start rank, and the NTILE cut ranks (first ``total % n``
+       buckets take one extra row — standard SQL NTILE) decide every
+       bucket that lies wholly inside one quantile WITHOUT ranking
+       its rows;
+    3. only the ≤ ``n_buckets`` boundary value-buckets pay a
+       ``row_number`` window, each partitioned by its own bucket id —
+       parallel across buckets, never corpus-wide.
+
+    Deterministic across engines when ``key_col`` is unique: the
+    order-by is (score, key), exact integer start offsets come from the
+    histogram, and the scale quantization only routes rows to
+    value-buckets (assignment still uses the exact score for
+    within-bucket order).  NULL keys/scores are excluded (rank them
+    explicitly upstream if they matter).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    import bisect
+
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(key_col).isNotNull() & F.col(score_col).isNotNull())
+    b = df.withColumn(
+        "_vb",
+        F.floor(F.col(score_col).cast("double") * F.lit(float(scale)))
+        .cast("long"),
+    )
+    hist = (
+        b.groupBy("_vb")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy("_vb")
+        .collect()
+    )
+    total = sum(r["_n"] for r in hist)
+    base, extra = divmod(total, n_buckets)
+    cuts, acc = [], 0
+    for i in range(n_buckets):
+        acc += base + (1 if i < extra else 0)
+        cuts.append(acc)  # global rank <= cuts[i]  ->  bucket i+1
+    rows, run = [], 0
+    for r in hist:
+        start, cnt = run, r["_n"]
+        run += cnt
+        lo = bisect.bisect_left(cuts, start + 1)
+        hi = bisect.bisect_left(cuts, start + cnt)
+        rows.append((r["_vb"], start, lo + 1 if lo == hi else None))
+    bmap = df.sparkSession.createDataFrame(
+        rows, "_vb long, _start long, _whole int"
+    )
+    j = b.join(F.broadcast(bmap), "_vb")
+    whole = j.filter(F.col("_whole").isNotNull()).withColumn(
+        out_col, F.col("_whole")
+    )
+    wb = Window.partitionBy("_vb").orderBy(
+        F.col(score_col), F.col(key_col)
+    )
+    g = F.col("_start") + F.row_number().over(wb)
+    expr = F.lit(1)
+    for c in cuts[:-1]:
+        expr = expr + (g > F.lit(c)).cast("int")
+    boundary = j.filter(F.col("_whole").isNull()).withColumn(
+        out_col, expr.cast("int")
+    )
+    return whole.unionByName(boundary).drop("_vb", "_start", "_whole")

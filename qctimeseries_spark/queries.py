@@ -1697,7 +1697,7 @@ _WINDOW_R8 = (
     "c1_dup_clusters",
     "t2_text_stats", "t3_quality", "t4_lang_id",
     "t6_redact_pii", "t7_contamination",
-    "t17_tfidf", "t18_unigram_nll", "t19_repetition",
+    "t17_tfidf", "t18_unigram_nll",
     "m1_media_summary",
     "st1_stream_flag_counts", "st2_stream_gaps",
     "st11_stream_psi", "st12_stream_ingest_dedup",
@@ -1732,6 +1732,7 @@ _WINDOW_R8 = (
     "t32_bloom_prune", "t33_cms_heavyhitters", "t34_hll_distinct",
     "d12_snapshot_diff", "x12_embedding_drift",
     "h7_top_unshipped", "h8_local_nation_revenue",
+    "t35_perplexity_buckets",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

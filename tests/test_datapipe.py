@@ -2401,3 +2401,33 @@ def test_embedding_drift_localizes_the_shifted_dimension(spark):
     assert abs(rows[1]["shift"] - 0.2) < 1e-6
     assert rows[0]["shift"] < 1e-6 and rows[2]["shift"] < 1e-6
     assert abs(rows[2]["mean_ref"] - (-0.25)) < 1e-6
+
+
+def test_ntile_by_score_matches_global_ntile_semantics(spark):
+    """The two-phase construction reproduces NTILE(n) OVER (ORDER BY
+    score, key) exactly — including the first-buckets-take-the-extra
+    rule when n doesn't divide the count — while coarse value-buckets
+    force both the whole-bucket and boundary-bucket paths."""
+    from pyspark.sql import Window
+
+    from qctimeseries_spark.datapipe.sample import ntile_by_score
+
+    # 101 rows, scores with heavy ties, scale=1.0 so one value-bucket
+    # holds many rows (boundary path) and others assign wholly
+    rows = [(i, float((i * 7) % 13)) for i in range(101)]
+    df = spark.createDataFrame(rows, "k long, score double")
+    got = {
+        r["k"]: r["bucket"]
+        for r in ntile_by_score(df, "score", "k", 4, scale=1.0).collect()
+    }
+    w = Window.orderBy(F.col("score"), F.col("k"))
+    want = {
+        r["k"]: r["nt"]
+        for r in df.withColumn("nt", F.ntile(4).over(w)).collect()
+    }
+    assert got == want
+    # bucket sizes follow the SQL rule: 101 = 26 + 25 + 25 + 25
+    from collections import Counter
+
+    sizes = sorted(Counter(got.values()).items())
+    assert sizes == [(1, 26), (2, 25), (3, 25), (4, 25)]

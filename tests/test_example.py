@@ -50,8 +50,7 @@ def test_driver_window_covers_every_family():
         "c1_dup_clusters",
         "t2_text_stats", "t3_quality", "t4_lang_id",
         "t6_redact_pii", "t7_contamination",
-        "t17_tfidf", "t18_unigram_nll",
-        "t19_repetition", "m1_media_summary",
+        "t17_tfidf", "t18_unigram_nll", "m1_media_summary",
         "st1_stream_flag_counts", "st2_stream_gaps",
         "st11_stream_psi", "st12_stream_ingest_dedup",
         "s10_jsonl_roundtrip",
@@ -65,6 +64,7 @@ def test_driver_window_covers_every_family():
         "x11_cell_stats", "t32_bloom_prune", "t33_cms_heavyhitters",
         "t34_hll_distinct", "d12_snapshot_diff", "x12_embedding_drift",
         "h7_top_unshipped", "h8_local_nation_revenue",
+        "t35_perplexity_buckets",
     } <= window
 
 
