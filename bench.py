@@ -121,6 +121,8 @@ EXTENDED = [
     "h7_top_unshipped",
     "h8_local_nation_revenue",
     "t35_perplexity_buckets",
+    "t36_nfc_dedup",
+    "h9_big_orders",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -1490,6 +1490,47 @@ def q_t35_perplexity_buckets(spark, sf_dir):
     return ntile_by_score(nll, "avg_nll", "doc_id", 3)
 
 
+def q_t36_nfc_dedup(spark, sf_dir):
+    """Unicode-normalization-aware exact dedup: planted variants carry
+    the DECOMPOSED accent (e + U+0301), doubled spaces, and uppercase,
+    while their originals carry the COMPOSED form (U+00E9) — byte-level
+    fingerprints see different documents until NFC + casefold +
+    whitespace collapse canonicalizes them.  Every planted variant must
+    land in a dup group with its original."""
+    from qctimeseries_spark.datapipe.hashing import hash60, seeded_hash60
+    from qctimeseries_spark.datapipe.text import normalize_text
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(
+        "doc_id", F.concat("text", F.lit(" caf\u00e9")).alias("text")
+    )
+    sid = F.col("doc_id").cast("string")
+    variants = d.filter(seeded_hash60(sid, 36) % 5 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.upper(F.col("text")), F.lit("  cafe\u0301")
+        ).alias("text"),
+    )
+    norm = normalize_text(base.unionByName(variants))
+    return (
+        norm.select(
+            "doc_id", hash60(F.col("norm_text")).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
 def q_d12_snapshot_diff(spark, sf_dir):
     """Incremental corpus refresh: added / removed / changed documents
     between two crawl snapshots, via a fingerprint-only full-outer
@@ -1580,6 +1621,7 @@ DATAPIPE_QUERIES = {
     "d12_snapshot_diff": q_d12_snapshot_diff,
     "x12_embedding_drift": q_x12_embedding_drift,
     "t35_perplexity_buckets": q_t35_perplexity_buckets,
+    "t36_nfc_dedup": q_t36_nfc_dedup,
 }
 
 
@@ -3487,3 +3529,24 @@ DATAPIPE_ORACLE["t35_perplexity_buckets"] = f"""
 SELECT doc_id, avg_nll,
        CAST(NTILE(3) OVER (ORDER BY avg_nll, doc_id) AS INT) AS bucket
 FROM ({DATAPIPE_ORACLE['t18_unigram_nll']})"""
+
+
+DATAPIPE_ORACLE["t36_nfc_dedup"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         upper(text) || '  cafe' || chr(769) AS text
+  FROM documents WHERE {_sh60('CAST(doc_id AS VARCHAR)', 36)} % 5 = 0
+),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(nfc_normalize(text)),
+              '[ \t\n\r]+', ' ', 'g')) AS nt
+  FROM corpus
+),
+f AS (SELECT doc_id, {hash60_sql('nt')} AS fingerprint FROM n)
+SELECT fingerprint, MIN(doc_id) AS keeper,
+       COUNT(*) AS n_dups,
+       array_to_string(list_sort(list(doc_id)), ',') AS ids
+FROM f GROUP BY fingerprint HAVING COUNT(*) > 1"""

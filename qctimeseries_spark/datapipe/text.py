@@ -1414,3 +1414,48 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "norm_text",
+    lower: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Unicode NFC normalization (+ optional lowercasing and ASCII
+    whitespace collapse) — the canonicalization pass a multilingual
+    crawl needs BEFORE exact dedup: 'café' arrives both composed
+    (U+00E9) and decomposed (e + U+0301), and byte-level fingerprints
+    treat them as different documents.
+
+    NFC runs in an Arrow ``pandas_udf`` (``unicodedata.normalize`` —
+    no JVM builtin exists); casefolding and the ``[ \\t\\n\\r]+``
+    collapse stay Catalyst-side so only the NFC step leaves codegen.
+    Composition is row-local: no shuffle, no state, scales linearly
+    and composes with :func:`~.dedup.exact_dedup` /
+    :func:`~.dedup.snapshot_diff` by normalizing before fingerprinting.
+
+    Cross-engine: DuckDB mirrors as ``nfc_normalize``/``lower``/
+    ``regexp_replace(.., '[ \\t\\n\\r]+', ' ', 'g')`` — explicit ASCII
+    whitespace class on both sides, because ``\\s`` is
+    engine-locale-dependent.
+    """
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    c = _nfc(F.col(text_col))
+    if lower:
+        c = F.lower(c)
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, "[ \t\n\r]+", " "))
+    return df.withColumn(out_col, c)

@@ -777,6 +777,43 @@ def q_h8_local_nation_revenue(spark, sf_dir):
     )
 
 
+def q_h9_big_orders(spark, sf_dir):
+    """Large-volume-order report (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds 250, with their customer.  The plan
+    shape this adds: an aggregate-then-HAVING derived table joined
+    back to its own fact's dimension chain — the filtered aggregate is
+    ~1% of orders, so AQE turns both attach joins into broadcasts at
+    runtime (statically unknowable, exactly what adaptive planning is
+    for).  Quantity sums run in exact decimal; cross-engine
+    determinism needs no tie-breaks because nothing is ranked."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_sq"))
+        .filter(F.col("_sq") > 250)
+    )
+    ords = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        ords.join(big, ords.o_orderkey == big.l_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
 def q_st1_stream_flag_counts(spark, sf_dir):
     """Structured Streaming end-to-end (SURVEY.md §7.2/9): file-source
     stream → stateless flag init → watermarked 24 h tumbling-window flag
@@ -955,6 +992,7 @@ QUERIES = {
     "h4_order_priority": q_h4_order_priority,
     "h7_top_unshipped": q_h7_top_unshipped,
     "h8_local_nation_revenue": q_h8_local_nation_revenue,
+    "h9_big_orders": q_h9_big_orders,
     "h6_forecast_revenue": q_h6_forecast_revenue,
     "t1_sessionize": q_t1_sessionize,
     "j1_asof_join": q_j1_asof_join,
@@ -1695,11 +1733,11 @@ _WINDOW_R8 = (
     "d1_exact_dedup", "d2_minhash_dedup", "d3_simhash_pairs",
     "d5_embedding_dups", "d8_embedding_store",
     "c1_dup_clusters",
-    "t2_text_stats", "t3_quality", "t4_lang_id",
+    "t2_text_stats", "t3_quality",
     "t6_redact_pii", "t7_contamination",
     "t17_tfidf", "t18_unigram_nll",
     "m1_media_summary",
-    "st1_stream_flag_counts", "st2_stream_gaps",
+    "st1_stream_flag_counts",
     "st11_stream_psi", "st12_stream_ingest_dedup",
     "s10_jsonl_roundtrip",
     # QC core tail (r5/earlier driver greens on unchanged code).
@@ -1733,6 +1771,7 @@ _WINDOW_R8 = (
     "d12_snapshot_diff", "x12_embedding_drift",
     "h7_top_unshipped", "h8_local_nation_revenue",
     "t35_perplexity_buckets",
+    "t36_nfc_dedup", "h9_big_orders",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
@@ -1993,6 +2032,14 @@ JOIN nation ON s_nationkey = n_nationkey
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name""",
+    "h9_big_orders": """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sq AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250) b
+JOIN orders ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey""",
     "h4_order_priority": """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders o

@@ -2431,3 +2431,25 @@ def test_ntile_by_score_matches_global_ntile_semantics(spark):
 
     sizes = sorted(Counter(got.values()).items())
     assert sizes == [(1, 26), (2, 25), (3, 25), (4, 25)]
+
+
+def test_normalize_text_canonicalizes_unicode_variants(spark):
+    """Composed and decomposed accents, case, and whitespace runs all
+    collapse to one canonical form; None passes through; the flags
+    gate each step independently."""
+    from qctimeseries_spark.datapipe.text import normalize_text
+
+    rows = [
+        (1, "café au lait"),          # composed
+        (2, "CAFE\u0301  au\tlait "),  # decomposed + case + ws
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(df).collect()}
+    assert out[1] == out[2] == "café au lait"
+    assert out[3] is None
+    raw = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(df, lower=False,
+                                    collapse_ws=False).collect()}
+    assert raw[2] == "CAF\u00c9  au\tlait "  # NFC only: E+U+0301 -> \u00c9

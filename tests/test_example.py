@@ -48,10 +48,10 @@ def test_driver_window_covers_every_family():
         "d1_exact_dedup", "d2_minhash_dedup", "d3_simhash_pairs",
         "d5_embedding_dups", "d8_embedding_store",
         "c1_dup_clusters",
-        "t2_text_stats", "t3_quality", "t4_lang_id",
+        "t2_text_stats", "t3_quality",
         "t6_redact_pii", "t7_contamination",
         "t17_tfidf", "t18_unigram_nll", "m1_media_summary",
-        "st1_stream_flag_counts", "st2_stream_gaps",
+        "st1_stream_flag_counts",
         "st11_stream_psi", "st12_stream_ingest_dedup",
         "s10_jsonl_roundtrip",
         # born in round 8 — driver-checked from day one
@@ -65,6 +65,7 @@ def test_driver_window_covers_every_family():
         "t34_hll_distinct", "d12_snapshot_diff", "x12_embedding_drift",
         "h7_top_unshipped", "h8_local_nation_revenue",
         "t35_perplexity_buckets",
+        "t36_nfc_dedup", "h9_big_orders",
     } <= window
 
 
