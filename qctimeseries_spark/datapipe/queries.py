@@ -3550,3 +3550,195 @@ SELECT fingerprint, MIN(doc_id) AS keeper,
        COUNT(*) AS n_dups,
        array_to_string(list_sort(list(doc_id)), ',') AS ids
 FROM f GROUP BY fingerprint HAVING COUNT(*) > 1"""
+
+
+# ---------------------------------------------------------------------------
+# round-8 continuation: chunking, temperature mixture, negative
+# sampling, streaming sketch maintenance
+# ---------------------------------------------------------------------------
+
+
+def q_t37_chunk_docs(spark, sf_dir):
+    """Sliding-window RAG chunking: every document split into
+    32-token chunks overlapping by 8 (stride 24), full coverage
+    guaranteed — entirely row-local (tokenize once, one posexplode,
+    NO shuffle), so the plan inherits the scan's partitioning and
+    scales linearly at any corpus size."""
+    from qctimeseries_spark.datapipe.text import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=32, overlap=8
+    )
+
+
+def q_t38_temperature_mix(spark, sf_dir):
+    """√-temperature mixture weights over languages (mC4/XLM-R
+    rebalancing): natural token shares damped by alpha=0.5 and
+    renormalized into targets, then the same no-upsampling keep-frac
+    algebra as t13.  One map-side-combined corpus aggregation +
+    broadcast scalars; √ is IEEE-correctly-rounded in every engine and
+    the per-group weights quantize to integer nano-units before the
+    normalizing sum, so the result is hash-exact."""
+    from qctimeseries_spark.datapipe.sample import temperature_weights
+    from qctimeseries_spark.datapipe.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "lang", token_count(F.col("text")).alias("_ntok")
+    )
+    return temperature_weights(d, "lang", "_ntok", alpha=0.5)
+
+
+def q_x13_negative_sample(spark, sf_dir):
+    """Deterministic contrastive negative sampling: each embedding row
+    draws k=4 differing-label negatives by seeded pair-hash order from
+    its ONE probed hash bucket (of 8) — reproducible with no RNG, and
+    never all-pairs: fan-out is n²/buckets with buckets sized to the
+    corpus.  One bucket equi-join + one per-anchor window."""
+    from qctimeseries_spark.datapipe.similarity import negative_sample
+
+    return negative_sample(
+        read_table(spark, sf_dir, "embeddings"),
+        k=4, buckets=8, seed="neg",
+    )
+
+
+def q_st16_stream_heavyhitters(spark, sf_dir):
+    """Streaming count-min maintenance: the documents corpus arrives
+    as two planted micro-batches (even ids, then odd), each batch
+    aggregates its OWN ≤4×1024-cell partial sketch into a committed
+    per-batch sink dir, and the merged sketch — one grid-sized sum
+    over the partials — must be bit-identical to the batch t33 sketch
+    over the whole corpus, because count-min counters are plain
+    integer sums (the 1000-executor / multi-day rollup algebra).
+    The oracle is the batch sketch SQL."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.streaming import cms_ingest_stream
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="qcts_st16_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, batch in enumerate(
+            [d.filter(F.col("doc_id") % 2 == 0),
+             d.filter(F.col("doc_id") % 2 == 1)]
+        ):
+            stage = os.path.join(tmp, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = cms_ingest_stream(
+            stream,
+            os.path.join(tmp, "out"),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+DATAPIPE_QUERIES["t37_chunk_docs"] = q_t37_chunk_docs
+DATAPIPE_QUERIES["t38_temperature_mix"] = q_t38_temperature_mix
+DATAPIPE_QUERIES["x13_negative_sample"] = q_x13_negative_sample
+DATAPIPE_QUERIES["st16_stream_heavyhitters"] = q_st16_stream_heavyhitters
+
+# chunking: starts 1, 1+24, … ≤ max(len-8, 1); chunk = 32-token slice;
+# DuckDB range() is stop-exclusive, list_slice end-inclusive.
+_T37_TOKS = _TOKS.format(c="text")
+DATAPIPE_ORACLE["t37_chunk_docs"] = f"""
+WITH tk AS (SELECT doc_id, {_T37_TOKS} AS tk FROM documents),
+st AS (
+  SELECT doc_id, tk,
+         unnest(range(1, greatest(len(tk) - 8, 1) + 1, 24)) AS s
+  FROM tk
+)
+SELECT doc_id,
+       CAST((s - 1) // 24 AS INT) AS chunk_id,
+       CAST(s AS INT) AS start_token,
+       CAST(greatest(least(len(tk) - s + 1, 32), 0) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(tk, s, s + 31), ' ') AS chunk
+FROM st"""
+
+# temperature mixture: nano-unit-quantized √share weights, exact
+# BIGINT normalizer, the t13 keep-frac algebra — op-for-op the Spark
+# expression order so every double is bit-identical.
+DATAPIPE_ORACLE["t38_temperature_mix"] = f"""
+WITH g AS (
+  SELECT lang, CAST(SUM(len({_T37_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM g),
+w AS (
+  SELECT lang, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+         CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS w
+  FROM g, tot
+),
+ws AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM w),
+t AS (
+  SELECT w.lang, w.n_tokens, w.share,
+         CAST(w.w AS DOUBLE) / CAST(ws.wsum AS DOUBLE) AS target
+  FROM w, ws
+),
+tm AS (SELECT MIN(CAST(n_tokens AS DOUBLE) / target) AS T FROM t)
+SELECT lang, n_tokens,
+       ROUND(share, 9) AS share,
+       ROUND(target, 9) AS target_share,
+       ROUND(LEAST(1.0, target * tm.T / CAST(n_tokens AS DOUBLE)), 9)
+         AS keep_frac
+FROM t, tm"""
+
+_X13_AH = hash60_sql("concat('neg:a:', CAST(vec_id AS VARCHAR))")
+_X13_CH = hash60_sql("concat('neg:c:', CAST(vec_id AS VARCHAR))")
+_X13_PH = hash60_sql(
+    "concat('neg:p:', CAST(anchor_id AS VARCHAR), ':',"
+    " CAST(neg_id AS VARCHAR))"
+)
+DATAPIPE_ORACLE["x13_negative_sample"] = f"""
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS albl,
+         {_X13_AH} % 8 AS b
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS neg_id, label AS neg_label,
+         {_X13_CH} % 8 AS b
+  FROM embeddings
+),
+p AS (
+  SELECT anchor_id, neg_id, neg_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor_id
+           ORDER BY {_X13_PH} ASC, neg_id ASC
+         ) AS rank
+  FROM a JOIN c USING (b)
+  WHERE anchor_id != neg_id AND albl IS DISTINCT FROM neg_label
+)
+SELECT anchor_id, neg_id, neg_label, CAST(rank AS INT) AS rank
+FROM p WHERE rank <= 4"""
+
+# streaming CMS merge == the batch sketch (integer cell sums commute
+# across any batch split) — the oracle is t33's sketch CTE alone.
+DATAPIPE_ORACLE["st16_stream_heavyhitters"] = f"""
+WITH tok AS (SELECT unnest({_T37_TOKS}) AS term
+             FROM documents),
+cells AS (
+  SELECT CAST(r.range AS INT) AS row,
+         CAST({_CMS_H} % 1024 AS INT) AS bucket
+  FROM tok, range(4) r
+)
+SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM cells GROUP BY row, bucket"""

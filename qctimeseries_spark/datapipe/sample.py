@@ -658,3 +658,79 @@ def ntile_by_score(
         out_col, expr.cast("int")
     )
     return whole.unionByName(boundary).drop("_vb", "_start", "_whole")
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling weights — the multilingual /
+    multi-source rebalancing rule (mC4 / XLM-R style): target shares
+    are the NATURAL shares raised to ``alpha`` and renormalized, so
+    head groups are damped and tail groups boosted without any
+    hand-written target table (:func:`mixture_weights` is the
+    explicit-targets sibling; this derives the targets from the corpus
+    itself).
+
+    ``alpha=0.5`` (the default, √-damping) is the oracle-exact mode:
+    IEEE-754 ``sqrt`` is correctly rounded in every engine, and the
+    per-group weight quantizes to integer NANO-units
+    (``floor(√share · 1e9 + 0.5)``) BEFORE the normalizing sum, so the
+    denominator is an exact BIGINT no matter the aggregation order.
+    Other ``alpha`` values use ``pow``, which libm implementations may
+    round differently in the last ulp — fine in production, documented
+    here for cross-engine comparisons.
+
+    Downstream, ``keep_frac`` feeds :func:`hash_sample` exactly like
+    :func:`mixture_weights`: ``T = min_g n_g / target_g`` is the
+    largest corpus every group can supply without upsampling, and
+    ``keep_frac_g = target_g · T / n_g`` (1.0 for the binding group).
+
+    Scale shape: ONE map-side-combined aggregation over the corpus
+    (|groups| rows out), two broadcast scalars — nothing else touches
+    the data.  Returns ``(group, n_tokens, share, target_share,
+    keep_frac)``, ratios rounded to 9 dp identically to the DuckDB
+    mirror.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    g = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens")
+    )
+    total = g.agg(F.sum("n_tokens").alias("_total"))
+    g = g.crossJoin(F.broadcast(total))
+    share = F.col("n_tokens").cast("double") / F.col("_total").cast(
+        "double"
+    )
+    damped = (
+        F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(alpha))
+    )
+    g = g.withColumn(
+        "_w", F.floor(damped * 1e9 + F.lit(0.5)).cast("bigint")
+    )
+    wsum = g.agg(F.sum("_w").alias("_wsum"))
+    g = g.crossJoin(F.broadcast(wsum)).withColumn(
+        "_target",
+        F.col("_w").cast("double") / F.col("_wsum").cast("double"),
+    )
+    t_scal = g.agg(
+        F.min(
+            F.col("n_tokens").cast("double") / F.col("_target")
+        ).alias("_T")
+    )
+    return g.crossJoin(F.broadcast(t_scal)).select(
+        group_col,
+        "n_tokens",
+        F.round(share, 9).alias("share"),
+        F.round(F.col("_target"), 9).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("_target") * F.col("_T") / F.col("n_tokens").cast("double"),
+            ),
+            9,
+        ).alias("keep_frac"),
+    )

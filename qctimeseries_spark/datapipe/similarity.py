@@ -1407,3 +1407,76 @@ def cell_stats(
         "min_cos",
         "max_cos",
     )
+
+
+def negative_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 4,
+    buckets: int = 8,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row receives ``k`` pseudo-random negatives (rows with a
+    DIFFERENT label), chosen by hash order so the pairing is
+    reproducible across runs, engines, and partitionings — no RNG
+    state, no ``rand()``.
+
+    Never all-pairs: candidates land in ``buckets`` hash buckets and
+    each anchor probes exactly ONE bucket (its own anchor-hash bucket),
+    so pair fan-out is ``n²/buckets`` — size ``buckets ∝ n / (desired
+    candidates per anchor)`` to keep per-anchor work constant (e.g.
+    ``n/1024`` at corpus scale; a few hundred candidates is plenty for
+    ``k ≤ 16``).  Both hash families are seeded independently, so an
+    anchor's own bucket membership doesn't bias which candidates it
+    sees.  Within the probed bucket, negatives rank by the PAIR hash
+    (anchor, candidate) — an anchor-specific shuffle of the bucket —
+    with the candidate id as a total-order tiebreak.
+
+    Returns ``(anchor_id, neg_id, neg_label, rank)``, ``rank`` 1..k in
+    pair-hash order.  Anchors whose bucket holds fewer than ``k``
+    differing-label candidates emit fewer rows (document the bucket
+    sizing above).  One equi-join shuffle on the bucket id + one
+    per-anchor window over ~n/buckets rows.
+    """
+    from qctimeseries_spark.datapipe.hashing import hash60
+
+    if k <= 0 or buckets <= 0:
+        raise ValueError("k and buckets must be positive")
+    sid = F.col(id_col).cast("string")
+    anchors = df.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_albl"),
+        (hash60(F.concat(F.lit(f"{seed}:a:"), sid)) % buckets).alias(
+            "_b"
+        ),
+    )
+    cands = df.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        (hash60(F.concat(F.lit(f"{seed}:c:"), sid)) % buckets).alias(
+            "_b"
+        ),
+    )
+    pairs = anchors.join(cands, "_b").filter(
+        (F.col("anchor_id") != F.col("neg_id"))
+        & ~F.col("_albl").eqNullSafe(F.col("neg_label"))
+    )
+    ph = hash60(
+        F.concat(
+            F.lit(f"{seed}:p:"),
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        ph.asc(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "rank")
+    )

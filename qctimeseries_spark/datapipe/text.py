@@ -1459,3 +1459,67 @@ def normalize_text(
     if collapse_ws:
         c = F.trim(F.regexp_replace(c, "[ \t\n\r]+", " "))
     return df.withColumn(out_col, c)
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG / context-window
+    preparation step: each document becomes overlapping chunks of at
+    most ``chunk_tokens`` whitespace tokens, consecutive chunks sharing
+    ``overlap`` tokens so no boundary-straddling passage is lost.
+
+    Chunk starts are ``1, 1+stride, 1+2·stride, …`` (``stride =
+    chunk_tokens - overlap``) up to ``max(n_tokens - overlap, 1)``,
+    which guarantees full coverage (the last chunk always reaches the
+    final token) and never emits a chunk wholly contained in the
+    previous one; a document shorter than one chunk yields exactly one
+    chunk.  Emits ``(id, chunk_id, start_token, n_chunk_tokens,
+    chunk)`` with ``chunk_id`` 0-based in document order.
+
+    Scale shape: entirely row-local — tokenize once (let-bound array),
+    one ``posexplode``; NO shuffle anywhere, so it scales linearly and
+    inherits the scan's partitioning.  Output rows ≈ input tokens /
+    stride.  :func:`~qctimeseries_spark.datapipe.hashing.fan_out`
+    spreads a narrow scan before the per-row HOF work.
+    """
+    if overlap < 0 or chunk_tokens <= overlap:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    chunks = bind(
+        tokens(F.col(text_col)),
+        lambda tk: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(tk) - overlap, F.lit(1)),
+                F.lit(stride),
+            ),
+            lambda s: F.struct(
+                s.cast("int").alias("start_token"),
+                F.greatest(
+                    F.least(
+                        F.size(tk) - s + 1, F.lit(chunk_tokens)
+                    ),
+                    F.lit(0),
+                ).cast("int").alias("n_chunk_tokens"),
+                F.concat_ws(
+                    " ", F.slice(tk, s, chunk_tokens)
+                ).alias("chunk"),
+            ),
+        ),
+    )
+    return fan_out(df).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "_c")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("_c.start_token"),
+        F.col("_c.n_chunk_tokens"),
+        F.col("_c.chunk"),
+    )

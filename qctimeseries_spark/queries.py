@@ -2628,3 +2628,64 @@ ORACLE["st15_stream_knn_serve"] = DATAPIPE_ORACLE["x2_knn_ivf"].replace(
 assert (
     ORACLE["st15_stream_knn_serve"] != DATAPIPE_ORACLE["x2_knn_ivf"]
 ), "st15 oracle derivation no-opped — x2's query filter was reworded"
+
+
+# ---------------------------------------------------------------------------
+# round-8 continuation: SCD2 interval compression + ORC roundtrip
+# ---------------------------------------------------------------------------
+
+
+def q_a17_change_intervals(spark, sf_dir):
+    """SCD-type-2 history build: each user's event_type change log
+    compressed into validity intervals (valid_from, valid_to, dense
+    version) — consecutive same-value rows collapse, NULL valid_to
+    marks the current run.  One key shuffle, two window passes (the
+    second over the already-collapsed changepoints)."""
+    from qctimeseries_spark.windows import change_intervals
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return change_intervals(
+        ev, "ts", "user_id", "event_type", tiebreak_col="event_id"
+    )
+
+
+def q_s11_orc_roundtrip(spark, sf_dir):
+    """ORC sink then source over the documents corpus (zstd) — the
+    second columnar interchange format next to parquet (S4); the
+    roundtrip must be lossless, so the oracle reads the original
+    table."""
+    path = os.path.join(_SCRATCH, "orc_roundtrip")
+    read_table(spark, sf_dir, "documents").write.mode(
+        "overwrite"
+    ).option("compression", "zstd").orc(path)
+    return spark.read.orc(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+QUERIES["a17_change_intervals"] = q_a17_change_intervals
+QUERIES["s11_orc_roundtrip"] = q_s11_orc_roundtrip
+
+ORACLE["a17_change_intervals"] = """
+WITH m AS (
+  SELECT user_id, ts, event_type, event_id,
+         LAG(event_type) OVER w AS prev,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT * FROM m
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type,
+       CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+       ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to
+FROM c
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+ORACLE["s11_orc_roundtrip"] = """
+SELECT doc_id, text, lang, source, n_chars FROM documents"""

@@ -1224,3 +1224,77 @@ def ewma_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_ingest_stream(
+    stream: DataFrame,
+    out_path: str,
+    *,
+    text_col: str = "text",
+    depth: int | None = None,
+    width: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming count-min sketch maintenance: a live token-frequency
+    monitor over an ingest stream, the streaming twin of
+    :func:`~qctimeseries_spark.datapipe.sketches.cms_build`.
+
+    Count-min counters are plain integer sums, so per-batch PARTIAL
+    sketches merge into the corpus sketch by cell-wise addition — the
+    same algebra that lets a 1000-executor rollup or a month of daily
+    sketches combine exactly.  Each micro-batch therefore aggregates
+    its own ≤ ``depth·width`` cell counts (map-side combine bounds the
+    shuffle at the grid size regardless of batch rows) and writes them
+    to a committed ``sink_batch=<id>/`` dir (:func:`_prepare_batch_dir`
+    — a replayed batch skips, a crashed partial rewrites), making the
+    on-disk partials exact under at-least-once delivery; the merged
+    sketch is then ONE grid-sized aggregation over the partial files.
+    The result is bit-identical to the batch sketch over the union of
+    all batches — integer addition commutes — which is exactly what
+    the oracle checks.
+
+    Returns the merged ``(row, bucket, cnt)`` sketch — empty with that
+    schema if the stream produced no batches.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql.utils import AnalysisException
+
+    from qctimeseries_spark.datapipe.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_build,
+    )
+
+    depth = CMS_DEPTH if depth is None else depth
+    width = CMS_WIDTH if width is None else width
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        bdir = _prepare_batch_dir(batch.sparkSession, out_path, batch_id)
+        if bdir is None:  # committed by a previous attempt
+            return
+        cms_build(
+            batch, text_col=text_col, depth=depth, width=width
+        ).write.mode("append").parquet(bdir)
+
+    checkpoint_dir = (
+        checkpoint_dir or f"/tmp/qcts_cms_ckpt_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream.sparkSession
+    try:
+        parts = spark.read.parquet(out_path)
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "row int, bucket int, cnt bigint"
+        )
+    return (
+        parts.groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )

@@ -1361,3 +1361,47 @@ def ewma(
         )
         .drop("_blk", "_A", "_B", "_sin")
     )
+
+
+def change_intervals(
+    df: DataFrame,
+    time_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Compress a change log into validity intervals — the SCD-type-2
+    history build every warehouse runs on dimension feeds: per key,
+    consecutive rows with the SAME value collapse into one row carrying
+    ``valid_from`` (first observation of the run) and ``valid_to``
+    (start of the NEXT run; NULL for the current run), plus a dense
+    per-key ``version`` number.
+
+    Ordering within a key is ``(time_col, tiebreak_col)`` — pass a
+    unique tiebreak (an event id) so equal timestamps order
+    deterministically; with a unique tiebreak the output is total-order
+    stable and engine-reproducible.  Value comparison is null-safe
+    (NULL→x and x→NULL are changes; NULL→NULL is not).
+
+    Scale shape: one shuffle on the key, two per-key window passes
+    (lag on the raw rows, lead + row_number on the surviving
+    changepoints — the second pass runs on the already-collapsed rows,
+    typically a tiny fraction).  No driver collection, no join.
+    """
+    order = [F.col(time_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(value_col)).over(w)
+    first = F.row_number().over(w) == 1
+    changed = df.withColumn(
+        "_chg",
+        first | ~F.col(value_col).eqNullSafe(prev),
+    ).filter(F.col("_chg"))
+    wc = Window.partitionBy(key_col).orderBy(*order)
+    return changed.select(
+        key_col,
+        F.col(value_col),
+        F.row_number().over(wc).cast("int").alias("version"),
+        F.col(time_col).alias("valid_from"),
+        F.lead(F.col(time_col)).over(wc).alias("valid_to"),
+    )

@@ -2453,3 +2453,96 @@ def test_normalize_text_canonicalizes_unicode_variants(spark):
            for r in normalize_text(df, lower=False,
                                     collapse_ws=False).collect()}
     assert raw[2] == "CAF\u00c9  au\tlait "  # NFC only: E+U+0301 -> \u00c9
+
+
+# ---------------------------------------------------------------------------
+# round-8 continuation: chunking, temperature mixture, negative
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_coverage_overlap_and_short_docs(spark):
+    """Chunks tile every token (full coverage), consecutive chunks
+    share exactly `overlap` tokens, a doc shorter than one chunk emits
+    exactly one chunk, and chunk_ids are dense from 0."""
+    from qctimeseries_spark.datapipe.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(100))),  # 100 tokens
+        (2, "a b c"),                                # shorter than chunk
+        (3, " ".join(f"t{i}" for i in range(25))),   # exactly one stride+overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=24, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+    # full coverage + overlap on the 100-token doc (stride 16)
+    rs = by_doc[1]
+    assert [r.start_token for r in rs] == [1 + 16 * i for i in range(len(rs))]
+    covered = set()
+    for r in rs:
+        toks = r.chunk.split(" ")
+        assert len(toks) == r.n_chunk_tokens
+        covered.update(range(r.start_token, r.start_token + r.n_chunk_tokens))
+    assert covered == set(range(1, 101))
+    for a, b in zip(rs, rs[1:]):
+        assert a.start_token + a.n_chunk_tokens - b.start_token >= 8
+    # short doc: one chunk, whole text
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk == "a b c"
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_temperature_weights_damps_head_and_boosts_tail(spark):
+    """alpha=0.5 moves target shares toward uniform: the head group's
+    target < natural share (so keep_frac < 1) and the tail group's
+    target > share with keep_frac == 1.0 (the binding group never
+    upsamples); shares and targets each sum to ~1."""
+    from qctimeseries_spark.datapipe.sample import temperature_weights
+
+    rows = [("en", 8000), ("de", 1500), ("zh", 500)]
+    df = spark.createDataFrame(rows, "lang string, ntok long")
+    out = {r.lang: r for r in temperature_weights(df, "lang", "ntok").collect()}
+    assert out["en"].target_share < out["en"].share
+    assert out["zh"].target_share > out["zh"].share
+    assert abs(sum(r.share for r in out.values()) - 1.0) < 1e-8
+    assert abs(sum(r.target_share for r in out.values()) - 1.0) < 1e-8
+    # the most-boosted group binds at keep_frac 1.0; the head is damped
+    assert out["zh"].keep_frac == 1.0
+    assert out["en"].keep_frac < 1.0
+    # realized tokens follow the target ratio: n·keep ∝ target
+    realized = {k: r.n_tokens * r.keep_frac for k, r in out.items()}
+    tot = sum(realized.values())
+    for k, r in out.items():
+        assert abs(realized[k] / tot - r.target_share) < 1e-6
+    with pytest.raises(ValueError):
+        temperature_weights(df, "lang", "ntok", alpha=0.0)
+
+
+def test_negative_sample_is_deterministic_and_label_disjoint(spark):
+    """Every sampled negative has a different label from its anchor,
+    ranks are dense 1..k', and the pairing is identical under a
+    different input partitioning (hash order, no RNG)."""
+    from qctimeseries_spark.datapipe.similarity import negative_sample
+
+    rows = [(i, [float(i)], i % 3) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = negative_sample(df, k=5, buckets=4).collect()
+    labels = dict((i, i % 3) for i in range(60))
+    by_anchor = {}
+    for r in out:
+        assert labels[r.anchor_id] != r.neg_label
+        assert r.neg_label == labels[r.neg_id]
+        by_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+    again = negative_sample(df.repartition(7), k=5, buckets=4).collect()
+    key = lambda rs: sorted((r.anchor_id, r.neg_id, r.rank) for r in rs)
+    assert key(out) == key(again)

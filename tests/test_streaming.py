@@ -1257,3 +1257,58 @@ def test_knn_serve_stream_empty_source_returns_empty_schema(spark, tmp_path):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+
+def test_cms_ingest_stream_merges_to_batch_sketch_and_replay_exact(
+    spark, tmp_path
+):
+    """The drained streaming sketch is cell-for-cell identical to the
+    batch sketch over the union of batches (integer counters commute),
+    and a REPLAY against the same sink dirs adds nothing: committed
+    per-batch dirs are skipped, so the on-disk partials — read raw,
+    no view — hold each batch exactly once."""
+    from qctimeseries_spark.datapipe.sketches import cms_build
+    from qctimeseries_spark.streaming import cms_ingest_stream
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(40)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in (0, 1):
+        stage = str(tmp_path / f"stage{i}")
+        half = [r for r in rows if r[0] % 2 == i]
+        spark.createDataFrame(
+            half, "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(stage)
+        part = next(Path(stage).glob("part-*.parquet"))
+        dst = src / f"batch{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return cms_ingest_stream(
+            stream, str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    merged = {(r.row, r.bucket): r.cnt for r in drain("ckpt1").collect()}
+    batch = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(
+            spark.createDataFrame(rows, "doc_id bigint, text string")
+        ).collect()
+    }
+    assert merged == batch
+    # replay with a FRESH checkpoint: both batch dirs are committed,
+    # so the re-drain writes nothing and the merge is unchanged
+    replay = {(r.row, r.bucket): r.cnt for r in drain("ckpt2").collect()}
+    assert replay == batch
+    # raw files on disk: exactly one committed dir per batch
+    dirs = sorted(
+        p.name for p in (tmp_path / "out").iterdir() if p.is_dir()
+    )
+    assert dirs == ["sink_batch=0", "sink_batch=1"]

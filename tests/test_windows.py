@@ -814,3 +814,44 @@ def test_seasonal_baseline_by_key_and_dow(spark):
     assert [r["season"] for r in a] == [1]  # Monday = 1 (0=Sunday)
     b = out.filter(F.col("k") == "b").first()
     assert b["seasonal_med"] == 50.0 and b["seasonal_iqr"] == 0.0
+
+
+def test_change_intervals_collapses_runs_null_safe(spark):
+    """Consecutive equal values collapse into one validity interval;
+    NULL→x and x→NULL are changes but NULL→NULL is not; versions are
+    dense per key; valid_to chains to the next run's valid_from and is
+    NULL for the current run; equal timestamps order by the tiebreak."""
+    import datetime as dt
+
+    from qctimeseries_spark.windows import change_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    rows = [
+        # key 1: a a b b a  -> a, b, a
+        (1, s(0), "a", 10), (1, s(1), "a", 11), (1, s(2), "b", 12),
+        (1, s(3), "b", 13), (1, s(4), "a", 14),
+        # key 2: NULL NULL x NULL  -> NULL, x, NULL
+        (2, s(0), None, 20), (2, s(1), None, 21),
+        (2, s(2), "x", 22), (2, s(3), None, 23),
+        # key 3: same-ts tie broken by id: b (id 30) then a (id 31)
+        (3, s(0), "b", 30), (3, s(0), "a", 31),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, v string, event_id long"
+    )
+    out = change_intervals(df, "ts", "user_id", "v", tiebreak_col="event_id")
+    by_key = {}
+    for r in out.collect():
+        by_key.setdefault(r.user_id, []).append(r)
+    for rs in by_key.values():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from
+        assert rs[-1].valid_to is None
+    assert [r.v for r in by_key[1]] == ["a", "b", "a"]
+    assert by_key[1][0].valid_from == s(0)
+    assert by_key[1][1].valid_from == s(2)
+    assert [r.v for r in by_key[2]] == [None, "x", None]
+    assert [r.v for r in by_key[3]] == ["b", "a"]
