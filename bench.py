@@ -123,6 +123,18 @@ EXTENDED = [
     "t35_perplexity_buckets",
     "t36_nfc_dedup",
     "h9_big_orders",
+    # round-8 continuation: RAG chunking, temperature mixture, SCD2
+    # intervals, negative sampling, streaming CMS, ORC roundtrip
+    "t37_chunk_docs",
+    "t38_temperature_mix",
+    "a17_change_intervals",
+    "x13_negative_sample",
+    "st16_stream_heavyhitters",
+    "s11_orc_roundtrip",
+    # wave 2: exact k-means, sequence packing, streaming HLL
+    "x14_kmeans",
+    "t39_pack_sequences",
+    "st17_stream_distinct",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -3742,3 +3742,247 @@ cells AS (
 )
 SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM cells GROUP BY row, bucket"""
+
+
+# ---------------------------------------------------------------------------
+# round-8 continuation wave 2: exact k-means, sequence packing,
+# streaming HLL
+# ---------------------------------------------------------------------------
+
+
+def q_x14_kmeans(spark, sf_dir):
+    """Exact spherical k-means (16 cells, 2 Lloyd iterations): the
+    cluster model as a first-class deliverable — deterministic id
+    seed, per-dim left-fold cosine assignment, micro-unit-exact cell
+    means, fixed-order renormalization.  Centroids render as
+    nano-quantized integer strings so the array payload hashes
+    identically across engines (the d1 ids precedent)."""
+    from qctimeseries_spark.datapipe.similarity import kmeans_exact
+
+    out = kmeans_exact(
+        read_table(spark, sf_dir, "embeddings"), nlist=16, iters=2
+    )
+    return out.select(
+        "centroid_id",
+        "n_members",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("centroid"),
+                lambda x: F.floor(x * 1e9 + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+        ).alias("centroid_q"),
+    )
+
+
+def q_t39_pack_sequences(spark, sf_dir):
+    """Greedy concat-packing layout: documents concatenated per source
+    shard in doc_id order and split at 128-token context boundaries —
+    per-doc (start_offset, seq_first, seq_last, crosses) metadata.
+    One shard shuffle + one ordered per-shard prefix sum; no global
+    sort anywhere."""
+    from qctimeseries_spark.datapipe.sample import pack_sequences
+    from qctimeseries_spark.datapipe.text import token_count
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count(F.col("text")).alias("_ntok")
+    )
+    out = pack_sequences(
+        d, "_ntok", key_col="doc_id", ctx_len=128, shard_col="source"
+    )
+    return out.select(
+        "source", "doc_id", "n_tokens", "start_offset",
+        "seq_first", "seq_last",
+        F.col("crosses_boundary").cast("int").alias("crosses"),
+    )
+
+
+def q_st17_stream_distinct(spark, sf_dir):
+    """Streaming HyperLogLog maintenance: the corpus arrives as two
+    planted micro-batches, each writing its own register partial to a
+    committed per-batch dir; the drained estimate — element-wise MAX
+    merge + the shared batch estimate tail — must be bit-identical to
+    batch hll_distinct over the whole corpus (register max commutes).
+    Counts distinct TOKENS per language."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.text import tokens
+    from qctimeseries_spark.streaming import hll_ingest_stream
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    tmp = tempfile.mkdtemp(prefix="qcts_st17_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, batch in enumerate(
+            [d.filter(F.col("doc_id") % 2 == 0),
+             d.filter(F.col("doc_id") % 2 == 1)]
+        ):
+            stage = os.path.join(tmp, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream
+            .schema("doc_id bigint, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        toks = stream.select(
+            "lang", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        out = hll_ingest_stream(
+            toks,
+            os.path.join(tmp, "out"),
+            "term",
+            group_cols=("lang",),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+DATAPIPE_QUERIES["x14_kmeans"] = q_x14_kmeans
+DATAPIPE_QUERIES["t39_pack_sequences"] = q_t39_pack_sequences
+DATAPIPE_QUERIES["st17_stream_distinct"] = q_st17_stream_distinct
+
+
+def _kmeans_iter_sql(k: int) -> str:
+    """One unrolled exact-Lloyd iteration: assignment vs cents{k-1},
+    micro-unit cell means, fixed-order renormalization → cents{k}."""
+    cos = _cos_fold_sql("e.embedding", "c.centv")
+    return f"""
+a{k} AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({cos}, 9) DESC, c.cid
+         ) AS rk
+  FROM embeddings e, cents{k - 1} c
+),
+m{k} AS (
+  SELECT cid, i - 1 AS pos,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0
+                             + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{k}, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+  WHERE rk = 1 GROUP BY cid, pos
+),
+g{k} AS (
+  SELECT cid, list(s / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY pos)
+           AS mean
+  FROM m{k} GROUP BY cid
+),
+n{k} AS (
+  SELECT cid,
+         list_transform(mean, m -> m / sqrt(list_reduce(
+             list_transform(mean, x -> x * x), (p, q) -> p + q)))
+           AS centv
+  FROM g{k}
+),
+cents{k} AS (
+  SELECT c.cid, COALESCE(n{k}.centv, c.centv) AS centv
+  FROM cents{k - 1} c LEFT JOIN n{k} ON n{k}.cid = c.cid
+)"""
+
+
+_KM_COS_F = _cos_fold_sql("e.embedding", "c.centv")
+DATAPIPE_ORACLE["x14_kmeans"] = f"""
+WITH cents0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+         list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           x -> x / sqrt(list_reduce(
+             list_transform(list_transform(embedding,
+                              y -> CAST(y AS DOUBLE)), y -> y * y),
+             (p, q) -> p + q))) AS centv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),{_kmeans_iter_sql(1)},{_kmeans_iter_sql(2)},
+af AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_KM_COS_F}, 9) DESC, c.cid
+         ) AS rk
+  FROM embeddings e, cents2 c
+),
+sz AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM af WHERE rk = 1 GROUP BY cid
+)
+SELECT c.cid AS centroid_id,
+       COALESCE(sz.n_members, CAST(0 AS BIGINT)) AS n_members,
+       array_to_string(list_transform(c.centv,
+         x -> CAST(CAST(FLOOR(x * 1000000000.0 + 0.5) AS BIGINT)
+                   AS VARCHAR)), ',') AS centroid_q
+FROM cents2 c LEFT JOIN sz ON sz.cid = c.cid"""
+
+DATAPIPE_ORACLE["t39_pack_sequences"] = f"""
+WITH tk AS (
+  SELECT doc_id, source, CAST(len({_T37_TOKS}) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n,
+         CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum
+  FROM tk
+)
+SELECT source, doc_id, n AS n_tokens,
+       CAST(cum - n AS BIGINT) AS start_offset,
+       CAST(FLOOR((cum - n) / 128) AS BIGINT) AS seq_first,
+       CASE WHEN n > 0 THEN CAST(FLOOR((cum - 1) / 128) AS BIGINT)
+            ELSE CAST(FLOOR((cum - n) / 128) AS BIGINT)
+       END AS seq_last,
+       CAST(CASE WHEN n > 0
+                 THEN CAST(FLOOR((cum - 1) / 128) AS BIGINT)
+                 ELSE CAST(FLOOR((cum - n) / 128) AS BIGINT)
+            END > CAST(FLOOR((cum - n) / 128) AS BIGINT) AS INT)
+         AS crosses
+FROM c"""
+
+# streaming HLL == batch hll_distinct over tokens per lang (register
+# max commutes) — the t34 estimate tail over token (not trigram) hashes
+DATAPIPE_ORACLE["st17_stream_distinct"] = f"""
+WITH tok AS (
+  SELECT lang, unnest({_T37_TOKS}) AS term FROM documents
+),
+h AS (SELECT lang, {hash60_sql('term')} AS h FROM tok),
+r AS (
+  SELECT lang, CAST(h & 1023 AS INT) AS bucket,
+         CASE WHEN (h >> 10) = 0 THEN {_HLL_SB}
+              ELSE LEAST(CAST(ROUND(LOG2((h >> 10) & -(h >> 10))) AS INT) + 1,
+                         {_HLL_SB})
+         END AS rho
+  FROM h
+),
+m AS (SELECT lang, bucket, MAX(rho) AS M FROM r GROUP BY lang, bucket),
+a AS (
+  SELECT lang, CAST(COUNT(*) AS INT) AS nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_SB} - M)) AS BIGINT) AS s
+  FROM m GROUP BY lang
+),
+b AS (
+  SELECT lang, nonzero,
+         s + CAST(1024 - nonzero AS BIGINT)
+             * (CAST(1 AS BIGINT) << {_HLL_SB}) AS rs
+  FROM a
+)
+SELECT lang,
+       CAST(1024 AS INT) AS n_registers,
+       CAST(1024 - nonzero AS INT) AS n_zero,
+       CAST(rs AS BIGINT) AS reg_sum_scaled,
+       ROUND(CASE WHEN ({_hll_alpha_scaled(1024)!r} / CAST(rs AS DOUBLE))
+                       <= 2560.0 AND nonzero < 1024
+                  THEN 1024.0 * LN(1024.0 / CAST(1024 - nonzero AS DOUBLE))
+                  ELSE {_hll_alpha_scaled(1024)!r} / CAST(rs AS DOUBLE)
+             END, 4) AS est_distinct
+FROM b"""

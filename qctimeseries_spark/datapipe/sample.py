@@ -16,7 +16,7 @@ pushes down to the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from qctimeseries_spark.datapipe.hashing import hash60
@@ -733,4 +733,60 @@ def temperature_weights(
             ),
             9,
         ).alias("keep_frac"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    *,
+    key_col: str,
+    ctx_len: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Greedy concat-packing layout: documents are concatenated in
+    ``key_col`` order and split at fixed ``ctx_len``-token boundaries —
+    the standard pre-training sequence-packing scheme (no padding
+    between documents; a document may straddle a boundary).  Emits per
+    document WHERE it lands: ``start_offset`` (tokens before it),
+    ``seq_first``/``seq_last`` (the context windows it occupies) and
+    ``crosses_boundary`` — the metadata a loader needs to materialize
+    packed sequences without re-scanning the corpus.
+
+    The running offset is a prefix sum.  A GLOBAL prefix sum would
+    serialize on one task, so packing is per ``shard_col`` (use
+    :func:`assign_token_shards` upstream): one shuffle on the shard
+    key, one ordered window per shard, every shard independent — the
+    layout a 1000-executor writer wants anyway (one output stream per
+    shard).  With ``shard_col=None`` the whole frame is one shard —
+    only for small corpora or tests.
+
+    Zero-token documents occupy no tokens: they attach at their
+    current offset (``seq_last = seq_first``, never marked crossing).
+    All-integer output — hash-exact trivially.
+    """
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    parts = [shard_col] if shard_col is not None else []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.col(token_col).cast("long")
+    cum = F.sum(n).over(w)
+    start = (cum - n).alias("start_offset")
+    first = F.floor((cum - n) / ctx_len).cast("bigint")
+    # last occupied token index is cum-1; empty docs stay at `first`
+    last = F.when(n > 0, F.floor((cum - 1) / ctx_len).cast("bigint")).otherwise(
+        first
+    )
+    return df.select(
+        *parts,
+        key_col,
+        n.alias("n_tokens"),
+        start,
+        first.alias("seq_first"),
+        last.alias("seq_last"),
+        (last > first).alias("crosses_boundary"),
     )

@@ -1480,3 +1480,146 @@ def negative_sample(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "neg_label", "rank")
     )
+
+
+def kmeans_exact(
+    corpus: DataFrame,
+    *,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means with EXACT, engine-reproducible arithmetic —
+    the oracle-checkable twin of ``take_centroids(refine=N)`` (whose
+    float-mean summation order makes refined centroids
+    runtime-dependent in the last bits; see its docstring).  Used
+    where the cluster model itself is the deliverable (corpus
+    structure reports, balanced-sample strata, IVF layout studies)
+    rather than an internal index artifact.
+
+    Exactness per Lloyd iteration: (1) assignment is
+    :func:`ivf_assign`'s per-dimension left-fold cosine (bit-equal to
+    the DuckDB mirror, ties on the 9-dp cosine break by centroid id);
+    (2) each cell's element-wise mean quantizes members to integer
+    MICRO-units (``floor(x·1e6 + 0.5)``) BEFORE the sum, so the sum is
+    an exact BIGINT under any aggregation order, and the mean is one
+    double division; (3) renormalization folds ``Σ mean²`` over the
+    array in dimension order (a fixed-order fold both engines repeat
+    verbatim).  An emptied cell keeps its previous centroid.
+
+    Scale shape per iteration: the assignment is zero-shuffle (Arrow
+    batch × nlist multiply-add); the mean is ONE aggregation whose
+    post-combine payload is ``nlist × dim`` rows regardless of corpus
+    size; centroids broadcast back.  The driver holds only the
+    ``nlist × dim`` centroid matrix between iterations.
+
+    Returns ``(centroid_id, n_members, centroid)`` — final-assignment
+    cell sizes and the refined unit centroids.
+    """
+    if nlist <= 0 or iters < 0:
+        raise ValueError("nlist must be positive and iters >= 0")
+    # seeds normalized to the unit sphere up front (cosine assignment
+    # is scale-invariant, so this changes nothing downstream — it just
+    # keeps the "centroids are unit vectors" invariant true even for
+    # a cell that empties and keeps its seed)
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    seed_norm = F.sqrt(
+        F.aggregate(
+            F.transform(dv, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(id_col))
+            .cast("int")
+            .alias("centroid_id"),
+            F.transform(dv, lambda x: x / seed_norm).alias("centv"),
+        )
+    )
+    vecs = corpus.select(id_col, vec_col)
+
+    def _assign(c: DataFrame) -> DataFrame:
+        return ivf_assign(
+            vecs,
+            c.select("centroid_id", F.col("centv").alias(vec_col)),
+            id_col=id_col,
+            vec_col=vec_col,
+            nprobe=1,
+        )
+
+    for _ in range(iters):
+        dims = _assign(cents).select(
+            "centroid_id",
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        ).select(
+            "centroid_id",
+            "pos",
+            F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("q"),
+        )
+        means = (
+            dims.groupBy("centroid_id", "pos")
+            .agg(
+                F.sum("q").cast("bigint").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            .select(
+                "centroid_id",
+                "pos",
+                (
+                    F.col("s")
+                    / (F.col("n").cast("double") * F.lit(1000000.0))
+                ).alias("m"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("_mean"),
+            )
+        )
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("_mean"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        moved = means.select(
+            "centroid_id",
+            F.transform(F.col("_mean"), lambda x: x / norm).alias(
+                "_new"
+            ),
+        )
+        cents = (
+            cents.join(F.broadcast(moved), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_new"), F.col("centv")).alias(
+                    "centv"
+                ),
+            )
+        )
+    sizes = _assign(cents).groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        cents.join(F.broadcast(sizes), "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("n_members"), F.lit(0).cast("bigint"))
+            .alias("n_members"),
+            F.col("centv").alias("centroid"),
+        )
+    )

@@ -325,14 +325,47 @@ def hll_distinct(
     Returns ``(group_cols..., n_registers, n_zero, reg_sum_scaled,
     est_distinct)``.
     """
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols=group_cols, m=m),
+        group_cols=group_cols,
+        m=m,
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col,
+    *,
+    group_cols: tuple = (),
+    m: int = HLL_M,
+) -> DataFrame:
+    """The HLL register state alone: ``(group_cols..., _bucket, _M)``
+    with ``_M`` the max rho seen per bucket.  Register states from
+    disjoint shards / batches / days merge by element-wise ``max`` —
+    expose the state so streaming accumulators and multi-corpus
+    rollups can persist partials and merge later
+    (:func:`hll_estimate_from_registers` turns any merged state back
+    into the estimate)."""
     vcol = F.col(value_col) if isinstance(value_col, str) else value_col
     bucket, rho = _hll_register_cols(vcol, m)
     gcols = [F.col(c) for c in group_cols]
-    regs = (
+    return (
         df.select(*gcols, bucket.alias("_bucket"), rho.alias("_rho"))
         .groupBy(*group_cols, "_bucket")
         .agg(F.max("_rho").alias("_M"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    *,
+    group_cols: tuple = (),
+    m: int = HLL_M,
+) -> DataFrame:
+    """Bias-corrected harmonic estimate over a ``(group_cols...,
+    _bucket, _M)`` register frame (see :func:`hll_registers`) — the
+    :func:`hll_distinct` tail, shared with merged/streamed register
+    states so batch and stream are bit-identical by construction."""
     # scaled harmonic sum over NON-EMPTY registers; empty registers
     # (rho 0) contribute 2^50 each, added arithmetically
     term = F.expr(

@@ -1698,6 +1698,45 @@ QUERIES.update(
     }
 )
 
+# ---------------------------------------------------------------------------
+# round-8 continuation: SCD2 interval compression + ORC roundtrip
+# ---------------------------------------------------------------------------
+
+
+def q_a17_change_intervals(spark, sf_dir):
+    """SCD-type-2 history build: each user's event_type change log
+    compressed into validity intervals (valid_from, valid_to, dense
+    version) — consecutive same-value rows collapse, NULL valid_to
+    marks the current run.  One key shuffle, two window passes (the
+    second over the already-collapsed changepoints)."""
+    from qctimeseries_spark.windows import change_intervals
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return change_intervals(
+        ev, "ts", "user_id", "event_type", tiebreak_col="event_id"
+    )
+
+
+def q_s11_orc_roundtrip(spark, sf_dir):
+    """ORC sink then source over the documents corpus (zstd) — the
+    second columnar interchange format next to parquet (S4); the
+    roundtrip must be lossless, so the oracle reads the original
+    table."""
+    path = os.path.join(_SCRATCH, "orc_roundtrip")
+    read_table(spark, sf_dir, "documents").write.mode(
+        "overwrite"
+    ).option("compression", "zstd").orc(path)
+    return spark.read.orc(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+QUERIES["a17_change_intervals"] = q_a17_change_intervals
+QUERIES["s11_orc_roundtrip"] = q_s11_orc_roundtrip
+
+
 # The driver harness hash-checks at most the FIRST 50 registry
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
@@ -1730,16 +1769,23 @@ _WINDOW_R8 = (
     # multimodal.py via m1, streaming.py via st1/st2/st11/st12,
     # similarity.py via x5–x12); the entries born this round have
     # NEVER held a driver verdict, so they outrank re-verdicts.
-    "d1_exact_dedup", "d2_minhash_dedup", "d3_simhash_pairs",
+    # Continuation release: d1/t2/t3/st1/s10 + h1 step out for the six
+    # operators born in the round-8 continuation (t37/t38/a17/x13/
+    # st16/s11) — every released entry holds an r8 replica green
+    # (150/150 sweep) and its module keeps in-window siblings
+    # (dedup.py via d2/d3/d5/d8, text.py via t6/t7/t17/t18 + the t2x
+    # wave, streaming.py via st11/st12/st16, sources/exports via s11,
+    # h via h7/h8/h9).
+    # wave-2 release: d2/t6/t17 step out (r8 replica greens; dedup.py
+    # keeps d3/d5/d8 in-window, text.py keeps t7/t18 + the t2x/t3x
+    # wave) for the three wave-2 borns (x14/t39/st17).
+    "d3_simhash_pairs",
     "d5_embedding_dups", "d8_embedding_store",
     "c1_dup_clusters",
-    "t2_text_stats", "t3_quality",
-    "t6_redact_pii", "t7_contamination",
-    "t17_tfidf", "t18_unigram_nll",
+    "t7_contamination",
+    "t18_unigram_nll",
     "m1_media_summary",
-    "st1_stream_flag_counts",
     "st11_stream_psi", "st12_stream_ingest_dedup",
-    "s10_jsonl_roundtrip",
     # QC core tail (r5/earlier driver greens on unchanged code).
     # Late-round release: f2/u6/p3/p4 step out (r5 driver greens on
     # unchanged code; f by f1, u by u1, p by p1) for the four
@@ -1751,7 +1797,6 @@ _WINDOW_R8 = (
     "p1_remove_flags",
     "w3_admitted_windows",
     "v1_main_trace",
-    "h1_pricing_summary",
     # born in round 8 — driver-checked from day one (released to make
     # room: j3/t1, then a13/a14/w10/u2 for the late-round arrivals —
     # every released entry holds an r5/r7 driver green on unchanged
@@ -1772,6 +1817,11 @@ _WINDOW_R8 = (
     "h7_top_unshipped", "h8_local_nation_revenue",
     "t35_perplexity_buckets",
     "t36_nfc_dedup", "h9_big_orders",
+    # born in the round-8 continuation
+    "t37_chunk_docs", "t38_temperature_mix", "a17_change_intervals",
+    "x13_negative_sample", "st16_stream_heavyhitters",
+    "s11_orc_roundtrip",
+    "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
@@ -2630,43 +2680,6 @@ assert (
 ), "st15 oracle derivation no-opped — x2's query filter was reworded"
 
 
-# ---------------------------------------------------------------------------
-# round-8 continuation: SCD2 interval compression + ORC roundtrip
-# ---------------------------------------------------------------------------
-
-
-def q_a17_change_intervals(spark, sf_dir):
-    """SCD-type-2 history build: each user's event_type change log
-    compressed into validity intervals (valid_from, valid_to, dense
-    version) — consecutive same-value rows collapse, NULL valid_to
-    marks the current run.  One key shuffle, two window passes (the
-    second over the already-collapsed changepoints)."""
-    from qctimeseries_spark.windows import change_intervals
-
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "event_type"
-    )
-    return change_intervals(
-        ev, "ts", "user_id", "event_type", tiebreak_col="event_id"
-    )
-
-
-def q_s11_orc_roundtrip(spark, sf_dir):
-    """ORC sink then source over the documents corpus (zstd) — the
-    second columnar interchange format next to parquet (S4); the
-    roundtrip must be lossless, so the oracle reads the original
-    table."""
-    path = os.path.join(_SCRATCH, "orc_roundtrip")
-    read_table(spark, sf_dir, "documents").write.mode(
-        "overwrite"
-    ).option("compression", "zstd").orc(path)
-    return spark.read.orc(path).select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-
-
-QUERIES["a17_change_intervals"] = q_a17_change_intervals
-QUERIES["s11_orc_roundtrip"] = q_s11_orc_roundtrip
 
 ORACLE["a17_change_intervals"] = """
 WITH m AS (

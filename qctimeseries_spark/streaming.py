@@ -1298,3 +1298,84 @@ def cms_ingest_stream(
         parts.groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
+
+
+def hll_ingest_stream(
+    stream: DataFrame,
+    out_path: str,
+    value_col,
+    *,
+    group_cols: tuple = (),
+    m: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming HyperLogLog maintenance: live distinct counting over
+    an ingest stream, the streaming twin of
+    :func:`~qctimeseries_spark.datapipe.sketches.hll_distinct` and the
+    max-merge sibling of :func:`cms_ingest_stream` (CMS counters merge
+    by SUM, HLL registers by element-wise MAX — both commute, so both
+    drain bit-identical to their batch sketch over the union of
+    batches).
+
+    Each micro-batch reduces to its OWN register partial (≤ m rows per
+    group after map-side max-combining) and lands in a committed
+    ``sink_batch=<id>/`` dir (:func:`_prepare_batch_dir` — replay
+    skips, crashed partial rewrites), so the on-disk partials are
+    exact under at-least-once delivery.  The drained result merges the
+    partials with one grid-sized ``max`` and applies the SAME estimate
+    tail as batch
+    (:func:`~qctimeseries_spark.datapipe.sketches.hll_estimate_from_registers`),
+    hence hash-equality with the batch operator is structural, not
+    coincidental.
+
+    Returns the estimate frame ``(group_cols..., n_registers, n_zero,
+    reg_sum_scaled, est_distinct)`` — empty with that schema if the
+    stream produced no batches.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql.utils import AnalysisException
+
+    from qctimeseries_spark.datapipe.sketches import (
+        HLL_M,
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    m = HLL_M if m is None else m
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        bdir = _prepare_batch_dir(batch.sparkSession, out_path, batch_id)
+        if bdir is None:  # committed by a previous attempt
+            return
+        hll_registers(
+            batch, value_col, group_cols=group_cols, m=m
+        ).write.mode("append").parquet(bdir)
+
+    checkpoint_dir = (
+        checkpoint_dir or f"/tmp/qcts_hll_ckpt_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream.sparkSession
+    try:
+        parts = spark.read.parquet(out_path)
+    except AnalysisException:
+        gschema = ", ".join(f"{c} string" for c in group_cols)
+        prefix = f"{gschema}, " if gschema else ""
+        return spark.createDataFrame(
+            [],
+            f"{prefix}n_registers int, n_zero int,"
+            " reg_sum_scaled bigint, est_distinct double",
+        )
+    merged = parts.groupBy(*group_cols, "_bucket").agg(
+        F.max("_M").alias("_M")
+    )
+    return hll_estimate_from_registers(
+        merged, group_cols=group_cols, m=m
+    )

@@ -2546,3 +2546,62 @@ def test_negative_sample_is_deterministic_and_label_disjoint(spark):
     again = negative_sample(df.repartition(7), k=5, buckets=4).collect()
     key = lambda rs: sorted((r.anchor_id, r.neg_id, r.rank) for r in rs)
     assert key(out) == key(again)
+
+
+def test_kmeans_exact_converges_and_keeps_empty_cells(spark):
+    """Exact k-means: unit centroids, every member counted once, an
+    emptied cell keeps its previous (seed) centroid with n_members 0,
+    and two runs are bit-identical regardless of partitioning."""
+    from qctimeseries_spark.datapipe.similarity import kmeans_exact
+
+    # two tight clusters far apart + their seeds; nlist=3 leaves one
+    # seed cell empty after reassignment
+    rows = (
+        [(i, [10.0 + (i % 3) * 0.01, 0.0, 0.0]) for i in range(10)]
+        + [(100 + i, [0.0, 10.0 + (i % 3) * 0.01, 0.0]) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_exact(df, nlist=3, iters=2).collect()
+    assert len(out) == 3
+    assert sum(r.n_members for r in out) == 20
+    for r in out:
+        norm = sum(x * x for x in r.centroid) ** 0.5
+        assert abs(norm - 1.0) < 1e-9
+    # determinism under a different partitioning
+    again = kmeans_exact(df.repartition(5), nlist=3, iters=2).collect()
+    a = sorted((r.centroid_id, r.n_members, tuple(r.centroid)) for r in out)
+    b = sorted((r.centroid_id, r.n_members, tuple(r.centroid)) for r in again)
+    assert a == b
+
+
+def test_pack_sequences_tiles_offsets_and_flags_boundary_docs(spark):
+    """Offsets are the exclusive prefix sum in key order per shard,
+    seq ids are the occupied ctx windows, zero-token docs attach at
+    their offset without crossing, and shards are independent."""
+    from qctimeseries_spark.datapipe.sample import pack_sequences
+
+    rows = [
+        ("s1", 1, 6), ("s1", 2, 3), ("s1", 3, 0), ("s1", 4, 8),
+        ("s2", 5, 10),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc long, n long")
+    out = {
+        r.doc: r
+        for r in pack_sequences(
+            df, "n", key_col="doc", ctx_len=8, shard_col="src"
+        ).collect()
+    }
+    # s1 layout: doc1 [0,6) seqs 0-0; doc2 [6,9) seqs 0-1 CROSSES;
+    # doc3 [9,9) empty at seq 1; doc4 [9,17) seqs 1-2 crosses
+    assert (out[1].start_offset, out[1].seq_first, out[1].seq_last,
+            out[1].crosses_boundary) == (0, 0, 0, False)
+    assert (out[2].start_offset, out[2].seq_first, out[2].seq_last,
+            out[2].crosses_boundary) == (6, 0, 1, True)
+    assert (out[3].start_offset, out[3].seq_first, out[3].seq_last,
+            out[3].crosses_boundary) == (9, 1, 1, False)
+    assert (out[4].start_offset, out[4].seq_first, out[4].seq_last,
+            out[4].crosses_boundary) == (9, 1, 2, True)
+    # s2 independent: starts at 0
+    assert (out[5].start_offset, out[5].seq_first, out[5].seq_last) == (
+        0, 0, 1,
+    )

@@ -45,15 +45,12 @@ def test_driver_window_covers_every_family():
     # re-verdicts of entries that already hold replica greens
     window = set(names[:50])
     assert {
-        "d1_exact_dedup", "d2_minhash_dedup", "d3_simhash_pairs",
+        "d3_simhash_pairs",
         "d5_embedding_dups", "d8_embedding_store",
         "c1_dup_clusters",
-        "t2_text_stats", "t3_quality",
-        "t6_redact_pii", "t7_contamination",
-        "t17_tfidf", "t18_unigram_nll", "m1_media_summary",
-        "st1_stream_flag_counts",
+        "t7_contamination",
+        "t18_unigram_nll", "m1_media_summary",
         "st11_stream_psi", "st12_stream_ingest_dedup",
-        "s10_jsonl_roundtrip",
         # born in round 8 — driver-checked from day one
         "x5_knn_index_append", "x6_quantized_knn",
         "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
@@ -66,6 +63,11 @@ def test_driver_window_covers_every_family():
         "h7_top_unshipped", "h8_local_nation_revenue",
         "t35_perplexity_buckets",
         "t36_nfc_dedup", "h9_big_orders",
+        # born in the round-8 continuation
+        "t37_chunk_docs", "t38_temperature_mix",
+        "a17_change_intervals", "x13_negative_sample",
+        "st16_stream_heavyhitters", "s11_orc_roundtrip",
+        "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
     } <= window
 
 

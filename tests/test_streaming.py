@@ -1312,3 +1312,56 @@ def test_cms_ingest_stream_merges_to_batch_sketch_and_replay_exact(
         p.name for p in (tmp_path / "out").iterdir() if p.is_dir()
     )
     assert dirs == ["sink_batch=0", "sink_batch=1"]
+
+
+def test_hll_ingest_stream_matches_batch_and_replay_exact(spark, tmp_path):
+    """The drained streaming HLL estimate equals batch hll_distinct
+    over the union of batches (register max commutes), and a replay
+    with a fresh checkpoint skips the committed partials — identical
+    result, no extra files."""
+    from qctimeseries_spark.datapipe.sketches import hll_distinct
+    from qctimeseries_spark.streaming import hll_ingest_stream
+
+    rows = [(i, "g" + str(i % 2), f"v{i % 37}") for i in range(200)]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in (0, 1):
+        stage = str(tmp_path / f"stage{i}")
+        half = [r for r in rows if r[0] % 2 == i]
+        spark.createDataFrame(
+            half, "id bigint, g string, v string"
+        ).coalesce(1).write.parquet(stage)
+        part = next(Path(stage).glob("part-*.parquet"))
+        dst = src / f"batch{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("id bigint, g string, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return hll_ingest_stream(
+            stream, str(tmp_path / "out"), "v", group_cols=("g",),
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+
+    canon = lambda df: sorted(
+        (r.g, r.n_zero, r.reg_sum_scaled, r.est_distinct)
+        for r in df.collect()
+    )
+    streamed = canon(drain("ckpt1"))
+    batch = canon(
+        hll_distinct(
+            spark.createDataFrame(rows, "id bigint, g string, v string"),
+            "v",
+            group_cols=("g",),
+        )
+    )
+    assert streamed == batch
+    assert canon(drain("ckpt2")) == batch  # replay: committed dirs skip
+    dirs = sorted(
+        p.name for p in (tmp_path / "out").iterdir() if p.is_dir()
+    )
+    assert dirs == ["sink_batch=0", "sink_batch=1"]
