@@ -135,6 +135,10 @@ EXTENDED = [
     "x14_kmeans",
     "t39_pack_sequences",
     "st17_stream_distinct",
+    # wave 3: interval-overlap join, Q10 shape, ANN recall eval
+    "j5_interval_join",
+    "h10_returned_revenue",
+    "x15_recall_eval",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -3986,3 +3986,44 @@ SELECT lang,
                   ELSE {_hll_alpha_scaled(1024)!r} / CAST(rs AS DOUBLE)
              END, 4) AS est_distinct
 FROM b"""
+
+
+def q_x15_recall_eval(spark, sf_dir):
+    """ANN index evaluation: per-query recall@10 of the x2 IVF result
+    (nlist=16, nprobe=4) against the x1 exact brute-force neighbors —
+    the measurement that gates every nprobe/banding knob before a
+    100 TB rollout.  Fully distributed: one (query, neighbor)
+    equi-join + two thin groupBys, never collects."""
+    from qctimeseries_spark.datapipe.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        recall_at_k,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_bruteforce(emb, queries, k=10)
+    approx = knn_ivf(emb, queries, k=10, nlist=16, nprobe=4)
+    return recall_at_k(exact, approx)
+
+
+DATAPIPE_QUERIES["x15_recall_eval"] = q_x15_recall_eval
+
+# recall = |approx ∩ exact| / |exact| per query, composed from the x1
+# and x2 oracles verbatim (nested WITHs are subqueries here)
+DATAPIPE_ORACLE["x15_recall_eval"] = f"""
+WITH ex AS ({DATAPIPE_ORACLE['x1_knn_bruteforce']}),
+ap AS ({DATAPIPE_ORACLE['x2_knn_ivf']}),
+tot AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY query_id),
+hit AS (
+  SELECT ex.query_id, COUNT(*) AS n_hit
+  FROM ex JOIN ap ON ex.query_id = ap.query_id
+                 AND ex.neighbor_id = ap.neighbor_id
+  GROUP BY ex.query_id
+)
+SELECT tot.query_id,
+       ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / tot.n_exact, 6)
+         AS recall
+FROM tot LEFT JOIN hit ON tot.query_id = hit.query_id"""

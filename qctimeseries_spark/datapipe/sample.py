@@ -700,6 +700,12 @@ def temperature_weights(
     g = df.groupBy(group_col).agg(
         F.sum(F.col(token_col).cast("long")).alias("n_tokens")
     )
+    # the weight → normalizer → binding-T ladder derives three scalar
+    # frames from `g`; without a cut each one re-runs the corpus
+    # aggregation through lineage (measured: 4 corpus scans in the
+    # executed plan).  `g` is |groups| rows — checkpoint it once so
+    # the corpus is scanned exactly once.
+    g = g.localCheckpoint(eager=True)
     total = g.agg(F.sum("n_tokens").alias("_total"))
     g = g.crossJoin(F.broadcast(total))
     share = F.col("n_tokens").cast("double") / F.col("_total").cast(

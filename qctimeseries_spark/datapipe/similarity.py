@@ -1415,7 +1415,7 @@ def negative_sample(
     id_col: str = "vec_id",
     label_col: str = "label",
     k: int = 4,
-    buckets: int = 8,
+    buckets: int | str = "auto",
     seed: str = "neg",
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive training: each
@@ -1426,14 +1426,17 @@ def negative_sample(
 
     Never all-pairs: candidates land in ``buckets`` hash buckets and
     each anchor probes exactly ONE bucket (its own anchor-hash bucket),
-    so pair fan-out is ``n²/buckets`` — size ``buckets ∝ n / (desired
-    candidates per anchor)`` to keep per-anchor work constant (e.g.
-    ``n/1024`` at corpus scale; a few hundred candidates is plenty for
-    ``k ≤ 16``).  Both hash families are seeded independently, so an
-    anchor's own bucket membership doesn't bias which candidates it
-    sees.  Within the probed bucket, negatives rank by the PAIR hash
-    (anchor, candidate) — an anchor-specific shuffle of the bucket —
-    with the candidate id as a total-order tiebreak.
+    so pair fan-out is ``n²/buckets``.  ``buckets="auto"`` (default)
+    sizes the bucket count from one thin count as ``max(8, n // 256)``
+    — expected candidates per anchor stays ~256 NO MATTER the corpus
+    size, which is what keeps the pairing linear at 100 TB (a fixed
+    bucket count would make fan-out quadratic again; the oracle
+    queries pin an explicit count for bit-exact reproducibility).
+    Both hash families are seeded independently, so an anchor's own
+    bucket membership doesn't bias which candidates it sees.  Within
+    the probed bucket, negatives rank by the PAIR hash (anchor,
+    candidate) — an anchor-specific shuffle of the bucket — with the
+    candidate id as a total-order tiebreak.
 
     Returns ``(anchor_id, neg_id, neg_label, rank)``, ``rank`` 1..k in
     pair-hash order.  Anchors whose bucket holds fewer than ``k``
@@ -1443,6 +1446,8 @@ def negative_sample(
     """
     from qctimeseries_spark.datapipe.hashing import hash60
 
+    if buckets == "auto":
+        buckets = max(8, df.select(id_col).count() // 256)
     if k <= 0 or buckets <= 0:
         raise ValueError("k and buckets must be positive")
     sid = F.col(id_col).cast("string")

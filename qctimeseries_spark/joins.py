@@ -335,3 +335,62 @@ def skew_join(
         )
         hot_leg = lh.join(rh, keys + ["_salt"], how).drop("_salt")
     return cold.unionByName(hot_leg)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    by: list[str] | str | None = None,
+    bucket_hours: float = 24.0,
+) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) pair whose CLOSED
+    intervals intersect (``l_lo <= r_hi AND r_lo <= l_hi``), plus
+    optional ``by`` key equality — the two-sided sibling of
+    :func:`range_join` (downtime × sessions, maintenance × activity,
+    annotation spans × retrieval spans).
+
+    A raw double-inequality join is a (per-key) nested loop.  Here
+    BOTH sides explode to the coarse time buckets they span and meet
+    on (by, bucket) equality with the exact overlap as a post-filter.
+    An overlapping pair co-occupies every bucket their overlap spans —
+    so to emit it exactly once WITHOUT a dedup shuffle, the pair is
+    kept only in the FIRST bucket of the overlap
+    (``bucket(max(l_lo, r_lo))``), which both sides are guaranteed to
+    have exploded to.  Shuffle volume is bounded by bucket co-location
+    (each interval ships ~span/bucket_hours copies); pick
+    ``bucket_hours`` ≈ the typical interval length.
+    """
+    from qctimeseries_spark.windows import _floor_div_sql
+
+    by = [by] if isinstance(by, str) else list(by or [])
+    width_us = round(float(bucket_hours) * 3600.0 * 1_000_000)
+
+    def _bucket(col: str) -> Column:
+        return F.expr(_floor_div_sql(f"unix_micros(`{col}`)", width_us))
+
+    lb = left.withColumn(
+        "_ij_bucket",
+        F.explode(F.sequence(_bucket(left_lo), _bucket(left_hi))),
+    )
+    rb = right.withColumn(
+        "_ij_bucket",
+        F.explode(F.sequence(_bucket(right_lo), _bucket(right_hi))),
+    )
+    # the overlap's first bucket: bucket(max(l_lo, r_lo)) — both sides
+    # exploded to it, so the pair meets there exactly once
+    first_bucket = F.expr(
+        _floor_div_sql(
+            f"unix_micros(greatest(`{left_lo}`, `{right_lo}`))", width_us
+        )
+    )
+    out = lb.join(rb, [*by, "_ij_bucket"]).filter(
+        (F.col(left_lo) <= F.col(right_hi))
+        & (F.col(right_lo) <= F.col(left_hi))
+        & (F.col("_ij_bucket") == first_bucket)
+    )
+    return out.drop("_ij_bucket")

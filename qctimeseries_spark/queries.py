@@ -1737,6 +1737,72 @@ QUERIES["a17_change_intervals"] = q_a17_change_intervals
 QUERIES["s11_orc_roundtrip"] = q_s11_orc_roundtrip
 
 
+def q_j5_interval_join(spark, sf_dir):
+    """Interval-OVERLAP join: per-user DAILY activity intervals
+    [min ts, max ts] x 4-hour maintenance windows (every 997th event)
+    -- which activity runs a maintenance window touched.  Both sides
+    explode to 24 h buckets and meet on bucket equality; a pair is
+    kept only in its overlap's FIRST bucket, so the emission is
+    exactly-once with NO dedup shuffle (see joins.interval_join)."""
+    from qctimeseries_spark.joins import interval_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    act = (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("_d"))
+        .agg(F.min("ts").alias("a_lo"), F.max("ts").alias("a_hi"))
+        .select("user_id", "a_lo", "a_hi")
+    )
+    maint = ev.filter(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("m_id"),
+        F.col("ts").alias("m_lo"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("m_hi"),
+    )
+    out = interval_join(
+        act, maint,
+        left_lo="a_lo", left_hi="a_hi",
+        right_lo="m_lo", right_hi="m_hi",
+        bucket_hours=24.0,
+    )
+    return out.select("user_id", "a_lo", "a_hi", "m_id", "m_lo", "m_hi")
+
+
+def q_h10_returned_revenue(spark, sf_dir):
+    """TPC-H-Q10 shape: top-20 customers by revenue lost to returned
+    items in a quarter.  Both date bounds and the returnflag filter
+    push to the scans; nation broadcasts; the top-20 runs as
+    TakeOrderedAndProject (per-partition heaps, no global sort);
+    money sums in exact decimal, double at the edge; c_custkey
+    tie-break pins the cut deterministically."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+QUERIES["j5_interval_join"] = q_j5_interval_join
+QUERIES["h10_returned_revenue"] = q_h10_returned_revenue
+
+
 # The driver harness hash-checks at most the FIRST 50 registry
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
@@ -1778,14 +1844,16 @@ _WINDOW_R8 = (
     # h via h7/h8/h9).
     # wave-2 release: d2/t6/t17 step out (r8 replica greens; dedup.py
     # keeps d3/d5/d8 in-window, text.py keeps t7/t18 + the t2x/t3x
-    # wave) for the three wave-2 borns (x14/t39/st17).
+    # wave) for the three wave-2 borns (x14/t39/st17).  Wave-3
+    # release: d5/t7/st11 step out (same rationale; dedup keeps
+    # d3/d8, text keeps t18 + the t2x-t3x wave, streaming keeps
+    # st12/st16/st17) for j5/h10/x15.
     "d3_simhash_pairs",
-    "d5_embedding_dups", "d8_embedding_store",
+    "d8_embedding_store",
     "c1_dup_clusters",
-    "t7_contamination",
     "t18_unigram_nll",
     "m1_media_summary",
-    "st11_stream_psi", "st12_stream_ingest_dedup",
+    "st12_stream_ingest_dedup",
     # QC core tail (r5/earlier driver greens on unchanged code).
     # Late-round release: f2/u6/p3/p4 step out (r5 driver greens on
     # unchanged code; f by f1, u by u1, p by p1) for the four
@@ -1822,6 +1890,7 @@ _WINDOW_R8 = (
     "x13_negative_sample", "st16_stream_heavyhitters",
     "s11_orc_roundtrip",
     "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
+    "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
@@ -2702,3 +2771,34 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 ORACLE["s11_orc_roundtrip"] = """
 SELECT doc_id, text, lang, source, n_chars FROM documents"""
+
+
+ORACLE["j5_interval_join"] = """
+WITH act AS (
+  SELECT user_id, MIN(ts) AS a_lo, MAX(ts) AS a_hi
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+),
+m AS (
+  SELECT event_id AS m_id, ts AS m_lo, ts + INTERVAL 4 HOUR AS m_hi
+  FROM events WHERE event_id % 997 = 0
+)
+SELECT user_id, a_lo, a_hi, m_id, m_lo, m_hi
+FROM act, m
+WHERE a_lo <= m_hi AND m_lo <= a_hi"""
+
+ORACLE["h10_returned_revenue"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20"""

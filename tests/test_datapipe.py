@@ -2546,6 +2546,11 @@ def test_negative_sample_is_deterministic_and_label_disjoint(spark):
     again = negative_sample(df.repartition(7), k=5, buckets=4).collect()
     key = lambda rs: sorted((r.anchor_id, r.neg_id, r.rank) for r in rs)
     assert key(out) == key(again)
+    # buckets="auto" sizes from a count probe: max(8, n // 256) == 8
+    # here, so it matches the explicit buckets=8 pairing exactly
+    auto = negative_sample(df, k=5).collect()
+    explicit = negative_sample(df, k=5, buckets=8).collect()
+    assert key(auto) == key(explicit)
 
 
 def test_kmeans_exact_converges_and_keeps_empty_cells(spark):

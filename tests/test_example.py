@@ -46,11 +46,10 @@ def test_driver_window_covers_every_family():
     window = set(names[:50])
     assert {
         "d3_simhash_pairs",
-        "d5_embedding_dups", "d8_embedding_store",
+        "d8_embedding_store",
         "c1_dup_clusters",
-        "t7_contamination",
         "t18_unigram_nll", "m1_media_summary",
-        "st11_stream_psi", "st12_stream_ingest_dedup",
+        "st12_stream_ingest_dedup",
         # born in round 8 — driver-checked from day one
         "x5_knn_index_append", "x6_quantized_knn",
         "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
@@ -68,6 +67,7 @@ def test_driver_window_covers_every_family():
         "a17_change_intervals", "x13_negative_sample",
         "st16_stream_heavyhitters", "s11_orc_roundtrip",
         "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
+        "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
     } <= window
 
 

@@ -257,3 +257,43 @@ def test_skew_join_empty_probe_degrades_to_plain_join(spark):
     assert got.count() == 40
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Union" not in plan
+
+
+def test_interval_join_exactly_once_across_buckets(spark):
+    """Overlap pairs are emitted exactly once even when the overlap
+    spans several buckets; touching endpoints count (closed
+    intervals); disjoint pairs don't; result equals the naive theta
+    join."""
+    import datetime as dt
+
+    from qctimeseries_spark.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = lambda x: t0 + dt.timedelta(hours=x)
+    left = spark.createDataFrame(
+        [(1, h(0), h(60)),   # spans 3 daily buckets
+         (2, h(5), h(6)),
+         (3, h(100), h(101))],
+        "lid long, a_lo timestamp, a_hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, h(50), h(70)),   # overlaps lid=1 across a bucket edge
+         (11, h(6), h(7)),     # touches lid=2 at h(6) exactly
+         (12, h(200), h(201))],
+        "rid long, m_lo timestamp, m_hi timestamp",
+    )
+    out = interval_join(
+        left, right,
+        left_lo="a_lo", left_hi="a_hi",
+        right_lo="m_lo", right_hi="m_hi",
+        bucket_hours=24.0,
+    ).select("lid", "rid").collect()
+    got = sorted((r.lid, r.rid) for r in out)
+    naive = sorted(
+        (l.lid, r.rid)
+        for l in left.collect()
+        for r in right.collect()
+        if l.a_lo <= r.m_hi and r.m_lo <= l.a_hi
+    )
+    assert got == naive == [(1, 10), (1, 11), (2, 11)]
+    assert len(got) == len(set(got))  # exactly-once, no bucket dups
