@@ -139,6 +139,9 @@ EXTENDED = [
     "j5_interval_join",
     "h10_returned_revenue",
     "x15_recall_eval",
+    # wave 4: benchmark-span excision, MMR diversified rerank
+    "t40_excise_contamination",
+    "x16_mmr_rerank",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -4027,3 +4027,184 @@ SELECT tot.query_id,
        ROUND(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / tot.n_exact, 6)
          AS recall
 FROM tot LEFT JOIN hit ON tot.query_id = hit.query_id"""
+
+
+_T40_PHRASE = (
+    "held out eval question answer pairs must never leak into"
+    " training data"
+)
+
+
+def q_t40_excise_contamination(spark, sf_dir):
+    """Benchmark-span EXCISION (surgical decontamination): every 7th
+    corpus doc carries a verbatim 12-token benchmark phrase; the op
+    must cut exactly the leaked span and keep the rest of the document
+    — t7/t32 flag, t40 repairs.  Corpus grams semi-join the
+    benchmark's distinct 8-gram hashes (AQE-decided, never forced
+    broadcast), hits expand to covered positions, reassembly is
+    position-sorted."""
+    from qctimeseries_spark.datapipe.text import (
+        excise_contaminated_spans,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.col("text"), F.lit(" " + _T40_PHRASE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _T40_PHRASE)).alias("text"),
+    )
+    return excise_contaminated_spans(corpus, bench, width=8)
+
+
+DATAPIPE_QUERIES["t40_excise_contamination"] = q_t40_excise_contamination
+
+_T40_GRAM = (
+    "CAST(concat('0x', substr(md5(array_to_string("
+    "list_slice(tkl, i + 1, i + 8), ' ')), 1, 15)) AS BIGINT)"
+)
+DATAPIPE_ORACLE["t40_excise_contamination"] = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1
+              THEN concat(text, ' {_T40_PHRASE}')
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 50 != 0
+),
+bench AS (
+  SELECT concat(text, ' {_T40_PHRASE}') AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+tk AS (SELECT doc_id, {_TOKS.format(c='text')} AS tkl FROM corpus),
+btk AS (SELECT {_TOKS.format(c='text')} AS tkl FROM bench),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(
+      range(0, CASE WHEN len(tkl) >= 8 THEN len(tkl) - 7 ELSE 0 END),
+      i -> {_T40_GRAM})) AS gh
+  FROM btk
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(0, CASE WHEN len(tkl) >= 8
+                              THEN len(tkl) - 7 ELSE 0 END)) AS pos,
+         unnest(list_transform(
+             range(0, CASE WHEN len(tkl) >= 8
+                           THEN len(tkl) - 7 ELSE 0 END),
+             i -> {_T40_GRAM})) AS gh
+  FROM tk
+),
+cov AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, pos + unnest(range(0, 8)) AS tpos
+    FROM g WHERE gh IN (SELECT gh FROM bg))
+),
+tp AS (
+  SELECT doc_id, unnest(tkl) AS tok, unnest(range(0, len(tkl))) AS tpos
+  FROM tk
+),
+k AS (SELECT tp.* FROM tp ANTI JOIN cov USING (doc_id, tpos)),
+r AS (
+  SELECT doc_id,
+         array_to_string(list(tok ORDER BY tpos), ' ') AS text_clean,
+         COUNT(*) AS n_kept
+  FROM k GROUP BY doc_id
+),
+t AS (SELECT doc_id, CAST(len(tkl) AS BIGINT) AS n_tokens FROM tk)
+SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean, n_tokens,
+       CAST(n_tokens - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN r USING (doc_id)"""
+
+
+def q_x16_mmr_rerank(spark, sf_dir):
+    """MMR-diversified rerank of the x1 brute-force candidate pool:
+    top-5 per query trading relevance against redundancy (lam=0.5 —
+    the integer-exact mode: the selection key is the BIGINT
+    rel_q − max_sim_q in nano-units, so the greedy loop is
+    integer-for-integer identical in the oracle's unrolled CTE
+    chain).  One applyInPandas over query groups; the corpus is never
+    rescanned."""
+    from qctimeseries_spark.datapipe.similarity import (
+        knn_bruteforce,
+        mmr_rerank,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = knn_bruteforce(emb, queries, k=10)
+    return mmr_rerank(cand, emb, k=5, lam=0.5)
+
+
+DATAPIPE_QUERIES["x16_mmr_rerank"] = q_x16_mmr_rerank
+
+
+def _mmr_oracle_sql(k: int) -> str:
+    """Unrolled greedy MMR as CTEs (the t16/x14 precedent): step j
+    scores every unselected candidate by the INTEGER key
+    rel_q − max sim_q over the selected set and takes the argmax with
+    an id tie-break."""
+    fold = _cos_fold_sql("a.embedding", "b.embedding")
+    parts = [f"""
+cand AS ({DATAPIPE_ORACLE['x1_knn_bruteforce']}),
+cv AS (
+  SELECT c.query_id, c.neighbor_id, e.embedding
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+sim AS (
+  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+         CAST(FLOOR({fold} * 1000000000.0 + 0.5) AS BIGINT) AS sq
+  FROM cv a JOIN cv b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+),
+rq AS (
+  SELECT query_id, neighbor_id,
+         CAST(FLOOR(cos * 1000000000.0 + 0.5) AS BIGINT) AS rel_q
+  FROM cand
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, 1 AS rank, rel_q AS mmr_q FROM (
+    SELECT rq.*, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY rel_q DESC, neighbor_id) AS rn
+    FROM rq) WHERE rn = 1
+),
+prev2 AS (SELECT query_id, neighbor_id FROM sel1)"""]
+    for j in range(2, k + 1):
+        parts.append(f""",
+sel{j} AS (
+  SELECT query_id, neighbor_id, {j} AS rank, key AS mmr_q FROM (
+    SELECT r.query_id, r.neighbor_id, r.rel_q - m.ms AS key,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id
+             ORDER BY r.rel_q - m.ms DESC, r.neighbor_id) AS rn
+    FROM rq r
+    JOIN (SELECT s.query_id, s.ia, MAX(s.sq) AS ms
+          FROM sim s JOIN prev{j} p
+            ON p.query_id = s.query_id AND p.neighbor_id = s.ib
+          GROUP BY s.query_id, s.ia) m
+      ON m.query_id = r.query_id AND m.ia = r.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM prev{j} p2
+                      WHERE p2.query_id = r.query_id
+                        AND p2.neighbor_id = r.neighbor_id)
+  ) WHERE rn = 1
+)""")
+        if j < k:
+            parts.append(f""",
+prev{j + 1} AS (
+  SELECT query_id, neighbor_id FROM prev{j}
+  UNION ALL SELECT query_id, neighbor_id FROM sel{j}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, mmr_q"
+        f" FROM sel{j}" for j in range(1, k + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + union
+
+
+DATAPIPE_ORACLE["x16_mmr_rerank"] = _mmr_oracle_sql(5)

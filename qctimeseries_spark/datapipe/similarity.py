@@ -1628,3 +1628,110 @@ def kmeans_exact(
             F.col("centv").alias("centroid"),
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    *,
+    k: int = 5,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    score_col: str = "cos",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank: from each query's candidate
+    list, greedily select ``k`` results trading relevance against
+    redundancy — step j picks ``argmax λ·rel(i) − (1−λ)·max_{s∈selected}
+    sim(i, s)`` — the standard diversified-retrieval / diverse-few-shot
+    -example selection pass over an ANN candidate pool.
+
+    Runs as one ``applyInPandas`` over query groups: the pool is
+    whatever the ANN stage returned (tens of rows), so the greedy loop
+    is per-group-local and the plan is one shuffle on the query id —
+    the corpus is never touched again.  ``vectors`` joins each
+    candidate's embedding in (broadcast-eligible when the pool is
+    small).
+
+    Engine-exact by integer algebra: relevance and pairwise cosines
+    quantize to nano-units (``floor(x·1e9 + 0.5)`` BIGINTs; pairwise
+    cosine is the same per-dimension left fold as
+    :func:`~qctimeseries_spark.datapipe.dedup.cosine`), and with the
+    default ``lam=0.5`` the selection key is the INTEGER
+    ``rel_q − max_sim_q`` (monotone in the MMR score), so every
+    comparison the greedy loop makes is integer-for-integer identical
+    in any engine; ties break on the candidate id.  Other ``lam``
+    values use the float key (production fine, documented for
+    cross-engine comparisons).  Rank 1 has no selected set — its
+    ``mmr_q`` is defined as ``rel_q``.
+
+    Returns ``(query, id, rank, mmr_q)``.
+    """
+    if k <= 0 or not 0.0 <= lam <= 1.0:
+        raise ValueError("need k > 0 and 0 <= lam <= 1")
+    joined = candidates.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_i"),
+        F.col(score_col).alias("_rel"),
+    ).join(
+        vectors.select(
+            F.col(vec_id_col).alias("_i"), F.col(vec_col).alias("_v")
+        ),
+        "_i",
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_i"].to_numpy(dtype=np.int64)
+        rel_q = np.floor(
+            pdf["_rel"].to_numpy(dtype=np.float64) * 1e9 + 0.5
+        ).astype(np.int64)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        n, dim = A.shape
+        norms = np.zeros(n)
+        dots = np.zeros((n, n))
+        for d in range(dim):  # left fold, matching cosine()/the oracle
+            norms += A[:, d] * A[:, d]
+            dots += A[:, d : d + 1] * A[:, d]
+        norms = np.sqrt(norms)
+        sim_q = np.floor(
+            dots / (norms[:, None] * norms[None, :]) * 1e9 + 0.5
+        ).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        remaining = list(order)  # id-ascending: natural tie-break
+        selected: list[int] = []
+        out = []
+        qv = pdf["_q"].iloc[0]
+        while remaining and len(selected) < k:
+            best = None
+            best_key = None
+            for i in remaining:
+                if selected:
+                    ms = int(max(sim_q[i, s] for s in selected))
+                    key = (
+                        int(rel_q[i]) - ms
+                        if lam == 0.5
+                        else lam * rel_q[i] - (1 - lam) * ms
+                    )
+                else:
+                    key = int(rel_q[i]) if lam == 0.5 else lam * rel_q[i]
+                if best_key is None or key > best_key:
+                    best, best_key = i, key
+            selected.append(best)
+            remaining.remove(best)
+            out.append(
+                (qv, int(ids[best]), len(selected), int(best_key)
+                 if lam == 0.5 else int(np.floor(best_key + 0.5)))
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "rank", "mmr_q"]
+        )
+
+    return (
+        joined.groupBy("_q")
+        .applyInPandas(
+            _greedy,
+            "query_id bigint, neighbor_id bigint, rank int, mmr_q bigint",
+        )
+    )

@@ -1523,3 +1523,101 @@ def chunk_documents(
         F.col("_c.n_chunk_tokens"),
         F.col("_c.chunk"),
     )
+
+
+def excise_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    width: int = 8,
+) -> DataFrame:
+    """Benchmark-span EXCISION — surgical decontamination: every
+    corpus token covered by a ``width``-token window that appears
+    verbatim in the benchmark set is removed, and the survivors rejoin
+    in order.  :func:`contamination_check` (t7) and
+    :func:`~qctimeseries_spark.datapipe.sketches.bloom_prune` (t32)
+    FLAG contaminated documents; this op KEEPS the document and cuts
+    only the leaked passage — the remedy modern corpus pipelines apply
+    when dropping a whole long document over one quoted benchmark item
+    wastes good text.
+
+    Same algebra as :func:`strip_repeated_spans` with the frequent-gram
+    set replaced by the benchmark's DISTINCT ``width``-gram hashes:
+    corpus grams semi-join the benchmark grams (by hash60, so the
+    DuckDB oracle mirrors bit-for-bit), hits expand to their covered
+    positions, covered tokens drop, reassembly is position-sorted per
+    document.  Documents shorter than ``width`` pass through whole.
+    Returns ``(id, text_clean, n_tokens, n_removed)``.
+
+    Scale shape: ONE corpus gram projection (row-local), one
+    hash-keyed semi-join whose right side is |benchmark grams| — AQE
+    picks broadcast vs shuffle from measured sizes (the t20 lesson:
+    never force it) — coverage explodes ``width`` positions per HIT
+    only, one groupBy(id) reassembly.  The corpus is never shuffled by
+    gram; only its hits are.
+    """
+
+    def _grams(frame: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        return frame.select(
+            *cols,
+            F.posexplode(
+                bind(
+                    tokens(F.col(text_col)),
+                    lambda tk: F.when(
+                        F.size(tk) >= width,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(tk) - width),
+                            lambda i: hash60(
+                                F.array_join(
+                                    F.slice(tk, i + 1, width), " "
+                                )
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<bigint>")),
+                )
+            ).alias("pos", "gh"),
+        )
+
+    base = fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("tk")
+    )
+    bench_grams = _grams(benchmark, with_id=False).select("gh").distinct()
+    corpus_grams = _grams(fan_out(df), with_id=True)
+    covered = (
+        corpus_grams.join(bench_grams, "gh", "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (width - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tokpos = base.select(
+        F.col(id_col), F.posexplode("tk").alias("tpos", "tok")
+    )
+    kept = tokpos.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size("tk").cast("long").alias("n_tokens")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.col("n_tokens"),
+        (
+            F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).cast("long").alias("n_removed"),
+    )

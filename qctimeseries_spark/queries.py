@@ -1848,10 +1848,10 @@ _WINDOW_R8 = (
     # release: d5/t7/st11 step out (same rationale; dedup keeps
     # d3/d8, text keeps t18 + the t2x-t3x wave, streaming keeps
     # st12/st16/st17) for j5/h10/x15.
+    # Wave-4 release: d8/t18 step out (same rationale; dedup keeps
+    # d3, text keeps the t2x-t4x wave) for t40/x16.
     "d3_simhash_pairs",
-    "d8_embedding_store",
     "c1_dup_clusters",
-    "t18_unigram_nll",
     "m1_media_summary",
     "st12_stream_ingest_dedup",
     # QC core tail (r5/earlier driver greens on unchanged code).
@@ -1891,6 +1891,7 @@ _WINDOW_R8 = (
     "s11_orc_roundtrip",
     "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
     "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
+    "t40_excise_contamination", "x16_mmr_rerank",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

@@ -2610,3 +2610,61 @@ def test_pack_sequences_tiles_offsets_and_flags_boundary_docs(spark):
     assert (out[5].start_offset, out[5].seq_first, out[5].seq_last) == (
         0, 0, 1,
     )
+
+
+def test_excise_contaminated_spans_cuts_exactly_the_leak(spark):
+    """Docs carrying a verbatim benchmark span lose exactly the
+    leaked tokens (every token covered by a matching 8-gram); clean
+    docs and docs shorter than the gram width pass through whole."""
+    from qctimeseries_spark.datapipe.text import (
+        excise_contaminated_spans,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = [
+        (1, "clean words only nothing shared here at all ok"),
+        (2, f"prefix words {leak} suffix words"),
+        (3, "tiny doc"),
+    ]
+    bench = [(100, f"benchmark question {leak} answer")]
+    out = {
+        r.doc_id: r
+        for r in excise_contaminated_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            spark.createDataFrame(bench, "doc_id long, text string"),
+            width=8,
+        ).collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[1].text_clean == docs[0][1]
+    assert out[2].n_removed == 8
+    assert out[2].text_clean == "prefix words suffix words"
+    assert out[3].n_removed == 0 and out[3].text_clean == "tiny doc"
+
+
+def test_mmr_rerank_diversifies_and_is_deterministic(spark):
+    """MMR at lam=0.5 demotes a near-duplicate of the top hit below a
+    less-relevant-but-diverse candidate; ranks are dense; the result
+    is identical under repartitioning (integer selection keys)."""
+    from qctimeseries_spark.datapipe.similarity import mmr_rerank
+
+    # query q=0: cand 1 (rel .99) ~ cand 2 (rel .98, same direction);
+    # cand 3 (rel .80, orthogonal) should outrank cand 2 at step 2
+    cand = spark.createDataFrame(
+        [(0, 1, 0.99), (0, 2, 0.98), (0, 3, 0.80)],
+        "query_id long, neighbor_id long, cos double",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = sorted(
+        (r.rank, r.neighbor_id)
+        for r in mmr_rerank(cand, vecs, k=3).collect()
+    )
+    assert out == [(1, 1), (2, 3), (3, 2)]
+    again = sorted(
+        (r.rank, r.neighbor_id)
+        for r in mmr_rerank(cand.repartition(3), vecs, k=3).collect()
+    )
+    assert again == out

@@ -46,9 +46,8 @@ def test_driver_window_covers_every_family():
     window = set(names[:50])
     assert {
         "d3_simhash_pairs",
-        "d8_embedding_store",
         "c1_dup_clusters",
-        "t18_unigram_nll", "m1_media_summary",
+        "m1_media_summary",
         "st12_stream_ingest_dedup",
         # born in round 8 — driver-checked from day one
         "x5_knn_index_append", "x6_quantized_knn",
@@ -68,6 +67,7 @@ def test_driver_window_covers_every_family():
         "st16_stream_heavyhitters", "s11_orc_roundtrip",
         "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
         "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
+        "t40_excise_contamination", "x16_mmr_rerank",
     } <= window
 
 
@@ -95,6 +95,20 @@ _PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
     "t32_bloom_prune": (0, 0),
     "t33_cms_heavyhitters": (0, 0),
     "t34_hll_distinct": (0, 0),
+    # t38: the weight → normalizer → binding-T ladder crossJoins three
+    # BROADCAST scalar frames (1 row / |groups| rows each) onto the
+    # checkpointed groups frame — every NL join is over a frame the
+    # size of the GROUP COUNT, never the corpus (the corpus is scanned
+    # once into the checkpoint; see temperature_weights)
+    "t38_temperature_mix": (0, 8),
+    # x15 composes the brute (x1) and IVF candidate stages — both ride
+    # x1's broadcast != join over the corpus scan
+    "x15_recall_eval": (0, 2),
+    # x16 reranks x1's candidate pool — x1's broadcast != join rides in
+    "x16_mmr_rerank": (0, 1),
+    # x14: the seed-centroid row_number over the limit-nlist frame
+    # (the x2/x11 pattern) — nlist rows, never the corpus
+    "x14_kmeans": (1, 0),
 }
 _MUST_BROADCAST = {"h3_segment_revenue", "h5_nation_revenue",
                    "d2_minhash_dedup", "t7_contamination", "j2_range_join"}
