@@ -189,3 +189,17 @@ def test_stream_ingest_example_runs():
     assert "re-encodes" in out.stdout and "dropped at cosine" in out.stdout
     assert "from the grown index" in out.stdout
     assert "after compaction" in out.stdout
+
+
+def test_pretraining_prep_example_runs():
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "pretraining_prep.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "leaked spans cut" in out.stdout
+    assert "mixed corpus" in out.stdout
+    assert "straddle a 512-token boundary" in out.stdout
+    assert "k-means cells" in out.stdout
+    assert "diversified results" in out.stdout
