@@ -142,6 +142,8 @@ EXTENDED = [
     # wave 4: benchmark-span excision, MMR diversified rerank
     "t40_excise_contamination",
     "x16_mmr_rerank",
+    # wave 5: IVF tombstone deletes (build -> append -> delete -> purge)
+    "x17_knn_after_delete",
 ]
 
 HEADLINE = CORE + EXTENDED

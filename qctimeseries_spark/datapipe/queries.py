@@ -4208,3 +4208,57 @@ prev{j + 1} AS (
 
 
 DATAPIPE_ORACLE["x16_mmr_rerank"] = _mmr_oracle_sql(5)
+
+
+def q_x17_knn_after_delete(spark, sf_dir):
+    """Index-lifecycle DELETE: build the persisted IVF store, tombstone
+    every 7th-mod-3 vector (one tiny id-list write — the cells/ store
+    is untouched), and serve the same five queries: the anti-join
+    applies BEFORE scoring, so top-k is over live vectors only and the
+    result equals an x2 run whose corpus never contained the deleted
+    ids (centroids stay the full-corpus seeds — deletion must not move
+    the cell layout).  purge_ivf_tombstones' physical-rewrite
+    equivalence is pinned by pytest."""
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        knn_query_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_ivfdel_")
+    try:
+        build_ivf_index(emb, tmp + "/index", nlist=16)
+        delete_from_ivf_index(
+            spark, tmp + "/index",
+            emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"),
+        )
+        out = knn_query_index(
+            spark, tmp + "/index", queries, k=10, nprobe=4
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+DATAPIPE_QUERIES["x17_knn_after_delete"] = q_x17_knn_after_delete
+
+# x17 oracle: x2's SQL with the tombstoned ids excluded from the
+# CORPUS side only (centroids stay full-corpus seeds; queries stay).
+DATAPIPE_ORACLE["x17_knn_after_delete"] = DATAPIPE_ORACLE[
+    "x2_knn_ivf"
+].replace(
+    "  FROM embeddings e, cents\n),\nqcell",
+    "  FROM embeddings e, cents\n  WHERE e.vec_id % 7 != 3\n),\nqcell",
+    1,
+)
+assert (
+    DATAPIPE_ORACLE["x17_knn_after_delete"]
+    != DATAPIPE_ORACLE["x2_knn_ivf"]
+), "x17 oracle derivation no-opped — x2's ccell tail was reworded"

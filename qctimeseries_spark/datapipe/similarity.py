@@ -580,6 +580,12 @@ def knn_query_index(
     cells = spark.read.parquet(path + "/cells")
     if where is not None:
         cells = cells.filter(where)
+    # tombstoned ids (delete_from_ivf_index) drop BEFORE scoring, so
+    # top-k is over live vectors only; the set is tiny (broadcast
+    # anti-join) and absent entirely until the first delete
+    tomb = read_ivf_tombstones(spark, path, id_col=id_col)
+    if tomb is not None:
+        cells = cells.join(F.broadcast(tomb), id_col, "left_anti")
     c_cells = cells.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -1735,3 +1741,94 @@ def mmr_rerank(
             "query_id bigint, neighbor_id bigint, rank int, mmr_q bigint",
         )
     )
+
+
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+) -> dict:
+    """Tombstone DELETES for a persisted :func:`build_ivf_index`
+    store — the third lifecycle verb after build and
+    :func:`append_to_ivf_index` (GDPR erasure, retracted documents,
+    re-encoded items being replaced): the ids append to a tiny
+    ``tombstones/`` table and every subsequent
+    :func:`knn_query_index` serve anti-joins them BEFORE scoring, so
+    top-k is over the live vectors only (post-filtering k results
+    would return short lists and lose recall).  The cells/ store is
+    untouched — a delete costs one id-list write no matter the corpus
+    size.
+
+    Tombstones accumulate; :func:`purge_ivf_tombstones` physically
+    rewrites the affected state and clears them.  Deleting an id that
+    was never stored is a no-op by construction (anti-join).  Returns
+    ``{"tombstoned": n}``.
+    """
+    out = ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+    out.write.mode("append").parquet(path + "/tombstones")
+    return {"tombstoned": out.count()}
+
+
+def read_ivf_tombstones(spark, path: str, *, id_col: str = "vec_id"):
+    """The store's tombstone id set, or None when nothing was ever
+    deleted (serving skips the anti-join entirely then).  Existence is
+    probed through the Hadoop FS API rather than a try/read — a missing
+    directory is the NORMAL case and must not spray analyzer errors
+    into the logs on every serve."""
+    jvm = spark.sparkContext._jvm
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path + "/tombstones")
+    fs = jpath.getFileSystem(jconf)
+    if not fs.exists(jpath):
+        return None
+    return spark.read.parquet(path + "/tombstones").select(
+        F.col(id_col)
+    ).distinct()
+
+
+def purge_ivf_tombstones(
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    cell_files: int = 4,
+) -> dict:
+    """Physically apply accumulated tombstones: rewrite ``cells/``
+    WITHOUT the deleted ids (staged swap — the new store is fully
+    written beside the old one before the rename, the compact_store
+    discipline: quiesce writers first), keep the salted ~``cell_files``
+    files per cell so no cell collapses to one file, then clear
+    ``tombstones/``.  Serving results are identical before and after
+    (pinned by pytest) — the purge trades a one-time rewrite for
+    dropping the per-serve anti-join and the dead bytes.
+
+    Returns ``{"purged", "remaining"}``.
+    """
+    import shutil
+
+    tomb = read_ivf_tombstones(spark, path, id_col=id_col)
+    if tomb is None:
+        return {"purged": 0, "remaining": -1}
+    cells = spark.read.parquet(path + "/cells")
+    live = cells.join(F.broadcast(tomb), id_col, "left_anti")
+    n_cells = spark.read.parquet(path + "/centroids").count()
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(cell_files)))
+    (
+        live.withColumn("_cell_salt", salt)
+        .repartition(
+            n_cells * int(cell_files),
+            F.col("centroid_id"), F.col("_cell_salt"),
+        )
+        .drop("_cell_salt")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/cells_purging")
+    )
+    n_tomb = tomb.count()
+    remaining = spark.read.parquet(path + "/cells_purging").count()
+    shutil.rmtree(path + "/cells")
+    shutil.move(path + "/cells_purging", path + "/cells")
+    shutil.rmtree(path + "/tombstones")
+    return {"purged": n_tomb, "remaining": remaining}

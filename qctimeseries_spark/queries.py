@@ -1850,10 +1850,11 @@ _WINDOW_R8 = (
     # st12/st16/st17) for j5/h10/x15.
     # Wave-4 release: d8/t18 step out (same rationale; dedup keeps
     # d3, text keeps the t2x-t4x wave) for t40/x16.
+    # x17 takes st12's slot (st keeps st16/st17 in-window; st12 holds
+    # an r7 driver green + r8 replica greens).
     "d3_simhash_pairs",
     "c1_dup_clusters",
     "m1_media_summary",
-    "st12_stream_ingest_dedup",
     # QC core tail (r5/earlier driver greens on unchanged code).
     # Late-round release: f2/u6/p3/p4 step out (r5 driver greens on
     # unchanged code; f by f1, u by u1, p by p1) for the four
@@ -1892,6 +1893,7 @@ _WINDOW_R8 = (
     "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
     "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
     "t40_excise_contamination", "x16_mmr_rerank",
+    "x17_knn_after_delete",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

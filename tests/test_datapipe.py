@@ -2668,3 +2668,59 @@ def test_mmr_rerank_diversifies_and_is_deterministic(spark):
         for r in mmr_rerank(cand.repartition(3), vecs, k=3).collect()
     )
     assert again == out
+
+
+def test_ivf_delete_tombstones_then_purge_serve_identical(spark, tmp_path):
+    """Deletes drop from serving immediately (anti-join before
+    scoring, never a short top-k list), deleting an unknown id is a
+    no-op, and the physical purge rewrite serves IDENTICAL results
+    while clearing tombstones/ and keeping the partition layout."""
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        knn_query_index,
+        purge_ivf_tombstones,
+        read_ivf_tombstones,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13) % 7 + 1), float((i * 5) % 11), float(i % 3)])
+         for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "index")
+    build_ivf_index(emb, idx, nlist=4)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = knn_query_index(spark, idx, queries, k=5, nprobe=4)
+    # delete each query's RANK-1 neighbor (guaranteed in the result)
+    top = {r.neighbor_id for r in before.collect() if r.rank == 1}
+    assert top
+    gone = delete_from_ivf_index(
+        spark, idx,
+        spark.createDataFrame(
+            [(i,) for i in top] + [(99999,)], "vec_id long"
+        ),
+    )
+    assert gone["tombstoned"] == len(top) + 1  # unknown id is harmless
+    after = knn_query_index(spark, idx, queries, k=5, nprobe=4)
+    rows_t = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank) for r in after.collect()
+    )
+    hit_ids = {r[1] for r in rows_t}
+    assert not hit_ids & top
+    assert all(
+        sum(1 for r in rows_t if r[0] == q) == 5 for q in (0, 1)
+    )  # still full k — pre-filter, not post-filter
+
+    stats = purge_ivf_tombstones(spark, idx)
+    assert stats["purged"] == len(top) + 1
+    assert stats["remaining"] == 60 - len(top)
+    assert read_ivf_tombstones(spark, idx) is None  # cleared
+    rows_p = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in knn_query_index(spark, idx, queries, k=5, nprobe=4)
+        .collect()
+    )
+    assert rows_p == rows_t

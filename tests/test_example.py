@@ -48,7 +48,6 @@ def test_driver_window_covers_every_family():
         "d3_simhash_pairs",
         "c1_dup_clusters",
         "m1_media_summary",
-        "st12_stream_ingest_dedup",
         # born in round 8 — driver-checked from day one
         "x5_knn_index_append", "x6_quantized_knn",
         "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
@@ -68,6 +67,7 @@ def test_driver_window_covers_every_family():
         "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
         "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
         "t40_excise_contamination", "x16_mmr_rerank",
+        "x17_knn_after_delete",
     } <= window
 
 
