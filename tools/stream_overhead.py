@@ -1,5 +1,5 @@
 """Fixed vs marginal cost of the availableNow streaming drains
-(st12–st15) — VERDICT r7 task 6.
+(st12–st17) — VERDICT r7 task 6, extended with the sketch streams.
 
 The bench times each streaming ingest/serve query as one opaque drain,
 but most of that cost is FIXED micro-batch machinery (stream planning,
@@ -67,6 +67,8 @@ def main() -> int:
     from qctimeseries_spark.session import get_spark
     from qctimeseries_spark.sources import read_table
     from qctimeseries_spark.streaming import (
+        cms_ingest_stream,
+        hll_ingest_stream,
         ingest_dedup_stream,
         ingest_embedding_stream,
         ingest_neardup_stream,
@@ -123,6 +125,30 @@ def main() -> int:
             checkpoint_dir=d + "/ckpt",
         ).count()
 
+    def st16(src, run):
+        d = os.path.join(root, f"st16_{run}")
+        cms_ingest_stream(
+            read_stream(src, "doc_id bigint, text string"),
+            d + "/out", checkpoint_dir=d + "/ckpt",
+        ).count()
+
+    def st17(src, run):
+        from qctimeseries_spark.datapipe.text import tokens
+
+        d = os.path.join(root, f"st17_{run}")
+        toks = read_stream(src, "doc_id bigint, lang string, text string").select(
+            "lang", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        hll_ingest_stream(
+            toks, d + "/out", "term", group_cols=("lang",),
+            checkpoint_dir=d + "/ckpt",
+        ).count()
+
+    docs_lang = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    docs_lang.persist().count()
+
     queries = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -131,6 +157,8 @@ def main() -> int:
         "st13": (docs, "doc_id", st13),
         "st14": (emb, "vec_id", st14),
         "st15": (queries, "query_id", st15),
+        "st16": (docs, "doc_id", st16),
+        "st17": (docs_lang, "doc_id", st17),
     }
 
     results = {}
