@@ -144,6 +144,8 @@ EXTENDED = [
     "x16_mmr_rerank",
     # wave 5: IVF tombstone deletes (build -> append -> delete -> purge)
     "x17_knn_after_delete",
+    # wave 6: per-source duplicate-rate KPI
+    "d13_dup_rate",
 ]
 
 HEADLINE = CORE + EXTENDED

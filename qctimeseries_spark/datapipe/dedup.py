@@ -2021,3 +2021,43 @@ def snapshot_diff(
         .select(F.col("_k").alias(key_col), status.alias("status"))
         .filter(F.col("status").isNotNull())
     )
+
+
+def dup_rate_by_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-rate KPI per group (source/domain/snapshot) — the
+    data-quality dashboard number behind "which feeds are sending us
+    copies": per group, how many rows, how many are EXCESS copies
+    (rows beyond the first of each corpus-wide exact-duplicate
+    fingerprint), and the excess share.
+
+    Duplicates are corpus-wide (the same normalized fingerprint across
+    two sources counts against whichever rows aren't the group-free
+    keeper — min id, the :func:`exact_dedup` convention), so a source
+    that re-serves another source's content is charged for it.  Two
+    thin aggregations: fingerprint → (keeper), then group → counts;
+    shuffle keys are the uniform fingerprint and the group — never the
+    text.  The rate is one division of exact counts, rounded 6 dp.
+    """
+    normalized = F.array_join(tokens(F.col(text_col)), " ")
+    f = df.select(
+        F.col(group_col), F.col(id_col),
+        hash60(normalized).alias("fingerprint"),
+    )
+    keepers = f.groupBy("fingerprint").agg(F.min(id_col).alias("_keeper"))
+    flagged = f.join(keepers, "fingerprint").select(
+        group_col,
+        (F.col(id_col) != F.col("_keeper")).cast("int").alias("_excess"),
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("_excess").cast("bigint").alias("n_excess"),
+        F.round(
+            F.sum("_excess").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )

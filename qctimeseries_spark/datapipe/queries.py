@@ -4262,3 +4262,51 @@ assert (
     DATAPIPE_ORACLE["x17_knn_after_delete"]
     != DATAPIPE_ORACLE["x2_knn_ivf"]
 ), "x17 oracle derivation no-opped — x2's ccell tail was reworded"
+
+
+def q_d13_dup_rate(spark, sf_dir):
+    """Per-source duplicate-rate KPI over the planted-dup corpus
+    (d1's corpus shifted into a synthetic 'mirror' source): corpus-wide
+    exact fingerprints, min-id keepers, per-source excess share — the
+    'which feeds send us copies' dashboard.  Two thin aggregations;
+    text never shuffles."""
+    from qctimeseries_spark.datapipe.dedup import dup_rate_by_group
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    dups = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+            F.regexp_replace(F.upper("text"), " ", "  ").alias("text"),
+        )
+    )
+    return dup_rate_by_group(d.unionByName(dups), "source")
+
+
+DATAPIPE_QUERIES["d13_dup_rate"] = q_d13_dup_rate
+
+DATAPIPE_ORACLE["d13_dup_rate"] = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'mirror' AS source,
+         replace(upper(text), ' ', '  ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+f AS (
+  SELECT doc_id, source,
+         {hash60_sql("array_to_string(" + _TOKS.format(c='text') + ", ' ')")}
+           AS fingerprint
+  FROM corpus
+),
+kp AS (SELECT fingerprint, MIN(doc_id) AS keeper FROM f GROUP BY fingerprint)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id != keeper THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_excess,
+       ROUND(CAST(SUM(CASE WHEN doc_id != keeper THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM f JOIN kp USING (fingerprint)
+GROUP BY source"""

@@ -1871,7 +1871,9 @@ _WINDOW_R8 = (
     # every released entry holds an r5/r7 driver green on unchanged
     # code, and its family stays covered: a by a1+a16, w by w1/w3,
     # u by u1/u6, j by j1+j4, t by its datapipe siblings)
-    "x5_knn_index_append", "x6_quantized_knn",
+    # x6 released for d13 (x keeps THIRTEEN in-window entries; x6's
+    # int8 machinery is shared with the in-window x7/x8)
+    "x5_knn_index_append",
     "a16_seasonal", "j4_skew_join", "t26_shuffle_shard", "x7_pq_knn",
     "x8_pq_index",
     "t27_bm25", "t28_safe_split", "d10_cross_neardup",
@@ -1893,7 +1895,7 @@ _WINDOW_R8 = (
     "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
     "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
     "t40_excise_contamination", "x16_mmr_rerank",
-    "x17_knn_after_delete",
+    "x17_knn_after_delete", "d13_dup_rate",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {

@@ -49,7 +49,7 @@ def test_driver_window_covers_every_family():
         "c1_dup_clusters",
         "m1_media_summary",
         # born in round 8 — driver-checked from day one
-        "x5_knn_index_append", "x6_quantized_knn",
+        "x5_knn_index_append",
         "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
         "x7_pq_knn", "x8_pq_index",
         "t27_bm25", "t28_safe_split", "d10_cross_neardup",
@@ -67,7 +67,7 @@ def test_driver_window_covers_every_family():
         "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
         "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
         "t40_excise_contamination", "x16_mmr_rerank",
-        "x17_knn_after_delete",
+        "x17_knn_after_delete", "d13_dup_rate",
     } <= window
 
 

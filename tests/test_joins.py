@@ -297,3 +297,29 @@ def test_interval_join_exactly_once_across_buckets(spark):
     )
     assert got == naive == [(1, 10), (1, 11), (2, 11)]
     assert len(got) == len(set(got))  # exactly-once, no bucket dups
+
+
+def test_interval_join_respects_by_keys(spark):
+    """With a by key, pairs only form within the same key even when
+    intervals from different keys overlap in time."""
+    import datetime as dt
+
+    from qctimeseries_spark.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = lambda x: t0 + dt.timedelta(hours=x)
+    left = spark.createDataFrame(
+        [("u1", 1, h(0), h(10)), ("u2", 2, h(0), h(10))],
+        "u string, lid long, a_lo timestamp, a_hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, h(5), h(6)), ("u2", 11, h(5), h(6))],
+        "u string, rid long, m_lo timestamp, m_hi timestamp",
+    )
+    out = interval_join(
+        left, right,
+        left_lo="a_lo", left_hi="a_hi",
+        right_lo="m_lo", right_hi="m_hi",
+        by="u", bucket_hours=24.0,
+    ).select("lid", "rid").collect()
+    assert sorted((r.lid, r.rid) for r in out) == [(1, 10), (2, 11)]
