@@ -438,3 +438,87 @@ def test_jpeg_codec_roundtrip_property(bw, bh, data):
         ]
         want = max(0, min(255, 128 + q))
         assert block == [want] * 64, (b, q)
+
+
+# ---------------------------------------------------------------------------
+# round-8 continuation laws: chunking tiles, packing is a tiling of the
+# concatenated stream
+# ---------------------------------------------------------------------------
+
+
+@given(
+    ns=st.lists(st.integers(min_value=0, max_value=90), min_size=1,
+                max_size=6),
+    chunk=st.integers(min_value=2, max_value=40),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+@SETTINGS
+def test_chunk_documents_tiling_laws(spark, ns, chunk, overlap_frac):
+    """For ANY doc lengths and (chunk_tokens, overlap): every token
+    position is covered, every chunk is the verbatim token slice at
+    its start, chunk_ids are dense from 0, and consecutive chunks
+    advance by exactly the stride."""
+    from qctimeseries_spark.datapipe.text import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(ns)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(
+        df, chunk_tokens=chunk, overlap=overlap
+    ).collect()
+    toks = {i: rows[i][1].split(" ") if ns[i] else [] for i in range(len(ns))}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(ns):
+        rs = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rs] == list(range(len(rs)))
+        covered = set()
+        for r in rs:
+            want = toks[i][r.start_token - 1: r.start_token - 1 + chunk]
+            assert r.chunk == " ".join(want)
+            assert r.n_chunk_tokens == len(want)
+            covered.update(
+                range(r.start_token, r.start_token + r.n_chunk_tokens)
+            )
+        assert covered == set(range(1, n + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert b.start_token - a.start_token == stride
+
+
+@given(
+    ns=st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=8),
+    ctx=st.integers(min_value=1, max_value=64),
+)
+@SETTINGS
+def test_pack_sequences_tiling_laws(spark, ns, ctx):
+    """Packing is the tiling of the concatenated token stream: offsets
+    are the exclusive prefix sum in key order, seq_first/last are the
+    floor-divided window ids of the doc's first/last token, and
+    crosses_boundary <=> the doc spans more than one window."""
+    from qctimeseries_spark.datapipe.sample import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(ns)]
+    df = spark.createDataFrame(rows, "doc long, n long")
+    out = {
+        r.doc: r
+        for r in pack_sequences(
+            df, "n", key_col="doc", ctx_len=ctx
+        ).collect()
+    }
+    off = 0
+    for i, n in enumerate(ns):
+        r = out[i]
+        assert r.start_offset == off
+        assert r.seq_first == off // ctx
+        if n > 0:
+            assert r.seq_last == (off + n - 1) // ctx
+        else:
+            assert r.seq_last == r.seq_first
+        assert r.crosses_boundary == (r.seq_last > r.seq_first)
+        off += n
