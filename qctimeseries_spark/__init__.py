@@ -52,6 +52,7 @@ from qctimeseries_spark.windows import (
     seasonal_baseline,
     flag_outlier_candidates,
     shift_global,
+    change_intervals,
 )
 from qctimeseries_spark.updates import (
     set_flag,
@@ -75,7 +76,7 @@ from qctimeseries_spark.viz import (
 from qctimeseries_spark.app import QcSession
 from qctimeseries_spark.plans import plan_summary
 from qctimeseries_spark.rules import apply_qc_rules
-from qctimeseries_spark.joins import asof_join, skew_join
+from qctimeseries_spark.joins import asof_join, interval_join, skew_join
 from qctimeseries_spark.exports import write_exports, smart_stem
 from qctimeseries_spark.report import save_all_check_plots, panel_downsample
 from qctimeseries_spark.pipeline import qc_pipeline
@@ -110,6 +111,7 @@ __all__ = [
     "with_rowid",
     "window_anchor",
     "assign_windows",
+    "change_intervals",
     "admitted_windows",
     "window_slice",
     "window_range",
@@ -133,6 +135,7 @@ __all__ = [
     "utc_from_display",
     "QcSession",
     "asof_join",
+    "interval_join",
     "skew_join",
     "write_exports",
     "smart_stem",
