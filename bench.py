@@ -146,6 +146,10 @@ EXTENDED = [
     "x17_knn_after_delete",
     # wave 6: per-source duplicate-rate KPI
     "d13_dup_rate",
+    # wave 7: TPC-H Q7/Q14/Q19 shapes
+    "h11_nation_volume",
+    "h12_promo_share",
+    "h13_disjunctive_filter",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -1803,6 +1803,128 @@ QUERIES["j5_interval_join"] = q_j5_interval_join
 QUERIES["h10_returned_revenue"] = q_h10_returned_revenue
 
 
+def q_h11_nation_volume(spark, sf_dir):
+    """TPC-H-Q7 shape: yearly shipping volume between a nation PAIR in
+    both directions (supplier nation x customer nation).  The two
+    nation dims broadcast with their name filters applied BEFORE the
+    join, so only the two nations' keys ever reach the fact-side
+    joins; the pair condition lives in the join output (either
+    direction), volume sums in exact decimal, and year() is exact
+    integer extraction."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        F.year("l_shipdate").alias("l_year"),
+    )
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.filter(F.col("n_name").isin("NATION_3", "NATION_7")).select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin("NATION_3", "NATION_7")).select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(vol.alias("revenue"))
+    )
+
+
+def q_h12_promo_share(spark, sf_dir):
+    """TPC-H-Q14 shape: monthly promo-revenue share.  The part dim
+    joins on partkey (broadcastable); promo membership is a p_type
+    prefix test resolved in the aggregation as a conditional decimal
+    sum — one pass over the date-filtered fact, two exact sums, one
+    division at the edge."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    joined = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        F.month("l_shipdate").alias("ship_month"),
+        rev.alias("_rev"),
+        F.when(
+            F.col("p_type").startswith("PROMO"), rev
+        ).otherwise(F.lit(0).cast("decimal(18,2)")).alias("_promo"),
+    )
+    return joined.groupBy("ship_month").agg(
+        F.sum("_promo").cast("double").alias("promo_revenue"),
+        F.sum("_rev").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(100.0)
+            * F.sum("_promo").cast("double")
+            / F.sum("_rev").cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+    )
+
+
+def q_h13_disjunctive_filter(spark, sf_dir):
+    """TPC-H-Q19 shape: revenue under an OR-of-ANDs predicate (brand x
+    size x quantity bands).  The partkey equi-join carries the
+    disjunction; the p_size/p_brand legs reach the part scan and the
+    quantity bounds reach the lineitem scan as pushed filters (the
+    union of the OR legs' ranges), Catalyst splitting the residual OR
+    above — the disjunctive-pushdown stress test."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & (F.col("p_size").between(5, 20))
+            & (F.col("l_quantity").between(10, 30))
+        )
+    )
+    rev = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            rev.alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+QUERIES["h11_nation_volume"] = q_h11_nation_volume
+QUERIES["h12_promo_share"] = q_h12_promo_share
+QUERIES["h13_disjunctive_filter"] = q_h13_disjunctive_filter
+
+
 # The driver harness hash-checks at most the FIRST 50 registry
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
@@ -1874,17 +1996,17 @@ _WINDOW_R8 = (
     # x6 released for d13 (x keeps THIRTEEN in-window entries; x6's
     # int8 machinery is shared with the in-window x7/x8)
     "x5_knn_index_append",
-    "a16_seasonal", "j4_skew_join", "t26_shuffle_shard", "x7_pq_knn",
+    "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
     "x8_pq_index",
     "t27_bm25", "t28_safe_split", "d10_cross_neardup",
     "x9_filtered_knn",
     # w1/v4 released in turn (w by w3, v by v1/v5; both r5 greens on
     # unchanged code) for the canonical keeper + cell-balanced sample
-    "d11_canonical_keep", "x10_cell_sample",
+    "d11_canonical_keep",
     "t29_hybrid_rrf", "t30_weighted_sample", "t31_ngram_novelty",
     "x11_cell_stats",
     "t32_bloom_prune", "t33_cms_heavyhitters", "t34_hll_distinct",
-    "d12_snapshot_diff", "x12_embedding_drift",
+    "d12_snapshot_diff",
     "h7_top_unshipped", "h8_local_nation_revenue",
     "t35_perplexity_buckets",
     "t36_nfc_dedup", "h9_big_orders",
@@ -1896,6 +2018,11 @@ _WINDOW_R8 = (
     "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
     "t40_excise_contamination", "x16_mmr_rerank",
     "x17_knn_after_delete", "d13_dup_rate",
+    # wave-7 relational anchors (x7/x10/x12 released: the x
+    # family keeps NINE in-window entries incl. the fuller PQ
+    # index x8; all three hold r8 replica + sf1 greens)
+    "h11_nation_volume", "h12_promo_share",
+    "h13_disjunctive_filter",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
@@ -2807,3 +2934,63 @@ WHERE l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20"""
+
+
+ORACLE["h11_nation_volume"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+  AND n2.n_name IN ('NATION_3', 'NATION_7')
+  AND n1.n_name != n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)"""
+
+ORACLE["h12_promo_share"] = """
+SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+       CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2))
+                             - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS total_revenue,
+       ROUND(100.0
+             * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (CAST(1 AS DECIMAL(18,2))
+                                     - CAST(l_discount AS DECIMAL(18,2)))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2))
+                           - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+             6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY month(l_shipdate)"""
+
+ORACLE["h13_disjunctive_filter"] = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 30)
+GROUP BY p_brand"""

@@ -51,12 +51,12 @@ def test_driver_window_covers_every_family():
         # born in round 8 — driver-checked from day one
         "x5_knn_index_append",
         "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
-        "x7_pq_knn", "x8_pq_index",
+        "x8_pq_index",
         "t27_bm25", "t28_safe_split", "d10_cross_neardup",
-        "x9_filtered_knn", "d11_canonical_keep", "x10_cell_sample",
+        "x9_filtered_knn", "d11_canonical_keep",
         "t29_hybrid_rrf", "t30_weighted_sample", "t31_ngram_novelty",
         "x11_cell_stats", "t32_bloom_prune", "t33_cms_heavyhitters",
-        "t34_hll_distinct", "d12_snapshot_diff", "x12_embedding_drift",
+        "t34_hll_distinct", "d12_snapshot_diff",
         "h7_top_unshipped", "h8_local_nation_revenue",
         "t35_perplexity_buckets",
         "t36_nfc_dedup", "h9_big_orders",
@@ -68,6 +68,8 @@ def test_driver_window_covers_every_family():
         "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
         "t40_excise_contamination", "x16_mmr_rerank",
         "x17_knn_after_delete", "d13_dup_rate",
+        "h11_nation_volume", "h12_promo_share",
+        "h13_disjunctive_filter",
     } <= window
 
 
