@@ -150,6 +150,8 @@ EXTENDED = [
     "h11_nation_volume",
     "h12_promo_share",
     "h13_disjunctive_filter",
+    # wave 8: streaming SCD2 maintenance
+    "st18_stream_scd2",
 ]
 
 HEADLINE = CORE + EXTENDED

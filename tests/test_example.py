@@ -54,7 +54,7 @@ def test_driver_window_covers_every_family():
         "x8_pq_index",
         "t27_bm25", "t28_safe_split", "d10_cross_neardup",
         "x9_filtered_knn", "d11_canonical_keep",
-        "t29_hybrid_rrf", "t30_weighted_sample", "t31_ngram_novelty",
+        "t29_hybrid_rrf", "t31_ngram_novelty",
         "x11_cell_stats", "t32_bloom_prune", "t33_cms_heavyhitters",
         "t34_hll_distinct", "d12_snapshot_diff",
         "h7_top_unshipped", "h8_local_nation_revenue",
@@ -70,6 +70,7 @@ def test_driver_window_covers_every_family():
         "x17_knn_after_delete", "d13_dup_rate",
         "h11_nation_volume", "h12_promo_share",
         "h13_disjunctive_filter",
+        "st18_stream_scd2",
     } <= window
 
 

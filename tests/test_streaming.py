@@ -1365,3 +1365,64 @@ def test_hll_ingest_stream_matches_batch_and_replay_exact(spark, tmp_path):
         p.name for p in (tmp_path / "out").iterdir() if p.is_dir()
     )
     assert dirs == ["sink_batch=0", "sink_batch=1"]
+
+
+def test_stream_change_intervals_closes_across_batches(spark, tmp_path):
+    """A run that EXTENDS across micro-batches emits nothing until it
+    closes; a change in a later batch closes the carried interval with
+    the ORIGINAL valid_from; versions stay dense; NULL runs are one
+    run; drained output equals the batch operator's closed rows."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_change_intervals,
+    )
+    from qctimeseries_spark.windows import change_intervals
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    # key 1: a a | a b  -> 'a' spans the batch cut, closes at s(3)
+    # key 2: x | NULL NULL y -> x closes, NULL run closes
+    b0 = [(10, 1, s(0), "a"), (11, 1, s(1), "a"), (20, 2, s(0), "x")]
+    b1 = [(12, 1, s(2), "a"), (13, 1, s(3), "b"),
+          (21, 2, s(2), None), (22, 2, s(3), None), (23, 2, s(4), "y")]
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    for i, rows in enumerate([b0, b1]):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = next(Path(stage).glob("part-*.parquet"))
+        dst = src / f"batch{i}.parquet"
+        part.rename(dst)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    key = lambda t: (t[0], t[2])  # (user, version) is unique
+    got = sorted(
+        (
+            (r.user_id, r.event_type, r.version, r.valid_from, r.valid_to)
+            for r in run_available_now(
+                stream_change_intervals(stream), output_mode="append"
+            ).collect()
+        ),
+        key=key,
+    )
+    batch = change_intervals(
+        spark.createDataFrame(b0 + b1, schema),
+        "ts", "user_id", "event_type", tiebreak_col="event_id",
+    )
+    want = sorted(
+        (
+            (r.user_id, r.event_type, r.version, r.valid_from, r.valid_to)
+            for r in batch.filter(F.col("valid_to").isNotNull()).collect()
+        ),
+        key=key,
+    )
+    assert got == want
+    assert (1, "a", 1, s(0), s(3)) in got      # spans the batch cut
+    assert (2, None, 2, s(2), s(4)) in got     # NULL run closed by y
