@@ -3611,27 +3611,24 @@ def q_st16_stream_heavyhitters(spark, sf_dir):
     over the whole corpus, because count-min counters are plain
     integer sums (the 1000-executor / multi-day rollup algebra).
     The oracle is the batch sketch SQL."""
-    import glob
     import os
     import shutil
     import tempfile
 
-    from qctimeseries_spark.streaming import cms_ingest_stream
+    from qctimeseries_spark.streaming import (
+        cms_ingest_stream,
+        stage_file_batches,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     tmp = tempfile.mkdtemp(prefix="qcts_st16_")
     try:
         src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for i, batch in enumerate(
+        stage_file_batches(
             [d.filter(F.col("doc_id") % 2 == 0),
-             d.filter(F.col("doc_id") % 2 == 1)]
-        ):
-            stage = os.path.join(tmp, f"stage{i}")
-            batch.coalesce(1).write.parquet(stage)
-            dst = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+             d.filter(F.col("doc_id") % 2 == 1)],
+            src,
+        )
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", 1)
@@ -3806,28 +3803,25 @@ def q_st17_stream_distinct(spark, sf_dir):
     merge + the shared batch estimate tail — must be bit-identical to
     batch hll_distinct over the whole corpus (register max commutes).
     Counts distinct TOKENS per language."""
-    import glob
     import os
     import shutil
     import tempfile
 
     from qctimeseries_spark.datapipe.text import tokens
-    from qctimeseries_spark.streaming import hll_ingest_stream
+    from qctimeseries_spark.streaming import (
+        hll_ingest_stream,
+        stage_file_batches,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
     tmp = tempfile.mkdtemp(prefix="qcts_st17_")
     try:
         src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for i, batch in enumerate(
+        stage_file_batches(
             [d.filter(F.col("doc_id") % 2 == 0),
-             d.filter(F.col("doc_id") % 2 == 1)]
-        ):
-            stage = os.path.join(tmp, f"stage{i}")
-            batch.coalesce(1).write.parquet(stage)
-            dst = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+             d.filter(F.col("doc_id") % 2 == 1)],
+            src,
+        )
         stream = (
             spark.readStream
             .schema("doc_id bigint, lang string, text string")

@@ -446,6 +446,25 @@ def append_to_ivf_index(
     """
     if cell_files < 1:
         raise ValueError(f"cell_files must be >= 1, got {cell_files}")
+    # a batch overlapping the live tombstone set would write rows the
+    # serve-side anti-join hides and the next purge DESTROYS (the
+    # delete-then-re-append trap) — refuse it; replacing an id is
+    # delete → purge_ivf_tombstones → append
+    tomb = read_ivf_tombstones(spark, path, id_col=id_col)
+    if tomb is not None:
+        hit = (
+            new_vectors.select(F.col(id_col))
+            .join(F.broadcast(tomb), id_col, "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if hit:
+            raise ValueError(
+                "append batch contains tombstoned ids (e.g. "
+                f"{[r[0] for r in hit]}); run purge_ivf_tombstones "
+                "first — appending over a live tombstone would hide "
+                "the new row and a later purge would delete it"
+            )
     cents = spark.read.parquet(path + "/centroids")
     n_cells = cents.count()
     assigned = ivf_assign(
@@ -1621,6 +1640,12 @@ def kmeans_exact(
                     "centv"
                 ),
             )
+            # cut lineage per iteration (the temperature_weights
+            # lesson from this same round): `cents` is nlist rows, but
+            # WITHOUT the cut each later action re-runs every prior
+            # iteration's corpus-wide assignment through lineage —
+            # O(iters²) corpus scans; with it, one scan per iteration
+            .localCheckpoint(eager=True)
         )
     sizes = _assign(cents).groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
@@ -1701,6 +1726,13 @@ def mmr_rerank(
             norms += A[:, d] * A[:, d]
             dots += A[:, d : d + 1] * A[:, d]
         norms = np.sqrt(norms)
+        if (norms == 0).any():
+            bad = ids[norms == 0][:5].tolist()
+            raise ValueError(
+                f"mmr_rerank: zero-norm candidate vectors {bad} — "
+                "cosine similarity is undefined for them (a floored "
+                "NaN would silently corrupt the greedy ranks)"
+            )
         sim_q = np.floor(
             dots / (norms[:, None] * norms[None, :]) * 1e9 + 0.5
         ).astype(np.int64)
@@ -1763,10 +1795,22 @@ def delete_from_ivf_index(
 
     Tombstones accumulate; :func:`purge_ivf_tombstones` physically
     rewrites the affected state and clears them.  Deleting an id that
-    was never stored is a no-op by construction (anti-join).  Returns
-    ``{"tombstoned": n}``.
+    was never stored is a no-op by construction (anti-join).
+
+    REPLACING an id is a purge-then-append sequence: delete → purge →
+    append the new vector.  Re-appending a still-tombstoned id would
+    leave the new row invisible (the serve-side anti-join keys on the
+    id) and a later purge would destroy it —
+    :func:`append_to_ivf_index` therefore REFUSES a batch that
+    overlaps the live tombstone set.  Returns ``{"tombstoned": n}``.
     """
-    out = ids.select(F.col(id_col).cast("long").alias(id_col)).distinct()
+    out = (
+        ids.select(F.col(id_col).cast("long").alias(id_col))
+        .distinct()
+        .localCheckpoint(eager=True)  # one evaluation feeds BOTH the
+        # write and the count — a non-deterministic ids lineage must
+        # not produce a written set that disagrees with the report
+    )
     out.write.mode("append").parquet(path + "/tombstones")
     return {"tombstoned": out.count()}
 
@@ -1806,8 +1850,6 @@ def purge_ivf_tombstones(
 
     Returns ``{"purged", "remaining"}``.
     """
-    import shutil
-
     tomb = read_ivf_tombstones(spark, path, id_col=id_col)
     if tomb is None:
         return {"purged": 0, "remaining": -1}
@@ -1828,7 +1870,22 @@ def purge_ivf_tombstones(
     )
     n_tomb = tomb.count()
     remaining = spark.read.parquet(path + "/cells_purging").count()
-    shutil.rmtree(path + "/cells")
-    shutil.move(path + "/cells_purging", path + "/cells")
-    shutil.rmtree(path + "/tombstones")
+    # staged swap through the Hadoop FS API (works on hdfs://s3a://
+    # URIs too, and the old store survives any crash before the final
+    # rename — the compact_store discipline): old → __old, new → live,
+    # then drop __old and the tombstones
+    jvm = spark.sparkContext._jvm
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _p(sub: str):
+        return jvm.org.apache.hadoop.fs.Path(path + sub)
+
+    fs = _p("/cells").getFileSystem(jconf)
+    if not fs.rename(_p("/cells"), _p("/cells__old")):
+        raise IOError("purge: could not stage the old cells/ aside")
+    if not fs.rename(_p("/cells_purging"), _p("/cells")):
+        fs.rename(_p("/cells__old"), _p("/cells"))  # roll back
+        raise IOError("purge: could not swap the purged cells/ in")
+    fs.delete(_p("/cells__old"), True)
+    fs.delete(_p("/tombstones"), True)
     return {"purged": n_tomb, "remaining": remaining}

@@ -1934,12 +1934,12 @@ def q_st18_stream_scd2(spark, sf_dir):
     interval as state and emits intervals as they CLOSE.  The drained
     output must equal the batch a17 operator's closed rows
     (valid_to IS NOT NULL) — which is the oracle."""
-    import glob
     import shutil
     import tempfile
 
     from qctimeseries_spark.streaming import (
         run_available_now,
+        stage_file_batches,
         stream_change_intervals,
     )
 
@@ -1950,15 +1950,10 @@ def q_st18_stream_scd2(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="qcts_st18_")
     try:
         src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for i, batch in enumerate(
-            [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)]
-        ):
-            stage = os.path.join(tmp, f"stage{i}")
-            batch.coalesce(1).write.parquet(stage)
-            dst = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stage_file_batches(
+            [ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)],
+            src,
+        )
         stream = (
             spark.readStream
             .schema(

@@ -1366,13 +1366,21 @@ def hll_ingest_stream(
     try:
         parts = spark.read.parquet(out_path)
     except AnalysisException:
-        gschema = ", ".join(f"{c} string" for c in group_cols)
-        prefix = f"{gschema}, " if gschema else ""
-        return spark.createDataFrame(
-            [],
-            f"{prefix}n_registers int, n_zero int,"
-            " reg_sum_scaled bigint, est_distinct double",
+        # group-column TYPES come from the input stream's schema (the
+        # _read_survivors precedent) — an all-string fallback would
+        # make the empty path's schema disagree with a drained one
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [stream.schema[c] for c in group_cols]
+            + [
+                T.StructField("n_registers", T.IntegerType()),
+                T.StructField("n_zero", T.IntegerType()),
+                T.StructField("reg_sum_scaled", T.LongType()),
+                T.StructField("est_distinct", T.DoubleType()),
+            ]
         )
+        return spark.createDataFrame([], schema)
     merged = parts.groupBy(*group_cols, "_bucket").agg(
         F.max("_M").alias("_M")
     )
@@ -1403,8 +1411,14 @@ def stream_change_intervals(
     in-order streams (a CDC/changelog feed — equal timestamps must not
     straddle batches) the drained output equals the batch operator's
     rows with ``valid_to IS NOT NULL``, which is what the oracle
-    checks.  Rows at-or-before the carried (time, tiebreak) high-water
-    mark are dropped, the same late-data rule as :func:`stream_gaps`.
+    checks.  Two late-data rules apply: rows at-or-before the carried
+    per-key (time, tiebreak) high-water mark are dropped by the
+    operator (the :func:`stream_gaps` rule), and — like every
+    watermarked stateful operator — the ENGINE drops rows more than
+    ``watermark`` behind the stream's GLOBAL max event time, so a key
+    whose feed lags other keys by more than the delay loses rows: size
+    ``watermark`` to the cross-KEY skew of the feed, not just to
+    per-key reordering.
 
     Batch work is vectorized: rows sort once, run boundaries come from
     one null-safe shift-compare, and only the collapsed RUNS (not the
@@ -1500,3 +1514,25 @@ def stream_change_intervals(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stage_file_batches(frames, src_dir: str, *, start_mtime: int = 1_700_000_000) -> None:
+    """Write each frame as ONE parquet file under ``src_dir`` with
+    strictly increasing mtimes, so a ``maxFilesPerTrigger=1``
+    file-source stream replays them as ordered micro-batches — the
+    planted-batch protocol the streaming queries and tests share
+    (previously copy-pasted per site; any change to the protocol now
+    lands once)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    os.makedirs(src_dir, exist_ok=True)
+    for i, frame in enumerate(frames):
+        stage = tempfile.mkdtemp(prefix="qcts_stage_")
+        frame.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (start_mtime + i * 100,) * 2)

@@ -2714,6 +2714,18 @@ def test_ivf_delete_tombstones_then_purge_serve_identical(spark, tmp_path):
         sum(1 for r in rows_t if r[0] == q) == 5 for q in (0, 1)
     )  # still full k — pre-filter, not post-filter
 
+    # appending a still-tombstoned id is refused (the re-append trap:
+    # the new row would be hidden now and destroyed by the purge)
+    some = next(iter(top))
+    with pytest.raises(ValueError, match="tombstoned"):
+        from qctimeseries_spark.datapipe.similarity import (
+            append_to_ivf_index,
+        )
+
+        append_to_ivf_index(
+            spark, idx, emb.filter(F.col("vec_id") == some)
+        )
+
     stats = purge_ivf_tombstones(spark, idx)
     assert stats["purged"] == len(top) + 1
     assert stats["remaining"] == 60 - len(top)

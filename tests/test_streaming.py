@@ -1270,19 +1270,20 @@ def test_cms_ingest_stream_merges_to_batch_sketch_and_replay_exact(
     from qctimeseries_spark.datapipe.sketches import cms_build
     from qctimeseries_spark.streaming import cms_ingest_stream
 
+    from qctimeseries_spark.streaming import stage_file_batches
+
     rows = [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(40)]
     src = tmp_path / "src"
-    src.mkdir()
-    for i in (0, 1):
-        stage = str(tmp_path / f"stage{i}")
-        half = [r for r in rows if r[0] % 2 == i]
-        spark.createDataFrame(
-            half, "doc_id bigint, text string"
-        ).coalesce(1).write.parquet(stage)
-        part = next(Path(stage).glob("part-*.parquet"))
-        dst = src / f"batch{i}.parquet"
-        part.rename(dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    stage_file_batches(
+        [
+            spark.createDataFrame(
+                [r for r in rows if r[0] % 2 == i],
+                "doc_id bigint, text string",
+            )
+            for i in (0, 1)
+        ],
+        str(src),
+    )
 
     def drain(ckpt):
         stream = (
@@ -1322,19 +1323,20 @@ def test_hll_ingest_stream_matches_batch_and_replay_exact(spark, tmp_path):
     from qctimeseries_spark.datapipe.sketches import hll_distinct
     from qctimeseries_spark.streaming import hll_ingest_stream
 
+    from qctimeseries_spark.streaming import stage_file_batches
+
     rows = [(i, "g" + str(i % 2), f"v{i % 37}") for i in range(200)]
     src = tmp_path / "src"
-    src.mkdir()
-    for i in (0, 1):
-        stage = str(tmp_path / f"stage{i}")
-        half = [r for r in rows if r[0] % 2 == i]
-        spark.createDataFrame(
-            half, "id bigint, g string, v string"
-        ).coalesce(1).write.parquet(stage)
-        part = next(Path(stage).glob("part-*.parquet"))
-        dst = src / f"batch{i}.parquet"
-        part.rename(dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    stage_file_batches(
+        [
+            spark.createDataFrame(
+                [r for r in rows if r[0] % 2 == i],
+                "id bigint, g string, v string",
+            )
+            for i in (0, 1)
+        ],
+        str(src),
+    )
 
     def drain(ckpt):
         stream = (
@@ -1387,16 +1389,14 @@ def test_stream_change_intervals_closes_across_batches(spark, tmp_path):
     b0 = [(10, 1, s(0), "a"), (11, 1, s(1), "a"), (20, 2, s(0), "x")]
     b1 = [(12, 1, s(2), "a"), (13, 1, s(3), "b"),
           (21, 2, s(2), None), (22, 2, s(3), None), (23, 2, s(4), "y")]
+    from qctimeseries_spark.streaming import stage_file_batches
+
     src = tmp_path / "src"
-    src.mkdir()
     schema = "event_id long, user_id long, ts timestamp, event_type string"
-    for i, rows in enumerate([b0, b1]):
-        stage = str(tmp_path / f"stage{i}")
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
-        part = next(Path(stage).glob("part-*.parquet"))
-        dst = src / f"batch{i}.parquet"
-        part.rename(dst)
-        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in (b0, b1)],
+        str(src),
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
