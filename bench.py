@@ -194,6 +194,70 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def result_json(
+    times: dict[str, float],
+    calibration: float,
+    calibration_samples: list[float],
+    spread: float,
+    sf: float,
+) -> str:
+    """One-line JSON bench record, TAIL-SAFE for the driver capture.
+
+    KEY ORDER MATTERS: the driver records only the LAST 2,000 chars of
+    this line (VERDICT r8 "what's wrong" #1 — with 92 headline queries
+    the per-query maps alone exceed that, and in r8 they pushed every
+    scalar summary field off the front of the capture).  The big
+    per-query maps therefore go FIRST and every scalar field (metric/
+    value/subtotals/calibration/spread) goes LAST, so the captured
+    tail is always the complete scalar summary.  Pinned by
+    tests/test_bench_contract.py::test_scalar_summary_survives_tail.
+    """
+    core_total = round(sum(times[q] for q in CORE if q in times), 3)
+    # host-drift-free view: each query in CALIBRATION UNITS (raw time /
+    # this run's calibration).  Cross-round regressions read directly
+    # off these — no manual host forensics (BENCHNOTES.md §1): a query
+    # whose normalized value doubles got slower in real terms no matter
+    # what the host was doing that day.
+    normalized = {q: round(t / calibration, 3) for q, t in times.items()}
+    return json.dumps(
+        {
+            # per-query raw times (big map — sacrificial head)
+            "queries": times,
+            # per-query times in calibration units (raw/calibration)
+            # — compare these across rounds directly
+            "queries_normalized": normalized,
+            # ---- scalar tail: everything below must survive the
+            # ---- driver's 2,000-char capture
+            # "value" covers the SAME core set every round (the
+            # r1/r2 baseline-comparable number); the round-2+
+            # extension queries are timed in "queries" and summed
+            # in extended_subtotal/all_total
+            "metric": "headline_total",
+            "value": core_total,
+            "unit": "sec",
+            "sf": sf,
+            "core_subtotal": core_total,
+            "extended_subtotal": round(
+                sum(times[q] for q in EXTENDED if q in times), 3
+            ),
+            "all_total": round(sum(times.values()), 3),
+            # host-drift normalizer: divide cross-round query times
+            # by the calibration ratio before comparing.
+            # "calibration" is the MEDIAN of the interleaved
+            # samples; read the samples' spread before trusting a
+            # normalized regression (>10% spread = noisy run,
+            # judge on raw best-of-N instead)
+            "calibration": calibration,
+            "calibration_samples": calibration_samples,
+            "calibration_spread": spread,
+            "core_subtotal_normalized": round(
+                sum(normalized[q] for q in CORE if q in normalized), 3
+            ),
+        }
+    )
+
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -265,48 +329,7 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    core_total = round(sum(times[q] for q in CORE if q in times), 3)
-    # host-drift-free view: each query in CALIBRATION UNITS (raw time /
-    # this run's calibration).  Cross-round regressions read directly
-    # off these — no manual host forensics (BENCHNOTES.md §1): a query
-    # whose normalized value doubles got slower in real terms no matter
-    # what the host was doing that day.
-    normalized = {q: round(t / calibration, 3) for q, t in times.items()}
-    print(
-        json.dumps(
-            {
-                # "value" covers the SAME core set every round (the
-                # r1/r2 baseline-comparable number); the round-2+
-                # extension queries are timed in "queries" and summed
-                # in extended_subtotal/all_total
-                "metric": "headline_total",
-                "value": core_total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "core_subtotal": core_total,
-                "extended_subtotal": round(
-                    sum(times[q] for q in EXTENDED if q in times), 3
-                ),
-                "all_total": round(sum(times.values()), 3),
-                # host-drift normalizer: divide cross-round query times
-                # by the calibration ratio before comparing.
-                # "calibration" is the MEDIAN of the interleaved
-                # samples; read the samples' spread before trusting a
-                # normalized regression (>10% spread = noisy run,
-                # judge on raw best-of-N instead)
-                "calibration": calibration,
-                "calibration_samples": calibration_samples,
-                "calibration_spread": spread,
-                # per-query times in calibration units (raw/calibration)
-                # — compare these across rounds directly
-                "queries_normalized": normalized,
-                "core_subtotal_normalized": round(
-                    sum(normalized[q] for q in CORE if q in normalized), 3
-                ),
-            }
-        )
-    )
+    print(result_json(times, calibration, calibration_samples, spread, sf))
     spark.stop()
     return 0
 

@@ -1979,107 +1979,57 @@ QUERIES["st18_stream_scd2"] = q_st18_stream_scd2
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
 # window entries get the driver's independent hash verdict.  To keep
-# that verdict honest across a registry ~2x the window, the window
-# ROTATES each round (r4 ≈ QC core + first datapipe wave, r5 = the
-# never-checked tail, r6 = the r4 set + the post-r5 arrivals).
-# Round 8 rotates onto the 67-entry tail that sat OUTSIDE the r7
-# window, prioritizing the 27 entries whose implementing modules
-# changed in round 7 (dedup.py / text.py / similarity.py /
-# streaming.py / multimodal.py / sample.py) — those held only
-# r5/earlier driver greens plus r7 replica greens, and the driver's
-# own hash verdict is the hard signal (VERDICT r7 task 1).  The
-# remaining 23 slots go to QC-core tail entries so every family stays
-# in-window; the 17 tail entries left out (u4/u5, p5/p8/p10/p11,
-# a2–a5, w4/w8/w12, v2/v3, v1_downsample, h3) all hold r7 replica
-# greens on since-r5-untouched code and richer in-window siblings.
-# The r7 window (d9, t20–t25, x3/x4, m4/m5, st13–st15, h4/h6, …)
-# rotates out with fresh r7 driver greens.  The family-coverage guard
-# (tests/test_example.py) enforces that no family ever leaves the
-# window.
-_WINDOW_R8 = (
-    # r7-modified datapipe modules — driver re-verdict this round.
-    # Final rotation: t5/t8/t12, d4, m2, st3, x1 step out for the
-    # seven operators born after the last release (t32–t34, d12, x12,
-    # h7, h8) — every released entry holds an r8 replica green
-    # (tools/check_correctness.py, full-registry sweep) and its
-    # implementing module keeps ≥4 in-window siblings (text.py via
-    # t2/t3/t4/t6/t7/t17/t18/t19, dedup.py via d1/d2/d3/d5/d8,
-    # multimodal.py via m1, streaming.py via st1/st2/st11/st12,
-    # similarity.py via x5–x12); the entries born this round have
-    # NEVER held a driver verdict, so they outrank re-verdicts.
-    # Continuation release: d1/t2/t3/st1/s10 + h1 step out for the six
-    # operators born in the round-8 continuation (t37/t38/a17/x13/
-    # st16/s11) — every released entry holds an r8 replica green
-    # (150/150 sweep) and its module keeps in-window siblings
-    # (dedup.py via d2/d3/d5/d8, text.py via t6/t7/t17/t18 + the t2x
-    # wave, streaming.py via st11/st12/st16, sources/exports via s11,
-    # h via h7/h8/h9).
-    # wave-2 release: d2/t6/t17 step out (r8 replica greens; dedup.py
-    # keeps d3/d5/d8 in-window, text.py keeps t7/t18 + the t2x/t3x
-    # wave) for the three wave-2 borns (x14/t39/st17).  Wave-3
-    # release: d5/t7/st11 step out (same rationale; dedup keeps
-    # d3/d8, text keeps t18 + the t2x-t3x wave, streaming keeps
-    # st12/st16/st17) for j5/h10/x15.
-    # Wave-4 release: d8/t18 step out (same rationale; dedup keeps
-    # d3, text keeps the t2x-t4x wave) for t40/x16.
-    # x17 takes st12's slot (st keeps st16/st17 in-window; st12 holds
-    # an r7 driver green + r8 replica greens).
-    "d3_simhash_pairs",
+# that verdict honest across a 164-entry registry, the window ROTATES
+# each round.  Round 9 executes VERDICT r8 task 1: rotate onto the
+# 64-entry stale tail (entries with no r7/r8 driver verdict).  The
+# driver records exactly ONE 50-entry CORRECTNESS file per round, so
+# 50 of the 64 fit; priority order is the judge's own:
+#   * the 5 NEVER driver-checked (t30, x6, x7, x10, x12),
+#   * the 4 last checked at r4 (t1, t4, t8, x1),
+#   * all 15 last checked at r5,
+#   * 25 of the 40 last checked at r6.
+# c1_dup_clusters (driver-r8 green) also stays in: it is the ONLY
+# c-family entry, and the family-coverage guard (tests/test_example.py)
+# requires every family inside the window.  The 15 r6-checked entries
+# deferred to the r10 window (p3/p4/p8/p10/p11, a1/a2/a3/a5,
+# w1/w8, u2/u6, v1_downsample/v4) are all QC-core queries on code
+# untouched since r5 with r6 driver greens, r8 full-registry replica
+# greens, sf1 hash greens, and in-window family siblings
+# (p by p5, a by a4/a13/a14, w by w4/w10/w12, u by u4/u5,
+# v by v2/v3/v5).
+_WINDOW_R9 = (
+    # never driver-checked (VERDICT r8 priority 1)
+    "t30_weighted_sample", "x6_quantized_knn", "x7_pq_knn",
+    "x10_cell_sample", "x12_embedding_drift",
+    # last driver verdict r4 (priority 2)
+    "t1_sessionize", "t4_lang_id", "t8_hash_sample",
+    "x1_knn_bruteforce",
+    # last driver verdict r5 (priority 3)
+    "p5_strict_clean", "w4_viewer_windows", "u4_reset_window",
+    "u5_reset_all", "a4_anchor", "v2_approved_overlay",
+    "v3_flagged_overlay", "d4_ngram_jaccard", "t5_fingerprint",
+    "t12_bpe_pairs", "w10_ffill", "w12_resample", "j3_asof_forward",
+    "a13_progress_by_window", "a14_ewma",
+    # family-coverage anchor (sole c entry; driver-r8 green)
     "c1_dup_clusters",
-    "m1_media_summary",
-    # QC core tail (r5/earlier driver greens on unchanged code).
-    # Late-round release: f2/u6/p3/p4 step out (r5 driver greens on
-    # unchanged code; f by f1, u by u1, p by p1) for the four
-    # operators born after the first rotation — t27/t28/d10/x9.
-    # Closing release: a1/j1/v5/s1 step out (same rationale; a by
-    # a16, j by j4, v by v1, s by s10) for t29/t30/t31/x11.
-    "f1_add_flags",
-    "u1_seeded_flags",
-    "p1_remove_flags",
-    "w3_admitted_windows",
-    "v1_main_trace",
-    # born in round 8 — driver-checked from day one (released to make
-    # room: j3/t1, then a13/a14/w10/u2 for the late-round arrivals —
-    # every released entry holds an r5/r7 driver green on unchanged
-    # code, and its family stays covered: a by a1+a16, w by w1/w3,
-    # u by u1/u6, j by j1+j4, t by its datapipe siblings)
-    # x6 released for d13 (x keeps THIRTEEN in-window entries; x6's
-    # int8 machinery is shared with the in-window x7/x8)
-    "x5_knn_index_append",
-    "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
-    "x8_pq_index",
-    "t27_bm25", "t28_safe_split", "d10_cross_neardup",
-    "x9_filtered_knn",
-    # w1/v4 released in turn (w by w3, v by v1/v5; both r5 greens on
-    # unchanged code) for the canonical keeper + cell-balanced sample
-    "d11_canonical_keep",
-    "t29_hybrid_rrf", "t31_ngram_novelty",
-    "x11_cell_stats",
-    "t32_bloom_prune", "t33_cms_heavyhitters", "t34_hll_distinct",
-    "d12_snapshot_diff",
-    "h7_top_unshipped", "h8_local_nation_revenue",
-    "t35_perplexity_buckets",
-    "t36_nfc_dedup", "h9_big_orders",
-    # born in the round-8 continuation
-    "t37_chunk_docs", "t38_temperature_mix", "a17_change_intervals",
-    "x13_negative_sample", "st16_stream_heavyhitters",
-    "s11_orc_roundtrip",
-    "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
-    "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
-    "t40_excise_contamination", "x16_mmr_rerank",
-    "x17_knn_after_delete", "d13_dup_rate",
-    # wave-7 relational anchors (x7/x10/x12 released: the x
-    # family keeps NINE in-window entries incl. the fuller PQ
-    # index x8; all three hold r8 replica + sf1 greens)
-    "h11_nation_volume", "h12_promo_share",
-    "h13_disjunctive_filter",
-    # wave-8: streaming SCD2 (t30 released — t keeps a dozen+
-    # in-window entries; t30 holds r8 replica + sf1 greens)
-    "st18_stream_scd2",
+    # last driver verdict r6 (priority 4; 25 of 40 fit)
+    "s1_csv_roundtrip", "s10_jsonl_roundtrip",
+    "f2_rowid", "f4_transfer_flags",
+    "m2_media_features",
+    "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
+    "st11_stream_psi", "st12_stream_ingest_dedup",
+    "h1_pricing_summary", "h3_segment_revenue",
+    "j1_asof_join",
+    "d1_exact_dedup", "d2_minhash_dedup", "d5_embedding_dups",
+    "d8_embedding_store",
+    "t2_text_stats", "t3_quality", "t6_redact_pii",
+    "t7_contamination", "t17_tfidf", "t18_unigram_nll",
+    "t19_repetition",
+    "v5_check_panel",
 )
-assert len(_WINDOW_R8) == 50 and len(set(_WINDOW_R8)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R8} | {
-    k: v for k, v in QUERIES.items() if k not in _WINDOW_R8
+assert len(_WINDOW_R9) == 50 and len(set(_WINDOW_R9)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R9} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R9
 }
 
 ORACLE = {

@@ -1,0 +1,63 @@
+"""Driver-contract pins for the bench record (no Spark needed).
+
+The driver captures only the LAST 2,000 characters of bench.py's one
+JSON line (VERDICT r8 "what's wrong" #1: in round 8 the 92-query maps
+pushed every scalar summary field off the front of the capture, making
+BENCH_r08.json unreadable for raw trend analysis).  These tests pin the
+repair: the scalar summary (metric/value/subtotals/calibration/spread)
+must always sit inside the final 2,000 characters, no matter how large
+the per-query maps grow.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_times(n: int) -> dict[str, float]:
+    # worst-case realistic names: long, like "st14_stream_ingest_embedding"
+    return {f"q{i:03d}_some_long_operator_name_{i}": 1.234 + i * 0.01
+            for i in range(n)}
+
+
+def test_scalar_summary_survives_tail():
+    # 3x the current headline count — the pin must hold as the registry
+    # keeps growing, not just at today's 92
+    for n in (len(bench.HEADLINE), 3 * len(bench.HEADLINE)):
+        out = bench.result_json(
+            _fake_times(n), 0.123, [0.11, 0.123, 0.13], 0.163, 0.1
+        )
+        assert "\n" not in out  # ONE line — the driver contract
+        tail = out[-2000:]
+        for field in (
+            '"metric"', '"value"', '"unit"', '"sf"',
+            '"core_subtotal"', '"extended_subtotal"', '"all_total"',
+            '"calibration"', '"calibration_samples"',
+            '"calibration_spread"', '"core_subtotal_normalized"',
+        ):
+            assert field in tail, (
+                f"scalar field {field} fell outside the driver's "
+                f"2,000-char tail capture at n={n} — big maps must "
+                f"stay FIRST in bench.result_json"
+            )
+
+
+def test_result_json_values():
+    times = {q: 1.0 for q in bench.CORE} | {q: 2.0 for q in bench.EXTENDED}
+    rec = json.loads(bench.result_json(times, 0.5, [0.5], 0.0, 0.01))
+    assert rec["metric"] == "headline_total"
+    assert rec["value"] == rec["core_subtotal"] == float(len(bench.CORE))
+    assert rec["extended_subtotal"] == 2.0 * len(bench.EXTENDED)
+    assert rec["all_total"] == rec["core_subtotal"] + rec["extended_subtotal"]
+    # normalized = raw / calibration
+    assert rec["queries_normalized"][bench.CORE[0]] == 2.0
+    assert rec["core_subtotal_normalized"] == 2.0 * len(bench.CORE)
+    assert rec["sf"] == 0.01
+    # headline set and registry window stay disjoint concerns, but the
+    # bench must never time a query that the registry no longer exports
+    from qctimeseries_spark.queries import QUERIES
+
+    missing = [q for q in bench.HEADLINE if q not in QUERIES]
+    assert not missing, f"bench HEADLINE references unknown queries: {missing}"

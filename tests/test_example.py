@@ -39,38 +39,27 @@ def test_driver_window_covers_every_family():
         f"families {sorted(missing)} fell out of the driver's 50-entry"
         f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
-    # round-8 rotation: the r7-modified modules hold driver slots via
-    # sibling queries (VERDICT r7 task 1), and every operator born in
-    # round 8 is driver-checked from day one — new ops outrank
-    # re-verdicts of entries that already hold replica greens
+    # round-9 rotation (VERDICT r8 task 1): the window holds the
+    # stale-tail priority set — the 5 never-driver-checked entries,
+    # the 4 last checked at r4, all 15 last checked at r5, and 25 of
+    # the 40 last checked at r6 — plus c1 (sole c-family entry).
+    # This pin asserts the priority tiers CANNOT silently fall out.
     window = set(names[:50])
     assert {
-        "d3_simhash_pairs",
+        # never driver-checked before round 9
+        "t30_weighted_sample", "x6_quantized_knn", "x7_pq_knn",
+        "x10_cell_sample", "x12_embedding_drift",
+        # last driver verdict r4
+        "t1_sessionize", "t4_lang_id", "t8_hash_sample",
+        "x1_knn_bruteforce",
+        # last driver verdict r5
+        "p5_strict_clean", "w4_viewer_windows", "u4_reset_window",
+        "u5_reset_all", "a4_anchor", "v2_approved_overlay",
+        "v3_flagged_overlay", "d4_ngram_jaccard", "t5_fingerprint",
+        "t12_bpe_pairs", "w10_ffill", "w12_resample",
+        "j3_asof_forward", "a13_progress_by_window", "a14_ewma",
+        # sole c-family entry (family-coverage anchor)
         "c1_dup_clusters",
-        "m1_media_summary",
-        # born in round 8 — driver-checked from day one
-        "x5_knn_index_append",
-        "a16_seasonal", "j4_skew_join", "t26_shuffle_shard",
-        "x8_pq_index",
-        "t27_bm25", "t28_safe_split", "d10_cross_neardup",
-        "x9_filtered_knn", "d11_canonical_keep",
-        "t29_hybrid_rrf", "t31_ngram_novelty",
-        "x11_cell_stats", "t32_bloom_prune", "t33_cms_heavyhitters",
-        "t34_hll_distinct", "d12_snapshot_diff",
-        "h7_top_unshipped", "h8_local_nation_revenue",
-        "t35_perplexity_buckets",
-        "t36_nfc_dedup", "h9_big_orders",
-        # born in the round-8 continuation
-        "t37_chunk_docs", "t38_temperature_mix",
-        "a17_change_intervals", "x13_negative_sample",
-        "st16_stream_heavyhitters", "s11_orc_roundtrip",
-        "x14_kmeans", "t39_pack_sequences", "st17_stream_distinct",
-        "j5_interval_join", "h10_returned_revenue", "x15_recall_eval",
-        "t40_excise_contamination", "x16_mmr_rerank",
-        "x17_knn_after_delete", "d13_dup_rate",
-        "h11_nation_volume", "h12_promo_share",
-        "h13_disjunctive_filter",
-        "st18_stream_scd2",
     } <= window
 
 
