@@ -595,6 +595,9 @@ def knn_query_index(
     lands in the parquet scan as a pushed filter on the same pruned
     directory set (predicate pushdown × partition pruning — the two
     scan reducers multiply)."""
+    # self-heal BEFORE touching cells/ — a purge that crashed between
+    # its two renames leaves no cells/ until recovery rolls it forward
+    _recover_interrupted_purge(spark, path)
     cents = spark.read.parquet(path + "/centroids")
     cells = spark.read.parquet(path + "/cells")
     if where is not None:
@@ -1224,6 +1227,8 @@ def knn_query_pq_index(
     serve end-to-end (the packed column never reaches the oracle —
     pack/unpack round-trip equivalence is what the hash transits).
     """
+    # self-heal BEFORE touching cells/ (see knn_query_index)
+    _recover_interrupted_purge(spark, path)
     cents = spark.read.parquet(path + "/centroids")
     brows = spark.read.parquet(path + "/pqbooks").collect()
     m = 1 + max(r["j"] for r in brows)
@@ -1468,10 +1473,24 @@ def negative_sample(
     differing-label candidates emit fewer rows (document the bucket
     sizing above).  One equi-join shuffle on the bucket id + one
     per-anchor window over ~n/buckets rows.
+
+    NOTE: ``buckets="auto"`` runs an eager ``count()`` ACTION at
+    plan-build time (one thin scan of ``id_col``).  If ``df`` is
+    non-deterministic (e.g. carries a ``rand()`` column or an
+    uncheckpointed sample), cache or checkpoint it first so the count
+    that sizes the buckets and the frame that is later joined are the
+    same evaluation.
     """
     from qctimeseries_spark.datapipe.hashing import hash60
 
-    if buckets == "auto":
+    if isinstance(buckets, str):
+        if buckets != "auto":  # r8 advisor: any other string used to
+            # fall through to `buckets <= 0` and die as an opaque
+            # str-vs-int TypeError
+            raise ValueError(
+                f"buckets must be a positive int or the literal "
+                f"'auto', got {buckets!r}"
+            )
         buckets = max(8, df.select(id_col).count() // 256)
     if k <= 0 or buckets <= 0:
         raise ValueError("k and buckets must be positive")
@@ -1702,6 +1721,12 @@ def mmr_rerank(
     """
     if k <= 0 or not 0.0 <= lam <= 1.0:
         raise ValueError("need k > 0 and 0 <= lam <= 1")
+    # output id types FOLLOW the inputs (r8 advisor: the schema was
+    # hardcoded "bigint" and the ids coerced through np.int64, so a
+    # store keyed by string ids crashed — or silently overflowed —
+    # despite the configurable query_col/id_col API)
+    q_type = candidates.schema[query_col].dataType.simpleString()
+    i_type = candidates.schema[id_col].dataType.simpleString()
     joined = candidates.select(
         F.col(query_col).alias("_q"),
         F.col(id_col).alias("_i"),
@@ -1714,7 +1739,8 @@ def mmr_rerank(
     )
 
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["_i"].to_numpy(dtype=np.int64)
+        ids = pdf["_i"].to_numpy()  # native dtype — ids are only
+        # compared for the tie-break and echoed to the output
         rel_q = np.floor(
             pdf["_rel"].to_numpy(dtype=np.float64) * 1e9 + 0.5
         ).astype(np.int64)
@@ -1758,8 +1784,10 @@ def mmr_rerank(
                     best, best_key = i, key
             selected.append(best)
             remaining.remove(best)
+            bid = ids[best]
             out.append(
-                (qv, int(ids[best]), len(selected), int(best_key)
+                (qv, bid.item() if isinstance(bid, np.generic) else bid,
+                 len(selected), int(best_key)
                  if lam == 0.5 else int(np.floor(best_key + 0.5)))
             )
         return pd.DataFrame(
@@ -1770,7 +1798,8 @@ def mmr_rerank(
         joined.groupBy("_q")
         .applyInPandas(
             _greedy,
-            "query_id bigint, neighbor_id bigint, rank int, mmr_q bigint",
+            f"query_id {q_type}, neighbor_id {i_type}, rank int,"
+            f" mmr_q bigint",
         )
     )
 
@@ -1804,15 +1833,124 @@ def delete_from_ivf_index(
     :func:`append_to_ivf_index` therefore REFUSES a batch that
     overlaps the live tombstone set.  Returns ``{"tombstoned": n}``.
     """
+    # cast the ids to the STORE's id type, read from cells/ (r8
+    # advisor: an unconditional cast("long") turned string vec ids
+    # into NULLs — the serve-side anti-join then never matched and
+    # the delete silently no-opped while reporting a nonzero count)
+    store_type = spark.read.parquet(path + "/cells").schema[
+        id_col
+    ].dataType
     out = (
-        ids.select(F.col(id_col).cast("long").alias(id_col))
+        # try_cast, not cast: under ANSI mode a malformed id would
+        # abort the job mid-write; NULLing it lets the guard below
+        # report WHICH ids don't fit the store's type
+        ids.select(F.col(id_col).try_cast(store_type).alias(id_col))
         .distinct()
         .localCheckpoint(eager=True)  # one evaluation feeds BOTH the
         # write and the count — a non-deterministic ids lineage must
         # not produce a written set that disagrees with the report
     )
+    n_null = out.filter(F.col(id_col).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"delete_from_ivf_index: ids do not cast to the store's "
+            f"{id_col} type {store_type.simpleString()} — {n_null} "
+            f"cast to NULL; a NULL tombstone can never match a stored "
+            f"id and the delete would silently no-op"
+        )
     out.write.mode("append").parquet(path + "/tombstones")
     return {"tombstoned": out.count()}
+
+
+def _recover_interrupted_purge(spark, path: str) -> str | None:
+    """Detect and repair a :func:`purge_ivf_tombstones` that crashed
+    mid-swap (r8 advisor medium): the purge protocol writes a
+    ``_purge_commit`` marker AFTER the replacement ``cells_purging/``
+    is fully written and BEFORE the two renames, so every crash
+    position maps to exactly one on-disk state and one deterministic
+    repair — roll BACK before the marker-protected swap began losing
+    nothing, roll FORWARD once the swap started (the replacement is
+    complete by construction).  Called from every store entry point
+    (:func:`read_ivf_tombstones`, which serves both
+    :func:`knn_query_index` and :func:`append_to_ivf_index`, and the
+    purge itself), so a crashed purge self-heals on the next touch —
+    no manual rename needed.  Returns a short description of the
+    repair performed, or None when the store was clean."""
+    jvm = spark.sparkContext._jvm
+    jconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _p(sub: str):
+        return jvm.org.apache.hadoop.fs.Path(path + sub)
+
+    fs = _p("/cells").getFileSystem(jconf)
+    marker, cells = _p("/_purge_commit"), _p("/cells")
+    old, staged = _p("/cells__old"), _p("/cells_purging")
+    tomb = _p("/tombstones")
+    if fs.exists(marker):
+        if not fs.exists(cells) and fs.exists(staged):
+            # crashed between the two renames: the replacement was
+            # fully written before the marker — roll FORWARD
+            if not fs.rename(staged, cells):
+                raise IOError(
+                    f"purge recovery: could not swap {path}/cells_purging"
+                    " into place — repair by renaming it to cells/ and"
+                    " deleting cells__old/, tombstones/, _purge_commit"
+                )
+            if fs.exists(tomb):
+                fs.delete(tomb, True)
+            if fs.exists(old):
+                fs.delete(old, True)
+            fs.delete(marker, False)
+            return "rolled forward (completed interrupted swap)"
+        if fs.exists(cells) and fs.exists(staged) and not fs.exists(old):
+            # crashed after the marker but before the first rename:
+            # the old store is untouched — roll BACK (tombstones stay
+            # live; the next purge redoes the rewrite)
+            fs.delete(staged, True)
+            fs.delete(marker, False)
+            return "rolled back (swap never started)"
+        if fs.exists(cells):
+            # crashed during the post-swap cleanup: finish it
+            if fs.exists(tomb):
+                fs.delete(tomb, True)
+            if fs.exists(old):
+                fs.delete(old, True)
+            if fs.exists(staged):
+                fs.delete(staged, True)
+            fs.delete(marker, False)
+            return "finished cleanup (swap had completed)"
+        if fs.exists(old):
+            # no cells/, no staged replacement — only the aside copy
+            # survives (should be unreachable under the protocol):
+            # restore it and keep the tombstones
+            if not fs.rename(old, cells):
+                raise IOError(
+                    f"purge recovery: {path}/cells is missing and"
+                    " cells__old could not be renamed back — repair by"
+                    " renaming cells__old/ to cells/"
+                )
+            fs.delete(marker, False)
+            return "restored cells__old (replacement missing)"
+        raise IOError(
+            f"purge recovery: {path} has a _purge_commit marker but"
+            " neither cells/ nor cells__old/ — the store is gone;"
+            " restore from a snapshot"
+        )
+    # no marker: only pre-marker debris is possible
+    if fs.exists(staged):
+        fs.delete(staged, True)  # incomplete replacement write
+        return "dropped incomplete cells_purging/"
+    if fs.exists(old):
+        if not fs.exists(cells):
+            if not fs.rename(old, cells):
+                raise IOError(
+                    f"purge recovery: {path}/cells is missing — repair"
+                    " by renaming cells__old/ to cells/"
+                )
+            return "restored cells__old (cells/ was missing)"
+        fs.delete(old, True)  # swap finished; the aside copy is dead
+        return "dropped leftover cells__old/"
+    return None
 
 
 def read_ivf_tombstones(spark, path: str, *, id_col: str = "vec_id"):
@@ -1820,7 +1958,11 @@ def read_ivf_tombstones(spark, path: str, *, id_col: str = "vec_id"):
     deleted (serving skips the anti-join entirely then).  Existence is
     probed through the Hadoop FS API rather than a try/read — a missing
     directory is the NORMAL case and must not spray analyzer errors
-    into the logs on every serve."""
+    into the logs on every serve.  Also the self-heal hook: every
+    serve/append enters the store through here, so a purge that
+    crashed mid-swap is repaired before any read touches ``cells/``
+    (see :func:`_recover_interrupted_purge`)."""
+    _recover_interrupted_purge(spark, path)
     jvm = spark.sparkContext._jvm
     jconf = spark.sparkContext._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path + "/tombstones")
@@ -1841,15 +1983,36 @@ def purge_ivf_tombstones(
 ) -> dict:
     """Physically apply accumulated tombstones: rewrite ``cells/``
     WITHOUT the deleted ids (staged swap — the new store is fully
-    written beside the old one before the rename, the compact_store
-    discipline: quiesce writers first), keep the salted ~``cell_files``
-    files per cell so no cell collapses to one file, then clear
-    ``tombstones/``.  Serving results are identical before and after
-    (pinned by pytest) — the purge trades a one-time rewrite for
-    dropping the per-serve anti-join and the dead bytes.
+    written beside the old one before anything moves, the
+    compact_store discipline: quiesce writers first), keep the salted
+    ~``cell_files`` files per cell so no cell collapses to one file,
+    then clear ``tombstones/``.  Serving results are identical before
+    and after (pinned by pytest) — the purge trades a one-time rewrite
+    for dropping the per-serve anti-join and the dead bytes.
+
+    Crash safety (r8 advisor medium): a ``_purge_commit`` marker is
+    written after the replacement is complete and before the swap
+    begins, so every crash position is repairable —
+    :func:`_recover_interrupted_purge` runs at the start of this
+    function AND on every serve/append (via
+    :func:`read_ivf_tombstones`), rolling an interrupted swap forward
+    (marker present → the replacement is complete by construction) or
+    discarding a half-written replacement (no marker).  Stale
+    tombstones cannot outlive a completed swap: recovery deletes
+    ``tombstones/`` in the same repair that installs the purged
+    ``cells/``, so :func:`append_to_ivf_index`'s tombstone-overlap
+    guard never refuses an id whose purge actually finished.  Manual
+    repair, if the store is touched by no qcts code path first:
+    ``cells__old/`` is the pre-swap store — rename it back to
+    ``cells/`` only when ``cells/`` is missing AND no ``_purge_commit``
+    marker exists; with the marker, rename ``cells_purging/`` to
+    ``cells/`` and delete ``cells__old/``, ``tombstones/`` and the
+    marker.
 
     Returns ``{"purged", "remaining"}``.
     """
+    # read_ivf_tombstones self-heals any earlier interrupted purge
+    # before we read, so `cells/` is live and consistent here
     tomb = read_ivf_tombstones(spark, path, id_col=id_col)
     if tomb is None:
         return {"purged": 0, "remaining": -1}
@@ -1870,10 +2033,11 @@ def purge_ivf_tombstones(
     )
     n_tomb = tomb.count()
     remaining = spark.read.parquet(path + "/cells_purging").count()
-    # staged swap through the Hadoop FS API (works on hdfs://s3a://
-    # URIs too, and the old store survives any crash before the final
-    # rename — the compact_store discipline): old → __old, new → live,
-    # then drop __old and the tombstones
+    # marker-protected swap through the Hadoop FS API (works on
+    # hdfs:// and s3a:// URIs too): commit marker → old aside →
+    # replacement in → drop tombstones, aside copy, marker.  Every
+    # crash between these steps is repaired by
+    # _recover_interrupted_purge on the next store touch.
     jvm = spark.sparkContext._jvm
     jconf = spark.sparkContext._jsc.hadoopConfiguration()
 
@@ -1881,11 +2045,29 @@ def purge_ivf_tombstones(
         return jvm.org.apache.hadoop.fs.Path(path + sub)
 
     fs = _p("/cells").getFileSystem(jconf)
+    fs.create(_p("/_purge_commit"), True).close()
     if not fs.rename(_p("/cells"), _p("/cells__old")):
+        fs.delete(_p("/cells_purging"), True)  # roll back pre-swap
+        fs.delete(_p("/_purge_commit"), False)
         raise IOError("purge: could not stage the old cells/ aside")
     if not fs.rename(_p("/cells_purging"), _p("/cells")):
-        fs.rename(_p("/cells__old"), _p("/cells"))  # roll back
+        # roll back: the old store is intact in cells__old
+        if not fs.rename(_p("/cells__old"), _p("/cells")):
+            raise IOError(
+                "purge: swap failed AND rollback failed — run any"
+                " serve/append (or purge) to self-heal, or rename"
+                f" {path}/cells__old back to cells/ manually"
+            )
+        fs.delete(_p("/_purge_commit"), False)
         raise IOError("purge: could not swap the purged cells/ in")
+    if not fs.delete(_p("/tombstones"), True):
+        raise IOError(
+            f"purge: swap complete but {path}/tombstones could not be"
+            " deleted — serving is correct (the anti-join now matches"
+            " nothing); delete it to stop append_to_ivf_index refusing"
+            " re-appends of the purged ids, or touch the store once"
+            " (recovery clears it while the marker is present)"
+        )
     fs.delete(_p("/cells__old"), True)
-    fs.delete(_p("/tombstones"), True)
+    fs.delete(_p("/_purge_commit"), False)
     return {"purged": n_tomb, "remaining": remaining}

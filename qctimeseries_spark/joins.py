@@ -370,27 +370,50 @@ def interval_join(
     by = [by] if isinstance(by, str) else list(by or [])
     width_us = round(float(bucket_hours) * 3600.0 * 1_000_000)
 
+    # the post-join overlap filter must reference each side's bounds
+    # UNAMBIGUOUSLY even when the two inputs share bound column names
+    # (both sides using lo/hi is the natural spelling — r8 advisor:
+    # bare F.col(left_lo) raised AnalysisException there), so each
+    # side carries its bounds into the join under internal aliases
+    internals = ("_ij_l_lo", "_ij_l_hi", "_ij_r_lo", "_ij_r_hi",
+                 "_ij_bucket")
+    taken = set(left.columns) | set(right.columns)
+    clash = [c for c in internals if c in taken]
+    if clash:
+        raise ValueError(
+            f"interval_join reserves column names {clash} for its "
+            "bucket machinery — rename those input columns"
+        )
+
     def _bucket(col: str) -> Column:
         return F.expr(_floor_div_sql(f"unix_micros(`{col}`)", width_us))
 
-    lb = left.withColumn(
-        "_ij_bucket",
-        F.explode(F.sequence(_bucket(left_lo), _bucket(left_hi))),
+    lb = (
+        left.withColumn("_ij_l_lo", F.col(left_lo))
+        .withColumn("_ij_l_hi", F.col(left_hi))
+        .withColumn(
+            "_ij_bucket",
+            F.explode(F.sequence(_bucket(left_lo), _bucket(left_hi))),
+        )
     )
-    rb = right.withColumn(
-        "_ij_bucket",
-        F.explode(F.sequence(_bucket(right_lo), _bucket(right_hi))),
+    rb = (
+        right.withColumn("_ij_r_lo", F.col(right_lo))
+        .withColumn("_ij_r_hi", F.col(right_hi))
+        .withColumn(
+            "_ij_bucket",
+            F.explode(F.sequence(_bucket(right_lo), _bucket(right_hi))),
+        )
     )
     # the overlap's first bucket: bucket(max(l_lo, r_lo)) — both sides
     # exploded to it, so the pair meets there exactly once
     first_bucket = F.expr(
         _floor_div_sql(
-            f"unix_micros(greatest(`{left_lo}`, `{right_lo}`))", width_us
+            "unix_micros(greatest(`_ij_l_lo`, `_ij_r_lo`))", width_us
         )
     )
     out = lb.join(rb, [*by, "_ij_bucket"]).filter(
-        (F.col(left_lo) <= F.col(right_hi))
-        & (F.col(right_lo) <= F.col(left_hi))
+        (F.col("_ij_l_lo") <= F.col("_ij_r_hi"))
+        & (F.col("_ij_r_lo") <= F.col("_ij_l_hi"))
         & (F.col("_ij_bucket") == first_bucket)
     )
-    return out.drop("_ij_bucket")
+    return out.drop(*internals)

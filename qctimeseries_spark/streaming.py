@@ -1428,8 +1428,19 @@ def stream_change_intervals(
     """
     import pandas as pd  # noqa: F401 — worker-side dependency
 
+    # key type FOLLOWS the stream (r8 advisor: a hardcoded bigint key
+    # crashed string-keyed changelogs at runtime); the value column is
+    # genuinely string-typed by contract (it's stored in state as one)
+    key_type = stream.schema[key_col].dataType.simpleString()
+    val_type = stream.schema[value_col].dataType.simpleString()
+    if val_type != "string":
+        raise TypeError(
+            f"stream_change_intervals tracks a STRING value column "
+            f"(state stores one open value per key); {value_col} is "
+            f"{val_type} — cast it first"
+        )
     out_schema = (
-        f"{key_col} bigint, {value_col} string, version int, "
+        f"{key_col} {key_type}, {value_col} string, version int, "
         "valid_from timestamp, valid_to timestamp"
     )
     state_schema = (

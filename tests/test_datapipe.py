@@ -2736,3 +2736,232 @@ def test_ivf_delete_tombstones_then_purge_serve_identical(spark, tmp_path):
         .collect()
     )
     assert rows_p == rows_t
+
+
+def _ivf_toy_store(spark, tmp_path, tag="crash"):
+    """Small store + queries + the tombstoned/purged serve baselines,
+    shared by the purge-crash-recovery cases."""
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        knn_query_index,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 13) % 7 + 1), float((i * 5) % 11), float(i % 3)])
+         for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / f"index_{tag}")
+    build_ivf_index(emb, idx, nlist=4)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = {
+        r.neighbor_id
+        for r in knn_query_index(spark, idx, queries, k=5, nprobe=4)
+        .collect()
+        if r.rank == 1
+    }
+    delete_from_ivf_index(
+        spark, idx,
+        spark.createDataFrame([(i,) for i in top], "vec_id long"),
+    )
+    expected = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in knn_query_index(spark, idx, queries, k=5, nprobe=4)
+        .collect()
+    )
+    return idx, queries, expected
+
+
+def test_purge_crash_recovery_every_position(spark, tmp_path):
+    """A purge interrupted at ANY protocol step self-heals on the next
+    store touch and serves the tombstone-equivalent results (r8
+    advisor medium: the old two-rename swap had a window where a crash
+    left NO cells/ directory and stale tombstones blocked re-appends).
+
+    Crash states are manufactured from real store snapshots: the
+    pre-purge (tombstoned) store and the post-purge store, recombined
+    on the local FS exactly as each crash position leaves them."""
+    import os
+    import shutil
+
+    from qctimeseries_spark.datapipe.similarity import (
+        knn_query_index,
+        purge_ivf_tombstones,
+        read_ivf_tombstones,
+    )
+
+    idx, queries, expected = _ivf_toy_store(spark, tmp_path)
+    snap_tomb = str(tmp_path / "snap_tomb")
+    shutil.copytree(idx, snap_tomb)  # tombstones live, cells unpurged
+    assert purge_ivf_tombstones(spark, idx)["purged"] > 0
+    snap_purged = str(tmp_path / "snap_purged")
+    shutil.copytree(idx, snap_purged)  # tombstones gone, cells purged
+
+    def build_state(tag, *, cells_from, old_from=None, staged_from=None,
+                    tombstones=False, marker=False):
+        p = str(tmp_path / f"crash_{tag}")
+        os.makedirs(p)
+        shutil.copytree(snap_tomb + "/centroids", p + "/centroids")
+        if cells_from:
+            shutil.copytree(cells_from + "/cells", p + "/cells")
+        if old_from:
+            shutil.copytree(old_from + "/cells", p + "/cells__old")
+        if staged_from:
+            shutil.copytree(staged_from + "/cells", p + "/cells_purging")
+        if tombstones:
+            shutil.copytree(
+                snap_tomb + "/tombstones", p + "/tombstones"
+            )
+        if marker:
+            open(p + "/_purge_commit", "w").close()
+        return p
+
+    cases = {
+        # crash before the marker: half-written replacement discarded,
+        # tombstones stay live (the purge simply never happened)
+        "pre_marker": build_state(
+            "pre_marker", cells_from=snap_tomb, staged_from=snap_purged,
+            tombstones=True,
+        ),
+        # crash after the marker, before the first rename: roll back
+        "pre_swap": build_state(
+            "pre_swap", cells_from=snap_tomb, staged_from=snap_purged,
+            tombstones=True, marker=True,
+        ),
+        # crash between the two renames: NO cells/ — the r8 advisor's
+        # bricked-store window; recovery must roll FORWARD
+        "mid_swap": build_state(
+            "mid_swap", cells_from=None, old_from=snap_tomb,
+            staged_from=snap_purged, tombstones=True, marker=True,
+        ),
+        # crash after the swap, before the cleanup deletes: stale
+        # tombstones must NOT outlive recovery (the re-append trap)
+        "post_swap": build_state(
+            "post_swap", cells_from=snap_purged, old_from=snap_tomb,
+            tombstones=True, marker=True,
+        ),
+        # pre-protocol debris: leftover aside copy next to live cells
+        "stale_old": build_state(
+            "stale_old", cells_from=snap_purged, old_from=snap_tomb,
+        ),
+    }
+    for tag, p in cases.items():
+        rows = sorted(
+            (r.query_id, r.neighbor_id, r.cos, r.rank)
+            for r in knn_query_index(spark, p, queries, k=5, nprobe=4)
+            .collect()
+        )
+        assert rows == expected, f"crash state {tag} served wrong rows"
+        assert os.path.isdir(p + "/cells"), tag
+        assert not os.path.exists(p + "/cells__old"), tag
+        assert not os.path.exists(p + "/cells_purging"), tag
+        assert not os.path.exists(p + "/_purge_commit"), tag
+    # rolled-back states keep their tombstones (the purge never
+    # happened); rolled-forward states must have cleared them
+    assert read_ivf_tombstones(spark, cases["pre_marker"]) is not None
+    assert read_ivf_tombstones(spark, cases["pre_swap"]) is not None
+    assert read_ivf_tombstones(spark, cases["mid_swap"]) is None
+    assert read_ivf_tombstones(spark, cases["post_swap"]) is None
+    # after a rolled-forward recovery the purged ids are re-appendable
+    # (stale tombstones no longer block the delete→purge→append cycle)
+    from qctimeseries_spark.datapipe.similarity import (
+        append_to_ivf_index,
+    )
+
+    one = spark.createDataFrame(
+        [(777, [1.0, 1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert append_to_ivf_index(
+        spark, cases["post_swap"], one
+    )["appended"] == 1
+
+
+def test_ivf_delete_follows_store_id_type(spark, tmp_path):
+    """delete_from_ivf_index casts to the STORE's id type (r8 advisor:
+    cast('long') NULLed string ids and the delete silently no-opped)
+    and refuses ids that cannot cast."""
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        knn_query_index,
+    )
+
+    # string-keyed store: delete by string id must actually hide it
+    emb = spark.createDataFrame(
+        [(f"doc{i}", [float((i * 13) % 7 + 1), float((i * 5) % 11)])
+         for i in range(30)],
+        "vec_id string, embedding array<float>",
+    )
+    idx = str(tmp_path / "sidx")
+    build_ivf_index(emb, idx, nlist=2)
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = [
+        r.neighbor_id
+        for r in knn_query_index(spark, idx, queries, k=3, nprobe=2)
+        .collect()
+        if r.rank == 1
+    ]
+    assert delete_from_ivf_index(
+        spark, idx, spark.createDataFrame([(t,) for t in top],
+                                          "vec_id string")
+    )["tombstoned"] == 1
+    left = {
+        r.neighbor_id
+        for r in knn_query_index(spark, idx, queries, k=3, nprobe=2)
+        .collect()
+    }
+    assert not set(top) & left  # the delete actually took
+
+    # long-keyed store: a non-numeric id cannot cast — loud failure,
+    # not a silent no-op with a nonzero "tombstoned" count
+    emb2 = spark.createDataFrame(
+        [(i, [float(i % 5 + 1), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    idx2 = str(tmp_path / "lidx")
+    build_ivf_index(emb2, idx2, nlist=2)
+    with pytest.raises(ValueError, match="cast to NULL"):
+        delete_from_ivf_index(
+            spark, idx2,
+            spark.createDataFrame([("abc",)], "vec_id string"),
+        )
+
+
+def test_mmr_rerank_string_ids(spark):
+    """Output id types follow the inputs (r8 advisor: hardcoded bigint
+    schema crashed non-integer ids)."""
+    from qctimeseries_spark.datapipe.similarity import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [("q0", "a", 0.99), ("q0", "b", 0.98), ("q0", "c", 0.80)],
+        "query_id string, neighbor_id string, cos double",
+    )
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.999, 0.01]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    out = mmr_rerank(cand, vecs, k=3)
+    assert dict(out.dtypes)["query_id"] == "string"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+    got = sorted((r.rank, r.neighbor_id) for r in out.collect())
+    # same geometry as the long-id test: the near-dup demotes to rank 3
+    assert got == [(1, "a"), (2, "c"), (3, "b")]
+
+
+def test_negative_sample_rejects_bad_buckets(spark):
+    """buckets must be 'auto' or a positive int — a typo'd string is a
+    clear ValueError, not a str-vs-int TypeError (r8 advisor)."""
+    from qctimeseries_spark.datapipe.similarity import negative_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "vec_id long, label string"
+    )
+    with pytest.raises(ValueError, match="'auto'"):
+        negative_sample(df, buckets="all")
+    with pytest.raises(ValueError, match="positive"):
+        negative_sample(df, buckets=0)

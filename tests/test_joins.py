@@ -323,3 +323,38 @@ def test_interval_join_respects_by_keys(spark):
         by="u", bucket_hours=24.0,
     ).select("lid", "rid").collect()
     assert sorted((r.lid, r.rid) for r in out) == [(1, 10), (2, 11)]
+
+
+def test_interval_join_shared_bound_names(spark):
+    """Both inputs naming their bounds lo/hi must work (r8 advisor:
+    the overlap filter used bare column refs, so shared bound names
+    died with an ambiguous-reference AnalysisException)."""
+    import datetime as dt
+
+    from qctimeseries_spark.joins import interval_join
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(0), t(5)), (2, t(10), t(12))],
+        "lid int, lo timestamp, hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(4), t(6)), (20, t(13), t(14))],
+        "rid int, lo timestamp, hi timestamp",
+    )
+    out = interval_join(
+        left, right, left_lo="lo", left_hi="hi",
+        right_lo="lo", right_hi="hi", bucket_hours=2.0,
+    )
+    assert [(r.lid, r.rid) for r in out.collect()] == [(1, 10)]
+    # reserved internal names are refused loudly
+    bad = left.withColumnRenamed("lid", "_ij_bucket")
+    try:
+        interval_join(
+            bad, right, left_lo="lo", left_hi="hi",
+            right_lo="lo", right_hi="hi",
+        )
+    except ValueError as e:
+        assert "_ij_bucket" in str(e)
+    else:
+        raise AssertionError("reserved-name clash not detected")

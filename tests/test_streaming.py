@@ -1426,3 +1426,41 @@ def test_stream_change_intervals_closes_across_batches(spark, tmp_path):
     assert got == want
     assert (1, "a", 1, s(0), s(3)) in got      # spans the batch cut
     assert (2, None, 2, s(2), s(4)) in got     # NULL run closed by y
+
+
+def test_stream_change_intervals_string_key_and_value_guard(spark, tmp_path):
+    """The state key type follows the stream's schema (r8 advisor: a
+    hardcoded bigint key crashed string-keyed changelogs), and a
+    non-string value column is refused at call time, not in a worker
+    traceback."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_change_intervals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    schema = (
+        "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    rows = [(10, "alice", s(0), "a"), (11, "alice", s(1), "b"),
+            (20, "bob", s(0), "x"), (21, "bob", s(2), "y")]
+    src = tmp_path / "src"
+    stage_file_batches([spark.createDataFrame(rows, schema)], str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = run_available_now(
+        stream_change_intervals(stream), output_mode="append"
+    )
+    assert dict(out.dtypes)["user_id"] == "string"
+    got = sorted(
+        (r.user_id, r.event_type, r.version) for r in out.collect()
+    )
+    assert got == [("alice", "a", 1), ("bob", "x", 1)]
+
+    with _pt.raises(TypeError, match="STRING value column"):
+        stream_change_intervals(stream, value_col="event_id")
