@@ -121,12 +121,25 @@ def fan_out(df: DataFrame) -> DataFrame:
             return df if int(m.group(1)) >= par else df.repartition(par)
         if _WIDE_NODE_RE.search(plan):
             try:
-                est = int(
-                    str(
-                        df._jdf.queryExecution().optimizedPlan().stats()
-                        .sizeInBytes()
+                opt = df._jdf.queryExecution().optimizedPlan()
+                est = int(str(opt.stats().sizeInBytes()))
+                # without CBO, Catalyst sizes an inner JOIN as the
+                # PRODUCT of its sides (an 8 MB corpus × broadcast dim
+                # estimated at 4+ GB, measured) — junk that silently
+                # skips the widen on exactly the post-broadcast-join
+                # frames this tier exists for (VERDICT r8 task 5).
+                # Bound a join-bearing plan's estimate by the sum of
+                # its leaf sizes: right for the 1:1-ish joins that
+                # feed the Arrow stages; a genuinely exploding join
+                # may widen unnecessarily, which costs one shuffle —
+                # the conservative direction for pre-UDF insurance.
+                if "Join" in plan:
+                    leaves = opt.collectLeaves()
+                    leaf_sum = sum(
+                        int(str(leaves.apply(i).stats().sizeInBytes()))
+                        for i in range(leaves.size())
                     )
-                )
+                    est = min(est, leaf_sum)
             except Exception:
                 est = None
             if est is None:  # no estimate — keep the old skip behavior

@@ -64,6 +64,53 @@ def auto_nlist(
     return max(16, min(cap, math.isqrt(n)))
 
 
+#: sub-splits per query group in :func:`_topk_exact` — 32 bounds the
+#: final per-query sort to 32·k rows while phase 1 spreads a hot pool
+#: across 32× more tasks; the value is a latency/fan-out balance, not
+#: a correctness knob
+_RANK_SHARDS = 32
+
+
+def _topk_exact(
+    scored: DataFrame,
+    k: int,
+    order_cols,
+    *,
+    rank_col: str = "rank",
+    shards: int = _RANK_SHARDS,
+) -> DataFrame:
+    """EXACT per-query top-k in two phases, immune to hot candidate
+    pools (VERDICT r8 task 4): a single ``Window.partitionBy(query)``
+    puts a query's ENTIRE pool into one task — a query probing a
+    pathological hot cell (near-duplicate pileup ⇒ one cell holding
+    half the corpus), or any brute-tier query, then sorts millions of
+    rows on one core while 31 idle.  Phase 1 ranks within
+    ``(query, hash(neighbor) % shards)`` — ``shards``× more, equally
+    loaded tasks — and keeps k per shard; phase 2 ranks the ≤
+    ``shards·k`` survivors per query.  Exact by inclusion: the global
+    top-k is contained in the union of shard top-ks for ANY total
+    order, and both phases use the same deterministic
+    ``(score desc, id asc)`` order, so ranks are bit-identical to the
+    one-window plan (oracle hashes unchanged — pinned by
+    ``test_topk_sharding_exactness``).  Costs one extra (narrower)
+    shuffle of k rows per (query, shard); the hash shard key is
+    deterministic, so replays and streaming re-drives agree.
+    """
+    w1 = Window.partitionBy("query_id", "_tk_shard").orderBy(*order_cols)
+    w2 = Window.partitionBy("query_id").orderBy(*order_cols)
+    return (
+        scored.withColumn(
+            "_tk_shard",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.lit(int(shards))),
+        )
+        .withColumn("_tk_r", F.row_number().over(w1))
+        .filter(F.col("_tk_r") <= k)
+        .drop("_tk_shard", "_tk_r")
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -76,9 +123,9 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors per query vector.
 
     ``broadcast(queries)`` makes the join a map-side nested loop over
-    the corpus partitions (no shuffle of the big side); ranking is a
-    per-query window — one shuffle on query_id, each group holding at
-    most |corpus| rows locally reduced by the window's top-k sort.
+    the corpus partitions (no shuffle of the big side); ranking is the
+    two-phase :func:`_topk_exact` — per-query pools here are the WHOLE
+    corpus, the worst case for a single per-query window task.
     Rank on the 9-dp-rounded cosine with id tie-break so ordering is
     reproducible across engines and float summation orders.
     """
@@ -90,14 +137,11 @@ def knn_bruteforce(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 9))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _topk_exact(
+        scored,
+        k,
+        [F.col("cos").desc(), F.col("neighbor_id")],
+    ).select("query_id", "neighbor_id", "cos", "rank")
 
 
 def ivf_assign(
@@ -331,14 +375,13 @@ def _rank_probed_cells(
         .select("query_id", "neighbor_id", "cos")
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    # two-phase top-k: a query probing a HOT cell (near-dup pileup)
+    # otherwise drags that whole cell into one window task
+    return _topk_exact(
+        scored,
+        k,
+        [F.col("cos").desc(), F.col("neighbor_id")],
+    ).select("query_id", "neighbor_id", "cos", "rank")
 
 
 def build_ivf_index(
@@ -1086,17 +1129,16 @@ def knn_pq(
         ),
         9,
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("ascore").desc(), F.col("neighbor_id")
-    )
-    cand = (
+    # two-phase top-C: the ADC pool here is the whole code table per
+    # query — the exact funnel _topk_exact exists for
+    cand = _topk_exact(
         codes.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("ascore", ascore)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= C)
-        .select("query_id", "neighbor_id")
-    )
+        .withColumn("ascore", ascore),
+        C,
+        [F.col("ascore").desc(), F.col("neighbor_id")],
+        rank_col="_rk",
+    ).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -1264,18 +1306,17 @@ def knn_query_pq_index(
         )
         t = F.element_at(F.col("_lut"), (code_j + F.lit(j * ksub + 1)).cast("int"))
         ascore = t if ascore is None else ascore + t
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("ascore").desc(), F.col("neighbor_id")
-    )
-    cand = (
+    # two-phase top-C: a hot probed cell otherwise funnels its whole
+    # code list into one window task (see _topk_exact)
+    cand = _topk_exact(
         codes.join(F.broadcast(q_cells), "centroid_id")
         .join(F.broadcast(q_lut), "query_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("ascore", F.round(ascore, 9))
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= C)
-        .select("query_id", "neighbor_id", "centroid_id")
-    )
+        .withColumn("ascore", F.round(ascore, 9)),
+        C,
+        [F.col("ascore").desc(), F.col("neighbor_id")],
+        rank_col="_rk",
+    ).select("query_id", "neighbor_id", "centroid_id")
     vecs = spark.read.parquet(path + "/cells").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

@@ -2965,3 +2965,150 @@ def test_negative_sample_rejects_bad_buckets(spark):
         negative_sample(df, buckets="all")
     with pytest.raises(ValueError, match="positive"):
         negative_sample(df, buckets=0)
+
+
+def test_topk_sharding_exactness(spark):
+    """VERDICT r8 task 4: a planted hot cell (half the corpus piled
+    into one direction) must NOT change ANN results under the
+    two-phase sharded top-k, and the plan must actually contain the
+    shard-phase window (the hot pool is split across
+    (query, hash(neighbor) % _RANK_SHARDS) tasks before the final
+    ≤ shards·k sort)."""
+    from pyspark.sql import Window
+
+    from qctimeseries_spark.datapipe.similarity import (
+        _RANK_SHARDS,
+        knn_bruteforce,
+        knn_ivf,
+    )
+
+    # 150 near-identical vectors (one hot IVF cell) + 150 spread
+    rows = [
+        (i, [100.0 + (i % 7) * 1e-3, 1.0 + (i % 11) * 1e-3])
+        for i in range(150)
+    ] + [
+        (i, [float((i * 13) % 7 + 1), float((i * 5) % 11 + 1)])
+        for i in range(150, 300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 200)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    for fn, kw in (
+        (knn_bruteforce, {}),
+        (knn_ivf, {"nlist": 4, "nprobe": 2}),
+    ):
+        out = fn(emb, queries, k=7, **kw)
+        # reference: the SAME scored pool ranked by ONE per-query
+        # window — reconstructed from the sharded result's contract
+        # (rank = dense 1..k in (cos desc, id asc) order)
+        got = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cos)
+            for r in out.collect()
+        )
+        by_q = {}
+        for q, rk, n, c in got:
+            by_q.setdefault(q, []).append((rk, n, c))
+        for q, lst in by_q.items():
+            assert [rk for rk, _, _ in lst] == list(
+                range(1, len(lst) + 1)
+            ), f"ranks not dense for query {q}"
+            resorted = sorted(lst, key=lambda t: (-t[2], t[1]))
+            assert resorted == lst, f"rank order broken for query {q}"
+        # the hot queries (0, 1) sit inside the pile: their top
+        # neighbors must be other pile members at cos ≈ 1
+        assert all(c > 0.999 for _, rk, n, c in got
+                   if _ in (0, 1) and rk <= 3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "_tk_shard" in plan, "shard phase missing from the plan"
+
+    # bit-exactness against the literal one-window formulation
+    from qctimeseries_spark.datapipe.similarity import cosine
+
+    q = queries.select(
+        F.col("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("cv"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .collect()
+    )
+    brute = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in knn_bruteforce(emb, queries, k=7).collect()
+    )
+    assert brute == want
+    assert _RANK_SHARDS >= 8  # the spread is real, not a 1-shard alias
+
+
+def test_fan_out_widens_post_shuffle_filtered_frames(spark, monkeypatch):
+    """VERDICT r8 task 5: the r7-advisor worry was that a SELECTIVE
+    filter after an aggregate / broadcast join would leave the
+    optimizer's sizeInBytes overestimating (Filter and Aggregate pass
+    the child estimate through unchanged) and fan_out would silently
+    skip the widen.  Pin the actual behavior: the inherited estimate
+    is the CHILD's size, so any such frame whose upstream fits the
+    par x maxPartitionBytes bound still widens — and the skip side
+    only triggers on estimates so large that AQE (parallelismFirst,
+    the session default) never coalesces the real stage below
+    parallelism anyway.  Neither side may touch df.rdd."""
+    from pyspark.sql import DataFrame as _DF
+
+    from qctimeseries_spark.datapipe.hashing import fan_out
+
+    def _boom(self):
+        raise AssertionError("fan_out touched df.rdd on a shuffle-rooted plan")
+
+    # post-aggregate + selective filter (the advertised shape)
+    agg_f = (
+        spark.range(1_000_000)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 10**9)  # selects nothing at runtime
+    )
+    # post-broadcast-join + selective filter
+    bj_f = (
+        spark.range(0, 1_000_000, 1, 2)
+        .join(F.broadcast(spark.range(100)), "id")
+        .filter(F.col("id") < 0)
+    )
+    # window-rooted + filter
+    from pyspark.sql import Window as _W
+
+    win_f = (
+        spark.range(1_000_000)
+        .withColumn("g", F.col("id") % 100)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("g").orderBy("id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    monkeypatch.setattr(_DF, "rdd", property(_boom))
+    for tag, narrow in (("agg+filter", agg_f), ("bjoin+filter", bj_f),
+                        ("window+filter", win_f)):
+        plan = fan_out(narrow)._jdf.queryExecution().logical().toString()
+        assert plan.startswith("Repartition"), f"{tag}: {plan[:200]}"
+    # huge inherited estimate -> deliberate skip (AQE parallelismFirst
+    # keeps a genuinely big stage at >= parallelism partitions)
+    huge_f = (
+        spark.range(20_000_000_000)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 10**12)
+    )
+    assert fan_out(huge_f) is huge_f
