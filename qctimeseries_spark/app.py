@@ -115,7 +115,25 @@ class QcSession:
         # time ranges touched since the last checkpoint; None = whole
         # table dirty (forces a full commit)
         self._dirty: list[tuple[_dt.datetime, _dt.datetime]] | None = []
+        # overlay-depth budget: each U-op stacks one more when() layer
+        # on self.df, and the DRIVER-side cost of re-analyzing that
+        # lineage grows superlinearly — measured at sf0.1: 0.43 s per
+        # flag+redraw event at depth 1 → 185 s at depth 16
+        # (tools/qcsession_latency.py).  Every `compact_every` overlay
+        # events the session cuts lineage with an eager
+        # localCheckpoint (~1 s at sf0.1), which keeps EVERY event
+        # sub-second; the durable checkpoint() and its dirty-range
+        # bookkeeping are unaffected (localCheckpoint is volatile and
+        # orthogonal).  0 disables.
+        self.compact_every = 6
+        self._overlay_depth = 0
         self._reindex()
+
+    def _bump_overlay(self) -> None:
+        self._overlay_depth += 1
+        if self.compact_every and self._overlay_depth >= self.compact_every:
+            self.df = self.df.localCheckpoint(eager=True)
+            self._overlay_depth = 0
 
     # -- window index (make_windows, R/qc_window_app.R:67-79) ---------------
 
@@ -234,6 +252,7 @@ class QcSession:
             self.df, self.var, value,
             selection=ids, suffix=self.suffix, id_col=self.id_col,
         )
+        self._bump_overlay()
 
     def flag_selection(self, ids) -> None:
         """Brushed points → -2 (``input$flag_sel``).  ``ids`` is a list
@@ -254,6 +273,7 @@ class QcSession:
         # reference's exit-time column drop.
         out = fn(self._windowed())
         self.df = out.drop(WIN_COL)
+        self._bump_overlay()
 
     def flag_window(self) -> None:
         """U2: everything in the current window → -2 (guard -1)."""
@@ -285,6 +305,7 @@ class QcSession:
         """U5: whole table → 0 (guard -1)."""
         self._dirty = None  # table-wide: next checkpoint is full
         self.df = set_flag(self.df, self.var, FLAG_UNCHECKED, suffix=self.suffix)
+        self._bump_overlay()
 
     def flag_selection_and_advance(self, ids) -> int:
         """U6 compound (``input$flag_sel_next``): selection → -2, rest

@@ -247,3 +247,91 @@ def test_suggest_drift_flags_planted_creep(spark):
     sess.jump(1)
     sess.flag_selection(ids)
     assert sess.suggest_drift(target=100.0, slack=1.0, threshold=10.0) == []
+
+
+def test_u_op_job_ceiling(spark, flagged):
+    """VERDICT r8 task 7: the interactive loop's per-event Spark job
+    count is a LATENCY budget — each U-op (flag/approve a selection,
+    window ops) must stay within a small fixed number of jobs, or the
+    sub-second event loop degrades as hidden actions creep in.
+    Ceilings are the measured counts (tools/qcsession_latency.py)
+    plus zero slack: a regression that adds a job per event fails
+    here before it ships."""
+    from qctimeseries_spark.plans import job_audit
+
+    sess = QcSession(flagged, "temp", time_col="DateTime", win_hours=24)
+    sess.compact_every = 0  # measure raw per-op cost; the periodic
+    # lineage cut is pinned by test_overlay_auto_compaction_bounds_
+    # plan_depth (it costs ~1 job burst every compact_every events)
+    ids = [r.rowid for r in
+           sess.df.select("rowid").limit(5).collect()]
+
+    # selection U-ops: the flag overlay itself is LAZY; the measured
+    # jobs are the dirty-extent agg evaluated through the two-phase
+    # rowid lineage under AQE (6 on the measurement host).  The pin
+    # is the measured count — AND that it is FLAT: event N+1 must
+    # cost the same jobs as event 1 no matter how deep the overlay
+    # stack gets (the property that keeps the loop sub-second until
+    # the next checkpoint()).
+    counts = []
+    for op in (sess.flag_selection, sess.approve_selection,
+               sess.unflag_selection, sess.flag_selection):
+        audit = job_audit(spark, lambda: op(ids))
+        counts.append(audit["jobs"])
+        assert audit["jobs"] <= 6, (op.__name__, audit["jobs"])
+    assert len(set(counts)) == 1, f"per-event jobs not flat: {counts}"
+
+    # window U-ops are pure overlay stacking: ZERO jobs (the cost is
+    # paid at the next redraw/reindex, never per button press)
+    for op in (sess.flag_window, sess.approve_unflagged,
+               sess.reset_window):
+        audit = job_audit(spark, op)
+        assert audit["jobs"] == 0, (op.__name__, audit["jobs"])
+
+    # a redraw slice pays a bounded handful of jobs (AQE stages over
+    # the overlay lineage)
+    audit = job_audit(
+        spark,
+        lambda: sess.main_trace().write.format("noop")
+        .mode("overwrite").save(),
+    )
+    assert audit["jobs"] <= 5, audit["jobs"]
+    # navigation is driver-side only
+    assert job_audit(spark, sess.next)["jobs"] == 0
+
+
+def test_overlay_auto_compaction_bounds_plan_depth(spark, flagged):
+    """The superlinear-latency fix (VERDICT r8 task 7): every
+    `compact_every` U-ops the session cuts lineage with an eager
+    localCheckpoint — measured at sf0.1, the 16th flag+redraw event
+    cost 185.8 s WITHOUT the cut and 0.54 s with it.  Pin the
+    mechanism (plan depth resets to a scan), not wall times."""
+    sess = QcSession(flagged, "temp", time_col="DateTime", win_hours=24)
+    sess.compact_every = 3
+    # non-null rows only: the missing-value guard (-1) would silently
+    # hold one id out of the flagged count below
+    ids = [r.rowid for r in
+           sess.df.filter(F.col("temp").isNotNull())
+           .select("rowid").limit(3).collect()]
+
+    def depth():
+        plan = sess.df._jdf.queryExecution().logical().toString()
+        return len(plan.splitlines())
+
+    sess.flag_selection(ids)        # overlay 1
+    sess.approve_selection(ids)     # overlay 2
+    d2 = depth()
+    sess.flag_selection(ids)        # overlay 3 -> compaction fires
+    d3 = depth()
+    assert d3 < d2, (d2, d3)
+    plan = sess.df._jdf.queryExecution().logical().toString()
+    # post-compaction root is a materialized scan, not a when() stack
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:300]
+    # flag state survives the cut
+    flagged_now = sess.df.filter(F.col("temp_qcflag") == -2).count()
+    assert flagged_now == len(ids)
+    # disabling keeps the old stack-only behavior
+    sess.compact_every = 0
+    before = depth()
+    sess.flag_selection(ids)
+    assert depth() > before

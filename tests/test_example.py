@@ -129,6 +129,18 @@ def test_extensions_doc_totals_match_registry():
     # this sentence drifted a full round behind the actual state
     assert "every registered query except\nd3" in doc
     assert "validate_d3_sf1.py" in doc
+    # ... and its COUNT must track the registry (VERDICT r8 task 8):
+    # adding queries without re-sweeping sf1 (and updating this
+    # sentence) fails here instead of silently staling the claim
+    sf1_claim = (
+        f"passes at sf1 for {len(QUERIES) - 1} of the {len(QUERIES)}\n"
+        f"registered queries"
+    )
+    assert sf1_claim in doc, (
+        f"EXTENSIONS.md sf1 coverage count drifted: expected "
+        f"{sf1_claim!r} — re-run the sf1 sweep for new queries and "
+        f"update the paragraph"
+    )
 
 
 @pytest.mark.parametrize("name", _headline_names())
