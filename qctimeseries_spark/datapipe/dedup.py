@@ -1180,6 +1180,7 @@ def simhash_dup_pairs(
     cache: bool = True,
     max_candidates_per_doc: int = 64,
     auto_widen: bool = True,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs via the chunk pigeonhole trick.
 
@@ -1216,13 +1217,30 @@ def simhash_dup_pairs(
     buckets scale with true duplication instead of the hash-space
     size.
     """
-    if chunks <= max_hamming:
-        raise ValueError(
-            f"pigeonhole needs chunks > max_hamming ({chunks} <= {max_hamming}):"
-            " a pair may differ in every chunk and never collide; lower"
-            " max_hamming or raise chunks"
-        )
     import warnings
+
+    if chunks <= max_hamming:
+        # the same trade the auto-widen ladder makes (with the same
+        # warning), but chosen EXPLICITLY — a pinned layout is what
+        # lets an oracle mirror the query bit-for-bit across scales
+        # (q_d3's 4x16 rung) instead of depending on the corpus-size
+        # probe
+        if not allow_partial_recall:
+            raise ValueError(
+                f"pigeonhole needs chunks > max_hamming ({chunks} <="
+                f" {max_hamming}): a pair may differ in every chunk and"
+                " never collide; lower max_hamming, raise chunks, or"
+                " pass allow_partial_recall=True to accept a guarantee"
+                f" horizon of hamming <= {chunks - 1} (best-effort"
+                " beyond)"
+            )
+        warnings.warn(
+            f"simhash_dup_pairs: {chunks} chunks with max_hamming ="
+            f" {max_hamming} guarantees recall only to hamming <="
+            f" {chunks - 1}; pairs at {chunks}..{max_hamming} are"
+            " emitted best-effort when they collide in some chunk",
+            stacklevel=2,
+        )
 
     def _cap(width_: int, chunks_: int) -> int:
         return max(1, max_candidates_per_doc * (1 << width_) // chunks_)

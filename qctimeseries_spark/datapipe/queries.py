@@ -288,22 +288,37 @@ def q_d2_minhash_dedup(spark, sf_dir):
 def q_d3_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs via chunk pigeonhole join, hamming ≤ 7.
 
-    64-bit signatures in 8×8-bit chunks.  max_hamming = 7 < chunks
-    makes the pigeonhole recall guarantee exact (≤7 differing bits
-    cannot touch all 8 chunks), and 7 of 64 bits is calibrated to this
-    corpus: docs have ~26 distinct tokens, so the planted 3-token-tail
-    near-dups land at hamming 2-12 (74% ≤ 7).  The previous 32-bit /
-    hamming ≤ 6 / 4-chunk config both flooded (37% of ALL pairs passed)
-    and silently broke the guarantee (6 ≥ 4; such configs now raise).
-    Longer real-world docs separate much better — past chunk-space
-    saturation the operator AUTO-WIDENS toward 16/32-bit chunks (with
-    a warned, narrower recall horizon), which is what lets this query
-    run at sf1 (50k docs); for short-doc corpora MinHash (d2) remains
-    the scale path.
+    64-bit signatures in 4×16-bit chunks — PINNED to the layout the
+    auto-widener picks at every driver scale, so the oracle can
+    mirror it bit-for-bit.  The full-recall 8×8-bit rung saturates at
+    ~2k docs (each 8-bit chunk has 256 values; past that the
+    pigeonhole equi-join degrades toward all-pairs), so even the
+    sf0.01 corpus (≈5.7k docs with the planted tails) runs the
+    widened 4×16 layout; round 9 caught the old 8×8 ORACLE agreeing
+    with the widened Spark run only coincidentally at sf0.01 and
+    diverging at sf1 (198.7M vs 108.8M pairs, found by the
+    aggregate-hash compare in tools/validate_d3_sf1_hash.py).  With
+    both sides on 4×16 the result is layout-exact at EVERY scale —
+    sf1 included (the row-level harness still OOMs there; the
+    aggregate-hash tool is the sf1 gate).  Recall: guaranteed to
+    hamming ≤ 3 (4 chunks), best-effort 4–7 — identical on both
+    engines since the oracle applies the SAME pigeonhole.  7 of 64
+    bits is calibrated to this corpus: docs have ~26 distinct tokens,
+    so the planted 3-token-tail near-dups land at hamming 2-12.
+    The 4×16 rung's capacity is ~1M docs; past it the operator
+    auto-widens to 2×32 (warned) — for short-doc corpora MinHash (d2)
+    remains the scale path.
     """
-    return simhash_dup_pairs(
-        _near_corpus(spark, sf_dir), bits=64, max_hamming=7, chunks=8
-    )
+    import warnings
+
+    with warnings.catch_warnings():
+        # the narrowed-recall horizon is the documented, deliberate
+        # choice here — don't re-warn on every registry run
+        warnings.simplefilter("ignore")
+        return simhash_dup_pairs(
+            _near_corpus(spark, sf_dir), bits=64, max_hamming=7,
+            chunks=4, allow_partial_recall=True,
+        )
 
 
 def q_d4_ngram_jaccard(spark, sf_dir):
@@ -1753,8 +1768,11 @@ sim AS (
   FROM hs
 ),
 ch AS (
-  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 8)) & 255 AS v
-  FROM sim, (SELECT unnest(range(0, 8)) AS chunk) c
+  -- 4x16-bit chunks: the PINNED layout of q_d3 (the 8x8 full-recall
+  -- rung saturates at ~2k docs; both engines apply the same
+  -- pigeonhole, so the best-effort 4..7-hamming tail is identical)
+  SELECT doc_id, simhash, chunk, (simhash >> (chunk * 16)) & 65535 AS v
+  FROM sim, (SELECT unnest(range(0, 4)) AS chunk) c
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

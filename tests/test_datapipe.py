@@ -3112,3 +3112,26 @@ def test_fan_out_widens_post_shuffle_filtered_frames(spark, monkeypatch):
         .filter(F.col("n") > 10**12)
     )
     assert fan_out(huge_f) is huge_f
+
+
+def test_simhash_partial_recall_optin(docs):
+    """chunks <= max_hamming stays a hard error by default, but
+    allow_partial_recall=True opts into the SAME narrowed-horizon
+    trade the auto-widener makes (q_d3 pins its 4x16 layout this way
+    so the DuckDB oracle can mirror it bit-for-bit at every scale —
+    round 9 caught the old scale-dependent layout diverging at sf1)."""
+    import warnings as _warnings
+
+    with pytest.raises(ValueError, match="allow_partial_recall"):
+        simhash_dup_pairs(docs, max_hamming=6)  # default chunks=4
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_dup_pairs(
+                docs, bits=64, max_hamming=6, chunks=4,
+                allow_partial_recall=True,
+            ).collect()
+        }
+    assert any("best-effort" in str(w.message) for w in rec)
+    assert (0, 3) in pairs  # identical token sets always collide

@@ -124,22 +124,24 @@ def test_extensions_doc_totals_match_registry():
         f"EXTENSIONS.md totals drifted: expected {claim!r} "
         f"(registry={len(QUERIES)}, oracle={len(ORACLE)})"
     )
-    # the sf1 paragraph must name the one allowed exclusion (d3, a
-    # harness-OOM limit) and its replacement validation — r7 advice:
-    # this sentence drifted a full round behind the actual state
-    assert "every registered query except\nd3" in doc
-    assert "validate_d3_sf1.py" in doc
-    # ... and its COUNT must track the registry (VERDICT r8 task 8):
-    # adding queries without re-sweeping sf1 (and updating this
+    # the sf1 paragraph: ALL queries verified at sf1 — 163 row-level
+    # plus d3 via the engine-side aggregate-hash compare (its 108.8M
+    # pairs OOM the row-materializing harness, not Spark; round 9
+    # closed the former exclusion by pinning d3's 4x16 chunk layout
+    # so the oracle mirrors it at every scale)
+    assert "validate_d3_sf1_hash.py" in doc
+    assert "validate_d3_sf1.py" in doc  # the planted-recall drill too
+    # ... and the COUNT must track the registry (VERDICT r8 task 8):
+    # adding queries without re-verifying sf1 (and updating this
     # sentence) fails here instead of silently staling the claim
     sf1_claim = (
-        f"passes at sf1 for {len(QUERIES) - 1} of the {len(QUERIES)}\n"
+        f"passes at sf1 for all {len(QUERIES)}\n"
         f"registered queries"
     )
     assert sf1_claim in doc, (
         f"EXTENSIONS.md sf1 coverage count drifted: expected "
-        f"{sf1_claim!r} — re-run the sf1 sweep for new queries and "
-        f"update the paragraph"
+        f"{sf1_claim!r} — re-run the sf1 verification for new queries "
+        f"and update the paragraph"
     )
 
 
