@@ -152,6 +152,8 @@ EXTENDED = [
     "h13_disjunctive_filter",
     # wave 8: streaming SCD2 maintenance
     "st18_stream_scd2",
+    # round 9: binary-signature recall tier + exact rerank
+    "x18_binary_knn",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -43,7 +43,11 @@ from qctimeseries_spark.datapipe.sample import (
     sample_to_token_budget,
     split_corpus,
 )
-from qctimeseries_spark.datapipe.similarity import knn_bruteforce, knn_ivf
+from qctimeseries_spark.datapipe.similarity import (
+    knn_binary,
+    knn_bruteforce,
+    knn_ivf,
+)
 from qctimeseries_spark.datapipe.text import (
     LANG_STOPWORDS,
     PII_PATTERNS,
@@ -364,6 +368,23 @@ def q_x1_knn_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_bruteforce(emb, queries, k=10)
+
+
+def q_x18_binary_knn(spark, sf_dir):
+    """Binary-signature recall tier + exact rerank: sign-bit packed
+    64-dim signatures (ONE BIGINT per vector), Hamming top-40 by
+    XOR+popcount, exact-cosine rerank to top-10.  The candidate scan
+    reads 8 bytes per vector — the cheapest rung of the x6/x7/x8
+    compression ladder — and the fp32 column is touched only for the
+    ~40 candidates per query.  Deterministic end-to-end (sign-bit
+    packing is exact, Hamming ties break on id, the rerank reuses the
+    9-dp cosine + id tie-break), so the whole signature build + scan
+    + rerank is oracle-expressible."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_binary(emb, queries, k=10, rerank=4)
 
 
 def q_x2_knn_ivf(spark, sf_dir):
@@ -1580,6 +1601,7 @@ DATAPIPE_QUERIES = {
     "d9_semantic_dedup": q_d9_semantic_dedup,
     "c1_dup_clusters": q_c1_dup_clusters,
     "x1_knn_bruteforce": q_x1_knn_bruteforce,
+    "x18_binary_knn": q_x18_binary_knn,
     "x2_knn_ivf": q_x2_knn_ivf,
     "t2_text_stats": q_t2_text_stats,
     "t3_quality": q_t3_quality,
@@ -1874,6 +1896,51 @@ r AS (
   FROM s
 )
 SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank
+FROM r WHERE rk <= 10""",
+    # x18: sign-bit signatures rebuilt in SQL (the d3 LONG_MIN
+    # precedent for bit 63; CAST list_sum — DuckDB sums BIGINT into
+    # HUGEINT), Hamming candidates via xor+bit_count, exact-cosine
+    # rerank with the shared fold.  64-dim corpus => ONE signature
+    # word, mirroring the engine's packed array exactly.
+    "x18_binary_knn": f"""
+WITH sig AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(range(0, 64), i ->
+           CASE WHEN embedding[i + 1] >= 0
+                THEN CASE WHEN i = 63
+                          THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv, b AS qb
+  FROM sig WHERE vec_id < 5
+),
+h AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         CAST(bit_count(xor(s.b, q.qb)) AS INT) AS hamming
+  FROM sig s, q WHERE s.vec_id != q.query_id
+),
+cand AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming, neighbor_id) AS crk
+  FROM h
+),
+resc AS (
+  SELECT c.query_id, c.neighbor_id, c.hamming,
+         ROUND({_cos_fold_sql('q.qv', 'e.embedding')}, 9) AS cos
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  WHERE c.crk <= 40
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk
+  FROM resc
+)
+SELECT query_id, neighbor_id, hamming, cos, CAST(rk AS INT) AS rank
 FROM r WHERE rk <= 10""",
     # IVF is approximate vs brute force but DETERMINISTIC end-to-end
     # (seeded centroids, 9-dp rounding, id tie-breaks), so the whole

@@ -608,6 +608,118 @@ def knn_quantized(
     )
 
 
+def binarize_embeddings(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "bvec",
+) -> DataFrame:
+    """Sign-binarization: bit ``64w + i`` of the packed signature is
+    set when ``v[64w + i] >= 0`` — ``ceil(d/64)`` BIGINT words per
+    vector, the bottom rung of the compression ladder (fp32 → int8
+    (x6, 4×) → PQ codes (x7/x8, ~64×) → ONE BIT per dimension, 32×
+    over fp32 with the cheapest possible distance).  Binary signatures
+    are the classic recall tier for web-scale stores: the Hamming scan
+    (:func:`knn_binary`) reads 8 bytes per 64 dims and scores with
+    XOR+popcount — whole-stage-codegen integer ops, no floats, no
+    Python — then a thin exact-cosine rerank recovers the ordering.
+
+    Pure codegen (no UDF): a ``transform`` over the word index with an
+    inner ``aggregate`` over the 64 bit positions; the sign bit
+    (``i = 63``) adds LONG_MIN, two's-complement-exact in Spark and
+    DuckDB alike (the d3-oracle precedent), so the x18 oracle rebuilds
+    the identical signatures in SQL.
+    """
+    expr = (
+        f"transform(sequence(0, greatest(CAST(ceil(size(`{vec_col}`)"
+        f" / 64.0) AS INT), 1) - 1), w ->"
+        f" aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->"
+        f" acc + CASE WHEN w * 64 + i < size(`{vec_col}`)"
+        f" AND element_at(`{vec_col}`, CAST(w * 64 + i + 1 AS INT)) >= 0"
+        f" THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)"
+        f" ELSE shiftleft(CAST(1 AS BIGINT), i) END"
+        f" ELSE CAST(0 AS BIGINT) END))"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def knn_binary(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    rerank: int = 4,
+) -> DataFrame:
+    """Binary-signature top-k: Hamming candidate scan over the packed
+    sign bits (:func:`binarize_embeddings`), exact-cosine rerank of
+    the ``rerank·k`` survivors — the recall-then-rerank shape every
+    production binary-embedding store runs.
+
+    The candidate scan touches ONLY the signature words (8 bytes per
+    64 dims): queries broadcast (the x1 plan), distance is
+    ``Σ bit_count(a XOR b)`` per word pair — pure integer codegen —
+    and the per-query top-C rides the two-phase :func:`_topk_exact`
+    (the pool is the whole corpus, the worst single-task case).  Only
+    the ≤ ``|queries|·rerank·k`` candidates ever touch the fp32
+    vectors again: they broadcast back onto the corpus scan for the
+    exact cosine, so the expensive column is read once, late, and
+    thin.  Deterministic end-to-end: Hamming ties break on id at the
+    candidate boundary, the rerank reuses the 9-dp rounded cosine and
+    id tie-break of every other x-path — oracle-expressible (x18).
+
+    Returns ``(query_id, neighbor_id, hamming, cos, rank)`` with
+    ``rank`` over the rerank ordering.  ``rerank`` must be ≥ 1 — a
+    pure-Hamming list would silently return sign-resolution ordering;
+    rank quality comes from the rerank tier.
+    """
+    if k <= 0 or rerank < 1:
+        raise ValueError("need k > 0 and rerank >= 1")
+    C = int(rerank) * int(k)
+    ham = (
+        "aggregate(zip_with(_cb, _qb, (x, y) -> bit_count(x ^ y)),"
+        " 0, (p, q) -> p + q)"
+    )
+    bc = binarize_embeddings(corpus, vec_col=vec_col, out_col="_cb")
+    sig_c = bc.select(F.col(id_col).alias("neighbor_id"), "_cb")
+    sig_q = binarize_embeddings(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col)
+        ),
+        vec_col=vec_col, out_col="_qb",
+    ).select("query_id", "_qb")
+    cand = _topk_exact(
+        sig_c.join(
+            F.broadcast(sig_q),
+            F.col("query_id") != F.col("neighbor_id"),
+        ).withColumn("hamming", F.expr(ham)),
+        C,
+        [F.col("hamming").asc(), F.col("neighbor_id")],
+        rank_col="_rk",
+    ).select("query_id", "neighbor_id", "hamming")
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    rescored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        )
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 9))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "cos", "rank")
+    )
+
+
 def knn_query_index(
     spark,
     path: str,

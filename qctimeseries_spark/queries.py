@@ -2025,7 +2025,10 @@ _WINDOW_R9 = (
     "t2_text_stats", "t3_quality", "t6_redact_pii",
     "t7_contamination", "t17_tfidf", "t18_unigram_nll",
     "t19_repetition",
-    "v5_check_panel",
+    # born in round 9 — driver-checked from day one (v5_check_panel
+    # released to the r10 backlog: v keeps v2/v3 in-window, and v5
+    # holds an r6 driver green + r8/r9 replica + sf1 greens)
+    "x18_binary_knn",
 )
 assert len(_WINDOW_R9) == 50 and len(set(_WINDOW_R9)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R9} | {

@@ -3135,3 +3135,85 @@ def test_simhash_partial_recall_optin(docs):
         }
     assert any("best-effort" in str(w.message) for w in rec)
     assert (0, 3) in pairs  # identical token sets always collide
+
+
+def test_binarize_embeddings_packing(spark):
+    """Sign-bit packing matches a Python reference, including the
+    sign-bit word position (bit 63 = LONG_MIN) and multi-word vectors
+    (d=130 -> 3 words with a ragged tail)."""
+    import random
+
+    from qctimeseries_spark.datapipe.similarity import (
+        binarize_embeddings,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(130)])
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: list(r.bvec)
+           for r in binarize_embeddings(df).collect()}
+
+    def ref(v):
+        words = []
+        for w in range((len(v) + 63) // 64):
+            acc = 0
+            for i in range(64):
+                j = w * 64 + i
+                if j < len(v) and v[j] >= 0:
+                    acc |= 1 << i
+            if acc >= 1 << 63:
+                acc -= 1 << 64  # two's complement
+            words.append(acc)
+        return words
+
+    for i, v in rows:
+        assert got[i] == ref(v), i
+    assert len(got[0]) == 3  # ceil(130/64)
+
+
+def test_knn_binary_recall_and_determinism(spark):
+    """An exact duplicate is Hamming-0 and ranks first after the
+    cosine rerank; results are identical under repartitioning; the
+    hamming column is consistent with the packed signatures."""
+    import random
+
+    from qctimeseries_spark.datapipe.similarity import knn_binary
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(1, 200)]
+    dup = [x * 1.000001 for x in rows[0][1]]  # same signs as vec 1
+    rows.append((500, dup))
+    rows.append((0, rows[10][1][:]))  # query 0 duplicates vec 11
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = df.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_binary(df, queries, k=5, rerank=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    # query 1's sign-twin (500) is hamming-0 and cosine-rank 1
+    top1 = min(by_q[1], key=lambda r: r.rank)
+    assert top1.neighbor_id == 500 and top1.hamming == 0
+    assert top1.cos > 0.999999
+    # query 0's source vector (11) is hamming-0, rank 1
+    top0 = min(by_q[0], key=lambda r: r.rank)
+    assert top0.neighbor_id == 11 and top0.hamming == 0
+    # deterministic under repartitioning
+    again = sorted(
+        (r.query_id, r.neighbor_id, r.hamming, r.cos, r.rank)
+        for r in knn_binary(df.repartition(7), queries, k=5, rerank=4)
+        .collect()
+    )
+    assert again == sorted(
+        (r.query_id, r.neighbor_id, r.hamming, r.cos, r.rank)
+        for r in out
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="rerank >= 1"):
+        knn_binary(df, queries, k=5, rerank=0)

@@ -98,6 +98,9 @@ _PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
     "x15_recall_eval": (0, 2),
     # x16 reranks x1's candidate pool — x1's broadcast != join rides in
     "x16_mmr_rerank": (0, 1),
+    # x18: the Hamming candidate scan is the x1 broadcast != join
+    # shape over the packed signatures
+    "x18_binary_knn": (0, 1),
     # x14: the seed-centroid row_number over the limit-nlist frame
     # (the x2/x11 pattern) — nlist rows, never the corpus
     "x14_kmeans": (1, 0),
