@@ -152,8 +152,10 @@ EXTENDED = [
     "h13_disjunctive_filter",
     # wave 8: streaming SCD2 maintenance
     "st18_stream_scd2",
-    # round 9: binary-signature recall tier + exact rerank
+    # round 9: binary-signature recall tier + exact rerank; native
+    # session_window streaming sessionization
     "x18_binary_knn",
+    "st19_stream_sessions",
 ]
 
 HEADLINE = CORE + EXTENDED

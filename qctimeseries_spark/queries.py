@@ -1592,6 +1592,30 @@ def q_st7_stream_resample(spark, sf_dir):
     )
 
 
+def q_st19_stream_sessions(spark, sf_dir):
+    """Streaming sessionization on the engine's NATIVE session_window
+    (no Python in the loop — Spark itself maintains the merging
+    per-key session state): 30-min gap like t1, drained append-mode,
+    emitting every watermark-finalized session as (user, start,
+    end = last event + gap, first/last event, n_events).  The oracle
+    replays the same gap-merge as an integer-µs island detection and
+    mirrors the emission horizon (session_end <= max event time −
+    watermark — the st7 precedent), so the hash pins the engine's own
+    session semantics, boundary rule (an event AT exactly last+gap
+    starts a NEW session) and eviction contract."""
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_sessions,
+    )
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts")
+    return run_available_now(
+        stream_sessions(ev, gap_minutes=30.0),
+        output_mode="append",
+    )
+
+
 def q_a12_rolling_by_key(spark, sf_dir):
     """Per-key trailing 48 h rolling outlier candidates over ALL users
     — the partitioned-window path (no halo needed across keys)."""
@@ -1681,6 +1705,7 @@ QUERIES.update(
         "a12_rolling_by_key": q_a12_rolling_by_key,
         "w12_resample": q_w12_resample,
         "st7_stream_resample": q_st7_stream_resample,
+        "st19_stream_sessions": q_st19_stream_sessions,
         "w13_regularize_by_key": q_w13_regularize_by_key,
         "j3_asof_forward": q_j3_asof_forward,
         "a13_progress_by_window": q_a13_progress_by_window,
@@ -2024,11 +2049,11 @@ _WINDOW_R9 = (
     "d8_embedding_store",
     "t2_text_stats", "t3_quality", "t6_redact_pii",
     "t7_contamination", "t17_tfidf", "t18_unigram_nll",
-    "t19_repetition",
     # born in round 9 — driver-checked from day one (v5_check_panel
-    # released to the r10 backlog: v keeps v2/v3 in-window, and v5
-    # holds an r6 driver green + r8/r9 replica + sf1 greens)
-    "x18_binary_knn",
+    # and t19_repetition released to the r10 backlog: v keeps v2/v3
+    # in-window, t keeps a dozen entries in-window, and both released
+    # entries hold r6 driver greens + r8/r9 replica + sf1 greens)
+    "x18_binary_knn", "st19_stream_sessions",
 )
 assert len(_WINDOW_R9) == 50 and len(set(_WINDOW_R9)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R9} | {
@@ -2757,6 +2782,44 @@ SELECT user_id,
 FROM events
 GROUP BY 1, 2
 HAVING bucket_ts + INTERVAL 24 HOUR <= (SELECT mx FROM m) - INTERVAL 1 HOUR""",
+    # st19: the engine's session_window semantics replayed as integer
+    # microsecond island detection — a break when the gap to the
+    # previous event is >= 30 min (the window end is EXCLUSIVE: an
+    # event at exactly last+gap starts a new session), session_end =
+    # last event + gap, and the append-mode emission horizon
+    # session_end <= max(ts) - watermark (the st7 precedent)
+    "st19_stream_sessions": f"""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+o AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pus
+  FROM events
+),
+f AS (
+  SELECT user_id, us,
+         CASE WHEN pus IS NULL OR us - pus >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+),
+s AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+g AS (
+  SELECT user_id,
+         make_timestamp(MIN(us)) AS session_start,
+         make_timestamp(MAX(us) + 1800000000) AS session_end,
+         make_timestamp(MIN(us)) AS first_ts,
+         make_timestamp(MAX(us)) AS last_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, first_ts, last_ts, n_events
+FROM g, m
+WHERE session_end <= mx - INTERVAL 1 HOUR""",
     "a12_rolling_by_key": """
 WITH r AS (
   SELECT user_id, ts, value,

@@ -879,6 +879,73 @@ def detect_anomalies_stateful(
     )
 
 
+def stream_sessions(
+    stream: DataFrame,
+    *,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    gap_minutes: float = 30.0,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization on the ENGINE's native
+    ``session_window`` — the stateful twin of
+    :func:`~qctimeseries_spark.windows.sessionize` (t1), and the one
+    stateful built-in the streaming tier didn't yet exercise: Spark
+    maintains the per-key merging-session state itself (gap-merge,
+    state store, eviction), so unlike the applyInPandasWithState
+    operators there is NO Python in the loop — the whole pipeline is
+    JVM-side.
+
+    Semantics (pinned by the oracle and by
+    ``test_stream_sessions_native_session_window``): a session
+    extends while the next event arrives AT OR inside
+    ``last_event + gap`` — the merge boundary is INCLUSIVE, measured
+    against the engine (an event at exactly ``last+gap`` extends the
+    session).  Each finalized session emits
+    ``(key, session_start = first event, session_end = last event +
+    gap, first_ts, last_ts, n_events)``.  Append mode finalizes a
+    session once the watermark passes its ``session_end`` — sessions
+    still open (or inside the reorder horizon) at drain time stay in
+    state, exactly the production emission contract, and the oracle
+    mirrors that horizon (the st7 precedent: closed-bucket filter
+    ``end <= max event time − watermark``).
+
+    State per key is one open session (two timestamps + a count) per
+    gap-separated burst — O(#active sessions), never O(#rows); the
+    watermark bounds how long a quiet session lingers before it
+    finalizes.
+    """
+    gap_s = int(round(gap_minutes * 60))
+    if gap_s <= 0 or abs(gap_minutes * 60 - gap_s) > 1e-9:
+        raise ValueError("gap_minutes must be a positive whole-second gap")
+    src = (
+        stream.withWatermark(time_col, watermark)
+        if stream.isStreaming
+        else stream
+    )
+    return (
+        src.groupBy(
+            F.col(key_col),
+            F.session_window(
+                F.col(time_col), f"INTERVAL {gap_s} SECONDS"
+            ).alias("_sw"),
+        )
+        .agg(
+            F.min(time_col).alias("first_ts"),
+            F.max(time_col).alias("last_ts"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            key_col,
+            F.col("_sw.start").alias("session_start"),
+            F.col("_sw.end").alias("session_end"),
+            "first_ts",
+            "last_ts",
+            "n_events",
+        )
+    )
+
+
 def stream_resample(
     stream: DataFrame,
     time_col: str = "ts",

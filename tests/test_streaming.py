@@ -1464,3 +1464,61 @@ def test_stream_change_intervals_string_key_and_value_guard(spark, tmp_path):
 
     with _pt.raises(TypeError, match="STRING value column"):
         stream_change_intervals(stream, value_col="event_id")
+
+
+def test_stream_sessions_native_session_window(spark, tmp_path):
+    """Native session_window sessionization: a session EXTENDS across
+    the micro-batch cut (closing with its original start and full
+    count), an event at exactly last+gap EXTENDS the session (the
+    merge boundary is inclusive — measured, then pinned here AND
+    mirrored in the st19 oracle), and only watermark-finalized
+    sessions emit in append mode."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    schema = "user_id long, ts timestamp"
+    b0 = [(1, m(0)), (1, m(10)), (1, m(20)), (2, m(0)),
+          (3, m(0))]
+    b1 = [(1, m(25)),            # extends u1's batch-0 session
+          (1, m(120)),           # u1's second session (stays open? no:
+                                 # ends 150 <= 200-60=140? NO -> open)
+          (3, m(30)),            # exactly last+gap: MERGES into u3's session
+          (2, m(200))]           # advances the watermark to 140
+    src = tmp_path / "src"
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in (b0, b1)],
+        str(src),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.first_ts,
+         r.last_ts, r.n_events)
+        for r in run_available_now(
+            stream_sessions(stream, gap_minutes=30.0),
+            output_mode="append",
+        ).collect()
+    )
+    want = sorted([
+        # u1's first session spans the batch cut: start 0, 4 events,
+        # end = 25 + 30 = 55 <= horizon 140 -> closed
+        (1, m(0), m(55), m(0), m(25), 4),
+        # u2's single-event session [0, 30) closed
+        (2, m(0), m(30), m(0), m(0), 1),
+        # u3: events at 0 and EXACTLY 30 -> ONE session (inclusive
+        # merge boundary), end = 30 + 30 = 60 <= 140 -> closed
+        (3, m(0), m(60), m(0), m(30), 2),
+        # u1's second session ends 150 > 140 and u2's 200+30 -> open,
+        # NOT emitted
+    ])
+    assert got == want
