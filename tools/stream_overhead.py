@@ -1,5 +1,6 @@
 """Fixed vs marginal cost of the availableNow streaming drains
-(st12–st17) — VERDICT r7 task 6, extended with the sketch streams.
+(st12–st19) — VERDICT r7 task 6, extended with the sketch streams
+and the native session_window sessionization.
 
 The bench times each streaming ingest/serve query as one opaque drain,
 but most of that cost is FIXED micro-batch machinery (stream planning,
@@ -60,6 +61,7 @@ def _time_flow(fn) -> float:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])  # optional flow-name filter (e.g. st19)
 
     from pyspark.sql import functions as F
 
@@ -132,6 +134,20 @@ def main() -> int:
             d + "/out", checkpoint_dir=d + "/ckpt",
         ).count()
 
+    def st19(src, run):
+        from qctimeseries_spark.streaming import (
+            run_available_now,
+            stream_sessions,
+        )
+
+        run_available_now(
+            stream_sessions(
+                read_stream(src, "user_id bigint, ts timestamp"),
+                gap_minutes=30.0,
+            ),
+            output_mode="append",
+        ).count()
+
     def st17(src, run):
         from qctimeseries_spark.datapipe.text import tokens
 
@@ -149,6 +165,9 @@ def main() -> int:
     )
     docs_lang.persist().count()
 
+    events_ut = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    events_ut.persist().count()
+
     queries = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -159,11 +178,14 @@ def main() -> int:
         "st15": (queries, "query_id", st15),
         "st16": (docs, "doc_id", st16),
         "st17": (docs_lang, "doc_id", st17),
+        "st19": (events_ut, "user_id", st19),
     }
 
     results = {}
     run_id = 0
     for name, (df, key, flow) in flows.items():
+        if only and name not in only:
+            continue
         times = {}
         for n in (1, 4):
             src = os.path.join(root, f"{name}_src{n}")
