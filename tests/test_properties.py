@@ -522,3 +522,60 @@ def test_pack_sequences_tiling_laws(spark, ns, ctx):
             assert r.seq_last == r.seq_first
         assert r.crosses_boundary == (r.seq_last > r.seq_first)
         off += n
+
+
+# scores quantize to 3 dp so ties actually occur (the tie-break path
+# is the risky one for rank equality); ids are dense ints
+_topk_pool = st.lists(
+    st.integers(0, 999), min_size=1, max_size=60, unique=True
+).flatmap(
+    lambda ids: st.tuples(
+        st.just(ids),
+        st.lists(
+            st.integers(0, 50), min_size=len(ids), max_size=len(ids)
+        ),
+        st.integers(1, 2),   # number of query groups
+        st.integers(1, 8),   # k
+        st.integers(1, 5),   # shard count (1 == the single-window plan)
+    )
+)
+
+
+@given(pool=_topk_pool)
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_topk_exact_law_sharded_equals_single_window(spark, pool):
+    """9. _topk_exact law (VERDICT r8 task 4): for ANY pool, any k,
+    and any shard count, the two-phase sharded top-k is row- and
+    RANK-identical to the one-window formulation — including ties on
+    the score (broken by id) and pools smaller than k.  The planted
+    hot-cell test covers the scale shape; this is the exactness law
+    the inclusion argument claims for all inputs."""
+    from pyspark.sql import Window
+
+    from qctimeseries_spark.datapipe.similarity import _topk_exact
+
+    ids, scores, nq, k, shards = pool
+    rows = [
+        (q, i, s / 10.0)
+        for q in range(nq)
+        for i, s in zip(ids, scores)
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id int, neighbor_id int, cos double"
+    ).repartition(3)
+    order = [F.col("cos").desc(), F.col("neighbor_id")]
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in _topk_exact(df, k, order, shards=shards).collect()
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    want = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .collect()
+    )
+    assert got == want
