@@ -317,8 +317,19 @@ def q_d3_simhash_pairs(spark, sf_dir):
 
     with warnings.catch_warnings():
         # the narrowed-recall horizon is the documented, deliberate
-        # choice here — don't re-warn on every registry run
-        warnings.simplefilter("ignore")
+        # choice here — don't re-warn on every registry run.  ONLY
+        # that message is muted (r9 advisor: a blanket ignore would
+        # also swallow the auto-widen warning — the one signal that
+        # the operator switched to 2x32 while the oracle stayed on
+        # 4x16, exactly the scale-dependent divergence r9 fixed); a
+        # layout-changing auto-widen is escalated to a hard ERROR so
+        # the query can never again silently diverge from its oracle.
+        warnings.filterwarnings(
+            "ignore", message=r"simhash_dup_pairs: .*guarantees recall"
+        )
+        warnings.filterwarnings(
+            "error", message=r"simhash_dup_pairs: corpus exceeds"
+        )
         return simhash_dup_pairs(
             _near_corpus(spark, sf_dir), bits=64, max_hamming=7,
             chunks=4, allow_partial_recall=True,

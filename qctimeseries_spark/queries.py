@@ -1601,8 +1601,18 @@ def q_st19_stream_sessions(spark, sf_dir):
     replays the same gap-merge as an integer-µs island detection and
     mirrors the emission horizon (session_end <= max event time −
     watermark — the st7 precedent), so the hash pins the engine's own
-    session semantics, boundary rule (an event AT exactly last+gap
-    starts a NEW session) and eviction contract."""
+    session semantics, boundary rule (the merge boundary is INCLUSIVE:
+    an event AT exactly last+gap EXTENDS the session — measured on
+    Spark's session_window and pinned by
+    test_stream_sessions_native_session_window) and eviction contract.
+
+    The corpus timestamps are µs-random, so a same-user gap of exactly
+    1800.000000 s never occurs naturally; to keep the hash check
+    honest about the boundary, a synthetic user -1 with exactly that
+    gap (two events 1800 s apart, anchored at event_id 1's ts) is
+    unioned into the stream and mirrored row-for-row by the oracle —
+    the inclusive rule merges the pair into ONE 2-event session, the
+    old exclusive rule would split it."""
     from qctimeseries_spark.streaming import (
         run_available_now,
         stream_events,
@@ -1610,8 +1620,20 @@ def q_st19_stream_sessions(spark, sf_dir):
     )
 
     ev = stream_events(spark, sf_dir).select("user_id", "ts")
+    # exact-gap boundary fixture: user -1, two events exactly 1800 s
+    # apart (anchored at event_id 1 — ~720 h before max(ts) at every
+    # SF, so the session always clears the 1-hour emission horizon)
+    anchor = stream_events(spark, sf_dir).filter(F.col("event_id") == 1)
+    pair = anchor.select(
+        F.lit(-1).cast("bigint").alias("user_id"), F.col("ts")
+    ).unionByName(
+        anchor.select(
+            F.lit(-1).cast("bigint").alias("user_id"),
+            (F.col("ts") + F.expr("INTERVAL 1800 SECONDS")).alias("ts"),
+        )
+    )
     return run_available_now(
-        stream_sessions(ev, gap_minutes=30.0),
+        stream_sessions(ev.unionByName(pair), gap_minutes=30.0),
         output_mode="append",
     )
 
@@ -2783,28 +2805,42 @@ FROM events
 GROUP BY 1, 2
 HAVING bucket_ts + INTERVAL 24 HOUR <= (SELECT mx FROM m) - INTERVAL 1 HOUR""",
     # st19: the engine's session_window semantics replayed as integer
-    # microsecond island detection — a break when the gap to the
-    # previous event is >= 30 min (the window end is EXCLUSIVE: an
-    # event at exactly last+gap starts a new session), session_end =
-    # last event + gap, and the append-mode emission horizon
-    # session_end <= max(ts) - watermark (the st7 precedent)
+    # microsecond island detection — a break ONLY when the gap to the
+    # previous event is STRICTLY > 30 min (the merge boundary is
+    # INCLUSIVE: an event at exactly last+gap EXTENDS the session —
+    # Spark 4.1.2 session_window behavior, pinned by
+    # test_stream_sessions_native_session_window and exercised by the
+    # synthetic exact-gap pair below), session_end = last event + gap,
+    # and the append-mode emission horizon session_end <= max(ts) -
+    # watermark (the st7 precedent).  The ev CTE mirrors the engine's
+    # exact-gap fixture: user -1, two events exactly 1800 s apart.
     "st19_stream_sessions": f"""
-WITH m AS (SELECT MAX(ts) AS mx FROM events),
+WITH ev AS (
+  SELECT user_id, ts, event_id FROM events
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), ts, CAST(-1 AS BIGINT)
+  FROM events WHERE event_id = 1
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), ts + INTERVAL 1800 SECONDS,
+         CAST(-2 AS BIGINT)
+  FROM events WHERE event_id = 1
+),
+m AS (SELECT MAX(ts) AS mx FROM ev),
 o AS (
-  SELECT user_id, ts, epoch_us(ts) AS us,
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS pus
-  FROM events
+  FROM ev
 ),
 f AS (
-  SELECT user_id, us,
-         CASE WHEN pus IS NULL OR us - pus >= 1800000000
+  SELECT user_id, us, event_id,
+         CASE WHEN pus IS NULL OR us - pus > 1800000000
               THEN 1 ELSE 0 END AS brk
   FROM o
 ),
 s AS (
   SELECT user_id, us,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM f
 ),

@@ -1522,3 +1522,127 @@ def test_stream_sessions_native_session_window(spark, tmp_path):
         # NOT emitted
     ])
     assert got == want
+
+
+def test_stream_sessions_late_data_merges_while_in_state(spark, tmp_path):
+    """Late-data contract, half 1 (r9 verdict task 4), MEASURED on
+    Spark 4.1.2 and pinned: an out-of-order event arriving BEYOND the
+    watermark still MERGES into its session when that session is STILL
+    IN STATE — within a micro-batch, new rows merge into state BEFORE
+    watermark eviction runs, so a session whose end the watermark has
+    already passed absorbs a late row arriving in the same batch that
+    would finalize it, and finalizes WITH the late row included
+    (numRowsDroppedByWatermark stays 0).  Drop happens only once the
+    session has left state — see the eviction twin test below.
+    Documented in BENCHNOTES (late-data contract)."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    schema = "user_id long, ts timestamp"
+    # batch 0: u1's session [0, 40), u2's open session, and a clock
+    # event (u9 at 200) that sets the post-b0 watermark to 200-60=140
+    b0 = [(1, m(0)), (1, m(10)), (2, m(120)), (2, m(130)), (9, m(200))]
+    # batch 1 (watermark now 140): u1 is STILL IN STATE (eviction for
+    # end 40 <= 140 runs at the END of this batch), so the late m(20)
+    # merges first and the session finalizes as 3 events / end 50
+    b1 = [(1, m(20)),   # late beyond watermark, session in state -> MERGES
+          (2, m(150)),  # extends u2's open session in order
+          (2, m(141)),  # out-of-order BUT >= watermark 140 -> merges
+          (9, m(400))]  # advances the final watermark to 400-60=340
+    src = tmp_path / "src"
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in (b0, b1)],
+        str(src),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.first_ts,
+         r.last_ts, r.n_events)
+        for r in run_available_now(
+            stream_sessions(stream, gap_minutes=30.0),
+            output_mode="append",
+        ).collect()
+    )
+    want = sorted([
+        # u1 finalized as 3 events, end 50: the late m(20) MERGED into
+        # the in-state session before eviction (2 events / end m(40)
+        # here would mean Spark started dropping pre-eviction lates —
+        # re-measure and update the BENCHNOTES contract note)
+        (1, m(0), m(50), m(0), m(20), 3),
+        # u2: 120, 130, 141 (late-but-within-watermark, merged), 150
+        # -> ONE 4-event session, end 180 <= 340 -> finalized
+        (2, m(120), m(180), m(120), m(150), 4),
+        # u9's first clock event closes at 230 <= 340; the m(400)
+        # session (end 430 > 340) stays open, NOT emitted
+        (9, m(200), m(230), m(200), m(200), 1),
+    ])
+    assert got == want
+
+
+def test_stream_sessions_late_data_dropped_after_eviction(spark, tmp_path):
+    """Late-data contract, half 2 (r9 verdict task 4), MEASURED and
+    pinned: once a session has been EVICTED (finalized and emitted),
+    a late event landing inside its span is DROPPED by the watermark
+    — the finalized emission is immutable: no retraction, no second
+    overlapping u1 session in the append output.  Together with the
+    merge twin above this gives the full contract: merge-if-open,
+    drop-if-finalized.  The batch ``sessionize`` oracle counts every
+    event, so the st19 oracle can only mirror streams where no event
+    is late beyond the watermark — which the parquet replay satisfies
+    (single availableNow source, monotone file order)."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_sessions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda mins: t0 + dt.timedelta(minutes=mins)
+    schema = "user_id long, ts timestamp"
+    b0 = [(1, m(0)), (1, m(10)), (9, m(200))]
+    # batch 1 (watermark 140): u1's [0, 40) is evicted + emitted here
+    b1 = [(9, m(210))]
+    # batch 2 (watermark 150): the late m(20) lands inside u1's
+    # ALREADY-FINALIZED span -> dropped (measured:
+    # numRowsDroppedByWatermark = 1)
+    b2 = [(1, m(20)), (9, m(400))]
+    src = tmp_path / "src"
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in (b0, b1, b2)],
+        str(src),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.first_ts,
+         r.last_ts, r.n_events)
+        for r in run_available_now(
+            stream_sessions(stream, gap_minutes=30.0),
+            output_mode="append",
+        ).collect()
+    )
+    want = sorted([
+        # u1 emitted ONCE, as finalized — the late m(20) left no trace
+        # (a second u1 row here = the immutability contract broke)
+        (1, m(0), m(40), m(0), m(10), 2),
+        # u9: 200 and 210 merge (gap 10 < 30), end 240 <= 340 final;
+        # the m(400) session stays open, NOT emitted
+        (9, m(200), m(240), m(200), m(210), 2),
+    ])
+    assert got == want
