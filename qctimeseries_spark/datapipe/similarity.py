@@ -2015,7 +2015,19 @@ def delete_from_ivf_index(
     return {"tombstoned": out.count()}
 
 
-def _recover_interrupted_purge(spark, path: str) -> str | None:
+#: how long a ``_purge_lock`` lease is honored before a reader treats
+#: it as debris from a crashed purge (seconds).  The purge refreshes
+#: the lock right before the commit marker, so during a live purge the
+#: lock is at most one staged-write old; a crashed purge stops
+#: refreshing and self-heals on the first store touch after the TTL
+#: (or immediately, via the forced recovery at the next purge entry).
+PURGE_LOCK_TTL_S = 3600
+
+
+def _recover_interrupted_purge(
+    spark, path: str, *, force: bool = False,
+    lock_ttl_s: int = PURGE_LOCK_TTL_S,
+) -> str | None:
     """Detect and repair a :func:`purge_ivf_tombstones` that crashed
     mid-swap (r8 advisor medium): the purge protocol writes a
     ``_purge_commit`` marker AFTER the replacement ``cells_purging/``
@@ -2028,7 +2040,23 @@ def _recover_interrupted_purge(spark, path: str) -> str | None:
     :func:`knn_query_index` and :func:`append_to_ivf_index`, and the
     purge itself), so a crashed purge self-heals on the next touch —
     no manual rename needed.  Returns a short description of the
-    repair performed, or None when the store was clean."""
+    repair performed, or None when the store was clean.
+
+    LIVE-PURGE GUARD (r9 advisor): because every serve/append enters
+    here, a reader racing a LIVE purge must not mistake its in-flight
+    state for a crash — deleting the half-written ``cells_purging/``
+    or racing the swap renames.  The purge therefore holds a
+    ``_purge_lock`` lease (created before the staged write, refreshed
+    before the commit marker, removed on every exit); while a lease
+    younger than ``lock_ttl_s`` exists, recovery performs ONLY the
+    roll-forward repair (marker present and ``cells/`` missing — the
+    one state a reader cannot read through, and re-executing the same
+    rename the purge is about to do is idempotent: the loser's rename
+    fails and the purge detects the completed swap) and otherwise
+    leaves the store untouched.  A lease older than the TTL is debris
+    from a crash and is discarded.  ``force=True`` (the purge's own
+    entry, which the single-purger contract protects) ignores and
+    clears any lease."""
     jvm = spark.sparkContext._jvm
     jconf = spark.sparkContext._jsc.hadoopConfiguration()
 
@@ -2039,6 +2067,35 @@ def _recover_interrupted_purge(spark, path: str) -> str | None:
     marker, cells = _p("/_purge_commit"), _p("/cells")
     old, staged = _p("/cells__old"), _p("/cells_purging")
     tomb = _p("/tombstones")
+    lock = _p("/_purge_lock")
+    if fs.exists(lock):
+        if force:
+            fs.delete(lock, False)
+        else:
+            import time as _time
+
+            try:
+                age_ms = (
+                    _time.time() * 1000.0
+                    - fs.getFileStatus(lock).getModificationTime()
+                )
+            except Exception:
+                # the lock vanished between exists() and stat — the
+                # purge just finished; the store is (or is about to
+                # be) clean, nothing to repair from here
+                return "skipped (purge just completed)"
+            if age_ms < lock_ttl_s * 1000.0:
+                # live purge: hands off everything EXCEPT the one
+                # unreadable state (mid-swap, marker present, no
+                # cells/) — rolling that forward is idempotent
+                if fs.exists(marker) and not fs.exists(cells) and fs.exists(staged):
+                    if fs.rename(staged, cells):
+                        # leave tombstones/old/marker/lock to the
+                        # purge's own cleanup (it detects the
+                        # completed swap)
+                        return "rolled forward (live purge mid-swap)"
+                return "skipped (live purge in progress)"
+            fs.delete(lock, False)  # stale lease from a crashed purge
     if fs.exists(marker):
         if not fs.exists(cells) and fs.exists(staged):
             # crashed between the two renames: the replacement was
@@ -2162,35 +2219,31 @@ def purge_ivf_tombstones(
     ``cells/`` and delete ``cells__old/``, ``tombstones/`` and the
     marker.
 
+    CONCURRENCY (r9 advisor): WRITERS (appends, other purges) must be
+    quiesced for the duration — that was always the contract.  READERS
+    may keep serving: a ``_purge_lock`` lease (created before the
+    staged write, refreshed before the commit marker, removed on every
+    exit) tells their recovery hook a purge is LIVE, so they no longer
+    delete the half-written ``cells_purging/`` or race the swap — see
+    :func:`_recover_interrupted_purge`.  The one recovery action
+    readers still take under a live lease is the idempotent mid-swap
+    roll-forward; if a reader wins that rename, this function detects
+    the completed swap and finishes its cleanup instead of raising.
+    A reader that starts a cells/ scan in the instant the swap renames
+    run can still lose the race and retry — swap atomicity is a rename
+    pair, not a snapshot; quiesce readers too if even transient read
+    retries are unacceptable.
+
     Returns ``{"purged", "remaining"}``.
     """
-    # read_ivf_tombstones self-heals any earlier interrupted purge
-    # before we read, so `cells/` is live and consistent here
+    # forced recovery first: clears any crashed-purge debris AND any
+    # stale lease immediately (readers honor a lease for up to
+    # PURGE_LOCK_TTL_S; the single-purger contract lets this entry
+    # ignore it)
+    _recover_interrupted_purge(spark, path, force=True)
     tomb = read_ivf_tombstones(spark, path, id_col=id_col)
     if tomb is None:
         return {"purged": 0, "remaining": -1}
-    cells = spark.read.parquet(path + "/cells")
-    live = cells.join(F.broadcast(tomb), id_col, "left_anti")
-    n_cells = spark.read.parquet(path + "/centroids").count()
-    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(cell_files)))
-    (
-        live.withColumn("_cell_salt", salt)
-        .repartition(
-            n_cells * int(cell_files),
-            F.col("centroid_id"), F.col("_cell_salt"),
-        )
-        .drop("_cell_salt")
-        .write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(path + "/cells_purging")
-    )
-    n_tomb = tomb.count()
-    remaining = spark.read.parquet(path + "/cells_purging").count()
-    # marker-protected swap through the Hadoop FS API (works on
-    # hdfs:// and s3a:// URIs too): commit marker → old aside →
-    # replacement in → drop tombstones, aside copy, marker.  Every
-    # crash between these steps is repaired by
-    # _recover_interrupted_purge on the next store touch.
     jvm = spark.sparkContext._jvm
     jconf = spark.sparkContext._jsc.hadoopConfiguration()
 
@@ -2198,29 +2251,67 @@ def purge_ivf_tombstones(
         return jvm.org.apache.hadoop.fs.Path(path + sub)
 
     fs = _p("/cells").getFileSystem(jconf)
-    fs.create(_p("/_purge_commit"), True).close()
-    if not fs.rename(_p("/cells"), _p("/cells__old")):
-        fs.delete(_p("/cells_purging"), True)  # roll back pre-swap
-        fs.delete(_p("/_purge_commit"), False)
-        raise IOError("purge: could not stage the old cells/ aside")
-    if not fs.rename(_p("/cells_purging"), _p("/cells")):
-        # roll back: the old store is intact in cells__old
-        if not fs.rename(_p("/cells__old"), _p("/cells")):
-            raise IOError(
-                "purge: swap failed AND rollback failed — run any"
-                " serve/append (or purge) to self-heal, or rename"
-                f" {path}/cells__old back to cells/ manually"
+    # lease BEFORE the staged write: from here on a concurrent reader's
+    # recovery hook treats the store as purge-in-progress
+    fs.create(_p("/_purge_lock"), True).close()
+    try:
+        cells = spark.read.parquet(path + "/cells")
+        live = cells.join(F.broadcast(tomb), id_col, "left_anti")
+        n_cells = spark.read.parquet(path + "/centroids").count()
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(cell_files)))
+        (
+            live.withColumn("_cell_salt", salt)
+            .repartition(
+                n_cells * int(cell_files),
+                F.col("centroid_id"), F.col("_cell_salt"),
             )
-        fs.delete(_p("/_purge_commit"), False)
-        raise IOError("purge: could not swap the purged cells/ in")
-    if not fs.delete(_p("/tombstones"), True):
-        raise IOError(
-            f"purge: swap complete but {path}/tombstones could not be"
-            " deleted — serving is correct (the anti-join now matches"
-            " nothing); delete it to stop append_to_ivf_index refusing"
-            " re-appends of the purged ids, or touch the store once"
-            " (recovery clears it while the marker is present)"
+            .drop("_cell_salt")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(path + "/cells_purging")
         )
-    fs.delete(_p("/cells__old"), True)
-    fs.delete(_p("/_purge_commit"), False)
+        n_tomb = tomb.count()
+        remaining = spark.read.parquet(path + "/cells_purging").count()
+        # marker-protected swap through the Hadoop FS API (works on
+        # hdfs:// and s3a:// URIs too): refresh lease → commit marker →
+        # old aside → replacement in → drop tombstones, aside copy,
+        # marker.  Every crash between these steps is repaired by
+        # _recover_interrupted_purge on the next store touch (after the
+        # lease TTL for readers; immediately for the next purge).
+        fs.create(_p("/_purge_lock"), True).close()  # refresh lease age
+        fs.create(_p("/_purge_commit"), True).close()
+        if not fs.rename(_p("/cells"), _p("/cells__old")):
+            fs.delete(_p("/cells_purging"), True)  # roll back pre-swap
+            fs.delete(_p("/_purge_commit"), False)
+            raise IOError("purge: could not stage the old cells/ aside")
+        if not fs.rename(_p("/cells_purging"), _p("/cells")):
+            if fs.exists(_p("/cells")) and not fs.exists(_p("/cells_purging")):
+                # a concurrent reader's mid-swap roll-forward won the
+                # rename (the one recovery action a live lease allows);
+                # the swap IS complete — finish the cleanup as usual
+                pass
+            else:
+                # roll back: the old store is intact in cells__old
+                if not fs.rename(_p("/cells__old"), _p("/cells")):
+                    raise IOError(
+                        "purge: swap failed AND rollback failed — run"
+                        " any serve/append (or purge) to self-heal, or"
+                        f" rename {path}/cells__old back to cells/"
+                        " manually"
+                    )
+                fs.delete(_p("/_purge_commit"), False)
+                raise IOError("purge: could not swap the purged cells/ in")
+        if not fs.delete(_p("/tombstones"), True):
+            raise IOError(
+                f"purge: swap complete but {path}/tombstones could not"
+                " be deleted — serving is correct (the anti-join now"
+                " matches nothing); delete it to stop append_to_ivf_index"
+                " refusing re-appends of the purged ids, or touch the"
+                " store once (recovery clears it while the marker is"
+                " present)"
+            )
+        fs.delete(_p("/cells__old"), True)
+        fs.delete(_p("/_purge_commit"), False)
+    finally:
+        fs.delete(_p("/_purge_lock"), False)
     return {"purged": n_tomb, "remaining": remaining}

@@ -2879,6 +2879,107 @@ def test_purge_crash_recovery_every_position(spark, tmp_path):
     )["appended"] == 1
 
 
+def test_purge_live_lock_shields_in_flight_purge_from_readers(
+    spark, tmp_path
+):
+    """r9 advisor: recovery runs on EVERY serve/append, so a reader
+    racing a LIVE purge used to delete the half-written
+    cells_purging/ and race the swap renames.  The purge now holds a
+    ``_purge_lock`` lease; while it is fresh, a reader (1) leaves the
+    staged replacement alone and keeps serving the tombstoned store,
+    and (2) still performs the idempotent mid-swap roll-forward (the
+    only state it cannot read through).  A lease older than the TTL
+    is crash debris: recovery proceeds exactly as before, and the
+    next purge entry clears it immediately (force)."""
+    import os
+    import shutil
+    import time
+
+    from qctimeseries_spark.datapipe.similarity import (
+        knn_query_index,
+        purge_ivf_tombstones,
+        read_ivf_tombstones,
+    )
+
+    idx, queries, expected = _ivf_toy_store(spark, tmp_path, tag="lock")
+    snap_tomb = str(tmp_path / "snap_tomb")
+    shutil.copytree(idx, snap_tomb)
+    assert purge_ivf_tombstones(spark, idx)["purged"] > 0
+    assert not os.path.exists(idx + "/_purge_lock")  # lease released
+    snap_purged = str(tmp_path / "snap_purged")
+    shutil.copytree(idx, snap_purged)
+
+    def build(tag, *, staged, cells, marker=False, lock_age_s=0):
+        p = str(tmp_path / f"live_{tag}")
+        os.makedirs(p)
+        shutil.copytree(snap_tomb + "/centroids", p + "/centroids")
+        shutil.copytree(snap_tomb + "/tombstones", p + "/tombstones")
+        if cells:
+            shutil.copytree(snap_tomb + "/cells", p + "/cells")
+        if staged:
+            shutil.copytree(snap_purged + "/cells", p + "/cells_purging")
+        if marker:
+            open(p + "/_purge_commit", "w").close()
+        open(p + "/_purge_lock", "w").close()
+        if lock_age_s:
+            t = time.time() - lock_age_s
+            os.utime(p + "/_purge_lock", (t, t))
+        return p
+
+    # 1) FRESH lease + half-written staged dir: the reader must serve
+    #    the tombstoned store AND leave every purge artifact untouched
+    p1 = build("fresh_staged", staged=True, cells=True)
+    rows = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in knn_query_index(spark, p1, queries, k=5, nprobe=4)
+        .collect()
+    )
+    assert rows == expected
+    assert os.path.isdir(p1 + "/cells_purging"), "reader deleted live staged dir"
+    assert os.path.exists(p1 + "/_purge_lock"), "reader deleted live lease"
+    assert read_ivf_tombstones(spark, p1) is not None  # still tombstoned
+
+    # 2) FRESH lease, mid-swap (marker, no cells/): the roll-forward
+    #    still happens — the one unreadable state — but cleanup is
+    #    left to the purge (lease + marker + tombstones stay)
+    p2 = build("fresh_midswap", staged=True, cells=False, marker=True)
+    rows = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in knn_query_index(spark, p2, queries, k=5, nprobe=4)
+        .collect()
+    )
+    assert rows == expected  # purged cells + live tombstone anti-join
+    assert os.path.isdir(p2 + "/cells")
+    assert os.path.exists(p2 + "/_purge_lock")  # cleanup is the purge's
+
+    # 3) STALE lease (crash debris): recovery proceeds as before —
+    #    staged dir dropped, lease cleared, tombstones stay live
+    p3 = build("stale_staged", staged=True, cells=True, lock_age_s=7200)
+    rows = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in knn_query_index(spark, p3, queries, k=5, nprobe=4)
+        .collect()
+    )
+    assert rows == expected
+    assert not os.path.exists(p3 + "/cells_purging")
+    assert not os.path.exists(p3 + "/_purge_lock")
+
+    # 4) FRESH lease but the next PURGE entry clears it immediately
+    #    (single-purger contract: force recovery) and completes
+    p4 = build("fresh_then_purge", staged=True, cells=True)
+    stats = purge_ivf_tombstones(spark, p4)
+    assert stats["purged"] > 0
+    for leftover in ("/_purge_lock", "/_purge_commit", "/cells_purging",
+                     "/cells__old", "/tombstones"):
+        assert not os.path.exists(p4 + leftover), leftover
+    rows = sorted(
+        (r.query_id, r.neighbor_id, r.cos, r.rank)
+        for r in knn_query_index(spark, p4, queries, k=5, nprobe=4)
+        .collect()
+    )
+    assert rows == expected
+
+
 def test_ivf_delete_follows_store_id_type(spark, tmp_path):
     """delete_from_ivf_index casts to the STORE's id type (r8 advisor:
     cast('long') NULLed string ids and the delete silently no-opped)
