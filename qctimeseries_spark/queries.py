@@ -2026,60 +2026,51 @@ QUERIES["st18_stream_scd2"] = q_st18_stream_scd2
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
 # window entries get the driver's independent hash verdict.  To keep
-# that verdict honest across a 164-entry registry, the window ROTATES
-# each round.  Round 9 executes VERDICT r8 task 1: rotate onto the
-# 64-entry stale tail (entries with no r7/r8 driver verdict).  The
-# driver records exactly ONE 50-entry CORRECTNESS file per round, so
-# 50 of the 64 fit; priority order is the judge's own:
-#   * the 5 NEVER driver-checked (t30, x6, x7, x10, x12),
-#   * the 4 last checked at r4 (t1, t4, t8, x1),
-#   * all 15 last checked at r5,
-#   * 25 of the 40 last checked at r6.
-# c1_dup_clusters (driver-r8 green) also stays in: it is the ONLY
-# c-family entry, and the family-coverage guard (tests/test_example.py)
-# requires every family inside the window.  The 15 r6-checked entries
-# deferred to the r10 window (p3/p4/p8/p10/p11, a1/a2/a3/a5,
-# w1/w8, u2/u6, v1_downsample/v4) are all QC-core queries on code
-# untouched since r5 with r6 driver greens, r8 full-registry replica
-# greens, sf1 hash greens, and in-window family siblings
-# (p by p5, a by a4/a13/a14, w by w4/w10/w12, u by u4/u5,
-# v by v2/v3/v5).
-_WINDOW_R9 = (
-    # never driver-checked (VERDICT r8 priority 1)
-    "t30_weighted_sample", "x6_quantized_knn", "x7_pq_knn",
-    "x10_cell_sample", "x12_embedding_drift",
-    # last driver verdict r4 (priority 2)
-    "t1_sessionize", "t4_lang_id", "t8_hash_sample",
-    "x1_knn_bruteforce",
-    # last driver verdict r5 (priority 3)
-    "p5_strict_clean", "w4_viewer_windows", "u4_reset_window",
-    "u5_reset_all", "a4_anchor", "v2_approved_overlay",
-    "v3_flagged_overlay", "d4_ngram_jaccard", "t5_fingerprint",
-    "t12_bpe_pairs", "w10_ffill", "w12_resample", "j3_asof_forward",
-    "a13_progress_by_window", "a14_ewma",
-    # family-coverage anchor (sole c entry; driver-r8 green)
-    "c1_dup_clusters",
-    # last driver verdict r6 (priority 4; 25 of 40 fit)
-    "s1_csv_roundtrip", "s10_jsonl_roundtrip",
-    "f2_rowid", "f4_transfer_flags",
-    "m2_media_features",
-    "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
-    "st11_stream_psi", "st12_stream_ingest_dedup",
-    "h1_pricing_summary", "h3_segment_revenue",
-    "j1_asof_join",
-    "d1_exact_dedup", "d2_minhash_dedup", "d5_embedding_dups",
-    "d8_embedding_store",
-    "t2_text_stats", "t3_quality", "t6_redact_pii",
-    "t7_contamination", "t17_tfidf", "t18_unigram_nll",
-    # born in round 9 — driver-checked from day one (v5_check_panel
-    # and t19_repetition released to the r10 backlog: v keeps v2/v3
-    # in-window, t keeps a dozen entries in-window, and both released
-    # entries hold r6 driver greens + r8/r9 replica + sf1 greens)
-    "x18_binary_knn", "st19_stream_sessions",
+# that verdict honest across a 166-entry registry, the window ROTATES
+# each round.  Round 10 executes VERDICT r9 task 1:
+#   * the 17 r6-stale QC-core entries deferred from the r9 window
+#     (named in the old _WINDOW_R9 comment),
+#   * the 16 entries whose code changed in r9 under PRE-change driver
+#     verdicts — x2-x5/x8/x9/x11/x13-x17 (two-phase sharded top-k
+#     rewrote the rank stage under every x-query), d3 (pinned 4x16
+#     layout changed query AND oracle — highest-priority refresh),
+#     j2/j4 (interval-join alias hardening), t29 (rides both),
+#   * the 3 entries changed THIS round — st19 (inclusive-boundary
+#     oracle + exact-gap fixture), d5/d9 (hot-cell scoring re-split),
+#   * 14 fills from the oldest (r7) verdicts, chosen to keep every
+#     family in-window: s4/f5/c2/m3/h4 + p2/u3/v6 + d6/d7 + st4/t9 +
+#     w9/a9.
+# Every remaining out-of-window entry holds a driver verdict from
+# r7-r9 on code untouched since, plus r9 replica + sf1 greens.
+_WINDOW_R10 = (
+    # r6-stale QC core (deferred from r9 by design)
+    "p3_filter_conjunction", "p4_apply_flags", "p8_flag_class_filters",
+    "p10_rowid_semijoin", "p11_hide_complete",
+    "a1_progress", "a2_consistency", "a3_flag_domain", "a5_axis_range",
+    "w1_assign_windows", "w8_window_range",
+    "u2_flag_window", "u6_flag_approve_advance",
+    "v1_downsample", "v4_secondary_trace", "v5_check_panel",
+    "t19_repetition",
+    # r9-changed paths holding pre-change driver verdicts
+    "x2_knn_ivf", "x3_knn_persisted", "x4_radius_search",
+    "x5_knn_index_append", "x8_pq_index", "x9_filtered_knn",
+    "x11_cell_stats", "x13_negative_sample", "x14_kmeans",
+    "x15_recall_eval", "x16_mmr_rerank", "x17_knn_after_delete",
+    "d3_simhash_pairs", "j2_range_join", "j4_skew_join",
+    "t29_hybrid_rrf",
+    # r10-changed paths (this round's diff)
+    "st19_stream_sessions", "d5_embedding_dups", "d9_semantic_dedup",
+    # oldest (r7) fills — family coverage for s/f/c/m/h rides here
+    "s4_parquet_roundtrip", "f5_iso_export", "c2_curate",
+    "m3_media_decode", "h4_order_priority",
+    "p2_projection", "u3_approve_window", "v6_viewer_slice",
+    "d6_incremental_dedup", "d7_incremental_neardup",
+    "st4_session_windows", "t9_sessionize_salted",
+    "w9_regularize", "a9_percentiles",
 )
-assert len(_WINDOW_R9) == 50 and len(set(_WINDOW_R9)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R9} | {
-    k: v for k, v in QUERIES.items() if k not in _WINDOW_R9
+assert len(_WINDOW_R10) == 50 and len(set(_WINDOW_R10)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R10} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R10
 }
 
 ORACLE = {

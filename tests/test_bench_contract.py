@@ -36,12 +36,34 @@ def test_scalar_summary_survives_tail():
             '"core_subtotal"', '"extended_subtotal"', '"all_total"',
             '"calibration"', '"calibration_samples"',
             '"calibration_spread"', '"core_subtotal_normalized"',
+            '"noisy_run"', '"slowest_raw"',
         ):
             assert field in tail, (
                 f"scalar field {field} fell outside the driver's "
                 f"2,000-char tail capture at n={n} — big maps must "
                 f"stay FIRST in bench.result_json"
             )
+
+
+def test_noisy_run_flag_and_slowest_raw():
+    """r9 verdict tasks: a spread past the 10% gate must self-describe
+    as noisy IN the record, and the 10 slowest RAW times must ride the
+    scalar tail so the driver capture is self-sufficient."""
+    times = _fake_times(100)
+    noisy = json.loads(bench.result_json(times, 0.123, [0.1, 0.2], 0.486, 0.1))
+    quiet = json.loads(bench.result_json(times, 0.123, [0.1, 0.11], 0.05, 0.1))
+    assert noisy["noisy_run"] is True
+    assert quiet["noisy_run"] is False
+    slowest = noisy["slowest_raw"]
+    assert len(slowest) == 10
+    assert set(slowest.values()) == set(
+        sorted(times.values(), reverse=True)[:10]
+    )
+    # raw values, not normalized
+    assert all(slowest[k] == times[k] for k in slowest)
+    # and the whole map sits inside the captured tail
+    raw = bench.result_json(times, 0.123, [0.1, 0.2], 0.486, 0.1)
+    assert '"slowest_raw"' in raw[-2000:]
 
 
 def test_result_json_values():

@@ -39,27 +39,30 @@ def test_driver_window_covers_every_family():
         f"families {sorted(missing)} fell out of the driver's 50-entry"
         f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
-    # round-9 rotation (VERDICT r8 task 1): the window holds the
-    # stale-tail priority set — the 5 never-driver-checked entries,
-    # the 4 last checked at r4, all 15 last checked at r5, and 25 of
-    # the 40 last checked at r6 — plus c1 (sole c-family entry).
-    # This pin asserts the priority tiers CANNOT silently fall out.
+    # round-10 rotation (VERDICT r9 task 1): the window holds the 17
+    # r6-stale QC-core entries deferred from r9, every entry whose
+    # code changed in r9 under a pre-change driver verdict, and the
+    # r10-changed paths.  This pin asserts the priority tiers CANNOT
+    # silently fall out.
     window = set(names[:50])
     assert {
-        # never driver-checked before round 9
-        "t30_weighted_sample", "x6_quantized_knn", "x7_pq_knn",
-        "x10_cell_sample", "x12_embedding_drift",
-        # last driver verdict r4
-        "t1_sessionize", "t4_lang_id", "t8_hash_sample",
-        "x1_knn_bruteforce",
-        # last driver verdict r5
-        "p5_strict_clean", "w4_viewer_windows", "u4_reset_window",
-        "u5_reset_all", "a4_anchor", "v2_approved_overlay",
-        "v3_flagged_overlay", "d4_ngram_jaccard", "t5_fingerprint",
-        "t12_bpe_pairs", "w10_ffill", "w12_resample",
-        "j3_asof_forward", "a13_progress_by_window", "a14_ewma",
-        # sole c-family entry (family-coverage anchor)
-        "c1_dup_clusters",
+        # the 17 r6-stale QC-core entries (deferred from the r9 window)
+        "p3_filter_conjunction", "p4_apply_flags",
+        "p8_flag_class_filters", "p10_rowid_semijoin",
+        "p11_hide_complete", "a1_progress", "a2_consistency",
+        "a3_flag_domain", "a5_axis_range", "w1_assign_windows",
+        "w8_window_range", "u2_flag_window", "u6_flag_approve_advance",
+        "v1_downsample", "v4_secondary_trace", "v5_check_panel",
+        "t19_repetition",
+        # r9-changed paths needing a post-change driver hash
+        "x2_knn_ivf", "x3_knn_persisted", "x4_radius_search",
+        "x5_knn_index_append", "x8_pq_index", "x9_filtered_knn",
+        "x11_cell_stats", "x13_negative_sample", "x14_kmeans",
+        "x15_recall_eval", "x16_mmr_rerank", "x17_knn_after_delete",
+        "d3_simhash_pairs", "j2_range_join", "j4_skew_join",
+        "t29_hybrid_rrf",
+        # r10-changed paths
+        "st19_stream_sessions", "d5_embedding_dups", "d9_semantic_dedup",
     } <= window
 
 
