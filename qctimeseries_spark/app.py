@@ -127,6 +127,12 @@ class QcSession:
         # orthogonal).  0 disables.
         self.compact_every = 6
         self._overlay_depth = 0
+        # optimistic-concurrency anchor (attach_state): the manifest
+        # version this session's view of `path` is based on — None
+        # until attached, which keeps the single-writer reference
+        # semantics (no detection) unless a workflow opts in
+        self._state_path: str | None = None
+        self._base_version: int | None = None
         self._reindex()
 
     def _bump_overlay(self) -> None:
@@ -482,18 +488,53 @@ class QcSession:
 
     # -- persistence / exit --------------------------------------------------
 
+    def attach_state(self, path: str) -> None:
+        """Opt this session into optimistic concurrent-writer detection
+        against the state table at ``path`` (r9 verdict task 6: the
+        manifest protocol existed but no session passed its base
+        version, so two QcSessions editing the SAME window silently
+        clobbered each other).  Records the manifest version the
+        session's current view is based on; every later
+        :meth:`checkpoint` to the same path passes it as
+        ``base_version``, so a commit whose partitions another writer
+        has since rewritten fails with
+        :class:`~qctimeseries_spark.state.StaleCommitError` instead of
+        landing.  Call right after loading the session's frame from
+        ``path`` (the version must be observed BEFORE the edits it
+        covers); on StaleCommitError, reload the table, re-apply the
+        edits, re-attach, and retry.  Unattached sessions keep the
+        reference's single-writer semantics (no detection)."""
+        from qctimeseries_spark.state import state_version
+
+        self._state_path = path
+        self._base_version = state_version(path)
+
     def checkpoint(self, path: str, *, part_hours: int = 720) -> None:
         """Compact the stacked update overlays to partitioned Parquet
         and restart lineage (SURVEY.md §4; the durable version of the
         reference's in-place table).  Commits incrementally: only the
         partitions overlapping the session's dirty time ranges are
         rewritten (dynamic partition overwrite); a clean first commit
-        or a table-wide op (reset_all) falls back to a full write."""
+        or a table-wide op (reset_all) falls back to a full write.
+        When :meth:`attach_state` was called for this ``path``, the
+        commit carries the session's base version — concurrent writers
+        to the same partitions raise
+        :class:`~qctimeseries_spark.state.StaleCommitError` (the
+        session state is untouched then: reload, re-apply, retry);
+        after a successful commit the base advances to the committed
+        version."""
+        base = (
+            self._base_version if path == self._state_path else None
+        )
         self.df = checkpoint_state(
             self.df, path, time_col=self.time_col, part_hours=part_hours,
-            changed=self._dirty,
+            changed=self._dirty, base_version=base,
         )
         self._dirty = []
+        if path == self._state_path:
+            from qctimeseries_spark.state import state_version
+
+            self._base_version = state_version(path)
 
     def finish(self) -> DataFrame:
         """Exit: the flagged table, helper columns dropped

@@ -62,6 +62,26 @@ def _part_version(m: dict, part: int) -> int:
     return max(int(m["parts"].get(str(part), 0)), int(m["full_version"]))
 
 
+def _check_part_hours(m: dict, part_hours: int, path: str) -> None:
+    """Refuse an incremental commit whose bucket width disagrees with
+    the table's recorded one: ``qc_part`` values from a different
+    ``part_hours`` never collide with the existing partitions, so
+    dynamic partition overwrite would ADD a parallel layout instead of
+    replacing rows — every committed row silently duplicated (found by
+    the r10 contended-commit test: a 720 h commit onto a 48 h table
+    doubled the edited rows).  Tables saved before the manifest carried
+    ``part_hours`` skip the check."""
+    saved = m.get("part_hours")
+    if saved is not None and int(saved) != int(part_hours):
+        raise ValueError(
+            f"state table {path} is bucketed at part_hours={saved} but the"
+            f" commit was staged at part_hours={part_hours}; mismatched"
+            " widths write a second partition layout (duplicating rows) —"
+            " pass the table's width, or save_state a full rewrite to"
+            " re-bucket"
+        )
+
+
 def state_version(path: str) -> int:
     """Current table version — pass as ``base_version`` to a later
     :func:`commit_state` to detect concurrent-writer clobbering."""
@@ -109,9 +129,15 @@ def save_state(
         .parquet(path)
     )
     # a full overwrite wipes the directory (manifest included) — carry
-    # the counter forward so versions stay monotonic across rewrites
+    # the counter forward so versions stay monotonic across rewrites.
+    # part_hours is recorded so incremental commits can refuse a
+    # mismatched bucket width (see _check_part_hours).
     v = (int(prev["version"]) if prev else 0) + 1
-    _write_manifest(path, {"version": v, "full_version": v, "parts": {}})
+    _write_manifest(
+        path,
+        {"version": v, "full_version": v, "parts": {},
+         "part_hours": int(part_hours)},
+    )
 
 
 def load_state(spark: SparkSession, path: str) -> DataFrame:
@@ -194,6 +220,7 @@ def commit_state(
         hi_us = int(hi.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
         parts.update(range(lo_us // width_us, hi_us // width_us + 1))
     manifest = _read_manifest(path)
+    _check_part_hours(manifest, part_hours, path)
     if base_version is not None:
         conflicts = {
             p for p in parts if _part_version(manifest, p) > base_version

@@ -217,6 +217,84 @@ def test_concurrent_commits_disjoint_land_stale_overlap_raises(spark, tmp_path):
     assert state_version(path) == base + 3
 
 
+def test_qcsession_contended_commit_retry_converges(spark, tmp_path):
+    """r9 verdict task 6, session level: two QcSessions loaded from the
+    same state version edit OVERLAPPING ranges; the first checkpoint
+    lands, the loser gets StaleCommitError (attach_state wires the
+    manifest protocol into the session — before r10 no session passed
+    its base version, so the second writer silently clobbered the
+    first), and the reload + re-apply retry converges to the
+    serialized A-then-B result."""
+    import pytest
+
+    from qctimeseries_spark.app import QcSession
+    from qctimeseries_spark.state import StaleCommitError
+    from qctimeseries_spark.windows import with_rowid
+
+    flagged = with_rowid(
+        add_flags(
+            read_table(spark, SF_DIR, "events")
+            .filter(F.col("user_id") == 7)
+            .select("event_id", "ts", "value"),
+            "value",
+        ),
+        "ts",
+    )
+    path = str(tmp_path / "sess")
+    save_state(flagged, path, time_col="ts", part_hours=48)
+
+    def load_sess():
+        s = QcSession(
+            load_state(spark, path).drop(PART_COL),
+            "value", time_col="ts", win_hours=48.0,
+        )
+        s.attach_state(path)
+        return s
+
+    # five still-unflagged rowids inside window 0 — B's edit targets
+    a = load_sess()
+    b = load_sess()
+    w0 = a.main_trace()  # current window = 0
+    ids = [r.rowid for r in w0.limit(5).collect()]
+    assert len(ids) == 5
+    n_unflagged_w0 = (
+        a._windowed()
+        .filter((F.col("win_id") == a.current_win_id)
+                & (F.col("value_qcflag") == 0))
+        .count()
+    )
+
+    a.approve_unflagged()  # window 0: flag 0 -> 1
+    b.flag_selection(ids)  # same window: 5 rows -> -2
+
+    # a commit staged at a DIFFERENT bucket width is refused outright —
+    # it would write a parallel partition layout, duplicating rows
+    with pytest.raises(ValueError, match="part_hours"):
+        a.checkpoint(path)  # QcSession default 720 vs the table's 48
+
+    a.checkpoint(path, part_hours=48)  # first writer lands
+    with pytest.raises(StaleCommitError, match="reload"):
+        b.checkpoint(path, part_hours=48)  # overlapping parts, stale base
+
+    # the loser's retry protocol: reload (sees A's approvals),
+    # re-apply the edit, commit from the fresh base
+    b2 = load_sess()
+    b2.flag_selection(ids)
+    b2.checkpoint(path, part_hours=48)
+
+    # serialized A-then-B result: every window-0 unflagged row was
+    # approved by A, then B's five moved to -2
+    final = load_state(spark, path)
+    assert final.filter(F.col("value_qcflag") == -2).count() == 5
+    assert (
+        final.filter(F.col("value_qcflag") == 1).count()
+        == n_unflagged_w0 - 5
+    )
+    assert set(
+        r.rowid for r in final.filter(F.col("value_qcflag") == -2).collect()
+    ) == set(ids)
+
+
 def test_bucketed_state_join_has_no_exchange(spark, tmp_path):
     """Base series and flag sidecar bucketed on rowid join as a
     zero-Exchange sort-merge join — the layout that lets a 100 TB base
