@@ -149,6 +149,17 @@ def test_extensions_doc_totals_match_registry():
         f"{sf1_claim!r} — re-run the sf1 verification for new queries "
         f"and update the paragraph"
     )
+    # README carries the same totals in its verification section
+    # (r9 verdict task 7: prose inventories drift as rounds add
+    # entries; pin the README count the same way)
+    readme = (REPO / "README.md").read_text()
+    readme_claim = (
+        f"**{len(QUERIES)} registered queries / {len(ORACLE)}\n"
+        f"DuckDB-oracle-paired**"
+    )
+    assert readme_claim in readme, (
+        f"README.md registry totals drifted: expected {readme_claim!r}"
+    )
 
 
 @pytest.mark.parametrize("name", _headline_names())
