@@ -156,6 +156,8 @@ EXTENDED = [
     # session_window streaming sessionization
     "x18_binary_knn",
     "st19_stream_sessions",
+    # round 10: per-source stratified weighted sampling
+    "t41_stratified_sample",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -1651,6 +1651,20 @@ MAX_BRUTE_ROWS = 1_000_000
 AUTO_BRUTE_ROWS = 8_192
 
 
+#: IVF scoring-stage hot-cell guard (r9 verdict task 3): a cell with
+#: more members than this is hash-sharded on its row side so its
+#: O(cell²) numpy scoring spreads across ceil(count/cap) tasks instead
+#: of one.  √n-sized cells sit far below the cap in normal operation
+#: (sf1: ~150 members), so only pathological pileups pay the
+#: replication.  4096 A-rows × cell ≈ the work of a healthy whole cell.
+_SCORE_CELL_CAP = 4_096
+
+#: fan-out bound for the re-split — mirrors _RANK_SHARDS' role in
+#: _topk_exact: a latency/replication balance, not a correctness knob
+#: (exactness is per-pair; any shard count yields identical pairs)
+_SCORE_CELL_MAX_SHARDS = 32
+
+
 def _auto_pairs_nlist(n: int) -> int:
     """√n cell count, floored at 16 and capped at ``IVF_MAX_NLIST`` —
     keeps expected cell size ≈ √n so the O(Σ cell²) pairing stage
@@ -1784,6 +1798,50 @@ def embedding_dup_pairs(
     )
 
 
+def _shard_cells(
+    cells: DataFrame,
+    id_col: str,
+    *,
+    cap: int | None = None,
+    max_shards: int | None = None,
+) -> DataFrame:
+    """The hot-cell re-split assignment for the IVF scoring stage:
+    every row gains ``_shard`` (which scoring group it feeds as the
+    replicated B side) and ``_is_a`` (whether it is an A row there).
+    Cells at or under ``cap`` members get exactly one shard with every
+    row an A row — the unsharded layout; larger cells split their A
+    side over ``ceil(count/cap)`` (≤ ``max_shards``) hash shards, each
+    shard carrying the FULL cell as its B side.  Pure plan logic —
+    factored out so the shard arithmetic is testable without running
+    the numpy scorer."""
+    cap = int(_SCORE_CELL_CAP if cap is None else cap)
+    max_shards = int(
+        _SCORE_CELL_MAX_SHARDS if max_shards is None else max_shards
+    )
+    counts = cells.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("_cn")
+    )
+    return (
+        cells.join(F.broadcast(counts), "centroid_id")  # nlist rows
+        .withColumn(
+            "_ns",
+            F.least(
+                F.lit(max_shards),
+                F.ceil(F.col("_cn") / F.lit(cap)),
+            ).cast("int"),
+        )
+        .withColumn(
+            "_sa",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_ns")).cast("int"),
+        )
+        .withColumn(
+            "_shard", F.explode(F.sequence(F.lit(0), F.col("_ns") - 1))
+        )
+        .withColumn("_is_a", F.col("_sa") == F.col("_shard"))
+        .drop("_cn", "_ns", "_sa")
+    )
+
+
 def _dup_pairs_ivf(
     u: DataFrame,
     id_col: str,
@@ -1857,12 +1915,34 @@ def _dup_pairs_ivf(
     cents = take_centroids(u, id_col=id_col, vec_col="u", nlist=nlist)
     cells = ivf_assign(u, cents, id_col=id_col, vec_col="u", nprobe=nprobe)
 
+    # HOT-CELL RE-SPLIT (r9 verdict task 3): one applyInPandas group
+    # per cell lands a pathological hot cell (near-identical-embedding
+    # pileup ⇒ one cell holding half the corpus) as ONE task doing
+    # O(cell²) numpy work while every other core idles — the same
+    # funnel _topk_exact killed for ranking.  Mirror its trick on the
+    # ROW side: above _SCORE_CELL_CAP members, hash-shard the A side
+    # into ceil(count/cap) shards (bounded by _SCORE_CELL_MAX_SHARDS)
+    # and replicate the full cell as the B side of each shard, so each
+    # task scores a bounded A-chunk against the whole cell.  Exactness
+    # is per-pair — pair (a, b), a < b, is emitted exactly in the
+    # shard that owns a, with the identical per-dimension left fold —
+    # so the pair set and every cosine are bit-identical to the
+    # unsharded plan (oracle hashes unchanged, pinned by
+    # test_dup_pairs_hot_cell_resplit).  Small cells get _ns = 1: the
+    # explode is a no-op row copy and the task layout matches the old
+    # plan one-for-one.  The replication cost (cell bytes × shards)
+    # applies ONLY to oversized cells — the price of spreading their
+    # quadratic work across the cluster instead of one core.
+    sharded = _shard_cells(cells, id_col)
+
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["u"]])
+        a_rows = pdf["_is_a"].to_numpy()
+        A_all, aid_all = M[a_rows], ids[a_rows]
         out = []
-        for s in range(0, len(M), 512):  # bound the (chunk × n) block
-            A, aid = M[s : s + 512], ids[s : s + 512]
+        for s in range(0, len(A_all), 512):  # bound the (chunk × n) block
+            A, aid = A_all[s : s + 512], aid_all[s : s + 512]
             acc = np.zeros((len(A), len(M)))
             for d in range(A.shape[1]):  # left fold, matching cosine()
                 acc += A[:, d : d + 1] * M[:, d]
@@ -1881,7 +1961,7 @@ def _dup_pairs_ivf(
 
     try:
         return (
-            cells.groupBy("centroid_id")
+            sharded.groupBy("centroid_id", "_shard")
             .applyInPandas(score_cell, "id_a long, id_b long, cos double")
             .distinct()
             .localCheckpoint(eager=True)

@@ -1392,22 +1392,29 @@ def q_t29_hybrid_rrf(spark, sf_dir):
     retrievers; per-list contributions quantize to integer nano-units
     before the sum, so the hash is order-proof.  The documents and
     embeddings tables share the id axis (vec_id == doc_id), making
-    the benchmark slice doc_id % 50 == 0 on both sides."""
+    the benchmark slice doc_id % 50 == 0 on both sides — capped at a
+    FIXED id horizon (< 5,000) so the query-set size stops scaling
+    with the corpus (r9 verdict task 5: at sf1 the uncapped 1,000
+    BM25 queries × stopword postings made the DuckDB oracle a
+    1,782 s outlier that dodged the routine sf1 sweep; the CORPUS
+    side still scales, which is what the benchmark measures).  The
+    cap is a no-op at sf0.01 (500 docs) and sf0.1 (5,000 docs), so
+    driver and bench hashes are unchanged."""
     from qctimeseries_spark.datapipe.similarity import rrf_fuse
     from qctimeseries_spark.datapipe.text import bm25_retrieval
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 50 != 0)
-    bench = d.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("query_id"), "text"
-    )
+    bench = d.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000)
+    ).select(F.col("doc_id").alias("query_id"), "text")
     sparse = bm25_retrieval(corpus, bench, query_text_col="text", k=10)
     emb = read_table(spark, sf_dir, "embeddings")
     dense = knn_bruteforce(
         emb.filter(F.col("vec_id") % 50 != 0),
-        emb.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        ),
+        emb.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 5000)
+        ).select(F.col("vec_id").alias("query_id"), "embedding"),
         k=10,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return rrf_fuse(
@@ -3323,7 +3330,7 @@ FROM r WHERE rk <= 20"""
 # integer nano-unit contributions (1e9 // (60+rank)) — exact in both
 # engines because ranks are small ints.
 DATAPIPE_ORACLE["t29_hybrid_rrf"] = f"""
-WITH post AS (
+WITH post AS MATERIALIZED (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS term
         FROM documents WHERE doc_id % 50 != 0)
@@ -3334,13 +3341,13 @@ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
         WHERE doc_id % 50 != 0),
 ad AS (SELECT CAST(SUM(tf) AS DOUBLE) /
               (SELECT CAST(n AS DOUBLE) FROM tot) AS avgdl FROM post),
-qt AS (
+qt AS MATERIALIZED (
   SELECT doc_id AS query_id,
          unnest(list_distinct({_TOKS.format(c='text')})) AS term
-  FROM documents WHERE doc_id % 50 = 0
+  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 5000
 ),
 qv AS (SELECT DISTINCT term FROM qt),
-pr AS (SELECT dl.* FROM dl JOIN qv USING (term)),
+pr AS MATERIALIZED (SELECT dl.* FROM dl JOIN qv USING (term)),
 dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pr GROUP BY term),
 sc AS (
   SELECT qt.query_id, pr.doc_id,
@@ -3364,7 +3371,7 @@ bm AS (SELECT query_id, doc_id,
        FROM agg QUALIFY rank <= 10),
 dq AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id % 50 = 0
+  WHERE vec_id % 50 = 0 AND vec_id < 5000
 ),
 ds AS (
   SELECT dq.query_id, e.vec_id AS doc_id,
@@ -4400,3 +4407,50 @@ SELECT source,
                   AS DOUBLE) / COUNT(*), 6) AS dup_rate
 FROM f JOIN kp USING (fingerprint)
 GROUP BY source"""
+
+
+def q_t41_stratified_sample(spark, sf_dir):
+    """Per-source weighted corpus downsample: the 10 winners of the
+    Efraimidis–Vitter exponential race WITHIN each source stratum,
+    weight = n_chars — "keep N docs per source, quality-biased", the
+    stratified twin of t30 (same hash axis and race key, so the same
+    row gets the same es_key under both operators).  The per-group
+    ranking is a window PARTITIONED by source — parallel across
+    strata, no global sort, no single-task stage."""
+    from qctimeseries_spark.datapipe.sample import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        "n_chars",
+        10,
+        group_col="source",
+        key_col="doc_id",
+    )
+
+
+DATAPIPE_QUERIES["t41_stratified_sample"] = q_t41_stratified_sample
+
+# Stratified weighted sample: t30's A-Res race replayed per stratum —
+# same u = (bucket+1)/M uniform over the 'qcts:' hash axis, key =
+# ln(u)/weight rounded 9dp, top-10 per source by key desc with id
+# tie-break (ROW_NUMBER PARTITION BY source).
+DATAPIPE_ORACLE["t41_stratified_sample"] = f"""
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         ({hash60_sql("concat('qcts:', CAST(doc_id AS VARCHAR))")})
+           % 1000000 AS bucket
+  FROM documents
+  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    AND CAST(n_chars AS DOUBLE) > 0
+),
+k AS (
+  SELECT doc_id, source, n_chars,
+         ROUND(ln((bucket + 1) / 1000000.0)
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM b
+),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY es_key DESC, doc_id) AS rk
+      FROM k)
+SELECT doc_id, source, n_chars, es_key, CAST(rk AS INT) AS sample_rank
+FROM r WHERE rk <= 10"""

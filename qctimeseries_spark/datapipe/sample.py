@@ -568,6 +568,62 @@ def weighted_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    weight_col,
+    n_per_group: int,
+    *,
+    group_col: str,
+    key_col: str,
+    seed: str = "qcts",
+    key_out: str = "es_key",
+    rank_out: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic PER-GROUP weighted sampling without replacement:
+    keep the ``n_per_group`` rows winning the Efraimidis–Vitter
+    exponential race WITHIN each ``group_col`` stratum — "keep 50k
+    documents per source, biased toward high quality", the stratified
+    twin of :func:`weighted_sample` (same hash axis, same
+    ``ln(u)/w`` race key, so a row's key is identical under both
+    operators and membership stays a pure function of
+    (seed, key, weight) — reruns and the DuckDB oracle select the
+    identical set).
+
+    Scale shape: one narrow codegen projection (hash + ln + divide)
+    feeding a ``row_number`` window PARTITIONED by the stratum — the
+    per-group top-n runs parallel across groups with no global sort
+    and no single-task stage (a global ``orderBy`` would be wrong
+    here anyway: ranks are per group).  A pathological mega-stratum
+    degrades to that group's sort, bounded by the group's own size —
+    the same contract as every per-key window operator in the engine.
+
+    NULL group keys are excluded along with NULL ids and non-positive
+    weights: a NULL stratum is a data bug upstream, not a samplable
+    population (count them before calling if they matter).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & (w > 0)
+    )
+    u = (sample_bucket(key_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(SAMPLE_MOD)
+    )
+    key = F.round(F.log(u) / w, 9)
+    wk = Window.partitionBy(group_col).orderBy(
+        F.col(key_out).desc(), F.col(key_col)
+    )
+    return (
+        base.withColumn(key_out, key)
+        .withColumn(rank_out, F.row_number().over(wk).cast("int"))
+        .filter(F.col(rank_out) <= int(n_per_group))
+    )
+
+
 def ntile_by_score(
     df: DataFrame,
     score_col: str,

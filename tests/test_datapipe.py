@@ -405,6 +405,88 @@ def test_embedding_dup_pairs_ivf_matches_bruteforce(spark):
     assert bf and ivf == bf  # identical pairs AND identical 9-dp scores
 
 
+def test_dup_pairs_hot_cell_resplit(spark, monkeypatch):
+    """r9 verdict task 3: a pathological hot cell (near-identical
+    embedding pileup holding half the corpus) must NOT land its
+    O(cell²) numpy scoring on one task.  Pins (a) the shard
+    arithmetic — the hot cell splits into ceil(count/cap) scoring
+    groups, each carrying the full cell as its B side and a disjoint
+    A slice; small cells keep the unsharded one-group layout — and
+    (b) end-to-end exactness: the sharded IVF pair set and every
+    9-dp cosine equal brute force (sharding is per-pair, so it is
+    free)."""
+    import qctimeseries_spark.datapipe.dedup as dd
+    from qctimeseries_spark.datapipe.dedup import (
+        _shard_cells,
+        embedding_dup_pairs,
+    )
+
+    # (a) shard arithmetic on a synthetic cell assignment: one hot
+    # cell of 200 members, one healthy cell of 20, cap 32
+    cells = spark.createDataFrame(
+        [(0, i, [1.0]) for i in range(200)]
+        + [(1, 1000 + i, [1.0]) for i in range(20)],
+        "centroid_id int, vec_id long, u array<double>",
+    )
+    sh = _shard_cells(cells, "vec_id", cap=32, max_shards=32).collect()
+    hot = [r for r in sh if r.centroid_id == 0]
+    small = [r for r in sh if r.centroid_id == 1]
+    hot_shards = {r._shard for r in hot}
+    assert len(hot_shards) == 7  # ceil(200/32) scoring groups
+    # every shard replicates the FULL cell as its B side...
+    for s in hot_shards:
+        assert sum(1 for r in hot if r._shard == s) == 200
+    # ...and the A sides are a disjoint cover of the cell
+    a_ids = [r.vec_id for r in hot if r._is_a]
+    assert sorted(a_ids) == list(range(200))
+    assert all(
+        sum(1 for r in hot if r._shard == s and r._is_a) <= 64
+        for s in hot_shards
+    )  # no shard hoards the A side (64 = 2x the even split)
+    # the healthy cell keeps the old one-group, everyone-is-A layout
+    assert {r._shard for r in small} == {0}
+    assert len(small) == 20 and all(r._is_a for r in small)
+    # max_shards bounds the fan-out
+    capped = _shard_cells(cells, "vec_id", cap=1, max_shards=4).collect()
+    assert {r._shard for r in capped if r.centroid_id == 0} == {0, 1, 2, 3}
+
+    # (b) end-to-end: 60 near-identical vectors (one hot cell) + 60
+    # spread ones, cap forced down so the hot cell actually shards —
+    # pair set and cosines must match brute force exactly
+    monkeypatch.setattr(dd, "_SCORE_CELL_CAP", 16)
+    dim = 8
+    rows = []
+    for i in range(60):  # hot pile: cosine ~1 pairwise
+        v = [1.0] + [((i * 7 + d) % 13) * 1e-4 for d in range(dim - 1)]
+        rows.append((i, v))
+    for i in range(60):  # spread: rotating sparse directions, no dups
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        v[(i + 3) % dim] = 0.3 + 0.01 * (i % 7)
+        rows.append((100 + i, v))
+    corpus = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    kw = dict(id_col="vec_id", vec_col="v", threshold=0.95)
+    bf = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_dup_pairs(
+            corpus, **kw, strategy="broadcast_numpy"
+        ).collect()
+    }
+    # nprobe = nlist: exhaustive probing isolates what this test pins
+    # — SHARDED-SCORING exactness, not probe recall (the pile's
+    # near-identical centroid affinities tie-break arbitrarily at
+    # small nprobe, which test_embedding_dup_pairs_auto_nprobe_fixpoint
+    # covers on the real corpus)
+    ivf = {
+        (r.id_a, r.id_b, r.cos)
+        for r in embedding_dup_pairs(
+            corpus, **kw, strategy="ivf", nlist=8, nprobe=8
+        ).collect()
+    }
+    assert len(bf) >= 60 * 59 // 2  # the hot pile really is a pile
+    assert ivf == bf
+
+
 def test_embedding_dup_pairs_auto_nprobe_fixpoint(spark):
     """nprobe='auto' on the IVF strategy is a probe-DOUBLING fixpoint
     (widen until one more doubling finds no new pair) — it must land
@@ -2230,6 +2312,50 @@ def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
     assert 999 not in rows    # negative weight filtered
     ranks = [r["sample_rank"] for r in got.collect()]
     assert sorted(ranks) == list(range(1, 21))
+
+
+def test_stratified_sample_per_group_race_matches_global_key(spark):
+    """Per-stratum A-Res: every group keeps exactly n winners ranked
+    1..n; a row's es_key is IDENTICAL under the global t30 race (same
+    hash axis, same ln(u)/w key, so stratification changes selection,
+    never scoring); heavy rows win within their own group; NULL
+    groups and non-positive weights are excluded."""
+    from qctimeseries_spark.datapipe.sample import (
+        stratified_sample,
+        weighted_sample,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", 1.0 if i > 1 else 1e6)
+            for i in range(100)]
+    rows += [(500, None, 50.0), (501, "a", -1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+    got = stratified_sample(
+        df, "w", 5, group_col="src", key_col="doc_id"
+    ).collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r.src, []).append(r)
+    assert set(by_group) == {"a", "b"}
+    for g, rs in by_group.items():
+        assert sorted(r.sample_rank for r in rs) == [1, 2, 3, 4, 5]
+        # ranks follow (es_key desc, doc_id) within the group
+        ordered = sorted(rs, key=lambda r: (-r.es_key, r.doc_id))
+        assert [r.sample_rank for r in ordered] == [1, 2, 3, 4, 5]
+    # the 1e6-weight rows (doc 0 -> "b", doc 1 -> "a") win their strata
+    assert by_group["b"][0].sample_rank and any(
+        r.doc_id == 0 and r.sample_rank == 1 for r in by_group["b"]
+    )
+    assert any(r.doc_id == 1 and r.sample_rank == 1 for r in by_group["a"])
+    picked = {r.doc_id for r in got}
+    assert 500 not in picked and 501 not in picked
+    # same es_key as the global race for the same row
+    glob = {
+        r.doc_id: r.es_key
+        for r in weighted_sample(df.drop("src"), "w", 102,
+                                 key_col="doc_id").collect()
+    }
+    for r in got:
+        assert glob[r.doc_id] == r.es_key
 
 
 def test_ngram_novelty_flags_shared_boilerplate(spark):
