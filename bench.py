@@ -156,8 +156,10 @@ EXTENDED = [
     # session_window streaming sessionization
     "x18_binary_knn",
     "st19_stream_sessions",
-    # round 10: per-source stratified weighted sampling
+    # round 10: per-source stratified weighted sampling; tolerance
+    # as-of join (the staleness-nulling projection under driver hash)
     "t41_stratified_sample",
+    "j6_asof_tolerance",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -2022,6 +2022,38 @@ def q_st18_stream_scd2(spark, sf_dir):
 QUERIES["st18_stream_scd2"] = q_st18_stream_scd2
 
 
+def q_j6_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness TOLERANCE: j1's most-recent-prior
+    calibration lookup, but matches older than 6 hours are nulled
+    (pandas merge_asof(tolerance=...) semantics — a calibration that
+    stale is no calibration).  Exercises the tolerance projection of
+    asof_join under the driver hash (previously pytest-only): the
+    staleness test is exact integer µs on the ORIGINAL matched
+    timestamp, applied to every carried column in one projection.
+    Oracle = DuckDB ASOF LEFT JOIN with the same µs cutoff."""
+    from qctimeseries_spark.joins import asof_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    cal = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cal_value"))
+    )
+    out = asof_join(
+        ev, cal, on="ts", by="user_id", tolerance_seconds=6 * 3600.0
+    )
+    return out.select(
+        "event_id",
+        F.col("r_ts").alias("cal_ts"),
+        F.col("r_cal_value").alias("cal_value"),
+    )
+
+
+QUERIES["j6_asof_tolerance"] = q_j6_asof_tolerance
+
+
 # The driver harness hash-checks at most the FIRST 50 registry
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
@@ -3095,3 +3127,24 @@ ORACLE["st18_stream_scd2"] = (
     "SELECT * FROM (" + ORACLE["a17_change_intervals"] + "\n)"
     " WHERE valid_to IS NOT NULL"
 )
+
+# j1's ASOF join + the exact integer-µs staleness cutoff the engine
+# applies (age = epoch_us(event) - epoch_us(match) > 6h -> both
+# carried columns null in ONE projection)
+ORACLE["j6_asof_tolerance"] = """
+WITH cal AS (
+  SELECT user_id, ts, MAX(value) AS cal_value
+  FROM events WHERE event_id % 97 = 0
+  GROUP BY user_id, ts
+),
+a AS (
+  SELECT e.event_id, e.ts AS ev_ts, cal.ts AS m_ts, cal.cal_value AS m_v
+  FROM events e
+  ASOF LEFT JOIN cal ON e.user_id = cal.user_id AND e.ts >= cal.ts
+)
+SELECT event_id,
+       CASE WHEN epoch_us(ev_ts) - epoch_us(m_ts) <= 21600000000
+            THEN m_ts END AS cal_ts,
+       CASE WHEN epoch_us(ev_ts) - epoch_us(m_ts) <= 21600000000
+            THEN m_v END AS cal_value
+FROM a"""
