@@ -156,10 +156,12 @@ EXTENDED = [
     # session_window streaming sessionization
     "x18_binary_knn",
     "st19_stream_sessions",
-    # round 10: per-source stratified weighted sampling; tolerance
-    # as-of join (the staleness-nulling projection under driver hash)
+    # round 10: per-source stratified weighted sampling (batch +
+    # streaming committed-partials twin); tolerance as-of join (the
+    # staleness-nulling projection under driver hash)
     "t41_stratified_sample",
     "j6_asof_tolerance",
+    "st20_stream_stratified",
 ]
 
 HEADLINE = CORE + EXTENDED

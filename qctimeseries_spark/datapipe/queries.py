@@ -4454,3 +4454,59 @@ r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
       FROM k)
 SELECT doc_id, source, n_chars, es_key, CAST(rk AS INT) AS sample_rank
 FROM r WHERE rk <= 10"""
+
+
+def q_st20_stream_stratified(spark, sf_dir):
+    """Streaming stratified-sample maintenance: the documents corpus
+    arrives as two planted micro-batches (even ids, then odd), each
+    batch commits only its own per-source top-10 A-Res winners
+    (sink_batch dirs — replay-exact), and the drained re-rank of the
+    tiny union must be bit-identical to batch t41 over the whole
+    corpus: the race key is a pure function of (seed, key, weight),
+    so the global per-group top-n is contained in the union of
+    per-batch top-ns (the _topk_exact inclusion argument with batches
+    as shards).  The oracle is t41's SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.streaming import (
+        stage_file_batches,
+        stratified_sample_ingest_stream,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="qcts_st20_")
+    try:
+        src = os.path.join(tmp, "src")
+        stage_file_batches(
+            [d.filter(F.col("doc_id") % 2 == 0),
+             d.filter(F.col("doc_id") % 2 == 1)],
+            src,
+        )
+        stream = (
+            spark.readStream
+            .schema("doc_id bigint, source string, n_chars bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stratified_sample_ingest_stream(
+            stream,
+            os.path.join(tmp, "out"),
+            weight_col="n_chars",
+            n_per_group=10,
+            group_col="source",
+            key_col="doc_id",
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+DATAPIPE_QUERIES["st20_stream_stratified"] = q_st20_stream_stratified
+# drained streaming winner set == batch t41 over the union of batches
+DATAPIPE_ORACLE["st20_stream_stratified"] = DATAPIPE_ORACLE[
+    "t41_stratified_sample"
+]

@@ -1367,6 +1367,95 @@ def cms_ingest_stream(
     )
 
 
+def stratified_sample_ingest_stream(
+    stream: DataFrame,
+    out_path: str,
+    *,
+    weight_col: str,
+    n_per_group: int,
+    group_col: str,
+    key_col: str,
+    seed: str = "qcts",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming per-stratum weighted-sample maintenance: a live
+    "best N docs per source, quality-biased" view over an ingest
+    stream — the streaming twin of
+    :func:`~qctimeseries_spark.datapipe.sample.stratified_sample`
+    (t41) and the top-k member of the committed-partials family
+    (:func:`cms_ingest_stream` merges by SUM, :func:`hll_ingest_stream`
+    by MAX, this by per-group TOP-N).
+
+    Exactness is the `_topk_exact` inclusion argument with BATCHES as
+    the shards: the Efraimidis–Vitter race key is a pure function of
+    (seed, key, weight) — no PRNG, no arrival-order dependence — so
+    the corpus-wide per-group top-n is contained in the union of
+    per-batch per-group top-ns under the same (key desc, id) total
+    order.  Each micro-batch therefore keeps only its own ≤
+    ``n_per_group`` winners per stratum (one partitioned window over
+    the batch — the shuffle is bounded by the batch, never the
+    history) and lands them in a committed ``sink_batch=<id>/`` dir
+    (:func:`_prepare_batch_dir`: replay skips, crashed partial
+    rewrites); the drained result re-ranks the tiny union (≤ batches ×
+    groups × n rows).  The merge additionally drops duplicate
+    (group, key) rows, so a row REDELIVERED across different batches
+    (which the per-batch commit protocol cannot see) still counts
+    once — its race key is identical wherever it appears, making the
+    dedup exact.  Result is bit-identical to batch t41 over the union
+    of batches, which is what the oracle checks.
+
+    Returns the winner frame (original columns + ``es_key`` +
+    ``sample_rank``) — empty with that schema if the stream produced
+    no batches.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException
+
+    from qctimeseries_spark.datapipe.sample import stratified_sample
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        bdir = _prepare_batch_dir(batch.sparkSession, out_path, batch_id)
+        if bdir is None:  # committed by a previous attempt
+            return
+        (
+            stratified_sample(
+                batch, weight_col, n_per_group,
+                group_col=group_col, key_col=key_col, seed=seed,
+            )
+            .drop("sample_rank")  # batch-relative; re-ranked at merge
+            .write.mode("append").parquet(bdir)
+        )
+
+    checkpoint_dir = (
+        checkpoint_dir or f"/tmp/qcts_ssamp_ckpt_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream.sparkSession
+    try:
+        parts = spark.read.parquet(out_path).drop(_SINK_BATCH_COL)
+    except AnalysisException:
+        schema = stream.schema.simpleString()[7:-1]  # struct<...> body
+        return spark.createDataFrame(
+            [], f"{schema}, es_key double, sample_rank int"
+        )
+    wk = Window.partitionBy(group_col).orderBy(
+        F.col("es_key").desc(), F.col(key_col)
+    )
+    return (
+        parts.dropDuplicates([group_col, key_col])
+        .withColumn("sample_rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("sample_rank") <= int(n_per_group))
+    )
+
+
 def hll_ingest_stream(
     stream: DataFrame,
     out_path: str,

@@ -1466,6 +1466,67 @@ def test_stream_change_intervals_string_key_and_value_guard(spark, tmp_path):
         stream_change_intervals(stream, value_col="event_id")
 
 
+def test_stream_stratified_sample_merge_exact_under_redelivery(
+    spark, tmp_path
+):
+    """Streaming stratified-sample maintenance: the drained winner set
+    equals batch stratified_sample over the DEDUPED union even when a
+    row is REDELIVERED in a different batch (the case the per-batch
+    commit protocol cannot see) — its A-Res key is a pure function of
+    (seed, key, weight), so the merge's (group, key) dedup is exact.
+    Also pins that a batch's partial keeps only its own per-group
+    top-n (the committed dirs stay winner-set-sized)."""
+    import os
+
+    from qctimeseries_spark.datapipe.sample import stratified_sample
+    from qctimeseries_spark.streaming import (
+        stage_file_batches,
+        stratified_sample_ingest_stream,
+    )
+
+    schema = "doc_id long, src string, w double"
+    rows = [(i, "a" if i % 2 else "b", float(1 + (i * 7) % 13))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, schema)
+    b0 = df.filter(F.col("doc_id") < 40)
+    # batch 1 overlaps batch 0: docs 30..39 redelivered
+    b1 = df.filter(F.col("doc_id") >= 30)
+    src = str(tmp_path / "src")
+    stage_file_batches([b0, b1], src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_path = str(tmp_path / "out")
+    got = sorted(
+        (r.src, r.doc_id, r.es_key, r.sample_rank)
+        for r in stratified_sample_ingest_stream(
+            stream, out_path,
+            weight_col="w", n_per_group=5,
+            group_col="src", key_col="doc_id",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    )
+    want = sorted(
+        (r.src, r.doc_id, r.es_key, r.sample_rank)
+        for r in stratified_sample(
+            df, "w", 5, group_col="src", key_col="doc_id"
+        ).collect()
+    )
+    assert got == want and len(got) == 10
+    # each committed partial holds at most n_per_group rows per group
+    for bdir in os.listdir(out_path):
+        if not bdir.startswith("sink_batch="):
+            continue
+        part = spark.read.parquet(os.path.join(out_path, bdir))
+        per = {
+            (r.src,): r["count"]
+            for r in part.groupBy("src").count().collect()
+        }
+        assert all(v <= 5 for v in per.values()), per
+
+
 def test_stream_sessions_native_session_window(spark, tmp_path):
     """Native session_window sessionization: a session EXTENDS across
     the micro-batch cut (closing with its original start and full
