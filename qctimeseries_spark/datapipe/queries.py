@@ -1369,14 +1369,18 @@ def q_t27_bm25(spark, sf_dir):
     contributions quantize to integer micro-units before the (query,
     doc) sum (the t18 precedent), so aggregation order cannot move the
     hash.  Benchmark slice = doc_id % 50 == 0, excluded from the
-    corpus side so ranks carry no self-hits."""
+    corpus side so ranks carry no self-hits — and capped at the FIXED
+    id horizon < 5,000 (the t29 treatment: a no-op at sf0.01/sf0.1,
+    while at sf1 the query set stops scaling with the corpus, which
+    is what made this oracle one of the slow-oracle sweep
+    exclusions)."""
     from qctimeseries_spark.datapipe.text import bm25_retrieval
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 50 != 0)
-    bench = d.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("query_id"), "text"
-    )
+    bench = d.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 5000)
+    ).select(F.col("doc_id").alias("query_id"), "text")
     return bm25_retrieval(
         corpus, bench, query_text_col="text", k=5
     )
@@ -3115,7 +3119,7 @@ from qctimeseries_spark.datapipe.text import BM25_K1 as _BM25_K1
 # repr() round-trips exactly, so DuckDB parses the SAME doubles the
 # Spark literals carry (1.2 + 1.0 is not the literal 2.2 a priori).
 DATAPIPE_ORACLE["t27_bm25"] = f"""
-WITH post AS (
+WITH post AS MATERIALIZED (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest({_TOKS.format(c='text')}) AS term
         FROM documents WHERE doc_id % 50 != 0)
@@ -3126,13 +3130,13 @@ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
         WHERE doc_id % 50 != 0),
 ad AS (SELECT CAST(SUM(tf) AS DOUBLE) /
               (SELECT CAST(n AS DOUBLE) FROM tot) AS avgdl FROM post),
-qt AS (
+qt AS MATERIALIZED (
   SELECT doc_id AS query_id,
          unnest(list_distinct({_TOKS.format(c='text')})) AS term
-  FROM documents WHERE doc_id % 50 = 0
+  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 5000
 ),
 qv AS (SELECT DISTINCT term FROM qt),
-pr AS (SELECT dl.* FROM dl JOIN qv USING (term)),
+pr AS MATERIALIZED (SELECT dl.* FROM dl JOIN qv USING (term)),
 dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pr GROUP BY term),
 sc AS (
   SELECT qt.query_id, pr.doc_id,
