@@ -162,6 +162,7 @@ EXTENDED = [
     "t41_stratified_sample",
     "j6_asof_tolerance",
     "st20_stream_stratified",
+    "w14_bfill",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -2022,6 +2022,31 @@ def q_st18_stream_scd2(spark, sf_dir):
 QUERIES["st18_stream_scd2"] = q_st18_stream_scd2
 
 
+def q_w14_bfill(spark, sf_dir):
+    """w10's fixture run through the NOCB mirror: regularize user 7's
+    series to a 6 h grid, then BACKWARD-fill the gap rows with the
+    two-phase (block + boundary-carry) fill run in reverse —
+    fill_backward existed since round 5 but was pytest-only; this
+    puts it under the driver hash against the oracle's single global
+    ignore-nulls FOLLOWING window.  Rows after the last observation
+    stay NULL (no next observation to carry)."""
+    from qctimeseries_spark.windows import fill_backward, regularize
+
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .groupBy("ts")
+        .agg(F.max("value").alias("value"))
+    )
+    reg = regularize(s, "ts", step_minutes=360.0)
+    return fill_backward(
+        reg, "grid_ts", "value", block_hours=48.0
+    ).select("grid_ts", "value", "is_gap", "value_bfilled")
+
+
+QUERIES["w14_bfill"] = q_w14_bfill
+
+
 def q_j6_asof_tolerance(spark, sf_dir):
     """As-of join with a staleness TOLERANCE: j1's most-recent-prior
     calibration lookup, but matches older than 6 hours are nulled
@@ -3148,3 +3173,25 @@ SELECT event_id,
        CASE WHEN epoch_us(ev_ts) - epoch_us(m_ts) <= 21600000000
             THEN m_v END AS cal_value
 FROM a"""
+
+# w10's oracle with the window mirrored: FIRST non-null over the
+# FOLLOWING frame (NOCB)
+ORACLE["w14_bfill"] = """
+WITH s AS (
+  SELECT ts, MAX(value) AS value FROM events WHERE user_id = 7 GROUP BY ts
+),
+b AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM s),
+grid AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                INTERVAL 6 HOUR)) AS grid_ts
+),
+reg AS (
+  SELECT g.grid_ts, s.value, CAST(s.ts IS NULL AS INT) AS is_gap
+  FROM grid g LEFT JOIN s ON s.ts = g.grid_ts
+)
+SELECT grid_ts, value, is_gap,
+       first_value(value IGNORE NULLS)
+           OVER (ORDER BY grid_ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS value_bfilled
+FROM reg"""

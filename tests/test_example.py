@@ -75,6 +75,10 @@ def test_driver_window_covers_every_family():
 _PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
     "w3_admitted_windows": (1, 0),
     "w11_interpolate": (1, 0),
+    # w14: fill_backward's boundary carry cumulates over the tiny
+    # #blocks frame (w10/w11's pattern) — that window is #blocks-sized,
+    # never the series
+    "w14_bfill": (1, 0),
     "x1_knn_bruteforce": (0, 1),
     "x6_quantized_knn": (0, 1),  # x1's broadcast != join over int8
     "x7_pq_knn": (0, 1),  # same broadcast-queries ADC scan over codes
