@@ -163,6 +163,7 @@ EXTENDED = [
     "j6_asof_tolerance",
     "st20_stream_stratified",
     "w14_bfill",
+    "x19_ivfpq_residual",
 ]
 
 HEADLINE = CORE + EXTENDED

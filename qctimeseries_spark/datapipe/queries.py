@@ -4514,3 +4514,167 @@ DATAPIPE_QUERIES["st20_stream_stratified"] = q_st20_stream_stratified
 DATAPIPE_ORACLE["st20_stream_stratified"] = DATAPIPE_ORACLE[
     "t41_stratified_sample"
 ]
+
+
+def q_x19_ivfpq_residual(spark, sf_dir):
+    """RESIDUAL IVF-PQ (IVFADC, Jégou et al. PAMI'11 — FAISS's
+    canonical IVFx,PQy layout), built then served: the coarse
+    quantizer's unit centroid explains each vector's cell and the 8
+    nibbles quantize only the within-cell residual û − ĉ — the
+    clustered-corpus production layout (tight cells ⇒ small
+    residuals; the uniform-data caveat is measured and pinned in
+    test_ivfpq_residual_serve_and_tighter_reconstruction).
+    ADC = the query's coarse dot against the cell's unit centroid
+    PLUS the residual LUT chain (coarse term first — the oracle
+    replays the identical left-to-right sum).  Candidate scan stays
+    DPP-pruned at ~9 bytes/row; top-50 survivors re-rank at exact
+    cosine."""
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivfpq_residual_index,
+        knn_query_ivfpq_residual,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="qcts_rpqidx_")
+    try:
+        build_ivfpq_residual_index(
+            emb, tmp + "/idx", nlist=16, m=8, ksub=16
+        )
+        out = knn_query_ivfpq_residual(
+            spark, tmp + "/idx", queries, k=10, nprobe=4, candidates=50
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+DATAPIPE_QUERIES["x19_ivfpq_residual"] = q_x19_ivfpq_residual
+
+# x19: x8's oracle with the codebooks moved to RESIDUAL space — cells
+# and probes are identical; seeds' residuals (unit vector minus the
+# unit vector of the assigned centroid) become the codewords, codes
+# quantize each vector's residual, and the ADC score prepends the
+# query x unit-centroid coarse dot to the unrolled 8-term LUT chain
+# (left-to-right, mirroring the engine's fold order exactly).
+DATAPIPE_ORACLE["x19_ivfpq_residual"] = f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) / sqrt(
+           list_reduce(list_transform(embedding,
+             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)),
+             (p, q) -> p + q))) AS u
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) AS cid,
+         embedding AS centv, vec_id AS seed_vid
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+ucent AS (
+  SELECT c.cid, uu.u AS ucv
+  FROM cents c JOIN u uu ON uu.vec_id = c.seed_vid
+),
+ccell AS (
+  SELECT e.vec_id, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+),
+home AS (SELECT vec_id, cid FROM ccell WHERE rk = 1),
+res AS (
+  SELECT v.vec_id,
+         list_transform(range(1, 65),
+                        i -> v.u[i] - uc.ucv[i]) AS r
+  FROM u v
+  JOIN home h ON h.vec_id = v.vec_id
+  JOIN ucent uc ON uc.cid = h.cid
+),
+seeds AS (
+  SELECT r.r, ROW_NUMBER() OVER (ORDER BY r.vec_id) - 1 AS c
+  FROM res r ORDER BY r.vec_id LIMIT 16
+),
+cb AS (
+  SELECT t.j, s.c,
+         list_transform(range(1, 9), i -> s.r[t.j * 8 + i]) AS cw
+  FROM seeds s, range(0, 8) t(j)
+),
+enc AS (
+  SELECT vec_id, j, c FROM (
+    SELECT v.vec_id, b.j, b.c,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, b.j ORDER BY
+             list_reduce(list_transform(range(1, 9),
+               i -> (v.r[b.j*8 + i] - b.cw[i])
+                    * (v.r[b.j*8 + i] - b.cw[i])),
+               (p, q) -> p + q), b.c) AS rk
+    FROM res v, cb b)
+  WHERE rk = 1
+),
+codes AS (SELECT vec_id, list(c ORDER BY j) AS pq FROM enc GROUP BY vec_id),
+qcell AS (
+  SELECT e.vec_id AS query_id, cents.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_fold_sql('e.embedding', 'cents.centv')}, 9)
+                    DESC, cents.cid) AS rk
+  FROM embeddings e, cents
+  WHERE e.vec_id < 5
+),
+lut AS (
+  SELECT query_id, list(dot ORDER BY j, c) AS lut
+  FROM (
+    SELECT q.vec_id AS query_id, b.j, b.c,
+           list_reduce(list_transform(range(1, 9),
+             i -> q.u[b.j*8 + i] * b.cw[i]), (p, q) -> p + q) AS dot
+    FROM u q, cb b WHERE q.vec_id < 5)
+  GROUP BY query_id
+),
+cdot AS (
+  SELECT q.vec_id AS query_id, uc.cid,
+         list_reduce(list_transform(range(1, 65),
+           i -> q.u[i] * uc.ucv[i]), (p, q) -> p + q) AS cd
+  FROM u q, ucent uc WHERE q.vec_id < 5
+),
+sc AS (
+  SELECT ql.query_id, cd.vec_id AS neighbor_id,
+         ROUND(ct.cd
+               + l.lut[0*16 + cd.pq[1] + 1]
+               + l.lut[1*16 + cd.pq[2] + 1]
+               + l.lut[2*16 + cd.pq[3] + 1]
+               + l.lut[3*16 + cd.pq[4] + 1]
+               + l.lut[4*16 + cd.pq[5] + 1]
+               + l.lut[5*16 + cd.pq[6] + 1]
+               + l.lut[6*16 + cd.pq[7] + 1]
+               + l.lut[7*16 + cd.pq[8] + 1], 9) AS ascore
+  FROM codes cd
+  JOIN home ON home.vec_id = cd.vec_id
+  JOIN (SELECT query_id, cid FROM qcell WHERE rk <= 4) ql
+    ON ql.cid = home.cid
+  JOIN lut l ON l.query_id = ql.query_id
+  JOIN cdot ct ON ct.query_id = ql.query_id AND ct.cid = home.cid
+  WHERE cd.vec_id != ql.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ascore DESC, neighbor_id) AS rk FROM sc)
+  WHERE rk <= 50
+),
+r AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({_cos_fold_sql('q.embedding', 'e.embedding')}, 9) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, cos, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rk FROM r)
+WHERE rk <= 10"""

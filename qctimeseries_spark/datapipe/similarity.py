@@ -1452,6 +1452,323 @@ def knn_query_pq_index(
     )
 
 
+def train_residual_codebooks(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> list[list[list[float]]]:
+    """Deterministic RESIDUAL codebooks for IVFADC: subspace ``j``'s
+    codewords are the ``j``-th subvectors of the ``ksub`` lowest-id
+    vectors' RESIDUALS ``r = û − ĉ`` (unit vector minus the unit
+    vector of its assigned centroid) — the
+    :func:`train_pq_codebooks` seed convention moved to residual
+    space.  Residuals are what classic IVFADC (Jégou et al., PAMI'11)
+    quantizes: after the coarse quantizer explains the cell, the
+    codebook covers the within-cell displacement — a big win when
+    cells are real clusters (tight cells ⇒ small residuals); on
+    near-uniform data the displacement is NOT small and raw-space
+    codes can reconstruct tighter (measured honestly on the synthetic
+    corpus in test_ivfpq_residual_serve_and_tighter_reconstruction —
+    the residual still strictly improves on the centroid alone).
+    Assignment replays
+    :func:`ivf_assign` (9-dp-rounded cosine, tie → lowest centroid
+    id) and every float op is the engines' shared left fold, so the
+    x19 oracle rebuilds these books in SQL.
+    """
+    rows = (
+        ivf_assign(
+            corpus.orderBy(id_col).limit(ksub),
+            centroids, id_col=id_col, vec_col=vec_col, nprobe=1,
+        )
+        .orderBy(id_col)
+        .select(vec_col, "centroid_id")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus")
+    crows = sorted(
+        centroids.select("centroid_id", vec_col).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cid_pos = {r["centroid_id"]: i for i, r in enumerate(crows)}
+    CM = np.array([list(r[vec_col]) for r in crows], dtype=np.float64)
+    d = CM.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    nc = np.zeros(len(CM))
+    for i in range(d):  # left-fold Σx², matching unit_vector
+        nc += CM[:, i] * CM[:, i]
+    UC = CM / np.sqrt(nc)[:, None]
+    A = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    na = np.zeros(len(A))
+    for i in range(d):
+        na += A[:, i] * A[:, i]
+    U = A / np.sqrt(na)[:, None]
+    R = U - UC[[cid_pos[r["centroid_id"]] for r in rows]]
+    dsub = d // m
+    return [
+        [[float(x) for x in R[c, j * dsub : (j + 1) * dsub]]
+         for c in range(len(R))]
+        for j in range(m)
+    ]
+
+
+def _pq_encode_residual(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    unit_cents: "np.ndarray",
+    cid_index: dict,
+    *,
+    vec_col: str,
+    cent_col: str = "centroid_id",
+    packed_col: str = "pq_packed",
+) -> DataFrame:
+    """Residual twin of :func:`pq_encode`: codes quantize ``û − ĉ``
+    (the row's unit vector minus its assigned cell's unit centroid)
+    instead of ``û``.  Same Arrow batch shape, same per-dimension
+    subtract-square-accumulate left fold, same first-minimum argmin
+    (tie → lowest codeword id); the packed BIGINT layout is
+    bit-compatible with the x7/x8 store so the serve-side shift+mask
+    unpack is shared."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    CB = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    UC = unit_cents
+    POS = dict(cid_index)
+
+    @F.pandas_udf("bigint")
+    def _packed(vs: pd.Series, cids: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        na = np.zeros(len(A))
+        for i in range(m * dsub):  # left-fold Σx², matching unit_vector
+            na += A[:, i] * A[:, i]
+        U = A / np.sqrt(na)[:, None]
+        R = U - UC[[POS[int(c)] for c in cids]]
+        packed = np.zeros(len(A), dtype=np.int64)
+        shift = ksub.bit_length() - 1
+        for j in range(m):
+            dist = np.zeros((len(A), ksub))
+            for i in range(dsub):
+                t = R[:, j * dsub + i, None] - CB[j, :, i][None, :]
+                dist += t * t
+            packed |= np.argmin(dist, axis=1).astype(np.int64) << (j * shift)
+        return pd.Series(packed)
+
+    return df.withColumn(packed_col, _packed(F.col(vec_col), F.col(cent_col)))
+
+
+def build_ivfpq_residual_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | str = "auto",
+    m: int = 8,
+    ksub: int = 16,
+    cell_files: int = 4,
+) -> dict:
+    """Build and persist a RESIDUAL IVF-PQ index — the canonical
+    IVFADC layout (FAISS ``IVFx,PQy``'s default): the coarse
+    quantizer's unit centroid explains each vector's cell, and the PQ
+    codes quantize only the within-cell residual ``û − ĉ`` — the
+    layout clustered production corpora run (tight cells ⇒ small
+    residuals ⇒ tighter codes; see
+    :func:`train_residual_codebooks` for the honestly-measured
+    uniform-data caveat).  Same store discipline as :func:`build_pq_index`
+    (``centroids/`` + salted ``cells/`` carrying ``pq_packed`` +
+    ``rbooks/``), same deterministic seed constructions throughout, so
+    the x19 oracle replays build AND serve in SQL.
+    """
+    if cell_files < 1:
+        raise ValueError(f"cell_files must be >= 1, got {cell_files}")
+    if ksub & (ksub - 1) != 0:
+        raise ValueError(f"ksub must be a power of two, got {ksub}")
+    spark = corpus.sparkSession
+    cents = take_centroids(
+        corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=0
+    )
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    books = train_residual_codebooks(
+        corpus, cents, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
+    )
+    spark.createDataFrame(
+        [(j, c, books[j][c]) for j in range(m) for c in range(ksub)],
+        "j int, c int, cw array<double>",
+    ).write.mode("overwrite").parquet(path + "/rbooks")
+    crows = sorted(
+        cents.select("centroid_id", vec_col).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    CM = np.array([list(r[vec_col]) for r in crows], dtype=np.float64)
+    nc = np.zeros(len(CM))
+    for i in range(CM.shape[1]):
+        nc += CM[:, i] * CM[:, i]
+    UC = CM / np.sqrt(nc)[:, None]
+    cid_index = {r["centroid_id"]: i for i, r in enumerate(crows)}
+    n_cells = len(crows)
+    assigned = ivf_assign(
+        corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    )
+    # stage cut between the two Arrow passes (the build_pq_index find)
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(cell_files)))
+    shuffled = (
+        assigned.withColumn("_cell_salt", salt)
+        .repartition(
+            n_cells * int(cell_files),
+            F.col("centroid_id"), F.col("_cell_salt"),
+        )
+        .drop("_cell_salt")
+    )
+    (
+        _pq_encode_residual(
+            shuffled, books, UC, cid_index,
+            vec_col=vec_col, packed_col="pq_packed",
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path + "/cells")
+    )
+    return {
+        "nlist": n_cells,
+        "n_vectors": corpus.count(),
+        "m": m,
+        "ksub": ksub,
+    }
+
+
+def _cent_dots(unit_cents: "np.ndarray") -> "F.pandas_udf":
+    """Arrow builder for the IVFADC score's coarse term: for a query
+    vector, ``cd[p] = Σ_i û[i] · ĉ_p[i]`` over every unit centroid
+    (position = centroid order by id) — the dot the residual LUT terms
+    add onto.  Same left-fold discipline as :func:`_pq_lut`."""
+    UC = unit_cents
+    n, d = UC.shape
+
+    @F.pandas_udf("array<double>")
+    def _cd(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in vs])
+        na = np.zeros(len(A))
+        D = np.zeros((len(A), n))
+        for i in range(d):  # left fold, matching cosine()
+            na += A[:, i] * A[:, i]
+            D += A[:, i : i + 1] * UC[:, i]
+        D /= np.sqrt(na)[:, None]
+        return pd.Series(list(D))
+
+    return _cd
+
+
+def knn_query_ivfpq_residual(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+    candidates: int | None = None,
+) -> DataFrame:
+    """Serve top-k from a :func:`build_ivfpq_residual_index` store —
+    IVFADC's asymmetric distance: ``score(q, x) ≈ û_q·ĉ_cell +
+    Σ_j û_q[sub j]·codeword_j`` (the reconstruction ``ĉ + r̂`` dotted
+    with the query, split into one per-(query, cell) coarse dot and
+    the standard residual-LUT chain).  Plan shape matches
+    :func:`knn_query_pq_index` — DPP-pruned 9-byte candidate scan,
+    two-phase top-C, exact-cosine re-rank of the survivors — with ONE
+    extra broadcast column (the query's nlist coarse dots,
+    element_at-indexed by the row's partition id, so the big side
+    stays pure codegen)."""
+    _recover_interrupted_purge(spark, path)
+    cents = spark.read.parquet(path + "/centroids")
+    brows = spark.read.parquet(path + "/rbooks").collect()
+    m = 1 + max(r["j"] for r in brows)
+    ksub = 1 + max(r["c"] for r in brows)
+    shift = ksub.bit_length() - 1
+    books = [[None] * ksub for _ in range(m)]
+    for r in brows:
+        books[r["j"]][r["c"]] = list(r["cw"])
+    crows = sorted(
+        cents.select("centroid_id", vec_col).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    CM = np.array([list(r[vec_col]) for r in crows], dtype=np.float64)
+    nc = np.zeros(len(CM))
+    for i in range(CM.shape[1]):
+        nc += CM[:, i] * CM[:, i]
+    UC = CM / np.sqrt(nc)[:, None]
+    # centroid ids are the 1-based take_centroids row numbers, so the
+    # coarse-dot array indexes directly by centroid_id
+    assert [r["centroid_id"] for r in crows] == list(range(1, len(crows) + 1))
+    C = candidates if candidates is not None else max(5 * k, 50)
+
+    q_cells = ivf_assign(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
+        cents, id_col="query_id", vec_col=vec_col, nprobe=nprobe,
+    ).select("query_id", "centroid_id")
+    q_side = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _pq_lut(books)(F.col(vec_col)).alias("_lut"),
+        _cent_dots(UC)(F.col(vec_col)).alias("_cd"),
+    )
+    codes = spark.read.parquet(path + "/cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        "pq_packed",
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+    )
+    # coarse dot FIRST, then the unrolled residual-LUT chain — the
+    # exact left-to-right order the oracle replays
+    ascore = F.element_at(F.col("_cd"), F.col("centroid_id"))
+    for j in range(m):
+        code_j = F.shiftright(F.col("pq_packed"), j * shift).bitwiseAND(
+            F.lit(ksub - 1)
+        )
+        ascore = ascore + F.element_at(
+            F.col("_lut"), (code_j + F.lit(j * ksub + 1)).cast("int")
+        )
+    cand = _topk_exact(
+        codes.join(F.broadcast(q_cells), "centroid_id")
+        .join(F.broadcast(q_side), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("ascore", F.round(ascore, 9)),
+        C,
+        [F.col("ascore").desc(), F.col("neighbor_id")],
+        rank_col="_rk",
+    ).select("query_id", "neighbor_id", "centroid_id")
+    vecs = spark.read.parquet(path + "/cells").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    rescored = (
+        vecs.join(F.broadcast(cand), ["centroid_id", "neighbor_id"])
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 9))
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     *,

@@ -2099,6 +2099,109 @@ def test_pq_index_serve_dpp_and_brute_convergence(spark, tmp_path):
         build_pq_index(emb, str(tmp_path / "bad"), nlist=4, ksub=12)
 
 
+def test_ivfpq_residual_serve_and_tighter_reconstruction(spark, tmp_path):
+    """Residual IVF-PQ (IVFADC, x19): (a) at exhaustive probes + full
+    candidate budget the serve equals brute force row for row (exact
+    re-rank; transitively pins residual encode → pack → unpack);
+    (b) the pruned serve keeps the DPP + 9-byte-scan plan shape; and
+    (c) the IVFADC decomposition property, measured: adding the
+    quantized residual strictly improves reconstruction over the
+    coarse centroid alone (MSE of ĉ + r̂ < MSE of ĉ against the unit
+    vectors; measured 1.018 vs 1.723 on this corpus — deterministic,
+    both constructions are seeded).  NOTE, honestly measured: on this
+    NEAR-UNIFORM synthetic corpus raw-space x8 codes reconstruct
+    tighter still (0.758) — residuals only shrink when cells are real
+    clusters, so the residual layout's advantage is conditional on
+    clustered data; what x19 adds unconditionally is the canonical
+    FAISS IVFADC shape with an exact cross-engine oracle."""
+    import numpy as np
+
+    from qctimeseries_spark.datapipe.similarity import (
+        build_ivfpq_residual_index,
+        build_pq_index,
+        knn_bruteforce,
+        knn_query_ivfpq_residual,
+    )
+    from qctimeseries_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    info = build_ivfpq_residual_index(
+        emb, str(tmp_path / "rx"), nlist=4, m=8, ksub=16
+    )
+    assert info == {"nlist": 4, "n_vectors": 500, "m": 8, "ksub": 16}
+    assert (tmp_path / "rx" / "rbooks").exists()
+
+    served = knn_query_ivfpq_residual(
+        spark, str(tmp_path / "rx"), q, k=5, nprobe=4, candidates=500
+    )
+    key = lambda d: sorted(map(tuple, d.collect()))
+    assert key(served) == key(knn_bruteforce(emb, q, k=5))
+
+    pruned = knn_query_ivfpq_residual(
+        spark, str(tmp_path / "rx"), q, k=5, nprobe=1, candidates=20
+    )
+    assert pruned.count() == 15
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "pq_packed" in plan
+
+    # (c) reconstruction-error decomposition
+    build_pq_index(emb, str(tmp_path / "px"), nlist=4, m=8, ksub=16)
+
+    def _unit(M):
+        na = np.zeros(len(M))
+        for d in range(M.shape[1]):
+            na += M[:, d] * M[:, d]
+        return M / np.sqrt(na)[:, None]
+
+    def _mse(idx_dir, books_dir, *, residual, with_codes=True):
+        cells = spark.read.parquet(str(tmp_path / idx_dir / "cells"))
+        rows = cells.select("vec_id", "embedding", "pq_packed",
+                            "centroid_id").collect()
+        books = spark.read.parquet(
+            str(tmp_path / idx_dir / books_dir)
+        ).collect()
+        m = 1 + max(r["j"] for r in books)
+        ksub = 1 + max(r["c"] for r in books)
+        dsub = len(books[0]["cw"])
+        CB = np.zeros((m, ksub, dsub))
+        for r in books:
+            CB[r["j"], r["c"]] = r["cw"]
+        crows = sorted(
+            spark.read.parquet(str(tmp_path / idx_dir / "centroids"))
+            .select("centroid_id", "embedding").collect(),
+            key=lambda r: r["centroid_id"],
+        )
+        UC = _unit(np.array([list(r["embedding"]) for r in crows]))
+        pos = {r["centroid_id"]: i for i, r in enumerate(crows)}
+        U = _unit(np.array([list(r["embedding"]) for r in rows]))
+        shift = ksub.bit_length() - 1
+        err = 0.0
+        for i, r in enumerate(rows):
+            rec = UC[pos[r["centroid_id"]]].copy() if residual else \
+                np.zeros(m * dsub)
+            if with_codes:
+                for j in range(m):
+                    c = (r["pq_packed"] >> (j * shift)) & (ksub - 1)
+                    rec[j * dsub:(j + 1) * dsub] += CB[j, c]
+            err += float(((U[i] - rec) ** 2).sum())
+        return err / len(rows)
+
+    mse_coarse = _mse("rx", "rbooks", residual=True, with_codes=False)
+    mse_res = _mse("rx", "rbooks", residual=True)
+    mse_raw = _mse("px", "pqbooks", residual=False)
+    # the IVFADC decomposition pays: quantized residual strictly
+    # improves on the centroid alone...
+    assert mse_res < mse_coarse, (mse_res, mse_coarse)
+    # ...while on THIS near-uniform corpus raw-space codes stay
+    # tighter (the documented conditionality — fails here if the
+    # fixture ever becomes clustered, at which point flip the claim)
+    assert mse_raw < mse_res, (mse_raw, mse_res)
+
+
 def test_bm25_retrieval_ranks_matching_doc_first(spark):
     """A document repeating the query's rare terms outranks docs with
     one incidental hit; scores are positive and ranks dense from 1."""
