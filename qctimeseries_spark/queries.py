@@ -2094,9 +2094,10 @@ QUERIES["j6_asof_tolerance"] = q_j6_asof_tolerance
 #     j2/j4 (interval-join alias hardening), t29 (rides both),
 #   * the 3 entries changed THIS round — st19 (inclusive-boundary
 #     oracle + exact-gap fixture), d5/d9 (hot-cell scoring re-split),
-#   * 14 fills from the oldest (r7) verdicts, chosen to keep every
-#     family in-window: s4/f5/c2/m3/h4 + p2/u3/v6 + d6/d7 + st4/t9 +
-#     w9/a9.
+#   * the 5 entries BORN this round (t41/j6/st20/w14/x19 —
+#     driver-checked from day one, the r9 newborn practice),
+#   * 9 fills from the oldest (r7) verdicts, chosen to keep every
+#     family in-window: s4/f5/c2/m3/h4 + d6/d7 + st4/a9.
 # Every remaining out-of-window entry holds a driver verdict from
 # r7-r9 on code untouched since, plus r9 replica + sf1 greens.
 _WINDOW_R10 = (
@@ -2117,13 +2118,18 @@ _WINDOW_R10 = (
     "t29_hybrid_rrf",
     # r10-changed paths (this round's diff)
     "st19_stream_sessions", "d5_embedding_dups", "d9_semantic_dedup",
+    # born in round 10 — driver-checked from day one (the r9 newborn
+    # practice); the five r7 fills they displace (p2/u3/v6/t9/w9)
+    # keep r7 driver greens on unchanged code plus this round's
+    # full-registry replica + broad sf1 greens, and their families
+    # stay in-window through other members
+    "t41_stratified_sample", "j6_asof_tolerance",
+    "st20_stream_stratified", "w14_bfill", "x19_ivfpq_residual",
     # oldest (r7) fills — family coverage for s/f/c/m/h rides here
     "s4_parquet_roundtrip", "f5_iso_export", "c2_curate",
     "m3_media_decode", "h4_order_priority",
-    "p2_projection", "u3_approve_window", "v6_viewer_slice",
     "d6_incremental_dedup", "d7_incremental_neardup",
-    "st4_session_windows", "t9_sessionize_salted",
-    "w9_regularize", "a9_percentiles",
+    "st4_session_windows", "a9_percentiles",
 )
 assert len(_WINDOW_R10) == 50 and len(set(_WINDOW_R10)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R10} | {

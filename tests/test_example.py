@@ -63,6 +63,9 @@ def test_driver_window_covers_every_family():
         "t29_hybrid_rrf",
         # r10-changed paths
         "st19_stream_sessions", "d5_embedding_dups", "d9_semantic_dedup",
+        # r10 newborns — driver-checked from day one
+        "t41_stratified_sample", "j6_asof_tolerance",
+        "st20_stream_stratified", "w14_bfill", "x19_ivfpq_residual",
     } <= window
 
 
