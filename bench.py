@@ -164,6 +164,7 @@ EXTENDED = [
     "st20_stream_stratified",
     "w14_bfill",
     "x19_ivfpq_residual",
+    "h14_order_distribution",
 ]
 
 HEADLINE = CORE + EXTENDED

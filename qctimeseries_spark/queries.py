@@ -1967,6 +1967,40 @@ def q_h13_disjunctive_filter(spark, sf_dir):
     )
 
 
+def q_h14_order_distribution(spark, sf_dir):
+    """TPC-H-Q13 shape: the customer order-count DISTRIBUTION — the
+    one relational pattern h1-h13 didn't cover: a LEFT OUTER join
+    aggregated twice (per-customer count, then a histogram of those
+    counts), where customers with NO qualifying orders must surface
+    as c_count = 0 (the outer join's whole point — an inner join
+    silently drops them).  The filter (exclude 1-URGENT, Q13's
+    comment-filter stand-in) sits in the JOIN CONDITION, not a WHERE,
+    so a customer whose every order is urgent still lands in the 0
+    bucket.  Both aggregations key on grouping columns bounded by the
+    customer count; the orders side reaches its scan with the
+    priority filter pushed."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+QUERIES["h14_order_distribution"] = q_h14_order_distribution
+
 QUERIES["h11_nation_volume"] = q_h11_nation_volume
 QUERIES["h12_promo_share"] = q_h12_promo_share
 QUERIES["h13_disjunctive_filter"] = q_h13_disjunctive_filter
@@ -3201,3 +3235,18 @@ SELECT grid_ts, value, is_gap,
                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
            AS value_bfilled
 FROM reg"""
+
+# Q13 shape: LEFT OUTER join with the priority filter in the JOIN
+# condition (zero-order customers land in the 0 bucket), per-customer
+# count of matched orders, then the count histogram
+ORACLE["h14_order_distribution"] = """
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         CAST(COUNT(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority != '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count"""
