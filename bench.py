@@ -165,6 +165,18 @@ EXTENDED = [
     "w14_bfill",
     "x19_ivfpq_residual",
     "h14_order_distribution",
+    # round-10 continuation: the remaining TPC-H semantics (correlated
+    # avg gate, global-threshold scalar, max/argmin attach, distinct
+    # counts + anti-join, multi-EXISTS, scalar-avg gate + anti-join)
+    # and exact per-key OLS trend
+    "h15_small_qty_revenue",
+    "h16_important_parts",
+    "h17_top_supplier",
+    "h18_supplier_part_counts",
+    "h19_waiting_supplier",
+    "h20_balance_gate",
+    "h21_min_cost_supplier",
+    "a18_trend",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -48,12 +48,18 @@ def plan_summary(df: DataFrame, *, executed: bool = False) -> dict:
         )
     ]
     # a physical Window line prints [funcs], [partSpec], [orderSpec];
-    # the unpartitioned form drops the middle group, leaving ONE "], ["
+    # the unpartitioned-but-ordered form drops the MIDDLE group and the
+    # partitioned-but-unordered form drops the LAST one — both leave
+    # ONE "], [", so the trailing group disambiguates: an order spec
+    # carries ASC/DESC sort markers, a partition spec never does (a
+    # partition-only window stays parallel per key and must not count
+    # as global — h15/h21's per-part aggregates hit this)
     global_windows = sum(
         1
         for line in plan.splitlines()
         if re.match(r"\s*[+\-:|* ]*Window \[", line)
         and line.count("], [") == 1
+        and re.search(r"(ASC|DESC)[^\]]*\]\s*$", line.rstrip())
     )
     return {
         "global_windows": global_windows,

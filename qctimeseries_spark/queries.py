@@ -2006,6 +2006,338 @@ QUERIES["h12_promo_share"] = q_h12_promo_share
 QUERIES["h13_disjunctive_filter"] = q_h13_disjunctive_filter
 
 
+def q_h15_small_qty_revenue(spark, sf_dir):
+    """TPC-H-Q17 shape (adapted: the avg ranges over lineitem — this
+    schema has no partsupp): revenue locked in small-quantity orders
+    of one brand's parts, where a lineitem qualifies if its quantity
+    is below 20% of its part's average quantity.  Q17's correlated
+    scalar subquery is re-expressed as a per-part window over the
+    SAME brand-filtered join (one fact scan, no self-join), and the
+    20%-of-average comparison cross-multiplies in exact decimal
+    (5·qty·n < Σqty) so no float average or division exists anywhere.
+    The window partitions by partkey — bounded per-part frames, never
+    a global sort."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    w = Window.partitionBy("p_partkey")
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("_sq", F.sum(_dec("l_quantity")).over(w))
+        .withColumn("_nq", F.count(F.lit(1)).over(w))
+    )
+    small = joined.filter(
+        _dec("l_quantity") * F.col("_nq") * F.lit(5) < F.col("_sq")
+    )
+    return small.agg(
+        (
+            F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+def q_h16_important_parts(spark, sf_dir):
+    """TPC-H-Q11 shape (adapted: value from lineitem revenue — no
+    partsupp): parts whose revenue from NATION_3's suppliers exceeds
+    a fixed fraction of that nation's total.  The global threshold is
+    a single-row aggregate broadcast back over the per-part frame
+    (the t38 scalar-crossJoin pattern — a 1-row nested-loop join,
+    never a corpus product), and the fraction test cross-multiplies
+    in exact decimal (value·10000 > total) so no division exists."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    per_part = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev).alias("_val"))
+    )
+    total = per_part.agg(F.sum("_val").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_val") * F.lit(10000) > F.col("_tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("_val").cast("double").alias("part_value"),
+        )
+    )
+
+
+def q_h17_top_supplier(spark, sf_dir):
+    """TPC-H-Q15 shape: the supplier(s) with the maximum revenue over
+    a fixed ship-date quarter.  Q15's view-with-max becomes a
+    per-supplier aggregate whose single-row MAX broadcasts back over
+    it (scalar crossJoin); the equality filter runs on the EXACT
+    decimal revenue, so ties are exact, not float-fuzzy.  The
+    supplier dim broadcasts for the name attach."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    top = per_supp.agg(F.max("_rev").alias("_maxrev"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev") == F.col("_maxrev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_h18_supplier_part_counts(spark, sf_dir):
+    """TPC-H-Q16 shape (lineitem stands in for partsupp): distinct
+    supplier counts per (brand, size) for a part subset, EXCLUDING
+    one brand and excluding suppliers from a denylist (negative
+    account balance — Q16's complaints list), expressed as a
+    broadcast LEFT ANTI join, never a NOT IN subquery that would
+    re-scan per row.  The distinct-count shuffles once on the
+    (brand, size) grouping key after a local distinct."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size") <= 25)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )
+
+
+def q_h19_waiting_supplier(spark, sf_dir):
+    """TPC-H-Q21 shape (l_shipdate stands in for commit/receipt):
+    suppliers from one nation who shipped the LAST item of a
+    finalized multi-supplier order — EXISTS (another supplier in the
+    order) as a LEFT SEMI join and NOT EXISTS (another supplier
+    shipped later) as a LEFT ANTI join, both correlating key equality
+    plus a cross-side predicate, so existence resolves with no row
+    duplication and no post-join dedup.  The nation/supplier dims
+    broadcast; the order-key self-joins shuffle on l_orderkey."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    f_orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    ).select("n_nationkey")
+    s_nat = s.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    l1 = (
+        li.join(F.broadcast(s_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(f_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("_ok3"),
+        F.col("l_suppkey").alias("_sk3"),
+        F.col("l_shipdate").alias("_sd3"),
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("_ok2"))
+            & (F.col("l_suppkey") != F.col("_sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("_ok3"))
+            & (F.col("l_suppkey") != F.col("_sk3"))
+            & (F.col("_sd3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return waited.groupBy("s_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("numwait")
+    )
+
+
+def q_h20_balance_gate(spark, sf_dir):
+    """TPC-H-Q22 shape: customers with above-average positive account
+    balance and NO recent orders, counted per nation.  The global
+    average is a single-row (Σ, n) aggregate broadcast back (scalar
+    crossJoin) with the comparison cross-multiplied in exact decimal
+    (bal·n > Σ) — no float average; the "no recent orders" test is a
+    LEFT ANTI join against the date-filtered orders scan (the filter
+    reaches the parquet scan, so the anti-join state is only the
+    recent keys)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("_tot"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    recent = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(_dec("c_acctbal") * F.col("_cnt") > F.col("_tot"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+def q_h21_min_cost_supplier(spark, sf_dir):
+    """TPC-H-Q2 shape (min lineitem price stands in for supplycost):
+    for each large part, the EUROPE supplier(s) quoting the minimum
+    price.  The per-(part, supplier) min aggregates once; the
+    per-part minimum is a window over that aggregate PARTITIONED by
+    partkey (bounded frames — Q2's correlated MIN subquery with no
+    self-join and no global sort); the argmin filter compares exact
+    decimals so ties surface exactly as Q2's does."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_size") >= 40
+    ).select("p_partkey")
+    s = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    s_eur = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    costs = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s_eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name")
+        .agg(F.min(_dec("l_extendedprice")).alias("_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("_min", F.min("_cost").over(w))
+        .filter(F.col("_cost") == F.col("_min"))
+        .select(
+            "p_partkey", "s_suppkey", "s_name",
+            F.col("_cost").cast("double").alias("cost"),
+        )
+    )
+
+
+def q_a18_trend(spark, sf_dir):
+    """Per-key least-squares trend (slope + r²) of value over time —
+    computed EXACTLY: x is the per-user µs offset from the user's
+    first event (centered so Σx² fits 128-bit integer math at any
+    corpus size), y is the 2-dp value in exact integer cents, and all
+    five regression sums accumulate in DECIMAL(38,0) (DuckDB:
+    HUGEINT).  Only the final slope/r² divisions run in double, with
+    the operand order pinned on both engines, so the hash compare is
+    bit-exact.  Two aggregations, both keyed on user_id — no window,
+    no global sort; the min(us) attach is an agg-side join AQE sizes."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("_us"),
+        (F.col("value").cast("decimal(18,2)") * F.lit(100))
+        .cast("decimal(20,0)")
+        .alias("_y"),
+    )
+    mins = ev.groupBy("user_id").agg(F.min("_us").alias("_us0"))
+    b = ev.join(mins, "user_id").select(
+        "user_id",
+        (F.col("_us") - F.col("_us0")).cast("decimal(20,0)").alias("_x"),
+        "_y",
+    )
+    s = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return (
+        s.withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn("_deny", deny)
+        .filter((F.col("_n") >= 2) & (F.col("_den") != 0))
+        .select(
+            "user_id",
+            F.col("_n").cast("bigint").alias("n"),
+            (
+                (F.col("_num").cast("double") / F.col("_den").cast("double"))
+                * F.lit(10000.0)
+            ).alias("slope_per_sec"),
+            F.when(
+                F.col("_deny") > 0,
+                (F.col("_num").cast("double") * F.col("_num").cast("double"))
+                / (
+                    F.col("_den").cast("double")
+                    * F.col("_deny").cast("double")
+                ),
+            ).alias("r2"),
+        )
+    )
+
+
+QUERIES["h15_small_qty_revenue"] = q_h15_small_qty_revenue
+QUERIES["h16_important_parts"] = q_h16_important_parts
+QUERIES["h17_top_supplier"] = q_h17_top_supplier
+QUERIES["h18_supplier_part_counts"] = q_h18_supplier_part_counts
+QUERIES["h19_waiting_supplier"] = q_h19_waiting_supplier
+QUERIES["h20_balance_gate"] = q_h20_balance_gate
+QUERIES["h21_min_cost_supplier"] = q_h21_min_cost_supplier
+QUERIES["a18_trend"] = q_a18_trend
+
+
 
 
 def q_st18_stream_scd2(spark, sf_dir):
@@ -3250,3 +3582,156 @@ WITH per_cust AS (
 )
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
 FROM per_cust GROUP BY c_count"""
+
+# Q17 shape: the correlated 20%-of-avg quantity gate, cross-multiplied
+# exactly (5*qty*n < sum) so no float average exists on either engine
+ORACLE["h15_small_qty_revenue"] = """
+WITH j AS (
+  SELECT l_partkey, l_quantity, l_extendedprice,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)))
+             OVER (PARTITION BY l_partkey) AS sq,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS nq
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM j
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * nq * 5 < sq"""
+
+# Q11 shape: per-part value vs a global-threshold scalar, both from
+# the nation-filtered join; fraction test cross-multiplied exactly
+ORACLE["h16_important_parts"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM per_part
+WHERE val * 10000 > (SELECT SUM(val) FROM per_part)"""
+
+# Q15 shape: max-revenue supplier(s) over a fixed quarter, the max
+# compared on exact decimals
+ORACLE["h17_top_supplier"] = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2))
+                - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT MAX(rev) FROM per_supp)"""
+
+# Q16 shape: distinct supplier counts per (brand, size) with the
+# denylist excluded by NOT IN (the anti-join twin)
+ORACLE["h18_supplier_part_counts"] = """
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#5' AND p_size <= 25
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size"""
+
+# Q21 shape: EXISTS (another supplier in the order) and NOT EXISTS
+# (another supplier shipped later), counted per supplier name
+ORACLE["h19_waiting_supplier"] = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l1.l_orderkey = o_orderkey
+WHERE n_name = 'NATION_5' AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey != l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name"""
+
+# Q22 shape: the above-positive-average balance gate (cross-multiplied
+# exactly) plus a NOT-EXISTS on recent orders, rolled up per nation
+ORACLE["h20_balance_gate"] = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, stats
+JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * stats.cnt > stats.tot
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name"""
+
+# Q2 shape: argmin-per-part over the (part, supplier) min-price
+# aggregate, region-restricted, exact-decimal tie semantics
+ORACLE["h21_min_cost_supplier"] = """
+WITH costs AS (
+  SELECT p_partkey, s_suppkey, s_name,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size >= 40 AND r_name = 'EUROPE'
+  GROUP BY p_partkey, s_suppkey, s_name
+)
+SELECT p_partkey, s_suppkey, s_name, CAST(cost AS DOUBLE) AS cost
+FROM costs
+WHERE cost = (SELECT MIN(c2.cost) FROM costs c2
+              WHERE c2.p_partkey = costs.p_partkey)"""
+
+# exact per-key OLS: x = µs offset from the user's first event,
+# y = value in integer cents; HUGEINT sums mirror Spark's
+# DECIMAL(38,0); only the final divisions run in double.  The
+# HUGEINT->DOUBLE casts route through VARCHAR because DuckDB's direct
+# hugeint->double conversion TRUNCATES (measured 1-ulp-off at 90-bit
+# magnitudes) while Spark's Decimal.toDouble rounds to nearest —
+# strtod is correctly rounded, so the string route matches Spark
+# bit-for-bit (probed on 2,000 random 54-120-bit integers)
+ORACLE["a18_trend"] = """
+WITH b AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) - MIN(epoch_us(ts))
+                  OVER (PARTITION BY user_id) AS HUGEINT) AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+  FROM b GROUP BY user_id
+),
+t AS (
+  SELECT user_id, n,
+         CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE) AS numd,
+         CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) AS dend,
+         CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE) AS denyd,
+         n*sxx - sx*sx AS den_exact, n*syy - sy*sy AS deny_exact
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       (numd / dend) * 10000.0 AS slope_per_sec,
+       CASE WHEN deny_exact > 0 THEN (numd * numd) / (dend * denyd)
+       END AS r2
+FROM t
+WHERE n >= 2 AND den_exact != 0"""

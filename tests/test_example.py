@@ -114,6 +114,12 @@ _PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
     # x14: the seed-centroid row_number over the limit-nlist frame
     # (the x2/x11 pattern) — nlist rows, never the corpus
     "x14_kmeans": (1, 0),
+    # h16/h17/h20: the Q11/Q15/Q22 global threshold/max/avg is a
+    # single-row aggregate broadcast back over the per-group frame —
+    # the t38 scalar-crossJoin pattern, a 1-row nested-loop join
+    "h16_important_parts": (0, 1),
+    "h17_top_supplier": (0, 1),
+    "h20_balance_gate": (0, 1),
 }
 _MUST_BROADCAST = {"h3_segment_revenue", "h5_nation_revenue",
                    "d2_minhash_dedup", "t7_contamination", "j2_range_join"}
