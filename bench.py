@@ -177,6 +177,7 @@ EXTENDED = [
     "h20_balance_gate",
     "h21_min_cost_supplier",
     "a18_trend",
+    "j7_nearest_join",
 ]
 
 HEADLINE = CORE + EXTENDED

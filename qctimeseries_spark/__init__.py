@@ -76,7 +76,7 @@ from qctimeseries_spark.viz import (
 from qctimeseries_spark.app import QcSession
 from qctimeseries_spark.plans import plan_summary
 from qctimeseries_spark.rules import apply_qc_rules
-from qctimeseries_spark.joins import asof_join, interval_join, skew_join
+from qctimeseries_spark.joins import asof_join, interval_join, nearest_join, skew_join
 from qctimeseries_spark.exports import write_exports, smart_stem
 from qctimeseries_spark.report import save_all_check_plots, panel_downsample
 from qctimeseries_spark.pipeline import qc_pipeline
@@ -136,6 +136,7 @@ __all__ = [
     "QcSession",
     "asof_join",
     "interval_join",
+    "nearest_join",
     "skew_join",
     "write_exports",
     "smart_stem",

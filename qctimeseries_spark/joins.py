@@ -240,6 +240,108 @@ def asof_join(
     return out
 
 
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: list[str] | str | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Left nearest-in-time join: each left row gains the payload of
+    the right row whose ``on`` is closest in EITHER direction (per
+    ``by`` key).  An exact tie (equidistant before/after) takes the
+    EARLIER right row, and a right record at the left row's own
+    instant matches at distance zero.  Right rows should be unique per
+    (``by``, ``on``) — pre-aggregate duplicates upstream (the asof
+    oracle pattern) — otherwise which same-instant payload wins is
+    nondeterministic.
+
+    With ``by`` this is ONE union + ONE keyed sort: the backward carry
+    (last non-null preceding) and the forward carry (first non-null
+    following) are two frames over the SAME partition/order spec, so
+    Catalyst resolves both in a single Window operator — one shuffle
+    on the key, not two as-of joins.  Without ``by`` it composes
+    :func:`asof_join`'s two-phase block pattern once per direction,
+    keeping the keyless case off the single-task global-window path.
+
+    NULL ``on`` left rows are preserved with NULL payload (left-join
+    semantics, matching ``asof_join``).
+    """
+    by = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in right.columns if c != on and c not in by]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right payload columns {sorted(overlap)} collide with left;"
+            f" rename or rely on right_prefix before joining"
+        )
+    carried = [on] + payload
+
+    def _pick(take_b: Column, t: Column, c: str) -> Column:
+        chosen = F.when(take_b, F.col(f"_njb_{c}")).otherwise(
+            F.col(f"_njf_{c}")
+        )
+        return F.when(t.isNull(), F.lit(None)).otherwise(chosen).alias(
+            f"{right_prefix}{c}"
+        )
+
+    if not by:
+        b = asof_join(left, right, on=on, right_prefix="_njb_")
+        both = asof_join(
+            b, right, on=on, right_prefix="_njf_", direction="forward"
+        )
+        t = F.col(on)
+        db = F.unix_micros(t) - F.unix_micros(F.col(f"_njb_{on}"))
+        df_ = F.unix_micros(F.col(f"_njf_{on}")) - F.unix_micros(t)
+        take_b = F.col(f"_njf_{on}").isNull() | (
+            F.col(f"_njb_{on}").isNotNull() & (db <= df_)
+        )
+        return both.select(
+            *left.columns, *[_pick(take_b, t, c) for c in carried]
+        )
+
+    r = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.col(on).alias(f"_nj_{on}"),
+        *[F.col(c).alias(f"_nj_{c}") for c in payload],
+    )
+    merged = left.withColumn("_side", F.lit(1)).unionByName(
+        r, allowMissingColumns=True
+    )
+    # order (on asc, right-before-left at ties): the backward frame
+    # includes a same-instant right record (distance 0), the forward
+    # frame starts at the current row and so excludes it — the tie
+    # then resolves backward, which is the same unique record anyway
+    order = [F.col(on).asc(), F.col("_side").asc()]
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    for c in carried:
+        merged = merged.withColumn(
+            f"_njb_{c}", F.last(f"_nj_{c}", ignorenulls=True).over(wb)
+        ).withColumn(
+            f"_njf_{c}", F.first(f"_nj_{c}", ignorenulls=True).over(wf)
+        )
+    out = merged.filter(F.col("_side") == 1)
+    t = F.col(on)
+    db = F.unix_micros(t) - F.unix_micros(F.col(f"_njb_{on}"))
+    df_ = F.unix_micros(F.col(f"_njf_{on}")) - F.unix_micros(t)
+    take_b = F.col(f"_njf_{on}").isNull() | (
+        F.col(f"_njb_{on}").isNotNull() & (db <= df_)
+    )
+    return out.select(*left.columns, *[_pick(take_b, t, c) for c in carried])
+
+
 def skew_join(
     left: DataFrame,
     right: DataFrame,

@@ -2445,6 +2445,34 @@ def q_j6_asof_tolerance(spark, sf_dir):
 QUERIES["j6_asof_tolerance"] = q_j6_asof_tolerance
 
 
+def q_j7_nearest_join(spark, sf_dir):
+    """Nearest-in-time join: every event gains its user's CLOSEST
+    calibration record in either direction (tie → the earlier
+    record).  Both directional carries resolve in ONE keyed window
+    pass (one shuffle); oracle = two DuckDB ASOF joins (>= and <=)
+    with the distance tie-break replayed in exact integer µs."""
+    from qctimeseries_spark.joins import nearest_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    cal = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cal_value"))
+    )
+    out = nearest_join(ev, cal, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        F.col("r_ts").alias("cal_ts"),
+        F.col("r_cal_value").alias("cal_value"),
+    )
+
+
+QUERIES["j7_nearest_join"] = q_j7_nearest_join
+
+
 # The driver harness hash-checks at most the FIRST 50 registry
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
@@ -3735,3 +3763,37 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
        END AS r2
 FROM t
 WHERE n >= 2 AND den_exact != 0"""
+
+# nearest-in-either-direction: DuckDB ASOF both ways (>= backward,
+# <= forward — both include equality; the engine's forward frame
+# excludes a same-instant record but the backward tie-break picks the
+# identical unique (user, ts) row, so the outputs agree), distance
+# compared in exact integer µs, tie -> the earlier (backward) record
+ORACLE["j7_nearest_join"] = """
+WITH cal AS (
+  SELECT user_id, ts, MAX(value) AS cal_value
+  FROM events WHERE event_id % 97 = 0
+  GROUP BY user_id, ts
+),
+b AS (
+  SELECT e.event_id, e.ts AS ev_ts, c.ts AS b_ts, c.cal_value AS b_v
+  FROM events e
+  ASOF LEFT JOIN cal c ON e.user_id = c.user_id AND e.ts >= c.ts
+),
+f AS (
+  SELECT e.event_id, c.ts AS f_ts, c.cal_value AS f_v
+  FROM events e
+  ASOF LEFT JOIN cal c ON e.user_id = c.user_id AND e.ts <= c.ts
+)
+SELECT b.event_id,
+       CASE WHEN f_ts IS NULL
+              OR (b_ts IS NOT NULL
+                  AND epoch_us(ev_ts) - epoch_us(b_ts)
+                      <= epoch_us(f_ts) - epoch_us(ev_ts))
+            THEN b_ts ELSE f_ts END AS cal_ts,
+       CASE WHEN f_ts IS NULL
+              OR (b_ts IS NOT NULL
+                  AND epoch_us(ev_ts) - epoch_us(b_ts)
+                      <= epoch_us(f_ts) - epoch_us(ev_ts))
+            THEN b_v ELSE f_v END AS cal_value
+FROM b JOIN f USING (event_id)"""

@@ -358,3 +358,93 @@ def test_interval_join_shared_bound_names(spark):
         assert "_ij_bucket" in str(e)
     else:
         raise AssertionError("reserved-name clash not detected")
+
+
+# ---------------------------------------------------------------------------
+# nearest_join (j7)
+# ---------------------------------------------------------------------------
+
+
+def _nearest_cases(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts(0)),    # nothing before -> forward match
+            (2, 1, _ts(4)),    # 3h after a, 2h before b -> b
+            (3, 1, _ts(2)),    # 1h after a, 4h before b -> a
+            (4, 1, _ts(3.5)),  # 2.5h either way: exact tie -> earlier (a)
+            (5, 1, _ts(6)),    # exact instant of b -> b at distance 0
+            (6, 2, _ts(5)),    # user 2 has no records -> nulls
+            (7, 1, None),      # NULL ts -> nulls, row preserved
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), 10.0), (1, _ts(6), 20.0)],
+        "user_id long, ts timestamp, cal double",
+    )
+    expect = {
+        1: (_ts(1), 10.0),
+        2: (_ts(6), 20.0),
+        3: (_ts(1), 10.0),
+        4: (_ts(1), 10.0),
+        5: (_ts(6), 20.0),
+        6: (None, None),
+        7: (None, None),
+    }
+    return left, right, expect
+
+
+def test_nearest_join_picks_closer_side_and_breaks_ties_earlier(spark):
+    from qctimeseries_spark.joins import nearest_join
+
+    left, right, expect = _nearest_cases(spark)
+    out = {
+        r.event_id: (r.r_ts, r.r_cal)
+        for r in nearest_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert out == expect
+
+
+def test_nearest_join_keyless_block_path_matches_keyed(spark):
+    """The keyless path (two block as-of passes) must agree with the
+    keyed single-window path on a single-key input, including across
+    block boundaries."""
+    from qctimeseries_spark.joins import nearest_join
+
+    left, right, expect = _nearest_cases(spark)
+    one_user = left.filter(F.col("user_id") == 1).drop("user_id")
+    keyless = {
+        r.event_id: (r.r_ts, r.r_cal)
+        for r in nearest_join(
+            one_user, right.drop("user_id"), on="ts"
+        ).collect()
+    }
+    assert keyless == {k: v for k, v in expect.items() if k not in (6,)}
+
+
+def test_nearest_join_single_window_pass(spark):
+    """Both directional carries must resolve in ONE Window operator
+    (same partition/order spec) — one shuffle, not two as-of joins."""
+    from qctimeseries_spark.joins import nearest_join
+    from qctimeseries_spark.plans import plan_summary
+
+    left, right, _ = _nearest_cases(spark)
+    out = nearest_join(left, right, on="ts", by="user_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_windows = sum(
+        1 for line in plan.splitlines() if line.strip().startswith("Window [")
+        or "- Window [" in line
+    )
+    assert n_windows == 1, plan
+    ps = plan_summary(out)
+    assert ps["global_windows"] == 0 and ps["shuffles"] <= 1, ps
+
+
+def test_nearest_join_rejects_column_collision(spark):
+    from qctimeseries_spark.joins import nearest_join
+
+    left, right, _ = _nearest_cases(spark)
+    with pytest.raises(ValueError, match="collide"):
+        nearest_join(
+            left.withColumn("cal", F.lit(0.0)), right, on="ts", by="user_id"
+        )
