@@ -178,6 +178,7 @@ EXTENDED = [
     "h21_min_cost_supplier",
     "a18_trend",
     "j7_nearest_join",
+    "st21_stream_stream_join",
 ]
 
 HEADLINE = CORE + EXTENDED

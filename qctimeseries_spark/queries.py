@@ -2473,6 +2473,42 @@ def q_j7_nearest_join(spark, sf_dir):
 QUERIES["j7_nearest_join"] = q_j7_nearest_join
 
 
+def q_st21_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-STREAM join (the symmetric stateful join —
+    clicks attributed to the purchase they preceded): purchases and
+    clicks replay as two streams over the same source, each purchase
+    matching the same user's clicks within the prior 4 hours.  Both
+    sides buffer in the state store with eviction driven by the
+    watermark + time-range condition; drained append-mode.  Oracle =
+    the equivalent DuckDB range join."""
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_stream_join,
+    )
+
+    purch = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    clicks = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    joined = stream_stream_join(
+        purch, clicks, by="user_id", lookback_seconds=4 * 3600.0
+    )
+    out = run_available_now(joined, output_mode="append")
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("r_ts").alias("click_ts"),
+    )
+
+
+QUERIES["st21_stream_stream_join"] = q_st21_stream_stream_join
+
+
 # The driver harness hash-checks at most the FIRST 50 registry
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
@@ -3797,3 +3833,16 @@ SELECT b.event_id,
                       <= epoch_us(f_ts) - epoch_us(ev_ts))
             THEN b_v ELSE f_v END AS cal_value
 FROM b JOIN f USING (event_id)"""
+
+# stream-stream join drained over a bounded replay == the batch range
+# join (single-source monotone replay: nothing arrives beyond the
+# watermark, so no match is evicted early); bounds inclusive, exact µs
+ORACLE["st21_stream_stream_join"] = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 4 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""

@@ -1707,3 +1707,167 @@ def test_stream_sessions_late_data_dropped_after_eviction(spark, tmp_path):
         (9, m(200), m(240), m(200), m(210), 2),
     ])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join (st21)
+# ---------------------------------------------------------------------------
+
+
+def _ssj_stage(spark, tmp_path, batches):
+    """Stage event batches and return a thunk making filtered streams."""
+    from qctimeseries_spark.streaming import stage_file_batches
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "src")
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in batches], src
+    )
+
+    def side(kind):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == kind)
+            .select("event_id", "user_id", "ts")
+        )
+
+    return side
+
+
+def test_stream_stream_join_matches_across_batches_both_orders(
+    spark, tmp_path
+):
+    """Symmetric state: a click arriving a BATCH AFTER its purchase
+    (left buffered) and a purchase arriving a batch after its click
+    (right buffered) both match, provided the late side is within the
+    watermark; the drained result equals the batch join of the full
+    data."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    b0 = [(1, 1, t(10), "purchase"), (101, 1, t(9, 30), "click")]
+    b1 = [(102, 1, t(9, 45), "click"), (2, 1, t(10, 30), "purchase")]
+    side = _ssj_stage(spark, tmp_path, [b0, b1])
+    joined = stream_stream_join(
+        side("purchase"), side("click"),
+        by="user_id", lookback_seconds=3600.0, watermark="1 hour",
+    )
+    got = sorted(
+        (r.event_id, r.r_event_id)
+        for r in run_available_now(joined, output_mode="append").collect()
+    )
+    # P1×{C1 in-batch, C2 next-batch}; P2×{C1 boundary-inclusive
+    # right-buffered, C2}
+    assert got == [(1, 101), (1, 102), (2, 101), (2, 102)]
+    # batch twin over the union: identical row set (watermark no-ops)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    all_rows = spark.createDataFrame(b0 + b1, schema)
+    batch = stream_stream_join(
+        all_rows.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts"),
+        all_rows.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts"),
+        by="user_id", lookback_seconds=3600.0,
+    )
+    assert got == sorted(
+        (r.event_id, r.r_event_id) for r in batch.collect()
+    )
+
+
+def test_stream_stream_join_drops_beyond_watermark(spark, tmp_path):
+    """State actually evicts — with the MEASURED lag: within a batch,
+    input matches against state BEFORE cleanup runs, and the query
+    watermark itself lags a batch (batch N evicts with the max event
+    time through batch N-1).  So the purchase is only provably gone
+    two batches after the advancing events: b1 advances event time,
+    b2's cleanup evicts with that watermark, and the late click in b3
+    finds nothing — while the in-horizon pair still matches.  The
+    batch join would emit both pairs; that difference is exactly the
+    contract the watermark defines."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    b0 = [(1, 1, t(9, 30), "purchase")]
+    # advances both sides' event time past the late click + watermark,
+    # and forms an in-horizon pair of its own
+    b1 = [(2, 2, t(12), "purchase"), (201, 2, t(11, 50), "click")]
+    # spacer: its batch runs state cleanup under the b1-derived
+    # watermark (10:50), evicting the 09:30 purchase
+    b2 = [(3, 3, t(12, 1), "purchase")]
+    # C_late at 09:00 is ~2h behind the watermark and its purchase is
+    # no longer in state
+    b3 = [(202, 1, t(9), "click")]
+    side = _ssj_stage(spark, tmp_path, [b0, b1, b2, b3])
+    joined = stream_stream_join(
+        side("purchase"), side("click"),
+        by="user_id", lookback_seconds=3600.0, watermark="1 hour",
+    )
+    got = sorted(
+        (r.event_id, r.r_event_id)
+        for r in run_available_now(joined, output_mode="append").collect()
+    )
+    assert got == [(2, 201)]  # the in-horizon pair; no (1, 202)
+
+
+def test_stream_stream_join_left_outer_emits_nulls_after_watermark(
+    spark, tmp_path
+):
+    """left_outer: an unmatched purchase emits with NULL click once
+    the watermark proves no counterpart can arrive.  The query
+    watermark is the MIN across BOTH sides' watermark nodes
+    (multipleWatermarkPolicy=min — measured: purchase-only spacers
+    left it pinned at the click side's max), so the spacer batches
+    advance purchases AND clicks, on key-disjoint users so they form
+    no matches of their own."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    b0 = [(1, 1, t(9), "purchase"), (101, 2, t(9), "click"),
+          (2, 2, t(9, 30), "purchase")]
+    # dual-side spacers (clicks: user 3, purchases: user 4 -> no
+    # cross-matches); the spacer purchases themselves stay in state,
+    # never finalized, because the watermark never passes them
+    b1 = [(301, 3, t(15), "click"), (3, 4, t(15), "purchase")]
+    b2 = [(302, 3, t(15, 30), "click"), (4, 4, t(15, 30), "purchase")]
+    b3 = [(303, 3, t(16), "click"), (5, 4, t(16), "purchase")]
+    side = _ssj_stage(spark, tmp_path, [b0, b1, b2, b3])
+    joined = stream_stream_join(
+        side("purchase"), side("click"),
+        by="user_id", lookback_seconds=3600.0, watermark="1 hour",
+        how="left_outer",
+    )
+    got = {
+        r.event_id: r.r_event_id
+        for r in run_available_now(joined, output_mode="append").collect()
+    }
+    assert got == {1: None, 2: 101}
+
+
+def test_stream_stream_join_requires_key(spark):
+    import pytest as _pt
+
+    from qctimeseries_spark.streaming import stream_stream_join
+
+    df = spark.range(1).select(
+        F.col("id").alias("event_id"),
+        F.current_timestamp().alias("ts"),
+    )
+    with _pt.raises(ValueError, match="equality key"):
+        stream_stream_join(df, df, by=[])
