@@ -179,6 +179,12 @@ EXTENDED = [
     "a18_trend",
     "j7_nearest_join",
     "st21_stream_stream_join",
+    # wave 4: perceptual-hash media dedup, rollup aggregate,
+    # partition-pruned roundtrip, exact lag-1 autocorrelation
+    "m6_phash_dedup",
+    "h22_rollup_revenue",
+    "s12_partitioned_roundtrip",
+    "a19_autocorr",
 ]
 
 HEADLINE = CORE + EXTENDED

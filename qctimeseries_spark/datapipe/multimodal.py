@@ -1245,6 +1245,89 @@ def decode_media(
     )
 
 
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("signature", LongType()),
+    ]
+)
+
+
+def media_ahash(
+    media: DataFrame,
+    *,
+    n_units: int = 48,
+    batch_rows: int = 256,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded units — the
+    multimodal near-dup fingerprint: decode the payload (PNG inflate,
+    WAV PCM16 unpack, MP4 demux to big-endian samples), take the first
+    ``n_units`` units, and set bit j when unit j exceeds the window
+    mean.  The mean compare is CROSS-MULTIPLIED (``unit*n > sum``) so
+    no float exists anywhere and the signature is engine-portable;
+    ``n_units`` is capped at 62 to stay clear of the int64 sign bit.
+
+    Items the environment cannot decode (corrupt payloads, compressed
+    codecs) come back with a NULL signature rather than vanishing —
+    dedup pipelines must see what they skipped.  JPEG is decodable
+    (DC-only) but its pixel stream is constant across each 8×8 block,
+    which degenerates a ≤62-unit aHash window to signature 0 for
+    every item — route JPEG to a block-level fingerprint instead of
+    hashing it here.
+
+    Scale shape: the decode is the same Arrow ``mapInPandas`` stream
+    as :func:`decode_media` (byte-budget spread first, never a
+    collect); the downstream dedup is a groupBy on the 62-bit
+    signature — uniform key, one shuffle of (id, fmt, int64).
+    """
+    if not 1 <= n_units <= 62:
+        raise ValueError(f"n_units must be in [1, 62], got {n_units}")
+    media = _spread(media, partitions)
+
+    def row(media_id, payload) -> dict:
+        fmt = None
+        units = None
+        try:
+            if payload is None:
+                raise ValueError("NULL payload")
+            meta = parse_media(payload)
+            fmt = meta["fmt"]
+            if fmt == "mp4":
+                units = decode_mp4(payload)["samples"]
+            elif fmt in ("png", "wav"):
+                units = _decode_payload(meta["content"], fmt)
+        except (ValueError, NotImplementedError):
+            units = None
+        sig = None
+        if units is not None:
+            window = units[:n_units]
+            n = len(window)
+            total = sum(window)
+            sig = 0
+            for j, u in enumerate(window):
+                if u * n > total:
+                    sig |= 1 << j
+        return {"media_id": media_id, "fmt": fmt, "signature": sig}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    [
+                        row(m, None if p is None else bytes(p))
+                        for m, p in zip(chunk["media_id"], chunk["payload"])
+                    ],
+                    columns=[f.name for f in AHASH_SCHEMA.fields],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, AHASH_SCHEMA
+    )
+
+
 def media_summary(media: DataFrame) -> DataFrame:
     """Per-modality byte/row accounting — the sanity dashboard query."""
     return media.groupBy("modality").agg(

@@ -838,6 +838,34 @@ def q_m5_frame_sample(spark, sf_dir):
     return sample_frames(attach_media(_docs(spark, sf_dir)), every=4)
 
 
+def q_m6_phash_dedup(spark, sf_dir):
+    """Perceptual-hash (aHash) fingerprint buckets over REAL decoded
+    media — the multimodal dedup table: PNG payloads inflate (zlib) to
+    pixel bytes, WAV unpacks to little-endian PCM16, MP4 demuxes via
+    its own stbl to big-endian samples; the first-48-unit
+    mean-threshold signature is cross-multiplied (unit·n > Σ) so no
+    float exists, and items grouping to the same (fmt, signature)
+    bucket are perceptual collisions (n_items > 1).  JPEG is excluded
+    by design: DC-only decode repeats each block value 64×, making
+    every ≤62-unit window constant — signature 0 for all items (see
+    media_ahash).  The oracle reproduces decode + signature
+    arithmetically from the document bytes, so a hash match proves the
+    engine genuinely inverted the three container formats."""
+    from qctimeseries_spark.datapipe.multimodal import (
+        attach_media,
+        media_ahash,
+    )
+
+    media = attach_media(_docs(spark, sf_dir)).filter(
+        F.col("fmt") != "jpeg"
+    )
+    sigs = media_ahash(media, n_units=48)
+    return sigs.groupBy("fmt", "signature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.min("media_id").alias("keeper"),
+    )
+
+
 def q_t10_token_budget(spark, sf_dir):
     """Deterministic token-budget prefix: documents in hash-bucket
     order until 6,000 cumulative whitespace tokens.  Two-phase at
@@ -1637,6 +1665,7 @@ DATAPIPE_QUERIES = {
     "m3_media_decode": q_m3_media_decode,
     "m4_resize": q_m4_resize,
     "m5_frame_sample": q_m5_frame_sample,
+    "m6_phash_dedup": q_m6_phash_dedup,
     "c2_curate": q_c2_curate,
     "t10_token_budget": q_t10_token_budget,
     "t11_split": q_t11_split,
@@ -2425,6 +2454,60 @@ SELECT doc_id AS media_id, fmt, decoded,
        CASE WHEN n_units > 0 THEN sqrt(CAST(sq AS DOUBLE) / n_units)
             END AS rms_unit
 FROM u""",
+    # m6: decode + aHash replayed arithmetically — PNG units are the
+    # document bytes (hex-pair expansion), WAV little-endian and MP4
+    # big-endian PCM16 pairs; signature bit j set when unit_j*n > Σ
+    # over the first-48-unit window (cross-multiplied, no float);
+    # empty windows coalesce to signature 0 on both engines
+    "m6_phash_dedup": """
+WITH m AS (
+  SELECT doc_id, text, strlen(text) AS L,
+         CASE WHEN doc_id % 6 = 0 THEN 'png'
+              WHEN doc_id % 3 = 1 THEN 'wav'
+              ELSE 'mp4' END AS fmt
+  FROM documents WHERE doc_id % 6 != 3
+),
+b AS (
+  SELECT doc_id, fmt, L,
+         list_transform(range(0, CAST(L AS INT)),
+           i -> CAST(concat('0x', substr(hex(encode(text)), 2 * i + 1, 2))
+                     AS INT)) AS bytes
+  FROM m
+),
+s AS (
+  SELECT doc_id, fmt,
+         CASE WHEN fmt = 'png' THEN bytes
+              WHEN fmt = 'wav' THEN
+           list_transform(range(0, CAST(L // 2 AS INT)),
+             k -> CASE WHEN bytes[2 * k + 2] >= 128
+                       THEN bytes[2 * k + 1] + 256 * bytes[2 * k + 2] - 65536
+                       ELSE bytes[2 * k + 1] + 256 * bytes[2 * k + 2] END)
+              ELSE
+           list_transform(range(0, CAST(L // 2 AS INT)),
+             k -> CASE WHEN bytes[2 * k + 1] >= 128
+                       THEN 256 * bytes[2 * k + 1] + bytes[2 * k + 2] - 65536
+                       ELSE 256 * bytes[2 * k + 1] + bytes[2 * k + 2] END)
+         END AS units
+  FROM b
+),
+w AS (
+  SELECT doc_id, fmt, units[1:48] AS win,
+         len(units[1:48]) AS n,
+         COALESCE(list_sum(units[1:48]), 0) AS tot
+  FROM s
+),
+sig AS (
+  SELECT doc_id, fmt,
+         COALESCE(list_sum(list_transform(range(0, CAST(n AS INT)),
+           j -> CASE WHEN win[j + 1] * n > tot
+                     THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0)
+           AS signature
+  FROM w
+)
+SELECT fmt, CAST(signature AS BIGINT) AS signature,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       MIN(doc_id) AS keeper
+FROM sig GROUP BY fmt, signature""",
     "t12_bpe_pairs": f"""
 WITH w AS (
   SELECT unnest({_TOKS.format(c='text')}) AS w FROM documents

@@ -2328,6 +2328,104 @@ def q_a18_trend(spark, sf_dir):
     )
 
 
+def q_h22_rollup_revenue(spark, sf_dir):
+    """Hierarchical aggregate (GROUP BY ROLLUP — the TPC-H Q1 shape
+    one level up): revenue and row counts at (returnflag, linestatus),
+    per returnflag, and grand-total levels in ONE pass.  Spark plans
+    rollup as a single Expand + hash aggregate — the fact scans once
+    and each level is a map-side partial, no per-level re-scan or
+    union; super-aggregate rows carry NULL group keys on both engines.
+    Money sums in exact decimal, cast to double at the edge."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def q_s12_partitioned_roundtrip(spark, sf_dir):
+    """Partitioned sink then partition-PRUNED source: the seeded QC
+    table writes day-partitioned parquet (the 100 TB layout — one
+    directory per day), and the read-back filters on the partition
+    column, which must prune to that day's directory (PartitionFilters
+    in the scan, pinned by pytest — the data files of 29 other days
+    are never opened).  Partition values round-trip through directory
+    names; the explicit int cast pins the inferred type."""
+    path = os.path.join(_SCRATCH, "partitioned_roundtrip")
+    seeded = _seeded(spark, sf_dir).withColumn(
+        "qc_day", F.dayofmonth("ts").cast("int")
+    )
+    seeded.write.mode("overwrite").partitionBy("qc_day").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("qc_day") == 15)
+        .select(
+            "event_id", "value", "value_qcflag",
+            F.col("qc_day").cast("int").alias("qc_day"),
+        )
+    )
+
+
+def q_a19_autocorr(spark, sf_dir):
+    """Per-key lag-1 autocorrelation, computed EXACTLY: consecutive
+    (y_t, y_{t+1}) pairs per user (ordered by ts then event_id, the
+    engine-wide tie rule) feed the same integer-cent / DECIMAL(38,0)
+    machinery as a18 — Pearson correlation of the pair series with
+    only the final divide-by-sqrt in double, operand order pinned on
+    both engines (sqrt is correctly rounded IEEE on both).  One keyed
+    window for the lead, one keyed aggregation — no global sort."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * F.lit(100))
+        .cast("decimal(20,0)")
+        .alias("_y"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    pairs = ev.withColumn("_ylead", F.lead("_y").over(w)).filter(
+        F.col("_ylead").isNotNull()
+    )
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("_n"),
+        F.sum("_y").alias("_sx"),
+        F.sum("_ylead").alias("_sy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_ylead")).alias("_sxy"),
+        F.sum(F.col("_ylead") * F.col("_ylead")).alias("_syy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return (
+        s.withColumn("_num", num)
+        .withColumn("_dx", dx)
+        .withColumn("_dy", dy)
+        .filter((F.col("_n") >= 2) & (F.col("_dx") > 0) & (F.col("_dy") > 0))
+        .select(
+            "user_id",
+            F.col("_n").cast("bigint").alias("n_pairs"),
+            (
+                F.col("_num").cast("double")
+                / F.sqrt(F.col("_dx").cast("double") * F.col("_dy").cast("double"))
+            ).alias("acf1"),
+        )
+    )
+
+
+QUERIES["h22_rollup_revenue"] = q_h22_rollup_revenue
+QUERIES["s12_partitioned_roundtrip"] = q_s12_partitioned_roundtrip
+QUERIES["a19_autocorr"] = q_a19_autocorr
 QUERIES["h15_small_qty_revenue"] = q_h15_small_qty_revenue
 QUERIES["h16_important_parts"] = q_h16_important_parts
 QUERIES["h17_top_supplier"] = q_h17_top_supplier
@@ -2555,11 +2653,24 @@ _WINDOW_R10 = (
     # stay in-window through other members
     "t41_stratified_sample", "j6_asof_tolerance",
     "st20_stream_stratified", "w14_bfill", "x19_ivfpq_residual",
-    # oldest (r7) fills — family coverage for s/f/c/m/h rides here
-    "s4_parquet_roundtrip", "f5_iso_export", "c2_curate",
-    "m3_media_decode", "h4_order_priority",
-    "d6_incremental_dedup", "d7_incremental_neardup",
-    "st4_session_windows", "a9_percentiles",
+    # round-10 continuation newborns — the five riskiest of the ten
+    # (new streaming machinery, new exact-arithmetic formula, new join
+    # operator, the two trickiest relational shapes); they take the
+    # five displaceable r7 fills' slots (h4/d6/d7/st4/a9 keep r7
+    # driver greens + this round's replica/sf1 greens; families h, d,
+    # st, a stay in-window through h15/h20, d3/d5/d9, st19-st21,
+    # a1/a2/a3/a5/a18).  The other five continuation newborns
+    # (h16-h19/h21/j7... minus these) hold replica + sf1 greens and
+    # rotate in next round.
+    "st21_stream_stream_join", "a18_trend", "j7_nearest_join",
+    "h15_small_qty_revenue", "h20_balance_gate",
+    # wave-4 newborns with genuinely NEW machinery: m6 (decode→aHash
+    # fingerprint) and s12 (partitioned sink + pruned source) take the
+    # m3/s4 fill slots — their families stay covered through them;
+    # m3/s4 keep r7 driver greens + this round's replica/sf1 greens
+    "m6_phash_dedup", "s12_partitioned_roundtrip",
+    # oldest (r7) fills — family coverage for f/c rides here
+    "f5_iso_export", "c2_curate",
 )
 assert len(_WINDOW_R10) == 50 and len(set(_WINDOW_R10)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R10} | {
@@ -3833,6 +3944,57 @@ SELECT b.event_id,
                       <= epoch_us(f_ts) - epoch_us(ev_ts))
             THEN b_v ELSE f_v END AS cal_value
 FROM b JOIN f USING (event_id)"""
+
+# hierarchical aggregate: DuckDB GROUP BY ROLLUP mirrors Spark's
+# rollup() — super-aggregate rows carry NULL group keys on both sides
+ORACLE["h22_rollup_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+# the partition-pruned roundtrip must return exactly the day-15 slice
+# of the seeded table (partition values round-trip through directory
+# names; the engine side additionally pins PartitionFilters by pytest)
+ORACLE["s12_partitioned_roundtrip"] = f"""
+WITH {_SEEDED_SQL}
+SELECT event_id, value, value_qcflag,
+       CAST(day(ts) AS INT) AS qc_day
+FROM seeded WHERE day(ts) = 15"""
+
+# exact per-key lag-1 autocorrelation: consecutive pairs by
+# (ts, event_id), integer-cent sums in HUGEINT (Spark DECIMAL(38,0)),
+# VARCHAR-routed HUGEINT->DOUBLE casts (see a18), final divide and
+# sqrt in double with pinned operand order
+ORACLE["a19_autocorr"] = """
+WITH p AS (
+  SELECT user_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x,
+         LEAD(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM events
+),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+  FROM p WHERE y IS NOT NULL GROUP BY user_id
+),
+t AS (
+  SELECT user_id, n,
+         CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE) AS numd,
+         CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) AS dxd,
+         CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE) AS dyd,
+         n*sxx - sx*sx AS dx_e, n*syy - sy*sy AS dy_e
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       numd / sqrt(dxd * dyd) AS acf1
+FROM t WHERE n >= 2 AND dx_e > 0 AND dy_e > 0"""
 
 # stream-stream join drained over a bounded replay == the batch range
 # join (single-source monotone replay: nothing arrives beyond the

@@ -66,6 +66,12 @@ def test_driver_window_covers_every_family():
         # r10 newborns — driver-checked from day one
         "t41_stratified_sample", "j6_asof_tolerance",
         "st20_stream_stratified", "w14_bfill", "x19_ivfpq_residual",
+        # r10 continuation newborns (the five riskiest of the ten:
+        # new streaming machinery / exact-arithmetic formula / join
+        # operator / trickiest relational shapes)
+        "st21_stream_stream_join", "a18_trend", "j7_nearest_join",
+        "h15_small_qty_revenue", "h20_balance_gate",
+        "m6_phash_dedup", "s12_partitioned_roundtrip",
     } <= window
 
 

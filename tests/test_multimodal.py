@@ -479,3 +479,45 @@ def test_sample_frames_partial_decode_matches_python(spark):
             assert r["n_sampled"] == r["n_frames"]
     with pytest.raises(ValueError, match="every"):
         sample_frames(media, every=0)
+
+
+def test_media_ahash_real_decode_and_bit_rule(spark):
+    """The aHash signature must equal a pure-python recompute from the
+    decoded units (PNG: the document bytes themselves), the mean
+    compare is cross-multiplied (no float), undecodable formats keep
+    NULL signatures, and the n_units int64-sign guard raises."""
+    import pytest as _pt
+
+    from qctimeseries_spark.datapipe.multimodal import (
+        attach_media,
+        media_ahash,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "abcABCxyz" * 10),   # %6=0 -> png: units = text bytes
+            (3, "jpeg-bound doc"),   # %6=3 -> jpeg: NULL signature
+            (4, "wav doc body!!"),   # %3=1 -> wav: PCM16 LE samples
+        ],
+        "doc_id long, text string",
+    )
+    media = attach_media(docs)
+    out = {r.media_id: r for r in media_ahash(media, n_units=48).collect()}
+
+    def ahash(units, n_units=48):
+        w = list(units)[:n_units]
+        n, tot = len(w), sum(w)
+        return sum(1 << j for j, u in enumerate(w) if u * n > tot)
+
+    png_text = "abcABCxyz" * 10
+    assert out[0].signature == ahash(png_text.encode())
+    assert out[3].signature is None  # no aHash route for DC-only JPEG
+    import struct
+
+    wav_bytes = "wav doc body!!".encode()
+    n = len(wav_bytes) // 2
+    samples = struct.unpack(f"<{n}h", wav_bytes[: 2 * n])
+    assert out[4].signature == ahash(samples)
+
+    with _pt.raises(ValueError, match=r"n_units"):
+        media_ahash(media, n_units=63)

@@ -66,3 +66,19 @@ def test_jsonl_roundtrip_lossless_with_unicode_and_gzip(spark, tmp_path):
     assert glob.glob(g + "/*.json.gz")
     back_gz = read_jsonl(spark, g, schema="doc_id long, text string, lang string")
     assert back_gz.count() == 3
+
+
+def test_partitioned_roundtrip_prunes_to_one_day(spark):
+    """s12's read-back scan must carry the partition filter as a
+    PartitionFilter (directory pruning — 29 of 30 day dirs never
+    open), not a post-scan predicate."""
+    from qctimeseries_spark.queries import QUERIES
+
+    df = QUERIES["s12_partitioned_roundtrip"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "qc_day" in m.group(1), plan[:2000]
+    days = df.select("qc_day").distinct().collect()
+    assert [r.qc_day for r in days] == [15]
