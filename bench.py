@@ -185,6 +185,7 @@ EXTENDED = [
     "h22_rollup_revenue",
     "s12_partitioned_roundtrip",
     "a19_autocorr",
+    "d14_containment",
 ]
 
 HEADLINE = CORE + EXTENDED

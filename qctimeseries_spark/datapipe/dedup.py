@@ -998,6 +998,60 @@ def jaccard_on(
     )
 
 
+def containment_on(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+) -> DataFrame:
+    """Shingle-CONTAINMENT for candidate pairs — the asymmetric
+    verifier Jaccard misses: ``C(A→B) = |A∩B| / |A|`` scores ~1.0 when
+    A is quoted/embedded inside a longer B regardless of the length
+    gap, where Jaccard dilutes toward ``|A|/|B|`` and a threshold
+    drops the pair.  Emits both directions per candidate pair plus
+    the set sizes, so a retention policy can distinguish "A inside B"
+    from "B inside A" and keep the superset.
+
+    Same scale shape as :func:`jaccard_on`: two joins pull each
+    side's 60-bit hashed shingle set onto the pair row, scoring is
+    row-local, and the work is bounded by the CANDIDATE set — never
+    quadratic.  Candidate generation is the caller's policy: MinHash
+    LSH recalls near-dups but is biased against extreme-size-ratio
+    containment (a short quote inside a long doc rarely wins a
+    minimum); for subset-heavy corpora feed candidates from a
+    rare-gram join (the t23 span-dedup generator) instead.
+    """
+    sh = fan_out(docs).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), ngram), hash60)
+        ).alias("sh"),
+    )
+    j = (
+        pairs.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_a = F.size(F.col("sh_a"))
+    n_b = F.size(F.col("sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(inter.cast("double") / n_a, 6).alias("containment_a"),
+        F.round(inter.cast("double") / n_b, 6).alias("containment_b"),
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

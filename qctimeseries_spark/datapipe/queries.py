@@ -23,6 +23,7 @@ from qctimeseries_spark.datapipe.dedup import (
     dup_clusters,
     embedding_dup_pairs,
     exact_dedup,
+    containment_on,
     jaccard_on,
     lsh_candidates,
     minhash_dedup_pairs,
@@ -341,6 +342,19 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     docs = _near_corpus(spark, sf_dir)
     cands = lsh_candidates(docs, k=16, bands=4, ngram=3)
     return jaccard_on(cands, docs, ngram=3)
+
+
+def q_d14_containment(spark, sf_dir):
+    """Asymmetric containment scores on the d4 candidate set: both
+    directions (|A∩B|/|A| and /|B|) plus set sizes, so subset
+    inclusion (a doc quoted inside a longer one) is visible where a
+    Jaccard threshold would dilute it away.  Candidate policy note in
+    containment_on: LSH recalls near-dups, not extreme-ratio subsets
+    — this query scores the shared candidate set; rare-gram
+    generation is the subset-heavy path."""
+    docs = _near_corpus(spark, sf_dir)
+    cands = lsh_candidates(docs, k=16, bands=4, ngram=3)
+    return containment_on(cands, docs, ngram=3)
 
 
 def q_d5_embedding_dups(spark, sf_dir):
@@ -1647,6 +1661,7 @@ DATAPIPE_QUERIES = {
     "d2_minhash_dedup": q_d2_minhash_dedup,
     "d3_simhash_pairs": q_d3_simhash_pairs,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
+    "d14_containment": q_d14_containment,
     "d5_embedding_dups": q_d5_embedding_dups,
     "d9_semantic_dedup": q_d9_semantic_dedup,
     "c1_dup_clusters": q_c1_dup_clusters,
@@ -1880,6 +1895,30 @@ WITH {_NEAR_CORPUS_SQL},
 {_band_sql(4, 4)},
 {_JACCARD_SQL}
 SELECT id_a, id_b, jaccard FROM j""",
+    # d14: the d4 candidate machinery with asymmetric containment
+    # scoring — both directions + set sizes per pair
+    "d14_containment": f"""
+WITH {_NEAR_CORPUS_SQL},
+{_shingle_sql('corpus', 3)},
+{_minhash_sql(16)},
+{_band_sql(4, 4)},
+jh AS (
+  SELECT doc_id, list_distinct(list_transform(s, x -> {hash60_sql('x')})) AS hs
+  FROM sh
+),
+c AS (
+  SELECT cand.id_a, cand.id_b,
+         len(list_filter(sa.hs, x -> list_contains(sb.hs, x))) AS inter,
+         len(sa.hs) AS n_a, len(sb.hs) AS n_b
+  FROM cand
+  JOIN jh sa ON sa.doc_id = cand.id_a
+  JOIN jh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(CAST(inter AS DOUBLE) / n_a, 6) AS containment_a,
+       ROUND(CAST(inter AS DOUBLE) / n_b, 6) AS containment_b
+FROM c""",
     "d5_embedding_dups": f"""
 WITH {_EMB_CORPUS_SQL},
 u AS (

@@ -3547,3 +3547,30 @@ def test_knn_binary_recall_and_determinism(spark):
 
     with _pt.raises(ValueError, match="rerank >= 1"):
         knn_binary(df, queries, k=5, rerank=0)
+
+
+def test_containment_scores_subset_inclusion_jaccard_dilutes(spark):
+    """The d14 semantics: a short doc fully quoted inside a much
+    longer one scores containment_a ~1.0 while Jaccard on the SAME
+    pair dilutes toward |A|/|B| — the case a Jaccard threshold drops.
+    Both directions and the set sizes come back per pair."""
+    from qctimeseries_spark.datapipe import containment_on, jaccard_on
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    host = quote + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    c = containment_on(pairs, docs, ngram=3).collect()[0]
+    j = jaccard_on(pairs, docs, ngram=3).collect()[0]
+    assert c.containment_a > 0.95          # A lives inside B
+    assert c.containment_b < 0.35          # B is mostly not A
+    assert j.jaccard < 0.35                # the dilution containment fixes
+    assert c.n_a < c.n_b
+    # directionality: swapping the pair swaps the scores
+    swapped = containment_on(
+        spark.createDataFrame([(2, 1)], "id_a long, id_b long"), docs
+    ).collect()[0]
+    assert swapped.containment_a == c.containment_b
+    assert swapped.containment_b == c.containment_a
