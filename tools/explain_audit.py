@@ -33,14 +33,18 @@ def audit(name: str, df, construction=None) -> None:
     sort_merge = plan.count("SortMergeJoin")
     nested = plan.count("NestedLoopJoin")
     cartesian = plan.count("CartesianProduct")
-    # unpartitioned Window operators (every row through one task): the
-    # partitioned form prints [funcs], [partSpec], [orderSpec]; the
-    # global form drops the middle group, leaving ONE "], ["
+    # unpartitioned Window operators (every row through one task): both
+    # the global-but-ordered and the partitioned-but-UNORDERED forms
+    # print one "], [" (whichever bracket group is empty is dropped),
+    # so the trailing group's ASC/DESC markers disambiguate — same rule
+    # as plans.plan_summary (h15/h21's per-part aggregates were the
+    # false positives)
     global_win = sum(
         1
         for line in plan.splitlines()
         if re.match(r"\s*[+\-:|* ]*Window \[", line)
         and line.count("], [") == 1
+        and re.search(r"(ASC|DESC)[^\]]*\]\s*$", line.rstrip())
     )
     print(f"== {name}: shuffles={n_exchange} bcast={n_bcast} wsc={n_wsc} "
           f"smj={sort_merge} nlj={nested} cart={cartesian} gwin={global_win}")
