@@ -245,3 +245,16 @@ def test_pretraining_prep_example_runs():
     assert "straddle a 512-token boundary" in out.stdout
     assert "k-means cells" in out.stdout
     assert "diversified results" in out.stdout
+
+
+def test_event_analytics_example_runs():
+    out = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "event_analytics.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "trend:" in out.stdout and "steepest" in out.stdout
+    assert "autocorrelation:" in out.stdout
+    assert "nearest calibration:" in out.stdout
+    assert "reconciled" in out.stdout  # stream == batch twin
