@@ -579,3 +579,102 @@ def test_topk_exact_law_sharded_equals_single_window(spark, pool):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-10 continuation laws: nearest_join and containment
+# ---------------------------------------------------------------------------
+
+_nj_left_st = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 500)),  # (key, minute)
+    min_size=1, max_size=12,
+)
+_nj_right_st = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 500)),
+    min_size=0, max_size=8,
+)
+
+
+@given(left=_nj_left_st, right=_nj_right_st)
+@SETTINGS
+def test_nearest_join_matches_brute_force_model(spark, left, right):
+    """nearest_join == the brute-force model: per key, the right
+    record minimizing |Δt|, exact ties resolved to the EARLIER
+    record; keys with no right rows give NULL."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda m: base + dt.timedelta(minutes=m)
+    from qctimeseries_spark.joins import nearest_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t(m)) for i, (k, m) in enumerate(left)],
+        "event_id long, k long, ts timestamp",
+    )
+    # right unique per (k, ts) — the documented contract
+    rrows = sorted({(k, m) for k, m in right})
+    rdf = spark.createDataFrame(
+        [(k, t(m), float(k * 1000 + m)) for k, m in rrows],
+        "k long, ts timestamp, payload double",
+    ) if rrows else spark.createDataFrame(
+        [], "k long, ts timestamp, payload double"
+    )
+    got = {
+        r.event_id: r.r_payload
+        for r in nearest_join(ldf, rdf, on="ts", by="k").collect()
+    }
+
+    def model(k, m):
+        cands = [(abs(rm - m), rm) for rk, rm in rrows if rk == k]
+        if not cands:
+            return None
+        d, rm = min(cands)  # tie -> smaller rm == earlier record
+        return float(k * 1000 + rm)
+
+    want = {i: model(k, m) for i, (k, m) in enumerate(left)}
+    assert got == want
+
+
+_ct_docs_st = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=5
+)
+
+
+@given(texts=_ct_docs_st)
+@SETTINGS
+def test_containment_equals_exact_set_arithmetic(spark, texts):
+    """containment_on == exact shingle-set arithmetic on every pair,
+    and containment_x >= jaccard always (the dilution inequality)."""
+    from qctimeseries_spark.datapipe import containment_on, jaccard_on
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(len(texts)) for b in range(len(texts))
+         if a < b],
+        "id_a long, id_b long",
+    )
+    out = {(r.id_a, r.id_b): r for r in
+           containment_on(pairs, docs, ngram=2).collect()}
+    jac = {(r.id_a, r.id_b): r.jaccard for r in
+           jaccard_on(pairs, docs, ngram=2).collect()}
+
+    def grams(s):
+        # mirror dedup.shingles: lowercase whitespace tokens, <n tokens
+        # -> ONE whole-text shingle (an empty doc shingles to {""})
+        toks = s.lower().split()
+        if len(toks) < 2:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    for (a, b), r in out.items():
+        ga, gb = grams(texts[a]), grams(texts[b])
+        assert r.n_a == len(ga) and r.n_b == len(gb)
+        inter = len(ga & gb)
+        if ga:
+            assert r.containment_a == pytest.approx(inter / len(ga), abs=1e-6)
+            assert r.containment_a >= jac[(a, b)] - 1e-9
+        if gb:
+            assert r.containment_b == pytest.approx(inter / len(gb), abs=1e-6)
+            assert r.containment_b >= jac[(a, b)] - 1e-9
