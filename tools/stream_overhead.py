@@ -148,6 +148,32 @@ def main() -> int:
             output_mode="append",
         ).count()
 
+    def st21(src, run):
+        from qctimeseries_spark.streaming import (
+            run_available_now,
+            stream_stream_join,
+        )
+
+        schema = (
+            "event_id bigint, user_id bigint, ts timestamp,"
+            " event_type string"
+        )
+
+        def side(kind):
+            return (
+                read_stream(src, schema)
+                .filter(F.col("event_type") == kind)
+                .select("event_id", "user_id", "ts")
+            )
+
+        run_available_now(
+            stream_stream_join(
+                side("purchase"), side("click"),
+                by="user_id", lookback_seconds=4 * 3600.0,
+            ),
+            output_mode="append",
+        ).count()
+
     def st17(src, run):
         from qctimeseries_spark.datapipe.text import tokens
 
@@ -168,6 +194,11 @@ def main() -> int:
     events_ut = read_table(spark, sf_dir, "events").select("user_id", "ts")
     events_ut.persist().count()
 
+    events_full = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    events_full.persist().count()
+
     queries = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -179,6 +210,11 @@ def main() -> int:
         "st16": (docs, "doc_id", st16),
         "st17": (docs_lang, "doc_id", st17),
         "st19": (events_ut, "user_id", st19),
+        # NOTE st21's batches split by user_id hash, so both sides of
+        # a (purchase, click) match land in the SAME batch — the
+        # marginal cost measured here is the per-batch state-store +
+        # checkpoint work, the steady-state number
+        "st21": (events_full, "user_id", st21),
     }
 
     results = {}
