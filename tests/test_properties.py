@@ -678,3 +678,71 @@ def test_containment_equals_exact_set_arithmetic(spark, texts):
         if gb:
             assert r.containment_b == pytest.approx(inter / len(gb), abs=1e-6)
             assert r.containment_b >= jac[(a, b)] - 1e-9
+
+
+_trend_series_st = st.lists(
+    st.tuples(st.integers(0, 10_000),          # second offset
+              st.integers(-50_000, 50_000)),   # value in cents
+    min_size=2, max_size=12,
+).filter(lambda xs: len({s for s, _ in xs}) >= 2)  # den != 0 needs 2 distinct x
+
+
+@given(series=_trend_series_st)
+@SETTINGS
+def test_a18_trend_equals_numpy_least_squares(spark, series):
+    """The exact-integer OLS machinery is not just cross-engine
+    consistent — it must equal an independent float least-squares fit
+    (numpy lstsq) to within float tolerance on generated series."""
+    import datetime as dt
+
+    import numpy as np
+
+    from qctimeseries_spark.queries import q_a18_trend
+
+    # build an events-shaped table for ONE user; route through the
+    # registered query by monkey-free construction: replicate its body
+    # via the same public pieces — simplest is to call the query on a
+    # temp view? q_a18 reads parquet; instead test the formula through
+    # a direct frame using the same expressions.
+    from pyspark.sql import functions as F  # noqa: F811
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 7, base + dt.timedelta(seconds=s), c / 100.0)
+        for i, (s, c) in enumerate(series)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("_us"),
+        (F.col("value").cast("decimal(18,2)") * F.lit(100))
+        .cast("decimal(20,0)")
+        .alias("_y"),
+    )
+    mins = ev.groupBy("user_id").agg(F.min("_us").alias("_us0"))
+    b = ev.join(mins, "user_id").select(
+        "user_id",
+        (F.col("_us") - F.col("_us0")).cast("decimal(20,0)").alias("_x"),
+        "_y",
+    )
+    s_ = b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("_n"),
+        F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    got = s_.select(
+        ((num.cast("double") / den.cast("double")) * F.lit(10000.0))
+        .alias("slope_per_sec")
+    ).collect()[0].slope_per_sec
+
+    xs = np.array([s for s, _ in series], dtype=float) * 1e6  # µs
+    xs -= xs.min()
+    ys = np.array([c for _, c in series], dtype=float)        # cents
+    a = np.vstack([xs, np.ones_like(xs)]).T
+    slope_cents_per_us = np.linalg.lstsq(a, ys, rcond=None)[0][0]
+    want = slope_cents_per_us * 1e4  # value-units per second
+    assert got == pytest.approx(want, rel=1e-6, abs=1e-9)
