@@ -962,6 +962,33 @@ def lsh_candidates(
     )
 
 
+def _pair_id_prune(
+    pairs: DataFrame, docs: DataFrame, id_col: str, eager: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Restrict ``docs`` to ids that appear in a candidate pair.
+
+    The verifier stages only ever need shingle sets for CANDIDATE
+    docs, but computing them from the full corpus re-tokenizes and
+    re-shuffles every document — corpus-sized work for a
+    candidate-sized job (measured at sf1: the d14 verifier spent ~8×
+    its sf0.1 time almost entirely in the unpruned shingle build).
+    The pair list is eagerly localCheckpoint-ed first (the t38/d8
+    pattern) so deriving the id set does NOT re-run the candidate
+    pipeline; the id semi-join is AQE-sized — broadcast when the
+    candidate set is small (the design case), shuffle otherwise.
+    ``eager=False`` restores fully-lazy composition for callers that
+    manage their own materialization.
+    """
+    if eager:
+        pairs = pairs.localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return pairs, docs.join(ids, id_col, "left_semi")
+
+
 def jaccard_on(
     pairs: DataFrame,
     docs: DataFrame,
@@ -969,6 +996,7 @@ def jaccard_on(
     text_col: str = "text",
     *,
     ngram: int = 3,
+    eager_pairs: bool = True,
 ) -> DataFrame:
     """Shingle-Jaccard for candidate pairs (the verifier stage).
 
@@ -978,7 +1006,11 @@ def jaccard_on(
     strings: integer array intersection is ~an order of magnitude
     cheaper and the shuffle payload shrinks from ~n·len(text) to 8n
     bytes (hash collisions at 2^-60 are noise next to MinHash error).
+    The doc side is pruned to candidate ids BEFORE shingling (see
+    :func:`_pair_id_prune`), so per-doc tokenize/hash work and the
+    join shuffles are candidate-sized, not corpus-sized.
     """
+    pairs, docs = _pair_id_prune(pairs, docs, id_col, eager_pairs)
     sh = fan_out(docs).select(
         F.col(id_col),
         F.array_distinct(
@@ -1005,6 +1037,7 @@ def containment_on(
     text_col: str = "text",
     *,
     ngram: int = 3,
+    eager_pairs: bool = True,
 ) -> DataFrame:
     """Shingle-CONTAINMENT for candidate pairs — the asymmetric
     verifier Jaccard misses: ``C(A→B) = |A∩B| / |A|`` scores ~1.0 when
@@ -1021,8 +1054,11 @@ def containment_on(
     LSH recalls near-dups but is biased against extreme-size-ratio
     containment (a short quote inside a long doc rarely wins a
     minimum); for subset-heavy corpora feed candidates from a
-    rare-gram join (the t23 span-dedup generator) instead.
+    rare-gram join (the t23 span-dedup generator) instead.  The doc
+    side is pruned to candidate ids BEFORE shingling (see
+    :func:`_pair_id_prune`) — candidate-sized work, not corpus-sized.
     """
+    pairs, docs = _pair_id_prune(pairs, docs, id_col, eager_pairs)
     sh = fan_out(docs).select(
         F.col(id_col),
         F.array_distinct(
