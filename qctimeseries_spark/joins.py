@@ -9,9 +9,14 @@ natively (``ASOF JOIN``), which doubles as the oracle.
 Scale design — the union trick, not a range self-join: a naive
 ``l JOIN r ON r.t <= l.t`` explodes to O(|l|·|r|) per key before
 picking the max.  Instead both sides are unioned with a side tag and
-sorted once per key; ``last(value, ignorenulls=True)`` over a
+sorted once per key; ``last(record, ignorenulls=True)`` over a
 rows-unbounded-preceding window carries each right row's payload
-forward to every later left row.  One shuffle on the ``by`` key, one
+forward to every later left row.  The carry moves ONE struct holding
+the matched timestamp plus every payload column — not one carry per
+column — so the returned ``r_*`` fields always originate from a
+single right row even when payload columns contain NULLs (a
+per-column carry would fill a NULL column from an older right
+record; r10 advisor).  One shuffle on the ``by`` key, one
 sort, zero row amplification — the plan a native as-of operator would
 produce.  Skewed ``by`` keys behave like any windowed aggregation —
 detect them with :func:`qctimeseries_spark.windows.hot_keys` and split
@@ -24,6 +29,41 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _check_left_collisions(
+    left: DataFrame,
+    payload: list[str],
+    *,
+    internals: tuple[str, ...],
+    prefixed: list[str],
+) -> None:
+    """Reject left inputs whose column names would be silently
+    clobbered by the join machinery (r10 advisor): the internal
+    side-tag/carry columns (a left ``_side`` would be overwritten to 1
+    by ``withColumn``, corrupting output) and the final prefixed output
+    names (a left ``r_cal`` would produce a duplicate-named result),
+    mirroring :func:`interval_join`'s reserved-name guard."""
+    cols = set(left.columns)
+    overlap = sorted(set(payload) & cols)
+    if overlap:
+        raise ValueError(
+            f"right payload columns {overlap} collide with left;"
+            " rename or rely on right_prefix before joining"
+        )
+    reserved = sorted(cols & set(internals))
+    if reserved:
+        raise ValueError(
+            f"left columns {reserved} collide with internal join "
+            "machinery names — rename those input columns"
+        )
+    out_clash = sorted(cols & set(prefixed))
+    if out_clash:
+        raise ValueError(
+            f"left columns {out_clash} collide with the prefixed "
+            "output columns — rename them or pick a different "
+            "right_prefix"
+        )
 
 
 def range_join(
@@ -92,8 +132,12 @@ def asof_join(
     NULL ``on`` values: left rows are always PRESERVED (left-join
     semantics) and come back with NULL payload — a NULL timestamp
     compares unknown to every right timestamp, so nothing matches.
-    Timestamp-less RIGHT rows never match real left rows; filter them
-    out upstream if the input may contain them.
+    Timestamp-less RIGHT rows never match any left row (their carry
+    record is built NULL, so the ignorenulls carry skips them).
+
+    The matched timestamp and all payload columns are carried as one
+    struct per right row, so every returned ``<prefix>*`` field comes
+    from the SAME right record even when payload columns are NULL.
 
     Without ``by`` the ordered carry has no key to partition on, so it
     runs the two-phase block pattern instead of a global window (which
@@ -109,35 +153,44 @@ def asof_join(
     fwd = direction == "forward"
     by = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in right.columns if c != on and c not in by]
-    overlap = set(payload) & set(left.columns)
-    if overlap:
-        raise ValueError(
-            f"right payload columns {sorted(overlap)} collide with left;"
-            f" rename or rely on right_prefix before joining"
-        )
+    carried = [f"{right_prefix}{on}"] + [f"{right_prefix}{c}" for c in payload]
+    _check_left_collisions(
+        left, payload,
+        internals=("_side", "_rec", "_blk", "_carry"),
+        prefixed=carried,
+    )
 
     # tag sides; the sort places right rows on the frame side of equal
     # timestamps (before left for backward, after left for forward) so
-    # an exact-time record matches its own instant
+    # an exact-time record matches its own instant.  Each right row's
+    # matched timestamp + payload travel as ONE struct (`_rec`), built
+    # NULL when the right timestamp is NULL — so the ignorenulls carry
+    # below both skips timestamp-less right rows entirely AND keeps
+    # every carried field from the same right record (per-column
+    # carries could mix rows when payload columns hold NULLs).
     r = right.select(
         *by,
         F.col(on),
         F.lit(0).alias("_side"),
-        F.col(on).alias(f"{right_prefix}{on}"),
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+        F.when(
+            F.col(on).isNotNull(),
+            F.struct(
+                F.col(on).alias(f"{right_prefix}{on}"),
+                *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+            ),
+        ).alias("_rec"),
     )
     l = left.withColumn("_side", F.lit(1))
     merged = l.unionByName(r, allowMissingColumns=True)
 
-    carried = [f"{right_prefix}{on}"] + [f"{right_prefix}{c}" for c in payload]
     side_order = F.col("_side").desc() if fwd else F.col("_side").asc()
     frame = (0, Window.unboundedFollowing) if fwd else (
         Window.unboundedPreceding, 0
     )
     pick = (
-        (lambda c: F.first(c, ignorenulls=True))
+        F.first(F.col("_rec"), ignorenulls=True)
         if fwd
-        else (lambda c: F.last(c, ignorenulls=True))
+        else F.last(F.col("_rec"), ignorenulls=True)
     )
     if by:
         w = (
@@ -145,8 +198,7 @@ def asof_join(
             .orderBy(F.col(on).asc(), side_order)
             .rowsBetween(*frame)
         )
-        for c in carried:
-            merged = merged.withColumn(c, pick(c).over(w))
+        merged = merged.withColumn("_rec", pick.over(w))
     else:
         from qctimeseries_spark.windows import _NULL_BUCKET, _floor_div_sql
 
@@ -176,21 +228,15 @@ def asof_join(
             .orderBy(F.col(on).asc(), side_order)
             .rowsBetween(*frame)
         )
-        for c in carried:
-            merged = merged.withColumn(c, pick(c).over(w))
+        merged = merged.withColumn("_rec", pick.over(w))
         # each block's nearest boundary right record (latest for
-        # backward, earliest for forward — its carried columns equal
-        # its own values), cumulated across the tiny #blocks frame
+        # backward, earliest for forward — its carried struct equals
+        # its own record), cumulated across the tiny #blocks frame
         bound_pick = F.min_by if fwd else F.max_by
         block_last = (
             merged.filter((F.col("_side") == 0) & F.col(on).isNotNull())
             .groupBy("_blk")
-            .agg(
-                bound_pick(
-                    F.struct(*[F.col(c).alias(c) for c in carried]),
-                    F.col(on),
-                ).alias("_bl")
-            )
+            .agg(bound_pick(F.col("_rec"), F.col(on)).alias("_bl"))
         )
         carry_frame = (1, Window.unboundedFollowing) if fwd else (
             Window.unboundedPreceding, -1
@@ -212,13 +258,14 @@ def asof_join(
             .select("_blk", "_carry")
         )
         merged = merged.join(F.broadcast(carry), "_blk")
-        for c in carried:
-            merged = merged.withColumn(
-                c, F.coalesce(F.col(c), F.col("_carry")[c])
-            )
-        merged = merged.drop("_blk", "_carry")
+        merged = merged.withColumn(
+            "_rec", F.coalesce(F.col("_rec"), F.col("_carry"))
+        ).drop("_blk", "_carry")
 
-    out = merged.filter(F.col("_side") == 1).drop("_side")
+    out = merged.filter(F.col("_side") == 1).select(
+        *left.columns,
+        *[F.col("_rec")[c].alias(c) for c in carried],
+    )
     if tolerance_seconds is not None:
         # one projection: the staleness test reads the ORIGINAL matched
         # timestamp for every column (sequential withColumn would null
@@ -261,30 +308,26 @@ def nearest_join(
     (last non-null preceding) and the forward carry (first non-null
     following) are two frames over the SAME partition/order spec, so
     Catalyst resolves both in a single Window operator — one shuffle
-    on the key, not two as-of joins.  Without ``by`` it composes
-    :func:`asof_join`'s two-phase block pattern once per direction,
-    keeping the keyless case off the single-task global-window path.
+    on the key, not two as-of joins.  Each direction carries ONE
+    struct (timestamp + payload), so the returned ``r_*`` fields all
+    come from the same right row even when payload columns are NULL
+    (r10 advisor — per-column carries could mix records).  Without
+    ``by`` it composes :func:`asof_join`'s two-phase block pattern
+    once per direction, keeping the keyless case off the single-task
+    global-window path.
 
     NULL ``on`` left rows are preserved with NULL payload (left-join
-    semantics, matching ``asof_join``).
+    semantics, matching ``asof_join``); NULL-``on`` right rows never
+    match.
     """
     by = [by] if isinstance(by, str) else list(by or [])
     payload = [c for c in right.columns if c != on and c not in by]
-    overlap = set(payload) & set(left.columns)
-    if overlap:
-        raise ValueError(
-            f"right payload columns {sorted(overlap)} collide with left;"
-            f" rename or rely on right_prefix before joining"
-        )
     carried = [on] + payload
-
-    def _pick(take_b: Column, t: Column, c: str) -> Column:
-        chosen = F.when(take_b, F.col(f"_njb_{c}")).otherwise(
-            F.col(f"_njf_{c}")
-        )
-        return F.when(t.isNull(), F.lit(None)).otherwise(chosen).alias(
-            f"{right_prefix}{c}"
-        )
+    _check_left_collisions(
+        left, payload,
+        internals=("_side", "_nj_rec", "_njb", "_njf"),
+        prefixed=[f"{right_prefix}{c}" for c in carried],
+    )
 
     if not by:
         b = asof_join(left, right, on=on, right_prefix="_njb_")
@@ -297,16 +340,33 @@ def nearest_join(
         take_b = F.col(f"_njf_{on}").isNull() | (
             F.col(f"_njb_{on}").isNotNull() & (db <= df_)
         )
+
+        def _pick_cols(c: str) -> Column:
+            # each asof direction is internally row-consistent, and
+            # take_b is one boolean for all columns — so the chosen
+            # r_* fields stay row-consistent too
+            chosen = F.when(take_b, F.col(f"_njb_{c}")).otherwise(
+                F.col(f"_njf_{c}")
+            )
+            return F.when(t.isNull(), F.lit(None)).otherwise(
+                chosen
+            ).alias(f"{right_prefix}{c}")
+
         return both.select(
-            *left.columns, *[_pick(take_b, t, c) for c in carried]
+            *left.columns, *[_pick_cols(c) for c in carried]
         )
 
     r = right.select(
         *by,
         F.col(on),
         F.lit(0).alias("_side"),
-        F.col(on).alias(f"_nj_{on}"),
-        *[F.col(c).alias(f"_nj_{c}") for c in payload],
+        F.when(
+            F.col(on).isNotNull(),
+            F.struct(
+                F.col(on).alias(on),
+                *[F.col(c).alias(c) for c in payload],
+            ),
+        ).alias("_nj_rec"),
     )
     merged = left.withColumn("_side", F.lit(1)).unionByName(
         r, allowMissingColumns=True
@@ -326,20 +386,25 @@ def nearest_join(
         .orderBy(*order)
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    for c in carried:
-        merged = merged.withColumn(
-            f"_njb_{c}", F.last(f"_nj_{c}", ignorenulls=True).over(wb)
-        ).withColumn(
-            f"_njf_{c}", F.first(f"_nj_{c}", ignorenulls=True).over(wf)
-        )
+    merged = merged.withColumn(
+        "_njb", F.last(F.col("_nj_rec"), ignorenulls=True).over(wb)
+    ).withColumn(
+        "_njf", F.first(F.col("_nj_rec"), ignorenulls=True).over(wf)
+    )
     out = merged.filter(F.col("_side") == 1)
     t = F.col(on)
-    db = F.unix_micros(t) - F.unix_micros(F.col(f"_njb_{on}"))
-    df_ = F.unix_micros(F.col(f"_njf_{on}")) - F.unix_micros(t)
-    take_b = F.col(f"_njf_{on}").isNull() | (
-        F.col(f"_njb_{on}").isNotNull() & (db <= df_)
+    db = F.unix_micros(t) - F.unix_micros(F.col("_njb")[on])
+    df_ = F.unix_micros(F.col("_njf")[on]) - F.unix_micros(t)
+    take_b = F.col("_njf").isNull() | (
+        F.col("_njb").isNotNull() & (db <= df_)
     )
-    return out.select(*left.columns, *[_pick(take_b, t, c) for c in carried])
+    rec = F.when(t.isNull(), F.lit(None)).otherwise(
+        F.when(take_b, F.col("_njb")).otherwise(F.col("_njf"))
+    )
+    return out.select(
+        *left.columns,
+        *[rec[c].alias(f"{right_prefix}{c}") for c in carried],
+    )
 
 
 def skew_join(

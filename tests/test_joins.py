@@ -448,3 +448,102 @@ def test_nearest_join_rejects_column_collision(spark):
         nearest_join(
             left.withColumn("cal", F.lit(0.0)), right, on="ts", by="user_id"
         )
+
+
+# ---------------------------------------------------------------------------
+# struct-carry row consistency (r10 advisor): payload NULLs must not be
+# back-filled from a DIFFERENT right record than the matched timestamp
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def nullable_right(spark):
+    # the nearest record (t=5h) has a NULL cal; a per-column carry
+    # would fill r_cal from the OLDER t=1h record while r_ts/r_src
+    # come from t=5h — mixing two right rows in one output row
+    return spark.createDataFrame(
+        [(1, _ts(1), 10.0, "a"), (1, _ts(5), None, "b"),
+         (1, _ts(9), 30.0, "c")],
+        "user_id long, ts timestamp, cal double, src string",
+    )
+
+
+def test_asof_null_payload_stays_row_consistent(spark, nullable_right):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(6))], "event_id long, user_id long, ts timestamp"
+    )
+    row = asof_join(
+        left, nullable_right, on="ts", by="user_id"
+    ).collect()[0]
+    assert (row.r_ts, row.r_cal, row.r_src) == (_ts(5), None, "b")
+    fwd = asof_join(
+        left.withColumn("ts", F.lit(_ts(4))), nullable_right,
+        on="ts", by="user_id", direction="forward",
+    ).collect()[0]
+    assert (fwd.r_ts, fwd.r_cal, fwd.r_src) == (_ts(5), None, "b")
+
+
+def test_asof_keyless_block_path_row_consistent(spark, nullable_right):
+    left = spark.createDataFrame(
+        [(1, _ts(6))], "event_id long, ts timestamp"
+    )
+    row = asof_join(
+        left, nullable_right.drop("user_id"), on="ts", block_hours=2.0
+    ).collect()[0]
+    assert (row.r_ts, row.r_cal, row.r_src) == (_ts(5), None, "b")
+
+
+def test_nearest_join_null_payload_row_consistent(spark, nullable_right):
+    from qctimeseries_spark.joins import nearest_join
+
+    left = spark.createDataFrame(
+        [(1, 1, _ts(6)), (2, 1, _ts(8.5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r.event_id: (r.r_ts, r.r_cal, r.r_src)
+        for r in nearest_join(
+            left, nullable_right, on="ts", by="user_id"
+        ).collect()
+    }
+    assert out[1] == (_ts(5), None, "b")    # 1h back beats 3h fwd
+    assert out[2] == (_ts(9), 30.0, "c")    # 0.5h fwd beats 3.5h back
+    keyless = {
+        r.event_id: (r.r_ts, r.r_cal, r.r_src)
+        for r in nearest_join(
+            left.drop("user_id"), nullable_right.drop("user_id"), on="ts"
+        ).collect()
+    }
+    assert keyless == out
+
+
+def test_asof_null_timestamp_right_rows_never_match(spark):
+    # a timestamp-less right record must neither match nor leak its
+    # payload into any carry (its struct is built NULL)
+    left = spark.createDataFrame(
+        [(1, 1, _ts(6))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, _ts(2), 10.0)],
+        "user_id long, ts timestamp, cal double",
+    )
+    row = asof_join(left, right, on="ts", by="user_id").collect()[0]
+    assert (row.r_ts, row.r_cal) == (_ts(2), 10.0)
+
+
+def test_joins_reject_reserved_and_prefixed_left_names(spark, sides):
+    from qctimeseries_spark.joins import nearest_join
+
+    left, right = sides
+    with pytest.raises(ValueError, match="internal join machinery"):
+        asof_join(left.withColumn("_side", F.lit(9)), right,
+                  on="ts", by="user_id")
+    with pytest.raises(ValueError, match="prefixed output"):
+        asof_join(left.withColumn("r_cal", F.lit(0.0)), right,
+                  on="ts", by="user_id")
+    with pytest.raises(ValueError, match="internal join machinery"):
+        nearest_join(left.withColumn("_njb", F.lit(1)), right,
+                     on="ts", by="user_id")
+    with pytest.raises(ValueError, match="prefixed output"):
+        nearest_join(left.withColumn("r_ts", F.lit(_ts(0))), right,
+                     on="ts", by="user_id")
