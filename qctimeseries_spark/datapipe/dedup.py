@@ -1009,6 +1009,15 @@ def jaccard_on(
     The doc side is pruned to candidate ids BEFORE shingling (see
     :func:`_pair_id_prune`), so per-doc tokenize/hash work and the
     join shuffles are candidate-sized, not corpus-sized.
+
+    Side effect: with the default ``eager_pairs=True`` the candidate
+    pipeline RUNS at DataFrame-construction time (``pairs`` is
+    ``localCheckpoint(eager=True)``-ed so the id-set derivation does
+    not re-execute it), and the checkpointed result is tied to
+    executor liveness (lineage truncated).  Plan-only consumers
+    (explain audits, plan-shape tests) should pass
+    ``eager_pairs=False`` to keep construction lazy and
+    replay-safe — the prune semi-join itself is identical either way.
     """
     pairs, docs = _pair_id_prune(pairs, docs, id_col, eager_pairs)
     sh = fan_out(docs).select(
@@ -1057,6 +1066,11 @@ def containment_on(
     rare-gram join (the t23 span-dedup generator) instead.  The doc
     side is pruned to candidate ids BEFORE shingling (see
     :func:`_pair_id_prune`) — candidate-sized work, not corpus-sized.
+
+    Side effect: the default ``eager_pairs=True`` executes the
+    candidate pipeline at construction time and truncates its lineage
+    (see :func:`jaccard_on` — same contract); plan-only consumers
+    should pass ``eager_pairs=False``.
     """
     pairs, docs = _pair_id_prune(pairs, docs, id_col, eager_pairs)
     sh = fan_out(docs).select(

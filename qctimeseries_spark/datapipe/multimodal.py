@@ -65,6 +65,22 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# The robustness contract every per-row decode path shares: one
+# corrupt/truncated/garbage blob must come back as a NULL-signature /
+# invalid row, never kill the Spark task.  parse_media/decode_* raise
+# ValueError (and NotImplementedError at the honest codec gates) for
+# recognized-invalid input, but a truncated container can also escape
+# as struct.error or IndexError from a raw unpack/index (e.g. an IHDR
+# shorter than 8 bytes), and a corrupt deflate stream as zlib.error
+# (r10 advisor) — all are the same "bad blob" class.
+_DECODE_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    struct.error,
+    IndexError,
+    zlib.error,
+)
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -1096,7 +1112,7 @@ def extract_features(
                 # whose scan doesn't decode is invalid, like bad zlib
                 content = decode_jpeg(payload)["pixels"]
             valid = True
-        except (ValueError, zlib.error):
+        except _DECODE_ERRORS:
             meta = {"fmt": None}
             content = payload if payload is not None else b""
             valid = False
@@ -1200,7 +1216,7 @@ def decode_media(
                 units = decode_mp4(payload)["samples"]
             else:
                 units = _decode_payload(meta["content"], fmt)
-        except (ValueError, NotImplementedError):
+        except _DECODE_ERRORS:
             pass
         out = {
             "media_id": media_id,
@@ -1298,7 +1314,7 @@ def media_ahash(
                 units = decode_mp4(payload)["samples"]
             elif fmt in ("png", "wav"):
                 units = _decode_payload(meta["content"], fmt)
-        except (ValueError, NotImplementedError):
+        except _DECODE_ERRORS:
             units = None
         sig = None
         if units is not None:
@@ -1430,7 +1446,7 @@ def resize_media(
                 d = decode_jpeg(payload)
                 n_raw = len(d["pixels"])
                 res = _box_average(list(d["pixels"]), d["width"], factor)
-        except (ValueError, NotImplementedError):
+        except _DECODE_ERRORS:
             fmt = fmt or None
         out = {
             "media_id": media_id,
@@ -1539,7 +1555,7 @@ def sample_frames(
                     struct.unpack_from(">h", payload, off + k * size)[0]
                     for k in range(0, n_total, every)
                 ]
-        except (ValueError, NotImplementedError):
+        except _DECODE_ERRORS:
             fmt = fmt or None
         out = {
             "media_id": media_id,

@@ -14,7 +14,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from qctimeseries_spark.flags import add_flags, apply_flags
-from qctimeseries_spark.schema import DEFAULT_SUFFIX, FLAG_MANUAL
+from qctimeseries_spark.schema import (
+    DEFAULT_SUFFIX,
+    FLAG_MANUAL,
+    validate_time_col,
+)
 from qctimeseries_spark.summary import progress
 from qctimeseries_spark.updates import set_flag
 
@@ -38,6 +42,10 @@ def qc_pipeline(
     way, and the helper columns are stripped afterwards — automated
     screening as a first-class pipeline stage.
     """
+    # the same POSIXct-style front-door validation the window/app
+    # paths run (R/qc_window_app.R:52-57) — a non-timestamp time_col
+    # otherwise sails through flag init and only misbehaves downstream
+    validate_time_col(df, time_col)
     flagged = add_flags(df, vars, suffix, time_col=time_col)
     if flag_predicates:
         for var, pred in flag_predicates.items():

@@ -3574,3 +3574,34 @@ def test_containment_scores_subset_inclusion_jaccard_dilutes(spark):
     ).collect()[0]
     assert swapped.containment_a == c.containment_b
     assert swapped.containment_b == c.containment_a
+
+
+def test_verifier_prune_plan_shape(spark):
+    """Pin d4/d14's scale win (r10): the shingle stage must sit
+    BEHIND the candidate-id LeftSemi prune on BOTH pair sides — a
+    regression to corpus-wide shingling would pass every value hash
+    while re-introducing a corpus-sized tokenize+shuffle.  Built with
+    eager_pairs=False so the pin stays plan-only (no construction-time
+    job; r10 advisor)."""
+    from qctimeseries_spark.datapipe import containment_on, jaccard_on
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    for fn in (jaccard_on, containment_on):
+        out = fn(pairs, docs, ngram=2, eager_pairs=False)
+        lines = (
+            out._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        )
+        shingle_lines = [
+            i for i, ln in enumerate(lines)
+            if "AS sh_a#" in ln or "AS sh_b#" in ln
+        ]
+        assert len(shingle_lines) == 2, "\n".join(lines)
+        for i in shingle_lines:
+            # the shingle Project's immediate child is the prune
+            assert "Join LeftSemi" in lines[i + 1], "\n".join(
+                lines[i : i + 2]
+            )

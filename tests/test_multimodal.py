@@ -521,3 +521,46 @@ def test_media_ahash_real_decode_and_bit_rule(spark):
 
     with _pt.raises(ValueError, match=r"n_units"):
         media_ahash(media, n_units=63)
+
+
+def test_truncated_container_yields_null_rows_not_task_failure(spark):
+    """A WELL-FRAMED but short IHDR chunk escapes parse_media as
+    struct.error (not ValueError) — the r10 advisor's scenario; every
+    per-row decode operator must map it to an invalid/NULL row rather
+    than a stage-killing task error."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from qctimeseries_spark.datapipe.multimodal import (
+        decode_media,
+        extract_features,
+        media_ahash,
+        parse_media,
+    )
+
+    def chunk(typ, data):
+        return (
+            _struct.pack(">I", len(data)) + typ + data
+            + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    short_ihdr = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00\x00\x00")
+    with pytest.raises(_struct.error):
+        parse_media(short_ihdr)  # the escape route being guarded
+
+    good = build_payload(6, "ok")
+    media = spark.createDataFrame(
+        [
+            (1, "image", "png", len(short_ihdr), bytearray(short_ihdr)),
+            (6, "image", "png", int(len(good)), bytearray(good)),
+        ],
+        "media_id long, modality string, fmt string, n_bytes long,"
+        " payload binary",
+    )
+    sig = {r.media_id: r for r in media_ahash(media, n_units=48).collect()}
+    assert sig[1].signature is None
+    assert sig[6].signature is not None
+    dec = {r.media_id: r for r in decode_media(media).collect()}
+    assert dec[1].decoded is False and dec[6].decoded is True
+    feats = {r.media_id: r for r in extract_features(media, dim=4).collect()}
+    assert feats[1].valid is False and feats[6].valid is True

@@ -232,6 +232,16 @@ def test_qc_pipeline_end_to_end(multivar):
     assert {r.variable for r in prog.collect()} == {"temp", "hum"}
 
 
+def test_qc_pipeline_validates_time_col(multivar):
+    # the front door runs the same POSIXct-style validation as the
+    # window/app paths — a non-timestamp time_col must hard-error
+    # instead of sailing through flag init
+    with pytest.raises(TypeError, match="must be a timestamp"):
+        qc_pipeline(multivar, ["temp"], time_col="temp")
+    with pytest.raises(ValueError, match="not found"):
+        qc_pipeline(multivar, ["temp"], time_col="nope")
+
+
 def test_clamp():
     # F10: R/qc_window_app.R:239-243
     assert clamp(5, 0, 10, 7) == 5
