@@ -426,21 +426,12 @@ def _idct_basis():
     return _IDCT_BASIS
 
 
-def decode_jpeg(payload: bytes):
-    """REAL baseline JPEG decoder (single-component 8-bit, the subset
-    the encoder above and common grayscale files use): walks the
-    segments, rebuilds the Huffman tables FROM THE FILE's DHT segments,
-    entropy-decodes every block (DC prediction + sign extension, AC
-    run/size with ZRL and EOB), dequantizes against the file's DQT, and
-    runs a full 8x8 floating-point IDCT with level shift and clamping.
-
-    Returns ``{"width", "height", "pixels"}`` with ``pixels`` the
-    row-major ``bytes`` of the reconstructed image (cropped to the SOF
-    dimensions).  Raises ``ValueError`` on anything malformed —
-    callers map that to ``decoded=false``.
-    """
-    import numpy as np
-
+def _jpeg_parse_scan(payload: bytes):
+    """Shared baseline-JPEG segment walk (single-component 8-bit):
+    rebuilds Huffman tables from the file's DHT segments, reads DQT /
+    SOF0 / SOS, and returns ``(width, height, q, dc_tab, ac_tab,
+    entropy)`` ready for a block-decode loop.  Raises ``ValueError``
+    on anything malformed."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     quant: dict[int, list[int]] = {}
@@ -509,8 +500,25 @@ def decode_jpeg(payload: bytes):
     td, ta = scan
     if (0, td) not in huff or (1, ta) not in huff:
         raise ValueError("JPEG missing DHT")
-    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
-    q = quant[comp_tq]
+    return width, height, quant[comp_tq], huff[(0, td)], huff[(1, ta)], entropy
+
+
+def decode_jpeg(payload: bytes):
+    """REAL baseline JPEG decoder (single-component 8-bit, the subset
+    the encoder above and common grayscale files use): walks the
+    segments (:func:`_jpeg_parse_scan`), entropy-decodes every block
+    (DC prediction + sign extension, AC run/size with ZRL and EOB),
+    dequantizes against the file's DQT, and runs a full 8x8
+    floating-point IDCT with level shift and clamping.
+
+    Returns ``{"width", "height", "pixels"}`` with ``pixels`` the
+    row-major ``bytes`` of the reconstructed image (cropped to the SOF
+    dimensions).  Raises ``ValueError`` on anything malformed —
+    callers map that to ``decoded=false``.
+    """
+    import numpy as np
+
+    width, height, q, dc_tab, ac_tab, entropy = _jpeg_parse_scan(payload)
     bw, bh = (width + 7) // 8, (height + 7) // 8
     reader = _BitReader(entropy)
     coeffs = np.zeros((bw * bh, 64))
@@ -548,6 +556,115 @@ def decode_jpeg(payload: bytes):
         "height": height,
         "pixels": pixels[:height, :width].tobytes(),
     }
+
+
+def jpeg_dc_grid(payload: bytes) -> dict:
+    """QUANTIZED DC grid of a baseline JPEG without AC reconstruction:
+    entropy-decodes the DC difference chain (Huffman + sign extension)
+    and Huffman-SKIPS each block's AC spectrum — no dequantize, no
+    IDCT, no pixel buffer.  The DC plane IS the 1/8-scale luma image
+    (each value is the block mean, up to the quantizer), so a
+    fingerprint computed over it is a DCT-domain perceptual hash at a
+    fraction of full-decode cost — the standard trick for
+    fingerprinting web-scale JPEG corpora without decompressing them.
+
+    Returns ``{"width", "height", "bw", "bh", "qdcs"}`` with ``qdcs``
+    the per-block quantized DC values in raster block order.  Raises
+    ``ValueError`` on malformed input (callers map to NULL rows).
+    """
+    width, height, _q, dc_tab, ac_tab, entropy = _jpeg_parse_scan(payload)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    reader = _BitReader(entropy)
+    qdcs = []
+    dc = 0
+    for _b in range(bw * bh):
+        s = _huff_decode(reader, dc_tab)
+        dc += _extend(reader.read_bits(s), s)
+        qdcs.append(dc)
+        k = 1
+        while k < 64:  # skip the AC spectrum, bit-exactly
+            rs = _huff_decode(reader, ac_tab)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            size = rs & 0xF
+            if k > 63 or size == 0:
+                raise ValueError("bad JPEG AC run/size")
+            reader.read_bits(size)  # discard magnitude bits
+            k += 1
+    return {"width": width, "height": height, "bw": bw, "bh": bh,
+            "qdcs": qdcs}
+
+
+def media_dc_phash(
+    media: DataFrame,
+    *,
+    n_blocks: int = 48,
+    batch_rows: int = 256,
+    partitions: int | None = None,
+) -> DataFrame:
+    """DCT-domain perceptual hash for JPEG payloads — the block-level
+    fingerprint :func:`media_ahash` routes JPEGs to: the quantized DC
+    grid (:func:`jpeg_dc_grid`) is the 1/8-scale luma image, and the
+    signature sets bit j when DC block j exceeds the grid mean over
+    the first ``n_blocks`` blocks.  The mean compare is
+    CROSS-MULTIPLIED (``qdc*n > sum``) so no float exists anywhere;
+    uniform-brightness shifts (a constant added to every DC) leave the
+    signature unchanged — the perceptual-robustness property that
+    makes the bucket join a near-dup detector rather than a byte
+    comparer.  ``n_blocks`` is capped at 62 to stay clear of the
+    int64 sign bit (the :func:`media_ahash` guard).
+
+    Non-JPEG and undecodable payloads come back with a NULL signature
+    rather than vanishing — dedup pipelines must see what they
+    skipped.  Scale shape: same Arrow ``mapInPandas`` stream as
+    :func:`decode_media` (byte-budget spread, never a collect); AC
+    spectra are Huffman-skipped, not reconstructed, so per-item cost
+    is ~the entropy-scan length, and the downstream dedup is a
+    groupBy on the 62-bit signature — uniform key, one shuffle of
+    (id, fmt, int64).
+    """
+    if not 1 <= n_blocks <= 62:
+        raise ValueError(f"n_blocks must be in [1, 62], got {n_blocks}")
+    media = _spread(media, partitions)
+
+    def row(media_id, payload) -> dict:
+        fmt = None
+        sig = None
+        try:
+            if payload is None:
+                raise ValueError("NULL payload")
+            fmt = parse_media(payload)["fmt"]
+            if fmt == "jpeg":
+                window = jpeg_dc_grid(payload)["qdcs"][:n_blocks]
+                n = len(window)
+                total = sum(window)
+                sig = 0
+                for j, u in enumerate(window):
+                    if u * n > total:
+                        sig |= 1 << j
+        except _DECODE_ERRORS:
+            sig = None
+        return {"media_id": media_id, "fmt": fmt, "signature": sig}
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    [
+                        row(m, None if p is None else bytes(p))
+                        for m, p in zip(chunk["media_id"], chunk["payload"])
+                    ],
+                    columns=[f.name for f in AHASH_SCHEMA.fields],
+                )
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, AHASH_SCHEMA
+    )
 
 
 def _box(typ: bytes, payload: bytes) -> bytes:
@@ -1290,8 +1407,8 @@ def media_ahash(
     dedup pipelines must see what they skipped.  JPEG is decodable
     (DC-only) but its pixel stream is constant across each 8×8 block,
     which degenerates a ≤62-unit aHash window to signature 0 for
-    every item — route JPEG to a block-level fingerprint instead of
-    hashing it here.
+    every item — route JPEG to :func:`media_dc_phash`, the DC-grid
+    block-level fingerprint, instead of hashing it here.
 
     Scale shape: the decode is the same Arrow ``mapInPandas`` stream
     as :func:`decode_media` (byte-budget spread first, never a

@@ -880,6 +880,32 @@ def q_m6_phash_dedup(spark, sf_dir):
     )
 
 
+def q_m7_jpeg_dc_phash(spark, sf_dir):
+    """DCT-domain perceptual-hash buckets for the JPEG slice m6
+    excludes: the engine entropy-decodes each file's DC difference
+    chain (Huffman + sign extension) and Huffman-SKIPS the AC
+    spectra — no IDCT, no pixel buffer — then sets bit j when DC
+    block j exceeds the grid mean (cross-multiplied, no float).  The
+    DC plane is the 1/8-scale luma image, so same-signature groups
+    are perceptual near-dups (uniform-brightness shifts hash
+    identically).  The oracle rebuilds the quantized-DC wheel
+    arithmetically from the id, so a hash match proves the engine
+    genuinely inverted the entropy coding."""
+    from qctimeseries_spark.datapipe.multimodal import (
+        attach_media,
+        media_dc_phash,
+    )
+
+    media = attach_media(_docs(spark, sf_dir)).filter(
+        F.col("fmt") == "jpeg"
+    )
+    sigs = media_dc_phash(media, n_blocks=48)
+    return sigs.groupBy("fmt", "signature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.min("media_id").alias("keeper"),
+    )
+
+
 def q_t10_token_budget(spark, sf_dir):
     """Deterministic token-budget prefix: documents in hash-bucket
     order until 6,000 cumulative whitespace tokens.  Two-phase at
@@ -1681,6 +1707,7 @@ DATAPIPE_QUERIES = {
     "m4_resize": q_m4_resize,
     "m5_frame_sample": q_m5_frame_sample,
     "m6_phash_dedup": q_m6_phash_dedup,
+    "m7_jpeg_dc_phash": q_m7_jpeg_dc_phash,
     "c2_curate": q_c2_curate,
     "t10_token_budget": q_t10_token_budget,
     "t11_split": q_t11_split,
@@ -2547,6 +2574,39 @@ SELECT fmt, CAST(signature AS BIGINT) AS signature,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        MIN(doc_id) AS keeper
 FROM sig GROUP BY fmt, signature""",
+    # m7: the quantized-DC wheel (jpeg_qdc: -(5 + (id + 3b) % 8) over
+    # nb = (w/8)*(h/8) blocks, dims from jpeg_dims) rebuilt
+    # arithmetically; signature = mean-rule bits over the first 48
+    # blocks, cross-multiplied exactly like the engine
+    "m7_jpeg_dc_phash": """
+WITH j AS (
+  SELECT doc_id,
+         (1 + doc_id % 6) * (1 + (doc_id * 7) % 5) AS nb
+  FROM documents WHERE doc_id % 6 = 3
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(LEAST(nb, 48) AS INT)),
+           b -> -(5 + (doc_id + 3 * b) % 8)) AS win
+  FROM j
+),
+w AS (
+  SELECT doc_id, win, len(win) AS n,
+         COALESCE(list_sum(win), 0) AS tot
+  FROM g
+),
+sig AS (
+  SELECT doc_id,
+         COALESCE(list_sum(list_transform(range(0, CAST(n AS INT)),
+           k -> CASE WHEN win[k + 1] * n > tot
+                     THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)), 0)
+           AS signature
+  FROM w
+)
+SELECT 'jpeg' AS fmt, CAST(signature AS BIGINT) AS signature,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       MIN(doc_id) AS keeper
+FROM sig GROUP BY signature""",
     "t12_bpe_pairs": f"""
 WITH w AS (
   SELECT unnest({_TOKS.format(c='text')}) AS w FROM documents

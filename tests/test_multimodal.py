@@ -564,3 +564,93 @@ def test_truncated_container_yields_null_rows_not_task_failure(spark):
     assert dec[1].decoded is False and dec[6].decoded is True
     feats = {r.media_id: r for r in extract_features(media, dim=4).collect()}
     assert feats[1].valid is False and feats[6].valid is True
+
+
+def test_jpeg_dc_grid_decodes_wheel_and_skips_ac_spectra():
+    """jpeg_dc_grid must recover the exact quantized DC chain: (a) on
+    the DC-tier wheel files attach_media builds, and (b) on a
+    hand-encoded AC-bearing file where the DC chain is interleaved
+    with real AC run/size + ZRL data that must be Huffman-skipped
+    bit-exactly (one mis-skipped bit derails every later DC)."""
+    from qctimeseries_spark.datapipe.multimodal import (
+        JPEG_AC_COUNTS,
+        JPEG_AC_SYMBOLS,
+        JPEG_DC_COUNTS,
+        JPEG_DC_SYMBOLS,
+        _BitWriter,
+        _huff_canonical,
+        _jpeg_dc_header,
+        build_payload,
+        jpeg_dc_grid,
+        jpeg_dims,
+        jpeg_qdc,
+    )
+
+    for mid in (3, 9, 21, 243):
+        w, h = jpeg_dims(mid)
+        nb = (w // 8) * (h // 8)
+        g = jpeg_dc_grid(build_payload(mid, "payload text ignored"))
+        assert g["qdcs"] == [jpeg_qdc(mid, b) for b in range(nb)]
+        assert (g["width"], g["height"]) == (w, h)
+
+    dc_codes = _huff_canonical(JPEG_DC_COUNTS, JPEG_DC_SYMBOLS)
+    ac_codes = _huff_canonical(JPEG_AC_COUNTS, JPEG_AC_SYMBOLS)
+    w = _BitWriter()
+
+    def put(codes, sym):
+        c, ln = codes[sym]
+        w.write(c, ln)
+
+    def put_mag(v):
+        s = abs(v).bit_length()
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+
+    # block 0: DC diff +3, AC (+2, ZRL, run-1 -4), EOB
+    put(dc_codes, 2); put_mag(3)
+    put(ac_codes, 0x02); put_mag(2)
+    put(ac_codes, 0xF0)
+    put(ac_codes, 0x13); put_mag(-4)
+    put(ac_codes, 0x00)
+    # block 1: DC diff -5 (absolute DC -2), AC run-3 +1, EOB
+    put(dc_codes, 3); put_mag(-5)
+    put(ac_codes, 0x31); put_mag(1)
+    put(ac_codes, 0x00)
+    payload = _jpeg_dc_header(16, 8) + w.finish() + b"\xff\xd9"
+    assert jpeg_dc_grid(payload)["qdcs"] == [3, -2]
+
+
+def test_media_dc_phash_buckets_planted_dups(spark):
+    """m7 semantics: identical DC grids bucket together across
+    different media ids, a uniform-brightness shift (constant added
+    to every DC) keeps the signature, non-JPEG and corrupt payloads
+    come back NULL, and the int64-sign guard raises."""
+    from qctimeseries_spark.datapipe.multimodal import (
+        build_payload,
+        encode_jpeg_dc,
+        media_dc_phash,
+    )
+
+    grid = [-5, -9, -7, -12, -6, -11, -8, -10]
+    shifted = [q + 3 for q in grid]
+    rows = [
+        (1, bytearray(encode_jpeg_dc(32, 16, grid))),
+        (2, bytearray(encode_jpeg_dc(32, 16, grid))),       # planted dup
+        (3, bytearray(encode_jpeg_dc(32, 16, shifted))),    # brightness
+        (4, bytearray(encode_jpeg_dc(16, 32, grid))),       # same grid, other dims
+        (5, bytearray(build_payload(6, "png doc"))),        # non-jpeg
+        (6, bytearray(b"\xff\xd8garbage")),                 # corrupt jpeg
+        (7, None),                                          # failed fetch
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in media_dc_phash(media).collect()}
+    assert out[1].signature is not None
+    assert out[1].signature == out[2].signature == out[3].signature
+    assert out[4].signature == out[1].signature  # raster order equal here
+    assert out[5].fmt == "png" and out[5].signature is None
+    assert out[6].signature is None
+    assert out[7].signature is None and out[7].fmt is None
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_blocks"):
+        media_dc_phash(media, n_blocks=63)
