@@ -186,6 +186,8 @@ EXTENDED = [
     "s12_partitioned_roundtrip",
     "a19_autocorr",
     "d14_containment",
+    # round 11: JPEG DCT-domain pHash over the DC grid
+    "m7_jpeg_dc_phash",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -228,12 +230,52 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _stream_fixed_probe(spark) -> float:
+    """Fixed cost of ONE availableNow micro-batch drain over a trivial
+    source + aggregation: stream planning, checkpoint/WAL commits, and
+    source file listing — machinery every st-entry pays regardless of
+    its data (VERDICT r10 task 6: st21 reads 7 s in the record but is
+    ~1.6 s marginal).  Emitting this in the record lets a reader price
+    streaming entries on both columns (drain total vs steady-state ≈
+    total − fixed) without BENCHNOTES forensics;
+    ``tools/stream_overhead.py`` measures the exact per-flow split.
+    """
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.streaming import run_available_now
+
+    root = tempfile.mkdtemp(prefix="qcts_bench_stream_")
+    src = os.path.join(root, "src")
+    spark.range(1000).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).coalesce(1).write.parquet(src)
+    best = None
+    try:
+        for _ in range(2):
+            t0 = time.time()
+            run_available_now(
+                spark.readStream.schema("id bigint, v double")
+                .parquet(src)
+                .groupBy()
+                .count()
+            ).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return round(best, 3)
+
+
 def result_json(
     times: dict[str, float],
     calibration: float,
     calibration_samples: list[float],
     spread: float,
     sf: float,
+    *,
+    stream_fixed_overhead: float | None = None,
+    calibration_retried: bool = False,
 ) -> str:
     """One-line JSON bench record, TAIL-SAFE for the driver capture.
 
@@ -253,6 +295,19 @@ def result_json(
     # whose normalized value doubles got slower in real terms no matter
     # what the host was doing that day.
     normalized = {q: round(t / calibration, 3) for q, t in times.items()}
+    # streaming entries priced on both columns: the raw drain total and
+    # the steady-state view with the fixed availableNow machinery cost
+    # subtracted (clamped at 0; big-map zone — the scalar probe value
+    # itself rides the tail)
+    stream_adjusted = (
+        {
+            q: round(max(0.0, t - stream_fixed_overhead), 3)
+            for q, t in times.items()
+            if q.startswith("st")
+        }
+        if stream_fixed_overhead is not None
+        else {}
+    )
     return json.dumps(
         {
             # per-query raw times (big map — sacrificial head)
@@ -260,6 +315,9 @@ def result_json(
             # per-query times in calibration units (raw/calibration)
             # — compare these across rounds directly
             "queries_normalized": normalized,
+            # st-entries with the fixed drain cost subtracted — the
+            # steady-state (long-running deployment) pricing column
+            "queries_stream_adjusted": stream_adjusted,
             # ---- scalar tail: everything below must survive the
             # ---- driver's 2,000-char capture
             # "value" covers the SAME core set every round (the
@@ -293,6 +351,19 @@ def result_json(
             # driver capture alone can't mistake host noise for a
             # regression (judge on raw best-of-N / slowest_raw instead)
             "noisy_run": bool(spread > 0.10),
+            # r10 task 3: when the first calibration set blew the 10%
+            # gate the run re-sampled once and kept the cleaner set —
+            # a still-noisy record after a retry is genuine host noise
+            "calibration_retried": calibration_retried,
+            # fixed cost of one availableNow drain (stream planning +
+            # checkpoint/WAL + listing); steady-state st-entry cost ≈
+            # raw − this (full map in queries_stream_adjusted /
+            # BENCH_LOCAL.json)
+            "stream_fixed_overhead": stream_fixed_overhead,
+            # the COMPLETE record (all maps, never truncated) is
+            # written to this repo file every run — read it instead of
+            # reconstructing the head of this line (r10 task 2)
+            "full_record": "BENCH_LOCAL.json",
             # ...and keep the 10 slowest RAW times in the tail so the
             # record stays self-sufficient even though the full raw
             # "queries" map is sacrificed to the 2,000-char capture
@@ -382,15 +453,57 @@ def main() -> int:
     # normalizer was never affected; the full samples list stays in
     # the record so a genuinely noisy run (several high samples) still
     # shows itself both here and in the raw list.
-    trimmed = sorted(calibration_samples)[:-1] or calibration_samples
-    spread = round((max(trimmed) - min(trimmed)) / calibration, 3)
+    def _spread_of(samples: list[float]) -> tuple[float, float]:
+        med = round(_median(samples), 3)
+        trimmed = sorted(samples)[:-1] or samples
+        return med, round((max(trimmed) - min(trimmed)) / med, 3)
+
+    calibration, spread = _spread_of(calibration_samples)
+    calibration_retried = False
+    if spread > 0.10:
+        # r10 task 3: 3 of 4 recorded r10 runs were noisy-flagged.  A
+        # load burst that lands on one or two samples mid-run does not
+        # mean the HOST is still noisy now — re-sample once and keep
+        # the cleaner set (the queries' best-of-N already shed bursts).
+        # Two noisy sets back-to-back = genuinely noisy; record it.
+        retry_samples = [
+            round(_calibration_probe(spark), 3) for _ in range(3)
+        ]
+        retry_cal, retry_spread = _spread_of(retry_samples)
+        calibration_retried = True
+        print(
+            f"# calibration retry: {retry_samples} (spread"
+            f" {retry_spread:.1%}) vs first set spread {spread:.1%}",
+            file=sys.stderr,
+        )
+        if retry_spread < spread:
+            calibration_samples = retry_samples
+            calibration, spread = retry_cal, retry_spread
     print(
         f"# calibration: median {calibration}s over {calibration_samples}"
         f" (spread {spread:.1%})",
         file=sys.stderr,
     )
 
-    print(result_json(times, calibration, calibration_samples, spread, sf))
+    stream_fixed = (
+        _stream_fixed_probe(spark)
+        if any(q.startswith("st") for q in times)
+        else None
+    )
+    if stream_fixed is not None:
+        print(f"# stream fixed overhead: {stream_fixed}s", file=sys.stderr)
+
+    line = result_json(
+        times, calibration, calibration_samples, spread, sf,
+        stream_fixed_overhead=stream_fixed,
+        calibration_retried=calibration_retried,
+    )
+    # the driver captures only the stdout tail; the COMPLETE record
+    # (identical JSON, indented) lands in-repo so the full per-query
+    # map survives every round (r10 task 2)
+    local = Path(__file__).resolve().parent / "BENCH_LOCAL.json"
+    local.write_text(json.dumps(json.loads(line), indent=1) + "\n")
+    print(line)
     spark.stop()
     return 0
 

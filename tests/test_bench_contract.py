@@ -36,7 +36,8 @@ def test_scalar_summary_survives_tail():
             '"core_subtotal"', '"extended_subtotal"', '"all_total"',
             '"calibration"', '"calibration_samples"',
             '"calibration_spread"', '"core_subtotal_normalized"',
-            '"noisy_run"', '"slowest_raw"',
+            '"noisy_run"', '"slowest_raw"', '"calibration_retried"',
+            '"stream_fixed_overhead"', '"full_record"',
         ):
             assert field in tail, (
                 f"scalar field {field} fell outside the driver's "
@@ -83,3 +84,38 @@ def test_result_json_values():
 
     missing = [q for q in bench.HEADLINE if q not in QUERIES]
     assert not missing, f"bench HEADLINE references unknown queries: {missing}"
+
+
+def test_stream_adjusted_pricing_and_tail_survival():
+    """r10 task 6: streaming entries priced on both columns — the raw
+    drain total stays in "queries", the steady-state view (raw minus
+    the fixed availableNow machinery cost, clamped at 0) lands in
+    "queries_stream_adjusted", and the scalar probe value itself rides
+    the 2,000-char tail."""
+    times = _fake_times(150) | {
+        "st12_stream_ingest_dedup": 4.0,
+        "st21_stream_stream_join": 7.06,
+        "st16_stream_heavyhitters": 0.3,
+    }
+    out = bench.result_json(
+        times, 0.123, [0.11, 0.123, 0.13], 0.05, 0.1,
+        stream_fixed_overhead=0.5, calibration_retried=True,
+    )
+    rec = json.loads(out)
+    adj = rec["queries_stream_adjusted"]
+    assert adj["st12_stream_ingest_dedup"] == 3.5
+    assert adj["st21_stream_stream_join"] == 6.56
+    assert adj["st16_stream_heavyhitters"] == 0.0  # clamped
+    assert set(adj) == {k for k in times if k.startswith("st")}
+    assert rec["stream_fixed_overhead"] == 0.5
+    assert rec["calibration_retried"] is True
+    assert rec["full_record"] == "BENCH_LOCAL.json"
+    tail = out[-2000:]
+    assert '"stream_fixed_overhead"' in tail
+    assert '"calibration_retried"' in tail
+    # without a probe the map is empty and the scalar is null
+    rec2 = json.loads(
+        bench.result_json(times, 0.123, [0.11], 0.05, 0.1)
+    )
+    assert rec2["queries_stream_adjusted"] == {}
+    assert rec2["stream_fixed_overhead"] is None
