@@ -993,7 +993,11 @@ def stream_stream_join(
     over BOTH sides' watermark nodes (multipleWatermarkPolicy=min), so
     left_outer NULL finalization needs event time advancing on the
     RIGHT side too — a quiet right stream holds every unmatched left
-    row in state indefinitely.
+    row in state indefinitely.  The operational guard is
+    :func:`heartbeat_stream`: union a sentinel-keyed wall-clock
+    heartbeat onto the quiet side to keep its watermark advancing
+    (sentinel, not NULL — NULL keys are constraint-filtered below the
+    watermark node and never count; both behaviors staged-pinned).
     """
     if how not in ("inner", "left_outer"):
         raise ValueError(f"how must be inner|left_outer, got {how!r}")
@@ -1025,6 +1029,119 @@ def stream_stream_join(
     for b in by:
         cond = cond & (F.col(b) == F.col(f"{right_prefix}{b}"))
     return l.join(r, cond, "leftOuter" if how == "left_outer" else "inner")
+
+
+def _heartbeat_projection(template: DataFrame, time_col: str,
+                          delay_seconds: float,
+                          key_values: dict) -> list:
+    """The heartbeat row shape: ``time_col`` from the source's
+    ``timestamp`` minus the skew allowance, the join keys pinned to
+    their SENTINEL literals, every other template column NULL (of the
+    template's type).  Split out so the staged pytests can apply the
+    exact same projection to a deterministic file source instead of
+    the wall-clock rate source."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if time_col not in template.columns:
+        raise ValueError(f"time column {time_col!r} not in template"
+                         f" columns {template.columns}")
+    dt = template.schema[time_col].dataType
+    if not isinstance(dt, (TimestampType, TimestampNTZType)):
+        raise TypeError(f"time column {time_col!r} must be a timestamp,"
+                        f" got {dt.simpleString()}")
+    missing = [k for k in key_values if k not in template.columns]
+    if missing:
+        raise ValueError(f"key_values columns {missing} not in template"
+                         f" columns {template.columns}")
+    if time_col in key_values:
+        raise ValueError("key_values must not include the time column")
+    if any(v is None for v in key_values.values()):
+        # measured on Spark 4.1.2 (pinned by the staged st21 pytests):
+        # the join's key equality makes Catalyst infer IsNotNull(key)
+        # and push that filter BELOW the EventTimeWatermark node, so a
+        # NULL-key heartbeat is dropped before it can advance the
+        # watermark — silently useless, hence rejected here
+        raise ValueError(
+            "heartbeat key_values must be non-NULL sentinels: NULL-key"
+            " rows are filtered below the watermark node by the join's"
+            " inferred IsNotNull constraint and never advance it"
+        )
+    delay_ms = int(round(delay_seconds * 1000))
+    cols = []
+    for f in template.schema.fields:
+        if f.name == time_col:
+            cols.append(
+                F.expr(f"timestamp - INTERVAL {delay_ms} MILLISECOND")
+                .cast(dt).alias(time_col)
+            )
+        elif f.name in key_values:
+            cols.append(
+                F.lit(key_values[f.name]).cast(f.dataType).alias(f.name)
+            )
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return cols
+
+
+def heartbeat_stream(
+    spark,
+    template: DataFrame,
+    time_col: str = "ts",
+    *,
+    key_values: dict,
+    interval_seconds: float = 60.0,
+    delay_seconds: float = 0.0,
+) -> DataFrame:
+    """Wall-clock heartbeat in ``template``'s schema — the operational
+    guard for :func:`stream_stream_join`'s left_outer mode: the query
+    watermark is the MIN across both sides, so a right stream that
+    goes QUIET holds every unmatched left row in state indefinitely
+    (NULL finalization never fires).  Unioning this onto the quiet
+    side keeps its event-time watermark advancing::
+
+        right = clicks.unionByName(
+            heartbeat_stream(spark, clicks, "ts",
+                             key_values={"user_id": -1},
+                             delay_seconds=300.0))
+        joined = stream_stream_join(purchases, right, by="user_id",
+                                    how="left_outer")
+
+    One row per ``interval_seconds`` (rate source), with ``time_col``
+    = wall clock − ``delay_seconds``, the join keys pinned to the
+    ``key_values`` SENTINELS, and every other column NULL.
+
+    ``key_values`` must name every join key with a literal guaranteed
+    OUTSIDE the real key domain (a reserved id, an impossible
+    composite) — sentinel-keyed heartbeats can then never match a
+    real row, and on the non-preserved right side of a left_outer
+    join they produce no output at all: only watermark progress.  A
+    NULL sentinel is rejected outright: measured on Spark 4.1.2, the
+    join's key equality makes Catalyst infer ``IsNotNull(key)`` and
+    push that filter BELOW the watermark node, so NULL-key rows are
+    dropped before they can advance event time (the staged st21
+    pytests pin both behaviors).  Do NOT union a heartbeat onto the
+    PRESERVED (left) side: its rows would finalize as NULL-payload
+    output.
+
+    ``delay_seconds`` is the skew allowance — the heartbeat asserts
+    "no genuine event with time earlier than now − delay will arrive
+    on this side"; set it to the side's maximum expected event-time
+    lag (an aggressive 0 finalizes NULLs for left rows a genuinely
+    late right counterpart could still have matched).
+    """
+    if interval_seconds < 1:
+        raise ValueError("interval_seconds must be >= 1 (rate source"
+                         " emits whole rows per second)")
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .filter(F.col("value") % F.lit(int(interval_seconds)) == 0)
+    )
+    return rate.select(
+        *_heartbeat_projection(template, time_col, delay_seconds,
+                               key_values)
+    )
 
 
 def stream_resample(

@@ -1871,3 +1871,150 @@ def test_stream_stream_join_requires_key(spark):
     )
     with _pt.raises(ValueError, match="equality key"):
         stream_stream_join(df, df, by=[])
+
+
+def test_stream_stream_join_left_outer_quiet_right_holds_state(
+    spark, tmp_path
+):
+    """The documented min-watermark trap, pinned: spacers advance the
+    LEFT (purchase) side only; the right (click) side goes quiet after
+    batch 0, so the query watermark stays pinned at the click side's
+    max and the unmatched purchase is NEVER finalized as a NULL row —
+    the operational hazard heartbeat_stream exists to fix."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    b0 = [(1, 1, t(9), "purchase"), (101, 2, t(9), "click"),
+          (2, 2, t(9, 30), "purchase")]
+    b1 = [(3, 4, t(15), "purchase")]
+    b2 = [(4, 4, t(15, 30), "purchase")]
+    b3 = [(5, 4, t(16), "purchase")]
+    side = _ssj_stage(spark, tmp_path, [b0, b1, b2, b3])
+    joined = stream_stream_join(
+        side("purchase"), side("click"),
+        by="user_id", lookback_seconds=3600.0, watermark="1 hour",
+        how="left_outer",
+    )
+    got = {
+        r.event_id: r.r_event_id
+        for r in run_available_now(joined, output_mode="append").collect()
+    }
+    assert got == {2: 101}  # the match emits; purchase 1 stays held
+
+
+def test_heartbeat_shaped_rows_resume_null_finalization(spark, tmp_path):
+    """heartbeat_stream's staged contract: SENTINEL-key heartbeat rows
+    on the quiet right side advance its watermark, so the held
+    unmatched purchase finalizes as a NULL row — and the heartbeats
+    themselves never match and never appear in the output.  The twin
+    below pins WHY the sentinel must be non-NULL."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        _heartbeat_projection,
+        run_available_now,
+        stream_stream_join,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    # heartbeat row shape derived from the ACTUAL projection helper so
+    # this staged fixture cannot drift from what heartbeat_stream emits
+    template = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp"
+    )
+    hb = lambda h, m=0: tuple(
+        spark.createDataFrame([(t(h, m),)], "timestamp timestamp")
+        .select(*_heartbeat_projection(template, "ts", 0.0,
+                                       {"user_id": -1}))
+        .collect()[0]
+    ) + ("click",)
+    assert hb(15)[:3] == (None, -1, t(15))
+
+    b0 = [(1, 1, t(9), "purchase"), (101, 2, t(9), "click"),
+          (2, 2, t(9, 30), "purchase")]
+    # left advances from real purchase traffic; right advances ONLY
+    # through heartbeat-shaped sentinel-key clicks
+    b1 = [(3, 4, t(15), "purchase"), hb(15)]
+    b2 = [(4, 4, t(15, 30), "purchase"), hb(15, 30)]
+    b3 = [(5, 4, t(16), "purchase"), hb(16)]
+    side = _ssj_stage(spark, tmp_path, [b0, b1, b2, b3])
+    joined = stream_stream_join(
+        side("purchase"), side("click"),
+        by="user_id", lookback_seconds=3600.0, watermark="1 hour",
+        how="left_outer",
+    )
+    got = {
+        r.event_id: r.r_event_id
+        for r in run_available_now(joined, output_mode="append").collect()
+    }
+    assert got == {1: None, 2: 101}  # NULL finalization resumed
+    assert None not in got  # no heartbeat ever surfaced as a left row
+
+
+def test_null_key_heartbeats_never_advance_the_watermark(spark, tmp_path):
+    """The measured Catalyst behavior the sentinel requirement exists
+    for: the join's key equality infers IsNotNull(user_id) and pushes
+    it BELOW the watermark node, so NULL-key rows are dropped before
+    they can advance event time — same staging as the sentinel test,
+    NULL keys instead, and the unmatched purchase stays held."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    b0 = [(1, 1, t(9), "purchase"), (101, 2, t(9), "click"),
+          (2, 2, t(9, 30), "purchase")]
+    b1 = [(3, 4, t(15), "purchase"), (None, None, t(15), "click")]
+    b2 = [(4, 4, t(15, 30), "purchase"), (None, None, t(15, 30), "click")]
+    b3 = [(5, 4, t(16), "purchase"), (None, None, t(16), "click")]
+    side = _ssj_stage(spark, tmp_path, [b0, b1, b2, b3])
+    joined = stream_stream_join(
+        side("purchase"), side("click"),
+        by="user_id", lookback_seconds=3600.0, watermark="1 hour",
+        how="left_outer",
+    )
+    got = {
+        r.event_id: r.r_event_id
+        for r in run_available_now(joined, output_mode="append").collect()
+    }
+    assert got == {2: 101}  # purchase 1 still held: NULLs never counted
+
+
+def test_heartbeat_stream_schema_and_guards(spark):
+    import pytest
+
+    from qctimeseries_spark.streaming import heartbeat_stream
+
+    template = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp"
+    )
+    hb = heartbeat_stream(spark, template, "ts",
+                          key_values={"user_id": -1},
+                          interval_seconds=60, delay_seconds=30.0)
+    assert hb.isStreaming
+    # names + types match (the unionByName contract); nullability may
+    # tighten on the sentinel column (a literal is non-nullable)
+    assert [(f.name, f.dataType) for f in hb.schema.fields] == [
+        (f.name, f.dataType) for f in template.schema.fields
+    ]
+    kv = {"user_id": -1}
+    with pytest.raises(ValueError, match="interval_seconds"):
+        heartbeat_stream(spark, template, "ts", key_values=kv,
+                         interval_seconds=0.5)
+    with pytest.raises(ValueError, match="not in template"):
+        heartbeat_stream(spark, template, "nope", key_values=kv)
+    with pytest.raises(TypeError, match="must be a timestamp"):
+        heartbeat_stream(spark, template, "user_id", key_values=kv)
+    with pytest.raises(ValueError, match="non-NULL sentinels"):
+        heartbeat_stream(spark, template, "ts",
+                         key_values={"user_id": None})
+    with pytest.raises(ValueError, match="not in template"):
+        heartbeat_stream(spark, template, "ts", key_values={"nope": 1})
