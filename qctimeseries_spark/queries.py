@@ -2611,70 +2611,55 @@ QUERIES["st21_stream_stream_join"] = q_st21_stream_stream_join
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
 # window entries get the driver's independent hash verdict.  To keep
-# that verdict honest across a 166-entry registry, the window ROTATES
-# each round.  Round 10 executes VERDICT r9 task 1:
-#   * the 17 r6-stale QC-core entries deferred from the r9 window
-#     (named in the old _WINDOW_R9 comment),
-#   * the 16 entries whose code changed in r9 under PRE-change driver
-#     verdicts — x2-x5/x8/x9/x11/x13-x17 (two-phase sharded top-k
-#     rewrote the rank stage under every x-query), d3 (pinned 4x16
-#     layout changed query AND oracle — highest-priority refresh),
-#     j2/j4 (interval-join alias hardening), t29 (rides both),
-#   * the 3 entries changed THIS round — st19 (inclusive-boundary
-#     oracle + exact-gap fixture), d5/d9 (hot-cell scoring re-split),
-#   * the 5 entries BORN this round (t41/j6/st20/w14/x19 —
-#     driver-checked from day one, the r9 newborn practice),
-#   * 9 fills from the oldest (r7) verdicts, chosen to keep every
-#     family in-window: s4/f5/c2/m3/h4 + d6/d7 + st4/a9.
+# that verdict honest across a 188-entry registry, the window ROTATES
+# each round.  Round 11 executes VERDICT r10 task 1:
+#   * the 9 entries that have NEVER held a driver verdict (born after
+#     the r10 window froze): a19, d14, h14, h16-h19, h21, h22,
+#   * the round-11 changed paths: d4 (rides the r10 verifier-prune
+#     rewrite under an r9 verdict — builder-self-flagged) and the
+#     whole as-of/nearest family j1/j3/j6/j7 (this round's
+#     struct-carry rewrite replaced every directional carry;
+#     st9_stream_asof rides the same code and sits in the r7 fills),
+#   * the newborn m7 (JPEG DC-grid pHash) — driver-checked from day
+#     one, the standing newborn practice,
+#   * 35 of the 43 r7-stale entries (the whole tail minus 8).  The 8
+#     deferred to r12 — st13/st14/st15, d6/d7, t16/t21/t22 — all
+#     hold FRESH r10 judge-replica greens (VERDICT r10 ran them
+#     by hand) on code untouched since, and their families stay
+#     in-window through st4-st10, d4/d14, and t9-t25 members.
 # Every remaining out-of-window entry holds a driver verdict from
-# r7-r9 on code untouched since, plus r9 replica + sf1 greens.
-_WINDOW_R10 = (
-    # r6-stale QC core (deferred from r9 by design)
-    "p3_filter_conjunction", "p4_apply_flags", "p8_flag_class_filters",
-    "p10_rowid_semijoin", "p11_hide_complete",
-    "a1_progress", "a2_consistency", "a3_flag_domain", "a5_axis_range",
-    "w1_assign_windows", "w8_window_range",
-    "u2_flag_window", "u6_flag_approve_advance",
-    "v1_downsample", "v4_secondary_trace", "v5_check_panel",
-    "t19_repetition",
-    # r9-changed paths holding pre-change driver verdicts
-    "x2_knn_ivf", "x3_knn_persisted", "x4_radius_search",
-    "x5_knn_index_append", "x8_pq_index", "x9_filtered_knn",
-    "x11_cell_stats", "x13_negative_sample", "x14_kmeans",
-    "x15_recall_eval", "x16_mmr_rerank", "x17_knn_after_delete",
-    "d3_simhash_pairs", "j2_range_join", "j4_skew_join",
-    "t29_hybrid_rrf",
-    # r10-changed paths (this round's diff)
-    "st19_stream_sessions", "d5_embedding_dups", "d9_semantic_dedup",
-    # born in round 10 — driver-checked from day one (the r9 newborn
-    # practice); the five r7 fills they displace (p2/u3/v6/t9/w9)
-    # keep r7 driver greens on unchanged code plus this round's
-    # full-registry replica + broad sf1 greens, and their families
-    # stay in-window through other members
-    "t41_stratified_sample", "j6_asof_tolerance",
-    "st20_stream_stratified", "w14_bfill", "x19_ivfpq_residual",
-    # round-10 continuation newborns — the five riskiest of the ten
-    # (new streaming machinery, new exact-arithmetic formula, new join
-    # operator, the two trickiest relational shapes); they take the
-    # five displaceable r7 fills' slots (h4/d6/d7/st4/a9 keep r7
-    # driver greens + this round's replica/sf1 greens; families h, d,
-    # st, a stay in-window through h15/h20, d3/d5/d9, st19-st21,
-    # a1/a2/a3/a5/a18).  The other five continuation newborns
-    # (h16-h19/h21/j7... minus these) hold replica + sf1 greens and
-    # rotate in next round.
-    "st21_stream_stream_join", "a18_trend", "j7_nearest_join",
-    "h15_small_qty_revenue", "h20_balance_gate",
-    # wave-4 newborns with genuinely NEW machinery: m6 (decode→aHash
-    # fingerprint) and s12 (partitioned sink + pruned source) take the
-    # m3/s4 fill slots — their families stay covered through them;
-    # m3/s4 keep r7 driver greens + this round's replica/sf1 greens
-    "m6_phash_dedup", "s12_partitioned_roundtrip",
-    # oldest (r7) fills — family coverage for f/c rides here
-    "f5_iso_export", "c2_curate",
+# r8-r10 on code untouched since, plus replica + sf1 greens.
+_WINDOW_R11 = (
+    # never driver-checked (late r10 continuation births)
+    "a19_autocorr", "d14_containment", "h14_order_distribution",
+    "h16_important_parts", "h17_top_supplier",
+    "h18_supplier_part_counts", "h19_waiting_supplier",
+    "h21_min_cost_supplier", "h22_rollup_revenue",
+    # changed paths: r10 verifier prune (d4) + r11 struct-carry joins
+    "d4_ngram_jaccard",
+    "j1_asof_join", "j3_asof_forward", "j6_asof_tolerance",
+    "j7_nearest_join",
+    # r11 newborn
+    "m7_jpeg_dc_phash",
+    # the r7-stale tail (35 of 43; the 8 deferred are named above)
+    "u3_approve_window", "p2_projection", "v6_viewer_slice",
+    "s4_parquet_roundtrip",
+    "h4_order_priority", "h5_nation_revenue", "h6_forecast_revenue",
+    "m3_media_decode", "m4_resize", "m5_frame_sample",
+    "t9_sessionize_salted", "t10_token_budget", "t11_split",
+    "t13_mixture", "t14_token_shards", "t15_psi",
+    "t20_line_dedup", "t23_span_dedup", "t24_source_cap",
+    "t25_quality_classifier",
+    "a9_percentiles", "a10_rolling_outliers", "a11_qc_rules",
+    "a12_rolling_by_key", "a15_cusum",
+    "st4_session_windows", "st5_stream_enrich", "st6_stream_anomalies",
+    "st7_stream_resample", "st8_stream_ewma", "st9_stream_asof",
+    "st10_stream_cusum",
+    "w9_regularize", "w11_interpolate", "w13_regularize_by_key",
 )
-assert len(_WINDOW_R10) == 50 and len(set(_WINDOW_R10)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R10} | {
-    k: v for k, v in QUERIES.items() if k not in _WINDOW_R10
+assert len(_WINDOW_R11) == 50 and len(set(_WINDOW_R11)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R11} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R11
 }
 
 ORACLE = {

@@ -179,6 +179,20 @@ def test_extensions_doc_totals_match_registry():
     assert readme_claim in readme, (
         f"README.md registry totals drifted: expected {readme_claim!r}"
     )
+    # BENCHNOTES carries a generated-style "Current state" block that
+    # must track the live registry AND the window rotation (VERDICT
+    # r10 task 8: the closing-paragraph prose counts drift per round;
+    # this block is asserted instead)
+    bn = (REPO / "BENCHNOTES.md").read_text()
+    state = bn.split("## Current state")[-1]
+    assert f"registry: {len(QUERIES)} queries / {len(ORACLE)} oracle-paired" in state, (
+        "BENCHNOTES Current-state registry counts drifted"
+    )
+    window_head = next(iter(QUERIES))
+    assert f"driver window head: {window_head}" in state, (
+        f"BENCHNOTES Current-state window head drifted: expected "
+        f"{window_head!r} (the first registry entry IS the window head)"
+    )
 
 
 @pytest.mark.parametrize("name", _headline_names())
