@@ -186,8 +186,12 @@ EXTENDED = [
     "s12_partitioned_roundtrip",
     "a19_autocorr",
     "d14_containment",
-    # round 11: JPEG DCT-domain pHash over the DC grid
+    # round 11: JPEG DCT-domain pHash over the DC grid; time-weighted
+    # resample; ordered funnel + cohort retention event analytics
     "m7_jpeg_dc_phash",
+    "w15_time_weighted",
+    "e1_funnel",
+    "e2_retention",
 ]
 
 HEADLINE = CORE + EXTENDED

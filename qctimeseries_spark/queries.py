@@ -2607,6 +2607,56 @@ def q_st21_stream_stream_join(spark, sf_dir):
 QUERIES["st21_stream_stream_join"] = q_st21_stream_stream_join
 
 
+def q_w15_time_weighted(spark, sf_dir):
+    """Time-WEIGHTED resample: 6-hour buckets per user where each
+    value HOLDS until the next observation (bucket end for the last),
+    weighted by held µs — the correct downsample for irregular step
+    signals, where a plain avg over-weights chatty regimes.  Exact
+    integer accumulation (µs weights × integer cents, DECIMAL(38,0));
+    only the final division is double, operand order pinned, so the
+    oracle hash-matches bit-exactly."""
+    from qctimeseries_spark.windows import time_weighted_resample
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_weighted_resample(
+        ev, "ts", "value", step_minutes=360.0,
+        key_cols=["user_id"], ties=["event_id"],
+    )
+
+
+def q_e1_funnel(spark, sf_dir):
+    """ORDERED conversion funnel signup → click → purchase with a
+    7-day per-step horizon: stage k counts only an event strictly
+    AFTER the user's stage-k−1 time (first qualifying event) — the
+    sequencing a per-type aggregate gets wrong.  All stage times
+    resolve in ONE exchange on user_id (k min-windows over the same
+    partition spec)."""
+    from qctimeseries_spark.events import funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel(
+        ev, ["signup", "click", "purchase"],
+        horizon_seconds=7 * 86400.0,
+    )
+
+
+def q_e2_retention(spark, sf_dir):
+    """Weekly cohort retention: users cohort by the epoch-anchored
+    week of their first event; n_active of them in cohort week + k
+    for k in [0, 4).  First-period and activity both aggregate on
+    user_id; the cohort-size attach broadcasts the (tiny) cohort
+    dimension."""
+    from qctimeseries_spark.events import retention_cohorts
+
+    ev = read_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, period_days=7.0, max_periods=4)
+
+
+QUERIES["w15_time_weighted"] = q_w15_time_weighted
+QUERIES["e1_funnel"] = q_e1_funnel
+QUERIES["e2_retention"] = q_e2_retention
+
+
 # The driver harness hash-checks at most the FIRST 50 registry
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
@@ -2622,11 +2672,14 @@ QUERIES["st21_stream_stream_join"] = q_st21_stream_stream_join
 #     st9_stream_asof rides the same code and sits in the r7 fills),
 #   * the newborn m7 (JPEG DC-grid pHash) — driver-checked from day
 #     one, the standing newborn practice,
-#   * 35 of the 43 r7-stale entries (the whole tail minus 8).  The 8
-#     deferred to r12 — st13/st14/st15, d6/d7, t16/t21/t22 — all
-#     hold FRESH r10 judge-replica greens (VERDICT r10 ran them
-#     by hand) on code untouched since, and their families stay
-#     in-window through st4-st10, d4/d14, and t9-t25 members.
+#   * the newborns w15/e1/e2 (time-weighted resample, ordered
+#     funnel, cohort retention) — same day-one practice,
+#   * 32 of the 43 r7-stale entries.  The 11 deferred to r12 —
+#     st13/st14/st15, d6/d7, t16/t21/t22 (fresh r10 judge-replica
+#     greens) and t11/t13_mixture/a10 (r11 builder-replica greens
+#     from this session's 50-entry sweep) — all ride code untouched
+#     since their verdicts, with families in-window via st4-st10,
+#     d4/d14, and t9-t25 members.
 # Every remaining out-of-window entry holds a driver verdict from
 # r8-r10 on code untouched since, plus replica + sf1 greens.
 _WINDOW_R11 = (
@@ -2639,18 +2692,24 @@ _WINDOW_R11 = (
     "d4_ngram_jaccard",
     "j1_asof_join", "j3_asof_forward", "j6_asof_tolerance",
     "j7_nearest_join",
-    # r11 newborn
-    "m7_jpeg_dc_phash",
-    # the r7-stale tail (35 of 43; the 8 deferred are named above)
+    # r11 newborns (day-one driver checks, the standing practice);
+    # the three tail fills they displace beyond the original eight —
+    # t11_split, t13_mixture, a10_rolling_outliers — keep r7 driver
+    # greens PLUS this session's r11 sf0.01 replica greens, and their
+    # families stay in-window through t9/t10/t14/t15/t20-t25 and
+    # a9/a11/a12/a15
+    "m7_jpeg_dc_phash", "w15_time_weighted", "e1_funnel",
+    "e2_retention",
+    # the r7-stale tail (32 of 43; the 11 deferred are named above)
     "u3_approve_window", "p2_projection", "v6_viewer_slice",
     "s4_parquet_roundtrip",
     "h4_order_priority", "h5_nation_revenue", "h6_forecast_revenue",
     "m3_media_decode", "m4_resize", "m5_frame_sample",
-    "t9_sessionize_salted", "t10_token_budget", "t11_split",
-    "t13_mixture", "t14_token_shards", "t15_psi",
+    "t9_sessionize_salted", "t10_token_budget",
+    "t14_token_shards", "t15_psi",
     "t20_line_dedup", "t23_span_dedup", "t24_source_cap",
     "t25_quality_classifier",
-    "a9_percentiles", "a10_rolling_outliers", "a11_qc_rules",
+    "a9_percentiles", "a11_qc_rules",
     "a12_rolling_by_key", "a15_cusum",
     "st4_session_windows", "st5_stream_enrich", "st6_stream_anomalies",
     "st7_stream_resample", "st8_stream_ewma", "st9_stream_asof",
@@ -3993,3 +4052,96 @@ JOIN events c
  AND c.ts >= p.ts - INTERVAL 4 HOUR
  AND c.ts <= p.ts
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
+
+_W15_STEP_US = 360 * 60 * 1_000_000
+ORACLE["w15_time_weighted"] = f"""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         epoch_us(ts) // {_W15_STEP_US} AS bk,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0)) AS y,
+         event_id
+  FROM events WHERE value IS NOT NULL
+),
+held AS (
+  SELECT user_id, bk, y,
+         COALESCE(LEAD(us) OVER (PARTITION BY user_id, bk
+                                 ORDER BY us, event_id),
+                  (bk + 1) * {_W15_STEP_US}) - us AS w
+  FROM src
+),
+agg AS (
+  SELECT user_id, bk, COUNT(*) AS n_obs,
+         SUM(CAST(w AS DECIMAL(20,0)) * y) AS num,
+         SUM(w) AS den
+  FROM held GROUP BY user_id, bk
+)
+SELECT user_id, make_timestamp(bk * {_W15_STEP_US}) AS bucket_ts,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 9)
+           AS twa_value
+FROM agg"""
+
+_E1_H_US = 7 * 86400 * 1_000_000
+ORACLE["e1_funnel"] = f"""
+WITH t0 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0
+  FROM events GROUP BY user_id
+),
+t1 AS (
+  SELECT e.user_id, MIN(epoch_us(ts)) AS t1
+  FROM events e JOIN t0 USING (user_id)
+  WHERE event_type = 'click' AND t0 IS NOT NULL
+    AND epoch_us(ts) > t0 AND epoch_us(ts) <= t0 + {_E1_H_US}
+  GROUP BY e.user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(epoch_us(ts)) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE event_type = 'purchase'
+    AND epoch_us(ts) > t1 AND epoch_us(ts) <= t1 + {_E1_H_US}
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT COUNT(t0) FROM t0) AS c0,
+         (SELECT COUNT(*) FROM t1) AS c1,
+         (SELECT COUNT(*) FROM t2) AS c2
+)
+SELECT CAST(0 AS INT) AS stage_idx, 'signup' AS stage,
+       CAST(c0 AS BIGINT) AS n_users,
+       CASE WHEN c0 > 0
+            THEN ROUND(CAST(c0 AS DOUBLE) / CAST(c0 AS DOUBLE), 9) END
+           AS frac_of_first
+FROM c
+UNION ALL
+SELECT CAST(1 AS INT), 'click', CAST(c1 AS BIGINT),
+       CASE WHEN c0 > 0
+            THEN ROUND(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE), 9) END
+FROM c
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', CAST(c2 AS BIGINT),
+       CASE WHEN c0 > 0
+            THEN ROUND(CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE), 9) END
+FROM c"""
+
+_E2_PERIOD_US = 7 * 86400 * 1_000_000
+ORACLE["e2_retention"] = f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // {_E2_PERIOD_US} AS p FROM events
+),
+f AS (SELECT user_id, MIN(p) AS p0 FROM p GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, p FROM p),
+h AS (
+  SELECT a.user_id, p0, a.p - p0 AS k
+  FROM a JOIN f USING (user_id)
+  WHERE a.p - p0 >= 0 AND a.p - p0 < 4
+),
+cell AS (SELECT p0, k, COUNT(*) AS n_active FROM h GROUP BY p0, k),
+cs AS (SELECT p0, COUNT(*) AS n_cohort FROM f GROUP BY p0)
+SELECT make_timestamp(p0 * {_E2_PERIOD_US}) AS cohort_ts,
+       CAST(k AS INT) AS period_k,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       ROUND(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 9)
+           AS retention
+FROM cell JOIN cs USING (p0)"""

@@ -1173,6 +1173,86 @@ def resample(
     return df.groupBy(*keys, bucket).agg(*exprs)
 
 
+def time_weighted_resample(
+    df: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "value",
+    *,
+    step_minutes: float,
+    key_cols: list[str] | None = None,
+    ties: list[str] | None = None,
+    out_time_col: str = "bucket_ts",
+) -> DataFrame:
+    """Time-WEIGHTED average per epoch-anchored bucket — the correct
+    downsample for irregularly sampled step signals (sensor readings,
+    prices, configuration levels), where :func:`resample`'s plain
+    ``avg`` over-weights whichever regime happened to log more rows.
+
+    Each observation's value HOLDS from its timestamp until the next
+    observation in the same (keys, bucket) — the bucket end for the
+    last one — and the bucket average weights every value by its held
+    microseconds.  All accumulation is EXACT: weights are integer µs,
+    values 2-dp integer cents, the weighted sum a ``DECIMAL(38,0)``;
+    only the final division runs in double (operand order pinned,
+    9-dp round) so a DuckDB oracle hash-matches bit-exactly.
+
+    NULL values are dropped first (QC-masked rows); the previous
+    value then holds across them.  Same-instant observations are
+    ordered by ``ties`` (REQUIRED for determinism if (keys, time) can
+    collide): the earlier row gets zero weight.  The span from bucket
+    start to the first observation carries no value and is excluded
+    from the denominator (the bucket has no defined level there).
+
+    Scale shape: one shuffle + sort on (keys, bucket) for the lead()
+    carry, then a map-side-combinable groupBy on the same key — the
+    partition is bucket-local, so no cross-bucket state and no skew
+    beyond the busiest (key, bucket).
+    """
+    from qctimeseries_spark.schema import validate_time_col
+
+    validate_time_col(df, time_col)
+    step_us = int(round(step_minutes * 60 * 1_000_000))
+    if step_us <= 0:
+        raise ValueError("step_minutes must be positive")
+    keys = list(key_cols or [])
+    tie_cols = list(ties or [])
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.expr(
+            _floor_div_sql(f"unix_micros(`{time_col}`)", step_us)
+        ).alias("_bk"),
+        F.unix_micros(F.col(time_col)).alias("_us"),
+        (F.col(value_col).cast("decimal(18,2)") * F.lit(100))
+        .cast("decimal(20,0)")
+        .alias("_y"),
+        *tie_cols,
+    )
+    w = Window.partitionBy(*keys, "_bk").orderBy(
+        F.col("_us").asc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    bucket_end = (F.col("_bk") + 1) * F.lit(step_us)
+    held = (
+        F.coalesce(F.lead("_us").over(w), bucket_end) - F.col("_us")
+    ).cast("decimal(20,0)")
+    weighted = src.withColumn("_w", held)
+    agg = weighted.groupBy(*keys, "_bk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(F.col("_w") * F.col("_y")).alias("_num"),
+        F.sum("_w").alias("_den"),
+    )
+    return agg.select(
+        *keys,
+        F.expr(f"timestamp_micros(_bk * {step_us}L)").alias(out_time_col),
+        "n_obs",
+        F.round(
+            F.col("_num").cast("double")
+            / F.col("_den").cast("double")
+            / F.lit(100.0),
+            9,
+        ).alias("twa_value"),
+    )
+
+
 def regularize_by_key(
     df: DataFrame,
     time_col: str = "ts",

@@ -1,0 +1,174 @@
+"""Event analytics (funnel, retention) + time-weighted resample:
+hand-computed semantics, ordering traps, exactness."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from qctimeseries_spark.events import funnel, retention_cohorts
+from qctimeseries_spark.windows import time_weighted_resample
+
+
+def _ts(d, h=0, m=0):
+    return dt.datetime(2024, 1, 1 + d, h, m)
+
+
+_EV = "event_id long, user_id long, ts timestamp, event_type string"
+
+
+def test_funnel_orders_stages_strictly(spark):
+    rows = [
+        # u1: clean signup -> click -> purchase
+        (1, 1, _ts(0), "signup"), (2, 1, _ts(1), "click"),
+        (3, 1, _ts(2), "purchase"),
+        # u2: purchase BEFORE click -> converts click only
+        (4, 2, _ts(0), "signup"), (5, 2, _ts(1), "purchase"),
+        (6, 2, _ts(2), "click"),
+        # u3: click before signup doesn't count; the later one does
+        (7, 3, _ts(1), "click"), (8, 3, _ts(2), "signup"),
+        (9, 3, _ts(3), "click"),
+        # u4: no signup -> contributes nowhere
+        (10, 4, _ts(0), "click"), (11, 4, _ts(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, _EV)
+    got = {
+        r.stage: (r.stage_idx, r.n_users, r.frac_of_first)
+        for r in funnel(ev, ["signup", "click", "purchase"]).collect()
+    }
+    assert got["signup"] == (0, 3, 1.0)
+    assert got["click"] == (1, 3, 1.0)       # u1, u2, u3
+    assert got["purchase"] == (2, 1, round(1 / 3, 9))  # only u1
+
+
+def test_funnel_horizon_cuts_slow_conversions(spark):
+    rows = [
+        (1, 1, _ts(0), "signup"), (2, 1, _ts(1), "click"),   # within 2d
+        (3, 2, _ts(0), "signup"), (4, 2, _ts(5), "click"),   # 5d > 2d
+    ]
+    ev = spark.createDataFrame(rows, _EV)
+    got = {
+        r.stage: r.n_users
+        for r in funnel(
+            ev, ["signup", "click"], horizon_seconds=2 * 86400.0
+        ).collect()
+    }
+    assert got == {"signup": 2, "click": 1}
+
+
+def test_funnel_validates_stages(spark):
+    ev = spark.createDataFrame([], _EV)
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(ev, ["signup"])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(ev, ["click", "click"])
+
+
+def test_retention_cohorts_counts_and_self_check(spark):
+    # weekly periods anchored at the epoch: 2024-01-01 is a Monday and
+    # epoch-week boundaries fall on Thursdays — use day offsets only
+    rows = []
+    eid = 0
+    # u1 first active day 0, again day 14 (k=2 weeks later or same
+    # epoch-week boundary; compute expectations from the operator's
+    # own floor rule below)
+    for u, days in [(1, [0, 14]), (2, [0]), (3, [7, 21]), (4, [8])]:
+        for d in days:
+            eid += 1
+            rows.append((eid, u, _ts(d), "view"))
+    ev = spark.createDataFrame(rows, _EV)
+    out = retention_cohorts(ev, period_days=7.0, max_periods=4).collect()
+    per = {(r.cohort_ts, r.period_k): (r.n_active, r.n_cohort, r.retention)
+           for r in out}
+    # every cohort's k=0 row is the full cohort (the self-check)
+    for (cts, k), (na, nc, ret) in per.items():
+        if k == 0:
+            assert na == nc and ret == 1.0
+    # total cohort sizes across k=0 rows = number of distinct users
+    assert sum(nc for (c, k), (na, nc, r) in per.items() if k == 0) == 4
+    # a user active exactly 2 periods after their first shows at k=2
+    week_us = 7 * 86400 * 1_000_000
+    import math
+
+    def period(d):
+        us = int(_ts(d).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        return us // week_us
+
+    for u, d0, d1 in [(1, 0, 14), (3, 7, 21)]:
+        k = period(d1) - period(d0)
+        cohort = dt.datetime.fromtimestamp(
+            period(d0) * 7 * 86400, dt.timezone.utc
+        ).replace(tzinfo=None)
+        assert per[(cohort, k)][0] >= 1
+
+
+def test_time_weighted_resample_hand_computed(spark):
+    # one user, one 60-min bucket starting 00:00: obs at 00:00 (v=1.00)
+    # holds 15 min, obs at 00:15 (v=3.00) holds 45 min
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0), 1.00),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 15), 3.00),
+        # second bucket: single obs holds the whole remaining bucket
+        (3, 1, dt.datetime(2024, 1, 1, 1, 30), 10.00),
+        # NULL value: dropped, previous value holds across it
+        (4, 1, dt.datetime(2024, 1, 1, 0, 45), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r.bucket_ts: (r.n_obs, r.twa_value)
+        for r in time_weighted_resample(
+            df, "ts", "value", step_minutes=60.0,
+            key_cols=["user_id"], ties=["event_id"],
+        ).collect()
+    }
+    # bucket 0: (1.00*15 + 3.00*45) / 60 = 2.5
+    assert out[dt.datetime(2024, 1, 1, 0, 0)] == (2, 2.5)
+    # bucket 1: single obs -> its own value
+    assert out[dt.datetime(2024, 1, 1, 1, 0)] == (1, 10.0)
+
+
+def test_time_weighted_resample_ties_and_guards(spark):
+    # same-instant observations: the earlier tie-order row gets ZERO
+    # weight, the later one holds
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0), 100.0),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 0), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = time_weighted_resample(
+        df, "ts", "value", step_minutes=60.0,
+        key_cols=["user_id"], ties=["event_id"],
+    ).collect()
+    assert len(out) == 1 and out[0].twa_value == 4.0 and out[0].n_obs == 2
+
+    with pytest.raises(ValueError, match="positive"):
+        time_weighted_resample(df, "ts", "value", step_minutes=0.0)
+    with pytest.raises(TypeError, match="timestamp"):
+        time_weighted_resample(df, "value", "value", step_minutes=1.0)
+
+
+def test_time_weighted_vs_plain_avg_regime_bias(spark):
+    """The reason this operator exists: a chatty low regime must NOT
+    drag the average when it holds only a sliver of the time."""
+    from qctimeseries_spark.windows import resample
+
+    rows = [(i, 1, dt.datetime(2024, 1, 1, 0, 59, i), 0.0)
+            for i in range(10)]           # 10 rapid zeros in the last min
+    rows.append((100, 1, dt.datetime(2024, 1, 1, 0, 0), 60.0))  # held 59min
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    twa = time_weighted_resample(
+        df, "ts", "value", step_minutes=60.0,
+        key_cols=["user_id"], ties=["event_id"],
+    ).collect()[0].twa_value
+    plain = resample(
+        df, "ts", step_minutes=60.0, aggs={"value": "avg"},
+        key_cols=["user_id"],
+    ).collect()[0].value_avg
+    assert plain < 6.0          # 11-row mean: dominated by the zeros
+    assert twa == 59.0          # exact: 60.0 * 59min / 60min
