@@ -105,6 +105,32 @@ def main() -> None:
         f" {'reconciled' if n_stream == n_batch else 'DIVERGED'})"
     )
 
+    # 5. ordered funnel + weekly cohort retention (round-11 operators:
+    #    stage k counts only events strictly after stage k-1)
+    from qctimeseries_spark.events import funnel, retention_cohorts
+
+    fu = funnel(
+        allb, ["signup", "click", "purchase"],
+        horizon_seconds=7 * 86400.0,
+    ).orderBy("stage_idx").collect()
+    steps = " -> ".join(f"{r.stage} {r.n_users}" for r in fu)
+    print(f"funnel: {steps}")
+    ret = retention_cohorts(allb, period_days=7.0, max_periods=4)
+    held = ret.filter(F.col("period_k") == 1).agg(
+        F.round(F.avg("retention"), 4).alias("w1")
+    ).first()
+    print(f"retention: week-1 average {held.w1}")
+
+    # 6. time-weighted downsample — the level actually held per 6 h,
+    #    not the chatty-regime-biased row mean
+    from qctimeseries_spark.windows import time_weighted_resample
+
+    twa = time_weighted_resample(
+        allb, "ts", "value", step_minutes=360.0,
+        key_cols=["user_id"], ties=["event_id"],
+    )
+    print(f"time-weighted resample: {twa.count()} (user, 6h) levels")
+
 
 if __name__ == "__main__":
     main()

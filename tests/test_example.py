@@ -272,3 +272,6 @@ def test_event_analytics_example_runs():
     assert "autocorrelation:" in out.stdout
     assert "nearest calibration:" in out.stdout
     assert "reconciled" in out.stdout  # stream == batch twin
+    assert "funnel: signup" in out.stdout
+    assert "retention: week-1 average" in out.stdout
+    assert "time-weighted resample:" in out.stdout

@@ -746,3 +746,61 @@ def test_a18_trend_equals_numpy_least_squares(spark, series):
     slope_cents_per_us = np.linalg.lstsq(a, ys, rcond=None)[0][0]
     want = slope_cents_per_us * 1e4  # value-units per second
     assert got == pytest.approx(want, rel=1e-6, abs=1e-9)
+
+
+_twa_obs_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=179),   # minute offset
+        st.integers(min_value=-9999, max_value=9999),  # value in cents
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(obs=_twa_obs_st)
+@SETTINGS
+def test_time_weighted_resample_matches_python_model(spark, obs):
+    """time_weighted_resample == a pure-python exact model: per
+    60-min bucket, sum(value_cents * held_us) / sum(held_us) / 100
+    with each value held until the next observation in the bucket
+    (bucket end for the last), ties by event_id giving the earlier
+    row zero weight."""
+    import datetime as dt
+
+    from qctimeseries_spark.windows import time_weighted_resample
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), cents / 100.0)
+        for i, (m, cents) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    )
+    got = {
+        r.bucket_ts: (r.n_obs, r.twa_value)
+        for r in time_weighted_resample(
+            df, "ts", "value", step_minutes=60.0, ties=["event_id"]
+        ).collect()
+    }
+
+    step_us = 60 * 60 * 1_000_000
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for i, (m, cents) in enumerate(obs):
+        us = m * 60 * 1_000_000
+        buckets.setdefault(us // step_us, []).append((us, i, cents))
+    want = {}
+    for bk, items in buckets.items():
+        items.sort(key=lambda t: (t[0], t[1]))
+        num = den = 0
+        for j, (us, _i, cents) in enumerate(items):
+            nxt = items[j + 1][0] if j + 1 < len(items) else (bk + 1) * step_us
+            w = nxt - us
+            num += cents * w
+            den += w
+        want[base + dt.timedelta(hours=bk)] = (
+            len(items),
+            round(num / den / 100.0, 9),
+        )
+    assert got == want
