@@ -2674,12 +2674,13 @@ QUERIES["e2_retention"] = q_e2_retention
 #     one, the standing newborn practice,
 #   * the newborns w15/e1/e2 (time-weighted resample, ordered
 #     funnel, cohort retention) — same day-one practice,
-#   * 32 of the 43 r7-stale entries.  The 11 deferred to r12 —
+#   * 29 of the 43 r7-stale entries plus the oldest f/c/x members
+#     as family-coverage fills.  The 14 r7 entries deferred to r12 —
 #     st13/st14/st15, d6/d7, t16/t21/t22 (fresh r10 judge-replica
-#     greens) and t11/t13_mixture/a10 (r11 builder-replica greens
-#     from this session's 50-entry sweep) — all ride code untouched
-#     since their verdicts, with families in-window via st4-st10,
-#     d4/d14, and t9-t25 members.
+#     greens) and t11/t13_mixture/t14/t24/a10/st5 (r11
+#     builder-replica greens from this session's 50-entry sweep) —
+#     all ride code untouched since their verdicts, with families
+#     in-window via st4-st10, d4/d14, and t9-t25 members.
 # Every remaining out-of-window entry holds a driver verdict from
 # r8-r10 on code untouched since, plus replica + sf1 greens.
 _WINDOW_R11 = (
@@ -2705,16 +2706,19 @@ _WINDOW_R11 = (
     "s4_parquet_roundtrip",
     "h4_order_priority", "h5_nation_revenue", "h6_forecast_revenue",
     "m3_media_decode", "m4_resize", "m5_frame_sample",
-    "t9_sessionize_salted", "t10_token_budget",
-    "t14_token_shards", "t15_psi",
-    "t20_line_dedup", "t23_span_dedup", "t24_source_cap",
+    "t9_sessionize_salted", "t10_token_budget", "t15_psi",
+    "t20_line_dedup", "t23_span_dedup",
     "t25_quality_classifier",
     "a9_percentiles", "a11_qc_rules",
     "a12_rolling_by_key", "a15_cusum",
-    "st4_session_windows", "st5_stream_enrich", "st6_stream_anomalies",
+    "st4_session_windows", "st6_stream_anomalies",
     "st7_stream_resample", "st8_stream_ewma", "st9_stream_asof",
     "st10_stream_cusum",
     "w9_regularize", "w11_interpolate", "w13_regularize_by_key",
+    # family-coverage fills (every family must keep one entry in the
+    # hard-check window — pinned by test_driver_window_covers_every_
+    # family): the OLDEST member of each family the tail left out
+    "f1_add_flags", "c1_dup_clusters", "x1_knn_bruteforce",
 )
 assert len(_WINDOW_R11) == 50 and len(set(_WINDOW_R11)) == 50
 QUERIES = {k: QUERIES[k] for k in _WINDOW_R11} | {

@@ -16,7 +16,7 @@ REPO = Path(__file__).resolve().parents[1]
 #: a careless insert silently downgrades it to replica-only checking
 FAMILIES = {
     "s", "p", "f", "w", "a", "u", "v",  # SURVEY §2 QC core
-    "d", "x", "t", "m", "c", "st", "h", "j",  # extension surface
+    "d", "x", "t", "m", "c", "st", "h", "j", "e",  # extension surface
 }
 
 
@@ -39,39 +39,25 @@ def test_driver_window_covers_every_family():
         f"families {sorted(missing)} fell out of the driver's 50-entry"
         f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
-    # round-10 rotation (VERDICT r9 task 1): the window holds the 17
-    # r6-stale QC-core entries deferred from r9, every entry whose
-    # code changed in r9 under a pre-change driver verdict, and the
-    # r10-changed paths.  This pin asserts the priority tiers CANNOT
+    # round-11 rotation (VERDICT r10 task 1): the window holds the 9
+    # entries that had NEVER seen a driver verdict, every path changed
+    # in r10/r11 under a pre-change verdict (the verifier prune and the
+    # struct-carry join rewrite), the r11 newborns, and the bulk of the
+    # r7-stale tail.  This pin asserts the priority tiers CANNOT
     # silently fall out.
     window = set(names[:50])
     assert {
-        # the 17 r6-stale QC-core entries (deferred from the r9 window)
-        "p3_filter_conjunction", "p4_apply_flags",
-        "p8_flag_class_filters", "p10_rowid_semijoin",
-        "p11_hide_complete", "a1_progress", "a2_consistency",
-        "a3_flag_domain", "a5_axis_range", "w1_assign_windows",
-        "w8_window_range", "u2_flag_window", "u6_flag_approve_advance",
-        "v1_downsample", "v4_secondary_trace", "v5_check_panel",
-        "t19_repetition",
-        # r9-changed paths needing a post-change driver hash
-        "x2_knn_ivf", "x3_knn_persisted", "x4_radius_search",
-        "x5_knn_index_append", "x8_pq_index", "x9_filtered_knn",
-        "x11_cell_stats", "x13_negative_sample", "x14_kmeans",
-        "x15_recall_eval", "x16_mmr_rerank", "x17_knn_after_delete",
-        "d3_simhash_pairs", "j2_range_join", "j4_skew_join",
-        "t29_hybrid_rrf",
-        # r10-changed paths
-        "st19_stream_sessions", "d5_embedding_dups", "d9_semantic_dedup",
-        # r10 newborns — driver-checked from day one
-        "t41_stratified_sample", "j6_asof_tolerance",
-        "st20_stream_stratified", "w14_bfill", "x19_ivfpq_residual",
-        # r10 continuation newborns (the five riskiest of the ten:
-        # new streaming machinery / exact-arithmetic formula / join
-        # operator / trickiest relational shapes)
-        "st21_stream_stream_join", "a18_trend", "j7_nearest_join",
-        "h15_small_qty_revenue", "h20_balance_gate",
-        "m6_phash_dedup", "s12_partitioned_roundtrip",
+        # never driver-checked until r11
+        "a19_autocorr", "d14_containment", "h14_order_distribution",
+        "h16_important_parts", "h17_top_supplier",
+        "h18_supplier_part_counts", "h19_waiting_supplier",
+        "h21_min_cost_supplier", "h22_rollup_revenue",
+        # changed paths: r10 verifier prune + r11 struct-carry joins
+        "d4_ngram_jaccard", "j1_asof_join", "j3_asof_forward",
+        "j6_asof_tolerance", "j7_nearest_join", "st9_stream_asof",
+        # r11 newborns — driver-checked from day one
+        "m7_jpeg_dc_phash", "w15_time_weighted", "e1_funnel",
+        "e2_retention",
     } <= window
 
 
