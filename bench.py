@@ -280,6 +280,7 @@ def result_json(
     *,
     stream_fixed_overhead: float | None = None,
     calibration_retried: bool = False,
+    calibration_first_samples: list[float] | None = None,
 ) -> str:
     """One-line JSON bench record, TAIL-SAFE for the driver capture.
 
@@ -359,6 +360,11 @@ def result_json(
             # gate the run re-sampled once and kept the cleaner set —
             # a still-noisy record after a retry is genuine host noise
             "calibration_retried": calibration_retried,
+            # when a retry replaced the first set, the ORIGINAL
+            # samples stay here: a clean retry set normalizes raws
+            # that ran under the load the first set witnessed — read
+            # both before trusting a normalized cross-round delta
+            "calibration_first_samples": calibration_first_samples,
             # fixed cost of one availableNow drain (stream planning +
             # checkpoint/WAL + listing); steady-state st-entry cost ≈
             # raw − this (full map in queries_stream_adjusted /
@@ -464,6 +470,7 @@ def main() -> int:
 
     calibration, spread = _spread_of(calibration_samples)
     calibration_retried = False
+    first_samples = None
     if spread > 0.10:
         # r10 task 3: 3 of 4 recorded r10 runs were noisy-flagged.  A
         # load burst that lands on one or two samples mid-run does not
@@ -481,6 +488,7 @@ def main() -> int:
             file=sys.stderr,
         )
         if retry_spread < spread:
+            first_samples = calibration_samples
             calibration_samples = retry_samples
             calibration, spread = retry_cal, retry_spread
     print(
@@ -501,6 +509,7 @@ def main() -> int:
         times, calibration, calibration_samples, spread, sf,
         stream_fixed_overhead=stream_fixed,
         calibration_retried=calibration_retried,
+        calibration_first_samples=first_samples,
     )
     # the driver captures only the stdout tail; the COMPLETE record
     # (identical JSON, indented) lands in-repo so the full per-query

@@ -110,6 +110,7 @@ def test_stream_adjusted_pricing_and_tail_survival():
     assert rec["stream_fixed_overhead"] == 0.5
     assert rec["calibration_retried"] is True
     assert rec["full_record"] == "BENCH_LOCAL.json"
+    assert rec["calibration_first_samples"] is None  # not passed here
     tail = out[-2000:]
     assert '"stream_fixed_overhead"' in tail
     assert '"calibration_retried"' in tail
@@ -119,3 +120,19 @@ def test_stream_adjusted_pricing_and_tail_survival():
     )
     assert rec2["queries_stream_adjusted"] == {}
     assert rec2["stream_fixed_overhead"] is None
+
+
+def test_calibration_first_samples_preserved():
+    """When a retry replaced the first calibration set, the original
+    samples must survive in the record — a clean retry set normalizes
+    raws that ran under the load the first set witnessed, and without
+    it a reader can't tell load-inflated raw from real regression."""
+    out = bench.result_json(
+        _fake_times(20), 0.068, [0.068, 0.066, 0.084], 0.029, 0.1,
+        calibration_retried=True,
+        calibration_first_samples=[0.166, 0.07, 0.132, 0.068, 0.071],
+    )
+    rec = json.loads(out)
+    assert rec["calibration_first_samples"] == [0.166, 0.07, 0.132,
+                                                0.068, 0.071]
+    assert '"calibration_first_samples"' in out[-2000:]
