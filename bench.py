@@ -192,6 +192,7 @@ EXTENDED = [
     "w15_time_weighted",
     "e1_funnel",
     "e2_retention",
+    "st22_stream_funnel",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -2652,9 +2652,35 @@ def q_e2_retention(spark, sf_dir):
     return retention_cohorts(ev, period_days=7.0, max_periods=4)
 
 
+def q_st22_stream_funnel(spark, sf_dir):
+    """Streaming twin of e1: per-(user, stage) conversion rows from
+    the custom stateful funnel operator (applyInPandasWithState,
+    3-scalar state per user), drained append-mode.  Within the drain
+    every user's rows process in event-time order, so the emitted
+    conversions equal the batch funnel's per-user stage times — the
+    oracle computes exactly those (the e1 CTE chain, unpivoted)."""
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_funnel,
+    )
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    return run_available_now(
+        stream_funnel(
+            ev, ["signup", "click", "purchase"],
+            horizon_seconds=7 * 86400.0,
+        ),
+        output_mode="append",
+    )
+
+
 QUERIES["w15_time_weighted"] = q_w15_time_weighted
 QUERIES["e1_funnel"] = q_e1_funnel
 QUERIES["e2_retention"] = q_e2_retention
+QUERIES["st22_stream_funnel"] = q_st22_stream_funnel
 
 
 # The driver harness hash-checks at most the FIRST 50 registry
@@ -2712,8 +2738,8 @@ _WINDOW_R11 = (
     "a9_percentiles", "a11_qc_rules",
     "a12_rolling_by_key", "a15_cusum",
     "st4_session_windows", "st6_stream_anomalies",
-    "st7_stream_resample", "st8_stream_ewma", "st9_stream_asof",
-    "st10_stream_cusum",
+    "st8_stream_ewma", "st9_stream_asof",
+    "st10_stream_cusum", "st22_stream_funnel",
     "w9_regularize", "w11_interpolate", "w13_regularize_by_key",
     # family-coverage fills (every family must keep one entry in the
     # hard-check window — pinned by test_driver_window_covers_every_
@@ -4149,3 +4175,31 @@ SELECT make_timestamp(p0 * {_E2_PERIOD_US}) AS cohort_ts,
        ROUND(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 9)
            AS retention
 FROM cell JOIN cs USING (p0)"""
+
+ORACLE["st22_stream_funnel"] = f"""
+WITH t0 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0
+  FROM events GROUP BY user_id
+),
+t1 AS (
+  SELECT e.user_id, MIN(epoch_us(ts)) AS t1
+  FROM events e JOIN t0 USING (user_id)
+  WHERE event_type = 'click' AND t0 IS NOT NULL
+    AND epoch_us(ts) > t0 AND epoch_us(ts) <= t0 + {_E1_H_US}
+  GROUP BY e.user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(epoch_us(ts)) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE event_type = 'purchase'
+    AND epoch_us(ts) > t1 AND epoch_us(ts) <= t1 + {_E1_H_US}
+  GROUP BY e.user_id
+)
+SELECT user_id, CAST(0 AS INT) AS stage_idx, 'signup' AS stage,
+       make_timestamp(t0) AS ts
+FROM t0 WHERE t0 IS NOT NULL
+UNION ALL
+SELECT user_id, CAST(1 AS INT), 'click', make_timestamp(t1) FROM t1
+UNION ALL
+SELECT user_id, CAST(2 AS INT), 'purchase', make_timestamp(t2) FROM t2"""

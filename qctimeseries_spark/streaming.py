@@ -879,6 +879,111 @@ def detect_anomalies_stateful(
     )
 
 
+def stream_funnel(
+    stream: DataFrame,
+    stages: list[str],
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_seconds: float | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`qctimeseries_spark.events.funnel`:
+    emit one row per (user, stage CONVERSION) the moment it happens —
+    stage k converts on the first ``stages[k]``-typed event STRICTLY
+    after the user's stage-k−1 conversion (optionally within
+    ``horizon_seconds`` of it).  The batch funnel's counts are a
+    trivial aggregation of this row stream.
+
+    State per user is THREE scalars — next awaited stage index, the
+    previous conversion's µs, and the last processed µs — O(#users),
+    independent of stream length; per-batch work loops over STAGES
+    (a handful), not rows (each stage conversion is one vectorized
+    first-match scan).  Rows at-or-before the carried per-user
+    timestamp are dropped (the expanding-window operators' in-order
+    contract), so for per-user in-order streams the drained output
+    equals the batch funnel's per-user stage times exactly — which is
+    how the DuckDB oracle checks it.  Non-stage event types are
+    discarded before touching state.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"funnel stages must be distinct, got {stages}")
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    horizon_us = (
+        int(round(horizon_seconds * 1_000_000))
+        if horizon_seconds is not None
+        else None
+    )
+    out_schema = (
+        f"{user_col} bigint, stage_idx int, stage string,"
+        f" {time_col} timestamp"
+    )
+    state_schema = "stage_idx int, t_prev bigint, last_us bigint"
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        stage_idx, t_prev, last_us = (
+            state.get if state.exists else (0, None, None)
+        )
+        frames = [pdf[[time_col, type_col]] for pdf in pdf_iter]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[pdf[type_col].isin(stages)].sort_values(
+            time_col, kind="stable"
+        )
+        us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        types = pdf[type_col].to_numpy()
+        if last_us is not None:
+            keep = us > last_us
+            us, types = us[keep], types[keep]
+        if len(us) == 0:
+            return
+        out_rows = []
+        while stage_idx < len(stages):
+            mask = types == stages[stage_idx]
+            if t_prev is not None:
+                mask &= us > t_prev
+                if horizon_us is not None and stage_idx > 0:
+                    mask &= us <= t_prev + horizon_us
+            hit = np.flatnonzero(mask)
+            if len(hit) == 0:
+                break
+            t_conv = int(us[hit[0]])
+            out_rows.append((stage_idx, stages[stage_idx], t_conv))
+            t_prev = t_conv
+            stage_idx += 1
+        state.update((int(stage_idx), t_prev, int(us[-1])))
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    user_col: key[0],
+                    "stage_idx": [r[0] for r in out_rows],
+                    "stage": [r[1] for r in out_rows],
+                    time_col: pd.to_datetime(
+                        [r[2] for r in out_rows], unit="us"
+                    ),
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.withWatermark(time_col, watermark)
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessions(
     stream: DataFrame,
     *,

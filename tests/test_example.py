@@ -57,7 +57,7 @@ def test_driver_window_covers_every_family():
         "j6_asof_tolerance", "j7_nearest_join", "st9_stream_asof",
         # r11 newborns — driver-checked from day one
         "m7_jpeg_dc_phash", "w15_time_weighted", "e1_funnel",
-        "e2_retention",
+        "e2_retention", "st22_stream_funnel",
     } <= window
 
 

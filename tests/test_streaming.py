@@ -2018,3 +2018,134 @@ def test_heartbeat_stream_schema_and_guards(spark):
                          key_values={"user_id": None})
     with pytest.raises(ValueError, match="not in template"):
         heartbeat_stream(spark, template, "ts", key_values={"nope": 1})
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel (st22)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_funnel_converts_across_batches(spark, tmp_path):
+    """The 3-scalar state carries across micro-batches: a signup in
+    batch 0 converts a click in batch 1 and a purchase in batch 2;
+    a purchase logged BEFORE the click never counts; non-stage event
+    types never touch state."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_funnel,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    b0 = [(1, 1, t(9), "signup"), (2, 2, t(9), "signup"),
+          (3, 2, t(9, 30), "purchase"),     # before u2's click: no count
+          (4, 1, t(9, 10), "view")]         # non-stage noise
+    b1 = [(5, 1, t(10), "click"), (6, 2, t(10), "click")]
+    b2 = [(7, 1, t(11), "purchase")]
+    src = str(tmp_path / "src")
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in [b0, b1, b2]],
+        src,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_type")
+    )
+    out = run_available_now(
+        stream_funnel(stream, ["signup", "click", "purchase"]),
+        output_mode="append",
+    )
+    got = sorted(
+        (r.user_id, r.stage_idx, r.stage, r.ts) for r in out.collect()
+    )
+    assert got == [
+        (1, 0, "signup", t(9)),
+        (1, 1, "click", t(10)),
+        (1, 2, "purchase", t(11)),
+        (2, 0, "signup", t(9)),
+        (2, 1, "click", t(10)),
+        # u2's purchase at 9:30 predates the click — never converts
+    ]
+
+
+def test_stream_funnel_horizon_and_guards(spark, tmp_path):
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_funnel,
+    )
+
+    t = lambda d, h=0: dt.datetime(2024, 1, 1 + d, h)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    rows = [
+        (1, 1, t(0), "signup"), (2, 1, t(1), "click"),   # within 2 d
+        (3, 2, t(0), "signup"), (4, 2, t(5), "click"),   # 5 d: cut
+    ]
+    src = str(tmp_path / "src")
+    stage_file_batches([spark.createDataFrame(rows, schema)], src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_type")
+    )
+    out = run_available_now(
+        stream_funnel(stream, ["signup", "click"],
+                      horizon_seconds=2 * 86400.0),
+        output_mode="append",
+    )
+    got = sorted((r.user_id, r.stage_idx, r.stage) for r in out.collect())
+    assert got == [(1, 0, "signup"), (1, 1, "click"), (2, 0, "signup")]
+
+    import pytest
+    from qctimeseries_spark.streaming import stream_funnel as sf
+
+    df = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="at least 2"):
+        sf(df, ["signup"])
+    with pytest.raises(ValueError, match="distinct"):
+        sf(df, ["click", "click"])
+
+
+def test_stream_funnel_drained_equals_batch_funnel(spark):
+    """On an in-order drain, the emitted conversions equal the batch
+    funnel's per-user stage times (aggregating them reproduces e1)."""
+    from qctimeseries_spark.events import funnel
+    from qctimeseries_spark.sources import read_table
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_funnel,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    stages = ["signup", "click", "purchase"]
+    drained = run_available_now(
+        stream_funnel(
+            stream_events(spark, sf_dir).select(
+                "user_id", "ts", "event_type"
+            ),
+            stages, horizon_seconds=7 * 86400.0,
+        ),
+        output_mode="append",
+    )
+    stream_counts = {
+        r.stage_idx: r.n
+        for r in drained.groupBy("stage_idx")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch = {
+        r.stage_idx: r.n_users
+        for r in funnel(
+            read_table(spark, sf_dir, "events"),
+            stages, horizon_seconds=7 * 86400.0,
+        ).collect()
+    }
+    assert stream_counts == {k: v for k, v in batch.items() if v}
