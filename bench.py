@@ -193,6 +193,7 @@ EXTENDED = [
     "e1_funnel",
     "e2_retention",
     "st22_stream_funnel",
+    "e3_funnel_lags",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -77,7 +77,7 @@ from qctimeseries_spark.app import QcSession
 from qctimeseries_spark.plans import plan_summary
 from qctimeseries_spark.rules import apply_qc_rules
 from qctimeseries_spark.joins import asof_join, interval_join, nearest_join, skew_join
-from qctimeseries_spark.events import funnel, retention_cohorts
+from qctimeseries_spark.events import funnel, funnel_lags, retention_cohorts
 from qctimeseries_spark.exports import write_exports, smart_stem
 from qctimeseries_spark.report import save_all_check_plots, panel_downsample
 from qctimeseries_spark.pipeline import qc_pipeline
@@ -137,6 +137,7 @@ __all__ = [
     "QcSession",
     "asof_join",
     "funnel",
+    "funnel_lags",
     "retention_cohorts",
     "interval_join",
     "nearest_join",

@@ -19,32 +19,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def funnel(
+def _stage_times(
     events: DataFrame,
     stages: list[str],
     *,
-    user_col: str = "user_id",
-    time_col: str = "ts",
-    type_col: str = "event_type",
-    horizon_seconds: float | None = None,
-) -> DataFrame:
-    """ORDERED funnel: a user converts at stage k only via an event of
-    ``stages[k]``'s type STRICTLY AFTER their stage-k−1 conversion
-    time (first qualifying event wins), optionally within
-    ``horizon_seconds`` of it.  This is the sequencing a plain
-    per-type aggregate gets wrong — a purchase logged before the
-    click must not count.
-
-    Returns one row per stage: ``(stage_idx, stage, n_users,
-    frac_of_first)`` with the fraction 9-dp rounded (NULL when stage
-    0 converted nobody).
-
-    Implementation: stage times resolve as conditional ``min`` windows
-    over the user partition — k window expressions share ONE exchange
-    on ``user_col`` (same partition spec), then a per-user collapse
-    and a global count per stage.  No self-joins over the event table,
-    no per-stage passes over storage.
-    """
+    user_col: str,
+    time_col: str,
+    type_col: str,
+    horizon_seconds: float | None,
+) -> tuple[DataFrame, list[str]]:
+    """Per-user ordered stage-conversion times: one row per user with
+    ``_t0.._tk`` µs columns (NULL where the stage never converted in
+    order).  The shared core of :func:`funnel` and
+    :func:`funnel_lags`: stage k's time is the MIN event of its type
+    STRICTLY after ``_t{k-1}`` (within the optional horizon), resolved
+    as conditional min windows that all share ONE exchange on the
+    user key."""
     if len(stages) < 2:
         raise ValueError("funnel needs at least 2 stages")
     if len(set(stages)) != len(stages):
@@ -77,6 +67,39 @@ def funnel(
     per_user = cur.groupBy(user_col).agg(
         *[F.max(c).alias(c) for c in tcols]
     )
+    return per_user, tcols
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_seconds: float | None = None,
+) -> DataFrame:
+    """ORDERED funnel: a user converts at stage k only via an event of
+    ``stages[k]``'s type STRICTLY AFTER their stage-k−1 conversion
+    time (first qualifying event wins), optionally within
+    ``horizon_seconds`` of it.  This is the sequencing a plain
+    per-type aggregate gets wrong — a purchase logged before the
+    click must not count.
+
+    Returns one row per stage: ``(stage_idx, stage, n_users,
+    frac_of_first)`` with the fraction 9-dp rounded (NULL when stage
+    0 converted nobody).
+
+    Implementation: stage times resolve as conditional ``min`` windows
+    over the user partition — k window expressions share ONE exchange
+    on ``user_col`` (same partition spec), then a per-user collapse
+    and a global count per stage.  No self-joins over the event table,
+    no per-stage passes over storage.
+    """
+    per_user, tcols = _stage_times(
+        events, stages, user_col=user_col, time_col=time_col,
+        type_col=type_col, horizon_seconds=horizon_seconds,
+    )
     counts = per_user.agg(
         *[
             F.count(c).cast("bigint").alias(f"_c{k}")
@@ -108,6 +131,80 @@ def funnel(
                 9,
             ),
         ).alias("frac_of_first"),
+    )
+
+
+def funnel_lags(
+    events: DataFrame,
+    stages: list[str],
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    horizon_seconds: float | None = None,
+) -> DataFrame:
+    """How long each funnel step takes: for every stage k ≥ 1, the
+    number of users who converted it and their min / average / max
+    lag from the stage-k−1 conversion, in seconds — the step-latency
+    companion to :func:`funnel` (same ordered semantics, same shared
+    stage-time core, one extra tiny aggregation).
+
+    Lags accumulate as exact integer µs (sum in ``DECIMAL(38,0)``);
+    only the final average division runs in double (9-dp round,
+    division last), so the DuckDB oracle hash-matches bit-exactly.
+    min/max are exact integer µs rendered as 6-dp seconds.
+    """
+    per_user, tcols = _stage_times(
+        events, stages, user_col=user_col, time_col=time_col,
+        type_col=type_col, horizon_seconds=horizon_seconds,
+    )
+    lagged = per_user.select(
+        *[
+            (F.col(tcols[k]) - F.col(tcols[k - 1]))
+            .cast("decimal(20,0)")
+            .alias(f"_lag{k}")
+            for k in range(1, len(stages))
+        ]
+    )
+    agg = lagged.agg(
+        *[
+            e
+            for k in range(1, len(stages))
+            for e in (
+                F.count(f"_lag{k}").cast("bigint").alias(f"_n{k}"),
+                F.sum(f"_lag{k}").alias(f"_s{k}"),
+                F.min(f"_lag{k}").alias(f"_mn{k}"),
+                F.max(f"_lag{k}").alias(f"_mx{k}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(
+        f"{k}, '{stages[k]}', _n{k}, _s{k}, _mn{k}, _mx{k}"
+        for k in range(1, len(stages))
+    )
+    rows = agg.select(
+        F.expr(
+            f"stack({len(stages) - 1}, {stack_args})"
+            " AS (stage_idx, stage, n_converted, _s, _mn, _mx)"
+        )
+    )
+    return rows.select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        "n_converted",
+        F.when(
+            F.col("n_converted") > 0,
+            F.round(
+                F.col("_s").cast("double")
+                / F.col("n_converted").cast("double")
+                / F.lit(1_000_000.0),
+                9,
+            ),
+        ).alias("avg_lag_s"),
+        F.round(F.col("_mn").cast("double") / F.lit(1_000_000.0), 6)
+        .alias("min_lag_s"),
+        F.round(F.col("_mx").cast("double") / F.lit(1_000_000.0), 6)
+        .alias("max_lag_s"),
     )
 
 

@@ -2677,10 +2677,26 @@ def q_st22_stream_funnel(spark, sf_dir):
     )
 
 
+def q_e3_funnel_lags(spark, sf_dir):
+    """Step-latency companion to e1: per funnel stage k >= 1, how
+    many users converted it and their min/avg/max lag from stage k-1
+    in seconds.  Lags accumulate as exact integer microseconds
+    (DECIMAL sums, division last, 9-dp round) so the oracle
+    hash-matches bit-exactly; same ordered stage-time core as e1."""
+    from qctimeseries_spark.events import funnel_lags
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel_lags(
+        ev, ["signup", "click", "purchase"],
+        horizon_seconds=7 * 86400.0,
+    )
+
+
 QUERIES["w15_time_weighted"] = q_w15_time_weighted
 QUERIES["e1_funnel"] = q_e1_funnel
 QUERIES["e2_retention"] = q_e2_retention
 QUERIES["st22_stream_funnel"] = q_st22_stream_funnel
+QUERIES["e3_funnel_lags"] = q_e3_funnel_lags
 
 
 # The driver harness hash-checks at most the FIRST 50 registry
@@ -4203,3 +4219,54 @@ UNION ALL
 SELECT user_id, CAST(1 AS INT), 'click', make_timestamp(t1) FROM t1
 UNION ALL
 SELECT user_id, CAST(2 AS INT), 'purchase', make_timestamp(t2) FROM t2"""
+
+ORACLE["e3_funnel_lags"] = f"""
+WITH t0 AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0
+  FROM events GROUP BY user_id
+),
+t1 AS (
+  SELECT e.user_id, MIN(epoch_us(ts)) AS t1
+  FROM events e JOIN t0 USING (user_id)
+  WHERE event_type = 'click' AND t0 IS NOT NULL
+    AND epoch_us(ts) > t0 AND epoch_us(ts) <= t0 + {_E1_H_US}
+  GROUP BY e.user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(epoch_us(ts)) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE event_type = 'purchase'
+    AND epoch_us(ts) > t1 AND epoch_us(ts) <= t1 + {_E1_H_US}
+  GROUP BY e.user_id
+),
+j AS (
+  SELECT t0.user_id, t0, t1, t2
+  FROM t0 LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+),
+l AS (
+  SELECT CAST(t1 - t0 AS DECIMAL(20,0)) AS lag1,
+         CAST(t2 - t1 AS DECIMAL(20,0)) AS lag2
+  FROM j
+),
+a AS (
+  SELECT COUNT(lag1) AS n1, SUM(lag1) AS s1,
+         MIN(lag1) AS mn1, MAX(lag1) AS mx1,
+         COUNT(lag2) AS n2, SUM(lag2) AS s2,
+         MIN(lag2) AS mn2, MAX(lag2) AS mx2
+  FROM l
+)
+SELECT CAST(1 AS INT) AS stage_idx, 'click' AS stage,
+       CAST(n1 AS BIGINT) AS n_converted,
+       CASE WHEN n1 > 0 THEN ROUND(CAST(s1 AS DOUBLE)
+            / CAST(n1 AS DOUBLE) / 1000000.0, 9) END AS avg_lag_s,
+       ROUND(CAST(mn1 AS DOUBLE) / 1000000.0, 6) AS min_lag_s,
+       ROUND(CAST(mx1 AS DOUBLE) / 1000000.0, 6) AS max_lag_s
+FROM a
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', CAST(n2 AS BIGINT),
+       CASE WHEN n2 > 0 THEN ROUND(CAST(s2 AS DOUBLE)
+            / CAST(n2 AS DOUBLE) / 1000000.0, 9) END,
+       ROUND(CAST(mn2 AS DOUBLE) / 1000000.0, 6),
+       ROUND(CAST(mx2 AS DOUBLE) / 1000000.0, 6)
+FROM a"""

@@ -172,3 +172,30 @@ def test_time_weighted_vs_plain_avg_regime_bias(spark):
     ).collect()[0].value_avg
     assert plain < 6.0          # 11-row mean: dominated by the zeros
     assert twa == 59.0          # exact: 60.0 * 59min / 60min
+
+
+def test_funnel_lags_hand_computed(spark):
+    from qctimeseries_spark.events import funnel_lags
+
+    rows = [
+        # u1: signup 0h -> click +2h -> purchase +5h (lag 3h)
+        (1, 1, _ts(0, 0), "signup"), (2, 1, _ts(0, 2), "click"),
+        (3, 1, _ts(0, 5), "purchase"),
+        # u2: signup 0h -> click +4h; no purchase
+        (4, 2, _ts(0, 0), "signup"), (5, 2, _ts(0, 4), "click"),
+    ]
+    ev = spark.createDataFrame(rows, _EV)
+    got = {
+        r.stage: (r.n_converted, r.avg_lag_s, r.min_lag_s, r.max_lag_s)
+        for r in funnel_lags(
+            ev, ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert got["click"] == (2, 3.0 * 3600, 2.0 * 3600, 4.0 * 3600)
+    assert got["purchase"] == (1, 3.0 * 3600, 3.0 * 3600, 3.0 * 3600)
+    # a stage nobody converts emits a NULL-stat row, not a missing row
+    got2 = {
+        r.stage: (r.n_converted, r.avg_lag_s)
+        for r in funnel_lags(ev, ["signup", "error"]).collect()
+    }
+    assert got2["error"] == (0, None)
