@@ -455,7 +455,6 @@ def main() -> int:
     if len(calibration_samples) < 3:  # short HEADLINE (e.g. a subset run)
         while len(calibration_samples) < 3:
             calibration_samples.append(round(_calibration_probe(spark), 3))
-    calibration = round(_median(calibration_samples), 3)
     # TRIMMED spread: drop the single worst sample before measuring.
     # The first recorded sample runs ~0.165 s vs an 0.08-0.12 steady
     # state on this host EVEN after two discarded warmups (deeper-tier

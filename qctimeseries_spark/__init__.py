@@ -40,6 +40,7 @@ from qctimeseries_spark.windows import (
     window_extent,
     sessionize,
     sessionize_salted,
+    time_weighted_resample,
     hot_keys,
     regularize,
     regularize_by_key,
@@ -118,6 +119,7 @@ __all__ = [
     "window_range",
     "window_extent",
     "sessionize",
+    "time_weighted_resample",
     "sessionize_salted",
     "hot_keys",
     "set_flag",

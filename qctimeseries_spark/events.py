@@ -106,27 +106,35 @@ def funnel(
             for k, c in enumerate(tcols)
         ]
     )
-    # ONE stack over the single counts row — a per-stage union of
+    # ONE generator over the single counts row — a per-stage union of
     # selects would re-run the whole upstream aggregation once per
-    # stage (3 corpus scans for a 3-stage funnel, explain-audited)
-    stack_args = ", ".join(
-        f"{k}, '{stage}', _c{k}" for k, stage in enumerate(stages)
-    )
+    # stage (3 corpus scans for a 3-stage funnel, explain-audited).
+    # Built from lit()/struct(), not a stack() SQL string, so stage
+    # names never pass through the SQL parser (a quote in a stage
+    # name would otherwise be a ParseException; r11 reviewer).
     exploded = counts.select(
-        F.expr(
-            f"stack({len(stages)}, {stack_args})"
-            " AS (stage_idx, stage, n_users)"
-        ),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("stage_idx"),
+                        F.lit(stage).alias("stage"),
+                        F.col(f"_c{k}").alias("n_users"),
+                    )
+                    for k, stage in enumerate(stages)
+                ]
+            )
+        ).alias("_row"),
         F.col("_c0").alias("_first"),
     )
     return exploded.select(
-        F.col("stage_idx").cast("int").alias("stage_idx"),
-        "stage",
-        "n_users",
+        F.col("_row.stage_idx").alias("stage_idx"),
+        F.col("_row.stage").alias("stage"),
+        F.col("_row.n_users").alias("n_users"),
         F.when(
             F.col("_first") > 0,
             F.round(
-                F.col("n_users").cast("double")
+                F.col("_row.n_users").cast("double")
                 / F.col("_first").cast("double"),
                 9,
             ),
@@ -178,18 +186,25 @@ def funnel_lags(
             )
         ]
     )
-    stack_args = ", ".join(
-        f"{k}, '{stages[k]}', _n{k}, _s{k}, _mn{k}, _mx{k}"
-        for k in range(1, len(stages))
-    )
     rows = agg.select(
-        F.expr(
-            f"stack({len(stages) - 1}, {stack_args})"
-            " AS (stage_idx, stage, n_converted, _s, _mn, _mx)"
-        )
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("stage_idx"),
+                        F.lit(stages[k]).alias("stage"),
+                        F.col(f"_n{k}").alias("n_converted"),
+                        F.col(f"_s{k}").alias("_s"),
+                        F.col(f"_mn{k}").alias("_mn"),
+                        F.col(f"_mx{k}").alias("_mx"),
+                    )
+                    for k in range(1, len(stages))
+                ]
+            )
+        ).alias("_row")
+    ).select("_row.*")
     return rows.select(
-        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage_idx",
         "stage",
         "n_converted",
         F.when(

@@ -262,9 +262,17 @@ def asof_join(
             "_rec", F.coalesce(F.col("_rec"), F.col("_carry"))
         ).drop("_blk", "_carry")
 
+    # NULL-`on` left rows must come back with NULL payload (the
+    # left-join contract above).  The keyless path guarantees that via
+    # the sentinel block, but in the KEYED forward direction a NULL
+    # timestamp sorts FIRST under `on ASC`, so its
+    # (0, unboundedFollowing) frame would pick up the partition's
+    # earliest real right record (r11 reviewer, reproduced live) —
+    # null the carried record explicitly before unpacking.
+    rec = F.when(F.col(on).isNotNull(), F.col("_rec"))
     out = merged.filter(F.col("_side") == 1).select(
         *left.columns,
-        *[F.col("_rec")[c].alias(c) for c in carried],
+        *[rec[c].alias(c) for c in carried],
     )
     if tolerance_seconds is not None:
         # one projection: the staleness test reads the ORIGINAL matched

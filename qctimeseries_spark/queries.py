@@ -2714,15 +2714,19 @@ QUERIES["e3_funnel_lags"] = q_e3_funnel_lags
 #     st9_stream_asof rides the same code and sits in the r7 fills),
 #   * the newborn m7 (JPEG DC-grid pHash) — driver-checked from day
 #     one, the standing newborn practice,
-#   * the newborns w15/e1/e2 (time-weighted resample, ordered
-#     funnel, cohort retention) — same day-one practice,
-#   * 29 of the 43 r7-stale entries plus the oldest f/c/x members
-#     as family-coverage fills.  The 14 r7 entries deferred to r12 —
+#   * the newborns w15/e1/e2/st22 (time-weighted resample, ordered
+#     funnel, cohort retention, streaming funnel) — same day-one
+#     practice.  The sixth newborn, e3_funnel_lags, is the ONE
+#     deliberate exception: it is a thin aggregation over e1's
+#     in-window stage-time core (same CTE chain in its oracle), holds
+#     r11 replica greens at sf0.01 + sf1, and rotates in at r12,
+#   * 28 of the 43 r7-stale entries plus the oldest f/c/x members
+#     as family-coverage fills.  The 15 r7 entries deferred to r12 —
 #     st13/st14/st15, d6/d7, t16/t21/t22 (fresh r10 judge-replica
-#     greens) and t11/t13_mixture/t14/t24/a10/st5 (r11
-#     builder-replica greens from this session's 50-entry sweep) —
-#     all ride code untouched since their verdicts, with families
-#     in-window via st4-st10, d4/d14, and t9-t25 members.
+#     greens) and t11/t13_mixture/t14/t24/a10/st5/st7 (r11
+#     builder-replica greens from this session's sweeps) — all ride
+#     code untouched since their verdicts, with families in-window
+#     via st4-st10, d4/d14, and t9-t25 members.
 # Every remaining out-of-window entry holds a driver verdict from
 # r8-r10 on code untouched since, plus replica + sf1 greens.
 _WINDOW_R11 = (
@@ -2742,8 +2746,8 @@ _WINDOW_R11 = (
     # families stay in-window through t9/t10/t14/t15/t20-t25 and
     # a9/a11/a12/a15
     "m7_jpeg_dc_phash", "w15_time_weighted", "e1_funnel",
-    "e2_retention",
-    # the r7-stale tail (32 of 43; the 11 deferred are named above)
+    "e2_retention", "st22_stream_funnel",
+    # the r7-stale tail (28 of 43; the 15 deferred are named above)
     "u3_approve_window", "p2_projection", "v6_viewer_slice",
     "s4_parquet_roundtrip",
     "h4_order_priority", "h5_nation_revenue", "h6_forecast_revenue",
@@ -2755,7 +2759,7 @@ _WINDOW_R11 = (
     "a12_rolling_by_key", "a15_cusum",
     "st4_session_windows", "st6_stream_anomalies",
     "st8_stream_ewma", "st9_stream_asof",
-    "st10_stream_cusum", "st22_stream_funnel",
+    "st10_stream_cusum",
     "w9_regularize", "w11_interpolate", "w13_regularize_by_key",
     # family-coverage fills (every family must keep one entry in the
     # hard-check window — pinned by test_driver_window_covers_every_

@@ -918,8 +918,9 @@ def stream_funnel(
         if horizon_seconds is not None
         else None
     )
+    user_dt = stream.schema[user_col].dataType.simpleString()
     out_schema = (
-        f"{user_col} bigint, stage_idx int, stage string,"
+        f"{user_col} {user_dt}, stage_idx int, stage string,"
         f" {time_col} timestamp"
     )
     state_schema = "stage_idx int, t_prev bigint, last_us bigint"
@@ -935,9 +936,13 @@ def stream_funnel(
         if not frames:
             return
         pdf = pd.concat(frames)
-        pdf = pdf[pdf[type_col].isin(stages)].sort_values(
-            time_col, kind="stable"
-        )
+        # NULL timestamps never convert in the batch twin (min() skips
+        # NULL _us) — and NaT would otherwise alias to the int64-min
+        # sentinel here (r11 reviewer), converting stage 0 at garbage
+        # time.  Drop them with the non-stage types.
+        pdf = pdf[
+            pdf[type_col].isin(stages) & pdf[time_col].notna()
+        ].sort_values(time_col, kind="stable")
         us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
         types = pdf[type_col].to_numpy()
         if last_us is not None:
@@ -1241,7 +1246,9 @@ def heartbeat_stream(
         spark.readStream.format("rate")
         .option("rowsPerSecond", 1)
         .load()
-        .filter(F.col("value") % F.lit(int(interval_seconds)) == 0)
+        .filter(
+            F.col("value") % F.lit(int(round(interval_seconds))) == 0
+        )  # rounded to whole seconds (rate source emits 1 row/s)
     )
     return rate.select(
         *_heartbeat_projection(template, time_col, delay_seconds,

@@ -547,3 +547,27 @@ def test_joins_reject_reserved_and_prefixed_left_names(spark, sides):
     with pytest.raises(ValueError, match="prefixed output"):
         nearest_join(left.withColumn("r_ts", F.lit(_ts(0))), right,
                      on="ts", by="user_id")
+
+
+def test_asof_keyed_forward_null_timestamp_left_rows(spark):
+    """r11 reviewer (reproduced live): a NULL-ts left row sorts FIRST
+    under `on ASC`, so in the KEYED forward direction its
+    (0, unboundedFollowing) frame saw the partition's earliest right
+    record — it must come back with NULL payload instead."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(3)), (2, 1, None)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 10.0)], "user_id long, ts timestamp, cal double"
+    )
+    for direction in ("forward", "backward"):
+        out = {
+            r.event_id: (r.r_ts, r.r_cal)
+            for r in asof_join(
+                left, right, on="ts", by="user_id", direction=direction
+            ).collect()
+        }
+        assert out[2] == (None, None), (direction, out)
+        if direction == "forward":
+            assert out[1] == (_ts(5), 10.0)

@@ -2149,3 +2149,41 @@ def test_stream_funnel_drained_equals_batch_funnel(spark):
         ).collect()
     }
     assert stream_counts == {k: v for k, v in batch.items() if v}
+
+
+def test_stream_funnel_null_ts_and_string_users(spark, tmp_path):
+    """r11 reviewer: (a) a NULL-timestamp stage event must not convert
+    (NaT aliased to the int64-min sentinel and converted stage 0 at
+    garbage time); (b) the output schema must carry the stream's OWN
+    user-column type, not a hardcoded bigint."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_funnel,
+    )
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)
+    schema = "event_id long, user_id string, ts timestamp, event_type string"
+    rows = [
+        (1, "u-null", None, "signup"),      # must NOT convert
+        (2, "u-null", t(10), "click"),      # ...so this can't either
+        (3, "u-ok", t(9), "signup"),
+        (4, "u-ok", t(10), "click"),
+    ]
+    src = str(tmp_path / "src")
+    stage_file_batches([spark.createDataFrame(rows, schema)], src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_type")
+    )
+    out = run_available_now(
+        stream_funnel(stream, ["signup", "click"]),
+        output_mode="append",
+    )
+    assert out.schema["user_id"].dataType.simpleString() == "string"
+    got = sorted((r.user_id, r.stage) for r in out.collect())
+    assert got == [("u-ok", "click"), ("u-ok", "signup")]
