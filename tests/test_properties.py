@@ -804,3 +804,63 @@ def test_time_weighted_resample_matches_python_model(spark, obs):
             round(num / den / 100.0, 9),
         )
     assert got == want
+
+
+_funnel_events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=500),    # minute offset
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(events=_funnel_events_st,
+       horizon_min=st.one_of(st.none(), st.integers(60, 300)))
+@SETTINGS
+def test_funnel_matches_ordered_python_model(spark, events, horizon_min):
+    """funnel == the brute model: stage k's time is the MIN event of
+    its type STRICTLY after stage k-1's time (within the optional
+    horizon); users counted per deepest ordered stage reached."""
+    import datetime as dt
+
+    from qctimeseries_spark.events import funnel
+
+    base = dt.datetime(2024, 1, 1)
+    stages = ["signup", "click", "purchase"]
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), ty)
+        for i, (u, m, ty) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    horizon_s = horizon_min * 60.0 if horizon_min is not None else None
+    got = {
+        r.stage_idx: r.n_users
+        for r in funnel(df, stages, horizon_seconds=horizon_s).collect()
+    }
+
+    per_user: dict[int, list[int]] = {}
+    for u, m, ty in events:
+        per_user.setdefault(u, []).append((m, ty))
+    counts = [0, 0, 0]
+    for u, evs in per_user.items():
+        t_prev = None
+        for k, stage in enumerate(stages):
+            cands = [
+                m for m, ty in evs
+                if ty == stage
+                and (k == 0 or (
+                    m > t_prev
+                    and (horizon_min is None or m <= t_prev + horizon_min)
+                ))
+            ]
+            if not cands:
+                break
+            t_prev = min(cands)
+            counts[k] += 1
+    want = {k: c for k, c in enumerate(counts)}
+    assert got == want
