@@ -864,3 +864,69 @@ def test_funnel_matches_ordered_python_model(spark, events, horizon_min):
             counts[k] += 1
     want = {k: c for k, c in enumerate(counts)}
     assert got == want
+
+
+_ret_events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # user
+        st.integers(min_value=0, max_value=40),    # day offset
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(events=_ret_events_st)
+@SETTINGS
+def test_retention_matches_python_model(spark, events):
+    """retention_cohorts == the brute model: cohort = epoch-anchored
+    period of the user's first event; n_active counts cohort users
+    with any activity at offset k; k=0 always equals the cohort."""
+    import datetime as dt
+
+    from qctimeseries_spark.events import retention_cohorts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(days=d), "view")
+        for i, (u, d) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.cohort_ts, r.period_k): (r.n_active, r.n_cohort)
+        for r in retention_cohorts(
+            df, period_days=7.0, max_periods=4
+        ).collect()
+    }
+
+    week_us = 7 * 86400 * 1_000_000
+    epoch = dt.datetime(1970, 1, 1)
+
+    def period(d):
+        return (
+            int((base + dt.timedelta(days=d) - epoch).total_seconds())
+            * 1_000_000
+        ) // week_us
+
+    first: dict[int, int] = {}
+    active: set[tuple[int, int]] = set()
+    for u, d in events:
+        pp = period(d)
+        first[u] = min(first.get(u, pp), pp)
+        active.add((u, pp))
+    want: dict[tuple, list] = {}
+    for u, p0 in first.items():
+        for (au, ap) in active:
+            if au == u and 0 <= ap - p0 < 4:
+                key = (epoch + dt.timedelta(microseconds=p0 * week_us),
+                       ap - p0)
+                want.setdefault(key, [0, 0])[0] += 1
+    cohort_sizes: dict = {}
+    for u, p0 in first.items():
+        cohort_sizes[p0] = cohort_sizes.get(p0, 0) + 1
+    for (cts, k), v in want.items():
+        p0 = (int((cts - epoch).total_seconds()) * 1_000_000) // week_us
+        v[1] = cohort_sizes[p0]
+    assert got == {k: tuple(v) for k, v in want.items()}

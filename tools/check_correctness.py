@@ -5,6 +5,8 @@ DuckDB over the same parquet tables, then compares row count, name-sorted
 schema, and an order-insensitive value hash.  Usage:
 
     python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [sf_dir] --window   # first 50
+                                        # (the driver's hash window)
 """
 
 from __future__ import annotations
@@ -54,7 +56,7 @@ def frame_fingerprint(df) -> tuple[int, list[tuple[str, str]], str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
 
     import __spark_entry__ as entrymod
     from qctimeseries_spark.session import get_spark
@@ -69,6 +71,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if args == ["--window"]:
+        only = set(list(queries)[:50])  # the driver's hash window
+    else:
+        only = set(args)
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
