@@ -34,7 +34,13 @@ def _stage_times(
     :func:`funnel_lags`: stage k's time is the MIN event of its type
     STRICTLY after ``_t{k-1}`` (within the optional horizon), resolved
     as conditional min windows that all share ONE exchange on the
-    user key."""
+    user key.
+
+    NULL-user rows are DROPPED before anything else: a window
+    partition would otherwise pool every NULL user into one
+    pseudo-user that can "convert" stages in order, which no
+    per-user semantic supports (and which a SQL ``JOIN USING
+    (user_id)`` twin would drop anyway — r11 advisor)."""
     if len(stages) < 2:
         raise ValueError("funnel needs at least 2 stages")
     if len(set(stages)) != len(stages):
@@ -44,7 +50,7 @@ def _stage_times(
         if horizon_seconds is not None
         else None
     )
-    src = events.select(
+    src = events.filter(F.col(user_col).isNotNull()).select(
         F.col(user_col),
         F.col(type_col),
         F.unix_micros(F.col(time_col)).alias("_us"),
@@ -238,11 +244,25 @@ def retention_cohorts(
     n_cohort, retention)`` with retention 9-dp rounded (``k = 0``
     rows read 1.0 by construction — the self-check).
 
-    Scale shape: first-period and distinct-activity both aggregate on
-    ``user_col`` (map-side combinable); the activity×cohort join is
-    keyed on the user; the final rollup groups on the (tiny)
-    (cohort, k) pair and the cohort-size attach joins on the cohort
-    dimension — broadcast-sized at any corpus scale.
+    Scale shape: ONE user-key exchange over the events table —
+    first-period (``min``) and distinct-activity (``collect_set`` of
+    distinct period ids, bounded by the series span in periods, NOT
+    by row count) resolve in the SAME ``groupBy(user)``; the offsets
+    then explode from the per-user row with the cohort already
+    attached, so no second events shuffle and no user-key join
+    (the r11 ``distinct()`` + join form exchanged the events table
+    twice).  The final rollup groups on the (tiny) (cohort, k) pair;
+    the cohort-size attach is a broadcast join of that same rollup's
+    ``k = 0`` slice — every user with a first period is by
+    construction active at offset 0, so ``n_cohort = n_active(k=0)``
+    and both branches share the exchange (``ReusedExchange``,
+    plan-pinned in tests).
+
+    NULL-user rows are dropped up front (they are not a cohort member
+    under any per-user semantic; mirrors :func:`funnel` — r11
+    advisor); rows with NULL ``time_col`` never produce a period and
+    fall out of both the cohort and the activity set, exactly as
+    before.
     """
     from qctimeseries_spark.windows import _floor_div_sql
 
@@ -254,23 +274,23 @@ def retention_cohorts(
     pexpr = F.expr(
         _floor_div_sql(f"unix_micros(`{time_col}`)", period_us)
     )
-    src = events.select(F.col(user_col), pexpr.alias("_p"))
-    first = src.groupBy(user_col).agg(F.min("_p").alias("_p0"))
-    active = src.distinct()
+    src = events.filter(F.col(user_col).isNotNull()).select(
+        F.col(user_col), pexpr.alias("_p")
+    )
+    per_user = src.groupBy(user_col).agg(
+        F.min("_p").alias("_p0"),
+        F.collect_set("_p").alias("_ps"),
+    )
     hits = (
-        active.join(first, user_col)
-        .select(
-            user_col,
-            "_p0",
-            (F.col("_p") - F.col("_p0")).alias("_k"),
-        )
+        per_user.select("_p0", F.explode("_ps").alias("_p"))
+        .select("_p0", (F.col("_p") - F.col("_p0")).alias("_k"))
         .filter((F.col("_k") >= 0) & (F.col("_k") < max_periods))
     )
     per_cell = hits.groupBy("_p0", "_k").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_active")
     )
-    cohort_sizes = first.groupBy("_p0").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    cohort_sizes = per_cell.filter(F.col("_k") == 0).select(
+        "_p0", F.col("n_active").alias("n_cohort")
     )
     return (
         per_cell.join(F.broadcast(cohort_sizes), "_p0")

@@ -2624,6 +2624,23 @@ def q_w15_time_weighted(spark, sf_dir):
     )
 
 
+def q_w16_twa_carry(spark, sf_dir):
+    """w15's time-weighted resample in CARRY-IN mode (the kdb/Influx
+    TWA semantic): each user's value holds until their next
+    observation REGARDLESS of bucket boundaries, so a silent stretch
+    fills every intermediate 6-hour bucket with the held value
+    (n_obs = 0 rows); the last observation still holds only to its
+    own bucket's end.  Same exact integer-µs × integer-cents
+    accumulation as w15 — only the final division is double."""
+    from qctimeseries_spark.windows import time_weighted_resample
+
+    ev = read_table(spark, sf_dir, "events")
+    return time_weighted_resample(
+        ev, "ts", "value", step_minutes=360.0,
+        key_cols=["user_id"], ties=["event_id"], carry_in=True,
+    )
+
+
 def q_e1_funnel(spark, sf_dir):
     """ORDERED conversion funnel signup → click → purchase with a
     7-day per-step horizon: stage k counts only an event strictly
@@ -2697,6 +2714,7 @@ QUERIES["e1_funnel"] = q_e1_funnel
 QUERIES["e2_retention"] = q_e2_retention
 QUERIES["st22_stream_funnel"] = q_st22_stream_funnel
 QUERIES["e3_funnel_lags"] = q_e3_funnel_lags
+QUERIES["w16_twa_carry"] = q_w16_twa_carry
 
 
 # The driver harness hash-checks at most the FIRST 50 registry
@@ -4127,8 +4145,61 @@ agg AS (
 )
 SELECT user_id, make_timestamp(bk * {_W15_STEP_US}) AS bucket_ts,
        CAST(n_obs AS BIGINT) AS n_obs,
-       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 9)
-           AS twa_value
+       -- exact 9-dp HALF_UP as integer nanodigit division (mirrors
+       -- the engine: no float until the closing nanos -> double)
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * ((2 * ABS(CAST(num AS HUGEINT)) * 1000000000
+                + CAST(den AS HUGEINT) * 100)
+               // (2 * CAST(den AS HUGEINT) * 100)) AS DOUBLE)
+           / 1000000000.0 AS twa_value
+FROM agg"""
+
+# w16: the hold span [us, end) may cross buckets — UNNEST a
+# generate_series over the touched bucket ids and weight each slice
+# by its in-bucket overlap (mirrors the engine's chunked explode).
+ORACLE["w16_twa_carry"] = f"""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         epoch_us(ts) // {_W15_STEP_US} AS bk,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(20,0)) AS y,
+         event_id
+  FROM events WHERE value IS NOT NULL
+),
+spans AS (
+  SELECT user_id, us, bk, y,
+         COALESCE(LEAD(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id),
+                  (bk + 1) * {_W15_STEP_US}) AS end_us
+  FROM src
+),
+g AS (
+  SELECT user_id, us, bk, y, end_us,
+         UNNEST(generate_series(bk,
+           CASE WHEN end_us > us THEN (end_us - 1) // {_W15_STEP_US}
+                ELSE bk END)) AS b
+  FROM spans
+),
+contrib AS (
+  SELECT user_id, b,
+         CASE WHEN bk = b THEN 1 ELSE 0 END AS is_obs,
+         GREATEST(LEAST(end_us, (b + 1) * {_W15_STEP_US})
+                  - GREATEST(us, b * {_W15_STEP_US}), 0) AS w,
+         y
+  FROM g
+),
+agg AS (
+  SELECT user_id, b, SUM(is_obs) AS n_obs,
+         SUM(CAST(w AS DECIMAL(20,0)) * y) AS num,
+         SUM(w) AS den
+  FROM contrib GROUP BY user_id, b
+)
+SELECT user_id, make_timestamp(b * {_W15_STEP_US}) AS bucket_ts,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * ((2 * ABS(CAST(num AS HUGEINT)) * 1000000000
+                + CAST(den AS HUGEINT) * 100)
+               // (2 * CAST(den AS HUGEINT) * 100)) AS DOUBLE)
+           / 1000000000.0 AS twa_value
 FROM agg"""
 
 _E1_H_US = 7 * 86400 * 1_000_000
@@ -4136,7 +4207,7 @@ ORACLE["e1_funnel"] = f"""
 WITH t0 AS (
   SELECT user_id,
          MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 t1 AS (
   SELECT e.user_id, MIN(epoch_us(ts)) AS t1
@@ -4177,7 +4248,8 @@ FROM c"""
 _E2_PERIOD_US = 7 * 86400 * 1_000_000
 ORACLE["e2_retention"] = f"""
 WITH p AS (
-  SELECT user_id, epoch_us(ts) // {_E2_PERIOD_US} AS p FROM events
+  SELECT user_id, epoch_us(ts) // {_E2_PERIOD_US} AS p
+  FROM events WHERE user_id IS NOT NULL
 ),
 f AS (SELECT user_id, MIN(p) AS p0 FROM p GROUP BY user_id),
 a AS (SELECT DISTINCT user_id, p FROM p),
@@ -4200,7 +4272,7 @@ ORACLE["st22_stream_funnel"] = f"""
 WITH t0 AS (
   SELECT user_id,
          MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 t1 AS (
   SELECT e.user_id, MIN(epoch_us(ts)) AS t1
@@ -4228,7 +4300,7 @@ ORACLE["e3_funnel_lags"] = f"""
 WITH t0 AS (
   SELECT user_id,
          MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 t1 AS (
   SELECT e.user_id, MIN(epoch_us(ts)) AS t1

@@ -900,12 +900,19 @@ def stream_funnel(
     previous conversion's µs, and the last processed µs — O(#users),
     independent of stream length; per-batch work loops over STAGES
     (a handful), not rows (each stage conversion is one vectorized
-    first-match scan).  Rows at-or-before the carried per-user
+    first-match scan).  Rows strictly BEFORE the carried per-user
     timestamp are dropped (the expanding-window operators' in-order
-    contract), so for per-user in-order streams the drained output
-    equals the batch funnel's per-user stage times exactly — which is
-    how the DuckDB oracle checks it.  Non-stage event types are
-    discarded before touching state.
+    contract); rows AT the carried microsecond are admitted, so
+    distinct equal-timestamp events split across micro-batches count
+    exactly as the batch funnel counts them (r11 advisor — the
+    contract therefore also assumes exactly-once row delivery: a
+    REDELIVERED copy of an already-processed equal-timestamp row is
+    indistinguishable from a new one).  With that, for per-user
+    in-order streams the drained output equals the batch funnel's
+    per-user stage times exactly — which is how the DuckDB oracle
+    checks it.  Non-stage event types and NULL-user rows are
+    discarded before touching state (the batch twin drops NULL
+    users too — no per-user semantic pools them).
     """
     if len(stages) < 2:
         raise ValueError("funnel needs at least 2 stages")
@@ -946,7 +953,11 @@ def stream_funnel(
         us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
         types = pdf[type_col].to_numpy()
         if last_us is not None:
-            keep = us > last_us
+            # >= not >: a DISTINCT event at exactly the last processed
+            # microsecond arriving in a later micro-batch must still
+            # count (the batch twin only requires strictly-after
+            # t_prev, the conversion time — not after last_us).
+            keep = us >= last_us
             us, types = us[keep], types[keep]
         if len(us) == 0:
             return
@@ -979,7 +990,9 @@ def stream_funnel(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    src = stream.withWatermark(time_col, watermark)
+    src = stream.filter(F.col(user_col).isNotNull()).withWatermark(
+        time_col, watermark
+    )
     return src.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,

@@ -1182,6 +1182,8 @@ def time_weighted_resample(
     key_cols: list[str] | None = None,
     ties: list[str] | None = None,
     out_time_col: str = "bucket_ts",
+    carry_in: bool = False,
+    value_scale: int = 2,
 ) -> DataFrame:
     """Time-WEIGHTED average per epoch-anchored bucket — the correct
     downsample for irregularly sampled step signals (sensor readings,
@@ -1189,24 +1191,55 @@ def time_weighted_resample(
     ``avg`` over-weights whichever regime happened to log more rows.
 
     Each observation's value HOLDS from its timestamp until the next
-    observation in the same (keys, bucket) — the bucket end for the
-    last one — and the bucket average weights every value by its held
-    microseconds.  All accumulation is EXACT: weights are integer µs,
-    values 2-dp integer cents, the weighted sum a ``DECIMAL(38,0)``;
-    only the final division runs in double (operand order pinned,
-    9-dp round) so a DuckDB oracle hash-matches bit-exactly.
+    observation, and the bucket average weights every value by its
+    held microseconds.  All accumulation is EXACT: weights are
+    integer µs, values ``value_scale``-dp scaled integers, the
+    weighted sum a ``DECIMAL(38,0)`` — and the final 9-dp HALF_UP
+    quotient resolves as an exact INTEGER division too
+    (``(2·|num|·10⁹ + den·scale) div (2·den·scale)`` nanodigits), so
+    no float participates until the closing nanos→double conversion
+    (exact below 2⁵³) and a DuckDB oracle hash-matches bit-exactly.
+    (r11 shipped ``round(double, 9)`` here; a carry-in fixture cell
+    landed on a ···049999 boundary where Spark's BigDecimal round and
+    DuckDB's multiply-based round disagree by 1 ulp — exact integer
+    rounding closes that class of divergence for good.)
+
+    ``value_scale`` (default 2) is a HARD precondition on the input
+    domain: values are snapped to that many decimal places by an
+    exact decimal cast, so inputs with more fractional digits are
+    silently rounded and magnitudes beyond 10^(18−scale) overflow
+    (r11 advisor).  Raise it (≤ 9) for finer-grained signals.
+
+    ``carry_in`` selects the cross-bucket semantic:
+
+    * ``False`` (default): holds stop at the bucket boundary — the
+      next observation in the same (keys, bucket) or the bucket end
+      for the last one.  The span from bucket start to the first
+      in-bucket observation carries no value and is excluded from
+      the denominator, and a bucket with no observations emits no
+      row.  (The original w15 semantic — unchanged.)
+    * ``True``: each value holds until the key's next observation
+      REGARDLESS of boundaries (the kdb/Influx TWA semantic); a
+      slow-moving signal fills every intermediate bucket with its
+      held value (``n_obs = 0`` rows — observations physically in
+      the bucket), and the key's LAST observation still holds only
+      to its own bucket's end (the series asserts nothing beyond
+      that).
 
     NULL values are dropped first (QC-masked rows); the previous
     value then holds across them.  Same-instant observations are
     ordered by ``ties`` (REQUIRED for determinism if (keys, time) can
-    collide): the earlier row gets zero weight.  The span from bucket
-    start to the first observation carries no value and is excluded
-    from the denominator (the bucket has no defined level there).
+    collide): the earlier row gets zero weight.
 
-    Scale shape: one shuffle + sort on (keys, bucket) for the lead()
-    carry, then a map-side-combinable groupBy on the same key — the
-    partition is bucket-local, so no cross-bucket state and no skew
-    beyond the busiest (key, bucket).
+    Scale shape: one shuffle + sort on the window partition for the
+    lead() carry, then a map-side-combinable groupBy.  With
+    ``carry_in=False`` the window partition IS the groupBy key
+    ((keys, bucket)) — one exchange total.  With ``carry_in=True``
+    the window must partition on the bare keys, so the bucket groupBy
+    adds a second (narrow, post-explode) exchange; the explode emits
+    one row per (observation, bucket spanned) — exactly the output's
+    own cardinality — through chunked 1,024-step sequences, so no
+    single row materializes a year-long gap as one giant array.
     """
     from qctimeseries_spark.schema import validate_time_col
 
@@ -1214,6 +1247,9 @@ def time_weighted_resample(
     step_us = int(round(step_minutes * 60 * 1_000_000))
     if step_us <= 0:
         raise ValueError("step_minutes must be positive")
+    if not 0 <= int(value_scale) <= 9:
+        raise ValueError("value_scale must be in [0, 9]")
+    value_scale = int(value_scale)
     keys = list(key_cols or [])
     tie_cols = list(ties or [])
     src = df.filter(F.col(value_col).isNotNull()).select(
@@ -1222,35 +1258,95 @@ def time_weighted_resample(
             _floor_div_sql(f"unix_micros(`{time_col}`)", step_us)
         ).alias("_bk"),
         F.unix_micros(F.col(time_col)).alias("_us"),
-        (F.col(value_col).cast("decimal(18,2)") * F.lit(100))
+        (
+            F.col(value_col).cast(f"decimal(18,{value_scale})")
+            * F.lit(10**value_scale)
+        )
         .cast("decimal(20,0)")
         .alias("_y"),
         *tie_cols,
     )
-    w = Window.partitionBy(*keys, "_bk").orderBy(
+    # exact 9-dp HALF_UP: integer nanodigit division, sign split out
+    # (den > 0 always — every bucket's last slice has positive span)
+    m = 10**value_scale
+    nanos = F.expr(
+        f"(2 * abs(_num) * 1000000000 + _den * {m})"
+        f" div (2 * _den * {m})"
+    )
+    twa = (
+        (
+            F.when(F.col("_num") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * nanos
+        ).cast("double")
+        / F.lit(1e9)
+    ).alias("twa_value")
+    bucket_ts = F.expr(f"timestamp_micros(_bk * {step_us}L)").alias(
+        out_time_col
+    )
+    if not carry_in:
+        w = Window.partitionBy(*keys, "_bk").orderBy(
+            F.col("_us").asc(), *[F.col(c).asc() for c in tie_cols]
+        )
+        bucket_end = (F.col("_bk") + 1) * F.lit(step_us)
+        held = (
+            F.coalesce(F.lead("_us").over(w), bucket_end) - F.col("_us")
+        ).cast("decimal(20,0)")
+        weighted = src.withColumn("_w", held)
+        agg = weighted.groupBy(*keys, "_bk").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum(F.col("_w") * F.col("_y")).alias("_num"),
+            F.sum("_w").alias("_den"),
+        )
+        return agg.select(*keys, bucket_ts, "n_obs", twa)
+    # carry_in: the hold span [_us, _end) may cross buckets — split it
+    # per bucket and weight each slice by its in-bucket overlap.
+    w = Window.partitionBy(*keys).orderBy(
         F.col("_us").asc(), *[F.col(c).asc() for c in tie_cols]
     )
-    bucket_end = (F.col("_bk") + 1) * F.lit(step_us)
-    held = (
-        F.coalesce(F.lead("_us").over(w), bucket_end) - F.col("_us")
-    ).cast("decimal(20,0)")
-    weighted = src.withColumn("_w", held)
-    agg = weighted.groupBy(*keys, "_bk").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    own_end = (F.col("_bk") + 1) * F.lit(step_us)
+    end = F.coalesce(F.lead("_us").over(w), own_end)
+    # last bucket the span touches (end-exclusive); zero-length tie
+    # spans stay in their own bucket (weight 0, still counted in n_obs)
+    hi = F.when(
+        F.col("_end") > F.col("_us"),
+        F.expr(_floor_div_sql("(_end - 1)", step_us)),
+    ).otherwise(F.col("_bk"))
+    chunk = 1024  # buckets per coarse chunk — bounds per-row array size
+    spans = (
+        src.withColumn("_end", end)
+        .withColumn("_hi", hi)
+        .withColumn(
+            "_c",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.col("_hi") - F.col("_bk")) / chunk).cast("long"),
+                )
+            ),
+        )
+        .withColumn("_j", F.explode(F.sequence(F.lit(0), F.lit(chunk - 1))))
+        .withColumn("_b", F.col("_bk") + F.col("_c") * chunk + F.col("_j"))
+        .filter(F.col("_b") <= F.col("_hi"))
+    )
+    overlap = (
+        F.least(F.col("_end"), (F.col("_b") + 1) * F.lit(step_us))
+        - F.greatest(F.col("_us"), F.col("_b") * F.lit(step_us))
+    )
+    contrib = spans.select(
+        *keys,
+        F.col("_b"),
+        F.when(F.col("_b") == F.col("_bk"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_is_obs"),
+        F.greatest(overlap, F.lit(0)).cast("decimal(20,0)").alias("_w"),
+        "_y",
+    )
+    agg = contrib.groupBy(*keys, F.col("_b").alias("_bk")).agg(
+        F.sum("_is_obs").cast("bigint").alias("n_obs"),
         F.sum(F.col("_w") * F.col("_y")).alias("_num"),
         F.sum("_w").alias("_den"),
     )
-    return agg.select(
-        *keys,
-        F.expr(f"timestamp_micros(_bk * {step_us}L)").alias(out_time_col),
-        "n_obs",
-        F.round(
-            F.col("_num").cast("double")
-            / F.col("_den").cast("double")
-            / F.lit(100.0),
-            9,
-        ).alias("twa_value"),
-    )
+    return agg.select(*keys, bucket_ts, "n_obs", twa)
 
 
 def regularize_by_key(

@@ -199,3 +199,129 @@ def test_funnel_lags_hand_computed(spark):
         for r in funnel_lags(ev, ["signup", "error"]).collect()
     }
     assert got2["error"] == (0, None)
+
+def test_time_weighted_carry_in_fills_and_disambiguates(spark):
+    """carry_in=True vs False on the SAME fixture: the silent bucket
+    between two observations gets a held-value row (n_obs=0) under
+    carry-in and NO row without it, and the partially-covered third
+    bucket blends the carried level with its own observation — the
+    kdb/Influx TWA semantic the r11 verdict ordered as an opt-in."""
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0), 1.00),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 15), 3.00),
+        # next obs two buckets later: 3.00 must carry through all of
+        # bucket 1 and the first half of bucket 2
+        (3, 1, dt.datetime(2024, 1, 1, 2, 30), 10.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    kw = dict(step_minutes=60.0, key_cols=["user_id"], ties=["event_id"])
+    no_carry = {
+        r.bucket_ts: (r.n_obs, r.twa_value)
+        for r in time_weighted_resample(df, "ts", "value", **kw).collect()
+    }
+    carry = {
+        r.bucket_ts: (r.n_obs, r.twa_value)
+        for r in time_weighted_resample(
+            df, "ts", "value", carry_in=True, **kw
+        ).collect()
+    }
+    b = lambda h: dt.datetime(2024, 1, 1, h, 0)
+    # shared bucket 0 identical in both modes
+    assert no_carry[b(0)] == carry[b(0)] == (2, 2.5)
+    # the silent bucket: absent without carry, held level with it
+    assert b(1) not in no_carry
+    assert carry[b(1)] == (0, 3.0)
+    # the last bucket: carry blends 30 min of 3.0 with 30 min of 10.0;
+    # no-carry sees only its own observation
+    assert no_carry[b(2)] == (1, 10.0)
+    assert carry[b(2)] == (1, 6.5)
+    # last observation holds only to ITS bucket end — nothing beyond
+    assert b(3) not in carry
+    # zero-weight ties still count as observations under carry-in
+    ties_df = spark.createDataFrame(
+        [(1, 1, b(0), 100.0), (2, 1, b(0), 4.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = time_weighted_resample(
+        ties_df, "ts", "value", carry_in=True, **kw
+    ).collect()
+    assert len(out) == 1 and (out[0].n_obs, out[0].twa_value) == (2, 4.0)
+
+
+def test_time_weighted_value_scale(spark):
+    """value_scale is the input-domain knob (r11 advisor): the default
+    2-dp cast snaps finer values, a larger scale keeps them, and an
+    out-of-range scale is refused."""
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1, 0, 0), 0.005)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    kw = dict(step_minutes=60.0, key_cols=["user_id"], ties=["event_id"])
+    snapped = time_weighted_resample(df, "ts", "value", **kw).collect()
+    kept = time_weighted_resample(
+        df, "ts", "value", value_scale=3, **kw
+    ).collect()
+    assert snapped[0].twa_value == 0.01   # HALF_UP to the cent grid
+    assert kept[0].twa_value == 0.005     # preserved at 3 dp
+    with pytest.raises(ValueError, match="value_scale"):
+        time_weighted_resample(df, "ts", "value", value_scale=10, **kw)
+
+
+def test_funnel_and_retention_drop_null_users(spark):
+    """NULL user_id rows must not pool into a pseudo-user that
+    converts stages or forms a cohort (r11 advisor) — both operators
+    drop them before anything else."""
+    rows = [
+        (1, None, _ts(0), "signup"), (2, None, _ts(1), "click"),
+        (3, 1, _ts(0), "signup"),
+    ]
+    ev = spark.createDataFrame(rows, _EV)
+    got = {
+        r.stage: r.n_users
+        for r in funnel(ev, ["signup", "click"]).collect()
+    }
+    assert got == {"signup": 1, "click": 0}
+    ret = retention_cohorts(ev, period_days=7.0, max_periods=2).collect()
+    assert sum(r.n_cohort for r in ret if r.period_k == 0) == 1
+
+
+def test_funnel_single_user_exchange_plan_shape(spark):
+    """Pin the funnel family's one-exchange claim (r11 verdict task
+    5): every stage's conditional-min window shares ONE hash exchange
+    on the user key — a refactor to per-stage joins would re-shuffle
+    the events table k times and could still pass on value hashes."""
+    from qctimeseries_spark.events import funnel_lags
+
+    rows = [(i, i % 3, _ts(i % 5), ["signup", "click", "purchase"][i % 3])
+            for i in range(30)]
+    ev = spark.createDataFrame(rows, _EV)
+    for fn in (funnel, funnel_lags):
+        out = fn(ev, ["signup", "click", "purchase"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_user_ex = plan.count("Exchange hashpartitioning(user_id")
+        assert n_user_ex == 1, plan
+        assert plan.count("Window") >= 1, plan
+
+
+def test_retention_single_events_exchange_plan_shape(spark):
+    """Pin e2's r12 rewrite: ONE user-key exchange over the events
+    table, with the cohort-size branch riding a ReusedExchange of it
+    (the r11 distinct()+join form exchanged the events table twice).
+    Checked on the AQE FINAL plan — reuse materializes at runtime."""
+    rows = [(i, i % 4, _ts(i % 20), "view") for i in range(40)]
+    ev = spark.createDataFrame(rows, _EV)
+    out = retention_cohorts(ev, period_days=7.0, max_periods=4)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # a ReusedExchange line NAMES the exchange it reuses — count only
+    # real Exchange nodes
+    real_user_exchanges = [
+        ln for ln in final.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(real_user_exchanges) == 1, final
+    assert final.count("ReusedExchange") == 1, final

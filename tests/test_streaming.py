@@ -2187,3 +2187,50 @@ def test_stream_funnel_null_ts_and_string_users(spark, tmp_path):
     assert out.schema["user_id"].dataType.simpleString() == "string"
     got = sorted((r.user_id, r.stage) for r in out.collect())
     assert got == [("u-ok", "click"), ("u-ok", "signup")]
+
+def test_stream_funnel_equal_timestamp_across_batches(spark, tmp_path):
+    """Cross-batch equal-timestamp boundary (r11 advisor): a DISTINCT
+    event at exactly the last processed microsecond arriving in a
+    LATER micro-batch must still convert — the batch funnel only
+    requires strictly-after t_prev, not after the last processed
+    time.  Also pins that NULL-user rows never touch state (the batch
+    twin drops them)."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_funnel,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    # batch 0: u1 signs up at 9:00 (t_prev = 9:00) and logs a
+    # PURCHASE at 10:00 — stage-typed, so it advances last_us to
+    # 10:00 without converting (click is still awaited).  batch 1
+    # delivers the click at exactly 10:00: strictly after t_prev, so
+    # the batch funnel counts it — the pre-fix strict us > last_us
+    # drop silently discarded it.
+    b0 = [(1, 1, t(9), "signup"), (2, 1, t(10), "purchase"),
+          (3, None, t(9), "signup")]          # NULL user: dropped
+    b1 = [(4, 1, t(10), "click"), (5, None, t(10), "click")]
+    src = str(tmp_path / "src")
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in [b0, b1]], src
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_type")
+    )
+    out = run_available_now(
+        stream_funnel(stream, ["signup", "click", "purchase"]),
+        output_mode="append",
+    )
+    got = sorted(
+        (r.user_id, r.stage_idx, r.stage, r.ts) for r in out.collect()
+    )
+    # the purchase at 10:00 itself never converts (not strictly after
+    # the click it would need to follow)
+    assert got == [(1, 0, "signup", t(9)), (1, 1, "click", t(10))]

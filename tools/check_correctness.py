@@ -7,6 +7,12 @@ schema, and an order-insensitive value hash.  Usage:
     python tools/check_correctness.py [sf_dir] [query ...]
     python tools/check_correctness.py [sf_dir] --window   # first 50
                                         # (the driver's hash window)
+    python tools/check_correctness.py [sf_dir] --record OUT.json
+                                        # full registry, write a
+                                        # machine-readable sweep record
+
+Flags are position-independent (``--window`` alone works — it is
+never mistaken for the sf_dir positional; r11 advisor).
 """
 
 from __future__ import annotations
@@ -55,8 +61,24 @@ def frame_fingerprint(df) -> tuple[int, list[tuple[str, str]], str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    args = sys.argv[2:]
+    # flags are position-independent: '--window' used to bind to the
+    # sf_dir positional when given alone (r11 advisor)
+    argv = sys.argv[1:]
+    window_only = "--window" in argv
+    record_path = None
+    if "--record" in argv:
+        i = argv.index("--record")
+        if i + 1 >= len(argv):
+            print("--record needs an output path", file=sys.stderr)
+            return 2
+        record_path = argv[i + 1]
+        del argv[i : i + 2]
+    argv = [a for a in argv if a != "--window"]
+    if argv and argv[0].startswith("--"):
+        print(f"unknown flag {argv[0]!r}", file=sys.stderr)
+        return 2
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    args = argv[1:]
 
     import __spark_entry__ as entrymod
     from qctimeseries_spark.session import get_spark
@@ -71,11 +93,12 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    if args == ["--window"]:
+    if window_only:
         only = set(list(queries)[:50])  # the driver's hash window
     else:
         only = set(args)
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -85,15 +108,18 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
+            record[name] = {"status": "FAIL", "err": f"spark: {exc}"}
             continue
         if name not in oracles:
             print(f"OK?  {name}: rows={len(sdf)} (no oracle — rows-only check)")
+            record[name] = {"status": "ROWS_ONLY", "rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {exc}")
             failures.append(name)
+            record[name] = {"status": "FAIL", "err": f"oracle: {exc}"}
             continue
         sn, st, sh = frame_fingerprint(sdf)
         on, ot, oh = frame_fingerprint(odf)
@@ -101,14 +127,35 @@ def main() -> int:
         if sn != on:
             print(f"FAIL {name}: rows spark={sn} oracle={on}")
             failures.append(name)
+            record[name] = {
+                "status": "FAIL", "spark_rows": sn, "oracle_rows": on,
+            }
         elif sh != oh:
             print(f"FAIL {name}: value hash mismatch (rows={sn})")
             _diff(sdf, odf, name)
             failures.append(name)
+            record[name] = {"status": "FAIL", "rows": sn, "err": "hash"}
         else:
             schema_note = "" if [c for c, _ in st] == [c for c, _ in ot] else " (COLS!)"
             print(f"PASS {name}: rows={sn} hash={sh}{schema_note} [{dt:.1f}s]")
+            record[name] = {
+                "status": "PASS", "rows": sn, "hash": sh,
+                "cols_sorted_match": [c for c, _ in st] == [c for c, _ in ot],
+                "secs": round(dt, 1),
+            }
     spark.stop()
+    if record_path is not None:
+        import json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_checked": len(record),
+            "n_registry": len(queries),
+            "n_failures": len(failures),
+            "results": record,
+        }
+        Path(record_path).write_text(json.dumps(payload, indent=1))
+        print(f"wrote {record_path}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
