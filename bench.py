@@ -194,9 +194,21 @@ EXTENDED = [
     "e2_retention",
     "st22_stream_funnel",
     "e3_funnel_lags",
+    # round 12: carry-in time-weighted resample; heartbeat-guard
+    # left_outer stream-join drain
+    "w16_twa_carry",
+    "st23_heartbeat_guard",
 ]
 
 HEADLINE = CORE + EXTENDED
+
+#: the pinned quiet-host RAW core_subtotal span, r8-r11 (BENCHNOTES.md
+#: "bench noise" addendum: 10.33-12.08 s across every run where the
+#: calibration samples and /proc/loadavg both read quiet).  A run whose
+#: core lands above this span +10% headroom is load-inflated and says
+#: so in its own record (VERDICT r11 task 7) — no BENCHNOTES forensics
+#: needed.  Faster-than-span is fine (quiet hosts only get faster).
+QUIET_CORE_SPAN = (10.33, 12.08)
 
 
 def _calibration_probe(spark) -> float:
@@ -358,6 +370,15 @@ def result_json(
             # driver capture alone can't mistake host noise for a
             # regression (judge on raw best-of-N / slowest_raw instead)
             "noisy_run": bool(spread > 0.10),
+            # r11 task 7: the raw-core self-check against the pinned
+            # r8-r11 quiet-host span — a load-inflated run reads false
+            # here even when its calibration set happened to sample
+            # quiet moments (the r11 A/C case).  Judged on RAW core
+            # with +10% headroom; below-span is quiet by definition.
+            "quiet_core_span": list(QUIET_CORE_SPAN),
+            "core_within_quiet_span": bool(
+                core_total <= QUIET_CORE_SPAN[1] * 1.10
+            ),
             # r10 task 3: when the first calibration set blew the 10%
             # gate the run re-sampled once and kept the cleaner set —
             # a still-noisy record after a retry is genuine host noise
@@ -372,6 +393,12 @@ def result_json(
             # raw − this (full map in queries_stream_adjusted /
             # BENCH_LOCAL.json)
             "stream_fixed_overhead": stream_fixed_overhead,
+            # per-flow fixed/marginal split measured by
+            # tools/stream_overhead.py on a quiet host (committed
+            # artifact; includes the r11 watch-item st18: ~0.8 s fixed
+            # + ~1.3 s per micro-batch — the raw drain total is mostly
+            # machinery + staging I/O, not operator work)
+            "stream_overhead_record": "STREAM_OVERHEAD.json",
             # the COMPLETE record (all maps, never truncated) is
             # written to this repo file every run — read it instead of
             # reconstructing the head of this line (r10 task 2)

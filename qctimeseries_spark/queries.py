@@ -2624,6 +2624,101 @@ def q_w15_time_weighted(spark, sf_dir):
     )
 
 
+def q_st23_stream_heartbeat_guard(spark, sf_dir):
+    """st21's left_outer form under the HEARTBEAT GUARD, staged: the
+    click side goes QUIET at Jan 16 while purchases keep flowing —
+    the min-watermark trap that would hold every unmatched purchase
+    in state forever.  Sentinel-keyed heartbeat rows (user_id = −1,
+    shaped by the same ``_heartbeat_projection`` the wall-clock
+    ``heartbeat_stream`` uses) arrive on the quiet side in later
+    micro-batches and advance its event-time watermark, so the held
+    purchases finalize as NULL rows — which the drain returns and
+    the oracle checks as a plain LEFT range join.  The tail filter
+    (< Jan 29) keeps only purchases the end-of-drain watermark
+    (max purchase ts − 1 h) has PROVABLY finalized; the heartbeats
+    themselves are on the non-preserved side and never surface."""
+    import shutil
+    import tempfile
+
+    from qctimeseries_spark.streaming import (
+        _heartbeat_projection,
+        run_available_now,
+        stage_file_batches,
+        stream_stream_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    template = ev.select("event_id", "user_id", "ts")
+
+    def hb(iso: str):
+        # heartbeat-shaped click row derived from the ACTUAL
+        # projection helper so this staging cannot drift from what
+        # heartbeat_stream emits (sentinel key, NULL payload)
+        return (
+            spark.createDataFrame([(iso,)], "t string")
+            .select(F.col("t").cast("timestamp").alias("timestamp"))
+            .select(
+                *_heartbeat_projection(template, "ts", 0.0,
+                                       {"user_id": -1}),
+                F.lit("click").alias("event_type"),
+            )
+        )
+
+    tmp = tempfile.mkdtemp(prefix="qcts_st23_")
+    try:
+        src = os.path.join(tmp, "src")
+        stage_file_batches(
+            [
+                ev.filter(F.col("ts") < cut),
+                ev.filter(
+                    (F.col("ts") >= cut)
+                    & (F.col("event_type") == "purchase")
+                ).unionByName(hb("2024-01-16 00:00:00")),
+                hb("2024-02-05 00:00:00"),
+                # one more batch so the Feb 5 heartbeat is IN the
+                # watermark when finalization cleanup runs (the query
+                # watermark lags a batch — measured contract)
+                hb("2024-02-06 00:00:00"),
+            ],
+            src,
+        )
+        schema = (
+            "event_id bigint, user_id bigint, ts timestamp,"
+            " event_type string"
+        )
+
+        def side(kind):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .filter(F.col("event_type") == kind)
+                .select("event_id", "user_id", "ts")
+            )
+
+        joined = stream_stream_join(
+            side("purchase"), side("click"),
+            by="user_id", lookback_seconds=4 * 3600.0,
+            watermark="1 hour", how="left_outer",
+        )
+        out = run_available_now(joined, output_mode="append")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.filter(
+        F.col("ts") < F.lit("2024-01-29").cast("timestamp")
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("r_ts").alias("click_ts"),
+    )
+
+
 def q_w16_twa_carry(spark, sf_dir):
     """w15's time-weighted resample in CARRY-IN mode (the kdb/Influx
     TWA semantic): each user's value holds until their next
@@ -2715,78 +2810,71 @@ QUERIES["e2_retention"] = q_e2_retention
 QUERIES["st22_stream_funnel"] = q_st22_stream_funnel
 QUERIES["e3_funnel_lags"] = q_e3_funnel_lags
 QUERIES["w16_twa_carry"] = q_w16_twa_carry
+QUERIES["st23_heartbeat_guard"] = q_st23_stream_heartbeat_guard
 
 
 # The driver harness hash-checks at most the FIRST 50 registry
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
 # window entries get the driver's independent hash verdict.  To keep
-# that verdict honest across a 188-entry registry, the window ROTATES
-# each round.  Round 11 executes VERDICT r10 task 1:
-#   * the 9 entries that have NEVER held a driver verdict (born after
-#     the r10 window froze): a19, d14, h14, h16-h19, h21, h22,
-#   * the round-11 changed paths: d4 (rides the r10 verifier-prune
-#     rewrite under an r9 verdict — builder-self-flagged) and the
-#     whole as-of/nearest family j1/j3/j6/j7 (this round's
-#     struct-carry rewrite replaced every directional carry;
-#     st9_stream_asof rides the same code and sits in the r7 fills),
-#   * the newborn m7 (JPEG DC-grid pHash) — driver-checked from day
-#     one, the standing newborn practice,
-#   * the newborns w15/e1/e2/st22 (time-weighted resample, ordered
-#     funnel, cohort retention, streaming funnel) — same day-one
-#     practice.  The sixth newborn, e3_funnel_lags, is the ONE
-#     deliberate exception: it is a thin aggregation over e1's
-#     in-window stage-time core (same CTE chain in its oracle), holds
-#     r11 replica greens at sf0.01 + sf1, and rotates in at r12,
-#   * 28 of the 43 r7-stale entries plus the oldest f/c/x members
-#     as family-coverage fills.  The 15 r7 entries deferred to r12 —
-#     st13/st14/st15, d6/d7, t16/t21/t22 (fresh r10 judge-replica
-#     greens) and t11/t13_mixture/t14/t24/a10/st5/st7 (r11
-#     builder-replica greens from this session's sweeps) — all ride
-#     code untouched since their verdicts, with families in-window
-#     via st4-st10, d4/d14, and t9-t25 members.
-# Every remaining out-of-window entry holds a driver verdict from
-# r8-r10 on code untouched since, plus replica + sf1 greens.
-_WINDOW_R11 = (
-    # never driver-checked (late r10 continuation births)
-    "a19_autocorr", "d14_containment", "h14_order_distribution",
-    "h16_important_parts", "h17_top_supplier",
-    "h18_supplier_part_counts", "h19_waiting_supplier",
-    "h21_min_cost_supplier", "h22_rollup_revenue",
-    # changed paths: r10 verifier prune (d4) + r11 struct-carry joins
-    "d4_ngram_jaccard",
-    "j1_asof_join", "j3_asof_forward", "j6_asof_tolerance",
-    "j7_nearest_join",
-    # r11 newborns (day-one driver checks, the standing practice);
-    # the three tail fills they displace beyond the original eight —
-    # t11_split, t13_mixture, a10_rolling_outliers — keep r7 driver
-    # greens PLUS this session's r11 sf0.01 replica greens, and their
-    # families stay in-window through t9/t10/t14/t15/t20-t25 and
-    # a9/a11/a12/a15
-    "m7_jpeg_dc_phash", "w15_time_weighted", "e1_funnel",
-    "e2_retention", "st22_stream_funnel",
-    # the r7-stale tail (28 of 43; the 15 deferred are named above)
-    "u3_approve_window", "p2_projection", "v6_viewer_slice",
-    "s4_parquet_roundtrip",
-    "h4_order_priority", "h5_nation_revenue", "h6_forecast_revenue",
-    "m3_media_decode", "m4_resize", "m5_frame_sample",
-    "t9_sessionize_salted", "t10_token_budget", "t15_psi",
-    "t20_line_dedup", "t23_span_dedup",
-    "t25_quality_classifier",
-    "a9_percentiles", "a11_qc_rules",
-    "a12_rolling_by_key", "a15_cusum",
-    "st4_session_windows", "st6_stream_anomalies",
-    "st8_stream_ewma", "st9_stream_asof",
-    "st10_stream_cusum",
-    "w9_regularize", "w11_interpolate", "w13_regularize_by_key",
-    # family-coverage fills (every family must keep one entry in the
-    # hard-check window — pinned by test_driver_window_covers_every_
-    # family): the OLDEST member of each family the tail left out
-    "f1_add_flags", "c1_dup_clusters", "x1_knn_bruteforce",
+# that verdict honest across a 195-entry registry, the window ROTATES
+# each round.  Round 12 executes VERDICT r11 task 1:
+#   * e3_funnel_lags — the ONLY entry that has never held a driver
+#     verdict (deliberately deferred from the r11 window),
+#   * the whole 15-entry r7-stale tail deferred last round: t11,
+#     t13_mixture, t14, t24, a10, st5, st7, st13, st14, st15, d6,
+#     d7, t16, t21, t22,
+#   * the r12 newborns w16 (carry-in TWA) and st23 (heartbeat-guard
+#     drain) — day-one driver checks, the standing practice,
+#   * the r12 changed paths, all carrying r11 verdicts taken BEFORE
+#     this round's edits: e1/e2/st22 (NULL-user drop + e2's
+#     single-exchange rewrite + st22's >=-boundary fix; e3 rides the
+#     same _stage_times change and is in via the never-checked slot)
+#     and w15 (exact-integer final rounding + value_scale parameter —
+#     replica hash verified unchanged, but the formula moved),
+#   * 25 of the 36-entry r8 band, prioritizing st18_stream_scd2 (the
+#     r11 bench watch-item) and family breadth,
+#   * family-coverage fills f2_rowid / c2_curate / x6_quantized_knn —
+#     the oldest-verdict members of the three families the tiers
+#     above leave out.
+# The 11 r8 entries that do not fit (h11/h12/h13, t33-t40) defer to
+# r13 with their families in-window via h7-h10 and t11-t32; ALL 195
+# entries additionally hold a same-round builder replica green in the
+# committed REPLICA_r12.json full-registry sweep (VERDICT r11 task 8).
+_WINDOW_R12 = (
+    # never driver-checked
+    "e3_funnel_lags",
+    # the 15-entry r7-stale tail, complete
+    "t11_split", "t13_mixture", "t14_token_shards", "t24_source_cap",
+    "a10_rolling_outliers", "st5_stream_enrich", "st7_stream_resample",
+    "st13_stream_ingest_neardup", "st14_stream_ingest_embedding",
+    "st15_stream_knn_serve", "d6_incremental_dedup",
+    "d7_incremental_neardup", "t16_bpe_merges", "t21_bpe_encode",
+    "t22_bigram_nll",
+    # r12 newborns (day-one driver checks)
+    "w16_twa_carry", "st23_heartbeat_guard",
+    # r12 changed paths
+    "e1_funnel", "e2_retention", "st22_stream_funnel",
+    "w15_time_weighted",
+    # 25 of the r8 band (the bench watch-item st18 first)
+    "st18_stream_scd2", "u1_seeded_flags", "p1_remove_flags",
+    "w3_admitted_windows", "v1_main_trace", "m1_media_summary",
+    "s11_orc_roundtrip", "j5_interval_join",
+    "a16_seasonal", "a17_change_intervals",
+    "st16_stream_heavyhitters", "st17_stream_distinct",
+    "d10_cross_neardup", "d11_canonical_keep", "d12_snapshot_diff",
+    "d13_dup_rate",
+    "h7_top_unshipped", "h8_local_nation_revenue", "h9_big_orders",
+    "h10_returned_revenue",
+    "t26_shuffle_shard", "t27_bm25", "t28_safe_split",
+    "t31_ngram_novelty", "t32_bloom_prune",
+    # family-coverage fills (pinned by
+    # test_driver_window_covers_every_family)
+    "f2_rowid", "c2_curate", "x6_quantized_knn",
 )
-assert len(_WINDOW_R11) == 50 and len(set(_WINDOW_R11)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R11} | {
-    k: v for k, v in QUERIES.items() if k not in _WINDOW_R11
+assert len(_WINDOW_R12) == 50 and len(set(_WINDOW_R12)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R12} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R12
 }
 
 ORACLE = {
@@ -4120,6 +4208,25 @@ JOIN events c
  AND c.ts >= p.ts - INTERVAL 4 HOUR
  AND c.ts <= p.ts
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
+
+# st23: the engine drains a left_outer stream-stream join whose right
+# side went quiet and was revived by sentinel heartbeats; once the
+# watermark has finalized everything below the tail filter, the
+# result IS a plain LEFT range join (right side = clicks before the
+# quiet cut; heartbeats are sentinel-keyed and never match).
+ORACLE["st23_heartbeat_guard"] = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+FROM events p
+LEFT JOIN (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-16'
+) c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 4 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+  AND p.ts < TIMESTAMP '2024-01-29'"""
 
 _W15_STEP_US = 360 * 60 * 1_000_000
 ORACLE["w15_time_weighted"] = f"""

@@ -39,25 +39,27 @@ def test_driver_window_covers_every_family():
         f"families {sorted(missing)} fell out of the driver's 50-entry"
         f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
-    # round-11 rotation (VERDICT r10 task 1): the window holds the 9
-    # entries that had NEVER seen a driver verdict, every path changed
-    # in r10/r11 under a pre-change verdict (the verifier prune and the
-    # struct-carry join rewrite), the r11 newborns, and the bulk of the
-    # r7-stale tail.  This pin asserts the priority tiers CANNOT
-    # silently fall out.
+    # round-12 rotation (VERDICT r11 task 1): the window holds the one
+    # never-driver-checked entry (e3), the complete r7-stale tail, the
+    # r12 newborns, every path changed this round under a pre-change
+    # verdict, and the bench watch-item st18.  This pin asserts the
+    # priority tiers CANNOT silently fall out.
     window = set(names[:50])
     assert {
-        # never driver-checked until r11
-        "a19_autocorr", "d14_containment", "h14_order_distribution",
-        "h16_important_parts", "h17_top_supplier",
-        "h18_supplier_part_counts", "h19_waiting_supplier",
-        "h21_min_cost_supplier", "h22_rollup_revenue",
-        # changed paths: r10 verifier prune + r11 struct-carry joins
-        "d4_ngram_jaccard", "j1_asof_join", "j3_asof_forward",
-        "j6_asof_tolerance", "j7_nearest_join", "st9_stream_asof",
-        # r11 newborns — driver-checked from day one
-        "m7_jpeg_dc_phash", "w15_time_weighted", "e1_funnel",
-        "e2_retention", "st22_stream_funnel",
+        # never driver-checked until r12
+        "e3_funnel_lags",
+        # the r7-stale tail rotated in complete
+        "t11_split", "t13_mixture", "t14_token_shards",
+        "t24_source_cap", "a10_rolling_outliers", "st5_stream_enrich",
+        "st7_stream_resample", "st13_stream_ingest_neardup",
+        "st14_stream_ingest_embedding", "st15_stream_knn_serve",
+        "d6_incremental_dedup", "d7_incremental_neardup",
+        "t16_bpe_merges", "t21_bpe_encode", "t22_bigram_nll",
+        # r12 newborns — driver-checked from day one
+        "w16_twa_carry", "st23_heartbeat_guard",
+        # r12 changed paths + the r11 bench watch-item
+        "e1_funnel", "e2_retention", "st22_stream_funnel",
+        "w15_time_weighted", "st18_stream_scd2",
     } <= window
 
 

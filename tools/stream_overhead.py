@@ -174,6 +174,21 @@ def main() -> int:
             output_mode="append",
         ).count()
 
+    def st18(src, run):
+        from qctimeseries_spark.streaming import (
+            run_available_now,
+            stream_change_intervals,
+        )
+
+        schema = (
+            "event_id bigint, user_id bigint, ts timestamp,"
+            " event_type string"
+        )
+        run_available_now(
+            stream_change_intervals(read_stream(src, schema)),
+            output_mode="append",
+        ).count()
+
     def st17(src, run):
         from qctimeseries_spark.datapipe.text import tokens
 
@@ -215,6 +230,10 @@ def main() -> int:
         # marginal cost measured here is the per-batch state-store +
         # checkpoint work, the steady-state number
         "st21": (events_full, "user_id", st21),
+        # st18 likewise hash-splits by user_id, so every key's change
+        # log stays in-order inside one batch (the operator's in-order
+        # contract) — added for the r11 bench watch-item decomposition
+        "st18": (events_full, "user_id", st18),
     }
 
     results = {}
