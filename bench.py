@@ -195,9 +195,12 @@ EXTENDED = [
     "st22_stream_funnel",
     "e3_funnel_lags",
     # round 12: carry-in time-weighted resample; heartbeat-guard
-    # left_outer stream-join drain
+    # left_outer stream-join drain; OHLC candlesticks; event-type
+    # transition matrix
     "w16_twa_carry",
     "st23_heartbeat_guard",
+    "w17_ohlc",
+    "e4_transitions",
 ]
 
 HEADLINE = CORE + EXTENDED

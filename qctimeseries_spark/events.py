@@ -229,6 +229,75 @@ def funnel_lags(
     )
 
 
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    ties: list[str] | None = None,
+) -> DataFrame:
+    """First-order behavioral transition counts: for every CONSECUTIVE
+    pair of events per user (ordered by time, then ``ties``), count
+    (from_type → to_type) globally — the Markov-chain view of the
+    event stream (``frac_of_from`` is the empirical transition
+    probability row).  The funnel answers "did the user follow THIS
+    path"; this answers "which paths do users actually follow".
+
+    Returns ``(from_type, to_type, n_pairs, n_from, frac_of_from)``
+    sorted by nothing (callers order); ``frac_of_from`` is the exact
+    9-dp HALF_UP quotient ``n_pairs / n_from`` computed as an integer
+    nanodigit division in DECIMAL (no float before the final exact
+    nanos→double cast — the w15/w16 discipline, overflow-safe at any
+    corpus scale).
+
+    NULL users, NULL times, and NULL types are dropped first (no
+    per-user order or transition is defined for them).  ``ties`` is
+    REQUIRED for determinism if (user, time) can collide.
+
+    Scale shape: ONE exchange on the user key for the lead() window,
+    then a map-side-combinable groupBy on the (tiny) type-pair domain;
+    the per-from totals resolve as a window over that |types|²-row
+    aggregate — no second pass over the events table.
+    """
+    src = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(
+        F.col(user_col),
+        F.unix_micros(F.col(time_col)).alias("_us"),
+        F.col(type_col).alias("from_type"),
+        *(ties or []),
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("_us").asc(), *[F.col(c).asc() for c in (ties or [])]
+    )
+    pairs = src.withColumn(
+        "to_type", F.lead("from_type").over(w)
+    ).filter(F.col("to_type").isNotNull())
+    per = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    wf = Window.partitionBy("from_type")
+    per = per.withColumn(
+        "n_from", F.sum("n_pairs").over(wf).cast("bigint")
+    )
+    # exact 9-dp HALF_UP in DECIMAL: (2·n·10⁹ + tot) div (2·tot)
+    nanos = F.expr(
+        "(2 * cast(n_pairs as decimal(20,0)) * 1000000000"
+        " + cast(n_from as decimal(20,0)))"
+        " div (2 * cast(n_from as decimal(20,0)))"
+    )
+    return per.select(
+        "from_type",
+        "to_type",
+        "n_pairs",
+        "n_from",
+        (nanos.cast("double") / F.lit(1e9)).alias("frac_of_from"),
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     *,

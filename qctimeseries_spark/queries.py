@@ -2736,6 +2736,34 @@ def q_w16_twa_carry(spark, sf_dir):
     )
 
 
+def q_w17_ohlc(spark, sf_dir):
+    """OHLC candlestick downsample: per (user, 6-hour bucket) the
+    first/max/min/last value by (ts, event_id) plus the observation
+    count — one map-side-combinable groupBy (open/close via struct
+    min/max, no window, no second exchange); values pass through
+    untouched so the oracle (ROW_NUMBER first/last) is bit-exact by
+    construction."""
+    from qctimeseries_spark.windows import ohlc_resample
+
+    ev = read_table(spark, sf_dir, "events")
+    return ohlc_resample(
+        ev, "ts", "value", step_minutes=360.0,
+        key_cols=["user_id"], ties=["event_id"],
+    )
+
+
+def q_e4_transitions(spark, sf_dir):
+    """First-order event-type transition counts: consecutive per-user
+    event pairs ordered by (ts, event_id), counted globally, with the
+    empirical transition probability as an exact integer-nanodigit
+    9-dp quotient — the Markov-chain view the funnel family doesn't
+    give (which paths users ACTUALLY follow)."""
+    from qctimeseries_spark.events import event_transitions
+
+    ev = read_table(spark, sf_dir, "events")
+    return event_transitions(ev, ties=["event_id"])
+
+
 def q_e1_funnel(spark, sf_dir):
     """ORDERED conversion funnel signup → click → purchase with a
     7-day per-step horizon: stage k counts only an event strictly
@@ -2811,6 +2839,8 @@ QUERIES["st22_stream_funnel"] = q_st22_stream_funnel
 QUERIES["e3_funnel_lags"] = q_e3_funnel_lags
 QUERIES["w16_twa_carry"] = q_w16_twa_carry
 QUERIES["st23_heartbeat_guard"] = q_st23_stream_heartbeat_guard
+QUERIES["w17_ohlc"] = q_w17_ohlc
+QUERIES["e4_transitions"] = q_e4_transitions
 
 
 # The driver harness hash-checks at most the FIRST 50 registry
@@ -2838,9 +2868,14 @@ QUERIES["st23_heartbeat_guard"] = q_st23_stream_heartbeat_guard
 #     the oldest-verdict members of the three families the tiers
 #     above leave out.
 # The 11 r8 entries that do not fit (h11/h12/h13, t33-t40) defer to
-# r13 with their families in-window via h7-h10 and t11-t32; ALL 195
-# entries additionally hold a same-round builder replica green in the
-# committed REPLICA_r12.json full-registry sweep (VERDICT r11 task 8).
+# r13 with their families in-window via h7-h10 and t11-t32.  The two
+# late-r12 newborns w17_ohlc / e4_transitions follow the e3 precedent
+# (the window was already pinned full of higher-priority tiers): they
+# hold same-session replica greens at sf0.01 AND sf1, their families
+# stay in-window via w15/w16 and e1-e3, and they rotate in at r13.
+# ALL entries additionally hold a same-round builder replica green in
+# the committed REPLICA_r12.json full-registry sweep (VERDICT r11
+# task 8).
 _WINDOW_R12 = (
     # never driver-checked
     "e3_funnel_lags",
@@ -4208,6 +4243,57 @@ JOIN events c
  AND c.ts >= p.ts - INTERVAL 4 HOUR
  AND c.ts <= p.ts
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""
+
+ORACLE["w17_ohlc"] = f"""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         epoch_us(ts) // {360 * 60 * 1_000_000} AS bk,
+         value AS y, event_id
+  FROM events WHERE value IS NOT NULL
+),
+w AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bk
+                            ORDER BY us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bk
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM src
+)
+SELECT user_id, make_timestamp(bk * {360 * 60 * 1_000_000}) AS bucket_ts,
+       MAX(CASE WHEN rn_a = 1 THEN y END) AS open,
+       MAX(y) AS high, MIN(y) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN y END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM w GROUP BY user_id, bk"""
+
+ORACLE["e4_transitions"] = """
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type AS from_type, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+),
+p AS (
+  SELECT from_type,
+         LEAD(from_type) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS to_type
+  FROM src
+),
+per AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+tot AS (
+  SELECT *, CAST(SUM(n_pairs) OVER (PARTITION BY from_type) AS BIGINT)
+              AS n_from
+  FROM per
+)
+SELECT from_type, to_type, n_pairs, n_from,
+       CAST((2 * CAST(n_pairs AS HUGEINT) * 1000000000
+             + CAST(n_from AS HUGEINT))
+            // (2 * CAST(n_from AS HUGEINT)) AS DOUBLE)
+           / 1000000000.0 AS frac_of_from
+FROM tot"""
 
 # st23: the engine drains a left_outer stream-stream join whose right
 # side went quiet and was revived by sentinel heartbeats; once the

@@ -1349,6 +1349,78 @@ def time_weighted_resample(
     return agg.select(*keys, bucket_ts, "n_obs", twa)
 
 
+def ohlc_resample(
+    df: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "value",
+    *,
+    step_minutes: float,
+    key_cols: list[str] | None = None,
+    ties: list[str] | None = None,
+    out_time_col: str = "bucket_ts",
+) -> DataFrame:
+    """OHLC (open/high/low/close) per epoch-anchored bucket — the
+    kdb/Influx candlestick downsample: per (keys, bucket) the FIRST
+    value by (time, ties), the max, the min, the LAST value by
+    (time, ties), and the observation count.  Values pass through
+    untouched (no arithmetic at all), so the result is bit-exact
+    against any correct implementation by construction.
+
+    ``ties`` orders same-instant observations (REQUIRED for a
+    deterministic open/close when (keys, time) can collide).  NULL
+    values are dropped first (QC-masked rows), matching
+    :func:`time_weighted_resample`.
+
+    Scale shape: ONE map-side-combinable groupBy on (keys, bucket) —
+    open/close resolve as min/max over a (time, ties, value) struct
+    (lexicographic struct comparison; no window, no sort, no second
+    exchange), so partial aggregation handles any per-bucket row
+    count and skew is bounded by the busiest (key, bucket) like any
+    grouped aggregate.
+    """
+    from qctimeseries_spark.schema import validate_time_col
+
+    validate_time_col(df, time_col)
+    step_us = int(round(step_minutes * 60 * 1_000_000))
+    if step_us <= 0:
+        raise ValueError("step_minutes must be positive")
+    keys = list(key_cols or [])
+    tie_cols = list(ties or [])
+    reserved = {"_us", "_y", "_bk"}
+    if reserved & set(tie_cols):
+        raise ValueError(f"ties must not use reserved names {reserved}")
+    src = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.expr(
+            _floor_div_sql(f"unix_micros(`{time_col}`)", step_us)
+        ).alias("_bk"),
+        F.unix_micros(F.col(time_col)).alias("_us"),
+        F.col(value_col).alias("_y"),
+        *tie_cols,
+    )
+    # (time, ties) is the total order; _y rides along for extraction
+    # and never decides (unique prefix when ties are supplied)
+    ostruct = F.struct(
+        F.col("_us"), *[F.col(c) for c in tie_cols], F.col("_y")
+    )
+    agg = src.groupBy(*keys, "_bk").agg(
+        F.min(ostruct).alias("_first"),
+        F.max(ostruct).alias("_last"),
+        F.max("_y").alias("high"),
+        F.min("_y").alias("low"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    return agg.select(
+        *keys,
+        F.expr(f"timestamp_micros(_bk * {step_us}L)").alias(out_time_col),
+        F.col("_first").getField("_y").alias("open"),
+        "high",
+        "low",
+        F.col("_last").getField("_y").alias("close"),
+        "n_obs",
+    )
+
+
 def regularize_by_key(
     df: DataFrame,
     time_col: str = "ts",

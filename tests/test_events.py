@@ -325,3 +325,62 @@ def test_retention_single_events_exchange_plan_shape(spark):
     ]
     assert len(real_user_exchanges) == 1, final
     assert final.count("ReusedExchange") == 1, final
+
+def test_ohlc_resample_hand_computed(spark):
+    """open/close follow (time, ties) order — same-instant rows break
+    by the tie column, values pass through untouched, NULLs drop."""
+    from qctimeseries_spark.windows import ohlc_resample
+
+    b = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        (2, 1, b(0, 0), 5.0),    # same instant as event 1: tie-break
+        (1, 1, b(0, 0), 9.0),    # event_id 1 wins the open
+        (3, 1, b(0, 30), 1.0),   # the low
+        (4, 1, b(0, 45), 7.0),   # the close
+        (5, 1, b(0, 20), None),  # NULL: dropped
+        (6, 1, b(1, 10), 3.0),   # next bucket: single obs
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r.bucket_ts: (r.open, r.high, r.low, r.close, r.n_obs)
+        for r in ohlc_resample(
+            df, "ts", "value", step_minutes=60.0,
+            key_cols=["user_id"], ties=["event_id"],
+        ).collect()
+    }
+    assert out[b(0)] == (9.0, 9.0, 1.0, 7.0, 4)
+    assert out[b(1)] == (3.0, 3.0, 3.0, 3.0, 1)
+    with pytest.raises(ValueError, match="reserved"):
+        ohlc_resample(df, "ts", "value", step_minutes=60.0,
+                      ties=["_us"])
+    with pytest.raises(ValueError, match="positive"):
+        ohlc_resample(df, "ts", "value", step_minutes=0.0)
+
+
+def test_event_transitions_hand_computed(spark):
+    """Consecutive per-user pairs in (ts, tie) order; NULL user/ts/
+    type rows drop; frac_of_from is the exact 9-dp quotient."""
+    from qctimeseries_spark.events import event_transitions
+
+    rows = [
+        # u1: a -> b -> a  (pairs: a->b, b->a)
+        (1, 1, _ts(0), "a"), (2, 1, _ts(1), "b"), (3, 1, _ts(2), "a"),
+        # u2: a -> a  (pair: a->a)
+        (4, 2, _ts(0), "a"), (5, 2, _ts(1), "a"),
+        # same-instant tie on u3: event_id orders b before c
+        (6, 3, _ts(0), "b"), (7, 3, _ts(0), "c"),
+        # dropped rows: NULL user / NULL ts / NULL type
+        (8, None, _ts(0), "a"), (9, 4, None, "a"), (10, 4, _ts(1), None),
+    ]
+    ev = spark.createDataFrame(rows, _EV)
+    got = {
+        (r.from_type, r.to_type): (r.n_pairs, r.n_from, r.frac_of_from)
+        for r in event_transitions(ev, ties=["event_id"]).collect()
+    }
+    assert got[("a", "b")] == (1, 2, 0.5)
+    assert got[("a", "a")] == (1, 2, 0.5)
+    assert got[("b", "a")] == (1, 2, 0.5)
+    assert got[("b", "c")] == (1, 2, 0.5)
+    assert len(got) == 4  # nothing from the dropped rows
