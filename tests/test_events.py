@@ -384,3 +384,35 @@ def test_event_transitions_hand_computed(spark):
     assert got[("b", "a")] == (1, 2, 0.5)
     assert got[("b", "c")] == (1, 2, 0.5)
     assert len(got) == 4  # nothing from the dropped rows
+
+def test_ohlc_and_transitions_plan_shape(spark):
+    """Pin the scale shapes: w17 is ONE exchange total (struct min/max
+    in the grouped aggregate — a refactor to first/last windows would
+    add a sort + second exchange); e4 touches the events table through
+    ONE user-key exchange (the remaining exchanges sit on the tiny
+    type-pair domain)."""
+    from qctimeseries_spark.events import event_transitions
+    from qctimeseries_spark.windows import ohlc_resample
+
+    rows = [(i, i % 3, _ts(i % 5), ["a", "b", "c"][i % 3], float(i))
+            for i in range(30)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp,"
+        " event_type string, value double",
+    )
+    def real_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            ln for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+            and "ReusedExchange" not in ln
+        ]
+    ohlc_ex = real_exchanges(ohlc_resample(
+        ev, "ts", "value", step_minutes=60.0,
+        key_cols=["user_id"], ties=["event_id"],
+    ))
+    assert len(ohlc_ex) == 1, ohlc_ex
+    tr_ex = real_exchanges(event_transitions(ev, ties=["event_id"]))
+    user_ex = [ln for ln in tr_ex if "user_id" in ln]
+    assert len(user_ex) == 1, tr_ex
