@@ -201,6 +201,7 @@ EXTENDED = [
     "st23_heartbeat_guard",
     "w17_ohlc",
     "e4_transitions",
+    "d15_edit_distance",
 ]
 
 HEADLINE = CORE + EXTENDED

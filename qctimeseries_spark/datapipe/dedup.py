@@ -1039,6 +1039,88 @@ def jaccard_on(
     )
 
 
+def edit_distance_on(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    prefix_chars: int | None = None,
+    eager_pairs: bool = True,
+) -> DataFrame:
+    """Character-level Levenshtein verify for candidate pairs — the
+    finest rung of the dedup ladder (shingle Jaccard and containment
+    see token-set overlap; edit distance sees the actual character
+    churn, so a doc with every 10th word swapped scores near-dup here
+    and dilutes there, and vice versa for reshuffled-but-identical
+    token bags).
+
+    Returns ``(id_a, id_b, edit_distance, n_a, n_b,
+    edit_similarity)`` where similarity = 1 − d/max(n_a, n_b)
+    computed as the exact integer-nanodigit 9-dp quotient (the
+    w15/w16 discipline); two empty texts score 1.0 by convention.
+
+    ``prefix_chars`` caps the comparison to each text's first N
+    CHARACTERS — Levenshtein is O(n·m) per pair, so uncapped
+    book-length docs would dominate a verify stage; the cap bounds
+    per-pair work at O(N²) and is the scale default for long-form
+    corpora (state it in results downstream — distances are then
+    prefix distances).
+
+    Distance is CODEPOINT-level (Spark ``levenshtein`` semantics).
+    The DuckDB oracle twin is byte-level, which coincides exactly on
+    ASCII corpora (the fixture's property); a non-ASCII corpus keeps
+    the engine semantics and the oracle would need a byte-projection
+    to follow — documented, not silent.
+
+    Runs only on the candidate set — never quadratic; the doc side is
+    pruned to candidate ids BEFORE the text joins
+    (:func:`_pair_id_prune`), so the join shuffles are
+    candidate-sized, not corpus-sized.  Same ``eager_pairs`` contract
+    as :func:`jaccard_on`.
+    """
+    pairs, docs = _pair_id_prune(pairs, docs, id_col, eager_pairs)
+    t = F.col(text_col)
+    if prefix_chars is not None:
+        if prefix_chars < 1:
+            raise ValueError("prefix_chars must be >= 1")
+        t = F.substring(t, 1, int(prefix_chars))
+    txt = docs.select(F.col(id_col), t.alias("_t"))
+    j = (
+        pairs.join(
+            txt.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed("_t", "_ta"),
+            "id_a",
+        )
+        .join(
+            txt.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("_t", "_tb"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").cast("bigint").alias(
+                "edit_distance"
+            ),
+            F.length("_ta").cast("bigint").alias("n_a"),
+            F.length("_tb").cast("bigint").alias("n_b"),
+        )
+    )
+    j = j.withColumn("_m", F.greatest("n_a", "n_b"))
+    sim = F.when(F.col("_m") == 0, F.lit(1.0)).otherwise(
+        F.expr(
+            "cast((2 * (_m - edit_distance) * 1000000000 + _m)"
+            " div (2 * _m) as double)"
+        )
+        / F.lit(1e9)
+    )
+    return j.select(
+        "id_a", "id_b", "edit_distance", "n_a", "n_b",
+        sim.alias("edit_similarity"),
+    )
+
+
 def containment_on(
     pairs: DataFrame,
     docs: DataFrame,

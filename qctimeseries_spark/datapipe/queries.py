@@ -24,6 +24,7 @@ from qctimeseries_spark.datapipe.dedup import (
     embedding_dup_pairs,
     exact_dedup,
     containment_on,
+    edit_distance_on,
     jaccard_on,
     lsh_candidates,
     minhash_dedup_pairs,
@@ -355,6 +356,20 @@ def q_d14_containment(spark, sf_dir):
     docs = _near_corpus(spark, sf_dir)
     cands = lsh_candidates(docs, k=16, bands=4, ngram=3)
     return containment_on(cands, docs, ngram=3)
+
+
+def q_d15_edit_distance(spark, sf_dir):
+    """Character-level Levenshtein verify on the d4 candidate set —
+    the finest dedup-ladder rung (token-set scores miss per-character
+    churn; this sees it).  prefix_chars=4000 exercises the scale cap
+    (a no-op on this fixture's short docs, so the oracle needs no
+    prefix handling beyond the same substr); similarity is the exact
+    integer-nanodigit 9-dp quotient.  The DuckDB levenshtein is
+    byte-level — identical to the engine's codepoint-level distance
+    on this ASCII fixture (documented in edit_distance_on)."""
+    docs = _near_corpus(spark, sf_dir)
+    cands = lsh_candidates(docs, k=16, bands=4, ngram=3)
+    return edit_distance_on(cands, docs, prefix_chars=4000)
 
 
 def q_d5_embedding_dups(spark, sf_dir):
@@ -1688,6 +1703,7 @@ DATAPIPE_QUERIES = {
     "d3_simhash_pairs": q_d3_simhash_pairs,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "d14_containment": q_d14_containment,
+    "d15_edit_distance": q_d15_edit_distance,
     "d5_embedding_dups": q_d5_embedding_dups,
     "d9_semantic_dedup": q_d9_semantic_dedup,
     "c1_dup_clusters": q_c1_dup_clusters,
@@ -1945,6 +1961,28 @@ SELECT id_a, id_b,
        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        ROUND(CAST(inter AS DOUBLE) / n_a, 6) AS containment_a,
        ROUND(CAST(inter AS DOUBLE) / n_b, 6) AS containment_b
+FROM c""",
+    "d15_edit_distance": f"""
+WITH {_NEAR_CORPUS_SQL},
+{_shingle_sql('corpus', 3)},
+{_minhash_sql(16)},
+{_band_sql(4, 4)},
+t AS (SELECT doc_id, substr(text, 1, 4000) AS t FROM corpus),
+c AS (
+  SELECT cand.id_a, cand.id_b,
+         levenshtein(ta.t, tb.t) AS d,
+         length(ta.t) AS n_a, length(tb.t) AS n_b
+  FROM cand
+  JOIN t ta ON ta.doc_id = cand.id_a
+  JOIN t tb ON tb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, CAST(d AS BIGINT) AS edit_distance,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CASE WHEN GREATEST(n_a, n_b) = 0 THEN 1.0
+            ELSE CAST((2 * (GREATEST(n_a, n_b) - d) * 1000000000
+                       + GREATEST(n_a, n_b))
+                      // (2 * GREATEST(n_a, n_b)) AS DOUBLE)
+                 / 1000000000.0 END AS edit_similarity
 FROM c""",
     "d5_embedding_dups": f"""
 WITH {_EMB_CORPUS_SQL},

@@ -2868,11 +2868,12 @@ QUERIES["e4_transitions"] = q_e4_transitions
 #     the oldest-verdict members of the three families the tiers
 #     above leave out.
 # The 11 r8 entries that do not fit (h11/h12/h13, t33-t40) defer to
-# r13 with their families in-window via h7-h10 and t11-t32.  The two
-# late-r12 newborns w17_ohlc / e4_transitions follow the e3 precedent
-# (the window was already pinned full of higher-priority tiers): they
-# hold same-session replica greens at sf0.01 AND sf1, their families
-# stay in-window via w15/w16 and e1-e3, and they rotate in at r13.
+# r13 with their families in-window via h7-h10 and t11-t32.  The
+# late-r12 newborns w17_ohlc / e4_transitions / d15_edit_distance
+# follow the e3 precedent (the window was already pinned full of
+# higher-priority tiers): each holds same-session replica greens at
+# sf0.01 AND sf1, their families stay in-window via w15/w16, e1-e3,
+# and d6/d7/d10-d13, and they rotate in at r13.
 # ALL entries additionally hold a same-round builder replica green in
 # the committed REPLICA_r12.json full-registry sweep (VERDICT r11
 # task 8).

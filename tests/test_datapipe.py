@@ -3605,3 +3605,68 @@ def test_verifier_prune_plan_shape(spark):
             assert "Join LeftSemi" in lines[i + 1], "\n".join(
                 lines[i : i + 2]
             )
+
+
+def test_edit_distance_verify_complements_token_scores(spark):
+    """The ladder rung d15 adds: per-character churn (every word
+    lightly misspelled) keeps edit similarity HIGH while shingle
+    Jaccard collapses; a reshuffled-but-identical token bag keeps
+    Jaccard(1-gram) at 1.0 while edit similarity drops.  Also pins
+    the empty-text convention and the prefix cap."""
+    from qctimeseries_spark.datapipe import edit_distance_on, jaccard_on
+
+    words = [f"word{i:02d}" for i in range(40)]
+    churned = " ".join(w[:-1] + "x" for w in words)   # 1 char per word
+    shuffled = " ".join(words[::-1])
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, churned), (3, shuffled), (4, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 4)], "id_a long, id_b long"
+    )
+    ed = {
+        (r.id_a, r.id_b): r
+        for r in edit_distance_on(pairs, docs).collect()
+    }
+    jc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_on(pairs, docs, ngram=1).collect()
+    }
+    churn = ed[(1, 2)]
+    assert churn.edit_distance == 40            # one char per word
+    assert churn.edit_similarity > 0.85         # chars mostly intact
+    assert jc[(1, 2)] == 0.0                    # no shared 1-gram
+    shuf = ed[(1, 3)]
+    assert jc[(1, 3)] == 1.0                    # same token bag
+    assert shuf.edit_similarity < 0.85          # chars moved
+    assert ed[(4, 4)].edit_similarity == 1.0    # empty-vs-empty
+    # prefix cap bounds the comparison (and the reported lengths)
+    capped = {
+        (r.id_a, r.id_b): r
+        for r in edit_distance_on(
+            pairs, docs, prefix_chars=10
+        ).collect()
+    }
+    assert capped[(1, 2)].n_a == 10 and capped[(1, 2)].edit_distance <= 10
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="prefix_chars"):
+        edit_distance_on(pairs, docs, prefix_chars=0)
+
+
+def test_edit_distance_prune_plan_shape(spark):
+    """d15 rides the d4/d14 verifier-prune discipline: the text joins
+    read the doc table BEHIND the candidate-id LeftSemi prune on both
+    sides (a regression to corpus-wide text joins would pass value
+    hashes while shipping the whole corpus through the shuffle)."""
+    from qctimeseries_spark.datapipe import edit_distance_on
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = edit_distance_on(pairs, docs, eager_pairs=False)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join LeftSemi") == 2, plan
