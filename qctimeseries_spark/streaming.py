@@ -2012,7 +2012,17 @@ def stage_file_batches(frames, src_dir: str, *, start_mtime: int = 1_700_000_000
     file-source stream replays them as ordered micro-batches — the
     planted-batch protocol the streaming queries and tests share
     (previously copy-pasted per site; any change to the protocol now
-    lands once)."""
+    lands once).
+
+    The single file materializes via ``repartition(1)``, NOT
+    ``coalesce(1)``: coalesce narrows the parent into ONE task that
+    evaluates every upstream partition SEQUENTIALLY, which for a
+    Python-created local relation costs one worker round-trip PER
+    EMPTY PARTITION (~6 s for a 1-row frame on 32 cores, measured —
+    it dominated the st23 drain benchmark), and for a parquet-scan
+    parent single-threads the whole scan.  The protocol guarantees
+    batch MEMBERSHIP and batch ORDER only — intra-file row order is
+    unspecified (every stateful consumer sorts within the batch)."""
     import glob
     import os
     import shutil
@@ -2021,7 +2031,7 @@ def stage_file_batches(frames, src_dir: str, *, start_mtime: int = 1_700_000_000
     os.makedirs(src_dir, exist_ok=True)
     for i, frame in enumerate(frames):
         stage = tempfile.mkdtemp(prefix="qcts_stage_")
-        frame.coalesce(1).write.mode("overwrite").parquet(stage)
+        frame.repartition(1).write.mode("overwrite").parquet(stage)
         dst = os.path.join(src_dir, f"batch{i}.parquet")
         shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
         shutil.rmtree(stage, ignore_errors=True)
