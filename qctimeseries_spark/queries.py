@@ -2459,6 +2459,11 @@ def q_st18_stream_scd2(spark, sf_dir):
     )
     cut = F.lit("2024-01-16").cast("timestamp")
     tmp = tempfile.mkdtemp(prefix="qcts_st18_")
+    # NOTE: deliberately NOT scoping shuffle partitions down here (the
+    # st23 treatment): this drain's cost is the PYTHON stateful
+    # operator (applyInPandasWithState), which wants parallelism —
+    # measured 8 partitions = 14.8 s best-of vs 32 = ~5 s.  The st23
+    # case is the opposite because its join is pure JVM machinery.
     try:
         src = os.path.join(tmp, "src")
         stage_file_batches(
