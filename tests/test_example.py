@@ -263,3 +263,31 @@ def test_event_analytics_example_runs():
     assert "funnel: signup" in out.stdout
     assert "retention: week-1 average" in out.stdout
     assert "time-weighted resample:" in out.stdout
+
+
+def test_replica_sweep_artifact_current():
+    """VERDICT r11 task 8: the full-registry replica sweep is a
+    COMMITTED ARTIFACT (REPLICA_r{N}.json), and this pin keeps it
+    honest — the latest record must cover the LIVE registry exactly
+    and be failure-free, so adding a query without re-sweeping (or
+    committing a red sweep) fails here instead of silently staling
+    the claim."""
+    import json
+    import re as _re
+
+    from qctimeseries_spark.queries import QUERIES
+
+    recs = sorted(
+        REPO.glob("REPLICA_r*.json"),
+        key=lambda p: int(_re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert recs, "no REPLICA_r*.json sweep artifact committed"
+    latest = json.loads(recs[-1].read_text())
+    assert latest["n_failures"] == 0, latest["n_failures"]
+    assert latest["n_checked"] == latest["n_registry"] == len(QUERIES), (
+        f"sweep record covers {latest['n_checked']} of "
+        f"{len(QUERIES)} registered queries — re-run "
+        f"tools/check_correctness.py --record after registry changes"
+    )
+    statuses = {v["status"] for v in latest["results"].values()}
+    assert statuses <= {"PASS", "ROWS_ONLY"}, statuses
