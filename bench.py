@@ -202,6 +202,10 @@ EXTENDED = [
     "w17_ohlc",
     "e4_transitions",
     "d15_edit_distance",
+    # round 12 (late): last-touch attribution; streaming transition
+    # pair stream (e4's stateful twin)
+    "e5_attribution",
+    "st24_stream_transitions",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -131,6 +131,58 @@ def main() -> None:
     )
     print(f"time-weighted resample: {twa.count()} (user, 6h) levels")
 
+    # 7. which touch gets credit — last-touch election over one
+    #    user-key exchange (no self-join), NULL row = unattributed
+    from qctimeseries_spark.events import attribution
+
+    att = attribution(
+        allb, conversion_type="purchase",
+        touch_types=["signup", "click"], mode="last",
+        lookback_seconds=7 * 86400.0, ties=["event_id"],
+    ).cache()
+    per_touch = {
+        r.touch_type: r.n
+        for r in att.groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(
+        "last-touch credit: "
+        + ", ".join(
+            f"{k or 'unattributed'} {v}"
+            for k, v in sorted(per_touch.items(), key=lambda kv: str(kv[0]))
+        )
+    )
+
+    # 8. which paths users actually follow — the streaming transition
+    #    pair stream, aggregated to the batch twin's Markov counts
+    from qctimeseries_spark.events import event_transitions
+    from qctimeseries_spark.streaming import stream_transitions
+
+    pairs = run_available_now(
+        stream_transitions(
+            stream_events(spark, sf_dir).select(
+                "user_id", "ts", "event_type", "event_id"
+            )
+        ),
+        output_mode="append",
+    )
+    top = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+        .first()
+    )
+    n_batch_pairs = event_transitions(allb, ties=["event_id"]).agg(
+        F.sum("n_pairs").alias("s")
+    ).first().s
+    n_stream_pairs = pairs.count()
+    print(
+        f"transitions: hottest path {top.from_type}->{top.to_type}"
+        f" ({top.n} pairs); streamed {n_stream_pairs} ="
+        f" batch {n_batch_pairs}:"
+        f" {'reconciled' if n_stream_pairs == n_batch_pairs else 'DIVERGED'}"
+    )
+
 
 if __name__ == "__main__":
     main()

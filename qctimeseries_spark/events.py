@@ -377,3 +377,102 @@ def retention_cohorts(
             ).alias("retention"),
         )
     )
+
+
+def attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    mode: str = "last",
+    lookback_seconds: float | None = None,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    ties: list[str] | None = None,
+) -> DataFrame:
+    """Marketing-style touch attribution: for every CONVERSION event
+    (``type_col == conversion_type``), find the user's attributed
+    TOUCH event — the last (``mode="last"``) or first
+    (``mode="first"``) ``touch_types`` event strictly earlier (in µs)
+    than the conversion, optionally restricted to the trailing
+    ``lookback_seconds`` window.  The funnel asks "did the user
+    complete THIS path"; attribution asks the converse — "which touch
+    gets credit for each conversion".
+
+    Returns one row PER CONVERSION: ``(user_col, *ties, conv_ts,
+    touch_type, touch_ts, lag_us)``; conversions with no qualifying
+    touch keep their row with NULL touch columns (the
+    "unattributed" bucket every attribution report needs).
+    ``lag_us`` is the exact integer microsecond gap — no float.
+
+    Strictness is µs-level: a touch at the SAME microsecond as the
+    conversion never attributes (RANGE frames cannot see sub-µs
+    order).  Among same-µs touches, ``ties`` breaks the first/last
+    election deterministically (struct min/max is lexicographic), so
+    pass a unique column (e.g. the event id) whenever (user, time)
+    can collide.
+
+    Scale shape: the type pre-filter prunes the scan to conversion ∪
+    touch rows (pushed predicate — at 100 TB the other event types
+    never leave parquet), then ONE exchange on the user key carries
+    both the election window and the output projection; the lookback
+    bounds each row's RANGE frame, so per-partition window state is
+    the lookback's row span, not the user's history.  No join, no
+    second pass.
+    """
+    if mode not in ("first", "last"):
+        raise ValueError(f"mode must be 'first' or 'last', got {mode!r}")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if conversion_type in touch_types:
+        raise ValueError(
+            "conversion_type cannot also be a touch type "
+            f"({conversion_type!r} would attribute to itself)"
+        )
+    lookback_us = (
+        int(round(lookback_seconds * 1_000_000))
+        if lookback_seconds is not None
+        else None
+    )
+    if lookback_us is not None and lookback_us <= 0:
+        raise ValueError("lookback_seconds must be positive")
+    ties = list(ties or [])
+    src = events.filter(
+        F.col(user_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(type_col).isin([conversion_type, *touch_types])
+    ).select(
+        F.col(user_col),
+        F.col(type_col).alias("_type"),
+        F.unix_micros(F.col(time_col)).alias("_us"),
+        *ties,
+    )
+    lo = -lookback_us if lookback_us is not None else Window.unboundedPreceding
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("_us").asc())
+        .rangeBetween(lo, -1)
+    )
+    touch = F.when(
+        F.col("_type") != F.lit(conversion_type),
+        F.struct(
+            F.col("_us").alias("_tus"),
+            *[F.col(c).alias(f"_t_{c}") for c in ties],
+            F.col("_type").alias("_ttype"),
+        ),
+    )
+    elect = (F.max if mode == "last" else F.min)(touch).over(w)
+    out = src.withColumn("_touch", elect).filter(
+        F.col("_type") == F.lit(conversion_type)
+    )
+    return out.select(
+        F.col(user_col),
+        *ties,
+        F.timestamp_micros(F.col("_us")).alias("conv_ts"),
+        F.col("_touch._ttype").alias("touch_type"),
+        F.timestamp_micros(F.col("_touch._tus")).alias("touch_ts"),
+        (F.col("_us") - F.col("_touch._tus"))
+        .cast("bigint")
+        .alias("lag_us"),
+    )

@@ -2847,6 +2847,45 @@ def q_e3_funnel_lags(spark, sf_dir):
     )
 
 
+def q_e5_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase credits the user's most
+    recent signup/click strictly earlier than it (µs-level) within a
+    7-day lookback; unattributed purchases keep a NULL-touch row.
+    The type pre-filter pushes to the scan, the election rides ONE
+    user-key exchange (a RANGE-frame struct max — no self-join), and
+    the lag is an exact integer µs column."""
+    from qctimeseries_spark.events import attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return attribution(
+        ev, conversion_type="purchase",
+        touch_types=["signup", "click"], mode="last",
+        lookback_seconds=7 * 86400.0, ties=["event_id"],
+    )
+
+
+def q_st24_stream_transitions(spark, sf_dir):
+    """Streaming twin of e4: per-user consecutive event pairs emitted
+    as they arrive from the custom stateful operator
+    (applyInPandasWithState, 3-scalar state per user), drained
+    append-mode.  Within the drain every user's rows process in
+    (ts, event_id) order, so the emitted pair rows equal the batch
+    lead() pairs exactly — the oracle computes those (the e4 core,
+    before aggregation)."""
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_transitions,
+    )
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return run_available_now(
+        stream_transitions(ev), output_mode="append"
+    )
+
+
 QUERIES["w15_time_weighted"] = q_w15_time_weighted
 QUERIES["e1_funnel"] = q_e1_funnel
 QUERIES["e2_retention"] = q_e2_retention
@@ -2856,6 +2895,8 @@ QUERIES["w16_twa_carry"] = q_w16_twa_carry
 QUERIES["st23_heartbeat_guard"] = q_st23_stream_heartbeat_guard
 QUERIES["w17_ohlc"] = q_w17_ohlc
 QUERIES["e4_transitions"] = q_e4_transitions
+QUERIES["e5_attribution"] = q_e5_attribution
+QUERIES["st24_stream_transitions"] = q_st24_stream_transitions
 
 
 # The driver harness hash-checks at most the FIRST 50 registry
@@ -2884,11 +2925,12 @@ QUERIES["e4_transitions"] = q_e4_transitions
 #     above leave out.
 # The 11 r8 entries that do not fit (h11/h12/h13, t33-t40) defer to
 # r13 with their families in-window via h7-h10 and t11-t32.  The
-# late-r12 newborns w17_ohlc / e4_transitions / d15_edit_distance
-# follow the e3 precedent (the window was already pinned full of
-# higher-priority tiers): each holds same-session replica greens at
-# sf0.01 AND sf1, their families stay in-window via w15/w16, e1-e3,
-# and d6/d7/d10-d13, and they rotate in at r13.
+# late-r12 newborns w17_ohlc / e4_transitions / d15_edit_distance /
+# e5_attribution / st24_stream_transitions follow the e3 precedent
+# (the window was already pinned full of higher-priority tiers):
+# each holds same-session replica greens at sf0.01 AND sf1, their
+# families stay in-window via w15/w16, e1-e3, st22/st23, and
+# d6/d7/d10-d13, and they rotate in at r13.
 # ALL entries additionally hold a same-round builder replica green in
 # the committed REPLICA_r12.json full-registry sweep (VERDICT r11
 # task 8).
@@ -4310,6 +4352,62 @@ SELECT from_type, to_type, n_pairs, n_from,
             // (2 * CAST(n_from AS HUGEINT)) AS DOUBLE)
            / 1000000000.0 AS frac_of_from
 FROM tot"""
+
+# e5: the engine elects the touch via a RANGE-frame struct max over
+# ONE user-key exchange; the oracle replays the same election as a
+# join + ROW_NUMBER pick (fine at oracle scale) — last touch = max
+# (us, event_id) among strictly-earlier in-lookback touches.
+ORACLE["e5_attribution"] = """
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('purchase', 'signup', 'click')
+),
+conv AS (SELECT * FROM src WHERE event_type = 'purchase'),
+touch AS (SELECT * FROM src WHERE event_type <> 'purchase'),
+ranked AS (
+  SELECT c.user_id, c.event_id, c.us,
+         t.event_type AS touch_type, t.us AS tus,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.user_id, c.event_id
+           ORDER BY t.us DESC, t.event_id DESC) AS rn
+  FROM conv c
+  JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.us <= c.us - 1
+   AND t.us >= c.us - 604800000000
+)
+SELECT c.user_id, c.event_id,
+       make_timestamp(c.us) AS conv_ts,
+       r.touch_type,
+       make_timestamp(r.tus) AS touch_ts,
+       CAST(c.us - r.tus AS BIGINT) AS lag_us
+FROM conv c
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+  ON c.user_id = r.user_id AND c.event_id = r.event_id"""
+
+# st24: on an in-order drain the stateful pair stream equals the
+# batch lead() pairs (the e4 core before aggregation), one row per
+# successor event.
+ORACLE["st24_stream_transitions"] = """
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL
+),
+p AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER w AS to_type,
+         LEAD(us)         OVER w AS to_us,
+         LEAD(event_id)   OVER w AS to_id
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, from_type, to_type,
+       make_timestamp(to_us) AS ts, to_id AS event_id
+FROM p WHERE to_type IS NOT NULL"""
 
 # st23: the engine drains a left_outer stream-stream join whose right
 # side went quiet and was revived by sentinel heartbeats; once the

@@ -1002,6 +1002,108 @@ def stream_funnel(
     )
 
 
+def stream_transitions(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`qctimeseries_spark.events.
+    event_transitions`: emit one row per CONSECUTIVE per-user event
+    pair — ``(user, from_type, to_type, to-event time, to-event
+    tie)`` — the moment the successor event arrives.  The batch
+    operator's (from → to) counts are a trivial aggregation of this
+    row stream, which is how the oracle checks it.
+
+    State per user is THREE scalars — the previous event's type, µs,
+    and ``tie_col`` value — O(#users), independent of stream length;
+    per-batch work is one vectorized sort + shift, no per-row Python.
+
+    In-order contract (lexicographic on ``(µs, tie)``, the batch
+    twin's sort key): within a batch rows sort locally, and rows at
+    or before the carried per-user ``(µs, tie)`` position are
+    DROPPED — so a REDELIVERED copy of the last processed event
+    deduplicates for free (equal position), while a distinct new
+    event at the same microsecond (strictly greater tie) still
+    counts.  A late row that would have sorted BEFORE the carried
+    position is out-of-order delivery and is discarded; the batch
+    twin would have paired it differently, which no bounded-state
+    stream can reproduce.  ``tie_col`` must be unique per user and
+    monotone-comparable (an event id).
+
+    NULL user / time / type / tie rows drop before touching state
+    (mirrors the batch twin's filter).
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    user_dt = stream.schema[user_col].dataType.simpleString()
+    tie_dt = stream.schema[tie_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {user_dt}, from_type string, to_type string,"
+        f" {time_col} timestamp, {tie_col} {tie_dt}"
+    )
+    state_schema = "last_type string, last_us bigint, last_tie bigint"
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        last_type, last_us, last_tie = (
+            state.get if state.exists else (None, None, None)
+        )
+        frames = [pdf[[time_col, type_col, tie_col]] for pdf in pdf_iter]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[
+            pdf[type_col].notna()
+            & pdf[time_col].notna()
+            & pdf[tie_col].notna()
+        ].sort_values([time_col, tie_col], kind="stable")
+        us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        ties = pdf[tie_col].to_numpy()
+        types = pdf[type_col].to_numpy()
+        if last_us is not None:
+            keep = (us > last_us) | ((us == last_us) & (ties > last_tie))
+            us, ties, types = us[keep], ties[keep], types[keep]
+        if len(us) == 0:
+            return
+        if last_type is not None:
+            from_types = np.concatenate(([last_type], types[:-1]))
+            to_idx = slice(None)
+        else:
+            from_types = types[:-1]
+            to_idx = slice(1, None)
+        state.update((str(types[-1]), int(us[-1]), int(ties[-1])))
+        if len(from_types) == 0:
+            return
+        yield pd.DataFrame(
+            {
+                user_col: key[0],
+                "from_type": from_types,
+                "to_type": types[to_idx],
+                time_col: pd.to_datetime(us[to_idx], unit="us"),
+                tie_col: ties[to_idx],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.filter(F.col(user_col).isNotNull()).withWatermark(
+        time_col, watermark
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessions(
     stream: DataFrame,
     *,

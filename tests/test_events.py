@@ -416,3 +416,81 @@ def test_ohlc_and_transitions_plan_shape(spark):
     tr_ex = real_exchanges(event_transitions(ev, ties=["event_id"]))
     user_ex = [ln for ln in tr_ex if "user_id" in ln]
     assert len(user_ex) == 1, tr_ex
+
+
+def test_attribution_hand_computed(spark):
+    """Last/first-touch election: strictly-earlier µs, lookback cut,
+    same-µs touch never attributes, ties break by event_id, no-touch
+    conversions keep a NULL row, lag is exact integer µs."""
+    from qctimeseries_spark.events import attribution
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: click then signup then purchase — last=signup, first=click
+        (1, 1, t(0), "click"), (2, 1, t(5), "signup"),
+        (3, 1, t(10), "purchase"),
+        # u2: touch at the SAME µs as the conversion — never attributes
+        (4, 2, t(0), "click"), (5, 2, t(0), "purchase"),
+        # u3: no touch at all
+        (6, 3, t(0), "purchase"),
+        # u4: touch outside the 30-minute lookback
+        (7, 4, t(0), "click"), (8, 4, t(50), "purchase"),
+        # u5: two touches at the same µs — event_id breaks the tie
+        (9, 5, t(1), "click"), (10, 5, t(1), "signup"),
+        (11, 5, t(2), "purchase"),
+        # dropped: NULL user / NULL ts
+        (12, None, t(0), "purchase"), (13, 6, None, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, _EV)
+    kw = dict(conversion_type="purchase",
+              touch_types=["signup", "click"],
+              lookback_seconds=1800.0, ties=["event_id"])
+    last = {r.event_id: (r.touch_type, r.lag_us)
+            for r in attribution(ev, mode="last", **kw).collect()}
+    assert last == {
+        3: ("signup", 300_000_000),
+        5: (None, None),
+        6: (None, None),
+        8: (None, None),
+        11: ("signup", 60_000_000),   # max (us, event_id) at the tie
+    }
+    first = {r.event_id: (r.touch_type, r.lag_us)
+             for r in attribution(ev, mode="first", **kw).collect()}
+    assert first[3] == ("click", 600_000_000)
+    assert first[11] == ("click", 60_000_000)  # min event_id at the tie
+    # NULL user / NULL ts conversions dropped entirely
+    assert 12 not in last and 13 not in last
+
+
+def test_attribution_guards_and_plan_shape(spark):
+    """Parameter validation + the scale-shape pin: the election rides
+    ONE user-key exchange (a refactor to a conversions×touches
+    self-join would add a second events scan and exchange)."""
+    from qctimeseries_spark.events import attribution
+
+    ev = spark.createDataFrame([], _EV)
+    with pytest.raises(ValueError, match="first.*last"):
+        attribution(ev, conversion_type="p", touch_types=["c"],
+                    mode="bogus")
+    with pytest.raises(ValueError, match="non-empty"):
+        attribution(ev, conversion_type="p", touch_types=[])
+    with pytest.raises(ValueError, match="attribute to itself"):
+        attribution(ev, conversion_type="p", touch_types=["p", "c"])
+    with pytest.raises(ValueError, match="positive"):
+        attribution(ev, conversion_type="p", touch_types=["c"],
+                    lookback_seconds=0.0)
+
+    rows = [(i, i % 3, _ts(i % 5), ["p", "c", "s"][i % 3])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, _EV)
+    out = attribution(df, conversion_type="p", touch_types=["c", "s"],
+                      lookback_seconds=86400.0, ties=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    user_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "ReusedExchange" not in ln and "user_id" in ln
+    ]
+    assert len(user_ex) == 1, plan
+    # the type pre-filter reaches the source (scan-prunes at 100 TB)
+    assert "event_type" in plan.split("Exchange")[-1]

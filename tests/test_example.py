@@ -263,6 +263,9 @@ def test_event_analytics_example_runs():
     assert "funnel: signup" in out.stdout
     assert "retention: week-1 average" in out.stdout
     assert "time-weighted resample:" in out.stdout
+    assert "last-touch credit:" in out.stdout
+    assert "transitions: hottest path" in out.stdout
+    assert out.stdout.count("DIVERGED") == 0
 
 
 def test_replica_sweep_artifact_current():

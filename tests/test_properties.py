@@ -930,3 +930,71 @@ def test_retention_matches_python_model(spark, events):
         p0 = (int((cts - epoch).total_seconds()) * 1_000_000) // week_us
         v[1] = cohort_sizes[p0]
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+_attr_events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=200),    # minute offset
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(events=_attr_events_st,
+       mode=st.sampled_from(["first", "last"]),
+       lookback_min=st.one_of(st.none(), st.integers(30, 120)))
+@SETTINGS
+def test_attribution_matches_python_model(spark, events, mode,
+                                          lookback_min):
+    """attribution == the brute model: per conversion, elect among
+    strictly-earlier in-lookback touches by lexicographic
+    (time, event_id) — max for last-touch, min for first-touch; no
+    qualifying touch yields the NULL-touch row."""
+    import datetime as dt
+
+    from qctimeseries_spark.events import attribution
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), ty)
+        for i, (u, m, ty) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    lookback_s = lookback_min * 60.0 if lookback_min is not None else None
+    got = {
+        r.event_id: (r.touch_type, r.touch_ts, r.lag_us)
+        for r in attribution(
+            df, conversion_type="purchase",
+            touch_types=["signup", "click"], mode=mode,
+            lookback_seconds=lookback_s, ties=["event_id"],
+        ).collect()
+    }
+
+    by_user_touch = {}
+    for i, (u, m, ty) in enumerate(events):
+        if ty in ("signup", "click"):
+            by_user_touch.setdefault(u, []).append((m, i, ty))
+    want = {}
+    for i, (u, m, ty) in enumerate(events):
+        if ty != "purchase":
+            continue
+        cands = [
+            (mt, j, tt) for (mt, j, tt) in by_user_touch.get(u, [])
+            if mt < m
+            and (lookback_min is None or mt >= m - lookback_min)
+        ]
+        if not cands:
+            want[i] = (None, None, None)
+        else:
+            mt, j, tt = (max if mode == "last" else min)(cands)
+            want[i] = (
+                tt,
+                base + dt.timedelta(minutes=mt),
+                (m - mt) * 60 * 1_000_000,
+            )
+    assert got == want

@@ -2234,3 +2234,90 @@ def test_stream_funnel_equal_timestamp_across_batches(spark, tmp_path):
     # the purchase at 10:00 itself never converts (not strictly after
     # the click it would need to follow)
     assert got == [(1, 0, "signup", t(9)), (1, 1, "click", t(10))]
+
+
+# ---------------------------------------------------------------------------
+# streaming transitions (st24)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_transitions_across_batches(spark, tmp_path):
+    """The 3-scalar state carries across micro-batches: the last event
+    of batch 0 pairs with the first of batch 1; a REDELIVERED copy of
+    the last processed event (equal (µs, tie)) deduplicates; an
+    out-of-order row sorting before the carried position drops; a
+    distinct same-µs event with a higher tie still counts; NULL
+    user/ts/type/tie rows never touch state."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_transitions,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    b0 = [(1, 1, t(0), "a"), (2, 1, t(1), "b"),
+          (10, 2, t(0), "x"),
+          (20, None, t(0), "a"), (21, 3, None, "a"),  # dropped rows
+          (22, 3, t(0), None)]
+    b1 = [(3, 1, t(2), "c"),      # cross-batch pair b→c
+          (2, 1, t(1), "b"),      # redelivered last event: dropped
+          (0, 1, t(0), "z"),      # out-of-order: dropped
+          (11, 2, t(0), "y")]     # same-µs, higher tie: x→y counts
+    src = str(tmp_path / "src")
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in [b0, b1]], src
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    out = run_available_now(stream_transitions(stream),
+                            output_mode="append")
+    got = sorted(
+        (r.user_id, r.from_type, r.to_type, r.ts, r.event_id)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "a", "b", t(1), 2),
+        (1, "b", "c", t(2), 3),
+        (2, "x", "y", t(0), 11),
+    ]
+
+
+def test_stream_transitions_drained_equals_batch_pairs(spark):
+    """On an in-order drain the emitted pair rows equal the batch
+    lead() pairs exactly — aggregating them reproduces e4's counts."""
+    from qctimeseries_spark.events import event_transitions
+    from qctimeseries_spark.sources import read_table
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_transitions,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    drained = run_available_now(
+        stream_transitions(
+            stream_events(spark, sf_dir).select(
+                "user_id", "ts", "event_type", "event_id"
+            )
+        ),
+        output_mode="append",
+    )
+    stream_counts = {
+        (r.from_type, r.to_type): r.n
+        for r in drained.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch = {
+        (r.from_type, r.to_type): r.n_pairs
+        for r in event_transitions(
+            read_table(spark, sf_dir, "events"), ties=["event_id"]
+        ).collect()
+    }
+    assert stream_counts == batch
