@@ -203,9 +203,11 @@ EXTENDED = [
     "e4_transitions",
     "d15_edit_distance",
     # round 12 (late): last-touch attribution; streaming transition
-    # pair stream (e4's stateful twin)
+    # pair stream (e4's stateful twin); streaming last-touch
+    # attribution (e5's stateful twin)
     "e5_attribution",
     "st24_stream_transitions",
+    "st25_stream_attribution",
 ]
 
 HEADLINE = CORE + EXTENDED

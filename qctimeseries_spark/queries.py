@@ -2886,6 +2886,33 @@ def q_st24_stream_transitions(spark, sf_dir):
     )
 
 
+def q_st25_stream_attribution(spark, sf_dir):
+    """Streaming twin of e5 (LAST-touch only — first-touch under a
+    sliding lookback needs unbounded per-user touch buffering, which
+    this operator refuses to hold): one attribution row per purchase
+    as it arrives, from six scalars of state per user; the
+    penultimate-distinct-µs carried touch answers the same-µs
+    exclusion across batches.  Drained in-order output equals the
+    batch election — the oracle IS e5's SQL."""
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_attribution,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    return run_available_now(
+        stream_attribution(
+            ev, conversion_type="purchase",
+            touch_types=["signup", "click"],
+            lookback_seconds=7 * 86400.0,
+        ),
+        output_mode="append",
+    )
+
+
 QUERIES["w15_time_weighted"] = q_w15_time_weighted
 QUERIES["e1_funnel"] = q_e1_funnel
 QUERIES["e2_retention"] = q_e2_retention
@@ -2897,6 +2924,7 @@ QUERIES["w17_ohlc"] = q_w17_ohlc
 QUERIES["e4_transitions"] = q_e4_transitions
 QUERIES["e5_attribution"] = q_e5_attribution
 QUERIES["st24_stream_transitions"] = q_st24_stream_transitions
+QUERIES["st25_stream_attribution"] = q_st25_stream_attribution
 
 
 # The driver harness hash-checks at most the FIRST 50 registry
@@ -2926,7 +2954,8 @@ QUERIES["st24_stream_transitions"] = q_st24_stream_transitions
 # The 11 r8 entries that do not fit (h11/h12/h13, t33-t40) defer to
 # r13 with their families in-window via h7-h10 and t11-t32.  The
 # late-r12 newborns w17_ohlc / e4_transitions / d15_edit_distance /
-# e5_attribution / st24_stream_transitions follow the e3 precedent
+# e5_attribution / st24_stream_transitions / st25_stream_attribution
+# follow the e3 precedent
 # (the window was already pinned full of higher-priority tiers):
 # each holds same-session replica greens at sf0.01 AND sf1, their
 # families stay in-window via w15/w16, e1-e3, st22/st23, and
@@ -4408,6 +4437,10 @@ p AS (
 SELECT user_id, from_type, to_type,
        make_timestamp(to_us) AS ts, to_id AS event_id
 FROM p WHERE to_type IS NOT NULL"""
+
+# st25: on an in-order drain the six-scalar stateful election equals
+# the batch last-touch election exactly — the oracle IS e5's SQL.
+ORACLE["st25_stream_attribution"] = ORACLE["e5_attribution"]
 
 # st23: the engine drains a left_outer stream-stream join whose right
 # side went quiet and was revived by sentinel heartbeats; once the

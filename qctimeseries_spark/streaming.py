@@ -1104,6 +1104,177 @@ def stream_transitions(
     )
 
 
+def stream_attribution(
+    stream: DataFrame,
+    *,
+    conversion_type: str,
+    touch_types: list[str],
+    lookback_seconds: float | None = None,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`qctimeseries_spark.events.attribution`
+    (LAST-touch only): emit one row per CONVERSION event the moment it
+    arrives, crediting the user's most recent ``touch_types`` event
+    strictly earlier in µs (within the optional lookback), or a
+    NULL-touch row when none qualifies.  First-touch-within-lookback
+    is deliberately NOT offered here: under a sliding lookback it
+    needs every touch in the window buffered per user (unbounded
+    state), which is exactly what this operator refuses to hold —
+    run the batch operator for first-touch reports.
+
+    State per user is SIX scalars: the latest touch (type, µs), the
+    latest touch at a STRICTLY EARLIER µs (type, µs), and the last
+    processed (µs, tie).  The penultimate-distinct-µs touch is the
+    subtle one — a conversion arriving in a later batch at EXACTLY
+    the carried touch's microsecond must skip it (same-µs touches
+    never attribute) and credit the previous distinct-µs touch, which
+    a single carried touch cannot answer.  Two suffice: admitted rows
+    are never earlier than the last processed µs, so no future
+    conversion can need anything older.  O(#users) state, per-batch
+    work one vectorized sort + two searchsorted calls.
+
+    Same (µs, tie) in-order admission contract as
+    :func:`stream_transitions` (redelivered last event dedups free);
+    rows whose type is neither the conversion nor a touch never touch
+    state (they cannot matter — mirrors the batch operator's
+    scan-pruning pre-filter).  NULL user / time / tie rows drop.
+    """
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if conversion_type in touch_types:
+        raise ValueError(
+            "conversion_type cannot also be a touch type "
+            f"({conversion_type!r} would attribute to itself)"
+        )
+    lookback_us = (
+        int(round(lookback_seconds * 1_000_000))
+        if lookback_seconds is not None
+        else None
+    )
+    if lookback_us is not None and lookback_us <= 0:
+        raise ValueError("lookback_seconds must be positive")
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    user_dt = stream.schema[user_col].dataType.simpleString()
+    tie_dt = stream.schema[tie_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {user_dt}, {tie_col} {tie_dt},"
+        " conv_ts timestamp, touch_type string,"
+        " touch_ts timestamp, lag_us bigint"
+    )
+    state_schema = (
+        "t2_type string, t2_us bigint, p_type string, p_us bigint,"
+        " last_us bigint, last_tie bigint"
+    )
+    relevant = [conversion_type, *touch_types]
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        t2_type, t2_us, p_type, p_us, last_us, last_tie = (
+            state.get if state.exists else (None,) * 6
+        )
+        frames = [pdf[[time_col, type_col, tie_col]] for pdf in pdf_iter]
+        if not frames:
+            return
+        pdf = pd.concat(frames)
+        pdf = pdf[
+            pdf[type_col].isin(relevant)
+            & pdf[time_col].notna()
+            & pdf[tie_col].notna()
+        ].sort_values([time_col, tie_col], kind="stable")
+        us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
+        ties = pdf[tie_col].to_numpy()
+        types = pdf[type_col].to_numpy()
+        if last_us is not None:
+            keep = (us > last_us) | ((us == last_us) & (ties > last_tie))
+            us, ties, types = us[keep], ties[keep], types[keep]
+        if len(us) == 0:
+            return
+        is_touch = types != conversion_type
+        # carried touches prepend in order: p strictly precedes t2,
+        # and every admitted row is >= last_us >= t2_us
+        pre_us = [u for u in (p_us, t2_us) if u is not None]
+        pre_ty = [t for u, t in ((p_us, p_type), (t2_us, t2_type))
+                  if u is not None]
+        all_t_us = np.concatenate([
+            np.asarray(pre_us, dtype=np.int64), us[is_touch]
+        ])
+        all_t_ty = np.concatenate([
+            np.asarray(pre_ty, dtype=object),
+            types[is_touch].astype(object),
+        ])
+        # new state first (the emit below cannot fail the update)
+        new_last_us, new_last_tie = int(us[-1]), int(ties[-1])
+        if len(all_t_us):
+            n_t2_us, n_t2_ty = int(all_t_us[-1]), str(all_t_ty[-1])
+            q = int(np.searchsorted(all_t_us, n_t2_us, side="left")) - 1
+            n_p_us, n_p_ty = (
+                (int(all_t_us[q]), str(all_t_ty[q])) if q >= 0
+                else (None, None)
+            )
+        else:
+            n_t2_us, n_t2_ty, n_p_us, n_p_ty = t2_us, t2_type, p_us, p_type
+        state.update(
+            (n_t2_ty, n_t2_us, n_p_ty, n_p_us, new_last_us, new_last_tie)
+        )
+        is_conv = ~is_touch
+        if not is_conv.any():
+            return
+        c_us, c_tie = us[is_conv], ties[is_conv]
+        n = len(c_us)
+        if len(all_t_us):
+            # last touch strictly earlier in µs: the final array
+            # element below the conversion's µs (among equal-µs
+            # touches the later element is the (µs, tie) max — the
+            # batch election)
+            pos = np.searchsorted(all_t_us, c_us, side="left") - 1
+            valid = pos >= 0
+            safe = np.maximum(pos, 0)
+            t_us_hit = all_t_us[safe]
+            if lookback_us is not None:
+                valid &= t_us_hit >= c_us - lookback_us
+            t_ty_hit = all_t_ty[safe]
+        else:
+            valid = np.zeros(n, dtype=bool)
+            t_us_hit = np.zeros(n, dtype=np.int64)
+            t_ty_hit = np.full(n, None, dtype=object)
+        touch_ts = pd.Series(pd.to_datetime(t_us_hit, unit="us"))
+        touch_ts[~valid] = pd.NaT
+        lag = pd.Series(
+            pd.array(c_us - t_us_hit, dtype="Int64")
+        )
+        lag[~valid] = pd.NA
+        yield pd.DataFrame(
+            {
+                user_col: key[0],
+                tie_col: c_tie,
+                "conv_ts": pd.to_datetime(c_us, unit="us"),
+                "touch_type": np.where(valid, t_ty_hit, None),
+                "touch_ts": touch_ts,
+                "lag_us": lag,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = stream.filter(F.col(user_col).isNotNull()).withWatermark(
+        time_col, watermark
+    )
+    return src.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_sessions(
     stream: DataFrame,
     *,

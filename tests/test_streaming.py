@@ -2321,3 +2321,182 @@ def test_stream_transitions_drained_equals_batch_pairs(spark):
         ).collect()
     }
     assert stream_counts == batch
+
+
+# ---------------------------------------------------------------------------
+# streaming attribution (st25)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_attribution_same_us_penult_across_batches(spark, tmp_path):
+    """The six-scalar state's subtle member: a conversion arriving in
+    a LATER batch at exactly the carried touch's microsecond must
+    skip it (same-µs touches never attribute) and credit the carried
+    penultimate-distinct-µs touch; a later conversion still credits
+    the full last touch; lookback cuts; no-touch users emit the NULL
+    row."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_attribution,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    b0 = [(1, 1, t(0), "click"), (2, 1, t(5), "signup"),
+          (10, 2, t(0), "click")]
+    b1 = [(3, 1, t(5), "purchase"),    # same µs as signup: penult click
+          (4, 1, t(6), "purchase"),    # credits the signup
+          (11, 2, t(50), "purchase"),  # 50 min > 10-min lookback
+          (20, 3, t(0), "purchase")]   # no touch at all
+    src = str(tmp_path / "src")
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in [b0, b1]], src
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    out = run_available_now(
+        stream_attribution(
+            stream, conversion_type="purchase",
+            touch_types=["signup", "click"], lookback_seconds=600.0,
+        ),
+        output_mode="append",
+    )
+    got = sorted(
+        (r.user_id, r.event_id, r.touch_type, r.lag_us)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 3, "click", 300_000_000),
+        (1, 4, "signup", 60_000_000),
+        (2, 11, None, None),
+        (3, 20, None, None),
+    ]
+
+
+def test_stream_attribution_guards(spark):
+    import datetime as dt  # noqa: F401
+
+    import pytest
+
+    from qctimeseries_spark.streaming import stream_attribution
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    df = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="non-empty"):
+        stream_attribution(df, conversion_type="p", touch_types=[])
+    with pytest.raises(ValueError, match="attribute to itself"):
+        stream_attribution(df, conversion_type="p", touch_types=["p"])
+    with pytest.raises(ValueError, match="positive"):
+        stream_attribution(df, conversion_type="p", touch_types=["c"],
+                           lookback_seconds=-1.0)
+
+
+def test_stream_attribution_drained_equals_batch(spark):
+    """On an in-order drain the emitted rows equal the batch
+    last-touch election bit-for-bit (same columns, same values)."""
+    from qctimeseries_spark.events import attribution
+    from qctimeseries_spark.sources import read_table
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_attribution,
+        stream_events,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    kw = dict(conversion_type="purchase",
+              touch_types=["signup", "click"],
+              lookback_seconds=7 * 86400.0)
+    drained = run_available_now(
+        stream_attribution(
+            stream_events(spark, sf_dir).select(
+                "user_id", "ts", "event_type", "event_id"
+            ),
+            **kw,
+        ),
+        output_mode="append",
+    )
+    batch = attribution(
+        read_table(spark, sf_dir, "events"), mode="last",
+        ties=["event_id"], **kw,
+    )
+    key = lambda r: (r.user_id, r.event_id)
+    got = sorted(map(tuple, drained.collect()), key=lambda t: t[:2])
+    want = sorted(map(tuple, batch.collect()), key=lambda t: t[:2])
+    assert got == want
+
+
+def test_stream_attribution_and_transitions_three_batch_drain(
+    spark, tmp_path
+):
+    """Cross-batch at real-data scale: sf0.001 events cut into THREE
+    time-ordered staged batches (per-user in-order by construction —
+    equal-timestamp rows cannot straddle a strict time cut), drained,
+    and compared to the batch twins.  The hand-staged tests pin the
+    boundary semantics; this pins that state carries correctly over
+    thousands of users and both batch boundaries."""
+    from qctimeseries_spark.events import attribution, event_transitions
+    from qctimeseries_spark.sources import read_table
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_attribution,
+        stream_transitions,
+    )
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    c1, c2 = ev.selectExpr(
+        "timestamp_micros(cast(percentile_disc(0.33)"
+        " WITHIN GROUP (ORDER BY unix_micros(ts)) AS bigint)) AS c1",
+        "timestamp_micros(cast(percentile_disc(0.66)"
+        " WITHIN GROUP (ORDER BY unix_micros(ts)) AS bigint)) AS c2",
+    ).first()
+    batches = [
+        ev.filter(F.col("ts") <= F.lit(c1)),
+        ev.filter((F.col("ts") > F.lit(c1)) & (F.col("ts") <= F.lit(c2))),
+        ev.filter(F.col("ts") > F.lit(c2)),
+    ]
+    src = str(tmp_path / "src")
+    stage_file_batches(batches, src)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+
+    def staged():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("user_id", "ts", "event_type", "event_id")
+        )
+
+    kw = dict(conversion_type="purchase",
+              touch_types=["signup", "click"],
+              lookback_seconds=7 * 86400.0)
+    att = run_available_now(
+        stream_attribution(staged(), **kw), output_mode="append"
+    )
+    att_batch = attribution(ev, mode="last", ties=["event_id"], **kw)
+    got = sorted(map(tuple, att.collect()), key=lambda t: t[:2])
+    want = sorted(map(tuple, att_batch.collect()), key=lambda t: t[:2])
+    assert got == want and len(got) > 100
+
+    tr = run_available_now(
+        stream_transitions(staged()), output_mode="append"
+    )
+    tr_counts = {
+        (r.from_type, r.to_type): r.n
+        for r in tr.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    batch_counts = {
+        (r.from_type, r.to_type): r.n_pairs
+        for r in event_transitions(ev, ties=["event_id"]).collect()
+    }
+    assert tr_counts == batch_counts
