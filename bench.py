@@ -208,6 +208,9 @@ EXTENDED = [
     "e5_attribution",
     "st24_stream_transitions",
     "st25_stream_attribution",
+    # round 12 (late): streaming candlesticks (w17's pure-JVM
+    # windowed-aggregation twin)
+    "st26_stream_ohlc",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -2913,6 +2913,30 @@ def q_st25_stream_attribution(spark, sf_dir):
     )
 
 
+def q_st26_stream_ohlc(spark, sf_dir):
+    """Streaming candlesticks drained APPEND-mode: w17's per-(user,
+    6-hour bucket) open/high/low/close from the pure-JVM windowed
+    struct-min/max aggregation (no Python state), equal bucket-for-
+    bucket to the batch OHLC of every watermark-closed bucket — the
+    oracle mirrors the eviction horizon (the st7 precedent)."""
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_ohlc,
+    )
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "ts", "value", "event_id"
+    )
+    return run_available_now(
+        stream_ohlc(
+            ev, "ts", "value", step_minutes=360.0,
+            key_cols=["user_id"], ties=["event_id"],
+        ),
+        output_mode="append",
+    )
+
+
 QUERIES["w15_time_weighted"] = q_w15_time_weighted
 QUERIES["e1_funnel"] = q_e1_funnel
 QUERIES["e2_retention"] = q_e2_retention
@@ -2925,6 +2949,7 @@ QUERIES["e4_transitions"] = q_e4_transitions
 QUERIES["e5_attribution"] = q_e5_attribution
 QUERIES["st24_stream_transitions"] = q_st24_stream_transitions
 QUERIES["st25_stream_attribution"] = q_st25_stream_attribution
+QUERIES["st26_stream_ohlc"] = q_st26_stream_ohlc
 
 
 # The driver harness hash-checks at most the FIRST 50 registry
@@ -2955,7 +2980,7 @@ QUERIES["st25_stream_attribution"] = q_st25_stream_attribution
 # r13 with their families in-window via h7-h10 and t11-t32.  The
 # late-r12 newborns w17_ohlc / e4_transitions / d15_edit_distance /
 # e5_attribution / st24_stream_transitions / st25_stream_attribution
-# follow the e3 precedent
+# / st26_stream_ohlc follow the e3 precedent
 # (the window was already pinned full of higher-priority tiers):
 # each holds same-session replica greens at sf0.01 AND sf1, their
 # families stay in-window via w15/w16, e1-e3, st22/st23, and
@@ -4352,6 +4377,34 @@ SELECT user_id, make_timestamp(bk * {360 * 60 * 1_000_000}) AS bucket_ts,
        MAX(CASE WHEN rn_d = 1 THEN y END) AS close,
        CAST(COUNT(*) AS BIGINT) AS n_obs
 FROM w GROUP BY user_id, bk"""
+
+# st26: w17's SQL under st7's append-mode emission horizon — only
+# buckets whose END the final watermark (max event time − 1 h over
+# the value-bearing rows the operator actually streams) has passed.
+ORACLE["st26_stream_ohlc"] = f"""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         epoch_us(ts) // {360 * 60 * 1_000_000} AS bk,
+         value AS y, event_id
+  FROM events WHERE value IS NOT NULL
+),
+m AS (SELECT MAX(make_timestamp(us)) AS mx FROM src),
+w AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bk
+                            ORDER BY us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bk
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM src
+)
+SELECT user_id, make_timestamp(bk * {360 * 60 * 1_000_000}) AS bucket_ts,
+       MAX(CASE WHEN rn_a = 1 THEN y END) AS open,
+       MAX(y) AS high, MIN(y) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN y END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM w GROUP BY user_id, bk
+HAVING make_timestamp(bk * {360 * 60 * 1_000_000}) + INTERVAL 6 HOUR
+         <= (SELECT mx FROM m) - INTERVAL 1 HOUR"""
 
 ORACLE["e4_transitions"] = """
 WITH src AS (

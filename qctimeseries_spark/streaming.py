@@ -1586,6 +1586,65 @@ def stream_resample(
     return out.withColumn("bucket_ts", F.col("_win.start")).drop("_win")
 
 
+def stream_ohlc(
+    stream: DataFrame,
+    time_col: str = "ts",
+    value_col: str = "value",
+    *,
+    step_minutes: float,
+    key_cols: list[str] | None = None,
+    ties: list[str] | None = None,
+    watermark: str = "1 hour",
+    out_time_col: str = "bucket_ts",
+) -> DataFrame:
+    """Streaming twin of :func:`~qctimeseries_spark.windows.
+    ohlc_resample`: live candlesticks per (keys, epoch-anchored
+    tumbling bucket) — open/high/low/close + count, finalized and
+    EVICTED at the watermark (append mode).
+
+    Entirely JVM-side: open/close are the same lexicographic
+    (time, ties, value) struct min/max as the batch operator, which
+    Spark maintains as ordinary declarative aggregate state — no
+    Python in the loop, no custom state schema, O(1) scalars per open
+    bucket.  Values pass through untouched, so a drained stream is
+    bit-exact against the batch OHLC of the finalized buckets (how
+    the oracle checks it).  NULL values drop first, as in batch.
+    """
+    step_us = int(round(step_minutes * 60 * 1_000_000))
+    if step_us <= 0 or step_us % 1_000_000:
+        raise ValueError("step_minutes must be a positive whole-second step")
+    keys = list(key_cols or [])
+    tie_cols = list(ties or [])
+    src = (
+        stream.filter(F.col(value_col).isNotNull())
+        .withWatermark(time_col, watermark)
+        if stream.isStreaming
+        else stream.filter(F.col(value_col).isNotNull())
+    )
+    ostruct = F.struct(
+        F.unix_micros(F.col(time_col)).alias("_us"),
+        *[F.col(c) for c in tie_cols],
+        F.col(value_col).alias("_y"),
+    )
+    win = F.window(F.col(time_col), f"{step_us // 1_000_000} seconds")
+    agg = src.groupBy(*keys, win.alias("_win")).agg(
+        F.min(ostruct).alias("_first"),
+        F.max(ostruct).alias("_last"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+    )
+    return agg.select(
+        *keys,
+        F.col("_win.start").alias(out_time_col),
+        F.col("_first").getField("_y").alias("open"),
+        "high",
+        "low",
+        F.col("_last").getField("_y").alias("close"),
+        "n_obs",
+    )
+
+
 def stream_psi(
     stream: DataFrame,
     reference: DataFrame,

@@ -2500,3 +2500,96 @@ def test_stream_attribution_and_transitions_three_batch_drain(
         for r in event_transitions(ev, ties=["event_id"]).collect()
     }
     assert tr_counts == batch_counts
+
+
+# ---------------------------------------------------------------------------
+# streaming OHLC (st26)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_ohlc_merges_across_batches_and_evicts(spark, tmp_path):
+    """Open/close struct state merges across micro-batches inside a
+    bucket (open stays the batch-0 value, close moves to the batch-1
+    value); a bucket the final watermark has not passed is WITHHELD
+    (append mode); NULL values never count."""
+    import datetime as dt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_ohlc,
+    )
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    b0 = [(1, 1, t(0, 10), 5.0), (2, 1, t(0, 20), 9.0),
+          (3, 1, t(0, 15), None)]          # NULL: dropped
+    b1 = [(4, 1, t(0, 40), 2.0), (5, 1, t(0, 50), 7.0),
+          # advances the watermark past bucket 0's end (1:00 + 1 h)
+          (6, 1, t(3), 1.0)]               # …but its own bucket holds
+    src = str(tmp_path / "src")
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in [b0, b1]], src
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    out = run_available_now(
+        stream_ohlc(stream, "ts", "value", step_minutes=60.0,
+                    key_cols=["user_id"], ties=["event_id"]),
+        output_mode="append",
+    )
+    got = [(r.user_id, r.bucket_ts, r.open, r.high, r.low, r.close,
+            r.n_obs) for r in out.collect()]
+    assert got == [(1, t(0), 5.0, 9.0, 2.0, 7.0, 4)]
+
+    import pytest
+
+    from qctimeseries_spark.streaming import stream_ohlc as so
+
+    df = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="whole-second"):
+        so(df, "ts", "value", step_minutes=0.001)
+
+
+def test_stream_ohlc_drained_equals_batch_within_horizon(spark):
+    """Drained append-mode output == the batch ohlc_resample rows for
+    every bucket whose end the final watermark passed (the st7
+    emission-horizon contract)."""
+    from qctimeseries_spark.sources import read_table
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stream_events,
+        stream_ohlc,
+    )
+    from qctimeseries_spark.windows import ohlc_resample
+
+    sf_dir = "/root/testdata/sf0.001"
+    drained = run_available_now(
+        stream_ohlc(
+            stream_events(spark, sf_dir).select(
+                "user_id", "ts", "value", "event_id"
+            ),
+            "ts", "value", step_minutes=360.0,
+            key_cols=["user_id"], ties=["event_id"],
+        ),
+        output_mode="append",
+    )
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.filter(F.col("value").isNotNull()).agg(
+        F.max("ts")
+    ).first()[0]
+    batch = ohlc_resample(
+        ev, "ts", "value", step_minutes=360.0,
+        key_cols=["user_id"], ties=["event_id"],
+    ).filter(
+        F.col("bucket_ts") + F.expr("INTERVAL 6 HOURS")
+        <= F.lit(mx) - F.expr("INTERVAL 1 HOUR")
+    )
+    key = lambda t: (t[0], t[1])
+    got = sorted(map(tuple, drained.collect()), key=key)
+    want = sorted(map(tuple, batch.collect()), key=key)
+    assert got == want and len(got) > 50
