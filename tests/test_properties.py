@@ -998,3 +998,53 @@ def test_attribution_matches_python_model(spark, events, mode,
                 (m - mt) * 60 * 1_000_000,
             )
     assert got == want
+
+
+@given(events=_attr_events_st)
+@SETTINGS
+def test_event_transitions_matches_python_model(spark, events):
+    """event_transitions == the brute model: consecutive pairs per
+    user in (time, event_id) order, counted globally; frac_of_from is
+    the exact 9-dp HALF_UP quotient of the two counts."""
+    import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from qctimeseries_spark.events import event_transitions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(minutes=m), ty)
+        for i, (u, m, ty) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_pairs, r.n_from, r.frac_of_from)
+        for r in event_transitions(df, ties=["event_id"]).collect()
+    }
+
+    per_user: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, m, ty) in enumerate(events):
+        per_user.setdefault(u, []).append((m, i, ty))
+    pairs: dict[tuple[str, str], int] = {}
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    from_tot: dict[str, int] = {}
+    for (a, _), n in pairs.items():
+        from_tot[a] = from_tot.get(a, 0) + n
+    want = {
+        k: (
+            n,
+            from_tot[k[0]],
+            float(
+                (Decimal(n) / Decimal(from_tot[k[0]])).quantize(
+                    Decimal("0.000000001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for k, n in pairs.items()
+    }
+    assert got == want
