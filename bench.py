@@ -209,8 +209,10 @@ EXTENDED = [
     "st24_stream_transitions",
     "st25_stream_attribution",
     # round 12 (late): streaming candlesticks (w17's pure-JVM
-    # windowed-aggregation twin)
+    # windowed-aggregation twin); max-gap-capped LOCF (the production
+    # imputation-integrity knob under the driver hash)
     "st26_stream_ohlc",
+    "w18_ffill_maxgap",
 ]
 
 HEADLINE = CORE + EXTENDED

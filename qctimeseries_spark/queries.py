@@ -1387,6 +1387,29 @@ def q_w10_ffill(spark, sf_dir):
     ).select("grid_ts", "value", "is_gap", "value_filled")
 
 
+def q_w18_ffill_maxgap(spark, sf_dir):
+    """w10's forward fill with the QC-integrity knob under the driver
+    hash: ``max_gap_seconds=43200`` (12 h) bounds how far a value
+    carries, so grid rows more than two 6-h steps past their source
+    observation stay NULL instead of inventing data across day-long
+    holes — the behavior that separates production LOCF from the
+    textbook one.  Same two-phase (block + boundary-carry) plan; the
+    cap is one extra projection on the carried source timestamp."""
+    from qctimeseries_spark.windows import fill_forward, regularize
+
+    s = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == 7)
+        .groupBy("ts")
+        .agg(F.max("value").alias("value"))
+    )
+    reg = regularize(s, "ts", step_minutes=360.0)
+    return fill_forward(
+        reg, "grid_ts", "value", block_hours=48.0,
+        max_gap_seconds=43200.0,
+    ).select("grid_ts", "value", "is_gap", "value_filled")
+
+
 def q_a10_rolling_outliers(spark, sf_dir):
     """Trailing 48 h rolling mean/std/count + z-score outlier
     candidates over user 7's series, via the halo-block range window —
@@ -1720,6 +1743,7 @@ QUERIES.update(
         "st5_stream_enrich": q_st5_stream_enrich,
         "w9_regularize": q_w9_regularize,
         "w10_ffill": q_w10_ffill,
+        "w18_ffill_maxgap": q_w18_ffill_maxgap,
         "a10_rolling_outliers": q_a10_rolling_outliers,
         "w11_interpolate": q_w11_interpolate,
         "st6_stream_anomalies": q_st6_stream_anomalies,
@@ -2980,7 +3004,7 @@ QUERIES["st26_stream_ohlc"] = q_st26_stream_ohlc
 # r13 with their families in-window via h7-h10 and t11-t32.  The
 # late-r12 newborns w17_ohlc / e4_transitions / d15_edit_distance /
 # e5_attribution / st24_stream_transitions / st25_stream_attribution
-# / st26_stream_ohlc follow the e3 precedent
+# / st26_stream_ohlc / w18_ffill_maxgap follow the e3 precedent
 # (the window was already pinned full of higher-priority tiers):
 # each holds same-session replica greens at sf0.01 AND sf1, their
 # families stay in-window via w15/w16, e1-e3, st22/st23, and
@@ -3428,6 +3452,33 @@ SELECT grid_ts, value, is_gap,
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS value_filled
 FROM reg""",
+    # w18: the max-gap cap — carry the source instant with the value
+    # and null the fill once it is older than 12 h
+    "w18_ffill_maxgap": """
+WITH s AS (
+  SELECT ts, MAX(value) AS value FROM events WHERE user_id = 7 GROUP BY ts
+),
+b AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM s),
+grid AS (
+  SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+                                INTERVAL 6 HOUR)) AS grid_ts
+),
+reg AS (
+  SELECT g.grid_ts, s.value, CAST(s.ts IS NULL AS INT) AS is_gap
+  FROM grid g LEFT JOIN s ON s.ts = g.grid_ts
+),
+c AS (
+  SELECT grid_ts, value, is_gap,
+         last_value(CASE WHEN value IS NOT NULL
+                         THEN {'t': grid_ts, 'v': value} END IGNORE NULLS)
+             OVER (ORDER BY grid_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM reg
+)
+SELECT grid_ts, value, is_gap,
+       CASE WHEN epoch_us(grid_ts) - epoch_us(p.t) <= 43200000000
+            THEN p.v END AS value_filled
+FROM c""",
     "w11_interpolate": """
 WITH s AS (
   SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ts,
