@@ -76,6 +76,10 @@ _PLAN_PINS = {  # name -> (max_global_windows, max_nested_loop_joins)
     # #blocks frame (w10/w11's pattern) — that window is #blocks-sized,
     # never the series
     "w14_bfill": (1, 0),
+    # w18: fill_forward's boundary carry — the same #blocks-sized
+    # frame as w14 (w10 itself is out of HEADLINE, so the max-gap twin
+    # carries the pin)
+    "w18_ffill_maxgap": (1, 0),
     "x1_knn_bruteforce": (0, 1),
     "x6_quantized_knn": (0, 1),  # x1's broadcast != join over int8
     "x7_pq_knn": (0, 1),  # same broadcast-queries ADC scan over codes

@@ -1,6 +1,7 @@
 """Fixed vs marginal cost of the availableNow streaming drains
-(st12–st19) — VERDICT r7 task 6, extended with the sketch streams
-and the native session_window sessionization.
+(st12–st26) — VERDICT r7 task 6, extended with the sketch streams,
+the native session_window sessionization, and the round-12 event /
+candlestick streams.
 
 The bench times each streaming ingest/serve query as one opaque drain,
 but most of that cost is FIXED micro-batch machinery (stream planning,
@@ -189,6 +190,81 @@ def main() -> int:
             output_mode="append",
         ).count()
 
+    def st22(src, run):
+        from qctimeseries_spark.streaming import (
+            run_available_now,
+            stream_funnel,
+        )
+
+        run_available_now(
+            stream_funnel(
+                read_stream(
+                    src,
+                    "event_id bigint, user_id bigint, ts timestamp,"
+                    " event_type string",
+                ).select("user_id", "ts", "event_type"),
+                ["signup", "click", "purchase"],
+                horizon_seconds=7 * 86400.0,
+            ),
+            output_mode="append",
+        ).count()
+
+    def st24(src, run):
+        from qctimeseries_spark.streaming import (
+            run_available_now,
+            stream_transitions,
+        )
+
+        run_available_now(
+            stream_transitions(
+                read_stream(
+                    src,
+                    "event_id bigint, user_id bigint, ts timestamp,"
+                    " event_type string",
+                ).select("user_id", "ts", "event_type", "event_id")
+            ),
+            output_mode="append",
+        ).count()
+
+    def st25(src, run):
+        from qctimeseries_spark.streaming import (
+            run_available_now,
+            stream_attribution,
+        )
+
+        run_available_now(
+            stream_attribution(
+                read_stream(
+                    src,
+                    "event_id bigint, user_id bigint, ts timestamp,"
+                    " event_type string",
+                ).select("user_id", "ts", "event_type", "event_id"),
+                conversion_type="purchase",
+                touch_types=["signup", "click"],
+                lookback_seconds=7 * 86400.0,
+            ),
+            output_mode="append",
+        ).count()
+
+    def st26(src, run):
+        from qctimeseries_spark.streaming import (
+            run_available_now,
+            stream_ohlc,
+        )
+
+        run_available_now(
+            stream_ohlc(
+                read_stream(
+                    src,
+                    "event_id bigint, user_id bigint, ts timestamp,"
+                    " value double",
+                ).select("user_id", "ts", "value", "event_id"),
+                "ts", "value", step_minutes=360.0,
+                key_cols=["user_id"], ties=["event_id"],
+            ),
+            output_mode="append",
+        ).count()
+
     def st17(src, run):
         from qctimeseries_spark.datapipe.text import tokens
 
@@ -214,6 +290,11 @@ def main() -> int:
     )
     events_full.persist().count()
 
+    events_val = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    events_val.persist().count()
+
     queries = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -234,6 +315,14 @@ def main() -> int:
         # log stays in-order inside one batch (the operator's in-order
         # contract) — added for the r11 bench watch-item decomposition
         "st18": (events_full, "user_id", st18),
+        # round-12 event/candlestick streams: same user_id hash split
+        # (each user's rows land whole in one batch, satisfying the
+        # per-user in-order contracts of st22/st24/st25; st26 is an
+        # order-free windowed aggregation)
+        "st22": (events_full, "user_id", st22),
+        "st24": (events_full, "user_id", st24),
+        "st25": (events_full, "user_id", st25),
+        "st26": (events_val, "user_id", st26),
     }
 
     results = {}
