@@ -213,6 +213,8 @@ EXTENDED = [
     # imputation-integrity knob under the driver hash)
     "st26_stream_ohlc",
     "w18_ffill_maxgap",
+    # round 12 (late): rolling active users (the DAU/WAU KPI)
+    "e6_active_users",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -379,6 +379,75 @@ def retention_cohorts(
     )
 
 
+def active_users(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    period_days: float = 1.0,
+    window_periods: int = 7,
+) -> DataFrame:
+    """Rolling active-user counts — the DAU/WAU KPI: for every
+    epoch-anchored ``period_days`` bucket with ≥1 active user, the
+    distinct users active IN that bucket (``n_active_period``) and in
+    the trailing ``window_periods``-bucket window ending at it
+    (``n_active_window`` — DAU and WAU at the defaults).
+
+    Scale shape: the corpus pays ONE exchange to distinct the
+    (user, period) pairs — everything after runs on that thin pair
+    table: per-period counts are a map-side-combinable groupBy, and
+    the rolling count explodes each pair into the ``window_periods``
+    buckets it contributes to (a bounded ×k expansion of the PAIR
+    table, not the events table) followed by a distinct count — a
+    user active on several days inside one window still counts once.
+    No self-join of the events table, no per-day range join.
+
+    NULL user / time rows drop (no activity is attributable to
+    them).  Periods with zero active users emit no row — the caller
+    joins a calendar if gap rows matter.
+    """
+    if window_periods < 1:
+        raise ValueError("window_periods must be >= 1")
+    period_us = int(round(period_days * 86400 * 1_000_000))
+    if period_us <= 0:
+        raise ValueError("period_days must be positive")
+    from qctimeseries_spark.windows import _floor_div_sql
+
+    pairs = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(time_col).isNotNull()
+        )
+        .select(
+            F.col(user_col),
+            F.expr(
+                _floor_div_sql(f"unix_micros(`{time_col}`)", period_us)
+            ).alias("_p"),
+        )
+        .distinct()
+    )
+    per = pairs.groupBy("_p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_period")
+    )
+    contrib = pairs.select(
+        user_col,
+        F.explode(
+            F.sequence(
+                F.col("_p"), F.col("_p") + F.lit(window_periods - 1)
+            )
+        ).alias("_td"),
+    )
+    rolling = contrib.groupBy("_td").agg(
+        F.count_distinct(F.col(user_col))
+        .cast("bigint")
+        .alias("n_active_window")
+    )
+    return per.join(rolling, per["_p"] == rolling["_td"]).select(
+        F.expr(f"timestamp_micros(_p * {period_us}L)").alias("period_ts"),
+        "n_active_period",
+        "n_active_window",
+    )
+
+
 def attribution(
     events: DataFrame,
     *,

@@ -2961,6 +2961,18 @@ def q_st26_stream_ohlc(spark, sf_dir):
     )
 
 
+def q_e6_active_users(spark, sf_dir):
+    """DAU + trailing 7-day rolling active users per day: one
+    corpus exchange to distinct the (user, day) pairs, then per-day
+    counts and a bounded x7 explode of the PAIR table for the rolling
+    distinct — never a self-join of events, never a per-day range
+    join."""
+    from qctimeseries_spark.events import active_users
+
+    ev = read_table(spark, sf_dir, "events")
+    return active_users(ev, period_days=1.0, window_periods=7)
+
+
 QUERIES["w15_time_weighted"] = q_w15_time_weighted
 QUERIES["e1_funnel"] = q_e1_funnel
 QUERIES["e2_retention"] = q_e2_retention
@@ -2974,6 +2986,7 @@ QUERIES["e5_attribution"] = q_e5_attribution
 QUERIES["st24_stream_transitions"] = q_st24_stream_transitions
 QUERIES["st25_stream_attribution"] = q_st25_stream_attribution
 QUERIES["st26_stream_ohlc"] = q_st26_stream_ohlc
+QUERIES["e6_active_users"] = q_e6_active_users
 
 
 # The driver harness hash-checks at most the FIRST 50 registry
@@ -3004,7 +3017,8 @@ QUERIES["st26_stream_ohlc"] = q_st26_stream_ohlc
 # r13 with their families in-window via h7-h10 and t11-t32.  The
 # late-r12 newborns w17_ohlc / e4_transitions / d15_edit_distance /
 # e5_attribution / st24_stream_transitions / st25_stream_attribution
-# / st26_stream_ohlc / w18_ffill_maxgap follow the e3 precedent
+# / st26_stream_ohlc / w18_ffill_maxgap / e6_active_users follow
+# the e3 precedent
 # (the window was already pinned full of higher-priority tiers):
 # each holds same-session replica greens at sf0.01 AND sf1, their
 # families stay in-window via w15/w16, e1-e3, st22/st23, and
@@ -4545,6 +4559,30 @@ FROM p WHERE to_type IS NOT NULL"""
 # st25: on an in-order drain the six-scalar stateful election equals
 # the batch last-touch election exactly — the oracle IS e5's SQL.
 ORACLE["st25_stream_attribution"] = ORACLE["e5_attribution"]
+
+# e6: the engine explodes the distinct PAIR table into each pair's
+# window_periods target days; the oracle replays the identical
+# expansion with generate_series.
+ORACLE["e6_active_users"] = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+dau AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active_period
+  FROM pairs GROUP BY d
+),
+con AS (
+  SELECT user_id, unnest(generate_series(d, d + 6)) AS td FROM pairs
+),
+wau AS (
+  SELECT td, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS n_active_window
+  FROM con GROUP BY td
+)
+SELECT make_timestamp(dau.d * 86400000000) AS period_ts,
+       dau.n_active_period, wau.n_active_window
+FROM dau JOIN wau ON wau.td = dau.d"""
 
 # st23: the engine drains a left_outer stream-stream join whose right
 # side went quiet and was revived by sentinel heartbeats; once the

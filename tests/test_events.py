@@ -494,3 +494,43 @@ def test_attribution_guards_and_plan_shape(spark):
     assert len(user_ex) == 1, plan
     # the type pre-filter reaches the source (scan-prunes at 100 TB)
     assert "event_type" in plan.split("Exchange")[-1]
+
+
+def test_active_users_hand_computed(spark):
+    """DAU/rolling-AU: per-day distinct users and the trailing-window
+    distinct — a user active twice in one day counts once in both; a
+    user active on two days inside one window counts once in the
+    rolling figure; NULL user/ts rows drop; zero-activity days emit
+    no row."""
+    from qctimeseries_spark.events import active_users
+
+    rows = [
+        # day 0: u1 twice, u2 once -> DAU 2
+        (1, 1, _ts(0), "a"), (2, 1, _ts(0, 5), "b"), (3, 2, _ts(0), "a"),
+        # day 2: u1 again -> DAU 1; window(2) over days 1-2 sees {u1}
+        (4, 1, _ts(2), "a"),
+        # day 3: u3 -> DAU 1; window(2) over days 2-3 sees {u1, u3}
+        (5, 3, _ts(3), "a"),
+        # dropped
+        (6, None, _ts(0), "a"), (7, 4, None, "a"),
+    ]
+    ev = spark.createDataFrame(rows, _EV)
+    got = {
+        r.period_ts: (r.n_active_period, r.n_active_window)
+        for r in active_users(ev, period_days=1.0,
+                              window_periods=2).collect()
+    }
+    assert got == {
+        _ts(0): (2, 2),   # window days -1..0 = {u1, u2}
+        _ts(2): (1, 1),   # window days 1..2 = {u1}
+        _ts(3): (1, 2),   # window days 2..3 = {u1, u3}
+    }
+    # day 1 had no activity: no row
+    assert _ts(1) not in got
+
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 1"):
+        active_users(ev, window_periods=0)
+    with pytest.raises(ValueError, match="positive"):
+        active_users(ev, period_days=0.0)
