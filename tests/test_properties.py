@@ -1048,3 +1048,55 @@ def test_event_transitions_matches_python_model(spark, events):
         for k, n in pairs.items()
     }
     assert got == want
+
+
+_au_events_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # user
+        st.integers(min_value=0, max_value=20),    # day offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events=_au_events_st,
+       window=st.integers(min_value=1, max_value=4))
+@SETTINGS
+def test_active_users_matches_python_model(spark, events, window):
+    """active_users == the brute model: per active day, the distinct
+    users that day and the distinct users over the trailing window —
+    duplicate (user, day) activity never double-counts, empty days
+    emit nothing."""
+    import datetime as dt
+
+    from qctimeseries_spark.events import active_users
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(days=d, hours=1), "a")
+        for i, (u, d) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.period_ts: (r.n_active_period, r.n_active_window)
+        for r in active_users(
+            df, period_days=1.0, window_periods=window
+        ).collect()
+    }
+
+    by_day: dict[int, set[int]] = {}
+    for u, d in events:
+        by_day.setdefault(d, set()).add(u)
+    want = {
+        base + dt.timedelta(days=d): (
+            len(us),
+            len(set().union(*(
+                by_day.get(d - k, set()) for k in range(window)
+            ))),
+        )
+        for d, us in by_day.items()
+    }
+    assert got == want
