@@ -2993,73 +2993,70 @@ QUERIES["e6_active_users"] = q_e6_active_users
 # entries; every entry outside that window is still checked by pytest
 # and the local oracle replica (tools/check_correctness.py), but only
 # window entries get the driver's independent hash verdict.  To keep
-# that verdict honest across a 195-entry registry, the window ROTATES
-# each round.  Round 12 executes VERDICT r11 task 1:
-#   * e3_funnel_lags — the ONLY entry that has never held a driver
-#     verdict (deliberately deferred from the r11 window),
-#   * the whole 15-entry r7-stale tail deferred last round: t11,
-#     t13_mixture, t14, t24, a10, st5, st7, st13, st14, st15, d6,
-#     d7, t16, t21, t22,
-#   * the r12 newborns w16 (carry-in TWA) and st23 (heartbeat-guard
-#     drain) — day-one driver checks, the standing practice,
-#   * the r12 changed paths, all carrying r11 verdicts taken BEFORE
-#     this round's edits: e1/e2/st22 (NULL-user drop + e2's
-#     single-exchange rewrite + st22's >=-boundary fix; e3 rides the
-#     same _stage_times change and is in via the never-checked slot)
-#     and w15 (exact-integer final rounding + value_scale parameter —
-#     replica hash verified unchanged, but the formula moved),
-#   * 25 of the 36-entry r8 band, prioritizing st18_stream_scd2 (the
-#     r11 bench watch-item) and family breadth,
-#   * family-coverage fills f2_rowid / c2_curate / x6_quantized_knn —
-#     the oldest-verdict members of the three families the tiers
-#     above leave out.
-# The 11 r8 entries that do not fit (h11/h12/h13, t33-t40) defer to
-# r13 with their families in-window via h7-h10 and t11-t32.  The
-# late-r12 newborns w17_ohlc / e4_transitions / d15_edit_distance /
-# e5_attribution / st24_stream_transitions / st25_stream_attribution
-# / st26_stream_ohlc / w18_ffill_maxgap / e6_active_users follow
-# the e3 precedent
-# (the window was already pinned full of higher-priority tiers):
-# each holds same-session replica greens at sf0.01 AND sf1, their
-# families stay in-window via w15/w16, e1-e3, st22/st23, and
-# d6/d7/d10-d13, and they rotate in at r13.
+# that verdict honest across a 200+-entry registry, the window ROTATES
+# each round.  Round 13 executes VERDICT r12 task 1:
+#   * the 9 late-r12 newborns that have never held a driver verdict
+#     (deferred from the pinned-full r12 window per the e3 precedent):
+#     d15_edit_distance, w17_ohlc, w18_ffill_maxgap, e4_transitions,
+#     e5_attribution, e6_active_users, st24/st25/st26 — every one
+#     holds r12 replica greens at sf0.01 AND sf1,
+#   * the complete 11-entry r8-stale tail deferred last round:
+#     h11/h12/h13, t33-t40,
+#   * 28 of the 41-entry r9 band, chosen for family breadth (the 13
+#     left out — 8 of t's 12, st1/st2/st3, w10, w4 — are the band's
+#     most family-redundant members: t and st each already hold 8+
+#     and 5 in-window slots via the tiers above),
+#   * family-coverage fills c1_dup_clusters and j2_range_join — the
+#     oldest-verdict members of the two families (c, j) that have NO
+#     r9-band member; test_driver_window_covers_every_family pins
+#     all 16 families in-window, which is why the r9 intake is 28
+#     rather than VERDICT r12's estimated 30.  The 13 r9 leftovers
+#     still satisfy the staleness SLO (nothing older than
+#     current-4 = r9 at r13; see test_registry_staleness_slo) and
+#     rotate in at r14.
+# Round-13 changed paths and their verdicts: st24/st25 (tie-dtype
+# validation) and d15 (NULL-text filter documentation) are in-window
+# newborns; w15/w16 gained only an upfront reserved-name ValueError
+# guard (no formula change — replica hashes verified unchanged in the
+# r13 sweep) and keep their r12 verdicts.  The r13 newborn
+# st27_stream_active_users follows the e3 precedent: replica-verified
+# at sf0.01 + sf1 this round, family in-window via st24-st26, rotates
+# in at r14.
 # ALL entries additionally hold a same-round builder replica green in
-# the committed REPLICA_r12.json full-registry sweep (VERDICT r11
-# task 8).
-_WINDOW_R12 = (
-    # never driver-checked
-    "e3_funnel_lags",
-    # the 15-entry r7-stale tail, complete
-    "t11_split", "t13_mixture", "t14_token_shards", "t24_source_cap",
-    "a10_rolling_outliers", "st5_stream_enrich", "st7_stream_resample",
-    "st13_stream_ingest_neardup", "st14_stream_ingest_embedding",
-    "st15_stream_knn_serve", "d6_incremental_dedup",
-    "d7_incremental_neardup", "t16_bpe_merges", "t21_bpe_encode",
-    "t22_bigram_nll",
-    # r12 newborns (day-one driver checks)
-    "w16_twa_carry", "st23_heartbeat_guard",
-    # r12 changed paths
-    "e1_funnel", "e2_retention", "st22_stream_funnel",
-    "w15_time_weighted",
-    # 25 of the r8 band (the bench watch-item st18 first)
-    "st18_stream_scd2", "u1_seeded_flags", "p1_remove_flags",
-    "w3_admitted_windows", "v1_main_trace", "m1_media_summary",
-    "s11_orc_roundtrip", "j5_interval_join",
-    "a16_seasonal", "a17_change_intervals",
-    "st16_stream_heavyhitters", "st17_stream_distinct",
-    "d10_cross_neardup", "d11_canonical_keep", "d12_snapshot_diff",
-    "d13_dup_rate",
-    "h7_top_unshipped", "h8_local_nation_revenue", "h9_big_orders",
-    "h10_returned_revenue",
-    "t26_shuffle_shard", "t27_bm25", "t28_safe_split",
-    "t31_ngram_novelty", "t32_bloom_prune",
+# the committed REPLICA_r13.json full-registry sweep.
+_WINDOW_R13 = (
+    # the 9 never-driver-checked r12 newborns
+    "d15_edit_distance", "w17_ohlc", "w18_ffill_maxgap",
+    "e4_transitions", "e5_attribution", "e6_active_users",
+    "st24_stream_transitions", "st25_stream_attribution",
+    "st26_stream_ohlc",
+    # the complete 11-entry r8-stale tail
+    "h11_nation_volume", "h12_promo_share", "h13_disjunctive_filter",
+    "t33_cms_heavyhitters", "t34_hll_distinct",
+    "t35_perplexity_buckets", "t36_nfc_dedup", "t37_chunk_docs",
+    "t38_temperature_mix", "t39_pack_sequences",
+    "t40_excise_contamination",
+    # 28 of the 41-entry r9 band
+    "a13_progress_by_window", "a14_ewma", "a4_anchor",
+    "d1_exact_dedup", "d2_minhash_dedup", "d8_embedding_store",
+    "f4_transfer_flags", "h1_pricing_summary", "h3_segment_revenue",
+    "m2_media_features", "p5_strict_clean",
+    "s1_csv_roundtrip", "s10_jsonl_roundtrip",
+    "st11_stream_psi", "st12_stream_ingest_dedup",
+    "t5_fingerprint", "t6_redact_pii", "t7_contamination",
+    "t8_hash_sample",
+    "u4_reset_window", "u5_reset_all",
+    "v2_approved_overlay", "v3_flagged_overlay",
+    "w12_resample",
+    "x7_pq_knn", "x10_cell_sample", "x12_embedding_drift",
+    "x18_binary_knn",
     # family-coverage fills (pinned by
     # test_driver_window_covers_every_family)
-    "f2_rowid", "c2_curate", "x6_quantized_knn",
+    "c1_dup_clusters", "j2_range_join",
 )
-assert len(_WINDOW_R12) == 50 and len(set(_WINDOW_R12)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R12} | {
-    k: v for k, v in QUERIES.items() if k not in _WINDOW_R12
+assert len(_WINDOW_R13) == 50 and len(set(_WINDOW_R13)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R13} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R13
 }
 
 ORACLE = {

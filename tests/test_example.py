@@ -39,28 +39,94 @@ def test_driver_window_covers_every_family():
         f"families {sorted(missing)} fell out of the driver's 50-entry"
         f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
-    # round-12 rotation (VERDICT r11 task 1): the window holds the one
-    # never-driver-checked entry (e3), the complete r7-stale tail, the
-    # r12 newborns, every path changed this round under a pre-change
-    # verdict, and the bench watch-item st18.  This pin asserts the
-    # priority tiers CANNOT silently fall out.
+    # round-13 rotation (VERDICT r12 task 1): the window holds the 9
+    # never-driver-checked r12 newborns and the complete r8-stale
+    # tail.  This pin asserts the priority tiers CANNOT silently fall
+    # out.
     window = set(names[:50])
     assert {
-        # never driver-checked until r12
-        "e3_funnel_lags",
-        # the r7-stale tail rotated in complete
-        "t11_split", "t13_mixture", "t14_token_shards",
-        "t24_source_cap", "a10_rolling_outliers", "st5_stream_enrich",
-        "st7_stream_resample", "st13_stream_ingest_neardup",
-        "st14_stream_ingest_embedding", "st15_stream_knn_serve",
-        "d6_incremental_dedup", "d7_incremental_neardup",
-        "t16_bpe_merges", "t21_bpe_encode", "t22_bigram_nll",
-        # r12 newborns — driver-checked from day one
-        "w16_twa_carry", "st23_heartbeat_guard",
-        # r12 changed paths + the r11 bench watch-item
-        "e1_funnel", "e2_retention", "st22_stream_funnel",
-        "w15_time_weighted", "st18_stream_scd2",
+        # never driver-checked until r13
+        "d15_edit_distance", "w17_ohlc", "w18_ffill_maxgap",
+        "e4_transitions", "e5_attribution", "e6_active_users",
+        "st24_stream_transitions", "st25_stream_attribution",
+        "st26_stream_ohlc",
+        # the r8-stale tail rotated in complete
+        "h11_nation_volume", "h12_promo_share",
+        "h13_disjunctive_filter", "t33_cms_heavyhitters",
+        "t34_hll_distinct", "t35_perplexity_buckets", "t36_nfc_dedup",
+        "t37_chunk_docs", "t38_temperature_mix", "t39_pack_sequences",
+        "t40_excise_contamination",
     } <= window
+
+
+def test_registry_staleness_slo():
+    """Rotation discipline as CI, not prose (VERDICT r12 task 6).
+
+    With a 200+-entry registry and a 50-slot driver hash window,
+    worst-case verdict staleness is ~4 rounds.  This test turns that
+    arithmetic into a hard SLO over the committed driver records:
+
+    * no entry's latest passing driver verdict may be older than
+      ``current - 4`` rounds unless the entry sits in the CURRENT
+      window (about to be re-verified this round), and
+    * no entry may stay driver-unverified beyond its birth round + 1:
+      an entry with no verdict at all must either be in the current
+      window or have been born this round (first replica-sweep
+      appearance == the in-flight round, the e3/st27 deferral
+      precedent).
+
+    ``current`` = the latest committed ``CORRECTNESS_r*.json`` round
+    + 1 — the round in flight while this suite runs.
+    """
+    import json
+
+    from qctimeseries_spark.queries import QUERIES
+
+    def _round(p: Path) -> int:
+        return int(re.search(r"r(\d+)", p.name).group(1))
+
+    corr = sorted(REPO.glob("CORRECTNESS_r*.json"), key=_round)
+    assert corr, "no committed driver correctness records"
+    current = _round(corr[-1]) + 1
+
+    latest_pass: dict[str, int] = {}
+    for p in corr:
+        r = _round(p)
+        for name, v in json.loads(p.read_text()).items():
+            ok = (
+                v.get("rows_match")
+                and v.get("schema_match") is not False
+                and v.get("hash_match") in (True, None)
+            )
+            if ok:
+                latest_pass[name] = max(latest_pass.get(name, 0), r)
+
+    # birth evidence: the earliest replica sweep an entry appears in
+    # (full-registry sweeps are committed every round since r12)
+    born_by: dict[str, int] = {}
+    for p in sorted(REPO.glob("REPLICA_r*.json"), key=_round):
+        r = _round(p)
+        for name in json.loads(p.read_text())["results"]:
+            born_by.setdefault(name, r)
+
+    window = set(list(QUERIES)[:50])
+    stale, unborn = [], []
+    for name in QUERIES:
+        if name in window:
+            continue  # gets a fresh verdict this round
+        if name in latest_pass:
+            if latest_pass[name] < current - 4:
+                stale.append((name, latest_pass[name]))
+        elif born_by.get(name, current) < current:
+            unborn.append((name, born_by[name]))
+    assert not stale, (
+        f"driver verdicts older than r{current - 4} outside the "
+        f"window: {sorted(stale)} — rotate them in"
+    )
+    assert not unborn, (
+        f"entries born before r{current} with no driver verdict and "
+        f"not in the current window: {sorted(unborn)}"
+    )
 
 
 #: plan-shape pins for the bench headline set, measured at sf0.001.
