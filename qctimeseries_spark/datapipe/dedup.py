@@ -1065,13 +1065,26 @@ def edit_distance_on(
     book-length docs would dominate a verify stage; the cap bounds
     per-pair work at O(N²) and is the scale default for long-form
     corpora (state it in results downstream — distances are then
-    prefix distances).
+    prefix distances).  The similarity quotient's integer numerator
+    ``2·(max_len − d)·10⁹`` also assumes max_len below ~4.6×10⁹
+    characters (bigint headroom) — any realistic ``prefix_chars``
+    makes that unreachable; only an uncapped multi-gigabyte single
+    document could overflow it (r12 advisor).
+
+    A pair whose EITHER text is NULL is DROPPED, explicitly: NULL is
+    "no text to verify" (an upstream extraction failure), not an
+    empty document, so it neither scores 1.0 against another NULL nor
+    propagates NULL metric rows downstream — candidate pairs needing
+    a verdict on NULL-text docs should impute ``''`` upstream first
+    (r12 advisor; pinned by ``test_edit_distance_null_text``).
 
     Distance is CODEPOINT-level (Spark ``levenshtein`` semantics).
     The DuckDB oracle twin is byte-level, which coincides exactly on
     ASCII corpora (the fixture's property); a non-ASCII corpus keeps
-    the engine semantics and the oracle would need a byte-projection
-    to follow — documented, not silent.
+    the engine semantics and the oracle needs a byte-projection
+    (``encode(text, 'utf-8')``) to follow — the divergence and the
+    byte-projected oracle twin are pinned executable by
+    ``tests/test_datapipe.py::test_edit_distance_non_ascii``.
 
     Runs only on the candidate set — never quadratic; the doc side is
     pruned to candidate ids BEFORE the text joins
@@ -1085,7 +1098,11 @@ def edit_distance_on(
         if prefix_chars < 1:
             raise ValueError("prefix_chars must be >= 1")
         t = F.substring(t, 1, int(prefix_chars))
-    txt = docs.select(F.col(id_col), t.alias("_t"))
+    # NULL text = nothing to verify: the inner joins below then drop
+    # the pair entirely (docstring contract)
+    txt = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), t.alias("_t")
+    )
     j = (
         pairs.join(
             txt.withColumnRenamed(id_col, "id_a")

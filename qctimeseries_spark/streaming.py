@@ -1002,6 +1002,36 @@ def stream_funnel(
     )
 
 
+def _tie_state(stream: DataFrame, tie_col: str):
+    """State dtype + Python caster for a ``tie_col`` carried in
+    bounded stream state.  The tie orders equal-µs events, so it must
+    be exactly comparable: integral types carry as ``bigint``,
+    strings as ``string`` (lexicographic, matching the batch sort).
+    Anything else (float ties are not exact, timestamps belong in the
+    time column) is rejected up front instead of failing inside the
+    stateful fn at runtime (r12 advisor: the state schema used to
+    hardcode bigint while the OUTPUT schema derived the dtype
+    dynamically, so a string tie passed construction and died in the
+    worker)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    dt = stream.schema[tie_col].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return "bigint", int
+    if isinstance(dt, StringType):
+        return "string", str
+    raise ValueError(
+        f"tie_col {tie_col!r} must be an integral or string column "
+        f"(exact, totally ordered); got {dt.simpleString()}"
+    )
+
+
 def stream_transitions(
     stream: DataFrame,
     *,
@@ -1041,11 +1071,14 @@ def stream_transitions(
 
     user_dt = stream.schema[user_col].dataType.simpleString()
     tie_dt = stream.schema[tie_col].dataType.simpleString()
+    tie_state_dt, tie_cast = _tie_state(stream, tie_col)
     out_schema = (
         f"{user_col} {user_dt}, from_type string, to_type string,"
         f" {time_col} timestamp, {tie_col} {tie_dt}"
     )
-    state_schema = "last_type string, last_us bigint, last_tie bigint"
+    state_schema = (
+        f"last_type string, last_us bigint, last_tie {tie_state_dt}"
+    )
 
     def fn(key, pdf_iter, state):
         import numpy as np
@@ -1077,7 +1110,7 @@ def stream_transitions(
         else:
             from_types = types[:-1]
             to_idx = slice(1, None)
-        state.update((str(types[-1]), int(us[-1]), int(ties[-1])))
+        state.update((str(types[-1]), int(us[-1]), tie_cast(ties[-1])))
         if len(from_types) == 0:
             return
         yield pd.DataFrame(
@@ -1161,6 +1194,7 @@ def stream_attribution(
 
     user_dt = stream.schema[user_col].dataType.simpleString()
     tie_dt = stream.schema[tie_col].dataType.simpleString()
+    tie_state_dt, tie_cast = _tie_state(stream, tie_col)
     out_schema = (
         f"{user_col} {user_dt}, {tie_col} {tie_dt},"
         " conv_ts timestamp, touch_type string,"
@@ -1168,7 +1202,7 @@ def stream_attribution(
     )
     state_schema = (
         "t2_type string, t2_us bigint, p_type string, p_us bigint,"
-        " last_us bigint, last_tie bigint"
+        f" last_us bigint, last_tie {tie_state_dt}"
     )
     relevant = [conversion_type, *touch_types]
 
@@ -1210,7 +1244,7 @@ def stream_attribution(
             types[is_touch].astype(object),
         ])
         # new state first (the emit below cannot fail the update)
-        new_last_us, new_last_tie = int(us[-1]), int(ties[-1])
+        new_last_us, new_last_tie = int(us[-1]), tie_cast(ties[-1])
         if len(all_t_us):
             n_t2_us, n_t2_ty = int(all_t_us[-1]), str(all_t_ty[-1])
             q = int(np.searchsorted(all_t_us, n_t2_us, side="left")) - 1

@@ -1252,6 +1252,18 @@ def time_weighted_resample(
     value_scale = int(value_scale)
     keys = list(key_cols or [])
     tie_cols = list(ties or [])
+    # every internal alias either path introduces (r12 advisor: a user
+    # key or tie named e.g. "_b" would silently corrupt the carry_in
+    # bucket split rather than erroring)
+    reserved = {
+        "_us", "_y", "_bk", "_w", "_num", "_den",
+        "_end", "_hi", "_c", "_j", "_b", "_is_obs",
+    }
+    clash = reserved & set(keys + tie_cols)
+    if clash:
+        raise ValueError(
+            f"key_cols/ties must not use reserved names {sorted(clash)}"
+        )
     src = df.filter(F.col(value_col).isNotNull()).select(
         *keys,
         F.expr(
@@ -1386,9 +1398,12 @@ def ohlc_resample(
         raise ValueError("step_minutes must be positive")
     keys = list(key_cols or [])
     tie_cols = list(ties or [])
-    reserved = {"_us", "_y", "_bk"}
-    if reserved & set(tie_cols):
-        raise ValueError(f"ties must not use reserved names {reserved}")
+    reserved = {"_us", "_y", "_bk", "_first", "_last"}
+    clash = reserved & set(keys + tie_cols)
+    if clash:
+        raise ValueError(
+            f"key_cols/ties must not use reserved names {sorted(clash)}"
+        )
     src = df.filter(F.col(value_col).isNotNull()).select(
         *keys,
         F.expr(

@@ -3670,3 +3670,63 @@ def test_edit_distance_prune_plan_shape(spark):
     out = edit_distance_on(pairs, docs, eager_pairs=False)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join LeftSemi") == 2, plan
+
+
+def test_edit_distance_null_text(spark):
+    """NULL text = "no text to verify", NOT an empty document: a pair
+    touching a NULL-text doc is DROPPED (r12 advisor — it used to
+    propagate NULL metric rows), while genuinely empty strings keep
+    the empty-vs-empty = 1.0 convention."""
+    from qctimeseries_spark.datapipe import edit_distance_on
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 2), (1, 3), (3, 3)], "id_a long, id_b long"
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in edit_distance_on(pairs, docs).collect()
+    }
+    assert set(rows) == {(1, 3), (3, 3)}  # every NULL-touching pair gone
+    assert rows[(3, 3)].edit_similarity == 1.0
+    assert rows[(1, 3)].edit_distance == 5
+
+
+def test_edit_distance_non_ascii(spark):
+    """Executable form of the d15 semantics contract (VERDICT r12
+    task 5): the engine's distance is CODEPOINT-level, DuckDB's
+    ``levenshtein`` is BYTE-level, and they diverge exactly on
+    non-ASCII text — 'café' vs 'cafe' is distance 1 in codepoints but
+    2 in UTF-8 bytes (é = 0xC3 0xA9).  The reconciliation the
+    docstring prescribes is a byte projection: running the engine
+    over ``decode(encode(text, 'utf-8'), 'ISO-8859-1')`` (one
+    codepoint per raw byte) reproduces DuckDB's raw byte-level
+    answer, so a non-ASCII corpus CAN be oracle-checked — through the
+    projected column, by contract rather than by luck."""
+    import duckdb
+
+    from qctimeseries_spark.datapipe import edit_distance_on
+
+    docs = spark.createDataFrame(
+        [(1, "café"), (2, "cafe")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+
+    raw = edit_distance_on(pairs, docs).collect()[0]
+    assert (raw.edit_distance, raw.n_a, raw.n_b) == (1, 4, 4)
+
+    oracle = duckdb.sql(
+        "SELECT levenshtein('café', 'cafe')"
+    ).fetchone()[0]
+    assert oracle == 2  # byte-level: the documented divergence
+
+    projected = docs.select(
+        "doc_id",
+        F.decode(F.encode("text", "utf-8"), "ISO-8859-1").alias("text"),
+    )
+    byte_level = edit_distance_on(pairs, projected).collect()[0]
+    assert byte_level.edit_distance == oracle
+    assert (byte_level.n_a, byte_level.n_b) == (5, 4)  # byte lengths

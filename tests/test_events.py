@@ -149,6 +149,23 @@ def test_time_weighted_resample_ties_and_guards(spark):
         time_weighted_resample(df, "ts", "value", step_minutes=0.0)
     with pytest.raises(TypeError, match="timestamp"):
         time_weighted_resample(df, "value", "value", step_minutes=1.0)
+    # r12 advisor: internal aliases are reserved for key/tie names in
+    # BOTH paths (a key named "_b" would silently corrupt the
+    # carry_in bucket split), matching ohlc_resample's guard
+    clash = df.withColumnRenamed("user_id", "_b")
+    for carry in (False, True):
+        with pytest.raises(ValueError, match="reserved"):
+            time_weighted_resample(
+                clash, "ts", "value", step_minutes=60.0,
+                key_cols=["_b"], carry_in=carry,
+            )
+    from qctimeseries_spark.windows import ohlc_resample
+
+    with pytest.raises(ValueError, match="reserved"):
+        ohlc_resample(
+            df.withColumnRenamed("user_id", "_bk"),
+            "ts", "value", step_minutes=60.0, key_cols=["_bk"],
+        )
 
 
 def test_time_weighted_vs_plain_avg_regime_bias(spark):

@@ -2289,6 +2289,60 @@ def test_stream_transitions_across_batches(spark, tmp_path):
     ]
 
 
+def test_stream_tie_dtype_contract(spark, tmp_path):
+    """r12 advisor: the state schema hardcoded ``last_tie bigint``
+    while the OUTPUT schema derived the tie dtype dynamically, so a
+    string tie column passed construction and died inside the
+    stateful fn.  Now the state dtype derives too: a STRING tie works
+    end-to-end (lexicographic order, matching the batch sort), and a
+    non-exact tie dtype (float) raises up front."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from qctimeseries_spark.streaming import (
+        run_available_now,
+        stage_file_batches,
+        stream_attribution,
+        stream_transitions,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    schema = "event_id string, user_id long, ts timestamp, event_type string"
+    b0 = [("e01", 1, t(0), "a"), ("e02", 1, t(1), "b")]
+    b1 = [("e03", 1, t(2), "c"),
+          ("e02", 1, t(1), "b"),      # redelivered: equal (µs, tie) drops
+          ("e02x", 1, t(1), "b")]     # same µs, HIGHER string tie: counts
+    src = str(tmp_path / "src")
+    stage_file_batches(
+        [spark.createDataFrame(rows, schema) for rows in [b0, b1]], src
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    out = run_available_now(stream_transitions(stream),
+                            output_mode="append")
+    got = sorted(
+        (r.from_type, r.to_type, r.event_id) for r in out.collect()
+    )
+    assert got == [("a", "b", "e02"), ("b", "b", "e02x"),
+                   ("b", "c", "e03")]
+
+    bad = spark.createDataFrame(
+        [(1.5, 1, t(0), "a")],
+        "event_id double, user_id long, ts timestamp, event_type string",
+    )
+    with _pt.raises(ValueError, match="integral or string"):
+        stream_transitions(bad)
+    with _pt.raises(ValueError, match="integral or string"):
+        stream_attribution(
+            bad, conversion_type="purchase", touch_types=["ad"]
+        )
+
+
 def test_stream_transitions_drained_equals_batch_pairs(spark):
     """On an in-order drain the emitted pair rows equal the batch
     lead() pairs exactly — aggregating them reproduces e4's counts."""
