@@ -38,6 +38,7 @@ def test_scalar_summary_survives_tail():
             '"calibration_spread"', '"core_subtotal_normalized"',
             '"noisy_run"', '"slowest_raw"', '"calibration_retried"',
             '"stream_fixed_overhead"', '"full_record"',
+            '"pinned_calibration"', '"core_subtotal_normalized_pinned"',
         ):
             assert field in tail, (
                 f"scalar field {field} fell outside the driver's "
@@ -77,6 +78,25 @@ def test_result_json_values():
     # normalized = raw / calibration
     assert rec["queries_normalized"][bench.CORE[0]] == 2.0
     assert rec["core_subtotal_normalized"] == 2.0 * len(bench.CORE)
+    # pinned view = raw / PINNED_CALIBRATION, a CONSTANT denominator —
+    # two records with different per-run calibration samples must
+    # agree in this column whenever their raws agree (VERDICT r12
+    # task 2: r12's 0.081-vs-0.103 denominators fabricated a ~1.27×
+    # cross-record "regression")
+    assert rec["pinned_calibration"] == bench.PINNED_CALIBRATION
+    exp = round(1.0 / bench.PINNED_CALIBRATION, 3)
+    assert rec["queries_normalized_pinned"][bench.CORE[0]] == exp
+    rec_other_cal = json.loads(
+        bench.result_json(times, 0.081, [0.081], 0.0, 0.01)
+    )
+    assert (
+        rec_other_cal["queries_normalized_pinned"]
+        == rec["queries_normalized_pinned"]
+    )
+    assert (
+        rec_other_cal["core_subtotal_normalized_pinned"]
+        == rec["core_subtotal_normalized_pinned"]
+    )
     assert rec["sf"] == 0.01
     # headline set and registry window stay disjoint concerns, but the
     # bench must never time a query that the registry no longer exports
