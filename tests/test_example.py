@@ -364,3 +364,48 @@ def test_replica_sweep_artifact_current():
     )
     statuses = {v["status"] for v in latest["results"].values()}
     assert statuses <= {"PASS", "ROWS_ONLY"}, statuses
+
+
+def test_qcsession_latency_artifact_current():
+    """VERDICT r12 task 8: the QcSession interactivity budget (SURVEY
+    §7.4 risk 6 — per-event sub-second response) is a COMMITTED,
+    per-round artifact (QCSESSION_LATENCY.json, written by
+    tools/qcsession_latency.py --record at sf0.1), not a tool a
+    reader has to run.  This pin keeps it honest: the record must
+    price every required U-op with p50/p95, carry the checkpoint
+    compaction probe, and be at most ONE round old (the grace round
+    absorbs the driver-timing race where CORRECTNESS_r{N} lands
+    before the driver's own pytest run; a 2-rounds-stale artifact
+    fails)."""
+    import json
+    import re as _re
+
+    rec_path = REPO / "QCSESSION_LATENCY.json"
+    assert rec_path.exists(), (
+        "QCSESSION_LATENCY.json missing — run "
+        "tools/qcsession_latency.py /root/testdata/sf0.1 10 --record"
+    )
+    rec = json.loads(rec_path.read_text())
+    assert rec["sf_dir"].rstrip("/").endswith("sf0.1"), rec["sf_dir"]
+    required = {
+        "flag_selection_50", "redraw_slices", "approve_selection_50",
+        "flag_window", "approve_unflagged", "next_redraw",
+    }
+    assert required <= set(rec["ops"]), (
+        required - set(rec["ops"])
+    )
+    for op in required:
+        entry = rec["ops"][op]
+        assert {"p50", "p95", "jobs_cold", "wall_cold"} <= set(entry)
+        assert entry["p50"] <= entry["p95"]
+    assert "checkpoint_wall" in rec and "post_checkpoint" in rec
+    rounds = [
+        int(_re.search(r"r(\d+)", p.name).group(1))
+        for p in REPO.glob("CORRECTNESS_r*.json")
+    ]
+    current = max(rounds) + 1
+    assert rec["round"] >= current - 1, (
+        f"QCSESSION_LATENCY.json is from round {rec['round']} but the "
+        f"in-flight round is {current} — regenerate it "
+        f"(tools/qcsession_latency.py --record)"
+    )

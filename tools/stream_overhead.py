@@ -265,6 +265,86 @@ def main() -> int:
             output_mode="append",
         ).count()
 
+    def st23(src, run):
+        from qctimeseries_spark.streaming import (
+            run_available_now,
+            stream_stream_join,
+        )
+
+        schema = (
+            "event_id bigint, user_id bigint, ts timestamp,"
+            " event_type string"
+        )
+
+        def side(kind):
+            return (
+                read_stream(src, schema)
+                .filter(F.col("event_type") == kind)
+                .select("event_id", "user_id", "ts")
+            )
+
+        # mirror q_st23's scoped state-partition sizing (8) so the
+        # decomposition prices the same configuration the bench runs
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_available_now(
+                stream_stream_join(
+                    side("purchase"), side("click"),
+                    by="user_id", lookback_seconds=4 * 3600.0,
+                    watermark="1 hour", how="left_outer",
+                ),
+                output_mode="append",
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    def stage_st23(src: str, n: int) -> None:
+        """st23's staging is SEMANTIC (VERDICT r12 task 3): the click
+        side goes quiet at Jan 16 and sentinel heartbeats arrive in
+        LATER micro-batches to advance its watermark, so batch
+        boundaries cannot be a plain hash split.  The decomposition
+        therefore splits only the pre-cut DATA into n hash batches and
+        keeps the 3-batch guard tail (post-cut purchases + heartbeat,
+        heartbeat, heartbeat) constant between the two configs — the
+        (t4 − t1)/3 marginal isolates the per-data-batch cost, and
+        "fixed" deliberately INCLUDES the constant heartbeat/
+        finalization drain tail, which is exactly st23's drain-heavy
+        profile."""
+        from qctimeseries_spark.streaming import (
+            _heartbeat_projection,
+            stage_file_batches,
+        )
+
+        cut = F.lit("2024-01-16").cast("timestamp")
+        template = events_full.select("event_id", "user_id", "ts")
+
+        def hb(iso: str):
+            return (
+                spark.createDataFrame([(iso,)], "t string")
+                .select(F.col("t").cast("timestamp").alias("timestamp"))
+                .select(
+                    *_heartbeat_projection(template, "ts", 0.0,
+                                           {"user_id": -1}),
+                    F.lit("click").alias("event_type"),
+                )
+            )
+
+        pre = events_full.filter(F.col("ts") < cut)
+        batches = [
+            pre.filter(F.pmod(F.xxhash64("user_id"), F.lit(n)) == i)
+            for i in range(n)
+        ]
+        batches.append(
+            events_full.filter(
+                (F.col("ts") >= cut)
+                & (F.col("event_type") == "purchase")
+            ).unionByName(hb("2024-01-16 00:00:00"))
+        )
+        batches.append(hb("2024-02-05 00:00:00"))
+        batches.append(hb("2024-02-06 00:00:00"))
+        stage_file_batches(batches, src)
+
     def st17(src, run):
         from qctimeseries_spark.datapipe.text import tokens
 
@@ -311,6 +391,10 @@ def main() -> int:
         # marginal cost measured here is the per-batch state-store +
         # checkpoint work, the steady-state number
         "st21": (events_full, "user_id", st21),
+        # st23 = st21's left_outer form under the heartbeat guard;
+        # custom SEMANTIC stager (see stage_st23) — its "fixed" column
+        # includes the constant 3-batch heartbeat finalization tail
+        "st23": (events_full, "user_id", st23, stage_st23),
         # st18 likewise hash-splits by user_id, so every key's change
         # log stays in-order inside one batch (the operator's in-order
         # contract) — added for the r11 bench watch-item decomposition
@@ -327,13 +411,18 @@ def main() -> int:
 
     results = {}
     run_id = 0
-    for name, (df, key, flow) in flows.items():
+    for name, entry in flows.items():
+        df, key, flow = entry[:3]
+        stager = entry[3] if len(entry) > 3 else None
         if only and name not in only:
             continue
         times = {}
         for n in (1, 4):
             src = os.path.join(root, f"{name}_src{n}")
-            _stage_files(df, src, n, key)
+            if stager is not None:
+                stager(src, n)
+            else:
+                _stage_files(df, src, n, key)
 
             def once():
                 nonlocal run_id
