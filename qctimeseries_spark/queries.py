@@ -819,9 +819,15 @@ def q_st1_stream_flag_counts(spark, sf_dir):
     stream → stateless flag init → watermarked 24 h tumbling-window flag
     counts → availableNow drain.  Oracle = the identical batch SQL with
     epoch-anchored buckets (streaming windows cannot anchor at min(t))."""
-    from qctimeseries_spark.streaming import streaming_flag_counts
+    from qctimeseries_spark.streaming import (
+        scoped_state_partitions,
+        streaming_flag_counts,
+    )
 
-    return streaming_flag_counts(spark, sf_dir)
+    # windowed-count state is (window × flag) counters — dozens of
+    # keys; measured 2.4 s → 1.0 s at 8 partitions (r13)
+    with scoped_state_partitions(spark):
+        return streaming_flag_counts(spark, sf_dir)
 
 
 def q_st2_stream_gaps(spark, sf_dir):
@@ -871,6 +877,7 @@ def q_st3_stream_dedup(spark, sf_dir):
     from qctimeseries_spark.streaming import (
         dedup_stream,
         run_available_now,
+        scoped_state_partitions,
         stream_events,
     )
 
@@ -880,9 +887,12 @@ def q_st3_stream_dedup(spark, sf_dir):
     )
     merged = src.unionByName(redelivered)
     deduped = dedup_stream(merged, key_cols=["event_id"], time_col="ts")
-    return run_available_now(
-        deduped.select("event_id", "ts", "value"), output_mode="append"
-    )
+    # JVM dedup state machinery dominates the one-batch drain:
+    # measured 2.7 s → 1.3 s at 8 partitions (r13)
+    with scoped_state_partitions(spark):
+        return run_available_now(
+            deduped.select("event_id", "ts", "value"), output_mode="append"
+        )
 
 
 def q_j2_range_join(spark, sf_dir):
@@ -1083,6 +1093,7 @@ def q_st11_stream_psi(spark, sf_dir):
     identical shares/eps/rounding arithmetic."""
     from qctimeseries_spark.streaming import (
         run_available_now,
+        scoped_state_partitions,
         stream_events,
         stream_psi,
     )
@@ -1093,12 +1104,15 @@ def q_st11_stream_psi(spark, sf_dir):
         .select("value")
     )
     s = stream_events(spark, sf_dir).select("ts", "value")
-    return run_available_now(
-        stream_psi(
-            s, ref, edges=_PSI_EDGES, window_minutes=1440.0,
-        ),
-        output_mode="append",
-    )
+    # per-(window, bucket) counter state — dozens of keys; measured
+    # 4.8 s → 2.8 s at 8 partitions (r13)
+    with scoped_state_partitions(spark):
+        return run_available_now(
+            stream_psi(
+                s, ref, edges=_PSI_EDGES, window_minutes=1440.0,
+            ),
+            output_mode="append",
+        )
 
 
 def q_st12_stream_ingest_dedup(spark, sf_dir):
@@ -1114,7 +1128,10 @@ def q_st12_stream_ingest_dedup(spark, sf_dir):
     import shutil
     import tempfile
 
-    from qctimeseries_spark.streaming import ingest_dedup_stream
+    from qctimeseries_spark.streaming import (
+        ingest_dedup_stream,
+        scoped_state_partitions,
+    )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     even = d.filter(F.col("doc_id") % 2 == 0)
@@ -1139,14 +1156,20 @@ def q_st12_stream_ingest_dedup(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = ingest_dedup_stream(
-            stream,
-            os.path.join(tmp, "store"),
-            os.path.join(tmp, "out"),
-            checkpoint_dir=os.path.join(tmp, "ckpt"),
-        )
-        # the survivor table must outlive the per-invocation temp dir
-        out = out.localCheckpoint(eager=True)
+        # each micro-batch is a short chain of store-sized batch jobs
+        # (anti-join + store append); 2.5k-doc batches make 32-way
+        # shuffles pure task overhead — measured 6.6 s → 6.0 s at 8
+        # partitions (r13)
+        with scoped_state_partitions(spark):
+            out = ingest_dedup_stream(
+                stream,
+                os.path.join(tmp, "store"),
+                os.path.join(tmp, "out"),
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+            )
+            # the survivor table must outlive the per-invocation temp
+            # dir
+            out = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select("doc_id", "fingerprint")
@@ -1166,7 +1189,10 @@ def q_st13_stream_ingest_neardup(spark, sf_dir):
     import shutil
     import tempfile
 
-    from qctimeseries_spark.streaming import ingest_neardup_stream
+    from qctimeseries_spark.streaming import (
+        ingest_neardup_stream,
+        scoped_state_partitions,
+    )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     even = d.filter(F.col("doc_id") % 2 == 0)
@@ -1190,17 +1216,22 @@ def q_st13_stream_ingest_neardup(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = ingest_neardup_stream(
-            stream,
-            os.path.join(tmp, "store"),
-            os.path.join(tmp, "out"),
-            k=15,
-            bands=5,
-            ngram=3,
-            threshold=0.6,
-            checkpoint_dir=os.path.join(tmp, "ckpt"),
-        )
-        out = out.localCheckpoint(eager=True)
+        # per micro-batch the LSH tiers run ~10 store-sized batch jobs
+        # (signatures, banding join, verify, store appends); 2.5k-doc
+        # batches make 32-way shuffles pure task overhead — measured
+        # 14.0 s → 4.7 s at 8 partitions (r13)
+        with scoped_state_partitions(spark):
+            out = ingest_neardup_stream(
+                stream,
+                os.path.join(tmp, "store"),
+                os.path.join(tmp, "out"),
+                k=15,
+                bands=5,
+                ngram=3,
+                threshold=0.6,
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+            )
+            out = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select("doc_id", "fingerprint")
@@ -1224,7 +1255,10 @@ def q_st14_stream_ingest_embedding(spark, sf_dir):
     import tempfile
 
     from qctimeseries_spark.datapipe.queries import _emb_corpus
-    from qctimeseries_spark.streaming import ingest_embedding_stream
+    from qctimeseries_spark.streaming import (
+        ingest_embedding_stream,
+        scoped_state_partitions,
+    )
 
     c = _emb_corpus(spark, sf_dir)
     even = c.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 1000000))
@@ -1247,18 +1281,22 @@ def q_st14_stream_ingest_embedding(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        out = ingest_embedding_stream(
-            stream,
-            os.path.join(tmp, "store"),
-            os.path.join(tmp, "out"),
-            id_col="vec_id",
-            vec_col="v",
-            threshold=0.9,
-            # exact tier through sf1 for the oracle hash (see q_d8)
-            max_store_brute=32768,
-            checkpoint_dir=os.path.join(tmp, "ckpt"),
-        )
-        out = out.localCheckpoint(eager=True)
+        # per micro-batch: brute cosine vs the store + store append —
+        # ~1k-vector batches make 32-way shuffles pure task overhead;
+        # measured 9.1 s → 6.1 s at 8 partitions (r13)
+        with scoped_state_partitions(spark):
+            out = ingest_embedding_stream(
+                stream,
+                os.path.join(tmp, "store"),
+                os.path.join(tmp, "out"),
+                id_col="vec_id",
+                vec_col="v",
+                threshold=0.9,
+                # exact tier through sf1 for the oracle hash (see q_d8)
+                max_store_brute=32768,
+                checkpoint_dir=os.path.join(tmp, "ckpt"),
+            )
+            out = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.select(
@@ -1303,13 +1341,18 @@ def q_st4_session_windows(spark, sf_dir):
     gap >= 30 min cut (session_window's [start, end) boundary)."""
     from qctimeseries_spark.streaming import (
         run_available_now,
+        scoped_state_partitions,
         session_counts,
         stream_events,
     )
 
-    return run_available_now(
-        session_counts(stream_events(spark, sf_dir)), output_mode="complete"
-    )
+    # per-user session state (~5k keys); JVM session_window machinery
+    # — measured 1.95 s → 1.48 s at 8 partitions (r13)
+    with scoped_state_partitions(spark):
+        return run_available_now(
+            session_counts(stream_events(spark, sf_dir)),
+            output_mode="complete",
+        )
 
 
 def q_t9_sessionize_salted(spark, sf_dir):
@@ -1600,19 +1643,23 @@ def q_st7_stream_resample(spark, sf_dir):
     are what the hash pins."""
     from qctimeseries_spark.streaming import (
         run_available_now,
+        scoped_state_partitions,
         stream_events,
         stream_resample,
     )
 
     ev = stream_events(spark, sf_dir).select("user_id", "ts", "value")
-    return run_available_now(
-        stream_resample(
-            ev, "ts", step_minutes=1440.0,
-            aggs={"value": ["avg", "min", "max", "count"]},
-            key_cols=["user_id"],
-        ),
-        output_mode="append",
-    )
+    # per-(user, day) aggregate state; JVM windowed-agg machinery —
+    # measured 2.5 s → 1.25 s at 8 partitions (r13)
+    with scoped_state_partitions(spark):
+        return run_available_now(
+            stream_resample(
+                ev, "ts", step_minutes=1440.0,
+                aggs={"value": ["avg", "min", "max", "count"]},
+                key_cols=["user_id"],
+            ),
+            output_mode="append",
+        )
 
 
 def q_st19_stream_sessions(spark, sf_dir):
@@ -1638,6 +1685,7 @@ def q_st19_stream_sessions(spark, sf_dir):
     old exclusive rule would split it."""
     from qctimeseries_spark.streaming import (
         run_available_now,
+        scoped_state_partitions,
         stream_events,
         stream_sessions,
     )
@@ -1655,10 +1703,13 @@ def q_st19_stream_sessions(spark, sf_dir):
             (F.col("ts") + F.expr("INTERVAL 1800 SECONDS")).alias("ts"),
         )
     )
-    return run_available_now(
-        stream_sessions(ev.unionByName(pair), gap_minutes=30.0),
-        output_mode="append",
-    )
+    # native session_window keeps per-user merging state in the JVM
+    # store — measured 2.9 s → 1.5 s at 8 partitions (r13)
+    with scoped_state_partitions(spark):
+        return run_available_now(
+            stream_sessions(ev.unionByName(pair), gap_minutes=30.0),
+            output_mode="append",
+        )
 
 
 def q_a12_rolling_by_key(spark, sf_dir):
@@ -2610,6 +2661,7 @@ def q_st21_stream_stream_join(spark, sf_dir):
     the equivalent DuckDB range join."""
     from qctimeseries_spark.streaming import (
         run_available_now,
+        scoped_state_partitions,
         stream_events,
         stream_stream_join,
     )
@@ -2623,7 +2675,12 @@ def q_st21_stream_stream_join(spark, sf_dir):
     joined = stream_stream_join(
         purch, clicks, by="user_id", lookback_seconds=4 * 3600.0
     )
-    out = run_available_now(joined, output_mode="append")
+    # the symmetric join's drain cost is store machinery × partitions
+    # (4 stores per partition per side per batch); ~20k keys make the
+    # batch-sized session default pure overhead — measured 16.0 s at
+    # 32 partitions vs 3.2 s at 8 (r13; the st23 precedent)
+    with scoped_state_partitions(spark):
+        out = run_available_now(joined, output_mode="append")
     return out.select(
         F.col("event_id").alias("purchase_id"),
         F.col("r_event_id").alias("click_id"),
@@ -2945,6 +3002,7 @@ def q_st26_stream_ohlc(spark, sf_dir):
     oracle mirrors the eviction horizon (the st7 precedent)."""
     from qctimeseries_spark.streaming import (
         run_available_now,
+        scoped_state_partitions,
         stream_events,
         stream_ohlc,
     )
@@ -2952,13 +3010,17 @@ def q_st26_stream_ohlc(spark, sf_dir):
     ev = stream_events(spark, sf_dir).select(
         "user_id", "ts", "value", "event_id"
     )
-    return run_available_now(
-        stream_ohlc(
-            ev, "ts", "value", step_minutes=360.0,
-            key_cols=["user_id"], ties=["event_id"],
-        ),
-        output_mode="append",
-    )
+    # pure-JVM windowed struct-min/max aggregation — state is
+    # per-(user, bucket) scalars; measured 2.8 s → 1.7 s at 8
+    # partitions (r13)
+    with scoped_state_partitions(spark):
+        return run_available_now(
+            stream_ohlc(
+                ev, "ts", "value", step_minutes=360.0,
+                key_cols=["user_id"], ties=["event_id"],
+            ),
+            output_mode="append",
+        )
 
 
 def q_e6_active_users(spark, sf_dir):

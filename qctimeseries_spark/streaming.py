@@ -18,6 +18,8 @@ streaming pipeline against batch SQL.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,6 +34,49 @@ EVENTS_SCHEMA = (
     "event_id bigint, ts bigint, user_id bigint, event_type string, "
     "value double, props string"
 )
+
+
+@contextlib.contextmanager
+def scoped_state_partitions(spark: SparkSession, n: int | None = None):
+    """Scope ``spark.sql.shuffle.partitions`` down for a stateful drain
+    whose per-micro-batch cost is STATE-STORE MACHINERY, not data.
+
+    Stateful streaming pins its state partition count at the first
+    micro-batch from ``spark.sql.shuffle.partitions``, and every
+    micro-batch then pays store open/maintain/commit PER PARTITION —
+    for a symmetric stream-stream join, per partition PER SIDE over
+    four stores.  When the drain holds bounded key cardinality (the
+    engine's staged drains carry ~10³-10⁴ keys), the session default
+    sized for batch parallelism is pure fixed overhead: st21 measured
+    16.0 s at 32 partitions vs 3.2 s at 8 on identical data (r13),
+    matching the st23 precedent (17.6 s → 5.1 s, r12).
+
+    A production deployment sizes this to state cardinality ×
+    throughput (millions of hot keys want MORE partitions, not fewer)
+    — hence the env override.  Emitted VALUES are partition-invariant
+    (deterministic operators; every consumer and the oracle compare
+    order-insensitively); only task counts change.
+
+    ``n`` resolution order: explicit arg, ``$QCTS_STREAM_STATE_PARTITIONS``,
+    default 8 — never raised ABOVE the session's configured level (a
+    4-partition test session stays at 4).
+
+    Deliberately NOT applied to Python-stateful drains
+    (``applyInPandasWithState`` flows: st6/st10/st18/st22/st24/st25):
+    their cost is the per-group pandas work, which wants the session's
+    full parallelism — measured flat-to-worse at 8 partitions (r13
+    sweep, /tmp precedent in OPTIMIZATION_r13.md).
+    """
+    if n is None:
+        n = int(os.environ.get("QCTS_STREAM_STATE_PARTITIONS", "8"))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(min(int(n), int(old)))
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
