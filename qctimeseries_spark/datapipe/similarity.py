@@ -429,6 +429,11 @@ def build_ivf_index(
         corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=refine
     )
     cents.write.mode("overwrite").parquet(path + "/centroids")
+    # re-read the nlist-row store instead of recomputing the centroid
+    # lineage: ivf_assign's driver collect and the count below would
+    # otherwise each re-run the corpus TakeOrdered (and any refine
+    # iterations) — three corpus passes for one 16-row frame
+    cents = corpus.sparkSession.read.parquet(path + "/centroids")
     assigned = ivf_assign(
         corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
     )
@@ -1309,6 +1314,10 @@ def build_pq_index(
         corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=refine
     )
     cents.write.mode("overwrite").parquet(path + "/centroids")
+    # re-read the nlist-row store (the build_ivf_index treatment): the
+    # assign collect and the count below would otherwise re-run the
+    # corpus TakeOrdered lineage twice more
+    cents = spark.read.parquet(path + "/centroids")
     books = train_pq_codebooks(
         corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
     )
@@ -1596,6 +1605,10 @@ def build_ivfpq_residual_index(
         corpus, id_col=id_col, vec_col=vec_col, nlist=nlist, refine=0
     )
     cents.write.mode("overwrite").parquet(path + "/centroids")
+    # re-read the nlist-row store (the build_ivf_index treatment): the
+    # codebook trainer, the crows collect and the assign collect would
+    # otherwise each re-run the corpus TakeOrdered lineage
+    cents = spark.read.parquet(path + "/centroids")
     books = train_residual_codebooks(
         corpus, cents, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
     )

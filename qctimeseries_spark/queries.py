@@ -486,33 +486,32 @@ def q_st15_stream_knn_serve(spark, sf_dir):
     (seeded centroids, 9-dp rounding, id tie-breaks), so the drained
     result equals the batch x2 algebra over the union of streamed
     queries — which is the oracle."""
-    import glob
     import shutil
     import tempfile
 
     from qctimeseries_spark.datapipe.similarity import build_ivf_index
     from qctimeseries_spark.sources import read_table as _rt
-    from qctimeseries_spark.streaming import knn_serve_stream
+    from qctimeseries_spark.streaming import knn_serve_stream, stage_file_batches
 
     emb = _rt(spark, sf_dir, "embeddings")
     tmp = tempfile.mkdtemp(prefix="qcts_st15_")
     try:
         build_ivf_index(emb, os.path.join(tmp, "index"), nlist=16)
         src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        batches = [
-            emb.filter(F.col("vec_id") < 5),
-            emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)),
-        ]
-        for i, b in enumerate(batches):
-            q = b.select(
-                F.col("vec_id").alias("query_id"), "embedding"
-            )
-            stage = os.path.join(tmp, f"stage{i}")
-            q.coalesce(1).write.parquet(stage)
-            dst = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        # one-job staging (shared helper): the hand-rolled per-batch
+        # coalesce(1) loop both single-threaded each scan and paid one
+        # write job per batch
+        stage_file_batches(
+            [
+                emb.filter(F.col("vec_id") < 5).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ),
+                emb.filter(
+                    (F.col("vec_id") >= 5) & (F.col("vec_id") < 10)
+                ).select(F.col("vec_id").alias("query_id"), "embedding"),
+            ],
+            src,
+        )
         stream = (
             spark.readStream.schema("query_id bigint, embedding array<float>")
             .option("maxFilesPerTrigger", 1)
@@ -1124,13 +1123,13 @@ def q_st12_stream_ingest_dedup(spark, sf_dir):
     ``foreachBatch`` (``ingest_dedup_stream``).  The drained survivor
     table must equal the batch set algebra: min-id keeper per
     fingerprint, first-arrived batch wins — which is the oracle."""
-    import glob
     import shutil
     import tempfile
 
     from qctimeseries_spark.streaming import (
         ingest_dedup_stream,
         scoped_state_partitions,
+        stage_file_batches,
     )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1142,15 +1141,10 @@ def q_st12_stream_ingest_dedup(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="qcts_st12_")
     try:
         src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        # one file per planted batch; explicit mtimes pin the file-source
-        # processing order (oldest first) so batch 1 seeds the store
-        for i, batch in enumerate([even, odd.unionByName(recrawl)]):
-            stage = os.path.join(tmp, f"stage{i}")
-            batch.coalesce(1).write.parquet(stage)
-            dst = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        # one file per planted batch via the shared one-job helper;
+        # mtimes pin the file-source processing order (oldest first)
+        # so batch 1 seeds the store
+        stage_file_batches([even, odd.unionByName(recrawl)], src)
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", 1)
@@ -1185,13 +1179,13 @@ def q_st13_stream_ingest_neardup(spark, sf_dir):
     result plus the seed batch's own survivors, which is the oracle
     (same MinHash family, banding and verification, so both engines
     make identical LSH decisions)."""
-    import glob
     import shutil
     import tempfile
 
     from qctimeseries_spark.streaming import (
         ingest_neardup_stream,
         scoped_state_partitions,
+        stage_file_batches,
     )
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1204,13 +1198,7 @@ def q_st13_stream_ingest_neardup(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="qcts_st13_")
     try:
         src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for i, batch in enumerate([even, odd.unionByName(drift)]):
-            stage = os.path.join(tmp, f"stage{i}")
-            batch.coalesce(1).write.parquet(stage)
-            dst = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stage_file_batches([even, odd.unionByName(drift)], src)
         stream = (
             spark.readStream.schema("doc_id bigint, text string")
             .option("maxFilesPerTrigger", 1)
@@ -1250,7 +1238,6 @@ def q_st14_stream_ingest_embedding(spark, sf_dir):
     d8's batch-2 survivors, which is the oracle (same left-fold
     cosine, same 9-dp rounding, so both engines make identical
     threshold decisions)."""
-    import glob
     import shutil
     import tempfile
 
@@ -1258,6 +1245,7 @@ def q_st14_stream_ingest_embedding(spark, sf_dir):
     from qctimeseries_spark.streaming import (
         ingest_embedding_stream,
         scoped_state_partitions,
+        stage_file_batches,
     )
 
     c = _emb_corpus(spark, sf_dir)
@@ -1269,13 +1257,7 @@ def q_st14_stream_ingest_embedding(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="qcts_st14_")
     try:
         src = os.path.join(tmp, "src")
-        os.makedirs(src)
-        for i, b in enumerate([even, batch]):
-            stage = os.path.join(tmp, f"stage{i}")
-            b.coalesce(1).write.parquet(stage)
-            dst = os.path.join(src, f"batch{i}.parquet")
-            shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
-            os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+        stage_file_batches([even, batch], src)
         stream = (
             spark.readStream.schema("vec_id bigint, v array<double>")
             .option("maxFilesPerTrigger", 1)

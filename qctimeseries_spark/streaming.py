@@ -2433,17 +2433,63 @@ def stage_file_batches(frames, src_dir: str, *, start_mtime: int = 1_700_000_000
     it dominated the st23 drain benchmark), and for a parquet-scan
     parent single-threads the whole scan.  The protocol guarantees
     batch MEMBERSHIP and batch ORDER only — intra-file row order is
-    unspecified (every stateful consumer sorts within the batch)."""
+    unspecified (every stateful consumer sorts within the batch).
+
+    Same-schema frame lists (every query-registry caller: the batches
+    are filters of one table) stage in ONE Spark job: tag each frame
+    with its batch ordinal, union, hash-repartition on the tag and
+    ``partitionBy`` it on write — dynamic partitioning emits exactly
+    one file per non-empty tag value (a value lives in exactly one
+    hash partition), which then renames to ``batch<i>.parquet``.  One
+    scan of the shared parent instead of one per frame.  Mixed
+    schemas, a single frame, or an empty frame (no file for its tag)
+    fall back to the original per-frame loop — identical staged bytes
+    semantics either way (membership + order; row order within a file
+    is unspecified in both paths)."""
     import glob
     import os
     import shutil
     import tempfile
 
+    from pyspark.sql import functions as F
+
     os.makedirs(src_dir, exist_ok=True)
+    frames = list(frames)
+
+    def _finalize(i: int, part_file: str) -> None:
+        dst = os.path.join(src_dir, f"batch{i}.parquet")
+        shutil.move(part_file, dst)
+        os.utime(dst, (start_mtime + i * 100,) * 2)
+
+    tag = "__qcts_stage_batch__"
+    schemas = {
+        tuple((f.name, f.dataType.simpleString()) for f in fr.schema.fields)
+        for fr in frames
+    }
+    if len(frames) > 1 and len(schemas) == 1 and tag not in frames[0].columns:
+        tagged = frames[0].withColumn(tag, F.lit(0))
+        for i, fr in enumerate(frames[1:], 1):
+            tagged = tagged.unionByName(fr.withColumn(tag, F.lit(i)))
+        stage = tempfile.mkdtemp(prefix="qcts_stage_")
+        try:
+            (
+                tagged.repartition(len(frames), F.col(tag))
+                .write.mode("overwrite")
+                .partitionBy(tag)
+                .parquet(stage)
+            )
+            parts = {
+                i: glob.glob(os.path.join(stage, f"{tag}={i}", "part-*.parquet"))
+                for i in range(len(frames))
+            }
+            if all(len(p) == 1 for p in parts.values()):
+                for i in range(len(frames)):
+                    _finalize(i, parts[i][0])
+                return
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
     for i, frame in enumerate(frames):
         stage = tempfile.mkdtemp(prefix="qcts_stage_")
         frame.repartition(1).write.mode("overwrite").parquet(stage)
-        dst = os.path.join(src_dir, f"batch{i}.parquet")
-        shutil.move(glob.glob(stage + "/part-*.parquet")[0], dst)
+        _finalize(i, glob.glob(stage + "/part-*.parquet")[0])
         shutil.rmtree(stage, ignore_errors=True)
-        os.utime(dst, (start_mtime + i * 100,) * 2)
