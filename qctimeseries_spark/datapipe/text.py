@@ -614,9 +614,14 @@ def tfidf_top_terms(
         if exact
         else F.ln(F.lit(n_docs) / F.col("df").cast("double"))
     )
-    scored = tf.join(dfreq, "term").withColumn(
-        "tfidf", F.round(F.col("tf") * idf, 6)
-    )
+    # evaluate idf on the VOCABULARY-sized df table (idf is a pure
+    # function of df): the Python (Arrow) boundary crosses one row per
+    # distinct term instead of one per (doc, term) posting — same
+    # doubles, same rounding, same hash
+    dfreq_idf = dfreq.select("term", "df", idf.alias("_idf"))
+    scored = tf.join(dfreq_idf, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("_idf"), 6)
+    ).drop("_idf")
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
@@ -689,9 +694,15 @@ def unigram_logprob(
         m = F.floor(
             -F.ln((F.col("c") + 1.0) / F.lit(denom)) * 1e6 + 0.5
         ).cast("long")
+    # score the VOCABULARY-sized count table, not the corpus-sized
+    # token join: m is a pure function of c, so evaluating it before
+    # the join shrinks the Python (Arrow) boundary from one row per
+    # token occurrence to one per distinct term — same micro-units,
+    # same hash
+    counts_m = counts.select("term", m.alias("m"))
     return (
-        tok.join(counts, "term")
-        .select(F.col(id_col), m.alias("m"))
+        tok.join(counts_m, "term")
+        .select(F.col(id_col), "m")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -785,25 +796,33 @@ def bigram_logprob(
             * 1e6
             + 0.5
         ).cast("long")
+    # score the bigram COUNT table (distinct-bigram-sized), not the
+    # corpus positions: m is a pure function of (c, ctx), so the
+    # Python (Arrow) boundary and the ctx join both move off the
+    # corpus-sized frame — the positions then pay ONE join instead of
+    # two, and the micro-units (hence the hash) are unchanged
+    bcm = bc.join(ctx, "w1").select("w1", "w2", m.alias("m"))
     scored = (
-        big.join(bc, ["w1", "w2"])
-        .join(ctx, "w1")
-        .select(F.col(id_col), m.alias("m"))
+        big.join(bcm, ["w1", "w2"])
+        .select(F.col(id_col), "m")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.sum("m").alias("nll_micro"),
         )
     )
-    # docs with <2 tokens produce no bigram rows — restore them as 0s
+    # docs with <2 tokens produce no bigram rows — emit their 0 rows
+    # MAP-SIDE off the token array (they are exactly the docs the
+    # bigram explode skipped) instead of left-joining the per-doc
+    # aggregate back onto the corpus, which paid a whole extra join
+    # (broadcast of the doc-sized aggregate, or an SMJ at scale)
+    short = base.filter(F.size("tk") < 2).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0).cast("long").alias("nll_micro"),
+    )
     return (
-        base.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
-            F.coalesce("nll_micro", F.lit(0).cast("long")).alias("nll_micro"),
-        )
+        scored.unionByName(short)
         .withColumn(
             "avg_nll",
             F.when(
@@ -1302,9 +1321,19 @@ def bm25_retrieval(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     ).persist()
-    dls = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    n_docs = corpus.count()
-    total_tokens = dls.agg(F.sum("dl")).collect()[0][0] or 0
+    # dl = Σ tf over the doc's terms = the doc's token count — a
+    # NARROW map over the corpus, identical by construction to the
+    # former postings re-aggregation, which paid a second shuffle of
+    # the full postings table just to recover per-doc lengths
+    dls = corpus.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl")
+    )
+    # N and Σdl in ONE corpus pass (zero-token docs contribute dl=0,
+    # exactly like their absence from the old postings-side sum)
+    n_docs, total_tokens = corpus.agg(
+        F.count(F.lit(1)), F.sum(token_count(F.col(text_col)))
+    ).collect()[0]
+    total_tokens = total_tokens or 0
     avgdl = float(total_tokens) / float(n_docs)
 
     qterms = queries.select(
