@@ -103,6 +103,15 @@ def read_jsonl(
     return r.json(path)
 
 
+#: resolved table HANDLES (lazy scan plans: file listing + footer
+#: schema, never any rows), keyed per (application, path).  Catalog
+#: semantics: a production engine resolves a table once and every
+#: query still reads the parquet bytes at execution — without this,
+#: every one of the ~170 per-bench read_table calls re-listed the
+#: directory and re-read the footer (~0.1-0.2 s each, measured r13).
+_TABLE_HANDLES: dict[tuple[str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver test table, normalizing timestamp physical types.
 
@@ -111,8 +120,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a proper
     timestamp at microsecond precision — exactly what DuckDB's reader
     does, keeping both engines value-identical.
+
+    The returned frame is an immutable LAZY plan memoized per
+    (application, path) — see ``_TABLE_HANDLES``; no row ever caches
+    here, and executions always scan the live parquet files.
     """
     path = f"{sf_dir}/{name}.parquet"
+    key = (spark.sparkContext.applicationId, path)
+    cached = _TABLE_HANDLES.get(key)
+    if cached is not None:
+        return cached
+    _TABLE_HANDLES[key] = df = _read_table_fresh(spark, path, name)
+    return df
+
+
+def _read_table_fresh(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name != "events":
         return spark.read.parquet(path)
     # Leave the conf set for the session: execution re-reads it at plan
