@@ -677,6 +677,13 @@ def ntile_by_score(
         F.floor(F.col(score_col).cast("double") * F.lit(float(scale)))
         .cast("long"),
     )
+    # materialize once: the histogram collect, the whole-bucket filter
+    # and the boundary ranking each read ``b`` — without this the
+    # caller's scoring pipeline (e.g. t35's full unigram-NLL chain)
+    # re-ran up to three times.  Rows here are (key, score, _vb)-thin
+    # by the operator's contract; the histogram collect pays the same
+    # evaluation anyway, so the checkpoint adds only block storage.
+    b = b.localCheckpoint(eager=True)
     hist = (
         b.groupBy("_vb")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -816,6 +816,13 @@ def cell_balanced_sample(
     assigned = ivf_assign(
         corpus, cents, id_col=id_col, vec_col=vec_col, nprobe=1
     ).select(id_col, "centroid_id")
+    # materialize the THIN (id, cell) projection once: cap_per_group's
+    # two-phase histogram reads its input up to three times (histogram
+    # + pre-cutoff filter + boundary ranking), which re-ran the Arrow
+    # assignment pass over the full corpus each time (4 duplicated
+    # ArrowEvalPython subtrees in the r13 plan audit).  ~12 bytes/row
+    # of executor-local blocks buys corpus-scan × 2 back at any scale.
+    assigned = assigned.localCheckpoint(eager=True)
     return cap_per_group(assigned, "centroid_id", id_col, cap, seed=seed)
 
 
