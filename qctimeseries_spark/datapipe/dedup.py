@@ -439,13 +439,21 @@ def neardup_against_store(
     spark = df.sparkSession
     rows = k // bands
     normalized = F.array_join(tokens(F.col(text_col)), " ")
-    base = (
-        fan_out(df).withColumn("fingerprint", hash60(normalized))
-        .withColumn("hs", hashed_shingles(F.col(text_col), ngram))
-    )
-    base = base.withColumn(
-        "bands", band_hashes(minhash_from_hashes(F.col("hs"), k), bands, rows)
-    )
+    # fingerprint ONLY here: the shingle/MinHash signature columns are
+    # deferred below the exact anti-join, so rows a production crawl
+    # drops at the exact tier (the dominant case — verbatim re-crawls)
+    # never pay the per-row signature work
+    base = fan_out(df).withColumn("fingerprint", hash60(normalized))
+
+    def _with_signatures(frame: DataFrame) -> DataFrame:
+        frame = frame.withColumn(
+            "hs", hashed_shingles(F.col(text_col), ngram)
+        )
+        return frame.withColumn(
+            "bands",
+            band_hashes(minhash_from_hashes(F.col("hs"), k), bands, rows),
+        )
+
     try:
         store = spark.read.parquet(store_path + "/docs")
     except AnalysisException:
@@ -472,9 +480,10 @@ def neardup_against_store(
         base = base.join(
             store.select("fingerprint").distinct(), "fingerprint", "left_anti"
         )
-        # near tier: batch-side signatures feed the candidate join, the
-        # verify join, and the survivor scan — persist once
-        base = persisted = base.persist()
+        # near tier: signatures computed for exact-tier SURVIVORS only;
+        # they feed the candidate join, the verify join, and the
+        # survivor scan — persist once
+        base = persisted = _with_signatures(base).persist()
         nb = base.select(
             F.col(id_col), F.explode("bands").alias("bh")
         ).select(id_col, "bh.band", "bh.h")
@@ -497,6 +506,10 @@ def neardup_against_store(
             .distinct()
         )
         base = base.join(near_hits, id_col, "left_anti")
+    else:
+        # seed batch (no store yet): every row keeps its signatures —
+        # they all reach the store append
+        base = _with_signatures(base)
     if within_batch_neardup:
         # NEAR keeper: self-join the batch's band hashes (same plan as
         # lsh_candidates), verify at the same threshold, cluster, keep
@@ -945,6 +958,13 @@ def lsh_candidates(
         F.col(id_col),
         F.explode(band_hashes(F.col("sig"), bands, rows)).alias("bh"),
     ).select(id_col, "bh.band", "bh.h")
+    # materialize the THIN banded table once (id + 2 ints × b rows per
+    # doc): only exchanges dedupe under plan reuse, and the per-row
+    # signature stage (tokenize → shingle MD5 → MinHash fold) sits
+    # ABOVE the fan_out exchange — the self-join's two sides would
+    # each re-run it (r13 plan audit: the signature subtree repeated
+    # per consumer in d2's plan)
+    exploded = exploded.localCheckpoint(eager=True)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
