@@ -602,12 +602,14 @@ def tfidf_top_terms(
 
     from pyspark.sql import Window
 
+    # persist the thin postings: the document-frequency aggregation
+    # and the scoring join both read them (the bm25 postings pattern)
     tf = (
         fan_out(df)
         .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (
         _idf(F.col("df"))
@@ -669,7 +671,10 @@ def unigram_logprob(
     tok = fan_out(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # persist the VOCAB-sized count table: the T/V collect below and
+    # the scoring join both read it — unpersisted, the corpus-wide
+    # tokenize+shuffle ran twice per query (the bm25 postings pattern)
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c")).persist()
     tv = counts.agg(
         F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
@@ -765,7 +770,10 @@ def bigram_logprob(
             ).otherwise(F.array())
         ).alias("g"),
     ).select(id_col, "g.w1", "g.w2")
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # persist the distinct-bigram-sized count table: the ctx
+    # aggregation and the scoring attach both read it (unpersisted,
+    # the corpus-wide bigram explode+shuffle ran twice per query)
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
     ctx = bc.groupBy("w1").agg(F.sum("c").alias("ctx"))
     v = int(
         base.select(F.explode("tk").alias("t")).select("t").distinct().count()
