@@ -435,6 +435,10 @@ def regularize(
     if step_us <= 0:
         raise ValueError("step_minutes must be positive")
     if lo is None or hi is None:
+        # the bounds scan below and the grid join both read ``df`` —
+        # unmaterialized, the caller's upstream pipeline (typically a
+        # scan + filter + bucket aggregation) ran twice per call
+        df = df.localCheckpoint(eager=True)
         b = df.agg(
             F.min(time_col).alias("lo"), F.max(time_col).alias("hi")
         ).collect()[0]
