@@ -1597,7 +1597,10 @@ def ewma(
                 g["_B"] = B
                 yield g
 
-    with_ab = src.mapInPandas(coeffs, out_schema)
+    # materialize the Arrow coefficient pass once: the per-block ends
+    # collect below and the final composition both read it — without
+    # this the mapInPandas pass over the whole series ran twice
+    with_ab = src.mapInPandas(coeffs, out_schema).localCheckpoint(eager=True)
     # per-block end coefficients + the global first value, folded on the
     # driver into each block's incoming state
     ends = (
