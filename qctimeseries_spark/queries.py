@@ -3038,69 +3038,60 @@ QUERIES["e6_active_users"] = q_e6_active_users
 # and the local oracle replica (tools/check_correctness.py), but only
 # window entries get the driver's independent hash verdict.  To keep
 # that verdict honest across a 200+-entry registry, the window ROTATES
-# each round.  Round 13 executes VERDICT r12 task 1:
-#   * the 9 late-r12 newborns that have never held a driver verdict
-#     (deferred from the pinned-full r12 window per the e3 precedent):
-#     d15_edit_distance, w17_ohlc, w18_ffill_maxgap, e4_transitions,
-#     e5_attribution, e6_active_users, st24/st25/st26 — every one
-#     holds r12 replica greens at sf0.01 AND sf1,
-#   * the complete 11-entry r8-stale tail deferred last round:
-#     h11/h12/h13, t33-t40,
-#   * 28 of the 41-entry r9 band, chosen for family breadth (the 13
-#     left out — 8 of t's 12, st1/st2/st3, w10, w4 — are the band's
-#     most family-redundant members: t and st each already hold 8+
-#     and 5 in-window slots via the tiers above),
-#   * family-coverage fills c1_dup_clusters and j2_range_join — the
-#     oldest-verdict members of the two families (c, j) that have NO
-#     r9-band member; test_driver_window_covers_every_family pins
-#     all 16 families in-window, which is why the r9 intake is 28
-#     rather than VERDICT r12's estimated 30.  The 13 r9 leftovers
-#     still satisfy the staleness SLO (nothing older than
-#     current-4 = r9 at r13; see test_registry_staleness_slo) and
-#     rotate in at r14.
-# Round-13 changed paths and their verdicts: st24/st25 (tie-dtype
-# validation) and d15 (NULL-text filter documentation) are in-window
-# newborns; w15/w16 gained only an upfront reserved-name ValueError
-# guard (no formula change — replica hashes verified unchanged in the
-# r13 sweep) and keep their r12 verdicts.  The r13 newborn
-# st27_stream_active_users follows the e3 precedent: replica-verified
-# at sf0.01 + sf1 this round, family in-window via st24-st26, rotates
-# in at r14.
+# each round.  Round 14 continues the r13 rotation schedule:
+#   * the complete 13-entry r9-verdict band deferred last round
+#     (8 of t's 12, st1/st2/st3, w10, w4) — at r14 these are the
+#     oldest verdicts in the registry and the staleness SLO
+#     (test_registry_staleness_slo, current-4 = r10) requires them
+#     in-window,
+#   * 35 of the 46-entry r10 band, chosen for family breadth and for
+#     round-14 changed paths (the x-tier entries whose shared
+#     ``ivf_assign`` Arrow pass changes this round — x2, x4, x11,
+#     x14, x15 — stay in; the 11 left out are the band's most
+#     family-redundant members: 8 of x's 13 slots, a2/a3 of a's 5,
+#     p4 of p's 5; they rotate in at r15 alongside the r11 band),
+#   * family-coverage fills c2_curate and e1_funnel — the
+#     oldest-verdict members of the two families (c, e) with no
+#     r9/r10-band member; test_driver_window_covers_every_family pins
+#     all 16 families in-window.
+# (The r13 comment here previously announced an "r13 newborn
+# st27_stream_active_users" — that entry was never actually built or
+# registered; no such query exists in the registry or any replica
+# sweep, so there is no newborn intake this round.)
 # ALL entries additionally hold a same-round builder replica green in
-# the committed REPLICA_r13.json full-registry sweep.
-_WINDOW_R13 = (
-    # the 9 never-driver-checked r12 newborns
-    "d15_edit_distance", "w17_ohlc", "w18_ffill_maxgap",
-    "e4_transitions", "e5_attribution", "e6_active_users",
-    "st24_stream_transitions", "st25_stream_attribution",
-    "st26_stream_ohlc",
-    # the complete 11-entry r8-stale tail
-    "h11_nation_volume", "h12_promo_share", "h13_disjunctive_filter",
-    "t33_cms_heavyhitters", "t34_hll_distinct",
-    "t35_perplexity_buckets", "t36_nfc_dedup", "t37_chunk_docs",
-    "t38_temperature_mix", "t39_pack_sequences",
-    "t40_excise_contamination",
-    # 28 of the 41-entry r9 band
-    "a13_progress_by_window", "a14_ewma", "a4_anchor",
-    "d1_exact_dedup", "d2_minhash_dedup", "d8_embedding_store",
-    "f4_transfer_flags", "h1_pricing_summary", "h3_segment_revenue",
-    "m2_media_features", "p5_strict_clean",
-    "s1_csv_roundtrip", "s10_jsonl_roundtrip",
-    "st11_stream_psi", "st12_stream_ingest_dedup",
-    "t5_fingerprint", "t6_redact_pii", "t7_contamination",
-    "t8_hash_sample",
-    "u4_reset_window", "u5_reset_all",
-    "v2_approved_overlay", "v3_flagged_overlay",
-    "w12_resample",
-    "x7_pq_knn", "x10_cell_sample", "x12_embedding_drift",
-    "x18_binary_knn",
+# the committed full-registry sweep (plans/r14/).
+_WINDOW_R14 = (
+    # the complete 13-entry r9-stale band
+    "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
+    "t12_bpe_pairs", "t17_tfidf", "t18_unigram_nll",
+    "t1_sessionize", "t2_text_stats", "t30_weighted_sample",
+    "t3_quality", "t4_lang_id",
+    "w10_ffill", "w4_viewer_windows",
+    # 35 of the 46-entry r10 band
+    "a18_trend", "a1_progress", "a5_axis_range",
+    "d3_simhash_pairs", "d5_embedding_dups", "d9_semantic_dedup",
+    "f5_iso_export",
+    "h15_small_qty_revenue", "h20_balance_gate",
+    "j4_skew_join",
+    "m6_phash_dedup",
+    "p10_rowid_semijoin", "p11_hide_complete",
+    "p3_filter_conjunction", "p8_flag_class_filters",
+    "s12_partitioned_roundtrip",
+    "st19_stream_sessions", "st20_stream_stratified",
+    "st21_stream_stream_join",
+    "t19_repetition", "t29_hybrid_rrf", "t41_stratified_sample",
+    "u2_flag_window", "u6_flag_approve_advance",
+    "v1_downsample", "v4_secondary_trace", "v5_check_panel",
+    "w14_bfill", "w1_assign_windows", "w8_window_range",
+    "x11_cell_stats", "x14_kmeans", "x15_recall_eval",
+    "x2_knn_ivf", "x4_radius_search",
     # family-coverage fills (pinned by
     # test_driver_window_covers_every_family)
-    "c1_dup_clusters", "j2_range_join",
+    "c2_curate", "e1_funnel",
 )
-assert len(_WINDOW_R13) == 50 and len(set(_WINDOW_R13)) == 50
-QUERIES = {k: QUERIES[k] for k in _WINDOW_R13} | {
-    k: v for k, v in QUERIES.items() if k not in _WINDOW_R13
+assert len(_WINDOW_R14) == 50 and len(set(_WINDOW_R14)) == 50
+QUERIES = {k: QUERIES[k] for k in _WINDOW_R14} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_R14
 }
 
 ORACLE = {

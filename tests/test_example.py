@@ -39,23 +39,17 @@ def test_driver_window_covers_every_family():
         f"families {sorted(missing)} fell out of the driver's 50-entry"
         f" hard-check window — reorder the registry (see _WINDOW_R5)"
     )
-    # round-13 rotation (VERDICT r12 task 1): the window holds the 9
-    # never-driver-checked r12 newborns and the complete r8-stale
-    # tail.  This pin asserts the priority tiers CANNOT silently fall
-    # out.
+    # round-14 rotation: the window holds the complete r9-stale band
+    # (the oldest driver verdicts in the registry at r14).  This pin
+    # asserts the priority tier CANNOT silently fall out.
     window = set(names[:50])
     assert {
-        # never driver-checked until r13
-        "d15_edit_distance", "w17_ohlc", "w18_ffill_maxgap",
-        "e4_transitions", "e5_attribution", "e6_active_users",
-        "st24_stream_transitions", "st25_stream_attribution",
-        "st26_stream_ohlc",
-        # the r8-stale tail rotated in complete
-        "h11_nation_volume", "h12_promo_share",
-        "h13_disjunctive_filter", "t33_cms_heavyhitters",
-        "t34_hll_distinct", "t35_perplexity_buckets", "t36_nfc_dedup",
-        "t37_chunk_docs", "t38_temperature_mix", "t39_pack_sequences",
-        "t40_excise_contamination",
+        # the complete 13-entry r9-verdict band rotated in
+        "st1_stream_flag_counts", "st2_stream_gaps", "st3_stream_dedup",
+        "t12_bpe_pairs", "t17_tfidf", "t18_unigram_nll",
+        "t1_sessionize", "t2_text_stats", "t30_weighted_sample",
+        "t3_quality", "t4_lang_id",
+        "w10_ffill", "w4_viewer_windows",
     } <= window
 
 
