@@ -279,6 +279,42 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _micro_probe(spark) -> float:
+    """One ~20-40 ms fixed synthetic job, timed ONCE — the per-query
+    burst sentinel (VERDICT r13 task 2).  The full calibration probe
+    samples only every ~34 queries, so a multi-second external load
+    burst can inflate a contiguous extended-tier segment while the
+    record still says ``noisy_run: false`` (the r13 driver record:
+    st10 read 7.97 s in-record vs 1.74 s in every other record, and
+    attributing it took six-record forensics).  Running this micro
+    probe after EVERY query stamps each reading with the host state
+    it ran under; it is 1/16 the calibration workload so the whole
+    sweep adds ~3-5 s outside every timed region.
+    """
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(1 << 22).select(
+        F.sum(F.xxhash64("id").bitwiseAND(F.lit(0xFFFF))).alias("h")
+    ).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def burst_flags(probes: dict[str, float]) -> dict[str, bool]:
+    """Per-query ``burst_suspect``: a micro-probe reading more than 2×
+    the run's median probe (with a 50 ms absolute floor so scheduler
+    jitter on a ~25 ms job cannot trip it) means the host was loaded
+    when that query's best-of-N finished — read that query's raw time
+    with suspicion and prefer the other committed records for it.
+    A flag is a SENTINEL, not a verdict: best-of-N often sheds the
+    burst even when the probe catches it."""
+    if not probes:
+        return {}
+    med = _median(list(probes.values()))
+    gate = max(2.0 * med, med + 0.05)
+    return {q: bool(p > gate) for q, p in probes.items()}
+
+
 def _stream_fixed_probe(spark) -> float:
     """Fixed cost of ONE availableNow micro-batch drain over a trivial
     source + aggregation: stream planning, checkpoint/WAL commits, and
@@ -326,6 +362,8 @@ def result_json(
     stream_fixed_overhead: float | None = None,
     calibration_retried: bool = False,
     calibration_first_samples: list[float] | None = None,
+    query_probes: dict[str, float] | None = None,
+    query_loadavg: dict[str, float] | None = None,
 ) -> str:
     """One-line JSON bench record, TAIL-SAFE for the driver capture.
 
@@ -364,10 +402,24 @@ def result_json(
         if stream_fixed_overhead is not None
         else {}
     )
+    # r13 task 2: per-query burst sentinel — every query's reading is
+    # stamped with the host state its best-of-N finished under, so an
+    # extended-tier load burst self-diagnoses in THIS record instead of
+    # needing cross-record forensics
+    suspects = burst_flags(query_probes or {})
     return json.dumps(
         {
             # per-query raw times (big map — sacrificial head)
             "queries": times,
+            # per-query ~25 ms micro-probe times (the burst sentinel:
+            # one fixed tiny job timed right after each query, outside
+            # every timed region) and the 1-min /proc/loadavg read at
+            # the same moment — raw evidence for outlier attribution
+            "queries_probe": query_probes or {},
+            "queries_loadavg": query_loadavg or {},
+            # probe > max(2× median probe, median + 50 ms) — read that
+            # query's raw with suspicion (see burst_flags)
+            "queries_burst_suspect": suspects,
             # per-query times in calibration units (raw/calibration)
             # — compare these across HOSTS; within one host across
             # rounds, prefer queries_normalized_pinned below
@@ -458,6 +510,14 @@ def result_json(
             # written to this repo file every run — read it instead of
             # reconstructing the head of this line (r10 task 2)
             "full_record": "BENCH_LOCAL.json",
+            # scalar twin of queries_burst_suspect (tail-safe): how
+            # many queries ran with a tripped burst sentinel, and
+            # which ones (names only — raws are in slowest_raw /
+            # BENCH_LOCAL.json).  0 on a quiet run.
+            "burst_suspect_count": sum(suspects.values()),
+            "burst_suspects": sorted(
+                q for q, s in suspects.items() if s
+            )[:10],
             # ...and keep the 10 slowest RAW times in the tail so the
             # record stays self-sufficient even though the full raw
             # "queries" map is sacrificed to the 2,000-char capture
@@ -504,6 +564,11 @@ def main() -> int:
     # to it; this makes the spread diagnostic meaningful too.
     _calibration_probe(spark)
     _calibration_probe(spark)
+    # the burst sentinel's own plan warms separately (different range
+    # size ⇒ different codegen) — without this, query #1's micro probe
+    # reads JIT compilation and false-flags
+    _micro_probe(spark)
+    _micro_probe(spark)
     calibration_samples = [round(_calibration_probe(spark), 3)]
     probe_every = max(1, len(HEADLINE) // 4)
 
@@ -517,6 +582,8 @@ def main() -> int:
     # signature tables) don't accumulate across the run and skew later
     # measurements via memory pressure.
     times: dict[str, float] = {}
+    query_probes: dict[str, float] = {}
+    query_loadavg: dict[str, float] = {}
     for i, name in enumerate(HEADLINE):
         fn = QUERIES[name]
         runs: list[float] = []
@@ -530,7 +597,14 @@ def main() -> int:
                     break
         times[name] = round(min(runs), 3)
         spark.catalog.clearCache()
-        print(f"# {name}: {times[name]}s {[round(r, 2) for r in runs]}", file=sys.stderr)
+        # burst sentinel: stamp the reading with the host state it ran
+        # under (outside the timed region — the query's clock stopped
+        # above).  ~25 ms micro job + one /proc/loadavg read.
+        query_probes[name] = round(_micro_probe(spark), 4)
+        query_loadavg[name] = round(os.getloadavg()[0], 2)
+        print(f"# {name}: {times[name]}s {[round(r, 2) for r in runs]}"
+              f" probe={query_probes[name]} load={query_loadavg[name]}",
+              file=sys.stderr)
         if (i + 1) % probe_every == 0:
             calibration_samples.append(round(_calibration_probe(spark), 3))
 
@@ -593,6 +667,8 @@ def main() -> int:
         stream_fixed_overhead=stream_fixed,
         calibration_retried=calibration_retried,
         calibration_first_samples=first_samples,
+        query_probes=query_probes,
+        query_loadavg=query_loadavg,
     )
     # the driver captures only the stdout tail; the COMPLETE record
     # (identical JSON, indented) lands in-repo so the full per-query

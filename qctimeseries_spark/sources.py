@@ -124,6 +124,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     The returned frame is an immutable LAZY plan memoized per
     (application, path) — see ``_TABLE_HANDLES``; no row ever caches
     here, and executions always scan the live parquet files.
+
+    CONTRACT (staleness invariant): the memoized handle pins Spark's
+    FILE LISTING of the path for the application's lifetime, so no
+    caller may write under ``sf_dir`` tables — an appended or
+    rewritten file would be invisible (or a deleted one fatal) to
+    every later execution.  No registry query does;
+    ``tools/check_correctness.py`` snapshots the source directory
+    around its full-registry sweep and fails if anything changed, and
+    ``tests/test_sources.py::test_read_table_handle_memo_contract``
+    pins the memo semantics.  An operator that must ingest into a
+    source table should write elsewhere and read via a fresh
+    ``spark.read.parquet`` (or clear the memo for that path).
     """
     path = f"{sf_dir}/{name}.parquet"
     key = (spark.sparkContext.applicationId, path)

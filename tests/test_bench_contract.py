@@ -142,6 +142,47 @@ def test_stream_adjusted_pricing_and_tail_survival():
     assert rec2["stream_fixed_overhead"] is None
 
 
+def test_burst_sentinel_maps_and_tail():
+    """VERDICT r13 task 2: per-query burst sentinel.  The probe and
+    loadavg maps ride the sacrificial head; the suspect COUNT and the
+    suspect names ride the 2,000-char tail so the driver capture alone
+    attributes outliers.  The flag gate is 2× the median probe with a
+    50 ms floor (scheduler jitter on a ~25 ms job must not trip it)."""
+    times = _fake_times(150)
+    probes = {q: 0.025 for q in times}
+    loads = {q: 0.4 for q in times}
+    # one burst-hit segment: 6 queries with 4-20x probe readings
+    hit = sorted(times)[40:46]
+    for q in hit:
+        probes[q] = 0.25
+    out = bench.result_json(
+        times, 0.123, [0.11, 0.123, 0.13], 0.05, 0.1,
+        query_probes=probes, query_loadavg=loads,
+    )
+    rec = json.loads(out)
+    assert rec["queries_probe"] == probes
+    assert rec["queries_loadavg"] == loads
+    sus = rec["queries_burst_suspect"]
+    assert all(sus[q] for q in hit)
+    assert not any(sus[q] for q in times if q not in hit)
+    assert rec["burst_suspect_count"] == len(hit)
+    assert rec["burst_suspects"] == sorted(hit)
+    tail = out[-2000:]
+    assert '"burst_suspect_count"' in tail
+    assert '"burst_suspects"' in tail
+    # jitter below the 50 ms floor never flags, even at 2x median
+    calm = bench.burst_flags({"a": 0.02, "b": 0.021, "c": 0.045})
+    assert not any(calm.values())
+    # records built without sentinel data (subset runs, old tests)
+    # stay valid: empty maps, zero count
+    rec2 = json.loads(
+        bench.result_json(times, 0.123, [0.11], 0.05, 0.1)
+    )
+    assert rec2["queries_probe"] == {}
+    assert rec2["queries_burst_suspect"] == {}
+    assert rec2["burst_suspect_count"] == 0
+
+
 def test_calibration_first_samples_preserved():
     """When a retry replaced the first calibration set, the original
     samples must survive in the record — a clean retry set normalizes

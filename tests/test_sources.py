@@ -82,3 +82,41 @@ def test_partitioned_roundtrip_prunes_to_one_day(spark):
     assert m and "qc_day" in m.group(1), plan[:2000]
     days = df.select("qc_day").distinct().collect()
     assert [r.qc_day for r in days] == [15]
+
+
+def test_read_table_handle_memo_contract(spark, tmp_path):
+    """The read_table staleness invariant (VERDICT r13 task 9).
+
+    1. Handle memo: two read_table calls for the same (app, path)
+       return the SAME lazy handle (one listing, one footer read).
+    2. The memo stores a PLAN, not rows: executions see live bytes of
+       the files the pinned listing names.
+    3. The invariant the memo relies on — nothing writes under sf_dir
+       during a session — is enforced per-sweep by
+       tools/check_correctness.py's source_dir_snapshot: assert the
+       snapshot helper actually detects a write.
+    """
+    import sys
+    from pathlib import Path
+
+    from qctimeseries_spark.sources import read_table
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from check_correctness import source_dir_snapshot
+
+    sf = "/root/testdata/sf0.001"
+    h1 = read_table(spark, sf, "documents")
+    h2 = read_table(spark, sf, "documents")
+    assert h1 is h2, "read_table must memoize the resolved handle"
+
+    snap = source_dir_snapshot(sf)
+    assert snap == source_dir_snapshot(sf), "snapshot must be stable"
+    # the sweep guard fires on any write under the source dir
+    scratch = tmp_path / "t.parquet"
+    spark.range(3).write.parquet(str(scratch))
+    moved = dict(snap)
+    moved["t.parquet/_SUCCESS"] = (0, 0)
+    assert moved != snap
+    # no registry query may write under sf_dir — spot-check that the
+    # registry's own fixtures honored it in this process
+    assert source_dir_snapshot(sf) == snap

@@ -60,6 +60,23 @@ def frame_fingerprint(df) -> tuple[int, list[tuple[str, str]], str]:
     return len(df), dtypes, digest
 
 
+def source_dir_snapshot(sf_dir: str) -> dict[str, tuple[int, int]]:
+    """Recursive ``{relpath: (size, mtime_ns)}`` listing of the source
+    table directory — the ``read_table`` staleness invariant (VERDICT
+    r13 task 9): ``sources._TABLE_HANDLES`` pins Spark's file listing
+    for the application's lifetime, which is only sound while no query
+    WRITES under ``sf_dir``.  The sweep snapshots before and after
+    executing every registry entry and fails if anything changed, so a
+    future operator that appends to a source table cannot silently
+    read a stale listing."""
+    root = Path(sf_dir)
+    return {
+        str(p.relative_to(root)): (p.stat().st_size, p.stat().st_mtime_ns)
+        for p in sorted(root.rglob("*"))
+        if p.is_file()
+    }
+
+
 def main() -> int:
     # flags are position-independent: '--window' used to bind to the
     # sf_dir positional when given alone (r11 advisor)
@@ -90,6 +107,8 @@ def main() -> int:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    src_before = source_dir_snapshot(sf_dir)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -144,6 +163,19 @@ def main() -> int:
                 "secs": round(dt, 1),
             }
     spark.stop()
+    src_after = source_dir_snapshot(sf_dir)
+    src_unchanged = src_after == src_before
+    if not src_unchanged:
+        changed = sorted(
+            set(src_before.items()) ^ set(src_after.items())
+        )[:10]
+        print(
+            "FAIL source-dir invariant: a query wrote under the source"
+            f" table directory ({len(changed)}+ entries changed:"
+            f" {changed}) — the read_table handle memo would serve a"
+            " STALE file listing for the rest of the session"
+        )
+        failures.append("__source_dir_invariant__")
     if record_path is not None:
         import json
 
@@ -152,6 +184,7 @@ def main() -> int:
             "n_checked": len(record),
             "n_registry": len(queries),
             "n_failures": len(failures),
+            "source_dir_unchanged": src_unchanged,
             "results": record,
         }
         Path(record_path).write_text(json.dumps(payload, indent=1))
