@@ -198,6 +198,18 @@ def ivf_assign(
         order = np.argsort(key, axis=1, kind="stable")[:, :k]
         return pd.Series(list(cids[order].astype(np.int32)))
 
+    # guide §4.4: ``explode`` plants a ``size(_p) > 0 AND isnotnull``
+    # filter over the UDF column, and the optimizer duplicates the
+    # ArrowEvalPython below that filter — every row paid the full
+    # rows × nlist centroid scoring TWICE (verified in the r13 plan
+    # dumps: x2/x4/x11/x14/x15 each showed two stacked ArrowEvalPython
+    # nodes per assign).  The function is pure; marking it
+    # non-deterministic only forbids the optimizer to clone or reorder
+    # it, yielding a single evaluation with identical values.  Locally
+    # measured neutral (assignment is vectorized numpy over small
+    # fixtures); the saved pass is rows × nlist work at scale.
+    _probes = _probes.asNondeterministic()
+
     # every input column rides along: a persisted index built from a
     # frame with metadata columns carries them into cells/, which is
     # what attribute-FILTERED serving needs (vectors and their filter
@@ -1010,8 +1022,15 @@ def recall_at_k(
     runs over millions of held-out queries as easily as five.  Corpus
     recall = ``result.agg(F.avg("recall"))``.
     """
-    e = exact.select(query_col, neighbor_col)
-    a = approx.select(query_col, neighbor_col)
+    # materialize the thin (query, neighbor) id pairs ONCE: both legs
+    # feed two plan branches each (`totals` + the hit join read `e`;
+    # only exchanges dedupe under plan reuse, so unmaterialized, the
+    # ENTIRE exact pipeline — for x15 a full brute-force corpus scan,
+    # score and two-phase top-k — re-ran per branch (r13 plan dump
+    # showed the brute subtree twice).  k rows per query, always thin;
+    # localCheckpoint blocks free with the handle (guide §5/§1.2).
+    e = exact.select(query_col, neighbor_col).localCheckpoint(eager=False)
+    a = approx.select(query_col, neighbor_col)  # single consumer
     totals = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("_n_exact"))
     hits = (
         e.join(a, [query_col, neighbor_col])

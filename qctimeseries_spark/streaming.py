@@ -988,13 +988,9 @@ def stream_funnel(
         if not frames:
             return
         pdf = pd.concat(frames)
-        # NULL timestamps never convert in the batch twin (min() skips
-        # NULL _us) — and NaT would otherwise alias to the int64-min
-        # sentinel here (r11 reviewer), converting stage 0 at garbage
-        # time.  Drop them with the non-stage types.
-        pdf = pdf[
-            pdf[type_col].isin(stages) & pdf[time_col].notna()
-        ].sort_values(time_col, kind="stable")
+        # NULL timestamps / non-stage types are pruned JVM-side before
+        # the shuffle (see the src filter below) — nothing to re-drop.
+        pdf = pdf.sort_values(time_col, kind="stable")
         us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
         types = pdf[type_col].to_numpy()
         if last_us is not None:
@@ -1035,9 +1031,18 @@ def stream_funnel(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    src = stream.filter(F.col(user_col).isNotNull()).withWatermark(
-        time_col, watermark
-    )
+    # guide §4.1/§2.3: non-stage types and NULL timestamps used to
+    # drop in pandas INSIDE the stateful fn — after paying the
+    # user-key shuffle and the Arrow boundary.  The identical
+    # predicates as JVM filters prune before both and push to the
+    # source scan (NULL timestamps never convert in the batch twin —
+    # r11 reviewer — and rows of other types never touched state), so
+    # admitted rows, state evolution and output are unchanged.
+    src = stream.filter(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isin(stages)
+        & F.col(time_col).isNotNull()
+    ).withWatermark(time_col, watermark)
     return src.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
@@ -1136,11 +1141,7 @@ def stream_transitions(
         if not frames:
             return
         pdf = pd.concat(frames)
-        pdf = pdf[
-            pdf[type_col].notna()
-            & pdf[time_col].notna()
-            & pdf[tie_col].notna()
-        ].sort_values([time_col, tie_col], kind="stable")
+        pdf = pdf.sort_values([time_col, tie_col], kind="stable")
         us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
         ties = pdf[tie_col].to_numpy()
         types = pdf[type_col].to_numpy()
@@ -1170,9 +1171,17 @@ def stream_transitions(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    src = stream.filter(F.col(user_col).isNotNull()).withWatermark(
-        time_col, watermark
-    )
+    # guide §4.1/§2.3: the NULL drops ran in pandas INSIDE the stateful
+    # fn — every dropped row still crossed the user-key shuffle and the
+    # Arrow boundary.  The same predicates as JVM filters prune before
+    # both (and reach the source scan); admitted rows are identical, so
+    # the state evolution and output are unchanged row-for-row.
+    src = stream.filter(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isNotNull()
+        & F.col(time_col).isNotNull()
+        & F.col(tie_col).isNotNull()
+    ).withWatermark(time_col, watermark)
     return src.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
@@ -1262,11 +1271,7 @@ def stream_attribution(
         if not frames:
             return
         pdf = pd.concat(frames)
-        pdf = pdf[
-            pdf[type_col].isin(relevant)
-            & pdf[time_col].notna()
-            & pdf[tie_col].notna()
-        ].sort_values([time_col, tie_col], kind="stable")
+        pdf = pdf.sort_values([time_col, tie_col], kind="stable")
         us = pdf[time_col].astype("datetime64[us]").astype("int64").to_numpy()
         ties = pdf[tie_col].to_numpy()
         types = pdf[type_col].to_numpy()
@@ -1342,9 +1347,20 @@ def stream_attribution(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    src = stream.filter(F.col(user_col).isNotNull()).withWatermark(
-        time_col, watermark
-    )
+    # guide §4.1/§2.3: the relevance + NULL pruning ran in pandas
+    # INSIDE the stateful fn — every irrelevant-type row (at 100 TB,
+    # most of the stream) still crossed the user-key shuffle and the
+    # Arrow boundary.  The identical predicates as JVM filters prune
+    # before both and push to the source scan; rows of other types
+    # never touched state anyway (the batch twin's scan-pruning
+    # pre-filter), so admitted rows — hence state evolution and
+    # output — are unchanged row-for-row.
+    src = stream.filter(
+        F.col(user_col).isNotNull()
+        & F.col(type_col).isin(relevant)
+        & F.col(time_col).isNotNull()
+        & F.col(tie_col).isNotNull()
+    ).withWatermark(time_col, watermark)
     return src.groupBy(user_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,

@@ -3730,3 +3730,64 @@ def test_edit_distance_non_ascii(spark):
     byte_level = edit_distance_on(pairs, projected).collect()[0]
     assert byte_level.edit_distance == oracle
     assert (byte_level.n_a, byte_level.n_b) == (5, 4)  # byte lengths
+
+
+def test_text_operator_caches_self_clean(spark):
+    """VERDICT r13 task 4: the multiply-read text-model count tables
+    (unigram counts, bigram counts, tfidf/bm25 postings) must not
+    outlive their query in a long-lived session.  They are now lazy
+    localCheckpoints (block lifetime = result-frame lifetime via the
+    ContextCleaner), never bare ``persist()`` — so the SQL
+    CacheManager stays EMPTY (the old leak parked an InMemoryRelation
+    there per call, forever without clearCache), and the checkpoint
+    blocks drain once the results are garbage-collected."""
+    import gc
+    import time
+
+    from pyspark.sql import functions as F
+
+    from qctimeseries_spark.datapipe.text import (
+        bigram_logprob,
+        bm25_retrieval,
+        tfidf_top_terms,
+        unigram_logprob,
+    )
+
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma doc "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    queries = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    results = [
+        unigram_logprob(docs),
+        bigram_logprob(docs),
+        tfidf_top_terms(docs, k=3),
+        bm25_retrieval(docs, queries, k=3),
+    ]
+    for r in results:
+        r.write.format("noop").mode("overwrite").save()
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), (
+        "a text operator registered a plan in the SQL CacheManager "
+        "(bare persist with no unpersist site — the r13 leak)"
+    )
+
+    # checkpoint blocks drain once the result frames are GC'd (the
+    # ContextCleaner runs off JVM weak references — poll generously)
+    del results, r
+    gc.collect()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if len(infos) == 0:
+            break
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0, (
+        "checkpointed count-table blocks survived GC of their results"
+    )
