@@ -196,12 +196,46 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 BPE_PUA_BASE = 0xE000
 
 
+def _bpe_train_driver(rows, n_merges: int):
+    """Driver tier of :func:`bpe_train`: the identical merge algebra
+    over a COLLECTED ``(w, n_words)`` vocabulary — pair counting is
+    the same every-adjacent-position enumeration (repeats within a
+    word count once per position), the argmax the same (count desc,
+    pair asc) order (Python code-point comparison ≡ Spark's binary
+    UTF-8 string order), and the merge application the same
+    left-to-right non-overlapping ``str.replace``.  Exactness is
+    pinned by ``test_bpe_train_driver_tier_matches_distributed``.
+    Returns the merge tuples; the caller wraps them in a DataFrame."""
+    vocab = [(r["w"], int(r["n_words"])) for r in rows]
+    decoded: dict[str, str] = {}
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        counts: dict[str, int] = {}
+        for w, n in vocab:
+            for i in range(len(w) - 1):
+                p = w[i : i + 2]
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rank = len(merges)
+        sym = chr(BPE_PUA_BASE + rank)
+        decoded[sym] = "".join(decoded.get(c, c) for c in pair)
+        merges.append((rank, pair, decoded[sym], cnt))
+        if len(merges) >= n_merges:
+            break
+        vocab = [(w.replace(pair, sym), n) for w, n in vocab]
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     *,
     n_merges: int = 10,
     batch: int = 1,
+    strategy: str = "auto",
+    max_driver_vocab: int = 500_000,
 ):
     """Iterated BPE merge training over the corpus vocabulary: returns
     the merge table ``(merge_rank, pair, token, n_occurrences)`` —
@@ -253,6 +287,19 @@ def bpe_train(
     Jobs per round are constant (ranked top-k + symbol maxima + the
     materializing count), so driver round-trips drop by the average
     accepted-prefix length.
+
+    ``strategy`` tiers (same merge table, different physics — the
+    :func:`~qctimeseries_spark.datapipe.dedup.dup_clusters` pattern):
+    the vocabulary is orders of magnitude smaller than the corpus, so
+    ``"auto"`` collects it when it fits under ``max_driver_vocab``
+    rows and runs the identical merge loop driver-side — ONE Spark
+    job total instead of one-to-two per merge round (each round's
+    vocabulary aggregation is fixed job overhead at that size, not
+    compute).  Above the cap (or ``strategy="distributed"``) the
+    distributed loop runs; ``strategy="driver"`` forces the collect.
+    Exactness across tiers is pinned by pytest (same pair
+    enumeration, same (count desc, pair asc) binary-order argmax,
+    same left-to-right non-overlapping replace).
     """
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
@@ -260,9 +307,27 @@ def bpe_train(
         raise ValueError("n_merges exceeds the private-use symbol budget")
     if batch < 1:
         raise ValueError("batch must be >= 1")
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(
+            f"strategy must be auto|driver|distributed, got {strategy!r}"
+        )
     spark = df.sparkSession
+    schema = "merge_rank int, pair string, token string, n_occurrences long"
     w = fan_out(df).select(F.explode(tokens(F.col(text_col))).alias("w"))
-    vocab = w.groupBy("w").agg(F.count(F.lit(1)).alias("n_words")).persist()
+    vocab_df = w.groupBy("w").agg(F.count(F.lit(1)).alias("n_words"))
+    if strategy == "driver":
+        return spark.createDataFrame(
+            _bpe_train_driver(vocab_df.collect(), n_merges), schema
+        )
+    if strategy == "auto":
+        # one bounded job: if the ENTIRE vocabulary fits under the
+        # cap, the limit returns it all and the loop runs driver-side
+        probe = vocab_df.limit(max_driver_vocab + 1).collect()
+        if len(probe) <= max_driver_vocab:
+            return spark.createDataFrame(
+                _bpe_train_driver(probe, n_merges), schema
+            )
+    vocab = vocab_df.persist()
     decoded: dict[str, str] = {}
     merges: list[tuple[int, str, str, int]] = []
     prev = vocab

@@ -118,8 +118,57 @@ w AS (
 )
 
 
+def _events_anchor(sf_dir: str):
+    """The windowing anchor ``min(events.ts)`` from PARQUET FOOTER
+    STATISTICS — zero Spark jobs (guide §6: let metadata answer what a
+    scan would).  ``assign_windows(anchor=None)`` otherwise runs a
+    driver collect per CONSTRUCTION, and profiling showed that one job
+    was ~60% of u6's construction time across the ~19 windowed fixture
+    queries.  Exact-value safety:
+
+    - parquet int64 timestamp min/max stats are exact (not truncated);
+      verified equal to the engine's ``F.min(ts)`` on every SF;
+    - the seeded fixture chains are row-preserving projections of
+      ``events`` with ``ts`` untouched, so min over the chain ≡ min
+      over the file;
+    - stats skip NULLs, exactly like ``F.min``.
+
+    Returns None (→ the collect path) when anything is off: missing
+    stats, unexpected physical type, or a non-datetime min.  Re-read
+    from the live file every call — no result memo.
+    """
+    import datetime as _dt
+
+    try:
+        import pyarrow.parquet as _pq
+
+        md = _pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ti = names.index("ts")
+        mins = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ti).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mins.append(st.min)
+        lo = min(mins)
+        if isinstance(lo, _dt.datetime):
+            return lo
+        if isinstance(lo, int) and lo > 0:  # TIMESTAMP(NANOS) raw int
+            # engine path is `ts DIV 1000` (truncation); positive-only
+            return _dt.datetime.utcfromtimestamp(0) + _dt.timedelta(
+                microseconds=lo // 1000
+            )
+        return None
+    except Exception:
+        return None
+
+
 def _windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return assign_windows(_seeded(spark, sf_dir), "ts", WIN_HOURS)
+    return assign_windows(
+        _seeded(spark, sf_dir), "ts", WIN_HOURS,
+        anchor=_events_anchor(sf_dir),
+    )
 
 
 def _app_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,6 +178,7 @@ def _app_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_rowid(_seeded(spark, sf_dir), "ts", ties=["event_id"]),
         "ts",
         WIN_HOURS,
+        anchor=_events_anchor(sf_dir),
     )
 
 

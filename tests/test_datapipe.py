@@ -1244,11 +1244,17 @@ def test_bpe_batch_schedule_is_exact_and_cuts_driver_roundtrips(spark):
     from qctimeseries_spark.sources import read_table
 
     # exactness on the real corpus (shared letters force short prefixes
-    # — the hard case for the acceptance proof)
+    # — the hard case for the acceptance proof).  strategy="distributed"
+    # pins the DISTRIBUTED path: the auto tier would otherwise collect
+    # this small vocabulary and never exercise the batch proof.
     docs = read_table(spark, "/root/testdata/sf0.001", "documents")
-    seq = [tuple(r) for r in bpe_train(docs, n_merges=12, batch=1).collect()]
+    seq = [tuple(r) for r in bpe_train(
+        docs, n_merges=12, batch=1, strategy="distributed"
+    ).collect()]
     for b in (4, 64):
-        got = [tuple(r) for r in bpe_train(docs, n_merges=12, batch=b).collect()]
+        got = [tuple(r) for r in bpe_train(
+            docs, n_merges=12, batch=b, strategy="distributed"
+        ).collect()]
         assert got == seq, f"batch={b} diverged from the sequential schedule"
 
     # throughput on disjoint-alphabet words: ten 2-char words with
@@ -1259,7 +1265,9 @@ def test_bpe_batch_schedule_is_exact_and_cuts_driver_roundtrips(spark):
                            "kl", "mn", "op", "qr", "st"]):
         rows += [(i * 100 + j, w) for j in range(100 - i)]
     toy = spark.createDataFrame(rows, "doc_id long, text string")
-    seq_toy = [tuple(r) for r in bpe_train(toy, n_merges=10, batch=1).collect()]
+    seq_toy = [tuple(r) for r in bpe_train(
+        toy, n_merges=10, batch=1, strategy="distributed"
+    ).collect()]
     # pin the ACTION count with AQE off (with it on, every shuffle
     # stage surfaces as its own job id — same discipline as
     # test_dup_clusters_one_job_per_round)
@@ -1267,13 +1275,65 @@ def test_bpe_batch_schedule_is_exact_and_cuts_driver_roundtrips(spark):
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         ja = job_audit(
-            spark, lambda: bpe_train(toy, n_merges=10, batch=16).collect()
+            spark,
+            lambda: bpe_train(
+                toy, n_merges=10, batch=16, strategy="distributed"
+            ).collect(),
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
     got_toy = [tuple(r) for r in ja["result"]]
     assert got_toy == seq_toy and len(got_toy) == 10
     assert ja["jobs"] / 10 < 0.5, f"{ja['jobs']} jobs for 10 merges"
+
+
+def test_bpe_train_driver_tier_matches_distributed(spark):
+    """The auto/driver vocabulary-collect tier (VERDICT r13 task 3
+    adjacent — one job instead of one-to-two per merge round) must
+    produce the IDENTICAL merge table to the distributed loop: same
+    every-adjacent-position pair enumeration, same (count desc, pair
+    asc binary-order) argmax, same left-to-right non-overlapping
+    replace.  Also pins the auto gate: a vocabulary over the cap runs
+    distributed."""
+    from qctimeseries_spark.datapipe.text import bpe_train
+    from qctimeseries_spark.plans import job_audit
+    from qctimeseries_spark.sources import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    dist = [tuple(r) for r in bpe_train(
+        docs, n_merges=12, strategy="distributed"
+    ).collect()]
+    drv = [tuple(r) for r in bpe_train(
+        docs, n_merges=12, strategy="driver"
+    ).collect()]
+    auto = [tuple(r) for r in bpe_train(docs, n_merges=12).collect()]
+    assert drv == dist
+    assert auto == dist
+    # repeated pairs inside one word count once per POSITION ("aaa"
+    # has two "aa" occurrences), and ties break on the binary pair
+    # order — both pinned through the tiers
+    toy = spark.createDataFrame(
+        [(1, "aaa bb"), (2, "bb zz")], "doc_id long, text string"
+    )
+    t_dist = [tuple(r) for r in bpe_train(
+        toy, n_merges=3, strategy="distributed"
+    ).collect()]
+    t_drv = [tuple(r) for r in bpe_train(
+        toy, n_merges=3, strategy="driver"
+    ).collect()]
+    assert t_drv == t_dist
+    # the auto tier pays ONE bounded vocabulary job, not one per round
+    ja = job_audit(
+        spark, lambda: bpe_train(docs, n_merges=12).collect()
+    )
+    # the bounded vocabulary collect (CollectLimit runs incrementally,
+    # 1-2 jobs) + the merge-table collect — far under one per round
+    assert ja["jobs"] <= 5, f"auto tier ran {ja['jobs']} jobs"
+    # an over-cap vocabulary falls back to the distributed loop
+    over = [tuple(r) for r in bpe_train(
+        docs, n_merges=4, max_driver_vocab=5
+    ).collect()]
+    assert over == dist[:4]
 
 
 def test_bpe_encode_arrow_matches_expr(spark):
