@@ -1040,12 +1040,21 @@ def jaccard_on(
     replay-safe — the prune semi-join itself is identical either way.
     """
     pairs, docs = _pair_id_prune(pairs, docs, id_col, eager_pairs)
+    # materialize the candidate-sized shingle table ONCE: the id_a and
+    # id_b joins each consume it, and only exchanges dedupe under plan
+    # reuse — unmaterialized, the pruned-corpus scan AND the full
+    # shingle+hash build ran once per join side (guide §1.2 step 1;
+    # the frame is (id, 8-byte-hash array), bounded by the candidate
+    # set).  Gated on ``eager_pairs``: False keeps the whole
+    # composition lazy/plan-inspectable (the documented contract).
     sh = fan_out(docs).select(
         F.col(id_col),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), ngram), hash60)
         ).alias("sh"),
     )
+    if eager_pairs:
+        sh = sh.localCheckpoint(eager=False)
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -1119,10 +1128,14 @@ def edit_distance_on(
             raise ValueError("prefix_chars must be >= 1")
         t = F.substring(t, 1, int(prefix_chars))
     # NULL text = nothing to verify: the inner joins below then drop
-    # the pair entirely (docstring contract)
+    # the pair entirely (docstring contract).  Materialized once —
+    # both pair-side joins consume it (the jaccard_on rationale);
+    # bounded by candidates × prefix_chars.
     txt = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col), t.alias("_t")
     )
+    if eager_pairs:
+        txt = txt.localCheckpoint(eager=False)
     j = (
         pairs.join(
             txt.withColumnRenamed(id_col, "id_a")
@@ -1192,12 +1205,17 @@ def containment_on(
     should pass ``eager_pairs=False``.
     """
     pairs, docs = _pair_id_prune(pairs, docs, id_col, eager_pairs)
+    # materialized once — both pair-side joins consume it (the
+    # jaccard_on rationale); candidate-sized hash arrays; lazy
+    # composition preserved under eager_pairs=False
     sh = fan_out(docs).select(
         F.col(id_col),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), ngram), hash60)
         ).alias("sh"),
     )
+    if eager_pairs:
+        sh = sh.localCheckpoint(eager=False)
     j = (
         pairs.join(
             sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),

@@ -1330,9 +1330,15 @@ def q_d11_canonical_keep(spark, sf_dir):
     from qctimeseries_spark.datapipe.dedup import canonical_keep
     from qctimeseries_spark.datapipe.text import token_count
 
+    # materialize the thin (doc_id, n_tokens) frame once: canonical_keep
+    # reads `docs` in TWO branches (the keeper-election score join and
+    # the final cluster/keeper attach), and only exchanges dedupe under
+    # plan reuse — unmaterialized, the planted-corpus construction and
+    # its full-text tokenize ran once per branch (guide §1.2 step 1;
+    # two longs per doc, always thin)
     docs = _near_corpus(spark, sf_dir).withColumn(
         "n_tokens", token_count(F.col("text"))
-    ).select("doc_id", "n_tokens")
+    ).select("doc_id", "n_tokens").localCheckpoint(eager=False)
     pairs = minhash_dedup_pairs(
         _near_corpus(spark, sf_dir), k=15, bands=5, ngram=3, threshold=0.6
     )
