@@ -111,6 +111,100 @@ def _topk_exact(
     )
 
 
+def _brute_scores_arrow(
+    corpus: DataFrame, qrows, id_col: str, vec_col: str
+) -> DataFrame:
+    """Arrow matrix tier of :func:`knn_bruteforce`: the collected
+    query vectors ride to the workers as a numpy matrix and every
+    corpus vector is scored against ALL of them in one vectorized
+    pass — the :func:`ivf_assign` construction, whose per-dimension
+    accumulate IS the left fold of :func:`~qctimeseries_spark.datapipe
+    .dedup.cosine`, so the doubles are bit-identical to the
+    interpreted HOF formulation (and to the DuckDB oracle).  Each
+    corpus vector crosses the Python boundary ONCE (guide §4.2) and
+    the per-pair work runs through numpy instead of the interpreted
+    Catalyst fold, which :func:`ivf_assign` measured ~100× slower at
+    rows × queries volume.  NULL corpus/query vectors yield NULL
+    cosines per pair, exactly like the HOF."""
+    qids = [r["query_id"] for r in qrows]
+    qvs = [r["qv"] for r in qrows]
+    m = len(qids)
+    # NULL query vectors keep their slot (zero-filled in the matrix,
+    # NULLed per pair below — the HOF path emits NULL cosines for
+    # them, and ranking still numbers their rows by id)
+    null_q = [i for i, v in enumerate(qvs) if v is None]
+    dims = {len(v) for v in qvs if v is not None}
+    dim = dims.pop() if dims else 0  # uniform — gated by the caller
+    Q = np.zeros((m, dim), dtype=np.float64)
+    for i, v in enumerate(qvs):
+        if v is not None:
+            Q[i] = np.asarray(v, dtype=np.float64)
+    nq = np.zeros(m)
+    for i in range(dim):  # left-fold norm, matching cosine()
+        nq += Q[:, i] * Q[:, i]
+    nq = np.sqrt(nq)
+
+    @F.pandas_udf("array<double>")
+    def _scores(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        out: list = [None] * len(vs)
+        # a corpus vector whose length differs from the query dim
+        # scores NULL against every query (zip_with pads the shorter
+        # side with NULL in the HOF path) — same treatment as a NULL
+        # vector here
+        mask = np.array(
+            [v is not None and len(v) == dim for v in vs], dtype=bool
+        )
+        vals = [np.asarray(v, dtype=np.float64) for v in vs[mask]]
+        if vals:
+            A = np.stack(vals)
+            na = np.zeros(len(A))
+            dots = np.zeros((len(A), m))
+            for i in range(dim):  # left fold per pair, matching cosine()
+                na += A[:, i] * A[:, i]
+                dots += A[:, i : i + 1] * Q[:, i]
+            na = np.sqrt(na)
+            # cosine() computes dot / (na_query * nb_corpus); IEEE
+            # multiplication is commutative bit-exactly
+            cs = dots / (nq[None, :] * na[:, None])
+            lists = cs.tolist()
+            if null_q:
+                for row in lists:
+                    for j in null_q:
+                        row[j] = None
+            it = iter(lists)
+            for idx in np.flatnonzero(mask):
+                out[idx] = next(it)
+        return pd.Series(out)
+
+    # §4.4: the explode's derived-column filter must not duplicate the
+    # scoring pass (the ivf_assign precedent)
+    _scores = _scores.asNondeterministic()
+
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _scores(F.col(vec_col)).alias("_cs"),
+        )
+        .select("neighbor_id", F.posexplode(F.col("_cs")).alias("_p", "_c"))
+        .select(
+            F.element_at(qid_arr, F.col("_p") + 1).alias("query_id"),
+            "neighbor_id",
+            F.round(F.col("_c"), 9).alias("cos"),
+        )
+    )
+
+
+#: query-count ceiling for the Arrow matrix tier of
+#: :func:`knn_bruteforce` — above it the query matrix stops being
+#: comfortably driver/worker-resident and the broadcast-join HOF path
+#: runs instead (same values; the classic recall-eval / serve case is
+#: a handful to a few hundred queries)
+BRUTE_ARROW_MAX_QUERIES = 4096
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -122,21 +216,37 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
+    Scoring tiers (identical doubles, different physics): when the
+    query set fits under :data:`BRUTE_ARROW_MAX_QUERIES` (the design
+    case — recall evaluation and serve batches are a handful to a few
+    hundred queries) the collected query matrix rides into ONE Arrow
+    pass over the corpus (each corpus vector crosses the boundary
+    once; per-pair math is the same left fold, vectorized — see
+    :func:`_brute_scores_arrow`).  Above the cap,
     ``broadcast(queries)`` makes the join a map-side nested loop over
-    the corpus partitions (no shuffle of the big side); ranking is the
-    two-phase :func:`_topk_exact` — per-query pools here are the WHOLE
-    corpus, the worst case for a single per-query window task.
-    Rank on the 9-dp-rounded cosine with id tie-break so ordering is
-    reproducible across engines and float summation orders.
+    the corpus partitions (no shuffle of the big side) with the
+    interpreted HOF cosine.  Ranking is the two-phase
+    :func:`_topk_exact` — per-query pools here are the WHOLE corpus,
+    the worst case for a single per-query window task.  Rank on the
+    9-dp-rounded cosine with id tie-break so ordering is reproducible
+    across engines and float summation orders.
     """
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 9))
-    )
+    qrows = q.limit(BRUTE_ARROW_MAX_QUERIES + 1).collect()
+    if 0 < len(qrows) <= BRUTE_ARROW_MAX_QUERIES:
+        scored = _brute_scores_arrow(corpus, qrows, id_col, vec_col).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        scored = (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 9))
+        )
     return _topk_exact(
         scored,
         k,
@@ -152,6 +262,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     nprobe: int = 1,
+    dedup_eval: bool = True,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids (cosine).
 
@@ -208,7 +319,16 @@ def ivf_assign(
     # it, yielding a single evaluation with identical values.  Locally
     # measured neutral (assignment is vectorized numpy over small
     # fixtures); the saved pass is rows × nlist work at scale.
-    _probes = _probes.asNondeterministic()
+    # ``dedup_eval=False`` keeps the expression deterministic: the
+    # QUERY-side assign of a persisted-store serve must stay eligible
+    # for dynamic partition pruning (DPP re-plants the build side as a
+    # subquery filter on the cells/ scan — forbidden for
+    # non-deterministic expressions, and the q-side frame is tiny, so
+    # its duplicated eval costs nothing while the pruning it buys is
+    # the nprobe/nlist serve economics; pinned by
+    # test_persisted_ivf_index_matches_fresh_build).
+    if dedup_eval:
+        _probes = _probes.asNondeterministic()
 
     # every input column rides along: a persisted index built from a
     # frame with metadata columns carries them into cells/, which is
@@ -378,6 +498,10 @@ def _rank_probed_cells(
         id_col="query_id",
         vec_col=vec_col,
         nprobe=nprobe,
+        # deterministic: DPP on a partitioned cells/ store re-plants
+        # this side as the scan's partition filter (see ivf_assign);
+        # the query frame is tiny, so the duplicated eval is free
+        dedup_eval=False,
     ).select("query_id", F.col(vec_col).alias("qv"), "centroid_id")
     scored = (
         c_cells.join(F.broadcast(q_cells), "centroid_id")
@@ -1434,6 +1558,9 @@ def knn_query_pq_index(
         id_col="query_id",
         vec_col=vec_col,
         nprobe=nprobe,
+        # deterministic: DPP on the partitioned cells/ store (see
+        # ivf_assign)
+        dedup_eval=False,
     ).select("query_id", "centroid_id")
 
     q_lut = queries.select(
@@ -1755,6 +1882,9 @@ def knn_query_ivfpq_residual(
     q_cells = ivf_assign(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
         cents, id_col="query_id", vec_col=vec_col, nprobe=nprobe,
+        # deterministic: DPP on the partitioned cells/ store (see
+        # ivf_assign)
+        dedup_eval=False,
     ).select("query_id", "centroid_id")
     q_side = queries.select(
         F.col(query_id_col).alias("query_id"),
