@@ -3822,6 +3822,13 @@ def test_text_operator_caches_self_clean(spark):
     queries = docs.filter(F.col("doc_id") < 2).select(
         F.col("doc_id").alias("query_id"), "text"
     )
+    # delta-based in the SHARED suite session: other tests may hold
+    # live caches/checkpoints of their own — only OUR operators'
+    # residue is under test
+    spark.catalog.clearCache()
+    pre_ids = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
     results = [
         unigram_logprob(docs),
         bigram_logprob(docs),
@@ -3841,13 +3848,17 @@ def test_text_operator_caches_self_clean(spark):
     # ContextCleaner runs off JVM weak references — poll generously)
     del results, r
     gc.collect()
+
+    def _new_ids():
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        } - pre_ids
+
     deadline = time.time() + 30
-    while time.time() < deadline:
-        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        if len(infos) == 0:
-            break
+    while time.time() < deadline and _new_ids():
         spark.sparkContext._jvm.System.gc()
         time.sleep(1)
-    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0, (
+    assert not _new_ids(), (
         "checkpointed count-table blocks survived GC of their results"
     )
